@@ -1,0 +1,78 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational building blocks mirroring the reference's pandas idioms with
+  * deterministic, distributed semantics.
+  */
+object Relational {
+
+  /** pandas natural join: `pd.merge(a, b)` with no `on=` joins on ALL
+    * shared column names (heraldPathways.py:195, gizmos.py:445,474,479). */
+  def naturalJoin(a: DataFrame, b: DataFrame, how: String = "inner"): DataFrame = {
+    val keys = a.columns.toSeq.intersect(b.columns.toSeq)
+    require(keys.nonEmpty, "naturalJoin: no shared columns")
+    a.join(b, keys, how)
+  }
+
+  /** pandas `pd.concat` row-stack: aligns by column NAME and fills missing
+    * columns with null (pathMassTransitions.py:191,312,
+    * heraldPathways.py:106,455, validateRulesWithOrigins.py:125). */
+  def concatRows(dfs: Seq[DataFrame]): DataFrame =
+    dfs.reduce(_.unionByName(_, allowMissingColumns = true))
+
+  /** Order-deterministic `drop_duplicates(keep='first')`
+    * (gizmos.py:509-516, mapBaseRetroRules.py:164-171): keep, per key
+    * group, the first row under an explicit ordering. Pandas relies on
+    * upstream row order; in a distributed engine the ordering must be
+    * stated, so callers pass the sort columns the reference sorted by plus
+    * a tiebreaker.
+    */
+  def keepFirst(df: DataFrame, keys: Seq[String], order: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Top-k rows per group under an explicit ordering (wcModules.py:167-198
+    * rank-partners idiom; gizmos.py:510-516 top-diameter). */
+  def topKPerGroup(df: DataFrame, keys: Seq[String], order: Seq[Column], k: Int): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= k).withColumnRenamed("__rn", "rank_in_group")
+  }
+
+  /** melt / wide→long unpivot (pd.melt, pathMassTransitions.py:166-180).
+    * Keeps `idCols`, turns each of `valueCols` into a (variable, value)
+    * row. Uses the built-in stack expression — no shuffle, executes inside
+    * whole-stage codegen. */
+  def melt(df: DataFrame, idCols: Seq[String], valueCols: Seq[String],
+           varName: String = "variable", valName: String = "value"): DataFrame = {
+    val stackArgs = valueCols
+      .map(c => s"'$c', cast(`$c` as double)").mkString(", ")
+    df.select(idCols.map(col) :+
+      expr(s"stack(${valueCols.size}, $stackArgs) as (`$varName`, `$valName`)"): _*)
+  }
+
+  /** Explode a delimiter-joined set column (gizmos.py:40-80 `pd_to_set`;
+    * explode sites gizmos.py:490-501,668-672). Null/empty becomes no rows,
+    * matching the reference's `pd.isnull → set()` branch. */
+  def explodeDelimited(df: DataFrame, column: String, delim: String = ";",
+                       outName: String = "element"): DataFrame =
+    df.withColumn(outName,
+      explode(filter(split(col(column), java.util.regex.Pattern.quote(delim)),
+        x => length(trim(x)) > 0)))
+
+  /** Rounded-key equi-join: the reference's surrogate for float range joins
+    * (treatMassTransitions.py:30, pathMassTransitions.py:203-224) — round
+    * both join values to `d` decimals and equi-join. HALF_UP rounding,
+    * matching pandas'/DuckDB's observable behavior for these data. */
+  def roundedJoin(a: DataFrame, b: DataFrame, aVal: String, bVal: String,
+                  d: Int, how: String = "inner"): DataFrame = {
+    val ak = a.withColumn("__rk", round(col(aVal), d))
+    val bk = b.withColumn("__rk", round(col(bVal), d))
+    ak.join(bk, Seq("__rk"), how).drop("__rk")
+  }
+}

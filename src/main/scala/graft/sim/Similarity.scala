@@ -1,0 +1,95 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Vector-similarity search over an embedding column (ARRAY<FLOAT/DOUBLE>).
+  *
+  * Brute-force cosine top-k is the exactness baseline (broadcast the query
+  * set, never the corpus); the LSH variant is the 100 TB path — random
+  * hyperplane signatures bucket the corpus so each query only probes its
+  * own buckets, turning the all-pairs scan into an equi-join on bucket key.
+  */
+object Similarity {
+
+  /** Dot product of two array columns, accumulated in double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact top-k cosine neighbors for each query vector.
+    *
+    * `queries` is expected to be small (it is broadcast); the corpus streams
+    * through one scan. Self-matches (same id) are excluded. Ties broken by
+    * neighbor id for determinism.
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
+                     idCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("__qv")))
+    val scored = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+      .join(q, col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosine(col("__qv"), col("__cv")))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("cos"), 6).as("cos"))
+  }
+
+  /** Signed-random-projection (SRP) LSH signature: `nBits` fixed random
+    * hyperplanes (seeded), bit = sign of the projection. Hamming distance
+    * on signatures approximates angular distance. */
+  def srpSignature(vec: Column, dim: Int, nBits: Int = 16, seed: Long = 7L): Column = {
+    val rng = new scala.util.Random(seed)
+    val planes = Array.fill(nBits, dim)(rng.nextGaussian())
+    val bits = planes.zipWithIndex.map { case (p, i) =>
+      val proj = aggregate(
+        zip_with(vec, lit(p), (x, w) => x.cast("double") * w),
+        lit(0.0), (acc, v) => acc + v)
+      when(proj >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** Approximate top-k via SRP-LSH with multi-probe: corpus rows are
+    * bucketed by signature band; each query probes the buckets of its own
+    * band values. Candidates are re-scored exactly, so precision is 1 —
+    * recall depends on bands/bits (verified against brute force in tests).
+    *
+    * Scale shape: corpus-side signatures are computed once (could be
+    * written bucketed/partitioned by band_hash at 100 TB); the join is
+    * equi on (band, chunk), never all-pairs.
+    */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, dim: Int, k: Int,
+              nBits: Int = 32, bands: Int = 8, seed: Long = 7L): DataFrame = {
+    require(nBits % bands == 0, "bands must divide nBits")
+    val bitsPerBand = nBits / bands
+    val mask = (1L << bitsPerBand) - 1
+    def banded(df: DataFrame, side: String) =
+      df.select(col(idCol).as(s"${side}_id"), col(vecCol).as(s"__${side}v"),
+          srpSignature(col(vecCol), dim, nBits, seed).as("__sig"))
+        .select(col(s"${side}_id"), col(s"__${side}v"),
+          posexplode(transform(sequence(lit(0), lit(bands - 1)),
+            b => call_function("shiftright", col("__sig"), b * bitsPerBand)
+              .bitwiseAND(lit(mask)))))
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "chunk")
+    val cb = banded(corpus, "neighbor")
+    val qb = broadcast(banded(queries, "query"))
+    val candidates = cb.join(qb, Seq("band", "chunk"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id", "__queryv", "__neighborv").distinct()
+    val scored = candidates.withColumn("cos", cosine(col("__queryv"), col("__neighborv")))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("cos"), 6).as("cos"))
+  }
+}

@@ -1,0 +1,161 @@
+package graft.stats
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed statistical operators.
+  *
+  * Everything here is expressed as algebraic aggregates / window functions
+  * so Catalyst keeps the work in whole-stage codegen and map-side partial
+  * aggregation — a per-group model fit only drops to `mapGroups` when the
+  * math is genuinely non-algebraic (EM; see `graft.omics`).
+  */
+object Stats {
+
+  /** Pearson r between two columns per group, plus the two-sided
+    * t-distribution p-value scipy.stats.pearsonr reports
+    * (corrMultiomics.py:52-63) and the t statistic itself.
+    *
+    * Implemented on built-in moment aggregates (partial+final mergeable);
+    * the p-value is the one non-SQL scalar, computed via
+    * [[Dist.corrPValue]].
+    */
+  def corrWithP(df: DataFrame, groupCols: Seq[String], x: String, y: String): DataFrame = {
+    val pUdf = udf((r: Double, n: Long) => Dist.corrPValue(r, n))
+    df.groupBy(groupCols.map(col): _*)
+      .agg(corr(col(x), col(y)).as("r"), count(lit(1)).as("n"))
+      .withColumn("t", col("r") * sqrt((col("n") - 2) / (lit(1.0) - col("r") * col("r"))))
+      .withColumn("p", pUdf(col("r"), col("n")))
+  }
+
+  /** Average (ties-adjusted) rank of `value` within `partition` — the rank
+    * Spearman correlation needs. avg rank = rank() + (ties-1)/2, computed
+    * with two windows, no self-join. */
+  def avgRank(partitionCols: Seq[Column], value: Column): Column = {
+    val wOrd = Window.partitionBy(partitionCols: _*).orderBy(value)
+    val wTie = Window.partitionBy(partitionCols :+ value: _*)
+    rank().over(wOrd) + (count(lit(1)).over(wTie) - 1) / 2.0
+  }
+
+  /** Spearman correlation per group = Pearson of ties-adjusted ranks
+    * (corrMultiomics.py:52-63 `spearmanr`). `pairKeys` identify the series
+    * (e.g. metabolite×gene), `sampleKey` the observation axis along which
+    * ranks are taken. x/y are ranked within each pair group. */
+  def spearman(df: DataFrame, pairKeys: Seq[String], x: String, y: String): DataFrame = {
+    val parts = pairKeys.map(col)
+    val ranked = df
+      .withColumn("__rx", avgRank(parts, col(x)))
+      .withColumn("__ry", avgRank(parts, col(y)))
+    corrWithP(ranked, pairKeys, "__rx", "__ry")
+      .withColumnRenamed("r", "rho")
+  }
+
+  /** Benjamini-Hochberg FDR adjustment (R p.adjust(method="fdr"),
+    * Gohs:80,87,158,198) within each group: p_adj = min over j>=i of
+    * p_(j) * n / j, clipped at 1. Rank ascending + reverse running min —
+    * two window passes, no collect. Deterministic tie-break on `idCol`. */
+  def bhAdjust(df: DataFrame, groupCols: Seq[String], pCol: String,
+               idCol: String, outCol: String = "p_adj"): DataFrame = {
+    val parts = groupCols.map(col)
+    val wRank = Window.partitionBy(parts: _*).orderBy(col(pCol), col(idCol))
+    val wRev = Window.partitionBy(parts: _*)
+      .orderBy(col(pCol).desc, col(idCol).desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withN = df.withColumn("__n", count(lit(1)).over(Window.partitionBy(parts: _*)))
+      .withColumn("__rank", row_number().over(wRank))
+      .withColumn("__raw", col(pCol) * col("__n") / col("__rank"))
+    withN.withColumn(outCol, least(lit(1.0), min(col("__raw")).over(wRev)))
+      .drop("__n", "__rank", "__raw")
+  }
+
+  /** Fisher's combined chi-square statistic per group
+    * (survcomp::combine.test, Gohs:130,156,196): -2*sum(log p). The
+    * companion p-value comes from [[Dist.chisqTail]] with df=2k. */
+  def fisherCombine(df: DataFrame, groupCols: Seq[String], pCol: String): DataFrame = {
+    val pTail = udf((stat: Double, k: Long) => Dist.chisqTail(stat, 2.0 * k))
+    df.groupBy(groupCols.map(col): _*)
+      .agg((lit(-2.0) * sum(log(greatest(col(pCol), lit(1e-320))))).as("fisher_stat"),
+        count(lit(1)).as("k"))
+      .withColumn("fisher_p", pTail(col("fisher_stat"), col("k")))
+  }
+
+  /** Per-group z-score outlier call (DriverNet getPatientOutlierMatrix.R:
+    * 4-27 — the dnorm(log=T) density threshold there is exactly
+    * |x-mean|/sd >= 2). Emits the input plus mean/sd/z and the call. */
+  def zscoreOutliers(df: DataFrame, groupCols: Seq[String], x: String,
+                     z: Double = 2.0): DataFrame = {
+    val w = Window.partitionBy(groupCols.map(col): _*)
+    df.withColumn("__mu", avg(col(x)).over(w))
+      .withColumn("__sd", stddev_samp(col(x)).over(w))
+      .withColumn("zscore", (col(x) - col("__mu")) / col("__sd"))
+      .withColumn("is_outlier", col("__sd") > 0 && abs(col("zscore")) >= z)
+      .drop("__mu", "__sd")
+  }
+
+  /** Median absolute deviation filter (gizmos.py:15-25 calc_MAD +
+    * apply_MAD_filter gizmos.py:121-130): per entity, median of
+    * |x - median(x)|; keep entities with MAD > 0. Exact medians via the
+    * `percentile` aggregate (exact, mergeable sketch of sorted values —
+    * group cardinalities here are per-entity sample counts, i.e. small). */
+  def madPerGroup(df: DataFrame, groupCols: Seq[String], x: String): DataFrame = {
+    val med = df.groupBy(groupCols.map(col): _*)
+      .agg(expr(s"percentile(`$x`, 0.5)").as("med"))
+    df.join(med, groupCols)
+      .groupBy(groupCols.map(col): _*)
+      .agg(first(col("med")).as("med"),
+        expr(s"percentile(abs(`$x` - med), 0.5)").as("mad"))
+  }
+
+  /** Geometric-mean centering factor per group: exp(avg(log x)) over
+    * positive x (Robinson TMM normalization, run_ABCD-DNA.R:26-64
+    * `z/(prod z)^(1/n)` step). */
+  def geometricMean(df: DataFrame, groupCols: Seq[String], x: String): DataFrame =
+    df.where(col(x) > 0)
+      .groupBy(groupCols.map(col): _*)
+      .agg(exp(avg(log(col(x)))).as("geo_mean"), count(lit(1)).as("n_pos"))
+
+  /** Per-group simple OLS y ~ x via moment aggregates — slope, intercept,
+    * R², t statistic of the slope and its two-sided p
+    * (MethylMix_ModelGeneExpression, MethylMix.R:187-209: keep genes with
+    * slope<0, p<0.001, R²>0.1). Fully algebraic: one shuffle, map-side
+    * partials, closed-form finish. */
+  def olsPerGroup(df: DataFrame, groupCols: Seq[String], x: String, y: String): DataFrame = {
+    val pUdf = udf((t: Double, df0: Double) => Dist.tTail2(t, df0))
+    val g = df.groupBy(groupCols.map(col): _*).agg(
+      count(lit(1)).cast("double").as("n"),
+      avg(col(x)).as("xbar"), avg(col(y)).as("ybar"),
+      sum(col(x) * col(x)).as("sxx0"), sum(col(x) * col(y)).as("sxy0"),
+      sum(col(y) * col(y)).as("syy0"))
+    g.withColumn("sxx", col("sxx0") - col("n") * col("xbar") * col("xbar"))
+      .withColumn("sxy", col("sxy0") - col("n") * col("xbar") * col("ybar"))
+      .withColumn("syy", col("syy0") - col("n") * col("ybar") * col("ybar"))
+      .withColumn("slope", col("sxy") / col("sxx"))
+      .withColumn("intercept", col("ybar") - col("slope") * col("xbar"))
+      .withColumn("r2", col("sxy") * col("sxy") / (col("sxx") * col("syy")))
+      .withColumn("sigma2",
+        (col("syy") - col("slope") * col("sxy")) / (col("n") - 2))
+      .withColumn("t_slope", col("slope") / sqrt(col("sigma2") / col("sxx")))
+      .withColumn("p_slope", pUdf(col("t_slope"), col("n") - 2))
+      .drop("sxx0", "sxy0", "syy0", "sigma2")
+  }
+
+  /** Mutual-rank co-expression edge weight (wcModules.py:96-98,167-216):
+    * given a directed correlation edge list (a,b,r), rank each partner per
+    * source by desc r, take MR = sqrt(rank_ab * rank_ba), weight =
+    * exp(-(MR-1)/decay). Input must contain BOTH directions of each pair
+    * (the reference concatenates both orientations before ranking). */
+  def mutualRank(edges: DataFrame, src: String, dst: String, r: String,
+                 decay: Double = 25.0): DataFrame = {
+    val w = Window.partitionBy(col(src)).orderBy(col(r).desc, col(dst))
+    val ranked = edges.withColumn("rank", row_number().over(w))
+    val ab = ranked.select(col(src).as("a"), col(dst).as("b"),
+      col(r).as("r"), col("rank").as("rank_ab"))
+    val ba = ranked.select(col(dst).as("a"), col(src).as("b"),
+      col("rank").as("rank_ba"))
+    ab.join(ba, Seq("a", "b"))
+      .where(col("a") < col("b"))
+      .withColumn("mr", sqrt(col("rank_ab") * col("rank_ba")))
+      .withColumn("weight", exp((lit(1.0) - col("mr")) / decay))
+  }
+}

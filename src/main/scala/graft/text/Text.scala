@@ -1,0 +1,105 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, quality scoring, language ID, fingerprinting. All are
+  * built-in-function pipelines (codegen'd, no UDFs in the hot path) so they
+  * stream through a parquet scan at full width — the 100 TB design point is
+  * "one narrow projection, one pass, no shuffle" for every per-document
+  * score.
+  */
+object Text {
+
+  /** Whitespace tokens, empties removed. */
+  def tokens(text: Column): Column =
+    filter(split(text, "\\s+"), t => length(t) > 0)
+
+  /** BPE-ish token count: word pieces + standalone punctuation, the usual
+    * cheap proxy for LLM token budgeting. */
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+
+  /** Per-document quality features: length, token stats, punctuation and
+    * stopword ratios — the standard pre-training quality heuristics. */
+  def qualityFeatures(df: DataFrame, textCol: String,
+                      stopwords: Seq[String] = DefaultStopwords): DataFrame = {
+    val t = col(textCol)
+    val toks = tokens(t)
+    val sw = lit(stopwords.toArray)
+    df.withColumn("n_chars", length(t))
+      .withColumn("n_tokens", size(toks))
+      .withColumn("n_punct", size(regexp_extract_all(t, lit("[^A-Za-z0-9\\s]"), lit(0))))
+      .withColumn("punct_ratio",
+        when(col("n_chars") > 0, col("n_punct").cast("double") / col("n_chars"))
+          .otherwise(0.0))
+      .withColumn("avg_token_len",
+        when(col("n_tokens") > 0,
+          aggregate(toks, lit(0L), (acc, x) => acc + length(x)).cast("double") /
+            col("n_tokens")).otherwise(0.0))
+      .withColumn("stopword_ratio",
+        when(col("n_tokens") > 0,
+          size(filter(toks, x => array_contains(sw, lower(x)))).cast("double") /
+            col("n_tokens")).otherwise(0.0))
+      .withColumn("uniq_token_ratio",
+        when(col("n_tokens") > 0,
+          size(array_distinct(toks)).cast("double") / col("n_tokens"))
+          .otherwise(0.0))
+  }
+
+  /** Composite quality score in [0,1]: favors mid-length documents with
+    * moderate punctuation, some stopwords, and lexical diversity. Purely
+    * arithmetic over [[qualityFeatures]] so it is also expressible in the
+    * SQL oracle. */
+  def qualityScore(df: DataFrame, textCol: String): DataFrame =
+    qualityFeatures(df, textCol).withColumn("quality",
+      round(
+        least(lit(1.0), col("n_tokens") / 100.0) * 0.4 +
+          (lit(1.0) - least(lit(1.0), col("punct_ratio") * 5.0)) * 0.2 +
+          least(lit(1.0), col("stopword_ratio") * 5.0) * 0.2 +
+          col("uniq_token_ratio") * 0.2, 6))
+
+  val DefaultStopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "for", "on", "with", "as", "at", "by", "from", "that", "this")
+
+  /** n-gram-profile language ID heuristic: score each candidate language by
+    * marker-token hits and pick the argmax (ties → lexicographic language
+    * order, deterministic). Marker lists are data, not code — callers pass
+    * their own profiles; the default covers common European languages. */
+  def langId(df: DataFrame, textCol: String,
+             profiles: Map[String, Seq[String]] = DefaultLangProfiles): DataFrame = {
+    val toks = array_distinct(tokens(lower(col(textCol))))
+    val scored = profiles.toSeq.sortBy(_._1).map { case (lang, markers) =>
+      struct(size(array_intersect(toks, lit(markers.toArray))).as("hits"),
+        lit(lang).as("lang"))
+    }
+    // argmax by (hits desc, lang asc): greatest(struct) orders by hits then
+    // lang — negate nothing, invert lang order by scoring structs manually
+    df.withColumn("__scores", array(scored: _*))
+      .withColumn("pred_lang",
+        expr("array_sort(__scores, (l, r) -> CASE WHEN l.hits > r.hits THEN -1" +
+          " WHEN l.hits < r.hits THEN 1 WHEN l.lang < r.lang THEN -1" +
+          " WHEN l.lang > r.lang THEN 1 ELSE 0 END)[0].lang"))
+      .withColumn("pred_hits", expr("array_max(transform(__scores, s -> s.hits))"))
+      .drop("__scores")
+  }
+
+  val DefaultLangProfiles: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "is", "in", "that", "it", "for", "was"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "zu", "ich"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "que", "pour", "dans"),
+    "es" -> Seq("el", "la", "los", "las", "es", "un", "una", "por", "para", "como"))
+
+  /** Document fingerprint: md5 of the sorted distinct token set of the
+    * normalized text — robust to reordering and duplication, the cheap
+    * "same bag of words" dedup key. */
+  def fingerprint(text: Column): Column =
+    md5(array_join(array_sort(array_distinct(tokens(lower(text)))), " "))
+
+  /** Normalized text for exact dedup: lowercase, collapse whitespace,
+    * strip leading/trailing space. */
+  def normalized(text: Column): Column =
+    trim(regexp_replace(lower(text), "\\s+", " "))
+}
