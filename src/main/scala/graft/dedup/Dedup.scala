@@ -52,10 +52,14 @@ object Dedup {
                         maxShingleDf: Long = 100): DataFrame = {
     val sh = df.select(col(idCol).as("id"),
         explode(shingles(col(textCol), k)).as("shingle"))
-    val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
+    // DF-pruning defines the shingle universe: both the candidate index AND
+    // the per-doc sizes come from the pruned set, so the Jaccard reported is
+    // consistently "Jaccard over shingles with df <= maxShingleDf" (the
+    // round-1 version mixed pruned intersections with unpruned sizes).
     val pruned = sh.withColumn("df",
         count(lit(1)).over(Window.partitionBy("shingle")))
       .where(col("df") <= maxShingleDf).drop("df")
+    val sizes = pruned.groupBy("id").agg(count(lit(1)).as("sz"))
     val inter = pruned.as("x").join(pruned.as("y"),
         col("x.shingle") === col("y.shingle") && col("x.id") < col("y.id"))
       .groupBy(col("x.id").as("id_a"), col("y.id").as("id_b"))
@@ -69,22 +73,18 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
-  /** MinHash signature: for each of `numHashes` permutations
-    * h_i(s) = (a_i * x + b_i) mod p over the shingle's 64-bit base hash x,
-    * take the min over the document's shingles. Seeds are fixed so runs are
-    * reproducible (SURVEY §7.4 nondeterminism note). Returns
-    * (id, sig ARRAY<LONG>). */
+  /** MinHash signature: hash family h_i(s) = xxhash64(s, i) — one
+    * independent 64-bit hash per index i (xxhash64 over the shingle plus the
+    * index as an extra hashed value). No modular arithmetic, so no Long
+    * overflow (the round-1 (a*x+b) mod p family overflowed 64-bit multiply,
+    * which under Spark 4's default ANSI mode is a runtime
+    * ARITHMETIC_OVERFLOW). Deterministic across runs by construction.
+    * Returns (id, sig ARRAY<LONG>). */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
                         k: Int = 3, numHashes: Int = 128): DataFrame = {
-    val P = lit(2305843009213693951L) // 2^61 - 1, Mersenne prime
-    val rng = new scala.util.Random(42)
-    val coefs = Array.fill(numHashes)(
-      (math.abs(rng.nextLong()) % 2305843009213693950L + 1,
-        math.abs(rng.nextLong()) % 2305843009213693951L))
     val sh = col("__shingles")
-    val hashes = array(coefs.map { case (a, b) =>
-      array_min(transform(sh, s =>
-        pmod(pmod(xxhash64(s), P) * lit(a) + lit(b), P)))
+    val hashes = array((0 until numHashes).map { i =>
+      array_min(transform(sh, s => xxhash64(s, lit(i))))
     }: _*)
     df.select(col(idCol).as("id"),
         shingles(col(textCol), k).as("__shingles"))
@@ -119,25 +119,26 @@ object Dedup {
 
   /** SimHash signatures as (id, simhash LONG): bit j of the sketch is the
     * sign of Σ_tokens ±1 according to bit j of the token hash; near-dups
-    * land at small hamming distance. Computed via explode +
-    * groupBy (shuffle on id) — tokens × 64 bit-updates stay distributed and
-    * codegen'd; no per-row UDF loop over a long text. */
+    * land at small hamming distance.
+    *
+    * Entirely per-document arithmetic — one codegen'd expression over the
+    * token array, ZERO shuffles (the round-1 version exploded every token
+    * into 64 rows and shuffled twice; at 100 TB that shuffles 64× the token
+    * count). Token hashes are computed once into an array column, then a
+    * nested `aggregate` folds the 64 bit-sums. */
   def simhashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tok = df.select(col(idCol).as("id"),
-      explode(Text.tokens(lower(col(textCol)))).as("token"))
-    val h = xxhash64(col("token"))
-    // for each bit j: +1 if bit set else -1; sum per doc; bit j of result =
-    // sign. Expand to 64 rows per token via posexplode of a 64-seq.
-    val perBit = tok.select(col("id"),
-        posexplode(transform(sequence(lit(0), lit(63)),
-          j => when(call_function("shiftright", h, j).bitwiseAND(lit(1L)) === 1L, lit(1))
-            .otherwise(lit(-1)))))
-      .toDF("id", "bit", "delta")
-    perBit.groupBy("id", "bit").agg(sum("delta").as("s"))
-      .groupBy("id")
-      .agg(sum(when(col("s") > 0,
-        call_function("shiftleft", lit(1L), col("bit").cast("int")))
-        .otherwise(0L)).as("simhash"))
+    val toks = Text.tokens(lower(col(textCol)))
+    val bitSum = (th: Column, j: Column) =>
+      aggregate(th, lit(0L), (acc, h) =>
+        acc + when(call_function("shiftright", h, j.cast("int"))
+          .bitwiseAND(lit(1L)) === 1L, lit(1L)).otherwise(lit(-1L)))
+    df.select(col(idCol).as("id"),
+        transform(toks, t => xxhash64(t)).as("__th"))
+      .select(col("id"),
+        aggregate(sequence(lit(0), lit(63)), lit(0L), (acc, j) =>
+          acc + when(bitSum(col("__th"), j) > 0,
+            call_function("shiftleft", lit(1L), j.cast("int")))
+            .otherwise(lit(0L))).as("simhash"))
   }
 
   /** SimHash near-dup pairs: chunk-bucket candidates (hamming <= bands-1

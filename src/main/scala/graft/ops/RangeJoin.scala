@@ -62,10 +62,16 @@ object RangeJoin {
     * ~2-3 orders of magnitude, so a width sized for the largest mass is
     * still ≤3 buckets per interval and keeps the join a single equi-shuffle.
     *
-    * For extreme dynamic range, pass `logScale=true`: bucketing happens in
-    * log-space where a ppm window has *constant* width
-    * (log(m(1+p)) - log(m(1-p)) ≈ 2p), giving uniform bucket occupancy at
-    * any magnitude.
+    * Default bucketing happens in log-space, where a ppm window has
+    * *constant* width (log(m(1+p)) - log(m(1-p)) ≈ 2p): uniform bucket
+    * occupancy at any magnitude, no data-dependent sizing, and — crucially —
+    * NO pre-pass over the data (the round-1 linear default ran an eager
+    * `max()` job at plan-construction time, which doubled the scan at scale
+    * and NPE'd on empty input). Masses/structure masses must be > 0 for the
+    * log branch (true of physical masses); non-positive rows are dropped.
+    *
+    * Callers that know their mass range can pass `bucketWidth` to force
+    * linear bucketing instead (width ≈ the widest interval).
     */
   def ppmJoin(
       masses: DataFrame,
@@ -73,34 +79,29 @@ object RangeJoin {
       mmCol: String,
       massCol: String,
       ppm: Double,
-      logScale: Boolean = false): DataFrame = {
+      bucketWidth: Option[Double] = None): DataFrame = {
     val tol = col(mmCol) * ppm / 1e6
     val lo = col(mmCol) - tol
     val hi = col(mmCol) + tol
-    if (!logScale) {
-      val withWin = masses
-        .withColumn("__lo", lo).withColumn("__hi", hi)
-      // bucket width: 2*ppm window at the largest plausible mass; computing
-      // the true max would need an extra pass, so derive per-row buckets in
-      // relative space instead: bucket on round(log1p-free) — here we simply
-      // size from the data with a cheap agg (single scalar, broadcast).
-      val maxMm = withWin.agg(max(col(mmCol))).first().getDouble(0)
-      val w = math.max(maxMm * 2 * ppm / 1e6, 1e-9)
-      pointInInterval(withWin, structures, "__lo", "__hi", massCol, w)
-        .drop("__lo", "__hi")
-    } else {
-      // constant-width buckets in ln-space
-      val w = math.max(2 * ppm / 1e6, 1e-12)
-      val ib = masses
-        .withColumn("__lo", lo).withColumn("__hi", hi)
-        .withColumn("__bucket", explode(sequence(
-          floor(log(col(mmCol) - tol) / w).cast("long"),
-          floor(log(col(mmCol) + tol) / w).cast("long"))))
-      val pb = structures.withColumn(
-        "__bucket", floor(log(col(massCol)) / w).cast("long"))
-      ib.join(pb, Seq("__bucket"))
-        .where(col(massCol) >= col("__lo") && col(massCol) <= col("__hi"))
-        .drop("__bucket", "__lo", "__hi")
+    bucketWidth match {
+      case Some(w0) =>
+        require(w0 > 0, "bucketWidth must be > 0")
+        val withWin = masses.withColumn("__lo", lo).withColumn("__hi", hi)
+        pointInInterval(withWin, structures, "__lo", "__hi", massCol, w0)
+          .drop("__lo", "__hi")
+      case None =>
+        // constant-width buckets in ln-space; plan stays fully lazy
+        val w = math.max(2 * ppm / 1e6, 1e-12)
+        val ib = masses.where(col(mmCol) > 0)
+          .withColumn("__lo", lo).withColumn("__hi", hi)
+          .withColumn("__bucket", explode(sequence(
+            floor(log(col("__lo")) / w).cast("long"),
+            floor(log(col("__hi")) / w).cast("long"))))
+        val pb = structures.where(col(massCol) > 0).withColumn(
+          "__bucket", floor(log(col(massCol)) / w).cast("long"))
+        ib.join(pb, Seq("__bucket"))
+          .where(col(massCol) >= col("__lo") && col(massCol) <= col("__hi"))
+          .drop("__bucket", "__lo", "__hi")
     }
   }
 

@@ -49,9 +49,15 @@ object Relational {
     * row. Uses the built-in stack expression — no shuffle, executes inside
     * whole-stage codegen. */
   def melt(df: DataFrame, idCols: Seq[String], valueCols: Seq[String],
-           varName: String = "variable", valName: String = "value"): DataFrame = {
-    val stackArgs = valueCols
-      .map(c => s"'$c', cast(`$c` as double)").mkString(", ")
+           varName: String = "variable", valName: String = "value",
+           castTo: Option[String] = None): DataFrame = {
+    // No forced cast by default: stack() unifies the natural common type of
+    // the value columns, preserving values like pd.melt (a forced
+    // cast-to-double broke string value columns under ANSI mode). Pass
+    // castTo=Some("double") when mixing int and double value columns.
+    val cast = castTo.map(t => (c: String) => s"cast(`$c` as $t)")
+      .getOrElse((c: String) => s"`$c`")
+    val stackArgs = valueCols.map(c => s"'$c', ${cast(c)}").mkString(", ")
     df.select(idCols.map(col) :+
       expr(s"stack(${valueCols.size}, $stackArgs) as (`$varName`, `$valName`)"): _*)
   }

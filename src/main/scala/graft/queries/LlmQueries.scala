@@ -1,0 +1,95 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.dedup.Dedup
+import graft.sim.Similarity
+import graft.text.Text
+import Q.{Entry, t, r6}
+
+/** Training-data-pipeline operators over documents/embeddings: dedup tiers,
+  * similarity search, text analysis (driver-brief extensions). */
+object LlmQueries {
+
+  /** Shared DuckDB CTE: whitespace tokens / distinct 3-shingles of
+    * documents, mirroring Text.tokens + Dedup.shingles semantics. */
+  private val shingleCte =
+    """toks AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS ts FROM documents), sh0 AS (SELECT doc_id, CASE WHEN len(ts) >= 3 THEN array_to_string(ts[i:i+2], ' ') ELSE array_to_string(ts, ' ') END AS s FROM toks, unnest(generate_series(1, greatest(len(ts) - 2, 1))) AS g(i)), sh AS (SELECT DISTINCT doc_id, s FROM sh0)"""
+
+  /** Exact full-universe pairwise Jaccard >= threshold — the oracle for the
+    * LSH paths (whose exact-verify step makes precision 1; recall at the
+    * >=0.97 similarity of the generated near-dups is ~1). */
+  private def exactJaccardSql(threshold: Double) =
+    s"""WITH $shingleCte, sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1), it AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS inter FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2) SELECT ia AS id_a, ib AS id_b, round(CAST(inter AS DOUBLE) / (x.n + y.n - inter), 6) AS jaccard FROM it JOIN sz x ON ia = x.doc_id JOIN sz y ON ib = y.doc_id WHERE CAST(inter AS DOUBLE) / (x.n + y.n - inter) >= $threshold"""
+
+  val entries: Seq[Entry] = Seq(
+
+    Entry("q_dedup_exact",
+      (s, d) => Dedup.exact(t(s, d, "documents"), "doc_id", "text"),
+      Some("""SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS content_hash, min(doc_id) AS kept_id, count(*) AS dup_count FROM documents GROUP BY 1""")),
+
+    Entry("q_fingerprint",
+      // bag-of-words fingerprint dedup key
+      (s, d) => t(s, d, "documents")
+        .select(col("doc_id"), Text.fingerprint(col("text")).as("fp"))
+        .groupBy("fp").agg(min(col("doc_id")).as("kept_id"),
+          count(lit(1)).as("dup_count")),
+      Some("""SELECT md5(array_to_string(list_sort(list_distinct(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0))), ' ')) AS fp, min(doc_id) AS kept_id, count(*) AS dup_count FROM documents GROUP BY 1""")),
+
+    Entry("q_ngram_jaccard",
+      // inverted-index + df-pruned exact Jaccard pairs; pruning is part of
+      // the declared semantics, so the oracle applies the same cut
+      (s, d) => Dedup.ngramJaccardPairs(t(s, d, "documents"), "doc_id", "text",
+        k = 3, threshold = 0.8, maxShingleDf = 100),
+      Some(s"""WITH $shingleCte, pr AS (SELECT doc_id, s FROM (SELECT doc_id, s, count(*) OVER (PARTITION BY s) AS df FROM sh) WHERE df <= 100), sz AS (SELECT doc_id, count(*) AS n FROM pr GROUP BY 1), it AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS inter FROM pr a JOIN pr b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2) SELECT ia AS id_a, ib AS id_b, round(CAST(inter AS DOUBLE) / (x.n + y.n - inter), 6) AS jaccard FROM it JOIN sz x ON ia = x.doc_id JOIN sz y ON ib = y.doc_id WHERE CAST(inter AS DOUBLE) / (x.n + y.n - inter) >= 0.8""")),
+
+    Entry("q_minhash_lsh",
+      (s, d) => Dedup.minhashLshPairs(t(s, d, "documents"), "doc_id", "text",
+        k = 3, threshold = 0.8, numHashes = 128, bands = 16),
+      Some(exactJaccardSql(0.8))),
+
+    Entry("q_simhash_pairs",
+      (s, d) => Dedup.simhashPairs(t(s, d, "documents"), "doc_id", "text",
+        bands = 8, k = 3, threshold = 0.8),
+      Some(exactJaccardSql(0.8))),
+
+    Entry("q_ann_brute",
+      // exact cosine top-k; queries broadcast, corpus streamed
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        Similarity.bruteForceTopK(emb, emb.where(col("vec_id") < 5),
+          "vec_id", "embedding", k = 3)
+      },
+      Some("""WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5), s AS (SELECT query_id, c.vec_id AS neighbor_id, list_sum(list_transform(list_zip(qe, c.embedding), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) / (sqrt(list_sum(list_transform(qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos FROM q, embeddings c WHERE c.vec_id <> query_id), r AS (SELECT query_id, neighbor_id, cos, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn FROM s) SELECT query_id, neighbor_id, CAST(rn AS INTEGER) AS rank, round(cos, 6) AS cos FROM r WHERE rn <= 3""")),
+
+    Entry("q_ann_lsh",
+      // SRP-LSH approximate top-k: precision 1 (exact re-score), recall < 1
+      // by design — rows-only check; recall vs brute force in ScalaTest
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        Similarity.lshTopK(emb, emb.where(col("vec_id") < 5),
+          "vec_id", "embedding", dim = 64, k = 3)
+      },
+      None),
+
+    Entry("q_text_quality",
+      (s, d) => Text.qualityScore(t(s, d, "documents").select("doc_id", "text"), "text")
+        .select(col("doc_id"), col("n_tokens"),
+          r6(col("punct_ratio")).as("punct_ratio"),
+          r6(col("avg_token_len")).as("avg_token_len"),
+          r6(col("stopword_ratio")).as("stopword_ratio"),
+          r6(col("uniq_token_ratio")).as("uniq_token_ratio"),
+          col("quality")),
+      Some("""WITH t AS (SELECT doc_id, text, list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS toks FROM documents), f AS (SELECT doc_id, CAST(len(text) AS INTEGER) AS n_chars, CAST(len(toks) AS INTEGER) AS n_tokens, CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS INTEGER) AS n_punct, CASE WHEN len(toks) > 0 THEN CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE) / len(toks) ELSE CAST(0.0 AS DOUBLE) END AS avg_token_len, CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, x -> list_contains(['the','a','an','and','or','of','to','in','is','it','for','on','with','as','at','by','from','that','this'], lower(x)))) AS DOUBLE) / len(toks) ELSE CAST(0.0 AS DOUBLE) END AS stopword_ratio, CASE WHEN len(toks) > 0 THEN CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) ELSE CAST(0.0 AS DOUBLE) END AS uniq_token_ratio FROM t), g AS (SELECT doc_id, n_tokens, CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / n_chars ELSE CAST(0.0 AS DOUBLE) END AS punct_ratio, avg_token_len, stopword_ratio, uniq_token_ratio FROM f) SELECT doc_id, n_tokens, round(punct_ratio, 6) AS punct_ratio, round(avg_token_len, 6) AS avg_token_len, round(stopword_ratio, 6) AS stopword_ratio, round(uniq_token_ratio, 6) AS uniq_token_ratio, round(least(CAST(1.0 AS DOUBLE), n_tokens / CAST(100.0 AS DOUBLE)) * 0.4 + (CAST(1.0 AS DOUBLE) - least(CAST(1.0 AS DOUBLE), punct_ratio * 5.0)) * 0.2 + least(CAST(1.0 AS DOUBLE), stopword_ratio * 5.0) * 0.2 + uniq_token_ratio * 0.2, 6) AS quality FROM g""")),
+
+    Entry("q_lang_id",
+      (s, d) => Text.langId(t(s, d, "documents").select("doc_id", "lang", "text"), "text")
+        .select("doc_id", "lang", "pred_lang", "pred_hits"),
+      Some("""WITH t AS (SELECT doc_id, lang, list_distinct(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) AS dt FROM documents), h AS (SELECT doc_id, lang, CAST(len(list_intersect(dt, ['der','die','das','und','ist','nicht','ein','mit','zu','ich'])) AS INTEGER) AS hde, CAST(len(list_intersect(dt, ['the','and','of','to','is','in','that','it','for','was'])) AS INTEGER) AS hen, CAST(len(list_intersect(dt, ['el','la','los','las','es','un','una','por','para','como'])) AS INTEGER) AS hes, CAST(len(list_intersect(dt, ['le','la','les','et','est','un','une','que','pour','dans'])) AS INTEGER) AS hfr FROM t) SELECT doc_id, lang, CASE WHEN hde >= hen AND hde >= hes AND hde >= hfr THEN 'de' WHEN hen >= hes AND hen >= hfr THEN 'en' WHEN hes >= hfr THEN 'es' ELSE 'fr' END AS pred_lang, greatest(hde, hen, hes, hfr) AS pred_hits FROM h""")),
+
+    Entry("q_token_count",
+      (s, d) => t(s, d, "documents").select(col("doc_id"),
+        Text.bpeishTokenCount(col("text")).as("bpeish_tokens"),
+        size(Text.tokens(col("text"))).as("ws_tokens")),
+      Some("""SELECT doc_id, CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS INTEGER) AS bpeish_tokens, CAST(len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) AS INTEGER) AS ws_tokens FROM documents"""))
+  )
+}

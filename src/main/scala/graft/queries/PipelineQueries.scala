@@ -1,0 +1,112 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.ops.{Relational, RangeJoin}
+import graft.stats.Stats
+import Q.{Entry, t, r6}
+
+/** End-to-end recompositions of the reference pipelines (SURVEY §3) over
+  * the driver's tables, each with a full DuckDB oracle. */
+object PipelineQueries {
+
+  val entries: Seq[Entry] = Seq(
+
+    Entry("q_pipeline_massquery",
+      // queryMassNPDB_mod.py:75-173: masses → crossJoin(adducts) → ppm
+      // window → range join vs structures → dedup keep-first → project.
+      // Adducts are a tiny broadcast dim; the range join is the log-bucketed
+      // equi rewrite (no BNLJ anywhere in the plan).
+      (s, d) => {
+        import s.implicits._
+        val masses = t(s, d, "lineitem").select(
+          concat(lit("m"), (col("l_orderkey") * 10 + col("l_linenumber")).cast("string")).as("ms_name"),
+          (col("l_extendedprice") / when(col("l_quantity") =!= 0, col("l_quantity"))).as("mz"))
+        val adducts = Seq(("M+0", 1.0, 0.0), ("M+10", 1.0, 10.0), ("2M", 2.0, 0.0))
+          .toDF("adduct", "mult", "mass")
+        val withMm = masses.crossJoin(broadcast(adducts))
+          .withColumn("mm", (col("mz") - col("mass")) / col("mult"))
+          .where(col("mm") > 0)
+        val structs = t(s, d, "part").select(col("p_partkey").as("struct_id"),
+          col("p_retailprice").as("monoisotopic_mass"))
+        val joined = RangeJoin.ppmJoin(withMm, structs, "mm", "monoisotopic_mass", 500.0)
+        Relational.keepFirst(joined, Seq("ms_name", "struct_id"),
+            Seq(col("adduct"), col("mm")))
+          .select(col("ms_name"), col("struct_id"), col("adduct"),
+            r6(col("mm")).as("mm"), col("monoisotopic_mass"))
+      },
+      Some("""WITH masses AS (SELECT concat('m', CAST(l_orderkey*10 + l_linenumber AS VARCHAR)) AS ms_name, l_extendedprice / nullif(l_quantity, 0) AS mz FROM lineitem), add AS (SELECT * FROM (VALUES ('M+0', 1.0, 0.0), ('M+10', 1.0, 10.0), ('2M', 2.0, 0.0)) a(adduct, mult, mass)), wm AS (SELECT ms_name, adduct, (mz - CAST(mass AS DOUBLE)) / CAST(mult AS DOUBLE) AS mm FROM masses CROSS JOIN add), j AS (SELECT ms_name, adduct, mm, p_partkey AS struct_id, p_retailprice AS monoisotopic_mass FROM wm JOIN part ON p_retailprice >= mm - mm*500/1e6 AND p_retailprice <= mm + mm*500/1e6 WHERE mm > 0 AND p_retailprice > 0), dd AS (SELECT *, row_number() OVER (PARTITION BY ms_name, struct_id ORDER BY adduct, mm) AS rn FROM j) SELECT ms_name, struct_id, adduct, round(mm, 6) AS mm, monoisotopic_mass FROM dd WHERE rn = 1""")),
+
+    Entry("q_pipeline_transitions",
+      // pathMassTransitions.py:203-224 get_transitions reshaped Spark-first:
+      // instead of melting the quadratic outer-sum matrix (the reference's
+      // 2.18M-row pandas blowup), broadcast the small transition list and
+      // rounded-equi join mass+transition back to the mass table — linear.
+      (s, d) => {
+        import s.implicits._
+        val masses = t(s, d, "part").select(col("p_partkey").as("mass_id"),
+          col("p_retailprice").as("mass"))
+        val trans = Seq(("t_plus10", 10.0), ("t_plus25_5", 25.5), ("t_minus0_7", -0.7))
+          .toDF("transition", "tmass")
+        val targets = masses.crossJoin(broadcast(trans))
+          .withColumn("target", col("mass") + col("tmass"))
+        val partners = masses.select(col("mass_id").as("partner_id"),
+          col("mass").as("partner_mass"))
+        Relational.roundedJoin(targets, partners, "target", "partner_mass", 1)
+          .where(col("mass_id") =!= col("partner_id"))
+          .select("mass_id", "transition", "partner_id")
+      },
+      Some("""WITH tr AS (SELECT * FROM (VALUES ('t_plus10', 10.0), ('t_plus25_5', 25.5), ('t_minus0_7', -0.7)) t(transition, tmass)), tg AS (SELECT p_partkey AS mass_id, transition, p_retailprice + CAST(tmass AS DOUBLE) AS target FROM part CROSS JOIN tr) SELECT mass_id, transition, p.p_partkey AS partner_id FROM tg JOIN part p ON round(tg.target, 1) = round(p.p_retailprice, 1) AND tg.mass_id <> p.p_partkey""")),
+
+    Entry("q_pipeline_corromics",
+      // corrMultiomics.py:158-225: MAD filter → align on shared sample axis
+      // → per-pair corr with |r| cutoff → deterministic projection. The Pool
+      // fan-out becomes shuffle parallelism.
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+        val madOk = Stats.madPerGroup(li, Seq("l_partkey"), "l_quantity")
+          .where(col("mad") > 0).select("l_partkey")
+        val filtered = li.join(madOk, Seq("l_partkey"), "left_semi")
+        Stats.corrWithP(filtered, Seq("l_partkey"), "l_quantity", "l_extendedprice")
+          .where(abs(col("r")) >= 0.9 && col("n") >= 5)
+          .select(col("l_partkey"), r6(col("r")).as("r"), col("n"))
+      },
+      Some("""WITH m AS (SELECT l_partkey AS pk, quantile_cont(l_quantity, 0.5) AS med FROM lineitem GROUP BY 1), madok AS (SELECT l.l_partkey FROM lineitem l JOIN m ON l.l_partkey = m.pk GROUP BY 1 HAVING quantile_cont(abs(l.l_quantity - m.med), 0.5) > 0) SELECT l_partkey, round(corr(l_quantity, l_extendedprice), 6) AS r, count(CASE WHEN l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL THEN 1 END) AS n FROM lineitem WHERE l_partkey IN (SELECT l_partkey FROM madok) GROUP BY 1 HAVING abs(corr(l_quantity, l_extendedprice)) >= 0.9 AND count(CASE WHEN l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL THEN 1 END) >= 5""")),
+
+    Entry("q_pipeline_wcmodules",
+      // wcModules.py:96-216 end-to-end: correlation edge list → mutual rank
+      // → decay weight → cutoff (module edge set)
+      (s, d) => {
+        val e0 = t(s, d, "lineitem").groupBy("l_partkey", "l_suppkey")
+          .agg(Q.sumDec(col("l_quantity")).as("r"))
+          .select(concat(lit("p"), col("l_partkey").cast("string")).as("src"),
+            concat(lit("s"), col("l_suppkey").cast("string")).as("dst"), col("r"))
+        val edges = e0.union(e0.select(col("dst"), col("src"), col("r")))
+        Stats.mutualRank(edges, "src", "dst", "r")
+          .where(col("weight") >= 0.8)
+          .select(col("a"), col("b"), r6(col("weight")).as("weight"))
+      },
+      Some("""WITH e0 AS (SELECT concat('p', CAST(l_partkey AS VARCHAR)) AS a, concat('s', CAST(l_suppkey AS VARCHAR)) AS b, CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS r FROM lineitem GROUP BY l_partkey, l_suppkey), edges AS (SELECT a, b, r FROM e0 UNION ALL SELECT b, a, r FROM e0), ranked AS (SELECT a, b, row_number() OVER (PARTITION BY a ORDER BY r DESC, b) AS rk FROM edges) SELECT x.a, x.b, round(exp((CAST(1.0 AS DOUBLE) - sqrt(x.rk * y.rk)) / 25.0), 6) AS weight FROM ranked x JOIN ranked y ON x.a = y.b AND x.b = y.a WHERE x.a < x.b AND exp((CAST(1.0 AS DOUBLE) - sqrt(x.rk * y.rk)) / 25.0) >= 0.8""")),
+
+    Entry("q_permutation_null",
+      // seeded permutation-null machinery (SignificanceTest.R:28-74,
+      // Gohs:51-60) — the "random" relabeling is an md5-derived rank so the
+      // oracle replays the identical draw deterministically
+      (s, d) => {
+        val o = t(s, d, "orders")
+        val wPerm = Window.partitionBy("o_orderpriority")
+          .orderBy(md5(concat(lit("seed42:"), col("o_orderkey").cast("string"))),
+            col("o_orderkey"))
+        val wOrig = Window.partitionBy("o_orderpriority").orderBy(col("o_orderkey"))
+        val orig = o.select(col("o_orderpriority"), col("o_orderkey"),
+          col("o_totalprice"), row_number().over(wOrig).as("slot"))
+        val perm = o.select(col("o_orderpriority"),
+          col("o_totalprice").as("perm_price"), row_number().over(wPerm).as("slot"))
+        orig.join(perm, Seq("o_orderpriority", "slot"))
+          .groupBy("o_orderpriority")
+          .agg(r6(corr(col("o_totalprice"), col("perm_price"))).as("null_corr"),
+            count(lit(1)).as("n"))
+      },
+      Some("""WITH orig AS (SELECT o_orderpriority, o_orderkey, o_totalprice, row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_orderkey) AS slot FROM orders), perm AS (SELECT o_orderpriority, o_totalprice AS perm_price, row_number() OVER (PARTITION BY o_orderpriority ORDER BY md5(concat('seed42:', CAST(o_orderkey AS VARCHAR))), o_orderkey) AS slot FROM orders) SELECT o.o_orderpriority, round(corr(o.o_totalprice, p.perm_price), 6) AS null_corr, count(*) AS n FROM orig o JOIN perm p ON o.o_orderpriority = p.o_orderpriority AND o.slot = p.slot GROUP BY 1"""))
+  )
+}

@@ -1,0 +1,208 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.ops.Relational
+import graft.stats.Stats
+import Q.{Entry, t, r6}
+
+/** Aggregations, windows, sorts, stats — SURVEY.md §2.4-§2.6 wired to the
+  * correctness gate. */
+object StatQueries {
+
+  val entries: Seq[Entry] = Seq(
+
+    Entry("q1_agg",
+      (s, d) => t(s, d, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          Q.sumDec(col("l_quantity")).as("sum_qty"),
+          Q.sumDec(col("l_extendedprice")).as("sum_price"),
+          (Q.sumDec(col("l_discount")) / count(lit(1))).as("avg_disc0"),
+          count(lit(1)).as("count_order"))
+        .withColumn("avg_disc", r6(col("avg_disc0"))).drop("avg_disc0"),
+      Some("""SELECT l_returnflag, l_linestatus, CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price, count(*) AS count_order, round(CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_disc FROM lineitem GROUP BY 1, 2""")),
+
+    Entry("q_group_count",
+      (s, d) => t(s, d, "orders").groupBy("o_orderpriority").count(),
+      Some("""SELECT o_orderpriority, count(*) AS count FROM orders GROUP BY 1""")),
+
+    Entry("q_minby_group",
+      // smallest-diameter-per-group keep-first (mapBaseRetroRules.py:164-171)
+      (s, d) => Relational.keepFirst(t(s, d, "part"), Seq("p_brand"),
+          Seq(col("p_size"), col("p_partkey")))
+        .select("p_brand", "p_partkey", "p_size"),
+      Some("""SELECT p_brand, p_partkey, p_size FROM (SELECT p_brand, p_partkey, p_size, row_number() OVER (PARTITION BY p_brand ORDER BY p_size, p_partkey) AS rn FROM part) WHERE rn = 1""")),
+
+    Entry("q_topk_per_group",
+      (s, d) => Relational.topKPerGroup(t(s, d, "orders"), Seq("o_custkey"),
+          Seq(col("o_totalprice").desc, col("o_orderkey")), 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          col("rank_in_group")),
+      Some("""SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS INTEGER) AS rank_in_group FROM (SELECT o_custkey, o_orderkey, o_totalprice, row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders) WHERE rn <= 3""")),
+
+    Entry("q_distinct_subset",
+      // order-deterministic drop_duplicates(keep='first') (gizmos.py:509-516)
+      (s, d) => Relational.keepFirst(t(s, d, "lineitem"), Seq("l_orderkey"),
+          Seq(col("l_linenumber"), col("l_partkey"), col("l_suppkey")))
+        .select("l_orderkey", "l_linenumber", "l_partkey"),
+      Some("""SELECT l_orderkey, l_linenumber, l_partkey FROM (SELECT l_orderkey, l_linenumber, l_partkey, row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey, l_suppkey) AS rn FROM lineitem) WHERE rn = 1""")),
+
+    Entry("q_unique",
+      (s, d) => t(s, d, "lineitem").select("l_returnflag", "l_linestatus").distinct(),
+      Some("""SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem""")),
+
+    Entry("q_group_mean",
+      (s, d) => t(s, d, "customer").groupBy("c_nationkey")
+        .agg(r6(Q.sumDec(col("c_acctbal")) / count(lit(1))).as("mean_acctbal"),
+          count(lit(1)).as("n")),
+      Some("""SELECT c_nationkey, round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS mean_acctbal, count(*) AS n FROM customer GROUP BY 1""")),
+
+    Entry("q_quantiles",
+      (s, d) => t(s, d, "lineitem").groupBy("l_returnflag")
+        .agg(r6(expr("percentile(l_quantity, 0.5)")).as("median_qty"),
+          r6(expr("percentile(l_quantity, 0.25)")).as("q25"),
+          r6(expr("percentile(l_quantity, 0.75)")).as("q75")),
+      Some("""SELECT l_returnflag, round(CAST(quantile_cont(l_quantity, 0.5) AS DOUBLE),6) AS median_qty, round(CAST(quantile_cont(l_quantity, 0.25) AS DOUBLE),6) AS q25, round(CAST(quantile_cont(l_quantity, 0.75) AS DOUBLE),6) AS q75 FROM lineitem GROUP BY 1""")),
+
+    Entry("q_mad_filter",
+      // MAD > 0 filter (gizmos.py:15-25,121-130)
+      (s, d) => Stats.madPerGroup(t(s, d, "lineitem"), Seq("l_partkey"), "l_quantity")
+        .where(col("mad") > 0)
+        .select(col("l_partkey"), r6(col("med")).as("med"), r6(col("mad")).as("mad")),
+      Some("""WITH m AS (SELECT l_partkey AS pk, quantile_cont(l_quantity, 0.5) AS med FROM lineitem GROUP BY 1) SELECT l.l_partkey, round(CAST(max(m.med) AS DOUBLE),6) AS med, round(CAST(quantile_cont(abs(l.l_quantity - m.med), 0.5) AS DOUBLE),6) AS mad FROM lineitem l JOIN m ON l.l_partkey = m.pk GROUP BY 1 HAVING quantile_cont(abs(l.l_quantity - m.med), 0.5) > 0""")),
+
+    Entry("q_sd_guard",
+      // variance/sd > 0 guard (getPatientOutlierMatrix.R:6-9)
+      (s, d) => t(s, d, "lineitem").groupBy("l_partkey")
+        .agg(stddev_samp(col("l_extendedprice")).as("sd0"))
+        .where(col("sd0") > 0)
+        .select(col("l_partkey"), r6(col("sd0")).as("sd")),
+      Some("""SELECT l_partkey, round(stddev_samp(l_extendedprice),6) AS sd FROM lineitem GROUP BY 1 HAVING stddev_samp(l_extendedprice) > 0""")),
+
+    Entry("q_corr_p",
+      // corr + p aggregator (corrMultiomics.py:52-63); p is non-SQL (verified
+      // in ScalaTest vs published t-tables), r/t/n oracle-checked
+      (s, d) => Stats.corrWithP(t(s, d, "lineitem"), Seq("l_returnflag"),
+          "l_quantity", "l_extendedprice")
+        .select(col("l_returnflag"), r6(col("r")).as("r"), col("n"),
+          r6(col("t")).as("t")),
+      Some("""SELECT l_returnflag, round(corr(l_quantity, l_extendedprice),6) AS r, count(CASE WHEN l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL THEN 1 END) AS n, round(corr(l_quantity, l_extendedprice) * sqrt((count(*) - 2) / (CAST(1.0 AS DOUBLE) - corr(l_quantity, l_extendedprice)*corr(l_quantity, l_extendedprice))),6) AS t FROM lineitem GROUP BY 1""")),
+
+    Entry("q_spearman",
+      (s, d) => Stats.spearman(t(s, d, "lineitem"), Seq("l_returnflag"),
+          "l_quantity", "l_discount")
+        .select(col("l_returnflag"), r6(col("rho")).as("rho"), col("n")),
+      Some("""WITH r AS (SELECT l_returnflag AS g, rank() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) + (count(*) OVER (PARTITION BY l_returnflag, l_quantity) - 1)/2.0 AS rx, rank() OVER (PARTITION BY l_returnflag ORDER BY l_discount) + (count(*) OVER (PARTITION BY l_returnflag, l_discount) - 1)/2.0 AS ry FROM lineitem) SELECT g AS l_returnflag, round(corr(rx, ry),6) AS rho, count(*) AS n FROM r GROUP BY 1""")),
+
+    Entry("q_ols",
+      // per-group OLS moments (MethylMix.R:187-209)
+      (s, d) => Stats.olsPerGroup(t(s, d, "lineitem"), Seq("l_returnflag"),
+          "l_quantity", "l_extendedprice")
+        .select(col("l_returnflag"), col("n").cast("long").as("n"),
+          r6(col("slope")).as("slope"), r6(col("intercept")).as("intercept"),
+          r6(col("r2")).as("r2")),
+      Some("""SELECT l_returnflag, count(*) AS n, round(regr_slope(l_extendedprice, l_quantity),6) AS slope, round(regr_intercept(l_extendedprice, l_quantity),6) AS intercept, round(regr_r2(l_extendedprice, l_quantity),6) AS r2 FROM lineitem GROUP BY 1""")),
+
+    Entry("q_bh_adjust",
+      // BH-FDR reverse running-min (Gohs:80)
+      (s, d) => {
+        val df = t(s, d, "lineitem").select(col("l_returnflag"),
+          (col("l_orderkey") * 10 + col("l_linenumber")).as("id"),
+          (col("l_discount") * 10).as("p"))
+        Stats.bhAdjust(df, Seq("l_returnflag"), "p", "id")
+          .select(col("l_returnflag"), col("id"), r6(col("p")).as("p"),
+            r6(col("p_adj")).as("p_adj"))
+      },
+      Some("""WITH t0 AS (SELECT l_returnflag, l_orderkey*10 + l_linenumber AS id, l_discount*10 AS p FROM lineitem), t1 AS (SELECT l_returnflag, id, p, count(*) OVER (PARTITION BY l_returnflag) AS n, row_number() OVER (PARTITION BY l_returnflag ORDER BY p, id) AS rk FROM t0) SELECT l_returnflag, id, round(p,6) AS p, round(least(CAST(1.0 AS DOUBLE), min(p*n/rk) OVER (PARTITION BY l_returnflag ORDER BY p DESC, id DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),6) AS p_adj FROM t1""")),
+
+    Entry("q_fisher",
+      // Fisher combined statistic (Gohs:130); chi-sq tail p in ScalaTest
+      (s, d) => {
+        val df = t(s, d, "lineitem").select(col("l_returnflag"),
+          (col("l_discount") * 10).as("p"))
+        Stats.fisherCombine(df, Seq("l_returnflag"), "p")
+          .select(col("l_returnflag"), r6(col("fisher_stat")).as("fisher_stat"),
+            col("k"))
+      },
+      Some("""SELECT l_returnflag, round(-2.0 * sum(ln(greatest(l_discount*10, 1e-320))),6) AS fisher_stat, count(*) AS k FROM lineitem GROUP BY 1""")),
+
+    Entry("q_zscore_outliers",
+      // z>=2 outlier call (getPatientOutlierMatrix.R:4-27)
+      (s, d) => Stats.zscoreOutliers(t(s, d, "lineitem"), Seq("l_partkey"),
+          "l_extendedprice")
+        .where(col("is_outlier"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          r6(col("zscore")).as("zscore")),
+      Some("""WITH t AS (SELECT l_orderkey, l_linenumber, l_partkey, (l_extendedprice - avg(l_extendedprice) OVER (PARTITION BY l_partkey)) / nullif(stddev_samp(l_extendedprice) OVER (PARTITION BY l_partkey), 0) AS z, stddev_samp(l_extendedprice) OVER (PARTITION BY l_partkey) AS sd FROM lineitem) SELECT l_orderkey, l_linenumber, l_partkey, round(z,6) AS zscore FROM t WHERE sd > 0 AND abs(z) >= 2""")),
+
+    Entry("q_geomean",
+      // geometric-mean centering (run_ABCD-DNA.R:26-64)
+      (s, d) => Stats.geometricMean(t(s, d, "lineitem"), Seq("l_returnflag"),
+          "l_quantity")
+        .select(col("l_returnflag"), r6(col("geo_mean")).as("geo_mean"),
+          col("n_pos")),
+      Some("""SELECT l_returnflag, round(exp(avg(ln(l_quantity))),6) AS geo_mean, count(*) AS n_pos FROM lineitem WHERE l_quantity > 0 GROUP BY 1""")),
+
+    Entry("q_mutual_rank",
+      // mutual-rank co-expression weight (wcModules.py:96-98,167-216)
+      (s, d) => {
+        val e0 = t(s, d, "lineitem").groupBy("l_partkey", "l_suppkey")
+          .agg(Q.sumDec(col("l_extendedprice")).as("r"))
+          .select(concat(lit("p"), col("l_partkey").cast("string")).as("src"),
+            concat(lit("s"), col("l_suppkey").cast("string")).as("dst"), col("r"))
+        val edges = e0.union(e0.select(col("dst"), col("src"), col("r")))
+        Stats.mutualRank(edges, "src", "dst", "r")
+          .select(col("a"), col("b"), r6(col("mr")).as("mr"),
+            r6(col("weight")).as("weight"))
+      },
+      Some("""WITH e0 AS (SELECT concat('p', CAST(l_partkey AS VARCHAR)) AS a, concat('s', CAST(l_suppkey AS VARCHAR)) AS b, CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS r FROM lineitem GROUP BY l_partkey, l_suppkey), edges AS (SELECT a, b, r FROM e0 UNION ALL SELECT b, a, r FROM e0), ranked AS (SELECT a, b, row_number() OVER (PARTITION BY a ORDER BY r DESC, b) AS rk FROM edges) SELECT x.a, x.b, round(sqrt(x.rk * y.rk),6) AS mr, round(exp((CAST(1.0 AS DOUBLE) - sqrt(x.rk * y.rk)) / 25.0),6) AS weight FROM ranked x JOIN ranked y ON x.a = y.b AND x.b = y.a WHERE x.a < x.b""")),
+
+    Entry("q_value_counts",
+      (s, d) => Q.events(s, d).groupBy("event_type").count(),
+      Some("""SELECT event_type, count(*) AS count FROM events GROUP BY 1""")),
+
+    Entry("q_rowsums",
+      // rowSums on long form (ComputeDrivers.R:13, Graph.R:33-35)
+      (s, d) => Q.events(s, d).groupBy("user_id")
+        .agg(Q.sumDec6(col("value")).as("sum_value"), count(lit(1)).as("n")),
+      Some("""SELECT user_id, CAST(sum(CAST(value AS DECIMAL(24,6))) AS DOUBLE) AS sum_value, count(*) AS n FROM events GROUP BY 1""")),
+
+    Entry("q_cumsum",
+      (s, d) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        t(s, d, "orders").select(col("o_custkey"), col("o_orderkey"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).over(w)
+            .cast("double").as("running_total"))
+      },
+      Some("""SELECT o_custkey, o_orderkey, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total FROM orders""")),
+
+    Entry("q_lag_diff",
+      // lag-diff ordered scan (MethylMix.R:460-520 flip-over analogue)
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ts_ns"), col("event_id"))
+        Q.events(s, d).select(col("user_id"), col("event_id"),
+          r6(col("value") - lag(col("value"), 1).over(w)).as("diff"))
+      },
+      Some("""SELECT user_id, event_id, round(value - lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id),6) AS diff FROM events""")),
+
+    Entry("q_rle",
+      // RLE compaction via lag-change + running sum (preprocess.R:29-37)
+      (s, d) => {
+        val wOrd = Window.partitionBy("user_id").orderBy(col("ts_ns"), col("event_id"))
+        val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Q.events(s, d)
+          .withColumn("__chg",
+            when(lag(col("event_type"), 1).over(wOrd).isNull ||
+              lag(col("event_type"), 1).over(wOrd) =!= col("event_type"), 1)
+              .otherwise(0))
+          .withColumn("run_id", sum(col("__chg")).over(wRun))
+          .groupBy("user_id", "run_id")
+          .agg(first(col("event_type")).as("event_type"),
+            count(lit(1)).as("run_len"))
+      },
+      Some("""WITH t AS (SELECT user_id, event_id, ts, event_type, CASE WHEN lag(event_type) OVER w IS NULL OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS chg FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), r AS (SELECT user_id, event_type, CAST(sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run_id FROM t) SELECT user_id, run_id, min(event_type) AS event_type, count(*) AS run_len FROM r GROUP BY 1, 2"""))
+  )
+}

@@ -1,0 +1,51 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.ops.Relational
+import Q.{Entry, t, r6}
+
+/** Batch-mode equivalents of the Structured Streaming operators over
+  * `events` (SURVEY §2.10). The streaming versions themselves (readStream +
+  * watermark + the same windows) are exercised in StreamingSpec; window
+  * semantics are identical by construction, so these entries are the
+  * oracle-checkable face of the streaming layer. Timestamps are emitted as
+  * epoch seconds (BIGINT) — never raw. */
+object StreamQueries {
+
+  val entries: Seq[Entry] = Seq(
+
+    Entry("q_stream_tumbling",
+      (s, d) => Q.events(s, d)
+        .groupBy(window(col("ts"), "10 minutes").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), Q.sumDec6(col("value")).as("sum_value"))
+        .select(col("event_type"), unix_timestamp(col("w.start")).as("ws"),
+          col("n"), col("sum_value")),
+      Some("""SELECT event_type, CAST(floor(epoch(time_bucket(INTERVAL '10 minutes', ts))) AS BIGINT) AS ws, count(*) AS n, CAST(sum(CAST(value AS DECIMAL(24,6))) AS DOUBLE) AS sum_value FROM events GROUP BY 1, 2""")),
+
+    Entry("q_stream_sliding",
+      // 10-minute windows sliding every 5 — each event lands in exactly two
+      (s, d) => Q.events(s, d)
+        .groupBy(window(col("ts"), "10 minutes", "5 minutes").as("w"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("event_type"), unix_timestamp(col("w.start")).as("ws"), col("n")),
+      Some("""SELECT event_type, ws, count(*) AS n FROM (SELECT event_type, CAST(floor(epoch(time_bucket(INTERVAL '10 minutes', ts))) AS BIGINT) AS ws FROM events UNION ALL SELECT event_type, CAST(floor(epoch(time_bucket(INTERVAL '10 minutes', ts - INTERVAL '5 minutes'))) AS BIGINT) + 300 FROM events) GROUP BY 1, 2""")),
+
+    Entry("q_stream_session",
+      // session_window(gap 30 min) ≡ gaps-and-islands compaction
+      (s, d) => Q.events(s, d)
+        .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"), unix_timestamp(col("w.start")).as("session_start"),
+          col("n_events")),
+      Some("""WITH t AS (SELECT user_id, ts, CASE WHEN lag(ts) OVER w IS NULL OR ts - lag(ts) OVER w >= INTERVAL '30 minutes' THEN 1 ELSE 0 END AS new_s FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)), r AS (SELECT user_id, ts, CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid FROM t) SELECT user_id, CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start, count(*) AS n_events FROM r GROUP BY user_id, sid""")),
+
+    Entry("q_stream_dedup",
+      // batch analogue of dropDuplicatesWithinWatermark: earliest event per
+      // (user, type)
+      (s, d) => Relational.keepFirst(Q.events(s, d), Seq("user_id", "event_type"),
+          Seq(col("ts"), col("event_id")))
+        .select("user_id", "event_type", "event_id"),
+      Some("""SELECT user_id, event_type, event_id FROM (SELECT user_id, event_type, event_id, row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn FROM events) WHERE rn = 1"""))
+  )
+}

@@ -23,9 +23,14 @@ object Stats {
     */
   def corrWithP(df: DataFrame, groupCols: Seq[String], x: String, y: String): DataFrame = {
     val pUdf = udf((r: Double, n: Long) => Dist.corrPValue(r, n))
+    // n counts only complete (x,y) pairs — corr() skips null pairs, so
+    // counting all rows would inflate the degrees of freedom.
     df.groupBy(groupCols.map(col): _*)
-      .agg(corr(col(x), col(y)).as("r"), count(lit(1)).as("n"))
-      .withColumn("t", col("r") * sqrt((col("n") - 2) / (lit(1.0) - col("r") * col("r"))))
+      .agg(corr(col(x), col(y)).as("r"),
+        count(when(col(x).isNotNull && col(y).isNotNull, 1)).as("n"))
+      .withColumn("t",
+        when(abs(col("r")) < 1,
+          col("r") * sqrt((col("n") - 2) / (lit(1.0) - col("r") * col("r")))))
       .withColumn("p", pUdf(col("r"), col("n")))
   }
 
