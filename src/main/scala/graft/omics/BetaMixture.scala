@@ -1,0 +1,143 @@
+package graft.omics
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import graft.stats.Dist
+
+/** Per-gene beta-mixture model with BIC component selection — the MethylMix
+  * core (MethylMix/MethylMix.R:313-419 MethylMix_ModelSingleGene, EM loop
+  * blc_2 :572-622, component MLE betaEst_2 :633-653, BIC selection over
+  * 1..3 components).
+  *
+  * Re-derived for Spark (NOT a port): genes are independent, samples per
+  * gene are small (hundreds), so the kernel is a classic
+  * `groupByKey.mapGroups` — each task fits one gene entirely in memory
+  * while Spark fans the genes out across the cluster (the reference used a
+  * doParallel loop, MethylMix.R:256-263). Component parameters are
+  * estimated by method of moments inside an EM over responsibilities
+  * (deterministic quantile-split init, fixed iteration budget, no RNG), so
+  * results are bit-reproducible.
+  */
+object BetaMixture {
+
+  final case class Obs(gene: String, sample: String, value: Double)
+  final case class Component(comp: Int, a: Double, b: Double, weight: Double, mean: Double)
+  final case class Fit(gene: String, nComponents: Int, logLik: Double, bic: Double,
+                       comps: Seq[Component])
+  final case class FitRow(gene: String, n_components: Int, comp: Int,
+                          a: Double, b: Double, weight: Double, mean: Double,
+                          log_lik: Double, bic: Double)
+
+  private val Eps = 1e-6
+
+  /** EM fit with k components on clipped values; returns (ll, comps). */
+  private[omics] def emFit(xs0: Array[Double], k: Int, maxIter: Int = 100,
+                           tol: Double = 1e-8): (Double, Array[Component]) = {
+    val xs = xs0.map(x => math.min(1 - Eps, math.max(Eps, x)))
+    val n = xs.length
+    val sorted = xs.sorted
+    // deterministic init: split at quantiles into k blocks; moments per block
+    val blocks = Array.tabulate(k) { j =>
+      val lo = j * n / k
+      val hi = math.max(lo + 1, (j + 1) * n / k)
+      sorted.slice(lo, hi)
+    }
+    var comps = blocks.map { b =>
+      val (a, bb) = momentsToAB(mean(b), math.max(variance(b), 1e-6))
+      (a, bb, b.length.toDouble / n)
+    }
+    var ll = Double.NegativeInfinity
+    var iter = 0
+    var converged = false
+    val resp = Array.ofDim[Double](n, k)
+    while (iter < maxIter && !converged) {
+      // E step
+      var newLl = 0.0
+      var i = 0
+      while (i < n) {
+        var tot = 0.0
+        var j = 0
+        while (j < k) {
+          val d = comps(j)._3 * math.exp(Dist.dbetaLog(xs(i), comps(j)._1, comps(j)._2))
+          resp(i)(j) = d; tot += d; j += 1
+        }
+        if (tot <= 0 || tot.isNaN) { tot = Double.MinPositiveValue }
+        j = 0
+        while (j < k) { resp(i)(j) /= tot; j += 1 }
+        newLl += math.log(tot)
+        i += 1
+      }
+      // M step: weighted method-of-moments per component
+      comps = Array.tabulate(k) { j =>
+        var w = 0.0; var m1 = 0.0; var m2 = 0.0
+        var i2 = 0
+        while (i2 < n) {
+          val r = resp(i2)(j)
+          w += r; m1 += r * xs(i2); m2 += r * xs(i2) * xs(i2)
+          i2 += 1
+        }
+        if (w < 1e-12) comps(j)
+        else {
+          val mu = m1 / w
+          val v = math.max(m2 / w - mu * mu, 1e-8)
+          val (a, b) = momentsToAB(mu, v)
+          (a, b, w / n)
+        }
+      }
+      if (math.abs(newLl - ll) < tol * math.abs(newLl)) converged = true
+      ll = newLl
+      iter += 1
+    }
+    // sort components by mean for canonical ordering
+    val canon = comps.map { case (a, b, w) => Component(0, a, b, w, a / (a + b)) }
+      .sortBy(_.mean).zipWithIndex
+      .map { case (c, i) => c.copy(comp = i + 1) }
+    (ll, canon)
+  }
+
+  private def mean(xs: Array[Double]): Double = xs.sum / xs.length
+  private def variance(xs: Array[Double]): Double = {
+    val m = mean(xs); xs.map(x => (x - m) * (x - m)).sum / math.max(xs.length - 1, 1)
+  }
+
+  /** Beta method-of-moments: mu, var -> (a, b), clamped positive. */
+  private[omics] def momentsToAB(mu: Double, v: Double): (Double, Double) = {
+    val cap = mu * (1 - mu)
+    val vv = math.min(v, cap * 0.999)
+    val t = cap / vv - 1.0
+    (math.max(mu * t, 1e-3), math.max((1 - mu) * t, 1e-3))
+  }
+
+  /** BIC for a k-component fit: -2 ll + (3k - 1) ln n (a, b, weight per
+    * component, weights sum to 1) — model selection as in
+    * MethylMix.R:345-419. */
+  def bic(ll: Double, k: Int, n: Int): Double =
+    -2.0 * ll + (3.0 * k - 1.0) * math.log(n.toDouble)
+
+  /** Fit the best-of-1..maxK mixture per gene. */
+  def fitPerGene(df: DataFrame, geneCol: String, valueCol: String,
+                 maxK: Int = 3): Dataset[FitRow] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(geneCol).cast("string").as("gene"),
+        col(valueCol).cast("double").as("value"))
+      .as[(String, Double)]
+      .groupByKey(_._1)
+      .flatMapGroups { (gene, it) =>
+        val xs = it.map(_._2).toArray.sorted
+        if (xs.length < 4) Iterator.empty
+        else {
+          val fits = (1 to maxK).map { k =>
+            val (ll, comps) = emFit(xs, k)
+            (k, ll, bic(ll, k, xs.length), comps)
+          }
+          val best = fits.minBy(f => (f._3, f._1))
+          best._4.iterator.map(c => FitRow(gene, best._1, c.comp,
+            round6(c.a), round6(c.b), round6(c.weight), round6(c.mean),
+            round6(best._2), round6(best._3)))
+        }
+      }
+  }
+
+  private def round6(x: Double): Double = math.rint(x * 1e6) / 1e6
+}

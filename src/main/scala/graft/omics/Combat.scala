@@ -1,0 +1,88 @@
+package graft.omics
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Parametric ComBat batch-effect adjustment re-derived as pure
+  * DataFrame aggregates + one scalar iterative solver
+  * (MethylMix/ComBat_NoFiles.R:30-185; EB iteration it.sol :243-262;
+  * hyperpriors aprior/bprior :236-239).
+  *
+  * Long-form input (gene, sample, value) + a (sample, batch) map. All
+  * moments are shuffle-once aggregates; the only non-SQL step is the
+  * per-(gene,batch) empirical-Bayes fixed-point iteration, a scalar loop in
+  * a UDF over one row per (gene,batch) — nothing data-sized ever reaches
+  * the driver.
+  */
+object Combat {
+
+  /** @return input rows with an extra `adjusted` column. */
+  def adjust(data: DataFrame, batches: DataFrame,
+             geneCol: String = "gene", sampleCol: String = "sample",
+             valueCol: String = "value", batchCol: String = "batch",
+             maxIter: Int = 100): DataFrame = {
+    val df = data.select(col(geneCol).as("gene"), col(sampleCol).as("sample"),
+        col(valueCol).cast("double").as("value"))
+      .join(batches.select(col(sampleCol).as("sample"), col(batchCol).as("batch")), "sample")
+
+    // 1. per-gene grand mean + pooled sd -> standardize
+    val geneStats = df.groupBy("gene")
+      .agg(avg("value").as("alpha"), stddev_samp(col("value")).as("sigma"))
+    val z = df.join(geneStats, "gene")
+      .withColumn("z", (col("value") - col("alpha")) /
+        when(col("sigma") > 0, col("sigma")))
+
+    // 2. per-(gene,batch) batch-effect moments
+    val gb = z.groupBy("gene", "batch")
+      .agg(avg("z").as("gamma_hat"), var_samp(col("z")).as("delta2_hat"),
+        count(lit(1)).as("n"))
+
+    // 3. per-batch hyperpriors across genes (ComBat_NoFiles.R:236-239):
+    //    gamma ~ N(gamma_bar, tau2); delta2 ~ InvGamma(lambda, theta) by
+    //    method of moments on the delta2_hat distribution
+    val priors = gb.groupBy("batch").agg(
+      avg("gamma_hat").as("gamma_bar"), var_samp(col("gamma_hat")).as("tau2"),
+      avg("delta2_hat").as("d_mean"), var_samp(col("delta2_hat")).as("d_var"))
+      .withColumn("lambda", (lit(2.0) + col("d_mean") * col("d_mean") /
+        when(col("d_var") > 0, col("d_var"))))
+      .withColumn("theta", (col("d_mean") * (col("lambda") - 1)))
+
+    // 4. EB shrinkage: fixed-point iteration per (gene,batch) row
+    val ebSolve = udf((gammaHat: Double, delta2Hat: Double, n: Long,
+                       gammaBar: Double, tau2: Double,
+                       lambda: java.lang.Double, theta: java.lang.Double) => {
+      val lam = Option(lambda).map(_.doubleValue).getOrElse(2.0)
+      val th = Option(theta).map(_.doubleValue).getOrElse(delta2Hat)
+      var g = gammaHat
+      var d2 = math.max(delta2Hat, 1e-8)
+      var i = 0
+      var done = false
+      while (i < 100 && !done) {
+        val gNew =
+          if (tau2 > 0) (n * tau2 * gammaHat + d2 * gammaBar) / (n * tau2 + d2)
+          else gammaBar
+        val ss = (n - 1).toDouble * delta2Hat + n * (gammaHat - gNew) * (gammaHat - gNew)
+        val d2New = math.max((th + 0.5 * ss) / (n / 2.0 + lam - 1.0), 1e-8)
+        if (math.abs(gNew - g) + math.abs(d2New - d2) < 1e-10) done = true
+        g = gNew; d2 = d2New
+        i += 1
+      }
+      Array(g, d2)
+    })
+
+    val eb = gb.join(priors, "batch")
+      .withColumn("__eb", ebSolve(col("gamma_hat"), col("delta2_hat"), col("n"),
+        col("gamma_bar"), col("tau2"), col("lambda"), col("theta")))
+      .select(col("gene"), col("batch"),
+        col("__eb").getItem(0).as("gamma_star"),
+        col("__eb").getItem(1).as("delta2_star"))
+
+    // 5. adjust: sigma * (z - gamma*) / sqrt(delta2*) + alpha
+    z.join(eb, Seq("gene", "batch"))
+      .withColumn("adjusted",
+        col("sigma") * (col("z") - col("gamma_star")) /
+          sqrt(col("delta2_star")) + col("alpha"))
+      .select(col("gene"), col("sample"), col("batch"), col("value"),
+        round(col("adjusted"), 6).as("adjusted"))
+  }
+}

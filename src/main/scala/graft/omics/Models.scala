@@ -1,0 +1,198 @@
+package graft.omics
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import graft.stats.Dist
+
+/** Small per-group model kernels that need an in-memory solve:
+  * multi-covariate OLS (the MethylMix covariate branch) and per-gene
+  * complete-linkage probe clustering. Group sizes are samples-per-gene /
+  * probes-per-gene — small by construction (SURVEY §7.4) — so each group
+  * fits one task while Spark distributes the groups.
+  */
+object Models {
+
+  // ---------------------------------------------------------------- OLS --
+
+  final case class OlsObs(group: String, y: Double, xs: Seq[Double])
+  final case class OlsRow(group: String, n: Long, coef: Seq[Double],
+                          slope: Double, t_slope: Double, p_slope: Double, r2: Double)
+
+  /** Per-group OLS of y ~ [1, x1..xk] via normal equations (in-task Gaussian
+    * elimination) — the covariate case of MethylMix_ModelGeneExpression
+    * (MethylMix.R:192-199, lm(GE ~ MET + factor(batch))). `slope`/t/p refer
+    * to the first covariate (the methylation term in the reference). */
+  def olsMultiPerGroup(df: DataFrame, groupCol: String, yCol: String,
+                       xCols: Seq[String]): Dataset[OlsRow] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val k = xCols.size
+    df.select(col(groupCol).cast("string").as("group"),
+        col(yCol).cast("double").as("y"),
+        array(xCols.map(c => col(c).cast("double")): _*).as("xs"))
+      .as[OlsObs]
+      .groupByKey(_.group)
+      .flatMapGroups { (g, it) =>
+        val obs = it.toArray.sortBy(o => (o.y, o.xs.mkString(",")))
+        val n = obs.length
+        val p = k + 1
+        if (n <= p) Iterator.empty
+        else {
+          // X'X and X'y with intercept column
+          val xtx = Array.ofDim[Double](p, p)
+          val xty = Array.ofDim[Double](p)
+          var yy = 0.0; var ysum = 0.0
+          obs.foreach { o =>
+            val row = 1.0 +: o.xs.toArray
+            var i = 0
+            while (i < p) {
+              xty(i) += row(i) * o.y
+              var j = 0
+              while (j < p) { xtx(i)(j) += row(i) * row(j); j += 1 }
+              i += 1
+            }
+            yy += o.y * o.y; ysum += o.y
+          }
+          solve(xtx, xty).map { beta =>
+            val xtxInv = invert(xtx)
+            val rss = {
+              var s = yy
+              var i = 0
+              while (i < p) { s -= beta(i) * xty(i); i += 1 }
+              math.max(s, 0.0)
+            }
+            val tss = yy - ysum * ysum / n
+            val sigma2 = rss / (n - p)
+            val se1 = math.sqrt(sigma2 * xtxInv(1)(1))
+            val tStat = if (se1 > 0) beta(1) / se1 else Double.NaN
+            val pVal = Dist.tTail2(tStat, (n - p).toDouble)
+            OlsRow(g, n.toLong, beta.map(r6).toSeq, r6(beta(1)), r6(tStat),
+              r6(pVal), r6(if (tss > 0) 1.0 - rss / tss else Double.NaN))
+          }.iterator
+        }
+      }
+  }
+
+  private def solve(a0: Array[Array[Double]], b0: Array[Double]): Option[Array[Double]] = {
+    val n = b0.length
+    val a = a0.map(_.clone()); val b = b0.clone()
+    var i = 0
+    while (i < n) {
+      var piv = i
+      var j = i + 1
+      while (j < n) { if (math.abs(a(j)(i)) > math.abs(a(piv)(i))) piv = j; j += 1 }
+      if (math.abs(a(piv)(i)) < 1e-12) return None
+      val tmp = a(i); a(i) = a(piv); a(piv) = tmp
+      val tb = b(i); b(i) = b(piv); b(piv) = tb
+      j = i + 1
+      while (j < n) {
+        val f = a(j)(i) / a(i)(i)
+        var c = i
+        while (c < n) { a(j)(c) -= f * a(i)(c); c += 1 }
+        b(j) -= f * b(i)
+        j += 1
+      }
+      i += 1
+    }
+    val x = new Array[Double](n)
+    i = n - 1
+    while (i >= 0) {
+      var s = b(i)
+      var j = i + 1
+      while (j < n) { s -= a(i)(j) * x(j); j += 1 }
+      x(i) = s / a(i)(i)
+      i -= 1
+    }
+    Some(x)
+  }
+
+  private def invert(a: Array[Array[Double]]): Array[Array[Double]] = {
+    val n = a.length
+    Array.tabulate(n) { i =>
+      val e = Array.fill(n)(0.0); e(i) = 1.0
+      solve(a, e).getOrElse(Array.fill(n)(Double.NaN))
+    }.transpose
+  }
+
+  // ------------------------------------------------- per-gene clustering --
+
+  final case class ProbeObs(gene: String, probe: String, sample: String, value: Double)
+  final case class ClusterRow(gene: String, probe: String, cluster: Int)
+
+  /** Per-gene complete-linkage clustering of probes at 1-cor distance, cut
+    * at height h (Download_Preprocess.R:1433-1482: hclust(as.dist(1-cor)),
+    * cutree(h = 1-0.4)). Probes-per-gene is ≤ ~50, so the linkage runs
+    * in-task; cluster ids are canonicalized by each cluster's
+    * lexicographically-smallest probe for determinism. */
+  def clusterProbesPerGene(df: DataFrame, geneCol: String, probeCol: String,
+                           sampleCol: String, valueCol: String,
+                           h: Double = 0.6): Dataset[ClusterRow] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(geneCol).cast("string").as("gene"),
+        col(probeCol).cast("string").as("probe"),
+        col(sampleCol).cast("string").as("sample"),
+        col(valueCol).cast("double").as("value"))
+      .as[ProbeObs]
+      .groupByKey(_.gene)
+      .flatMapGroups { (gene, it) =>
+        val rows = it.toArray
+        val samples = rows.map(_.sample).distinct.sorted
+        val probes = rows.map(_.probe).distinct.sorted
+        val byProbe = rows.groupBy(_.probe).map { case (p, rs) =>
+          val m = rs.map(r => r.sample -> r.value).toMap
+          p -> samples.map(s => m.getOrElse(s, Double.NaN))
+        }
+        val dist = Array.tabulate(probes.length, probes.length) { (i, j) =>
+          if (i == j) 0.0
+          else 1.0 - pearson(byProbe(probes(i)), byProbe(probes(j)))
+        }
+        val assign = completeLinkageCut(dist, h)
+        // canonical cluster ids: order clusters by smallest member probe
+        val groups = probes.indices.groupBy(assign)
+          .toSeq.map { case (_, idxs) => idxs.map(probes).min -> idxs }
+          .sortBy(_._1).zipWithIndex
+        groups.flatMap { case ((_, idxs), cid) =>
+          idxs.map(i => ClusterRow(gene, probes(i), cid + 1))
+        }.iterator
+      }
+  }
+
+  private def pearson(a: Array[Double], b: Array[Double]): Double = {
+    val pairs = a.zip(b).filter { case (x, y) => !x.isNaN && !y.isNaN }
+    if (pairs.length < 2) return 0.0
+    val n = pairs.length
+    val mx = pairs.map(_._1).sum / n; val my = pairs.map(_._2).sum / n
+    var sxy = 0.0; var sxx = 0.0; var syy = 0.0
+    pairs.foreach { case (x, y) =>
+      sxy += (x - mx) * (y - my); sxx += (x - mx) * (x - mx); syy += (y - my) * (y - my)
+    }
+    if (sxx <= 0 || syy <= 0) 0.0 else sxy / math.sqrt(sxx * syy)
+  }
+
+  /** Complete-linkage agglomeration; stop merging when the best merge
+    * distance exceeds h; return cluster assignment per index. */
+  private[omics] def completeLinkageCut(dist: Array[Array[Double]], h: Double): Array[Int] = {
+    val n = dist.length
+    val assign = Array.tabulate(n)(identity)
+    var clusters = (0 until n).map(i => Set(i)).toBuffer
+    var merging = true
+    while (merging && clusters.length > 1) {
+      var best = Double.PositiveInfinity
+      var bi = -1; var bj = -1
+      for (i <- clusters.indices; j <- (i + 1) until clusters.length) {
+        val d = clusters(i).flatMap(a => clusters(j).map(b => dist(a)(b))).max
+        if (d < best - 1e-15) { best = d; bi = i; bj = j }
+      }
+      if (best <= h && bi >= 0) {
+        val merged = clusters(bi) ++ clusters(bj)
+        clusters.remove(bj); clusters.remove(bi)
+        clusters += merged
+      } else merging = false
+    }
+    clusters.zipWithIndex.foreach { case (c, id) => c.foreach(assign(_) = id) }
+    assign
+  }
+
+  private def r6(x: Double): Double = math.rint(x * 1e6) / 1e6
+}

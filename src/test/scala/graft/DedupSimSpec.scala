@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.dedup.Dedup
+import graft.sim.Similarity
+
+/** Dedup tiers and similarity search on synthetic corpora with known
+  * ground truth. */
+class DedupSimSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpus() = {
+    val base = "the quick brown fox jumps over the lazy dog and runs far away " +
+      "while birds sing in the tall green trees near the quiet river bank"
+    Seq(
+      (1L, base),
+      (2L, base),                                   // exact dup of 1
+      (3L, base.replace("quiet", "loud")),          // near dup of 1
+      (4L, "completely different text about spark catalyst optimizer rules " +
+        "and distributed shuffle partitioning strategies for large clusters"),
+      (5L, "Another unrelated document mentioning beta mixture models and " +
+        "methylation driver genes in cancer cohorts with many samples")
+    ).toDF("doc_id", "text")
+  }
+
+  test("exact dedup groups identical normalized text") {
+    val res = Dedup.exact(corpus(), "doc_id", "text")
+    assert(res.count() == 4)
+    val dupGroup = res.where(col("dup_count") === 2).select("kept_id").as[Long].collect()
+    assert(dupGroup.toSeq == Seq(1L))
+  }
+
+  test("ngramJaccardPairs finds the exact and near dup with consistent sizes") {
+    val pairs = Dedup.ngramJaccardPairs(corpus(), "doc_id", "text",
+      k = 3, threshold = 0.5, maxShingleDf = 100)
+      .select("id_a", "id_b", "jaccard")
+      .as[(Long, Long, Double)].collect().sortBy(p => (p._1, p._2))
+    assert(pairs.map(p => (p._1, p._2)).toSet == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    val exact = pairs.find(p => p._1 == 1 && p._2 == 2).get._3
+    assert(exact == 1.0)
+  }
+
+  test("minhash LSH pairs equal exact pairs at high threshold (recall) and " +
+    "signatures are overflow-free") {
+    val lsh = Dedup.minhashLshPairs(corpus(), "doc_id", "text",
+      k = 3, threshold = 0.5, numHashes = 128, bands = 32)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(lsh == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    val sigs = Dedup.minhashSignatures(corpus(), "doc_id", "text")
+      .select("sig").as[Seq[Long]].collect()
+    assert(sigs.forall(_.size == 128))
+    // identical docs -> identical signatures
+    val s = Dedup.minhashSignatures(corpus(), "doc_id", "text")
+      .where(col("id").isin(1, 2)).select("sig").as[Seq[Long]].collect()
+    assert(s(0) == s(1))
+  }
+
+  test("simhash: identical docs collide, near dups land at small hamming") {
+    val sigs = Dedup.simhashSignatures(corpus(), "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(sigs(1L) == sigs(2L))
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(sigs(1L), sigs(3L)) <= 8)
+    assert(hamming(sigs(1L), sigs(4L)) > 8)
+    val pairs = Dedup.simhashPairs(corpus(), "doc_id", "text",
+      bands = 8, k = 3, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)) && pairs.contains((1L, 3L)))
+  }
+
+  test("bruteForceTopK returns correct neighbors on a hand-checked fixture") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.9f, 0.1f, 0.0f)),
+      (3L, Array(0.0f, 1.0f, 0.0f)),
+      (4L, Array(0.0f, 0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(vecs, vecs.where(col("vec_id") === 1),
+      "vec_id", "embedding", k = 2)
+      .orderBy("rank").select("neighbor_id").as[Long].collect()
+    assert(top.toSeq == Seq(2L, 3L))
+  }
+
+  test("lshTopK has precision 1 vs brute force and decent recall") {
+    val rng = new scala.util.Random(11)
+    val dim = 16
+    val vecs = Seq.tabulate(120) { i =>
+      (i.toLong, Array.fill(dim)(rng.nextGaussian().toFloat))
+    }.toDF("vec_id", "embedding")
+    val queries = vecs.where(col("vec_id") < 5)
+    val brute = Similarity.bruteForceTopK(vecs, queries, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val lsh = Similarity.lshTopK(vecs, queries, "vec_id", "embedding", dim, 5,
+      nBits = 32, bands = 16)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    // candidates are re-scored exactly: anything returned at rank<=k that is
+    // also in the brute set is correctly ranked; recall bounded below
+    val recall = lsh.intersect(brute).size.toDouble / brute.size
+    assert(recall >= 0.5, s"recall=$recall")
+  }
+}

@@ -1,0 +1,159 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.omics._
+
+/** Golden tests for the per-group model kernels (not DuckDB-expressible,
+  * so the evidence lives here). */
+class OmicsKernelSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("DriverNet greedy cover matches the hand-computed cover") {
+    // g1 covers events e1,e2,e3; g2 covers e3,e4; g3 covers e4.
+    // Greedy: pick g1 (3), then g2 (1: e4 remains), g3 covers nothing new.
+    val mutations = Seq(("p1", "g1"), ("p2", "g1"), ("p1", "g2"), ("p3", "g3"))
+      .toDF("patient", "gene")
+    val outliers = Seq(("p1", "h1"), ("p1", "h2"), ("p2", "h1"),
+      ("p1", "h3"), ("p3", "h3")).toDF("patient", "gene")
+    val influence = Seq(("g1", "h1"), ("g1", "h2"), ("g2", "h3"), ("g3", "h3"))
+      .toDF("gene_a", "gene_b")
+    val cov = DriverNet.coverage(mutations, outliers, influence)
+    // g1 -> (p1,h1),(p1,h2),(p2,h1); g2 -> (p1,h3); g3 -> (p3,h3)
+    assert(cov.count() == 5)
+    val drivers = DriverNet.greedyDrivers(cov, maxDrivers = 5)
+      .orderBy("rank").as[(Int, String, Long)].collect().toSeq
+    assert(drivers == Seq((1, "g1", 3L), (2, "g2", 1L), (3, "g3", 1L)))
+  }
+
+  test("DriverNet permutation null is reproducible") {
+    val mutations = Seq(("p1", "g1"), ("p2", "g2"), ("p3", "g1"))
+      .toDF("patient", "gene")
+    val outliers = Seq(("p1", "h1"), ("p2", "h2"), ("p3", "h1"))
+      .toDF("patient", "gene")
+    val influence = Seq(("g1", "h1"), ("g2", "h2")).toDF("gene_a", "gene_b")
+    val a = DriverNet.permutedTopCovers(mutations, outliers, influence, 3)
+      .as[(Int, Long)].collect().toSeq
+    val b = DriverNet.permutedTopCovers(mutations, outliers, influence, 3)
+      .as[(Int, Long)].collect().toSeq
+    assert(a == b && a.size == 3)
+  }
+
+  test("beta mixture recovers two well-separated components") {
+    // deterministic pseudo-draws from Beta(2,8) (mean .2) and Beta(8,2)
+    // (mean .8) via inverse-CDF on a fixed grid
+    val lo = (1 to 150).map(i => 0.05 + 0.25 * i / 151.0)       // ~[0.05,0.30]
+    val hi = (1 to 150).map(i => 0.70 + 0.25 * i / 151.0)       // ~[0.70,0.95]
+    val xs = (lo ++ hi).map(v => ("g", v)).toDF("gene", "value")
+    val fit = BetaMixture.fitPerGene(xs, "gene", "value").collect()
+    assert(fit.nonEmpty)
+    val k = fit.head.n_components
+    assert(k == 2, s"expected 2 components, got $k")
+    val means = fit.map(_.mean).sorted
+    assert(math.abs(means.head - 0.175) < 0.05)
+    assert(math.abs(means.last - 0.825) < 0.05)
+    assert(math.abs(fit.map(_.weight).sum - 1.0) < 1e-6)
+    // determinism
+    val fit2 = BetaMixture.fitPerGene(xs, "gene", "value").collect()
+    assert(fit.map(_.bic).toSeq == fit2.map(_.bic).toSeq)
+  }
+
+  test("beta mixture picks one component for true beta-distributed data") {
+    // exact Beta(5,5) quantile draws via bisection on the incomplete beta
+    def qbeta(p: Double): Double = {
+      var lo = 0.0; var hi = 1.0
+      (1 to 60).foreach { _ =>
+        val mid = (lo + hi) / 2
+        if (graft.stats.Dist.betaInc(5, 5, mid) < p) lo = mid else hi = mid
+      }
+      (lo + hi) / 2
+    }
+    val xs = (1 to 200).map(i => ("g", qbeta(i / 201.0))).toDF("gene", "value")
+    val fit = BetaMixture.fitPerGene(xs, "gene", "value").collect()
+    assert(fit.head.n_components == 1,
+      s"expected 1 component, got ${fit.head.n_components} (bic=${fit.head.bic})")
+  }
+
+  test("NB GLM detects a strong group effect and a null effect") {
+    // group 1 counts ~ 40, group 0 counts ~ 10 -> logFC ~ log(4)
+    val strong = (1 to 30).map { i =>
+      val g = i % 2
+      ("r1", (if (g == 1) 40.0 else 10.0) + (i % 3), g.toDouble, 0.0)
+    }
+    val nullr = (1 to 30).map(i => ("r2", 20.0 + (i % 5), (i % 2).toDouble, 0.0))
+    val df = (strong ++ nullr).toDF("region", "y", "grp", "off")
+    val fits = GlmNb.fitPerRegion(df, "region", "y", "grp", "off", dispersion = 0.05)
+      .collect().map(r => r.region -> r).toMap
+    assert(fits("r1").p_value < 1e-4)
+    assert(math.abs(fits("r1").log_fc - math.log(4.0)) < 0.25)
+    assert(fits("r2").p_value > 0.1)
+    assert(fits("r1").z > 0)
+  }
+
+  test("multi-covariate OLS matches the single-covariate closed form") {
+    val rows = (1 to 50).map { i =>
+      val x = i.toDouble
+      ("g", 3.0 + 2.0 * x + (if (i % 2 == 0) 0.5 else -0.5), x, 0.0)
+    }
+    val df = rows.toDF("grp", "y", "x1", "x2zero")
+    val multi = Models.olsMultiPerGroup(
+      df.drop("x2zero"), "grp", "y", Seq("x1")).collect().head
+    val single = graft.stats.Stats.olsPerGroup(df, Seq("grp"), "x1", "y")
+      .select("slope", "intercept", "r2").as[(Double, Double, Double)].head()
+    assert(math.abs(multi.slope - single._1) < 1e-6)
+    assert(math.abs(multi.coef.head - single._2) < 1e-5)
+    assert(math.abs(multi.r2 - single._3) < 1e-6)
+    // adding a second covariate keeps the true slope
+    val multi2 = Models.olsMultiPerGroup(
+      df.withColumn("x2", col("x1") * col("x1")), "grp", "y", Seq("x1", "x2"))
+      .collect().head
+    assert(math.abs(multi2.slope - 2.0) < 0.1)
+  }
+
+  test("ComBat centers batch means toward each other") {
+    val rng = new scala.util.Random(3)
+    val rows = for {
+      g <- 1 to 8; s <- 1 to 40
+    } yield {
+      val batch = if (s <= 20) "b1" else "b2"
+      val shift = if (batch == "b1") 2.0 else -2.0
+      (s"g$g", s"s$s", 10.0 + g + shift + rng.nextGaussian() * 0.3)
+    }
+    val data = rows.toDF("gene", "sample", "value")
+    val batches = (1 to 40).map(s => (s"s$s", if (s <= 20) "b1" else "b2"))
+      .toDF("sample", "batch")
+    val adj = Combat.adjust(data, batches)
+    val gaps = adj.groupBy("gene").pivot("batch").agg(avg("adjusted"))
+      .select(abs(col("b1") - col("b2"))).as[Double].collect()
+    val rawGap = 4.0
+    assert(gaps.forall(_ < 0.5), s"post-adjust batch gaps: ${gaps.toSeq}")
+    assert(gaps.forall(_ < rawGap))
+  }
+
+  test("KNN impute fills missing cells with neighbor means") {
+    // three entities; e3 tracks e1 exactly, e2 is far away
+    val rows = Seq(
+      ("e1", "s1", Some(1.0)), ("e1", "s2", Some(2.0)), ("e1", "s3", Some(3.0)),
+      ("e2", "s1", Some(100.0)), ("e2", "s2", Some(200.0)), ("e2", "s3", Some(300.0)),
+      ("e3", "s1", Some(1.0)), ("e3", "s2", Some(2.0)), ("e3", "s3", None))
+      .toDF("entity", "sample", "value")
+    val res = Impute.knnImpute(rows, "entity", "sample", "value", k = 1,
+      maxMissingRow = 0.5, maxMissingCol = 0.5)
+    val filled = res.where(col("entity") === "e3" && col("sample") === "s3")
+      .select("value_imputed").as[Double].head()
+    assert(filled == 3.0)
+  }
+
+  test("per-gene probe clustering groups correlated probes") {
+    // probes p1,p2 perfectly correlated; p3 anti-correlated
+    val samples = 1 to 10
+    val rows = samples.flatMap { s =>
+      val base = s.toDouble
+      Seq(("g", "p1", s"s$s", base), ("g", "p2", s"s$s", base * 2 + 1),
+        ("g", "p3", s"s$s", -base))
+    }.toDF("gene", "probe", "sample", "value")
+    val cl = Models.clusterProbesPerGene(rows, "gene", "probe", "sample", "value", h = 0.6)
+      .collect().map(r => r.probe -> r.cluster).toMap
+    assert(cl("p1") == cl("p2"))
+    assert(cl("p1") != cl("p3"))
+  }
+}

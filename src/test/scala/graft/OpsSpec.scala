@@ -1,0 +1,155 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{RangeJoin, Relational}
+import graft.stats.Stats
+
+/** Relational operators: range-join ≡ crossJoin+filter property,
+  * melt/explode round trips, deterministic keep-first, BH-FDR vs
+  * hand-computed values. */
+class OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val rng = new scala.util.Random(7)
+
+  test("pointInInterval equals naive crossJoin+filter on random data") {
+    val intervals = Seq.tabulate(80) { i =>
+      val lo = rng.nextDouble() * 100; (i.toLong, lo, lo + rng.nextDouble() * 10)
+    }.toDF("iid", "lo", "hi")
+    val points = Seq.tabulate(200) { i =>
+      (1000L + i, rng.nextDouble() * 120 - 10)
+    }.toDF("pid", "v")
+    val fast = RangeJoin.pointInInterval(intervals, points, "lo", "hi", "v", 5.0)
+      .select("iid", "pid").as[(Long, Long)].collect().toSet
+    val naive = intervals.crossJoin(points)
+      .where(col("v") >= col("lo") && col("v") <= col("hi"))
+      .select("iid", "pid").as[(Long, Long)].collect().toSet
+    assert(fast == naive && naive.nonEmpty)
+  }
+
+  test("ppmJoin equals naive theta join and stays lazy on empty input") {
+    val masses = Seq.tabulate(60)(i => (i.toLong, 50.0 + rng.nextDouble() * 2000))
+      .toDF("mid", "mm")
+    val structs = Seq.tabulate(120)(i => (500L + i, 50.0 + rng.nextDouble() * 2000))
+      .toDF("sid", "mass")
+    val fast = RangeJoin.ppmJoin(masses, structs, "mm", "mass", 5000.0)
+      .select("mid", "sid").as[(Long, Long)].collect().toSet
+    val naive = masses.crossJoin(structs)
+      .where(col("mass") >= col("mm") - col("mm") * 5000.0 / 1e6 &&
+        col("mass") <= col("mm") + col("mm") * 5000.0 / 1e6)
+      .select("mid", "sid").as[(Long, Long)].collect().toSet
+    assert(fast == naive && naive.nonEmpty)
+    // round-1 defect: plan construction ran an eager job and NPE'd on empty
+    val empty = masses.where(lit(false))
+    assert(RangeJoin.ppmJoin(empty, structs, "mm", "mass", 30.0).count() == 0)
+  }
+
+  test("intervalOverlap equals naive overlap join incl. negative coords") {
+    val a = Seq.tabulate(50) { i =>
+      val s = rng.nextDouble() * 200 - 100; (i.toLong, s, s + rng.nextDouble() * 20)
+    }.toDF("aid", "as", "ae")
+    val b = Seq.tabulate(70) { i =>
+      val s = rng.nextDouble() * 200 - 100; (900L + i, s, s + rng.nextDouble() * 20)
+    }.toDF("bid", "bs", "be")
+    val fast = RangeJoin.intervalOverlap(a, b, "as", "ae", "bs", "be", 15.0)
+      .select("aid", "bid").as[(Long, Long)].collect()
+    val naive = a.crossJoin(b)
+      .where(col("as") <= col("be") && col("bs") <= col("ae"))
+      .select("aid", "bid").as[(Long, Long)].collect().toSet
+    assert(fast.toSet == naive && naive.nonEmpty)
+    assert(fast.length == fast.toSet.size, "bucket dedup must emit each pair once")
+  }
+
+  test("melt preserves values and explodeDelimited drops empties") {
+    val df = Seq((1L, 10, 2.5), (2L, 20, 3.5)).toDF("id", "a", "b")
+    val melted = Relational.melt(df, Seq("id"), Seq("a", "b"), castTo = Some("double"))
+    assert(melted.count() == 4)
+    assert(melted.where(col("variable") === "a" && col("id") === 1)
+      .select("value").as[Double].head() == 10.0)
+    // string values survive without the old forced double cast
+    val sdf = Seq((1L, "x", "y")).toDF("id", "c1", "c2")
+    val smelted = Relational.melt(sdf, Seq("id"), Seq("c1", "c2"))
+    assert(smelted.select("value").as[String].collect().sorted.toSeq == Seq("x", "y"))
+    val ex = Relational.explodeDelimited(
+      Seq((1L, "a;b;;c"), (2L, ""), (3L, null: String)).toDF("id", "s"), "s")
+    assert(ex.select("element").as[String].collect().sorted.toSeq == Seq("a", "b", "c"))
+  }
+
+  test("naturalJoin infers shared columns like pd.merge") {
+    val a = Seq((1, "x", 10.0)).toDF("k", "name", "va")
+    val b = Seq((1, "x", 99.0)).toDF("k", "name", "vb")
+    val j = Relational.naturalJoin(a, b)
+    assert(j.columns.toSeq == Seq("k", "name", "va", "vb"))
+    assert(j.count() == 1)
+    intercept[IllegalArgumentException] {
+      Relational.naturalJoin(Seq(1).toDF("x"), Seq(1).toDF("y"))
+    }
+  }
+
+  test("concatRows aligns by name and null-fills like pd.concat") {
+    val a = Seq((1L, 2.0)).toDF("k", "v")
+    val b = Seq((5L, "z")).toDF("k", "tag")
+    val u = Relational.concatRows(Seq(a, b))
+    assert(u.columns.toSeq == Seq("k", "v", "tag"))
+    assert(u.where(col("tag").isNull).count() == 1)
+    assert(u.where(col("v").isNull).count() == 1)
+  }
+
+  test("keepFirst is deterministic under explicit ordering") {
+    val df = Seq(("g", 2, "b"), ("g", 1, "a"), ("g", 1, "z"), ("h", 3, "c"))
+      .toDF("grp", "ord", "payload")
+    val kept = Relational.keepFirst(df, Seq("grp"), Seq(col("ord"), col("payload")))
+      .select("grp", "payload").as[(String, String)].collect().toSet
+    assert(kept == Set(("g", "a"), ("h", "c")))
+  }
+
+  test("roundedJoin matches on HALF_UP rounded keys") {
+    // Spark round() HALF_UPs the decimal repr: 0.25->0.3, 0.26->0.3, 0.14->0.1
+    val a = Seq((1L, 0.26)).toDF("ida", "va")
+    val b = Seq((2L, 0.25), (3L, 0.14)).toDF("idb", "vb")
+    val j = Relational.roundedJoin(a, b, "va", "vb", 1)
+    assert(j.select("idb").as[Long].collect().toSeq == Seq(2L))
+  }
+
+  test("BH-FDR matches hand-computed p.adjust values") {
+    val df = Seq(("g", 1L, 0.005), ("g", 2L, 0.011), ("g", 3L, 0.02), ("g", 4L, 0.04))
+      .toDF("grp", "id", "p")
+    val adj = Stats.bhAdjust(df, Seq("grp"), "p", "id")
+      .orderBy("id").select("p_adj").as[Double].collect()
+    val expected = Seq(0.02, 0.022, 0.02 * 4 / 3.0, 0.04)
+    adj.zip(expected).foreach { case (a, e) => assert(math.abs(a - e) < 1e-12) }
+    // all-equal ps: adj = p * n / n = p for the last, cummin propagates
+    val df2 = Seq(("g", 1L, 0.03), ("g", 2L, 0.03)).toDF("grp", "id", "p")
+    val adj2 = Stats.bhAdjust(df2, Seq("grp"), "p", "id")
+      .select("p_adj").as[Double].collect()
+    assert(adj2.forall(v => math.abs(v - 0.03) < 1e-12))
+  }
+
+  test("spearman rho equals Pearson of ranks; perfect monotone = 1") {
+    val df = Seq.tabulate(20) { i =>
+      ("g", i.toDouble, math.pow(i.toDouble, 3) + 5)
+    }.toDF("grp", "x", "y")
+    val rho = Stats.spearman(df, Seq("grp"), "x", "y")
+      .select("rho").as[Double].head()
+    assert(math.abs(rho - 1.0) < 1e-12)
+  }
+
+  test("corrWithP ignores null pairs in n") {
+    val df = Seq(("g", Some(1.0), Some(2.0)), ("g", Some(2.0), Some(4.0)),
+      ("g", Some(3.0), Some(6.1)), ("g", None, Some(9.0)), ("g", Some(4.0), None))
+      .toDF("grp", "x", "y")
+    val row = Stats.corrWithP(df, Seq("grp"), "x", "y")
+      .select("n").as[Long].head()
+    assert(row == 3L)
+  }
+
+  test("zscoreOutliers flags |z|>=2 and guards sd=0 groups") {
+    val df = (Seq.fill(20)(10.0) :+ 100.0).zipWithIndex
+      .map { case (v, i) => ("g", i.toLong, v) }.toDF("grp", "id", "v")
+    val out = Stats.zscoreOutliers(df, Seq("grp"), "v")
+    assert(out.where(col("is_outlier")).select("id").as[Long].collect().toSeq == Seq(20L))
+    val const = Seq(("c", 1L, 5.0), ("c", 2L, 5.0)).toDF("grp", "id", "v")
+    assert(Stats.zscoreOutliers(const, Seq("grp"), "v")
+      .where(col("is_outlier")).count() == 0)
+  }
+}
