@@ -11,7 +11,8 @@ object SparkEntry {
 
   private val all: Seq[Q.Entry] =
     RelQueries.entries ++ StatQueries.entries ++ LlmQueries.entries ++
-      StreamQueries.entries ++ PipelineQueries.entries ++ OmicsQueries.entries
+      StreamQueries.entries ++ PipelineQueries.entries ++ OmicsQueries.entries ++
+      ExtQueries.entries
 
   require(all.map(_.name).distinct.size == all.size, "duplicate query names")
 

@@ -1,0 +1,71 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Typed readers/writers for every SURVEY §2.1 ingestion shape the
+  * reference uses. All return lazy DataFrames (scans prune/push down
+  * normally); nothing infers schema twice.
+  */
+object Io {
+
+  /** Headered CSV whose columns are renamed BY POSITION to canonical names
+    * (pandas `df.columns = [...]`; gizmos.py:640-644,
+    * heraldPathways.py:204-227, queryMassNPDB.py:108). The file's own
+    * header is read only to establish column count/order, then discarded. */
+  def csvPositional(spark: SparkSession, path: String, names: Seq[String],
+                    delimiter: String = ","): DataFrame = {
+    val raw = spark.read
+      .option("header", "true")
+      .option("inferSchema", "true")
+      .option("sep", delimiter)
+      .csv(path)
+    require(raw.columns.length >= names.length,
+      s"csvPositional: file has ${raw.columns.length} columns, need ${names.length}")
+    raw.toDF(names ++ raw.columns.drop(names.length): _*)
+  }
+
+  /** Headerless CSV with caller-supplied names (pandas `names=[...]`;
+    * getMassTransitions.py:47, read_merge_dataframe.py:18-22). */
+  def csvNoHeader(spark: SparkSession, path: String, names: Seq[String],
+                  delimiter: String = ","): DataFrame =
+    spark.read.option("header", "false").option("inferSchema", "true")
+      .option("sep", delimiter).csv(path).toDF(names: _*)
+
+  /** TSV with '#' comment lines (chem_prop.tsv shape;
+    * getMassTransitions.py:47, validateRulesWithOrigins.py:97-99). */
+  def tsvWithComments(spark: SparkSession, path: String,
+                      comment: String = "#", header: Boolean = true): DataFrame =
+    spark.read.option("header", header.toString).option("inferSchema", "true")
+      .option("sep", "\t").option("comment", comment).csv(path)
+
+  /** dtype-forcing scan: explicit StructType, NO inference (pandas
+    * `dtype={...}`; heraldPathways.py:145-147, mapBaseRetroRules.py:157-158).
+    * Inference on 100 TB means scanning twice — this is also the only
+    * scale-sane default. */
+  def csvWithSchema(spark: SparkSession, path: String, schema: StructType,
+                    header: Boolean = true, delimiter: String = ","): DataFrame =
+    spark.read.option("header", header.toString).option("sep", delimiter)
+      .schema(schema).csv(path)
+
+  /** Append sink (DataFrame.to_sql(if_exists="append") /
+    * header-once CSV append; queryMassNPDB_mod.py:151,
+    * heraldPathways.py:505-522). Parquet append is the scale-correct
+    * replacement — the header-once concern disappears. */
+  def appendParquet(df: DataFrame, path: String): Unit =
+    df.write.mode("append").parquet(path)
+
+  /** CSV export of a SQL result (queryMassNPDB_mod.py:56-72). */
+  def exportCsv(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").option("header", "true").csv(path)
+
+  /** Stride-select every `stride`-th column starting at `offset` (TCGA flat
+    * files carry 4 columns per sample and the loader keeps every 4th;
+    * Download_Preprocess.R:686-702). */
+  def strideSelect(df: DataFrame, keep: Seq[String], stride: Int,
+                   offset: Int): DataFrame = {
+    val strided = df.columns.zipWithIndex
+      .collect { case (c, i) if i >= offset && (i - offset) % stride == 0 => c }
+    df.select((keep ++ strided.filterNot(keep.contains)).map(df.col): _*)
+  }
+}

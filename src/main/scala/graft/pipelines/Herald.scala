@@ -1,0 +1,54 @@
+package graft.pipelines
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.chem.ChemBackend
+
+/** The herald iterative pathway-anticipation loop
+  * (heraldPathways.py:381-491): each iteration takes the unreacted
+  * structures, runs every reaction rule against them (virtual products via
+  * the ChemBackend generator), keeps the products whose mass matches an
+  * observed mass signature, assigns deterministic new ids, marks substrates
+  * reacted, and feeds the new structures to the next iteration.
+  *
+  * Spark shape: rules and the observed-mass set are broadcast; the loop is
+  * a driver-side `while` over localCheckpoint'ed DataFrames (lineage is cut
+  * every iteration — the reference's Pool-per-structure becomes partition
+  * parallelism). Product→observation matching is a rounded-key equi join
+  * (the reference's mass-tolerance surrogate, treatMassTransitions.py:30).
+  */
+object Herald {
+
+  /** @param structures (id, mass, root) seed structures
+    * @param rules      (rule_id, mass_delta) — small, broadcast
+    * @param observed   (obs_mass) observed mass signatures
+    * @param roundD     decimals for the mass-match key
+    * @return (struct_id, root, iteration, mass) — all structures ever
+    *         produced, iteration 0 = seeds. */
+  def reactionLoop(structures: DataFrame, rules: DataFrame, observed: DataFrame,
+                   backend: ChemBackend, iterations: Int = 5,
+                   roundD: Int = 1): DataFrame = {
+    val obsKeys = observed.select(round(col("obs_mass"), roundD).as("__obs_key")).distinct()
+    var all = structures.select(col("id").as("struct_id"), col("root"),
+      lit(0).as("iteration"), col("mass")).localCheckpoint()
+    var frontier = all
+    var i = 1
+    while (i <= iterations && !frontier.isEmpty) {
+      val products = backend.virtualProducts(
+        frontier.withColumnRenamed("struct_id", "id"), rules,
+        "id", "mass", "root")
+      val matched = products
+        .withColumn("__key", round(col("product_mass"), roundD))
+        .join(broadcast(obsKeys), col("__key") === col("__obs_key"), "left_semi")
+        .select(col("product_id").as("struct_id"), col("root"),
+          lit(i).as("iteration"), col("product_mass").as("mass"))
+        .dropDuplicates("struct_id")
+      // only genuinely new structures continue (anti join vs everything seen)
+      frontier = matched.join(all.select("struct_id"), Seq("struct_id"), "left_anti")
+        .localCheckpoint()
+      all = all.union(frontier).localCheckpoint()
+      i += 1
+    }
+    all
+  }
+}

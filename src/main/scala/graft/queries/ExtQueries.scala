@@ -1,0 +1,61 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.chem.MassOnlyBackend
+import graft.multimodal.Multimodal
+import graft.pipelines.Herald
+import Q.{Entry, t, r6}
+
+/** Herald iterative loop + multimodal column plumbing wired to the gate. */
+object ExtQueries {
+
+  val entries: Seq[Entry] = Seq(
+
+    Entry("q_pipeline_herald",
+      // heraldPathways.py:381-491 reaction loop, 2 iterations, MassOnly
+      // backend; the oracle unrolls both iterations in SQL (deterministic
+      // md5 product keys make the loop fully replayable)
+      (s, d) => {
+        import s.implicits._
+        val part = t(s, d, "part")
+        val structures = part.select(
+          concat(lit("S"), col("p_partkey").cast("string")).as("id"),
+          col("p_retailprice").as("mass"),
+          concat(lit("S"), col("p_partkey").cast("string")).as("root"))
+        val rules = Seq(("r_plus10", 10.0), ("r_minus25", -25.5))
+          .toDF("rule_id", "mass_delta")
+        val observed = part.select(col("p_retailprice").as("obs_mass"))
+        Herald.reactionLoop(structures, rules, observed, MassOnlyBackend,
+            iterations = 2, roundD = 1)
+          .groupBy("struct_id", "root", "iteration")
+          .agg(r6(min(col("mass"))).as("mass"))
+      },
+      Some("""WITH seeds AS (SELECT concat('S', CAST(p_partkey AS VARCHAR)) AS struct_id, concat('S', CAST(p_partkey AS VARCHAR)) AS root, 0 AS iteration, p_retailprice AS mass FROM part), obs AS (SELECT DISTINCT round(p_retailprice, 1) AS k FROM part), rules AS (SELECT * FROM (VALUES ('r_plus10', 10.0), ('r_minus25', -25.5)) r(rule_id, delta)), g1 AS (SELECT concat('VM_', substr(md5(concat(root, ':', rule_id, ':', CAST(round(mass + CAST(delta AS DOUBLE), 4) AS VARCHAR))), 1, 7)) AS struct_id, root, 1 AS iteration, mass + CAST(delta AS DOUBLE) AS mass FROM seeds CROSS JOIN rules WHERE mass + CAST(delta AS DOUBLE) > 0 AND round(mass + CAST(delta AS DOUBLE), 1) IN (SELECT k FROM obs)), g1d AS (SELECT struct_id, root, iteration, min(mass) AS mass FROM g1 WHERE struct_id NOT IN (SELECT struct_id FROM seeds) GROUP BY 1, 2, 3), g2 AS (SELECT concat('VM_', substr(md5(concat(root, ':', rule_id, ':', CAST(round(mass + CAST(delta AS DOUBLE), 4) AS VARCHAR))), 1, 7)) AS struct_id, root, 2 AS iteration, mass + CAST(delta AS DOUBLE) AS mass FROM g1d CROSS JOIN rules WHERE mass + CAST(delta AS DOUBLE) > 0 AND round(mass + CAST(delta AS DOUBLE), 1) IN (SELECT k FROM obs)), g2d AS (SELECT struct_id, root, iteration, min(mass) AS mass FROM g2 WHERE struct_id NOT IN (SELECT struct_id FROM seeds UNION ALL SELECT struct_id FROM g1d) GROUP BY 1, 2, 3) SELECT struct_id, root, iteration, round(min(mass), 6) AS mass FROM (SELECT * FROM seeds UNION ALL SELECT * FROM g1d UNION ALL SELECT * FROM g2d) GROUP BY 1, 2, 3""")),
+
+    Entry("q_multimodal_features",
+      // binary-column feature extraction behind the MediaDecoder boundary
+      // (deterministic fake decoder; real codecs drop in behind the trait)
+      (s, d) => {
+        val media = Multimodal.asMedia(
+          t(s, d, "documents").withColumn("content", col("text").cast("binary")),
+          "doc_id", "content", "image")
+        Multimodal.extractFeatures(media, new Multimodal.HashFeatureDecoder(8))
+          .select(col("media_id"), col("n_bytes"),
+            round(expr("aggregate(features, CAST(0.0 AS DOUBLE), (a, x) -> a + x)"), 4).as("feat_sum"))
+      },
+      None),
+
+    Entry("q_multimodal_frames",
+      // frame sampling: binary chunked at 64 bytes, every 2nd kept — the
+      // count is pure arithmetic, so it IS oracle-checkable
+      (s, d) => {
+        val docs = t(s, d, "documents").where(length(col("text")) > 0)
+          .withColumn("content", col("text").cast("binary"))
+        Multimodal.sampleFrames(
+            Multimodal.asMedia(docs, "doc_id", "content", "video"),
+            chunkBytes = 64, stride = 2)
+          .groupBy("media_id").agg(count(lit(1)).as("n_frames"))
+      },
+      Some("""SELECT doc_id AS media_id, (CAST(ceil(octet_length(encode(text)) / 64.0) AS BIGINT) + 1) // 2 AS n_frames FROM documents WHERE len(text) > 0"""))
+  )
+}

@@ -1,0 +1,57 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Structured Streaming over the `events` table (driver-brief extension;
+  * SURVEY §2.10). Stock building blocks only — watermarks, tumbling/
+  * sliding/session windows, within-watermark dedup — wired so the batch
+  * entries in StreamQueries and these streaming versions share identical
+  * window semantics (verified against each other in StreamingSpec).
+  */
+object Events {
+
+  /** Open a DIRECTORY of events parquet files as a stream (the file
+    * source's contract — new files appearing in the directory become new
+    * micro-batches; this is the real deployment shape). The nanos
+    * timestamp arrives as a long (nanosAsLong) and is exposed as a micros
+    * `ts` like the batch reader. */
+  def readStream(spark: SparkSession, dir: String): DataFrame = {
+    val schema = spark.read.parquet(dir).schema
+    spark.readStream.schema(schema).parquet(dir)
+      .withColumn("ts_ns", col("ts"))
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** Tumbling 10-minute counts+sums per event type with a 30-minute
+    * watermark. */
+  def tumblingAgg(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "30 minutes")
+      .groupBy(window(col("ts"), "10 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(24,6)")).cast("double").as("sum_value"))
+      .select(col("event_type"), unix_timestamp(col("w.start")).as("ws"),
+        col("n"), col("sum_value"))
+
+  /** Sliding 10/5-minute counts per event type. */
+  def slidingAgg(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "30 minutes")
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes").as("w"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("event_type"), unix_timestamp(col("w.start")).as("ws"), col("n"))
+
+  /** 30-minute-gap session windows per user. */
+  def sessionAgg(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "30 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), unix_timestamp(col("w.start")).as("session_start"),
+        col("n_events"))
+
+  /** Within-watermark dedup on (user_id, event_type). */
+  def dedupWithinWatermark(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "30 minutes")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+      .select("user_id", "event_type", "event_id")
+}

@@ -1,0 +1,89 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.io.Io
+import graft.multimodal.Multimodal
+
+class IoMultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpFile(content: String, suffix: String = ".csv"): String = {
+    val f = Files.createTempFile("graft", suffix)
+    Files.writeString(f, content)
+    f.toString
+  }
+
+  test("csvPositional renames by position like pandas df.columns=[...]") {
+    val p = tmpFile("colA,colB,colC\n1,x,2.5\n2,y,3.5\n")
+    val df = Io.csvPositional(spark, p, Seq("ms_name", "gene", "correlation"))
+    assert(df.columns.toSeq == Seq("ms_name", "gene", "correlation"))
+    assert(df.count() == 2)
+    assert(df.where(col("gene") === "x").select("correlation")
+      .as[Double].head() == 2.5)
+  }
+
+  test("csvNoHeader applies caller names to anonymous columns") {
+    val p = tmpFile("7,foo\n8,bar\n")
+    val df = Io.csvNoHeader(spark, p, Seq("id", "name"))
+    assert(df.columns.toSeq == Seq("id", "name"))
+    assert(df.select(sum("id")).as[Long].head() == 15)
+  }
+
+  test("tsvWithComments skips # lines") {
+    val p = tmpFile("# generated file\nid\tmass\n# another comment\n1\t10.5\n2\t20.5\n", ".tsv")
+    val df = Io.tsvWithComments(spark, p)
+    assert(df.count() == 2)
+    assert(df.columns.toSeq == Seq("id", "mass"))
+  }
+
+  test("csvWithSchema forces dtypes with no inference pass") {
+    val p = tmpFile("reaction_id,validated\n001,true\n010,false\n")
+    val schema = StructType(Seq(StructField("reaction_id", StringType),
+      StructField("validated", BooleanType)))
+    val df = Io.csvWithSchema(spark, p, schema)
+    // string dtype preserves leading zeros (the pandas dtype= motivation)
+    assert(df.select("reaction_id").as[String].collect().toSet == Set("001", "010"))
+    assert(df.schema == schema)
+  }
+
+  test("appendParquet accumulates across writes") {
+    val dir = Files.createTempDirectory("graft_append").toString + "/out"
+    Io.appendParquet(Seq((1, "a")).toDF("k", "v"), dir)
+    Io.appendParquet(Seq((2, "b")).toDF("k", "v"), dir)
+    assert(spark.read.parquet(dir).count() == 2)
+  }
+
+  test("strideSelect keeps every nth column (TCGA 4-col stride)") {
+    val df = Seq((1, 2, 3, 4, 5, 6, 7, 8, 9))
+      .toDF("id", "b1", "b2", "b3", "s1", "b4", "b5", "b6", "s2")
+    val out = Io.strideSelect(df, Seq("id"), stride = 4, offset = 4)
+    assert(out.columns.toSeq == Seq("id", "s1", "s2"))
+  }
+
+  test("multimodal feature extraction is deterministic and batch-shaped") {
+    val media = Multimodal.asMedia(
+      Seq((1L, "hello world"), (2L, ""), (3L, "another payload"))
+        .toDF("id", "txt").withColumn("bin", col("txt").cast("binary")),
+      "id", "bin", "image")
+    assert(media.schema == Multimodal.mediaSchema)
+    val dec = new Multimodal.HashFeatureDecoder(4)
+    val f1 = Multimodal.extractFeatures(media, dec).orderBy("media_id").collect()
+    val f2 = Multimodal.extractFeatures(media, dec).orderBy("media_id").collect()
+    assert(f1.toSeq == f2.toSeq)
+    assert(f1(0).getAs[scala.collection.Seq[Float]]("features").size == 4)
+    assert(f1(1).getAs[AnyRef]("features") == null) // empty content
+    assert(f1(2).getAs[Long]("n_bytes") == "another payload".length)
+  }
+
+  test("sampleFrames keeps every stride-th chunk with ordinals") {
+    val media = Multimodal.asMedia(
+      Seq((1L, "a" * 300)).toDF("id", "txt")
+        .withColumn("bin", col("txt").cast("binary")),
+      "id", "bin", "video")
+    val frames = Multimodal.sampleFrames(media, chunkBytes = 64, stride = 2)
+    // 300 bytes -> chunks 0..4 -> keep ordinals 0,2,4
+    assert(frames.select("frame_ordinal").as[Int].collect().sorted.toSeq == Seq(0, 2, 4))
+  }
+}

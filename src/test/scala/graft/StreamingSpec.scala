@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.streaming.Events
+
+/** Real Structured Streaming runs (readStream → watermark/window →
+  * memory sink, AvailableNow trigger) checked against the batch
+  * equivalents that the DuckDB oracle validates — closing the loop
+  * batch ≡ stream ≡ oracle. */
+class StreamingSpec extends SparkSpec {
+
+  /** The fixture is a single file; the file stream source reads
+    * directories, so stage a directory containing (a link to) it. */
+  private lazy val streamDir: String = {
+    val d = java.nio.file.Files.createTempDirectory("graft_events")
+    java.nio.file.Files.createSymbolicLink(
+      d.resolve("events.parquet"),
+      java.nio.file.Path.of(sf001, "events.parquet"))
+    d.toString
+  }
+
+  private def runToMemory(df: org.apache.spark.sql.DataFrame, name: String,
+                          complete: Boolean = true): org.apache.spark.sql.DataFrame = {
+    val q = df.writeStream
+      .format("memory").queryName(name)
+      .outputMode(if (complete) "complete" else "append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    spark.table(name)
+  }
+
+  test("streaming tumbling window equals the batch entry") {
+    val stream = Events.readStream(spark, streamDir)
+    val streamed = runToMemory(Events.tumblingAgg(stream), "t_tumbling")
+      .select("event_type", "ws", "n", "sum_value")
+      .collect().map(_.toSeq).toSet
+    val batch = SparkEntry.queries("q_stream_tumbling")(spark, sf001)
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch && batch.nonEmpty)
+  }
+
+  test("streaming sliding window equals the batch entry") {
+    val stream = Events.readStream(spark, streamDir)
+    val streamed = runToMemory(Events.slidingAgg(stream), "t_sliding")
+      .collect().map(_.toSeq).toSet
+    val batch = SparkEntry.queries("q_stream_sliding")(spark, sf001)
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch && batch.nonEmpty)
+  }
+
+  test("streaming session window equals the batch entry") {
+    val stream = Events.readStream(spark, streamDir)
+    val streamed = runToMemory(Events.sessionAgg(stream), "t_session")
+      .collect().map(_.toSeq).toSet
+    val batch = SparkEntry.queries("q_stream_session")(spark, sf001)
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch && batch.nonEmpty)
+  }
+
+  test("dropDuplicatesWithinWatermark emits one row per key") {
+    val stream = Events.readStream(spark, streamDir)
+    val streamed = runToMemory(Events.dedupWithinWatermark(stream), "t_dedup",
+      complete = false)
+    val nKeys = SparkEntry.queries("q_stream_dedup")(spark, sf001).count()
+    assert(streamed.select("user_id", "event_type").distinct().count() == nKeys)
+    assert(streamed.count() == nKeys)
+  }
+}
