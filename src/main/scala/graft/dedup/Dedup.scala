@@ -17,6 +17,16 @@ import graft.text.Text
   */
 object Dedup {
 
+  /** Heavy per-document expressions (128-hash signatures) must not run on
+    * a handful of input splits: a small-but-dense corpus file arrives as
+    * one partition and serializes the whole computation. Fan the rows out
+    * to the session's parallelism first (at real scale the input already
+    * has >= that many splits and this is a no-op). */
+  private def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   /** Exact dedup on normalized-text hash. Returns one surviving row per
     * distinct content (min id wins, deterministic) plus the duplicate-group
     * size. */
@@ -73,22 +83,41 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
-  /** MinHash signature: hash family h_i(s) = xxhash64(s, i) — one
-    * independent 64-bit hash per index i (xxhash64 over the shingle plus the
-    * index as an extra hashed value). No modular arithmetic, so no Long
-    * overflow (the round-1 (a*x+b) mod p family overflowed 64-bit multiply,
-    * which under Spark 4's default ANSI mode is a runtime
-    * ARITHMETIC_OVERFLOW). Deterministic across runs by construction.
-    * Returns (id, sig ARRAY<LONG>). */
+  /** MinHash signature. Per shingle, the base 64-bit hash is Spark's own
+    * XXH64 (seed 42, identical to the xxhash64 SQL function); the family is
+    * h_i(x) = a_i*x + b_i wrapping mod 2^64 (multiply-shift universal
+    * family, odd a_i from a fixed-seed PRNG) evaluated in a compiled JVM
+    * kernel — wrap-around multiply is well-defined on the JVM, unlike the
+    * round-1 (a*x+b) mod p expression whose 64-bit multiply overflowed
+    * (ANSI runtime error) and voided the family guarantee.
+    *
+    * A compiled per-row kernel instead of 128 nested higher-order-function
+    * expressions: Catalyst interprets HOF lambdas (no codegen), which
+    * measured ~50× slower than this loop at 5k docs × 300 shingles.
+    * Deterministic across runs/JVMs. Returns (id, sig ARRAY<LONG>). */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
                         k: Int = 3, numHashes: Int = 128): DataFrame = {
-    val sh = col("__shingles")
-    val hashes = array((0 until numHashes).map { i =>
-      array_min(transform(sh, s => xxhash64(s, lit(i))))
-    }: _*)
-    df.select(col(idCol).as("id"),
-        shingles(col(textCol), k).as("__shingles"))
-      .select(col("id"), hashes.as("sig"))
+    val rng = new java.util.Random(42L)
+    val as = Array.fill(numHashes)(rng.nextLong() | 1L) // odd multipliers
+    val bs = Array.fill(numHashes)(rng.nextLong())
+    val sigUdf = udf((shingles: Seq[String]) => {
+      val sig = Array.fill(numHashes)(Long.MaxValue)
+      shingles.foreach { s =>
+        val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val base = org.apache.spark.sql.catalyst.expressions.XXH64
+          .hashUnsafeBytes(bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
+            bytes.length, 42L)
+        var i = 0
+        while (i < numHashes) {
+          val h = as(i) * base + bs(i)
+          if (h < sig(i)) sig(i) = h
+          i += 1
+        }
+      }
+      sig
+    })
+    spread(df).select(col(idCol).as("id"),
+        sigUdf(shingles(col(textCol), k)).as("sig"))
   }
 
   /** MinHash-LSH near-duplicate pairs: band the signature into
@@ -105,10 +134,15 @@ object Dedup {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
     val sigs = minhashSignatures(df, idCol, textCol, k, numHashes)
+    // repartition on the join keys: the shuffle the join needs anyway also
+    // MATERIALIZES the signature column — without the barrier, projection
+    // collapsing inlines the signature expression into the join condition
+    // and recomputes it per candidate pair (measured 246 s vs 3 s)
     val banded = sigs.select(col("id"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => hash(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)), b))))
       .toDF("id", "band", "band_hash")
+      .repartition(col("band"), col("band_hash"))
     val candidates = banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") &&
           col("x.band_hash") === col("y.band_hash") &&
@@ -118,45 +152,84 @@ object Dedup {
   }
 
   /** SimHash signatures as (id, simhash LONG): bit j of the sketch is the
-    * sign of Σ_tokens ±1 according to bit j of the token hash; near-dups
-    * land at small hamming distance.
+    * sign of Σ_features ±1 according to bit j of the feature hash;
+    * near-dups land at small hamming distance.
+    *
+    * `featureK` picks the feature space: 1 = unigram tokens (classic
+    * simhash ≈ bag-of-words cosine), k>1 = word k-shingles. Use the SAME k
+    * as the Jaccard metric you verify with — on a topically-homogeneous
+    * corpus every doc pair has high *token* cosine, so a token-simhash
+    * degenerates to all-pairs candidates (measured: 6.7M candidates from
+    * 5k docs) even though shingle-Jaccard separates dups cleanly.
     *
     * Entirely per-document arithmetic — one codegen'd expression over the
-    * token array, ZERO shuffles (the round-1 version exploded every token
+    * feature array, ZERO shuffles (the round-1 version exploded every token
     * into 64 rows and shuffled twice; at 100 TB that shuffles 64× the token
-    * count). Token hashes are computed once into an array column, then a
+    * count). Feature hashes are computed once into an array column, then a
     * nested `aggregate` folds the 64 bit-sums. */
-  def simhashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = Text.tokens(lower(col(textCol)))
-    val bitSum = (th: Column, j: Column) =>
-      aggregate(th, lit(0L), (acc, h) =>
-        acc + when(call_function("shiftright", h, j.cast("int"))
-          .bitwiseAND(lit(1L)) === 1L, lit(1L)).otherwise(lit(-1L)))
-    df.select(col(idCol).as("id"),
-        transform(toks, t => xxhash64(t)).as("__th"))
-      .select(col("id"),
-        aggregate(sequence(lit(0), lit(63)), lit(0L), (acc, j) =>
-          acc + when(bitSum(col("__th"), j) > 0,
-            call_function("shiftleft", lit(1L), j.cast("int")))
-            .otherwise(lit(0L))).as("simhash"))
+  def simhashSignatures(df: DataFrame, idCol: String, textCol: String,
+                        featureK: Int = 1): DataFrame = {
+    val feats =
+      if (featureK <= 1) Text.tokens(lower(col(textCol)))
+      else shingles(lower(col(textCol)), featureK)
+    // compiled per-row kernel (base hash = Spark's XXH64, seed 42 — same
+    // as the xxhash64 SQL function); the earlier nested-HOF expression was
+    // interpreted by Catalyst and ~50× slower
+    val sigUdf = udf((fs: Seq[String]) => {
+      val acc = new Array[Int](64)
+      fs.foreach { f =>
+        val bytes = f.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val h = org.apache.spark.sql.catalyst.expressions.XXH64
+          .hashUnsafeBytes(bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
+            bytes.length, 42L)
+        var j = 0
+        while (j < 64) {
+          acc(j) += (if (((h >>> j) & 1L) == 1L) 1 else -1)
+          j += 1
+        }
+      }
+      var sig = 0L
+      var j = 0
+      while (j < 64) {
+        if (acc(j) > 0) sig |= (1L << j)
+        j += 1
+      }
+      sig
+    })
+    spread(df).select(col(idCol).as("id"), sigUdf(feats).as("simhash"))
   }
 
   /** SimHash near-dup pairs: chunk-bucket candidates (hamming <= bands-1
-    * guaranteed recall by pigeonhole), exact-Jaccard verification. */
+    * guaranteed recall by pigeonhole), a cheap hamming prefilter on the
+    * 8-byte sketches, then exact-Jaccard verification.
+    *
+    * The prefilter is the scale lever: random band collisions vastly
+    * outnumber true near-dups, and without it every collision pays the
+    * full shingle-set verification join. The sketch is computed over the
+    * same k-shingle features the verifier uses (see simhashSignatures), so
+    * a pair at shingle-Jaccard 0.8 sits near hamming ~13 while unrelated
+    * docs sit near ~30 — `maxHamming` 24 keeps recall and kills the bulk
+    * of random collisions before they touch the shingle arrays. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    bands: Int = 8, k: Int = 3,
-                   threshold: Double = 0.8): DataFrame = {
+                   threshold: Double = 0.8, maxHamming: Int = 24): DataFrame = {
     val bitsPerBand = 64 / bands
-    val sigs = simhashSignatures(df, idCol, textCol)
+    val sigs = simhashSignatures(df, idCol, textCol, featureK = k)
     val mask = (1L << bitsPerBand) - 1
-    val banded = sigs.select(col("id"),
+    // the sketch rides along with the band key, so the hamming filter runs
+    // inside the candidate join itself — signatures are computed once per
+    // side and random collisions die before the distinct
+    val banded = sigs.select(col("id"), col("simhash"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => call_function("shiftright", col("simhash"), b * bitsPerBand)
             .bitwiseAND(lit(mask)))))
-      .toDF("id", "band", "chunk")
+      .toDF("id", "simhash", "band", "chunk")
+      // materialization barrier on the join keys — see minhashLshPairs
+      .repartition(col("band"), col("chunk"))
     val candidates = banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.chunk") === col("y.chunk") &&
-          col("x.id") < col("y.id"))
+          col("x.id") < col("y.id") &&
+          bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))) <= maxHamming)
       .select(col("x.id").as("id_a"), col("y.id").as("id_b")).distinct()
     verifyPairsExactJaccard(df, candidates, idCol, textCol, k, threshold)
   }
@@ -166,7 +239,7 @@ object Dedup {
   def verifyPairsExactJaccard(df: DataFrame, candidates: DataFrame,
                               idCol: String, textCol: String,
                               k: Int, threshold: Double): DataFrame = {
-    val docs = df.select(col(idCol).as("id"), shingles(col(textCol), k).as("sh"))
+    val docs = spread(df).select(col(idCol).as("id"), shingles(col(textCol), k).as("sh"))
     candidates
       .join(docs.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(docs.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")

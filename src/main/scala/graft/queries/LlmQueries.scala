@@ -48,8 +48,15 @@ object LlmQueries {
       Some(exactJaccardSql(0.8))),
 
     Entry("q_simhash_pairs",
+      // sketch over the same 3-shingle features the Jaccard verifier uses
+      // (Dedup.simhashSignatures featureK) — near-dups land at hamming
+      // ~0-5, unrelated docs ~30, so banding + the hamming cut prune
+      // candidates instead of degenerating to all-pairs
+      // 16 bands -> pigeonhole-guaranteed recall for hamming <= 15; the
+      // in-join hamming cut keeps the extra 4-bit-band collisions cheap
+      // (true j>=0.8 pairs here sit at hamming <= 10)
       (s, d) => Dedup.simhashPairs(t(s, d, "documents"), "doc_id", "text",
-        bands = 8, k = 3, threshold = 0.8),
+        bands = 16, k = 3, threshold = 0.8, maxHamming = 16),
       Some(exactJaccardSql(0.8))),
 
     Entry("q_ann_brute",

@@ -51,8 +51,12 @@ object OmicsQueries {
     Entry("q_beta_mixture",
       // MethylMix beta-mixture EM + BIC per group on discount mapped into
       // (0,1); deterministic init/iteration -> stable output
+      // gene = partkey bucket: hundreds of small per-gene fits fanned out
+      // across cores — the MethylMix shape (thousands of genes × hundreds
+      // of samples), not a handful of giant groups
       (s, d) => BetaMixture.fitPerGene(
-        t(s, d, "lineitem").select(col("l_returnflag").as("gene"),
+        t(s, d, "lineitem").select(
+          (col("l_partkey") % 500).cast("string").as("gene"),
           ((col("l_discount") + 0.005) / 0.12).as("value")),
         "gene", "value").toDF(),
       None),

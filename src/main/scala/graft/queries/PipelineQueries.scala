@@ -30,10 +30,15 @@ object PipelineQueries {
         val structs = t(s, d, "part").select(col("p_partkey").as("struct_id"),
           col("p_retailprice").as("monoisotopic_mass"))
         val joined = RangeJoin.ppmJoin(withMm, structs, "mm", "monoisotopic_mass", 500.0)
-        Relational.keepFirst(joined, Seq("ms_name", "struct_id"),
-            Seq(col("adduct"), col("mm")))
-          .select(col("ms_name"), col("struct_id"), col("adduct"),
-            r6(col("mm")).as("mm"), col("monoisotopic_mass"))
+        // keep-first by (adduct, mm) expressed as a min-of-struct aggregate:
+        // same semantics as the window form, but with map-side partial
+        // aggregation instead of a full sort shuffle (matters at 100 TB)
+        joined.groupBy("ms_name", "struct_id")
+          .agg(min(struct(col("adduct"), col("mm"),
+            col("monoisotopic_mass"))).as("__w"))
+          .select(col("ms_name"), col("struct_id"), col("__w.adduct").as("adduct"),
+            r6(col("__w.mm")).as("mm"),
+            col("__w.monoisotopic_mass").as("monoisotopic_mass"))
       },
       Some("""WITH masses AS (SELECT concat('m', CAST(l_orderkey*10 + l_linenumber AS VARCHAR)) AS ms_name, l_extendedprice / nullif(l_quantity, 0) AS mz FROM lineitem), add AS (SELECT * FROM (VALUES ('M+0', 1.0, 0.0), ('M+10', 1.0, 10.0), ('2M', 2.0, 0.0)) a(adduct, mult, mass)), wm AS (SELECT ms_name, adduct, (mz - CAST(mass AS DOUBLE)) / CAST(mult AS DOUBLE) AS mm FROM masses CROSS JOIN add), j AS (SELECT ms_name, adduct, mm, p_partkey AS struct_id, p_retailprice AS monoisotopic_mass FROM wm JOIN part ON p_retailprice >= mm - mm*500/1e6 AND p_retailprice <= mm + mm*500/1e6 WHERE mm > 0 AND p_retailprice > 0), dd AS (SELECT *, row_number() OVER (PARTITION BY ms_name, struct_id ORDER BY adduct, mm) AS rn FROM j) SELECT ms_name, struct_id, adduct, round(mm, 6) AS mm, monoisotopic_mass FROM dd WHERE rn = 1""")),
 

@@ -174,6 +174,22 @@ object RelQueries {
       },
       Some("""SELECT a.p_brand, a.p_partkey AS pa, b.p_partkey AS pb FROM part a JOIN part b ON a.p_brand = b.p_brand AND a.p_retailprice <= b.p_retailprice AND a.p_partkey <> b.p_partkey""")),
 
+    Entry("q_join_positional",
+      // pandas index/positional join (left_index=True, right_index=True;
+      // gizmos.py:501, validateRulesWithOrigins.py:57): make the implicit
+      // row position an explicit key under a stated order, then equi-join
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val wS = Window.orderBy(col("s_suppkey"))
+        val wR = Window.orderBy(col("r_regionkey"))
+        val a = t(s, d, "supplier").select(col("s_suppkey"),
+          row_number().over(wS).as("__pos"))
+        val b = t(s, d, "region").select(col("r_name"),
+          row_number().over(wR).as("__pos"))
+        a.join(b, "__pos").select("s_suppkey", "r_name")
+      },
+      Some("""WITH a AS (SELECT s_suppkey, row_number() OVER (ORDER BY s_suppkey) AS pos FROM supplier), b AS (SELECT r_name, row_number() OVER (ORDER BY r_regionkey) AS pos FROM region) SELECT s_suppkey, r_name FROM a JOIN b USING (pos)""")),
+
     // ---- §2.7 set ops ----
     Entry("q_union_all",
       // pandas concat with NaN-fill alignment (pathMassTransitions.py:191)

@@ -144,6 +144,30 @@ object StatQueries {
           col("n_pos")),
       Some("""SELECT l_returnflag, round(exp(avg(ln(l_quantity))),6) AS geo_mean, count(*) AS n_pos FROM lineitem WHERE l_quantity > 0 GROUP BY 1""")),
 
+    Entry("q_tmm_factor",
+      // full TMM-style normalization factor (run_ABCD-DNA.R:26-64,
+      // Figures_3_5:27-42): per entity M-A pair between two conditions,
+      // drop high-abundance outliers above the 99th percentile of A, take
+      // the median M as the scaling factor, plus the geometric-mean center
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+        val x = li.where(col("l_returnflag") === "R").groupBy("l_partkey")
+          .agg(Q.sumDec(col("l_quantity")).as("x"))
+        val y = li.where(col("l_returnflag") === "A").groupBy("l_partkey")
+          .agg(Q.sumDec(col("l_quantity")).as("y"))
+        val ma = x.join(y, "l_partkey")
+          .where(col("x") > 0 && col("y") > 0)
+          .withColumn("m", log2(col("x") / col("y")))
+          .withColumn("a", (log2(col("x")) + log2(col("y"))) / 2)
+        val cut = ma.agg(expr("percentile(a, 0.99)").as("a99"))
+        ma.crossJoin(broadcast(cut))
+          .where(col("a") <= col("a99"))
+          .agg(r6(expr("percentile(m, 0.5)")).as("tmm_log2"),
+            r6(exp(avg(log(col("x"))))).as("geo_mean_x"),
+            count(lit(1)).as("n_used"))
+      },
+      Some("""WITH x AS (SELECT l_partkey, CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS x FROM lineitem WHERE l_returnflag='R' GROUP BY 1), y AS (SELECT l_partkey, CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS y FROM lineitem WHERE l_returnflag='A' GROUP BY 1), ma AS (SELECT log2(x.x / y.y) AS m, (log2(x.x) + log2(y.y)) / 2 AS a, x.x AS x FROM x JOIN y USING (l_partkey) WHERE x.x > 0 AND y.y > 0), cut AS (SELECT quantile_cont(a, 0.99) AS a99 FROM ma) SELECT round(CAST(quantile_cont(m, 0.5) AS DOUBLE),6) AS tmm_log2, round(exp(avg(ln(x))),6) AS geo_mean_x, count(*) AS n_used FROM ma, cut WHERE a <= a99""")),
+
     Entry("q_mutual_rank",
       // mutual-rank co-expression weight (wcModules.py:96-98,167-216)
       (s, d) => {

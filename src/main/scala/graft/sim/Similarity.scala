@@ -80,7 +80,10 @@ object Similarity {
             b => call_function("shiftright", col("__sig"), b * bitsPerBand)
               .bitwiseAND(lit(mask)))))
         .withColumnRenamed("pos", "band").withColumnRenamed("col", "chunk")
-    val cb = banded(corpus, "neighbor")
+    // repartition = the shuffle the join needs + a materialization barrier
+    // so the SRP signature expression is not re-inlined into the join and
+    // recomputed per candidate row
+    val cb = banded(corpus, "neighbor").repartition(col("band"), col("chunk"))
     val qb = broadcast(banded(queries, "query"))
     val candidates = cb.join(qb, Seq("band", "chunk"))
       .where(col("query_id") =!= col("neighbor_id"))
