@@ -1,0 +1,132 @@
+package graft.catalyst
+
+import org.apache.spark.sql.{Column, GraftColumnBridge, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Cast, Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
+import graft.stats.Dist
+
+/** Native Catalyst expressions for the statistical tail functions the
+  * engine needs in hot aggregate finishers (corr p-values, LRT p, Fisher
+  * p, outlier densities). These are the one scalar surface SQL lacks
+  * (SURVEY §7.2.1); as codegen'd expressions they stay inside whole-stage
+  * codegen instead of breaking the span the way a Scala UDF does — the
+  * generated code calls the static [[graft.stats.Dist]] kernels directly.
+  *
+  * Inputs are pre-cast to double/long by the [[StatFunctions]] builders
+  * and the [[GraftExtensions]] SQL registration.
+  *
+  * Registered for SQL via `spark.sql.extensions=graft.catalyst.GraftExtensions`:
+  * `graft_pnorm`, `graft_chisq_tail`, `graft_t_tail2`, `graft_corr_p`.
+  */
+case class PNormExpr(child: Expression)
+    extends UnaryExpression with Serializable {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_pnorm"
+  protected override def nullSafeEval(x: Any): Any =
+    Dist.pnorm(x.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.stats.Dist.pnorm($c)")
+  override protected def withNewChildInternal(newChild: Expression): PNormExpr =
+    copy(child = newChild)
+}
+
+case class ChisqTailExpr(left: Expression, right: Expression)
+    extends BinaryExpression with Serializable {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_chisq_tail"
+  protected override def nullSafeEval(x: Any, df: Any): Any =
+    Dist.chisqTail(x.asInstanceOf[Double], df.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (x, d) => s"graft.stats.Dist.chisqTail($x, $d)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): ChisqTailExpr =
+    copy(left = l, right = r)
+}
+
+case class TTail2Expr(left: Expression, right: Expression)
+    extends BinaryExpression with Serializable {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_t_tail2"
+  protected override def nullSafeEval(t: Any, df: Any): Any =
+    Dist.tTail2(t.asInstanceOf[Double], df.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, d) => s"graft.stats.Dist.tTail2($t, $d)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): TTail2Expr =
+    copy(left = l, right = r)
+}
+
+case class CorrPValueExpr(left: Expression, right: Expression)
+    extends BinaryExpression with Serializable {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_corr_p"
+  protected override def nullSafeEval(r: Any, n: Any): Any =
+    Dist.corrPValue(r.asInstanceOf[Double], n.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (r, n) => s"graft.stats.Dist.corrPValue($r, $n)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CorrPValueExpr =
+    copy(left = l, right = r)
+}
+
+/** Column-API face of the native expressions (explicit double/long casts
+  * on the children replace ImplicitCastInputTypes, which is sql-private). */
+object StatFunctions {
+  private def c(e: Expression): Column = GraftColumnBridge.column(e)
+  private def d(col: Column): Expression =
+    Cast(GraftColumnBridge.expression(col), DoubleType)
+  private def l(col: Column): Expression =
+    Cast(GraftColumnBridge.expression(col), LongType)
+
+  def pnorm(x: Column): Column = c(PNormExpr(d(x)))
+  def chisqTail(x: Column, df: Column): Column = c(ChisqTailExpr(d(x), d(df)))
+  def tTail2(t: Column, df: Column): Column = c(TTail2Expr(d(t), d(df)))
+  def corrPValue(r: Column, n: Column): Column = c(CorrPValueExpr(d(r), l(n)))
+}
+
+/** SparkSessionExtensions hook: makes the stat tails available to plain
+  * SQL (`SELECT graft_corr_p(r, n) FROM ...`). Configure at startup with
+  * `spark.sql.extensions=graft.catalyst.GraftExtensions`, or call
+  * [[GraftExtensions.register]] on a live session (REPL / notebook). */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  private def info(name: String, usage: String) =
+    new ExpressionInfo("graft.catalyst", null, name, usage, "")
+  private def dc(e: Expression) = Cast(e, DoubleType)
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((FunctionIdentifier("graft_pnorm"),
+      info("graft_pnorm", "standard normal CDF"),
+      (es: Seq[Expression]) => PNormExpr(dc(es.head))))
+    ext.injectFunction((FunctionIdentifier("graft_chisq_tail"),
+      info("graft_chisq_tail", "chi-square upper tail"),
+      (es: Seq[Expression]) => ChisqTailExpr(dc(es(0)), dc(es(1)))))
+    ext.injectFunction((FunctionIdentifier("graft_t_tail2"),
+      info("graft_t_tail2", "two-sided Student-t tail"),
+      (es: Seq[Expression]) => TTail2Expr(dc(es(0)), dc(es(1)))))
+    ext.injectFunction((FunctionIdentifier("graft_corr_p"),
+      info("graft_corr_p", "two-sided p of Pearson r over n obs"),
+      (es: Seq[Expression]) => CorrPValueExpr(dc(es(0)), Cast(es(1), LongType))))
+  }
+}
+
+object GraftExtensions {
+  /** Register the graft_* SQL functions on an already-running session
+    * (spark.sql.extensions only applies at session construction). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val dc = (e: Expression) => Cast(e, DoubleType)
+    val reg = spark.sessionState.functionRegistry
+    def info(name: String, usage: String) =
+      new ExpressionInfo("graft.catalyst", null, name, usage, "")
+    reg.registerFunction(FunctionIdentifier("graft_pnorm"),
+      info("graft_pnorm", "standard normal CDF"),
+      (es: Seq[Expression]) => PNormExpr(dc(es.head)))
+    reg.registerFunction(FunctionIdentifier("graft_chisq_tail"),
+      info("graft_chisq_tail", "chi-square upper tail"),
+      (es: Seq[Expression]) => ChisqTailExpr(dc(es(0)), dc(es(1))))
+    reg.registerFunction(FunctionIdentifier("graft_t_tail2"),
+      info("graft_t_tail2", "two-sided Student-t tail"),
+      (es: Seq[Expression]) => TTail2Expr(dc(es(0)), dc(es(1))))
+    reg.registerFunction(FunctionIdentifier("graft_corr_p"),
+      info("graft_corr_p", "two-sided p of Pearson r over n obs"),
+      (es: Seq[Expression]) => CorrPValueExpr(dc(es(0)), Cast(es(1), LongType)))
+  }
+}

@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.chem.MassOnlyBackend
 import graft.multimodal.Multimodal
+import graft.omics.PcaBatch
 import graft.pipelines.Herald
 import Q.{Entry, t, r6}
 
@@ -42,6 +43,20 @@ object ExtQueries {
         Multimodal.extractFeatures(media, new Multimodal.HashFeatureDecoder(8))
           .select(col("media_id"), col("n_bytes"),
             round(expr("aggregate(features, CAST(0.0 AS DOUBLE), (a, x) -> a + x)"), 4).as("feat_sum"))
+      },
+      None),
+
+    Entry("q_pca_batch",
+      // PCA batch check: PC1 of the sample matrix, one-way ANOVA vs batch
+      (s, d) => {
+        val data = t(s, d, "lineitem")
+          .groupBy((col("l_partkey") % 20).cast("string").as("gene"),
+            col("l_suppkey").cast("string").as("sample"))
+          .agg(avg("l_extendedprice").as("value"))
+        val batches = t(s, d, "supplier").select(
+          col("s_suppkey").cast("string").as("sample"),
+          (col("s_nationkey") % 2).cast("string").as("batch"))
+        PcaBatch.pc1BatchAnova(data, batches)
       },
       None),
 

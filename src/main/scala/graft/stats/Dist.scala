@@ -226,6 +226,14 @@ object Dist extends Serializable {
     (a - 1) * math.log(x) + (b - 1) * math.log1p(-x) -
       (lgamma(a) + lgamma(b) - lgamma(a + b))
 
+  /** F-distribution upper tail P(F > f) with d1/d2 degrees of freedom
+    * (one-way ANOVA p; MethylMix Download_Preprocess.R:829-848 aov). */
+  def fTail(f: Double, d1: Double, d2: Double): Double = {
+    if (f.isNaN || d1 <= 0 || d2 <= 0) return Double.NaN
+    if (f <= 0) return 1.0
+    betaInc(d2 / 2.0, d1 / 2.0, d2 / (d2 + d1 * f))
+  }
+
   /** Fisher's method: combined chi-square statistic and p for k p-values
     * (survcomp::combine.test analogue, Gohs:130,156,196). */
   def fisherCombined(ps: Seq[Double]): (Double, Double) = {

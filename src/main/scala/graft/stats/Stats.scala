@@ -22,16 +22,17 @@ object Stats {
     * [[Dist.corrPValue]].
     */
   def corrWithP(df: DataFrame, groupCols: Seq[String], x: String, y: String): DataFrame = {
-    val pUdf = udf((r: Double, n: Long) => Dist.corrPValue(r, n))
     // n counts only complete (x,y) pairs — corr() skips null pairs, so
-    // counting all rows would inflate the degrees of freedom.
+    // counting all rows would inflate the degrees of freedom. The p-value
+    // is a native codegen expression (graft.catalyst), not a UDF, so the
+    // aggregate finisher stays inside whole-stage codegen.
     df.groupBy(groupCols.map(col): _*)
       .agg(corr(col(x), col(y)).as("r"),
         count(when(col(x).isNotNull && col(y).isNotNull, 1)).as("n"))
       .withColumn("t",
         when(abs(col("r")) < 1,
           col("r") * sqrt((col("n") - 2) / (lit(1.0) - col("r") * col("r")))))
-      .withColumn("p", pUdf(col("r"), col("n")))
+      .withColumn("p", graft.catalyst.StatFunctions.corrPValue(col("r"), col("n")))
   }
 
   /** Average (ties-adjusted) rank of `value` within `partition` — the rank
@@ -77,13 +78,12 @@ object Stats {
   /** Fisher's combined chi-square statistic per group
     * (survcomp::combine.test, Gohs:130,156,196): -2*sum(log p). The
     * companion p-value comes from [[Dist.chisqTail]] with df=2k. */
-  def fisherCombine(df: DataFrame, groupCols: Seq[String], pCol: String): DataFrame = {
-    val pTail = udf((stat: Double, k: Long) => Dist.chisqTail(stat, 2.0 * k))
+  def fisherCombine(df: DataFrame, groupCols: Seq[String], pCol: String): DataFrame =
     df.groupBy(groupCols.map(col): _*)
       .agg((lit(-2.0) * sum(log(greatest(col(pCol), lit(1e-320))))).as("fisher_stat"),
         count(lit(1)).as("k"))
-      .withColumn("fisher_p", pTail(col("fisher_stat"), col("k")))
-  }
+      .withColumn("fisher_p", graft.catalyst.StatFunctions.chisqTail(
+        col("fisher_stat"), lit(2.0) * col("k")))
 
   /** Per-group z-score outlier call (DriverNet getPatientOutlierMatrix.R:
     * 4-27 — the dnorm(log=T) density threshold there is exactly
@@ -126,7 +126,6 @@ object Stats {
     * slope<0, p<0.001, R²>0.1). Fully algebraic: one shuffle, map-side
     * partials, closed-form finish. */
   def olsPerGroup(df: DataFrame, groupCols: Seq[String], x: String, y: String): DataFrame = {
-    val pUdf = udf((t: Double, df0: Double) => Dist.tTail2(t, df0))
     val g = df.groupBy(groupCols.map(col): _*).agg(
       count(lit(1)).cast("double").as("n"),
       avg(col(x)).as("xbar"), avg(col(y)).as("ybar"),
@@ -141,7 +140,8 @@ object Stats {
       .withColumn("sigma2",
         (col("syy") - col("slope") * col("sxy")) / (col("n") - 2))
       .withColumn("t_slope", col("slope") / sqrt(col("sigma2") / col("sxx")))
-      .withColumn("p_slope", pUdf(col("t_slope"), col("n") - 2))
+      .withColumn("p_slope", graft.catalyst.StatFunctions.tTail2(
+        col("t_slope"), col("n") - 2))
       .drop("sxx0", "sxy0", "syy0", "sigma2")
   }
 

@@ -143,6 +143,26 @@ class OmicsKernelSpec extends SparkSpec {
     assert(filled == 3.0)
   }
 
+  test("PCA batch check flags a planted batch effect and passes a null one") {
+    val rng = new scala.util.Random(5)
+    def mk(shifted: Boolean) = {
+      val rows = for { g <- 1 to 10; s <- 1 to 40 } yield {
+        val shift = if (shifted && s <= 20) 5.0 else 0.0
+        (s"g$g", s"s$s", g + shift + rng.nextGaussian() * 0.5)
+      }
+      rows.toDF("gene", "sample", "value")
+    }
+    val batches = (1 to 40).map(s => (s"s$s", if (s <= 20) "b1" else "b2"))
+      .toDF("sample", "batch")
+    val hit = PcaBatch.pc1BatchAnova(mk(shifted = true), batches).collect().head
+    assert(hit.getAs[Double]("p_value") < 1e-6,
+      s"planted batch effect not detected: $hit")
+    val nul = PcaBatch.pc1BatchAnova(mk(shifted = false), batches).collect().head
+    assert(nul.getAs[Double]("p_value") > 0.001, s"null case too significant: $nul")
+    // F tail sanity: published 95th percentile F(2,10)=4.103
+    assert(math.abs(graft.stats.Dist.fTail(4.102821015152, 2, 10) - 0.05) < 1e-6)
+  }
+
   test("per-gene probe clustering groups correlated probes") {
     // probes p1,p2 perfectly correlated; p3 anti-correlated
     val samples = 1 to 10
