@@ -28,9 +28,13 @@ object Combat {
     // 1. per-gene grand mean + pooled sd -> standardize
     val geneStats = df.groupBy("gene")
       .agg(avg("value").as("alpha"), stddev_samp(col("value")).as("sigma"))
+    // z feeds both the (gene,batch) moments and the final adjustment —
+    // cache it so the standardization join is not recomputed (the plan
+    // audit showed the duplicated subtree doubling the exchange count)
     val z = df.join(geneStats, "gene")
       .withColumn("z", (col("value") - col("alpha")) /
         when(col("sigma") > 0, col("sigma")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // 2. per-(gene,batch) batch-effect moments
     val gb = z.groupBy("gene", "batch")

@@ -35,8 +35,12 @@ object Impute {
       .where(col("miss") <= maxMissingCol).select("sample")
     val kept = d.join(rowOk, "entity").join(colOk, "sample")
 
-    val missing = kept.where(col("value").isNull).select("entity", "sample")
-    val present = kept.where(col("value").isNotNull)
+    // kept feeds the missing/present splits AND the final join; present is
+    // scanned three times (needy values, donor distances, donor values) —
+    // cache both rather than recompute the row/col-filter joins each time
+    val keptP = kept.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val missing = keptP.where(col("value").isNull).select("entity", "sample")
+    val present = keptP.where(col("value").isNotNull)
 
     // distances between needy entities and all donors over shared samples
     val needy = missing.select(col("entity").as("needy")).distinct()
@@ -64,7 +68,7 @@ object Impute {
       .groupBy("entity", "sample")
       .agg(round(avg(col("dv")), 6).as("imputed"), count(lit(1)).as("n_donors"))
 
-    kept.join(filled, Seq("entity", "sample"), "left")
+    keptP.join(filled, Seq("entity", "sample"), "left")
       .withColumn("value_imputed",
         when(col("value").isNotNull, col("value")).otherwise(col("imputed")))
       .select("entity", "sample", "value", "value_imputed")

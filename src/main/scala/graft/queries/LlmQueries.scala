@@ -68,6 +68,13 @@ object LlmQueries {
       },
       Some("""WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5), s AS (SELECT query_id, c.vec_id AS neighbor_id, list_sum(list_transform(list_zip(qe, c.embedding), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) / (sqrt(list_sum(list_transform(qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos FROM q, embeddings c WHERE c.vec_id <> query_id), r AS (SELECT query_id, neighbor_id, cos, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn FROM s) SELECT query_id, neighbor_id, CAST(rn AS INTEGER) AS rank, round(cos, 6) AS cos FROM r WHERE rn <= 3""")),
 
+    Entry("q_dedup_embedding",
+      // embedding-cosine near-dup pairs (exactness baseline; the SRP-LSH
+      // banding in Similarity.lshTopK is the 100 TB path)
+      (s, d) => Similarity.cosineNearDupPairs(t(s, d, "embeddings"),
+        "vec_id", "embedding", threshold = 0.4),
+      Some("""WITH p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, list_sum(list_transform(list_zip(a.embedding, b.embedding), q -> CAST(q[1] AS DOUBLE) * CAST(q[2] AS DOUBLE))) / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id) SELECT id_a, id_b, round(cos, 6) AS cos FROM p WHERE cos >= 0.4""")),
+
     Entry("q_ann_lsh",
       // SRP-LSH approximate top-k: precision 1 (exact re-score), recall < 1
       // by design — rows-only check; recall vs brute force in ScalaTest

@@ -42,6 +42,23 @@ object Similarity {
         round(col("cos"), 6).as("cos"))
   }
 
+  /** Embedding-cosine near-duplicate pairs — the fifth dedup tier of the
+    * driver brief. This is the EXACTNESS BASELINE: the full upper triangle
+    * with a block-broadcast nested-loop, O(n²) by definition (it is what
+    * the LSH paths are verified against). At 100 TB scale use
+    * [[lshTopK]]-style SRP banding instead; this variant exists for
+    * corpora small enough to verify exhaustively (and for the oracle).
+    */
+  def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+                         threshold: Double): DataFrame = {
+    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("__va"))
+    val b = df.select(col(idCol).as("id_b"), col(vecCol).as("__vb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cos", cosine(col("__va"), col("__vb")))
+      .where(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+  }
+
   /** Signed-random-projection (SRP) LSH signature: `nBits` fixed random
     * hyperplanes (seeded), bit = sign of the projection. Hamming distance
     * on signatures approximates angular distance. */

@@ -102,4 +102,25 @@ object Text {
     * strip leading/trailing space. */
   def normalized(text: Column): Column =
     trim(regexp_replace(lower(text), "\\s+", " "))
+
+  /** Order-sensitive 64-bit rolling (polynomial) content hash of the
+    * normalized text — the classic Rabin-Karp-style fingerprint
+    * (complements [[fingerprint]], which is order-INsensitive). Compiled
+    * per-row kernel; h = h*1000003 + byte, wrapping mod 2^64. */
+  def rollingHash(text: Column): Column = {
+    val udfH = udf((s: String) => {
+      if (s == null) null
+      else {
+        var h = 1469598103934665603L // FNV offset basis as seed
+        val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        var i = 0
+        while (i < bytes.length) {
+          h = h * 1000003L + (bytes(i) & 0xff)
+          i += 1
+        }
+        java.lang.Long.valueOf(h)
+      }
+    })
+    udfH(normalized(text))
+  }
 }

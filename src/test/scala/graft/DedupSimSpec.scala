@@ -81,6 +81,28 @@ class DedupSimSpec extends SparkSpec {
     assert(top.toSeq == Seq(2L, 3L))
   }
 
+  test("cosineNearDupPairs finds the planted near-identical vector pair") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.1f, 0.0f)),
+      (2L, Array(0.99f, 0.12f, 0.01f)), // near-dup of 1
+      (3L, Array(0.0f, 1.0f, 0.0f)),
+      (4L, Array(-1.0f, 0.0f, 0.2f))
+    ).toDF("vec_id", "embedding")
+    val pairs = Similarity.cosineNearDupPairs(vecs, "vec_id", "embedding", 0.95)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("rollingHash is order-sensitive and normalization-stable") {
+    import graft.text.Text
+    val df = Seq((1L, "a b c"), (2L, "c b a"), (3L, "  A   B  C "), (4L, "a b c"))
+      .toDF("id", "t").withColumn("h", Text.rollingHash(col("t")))
+    val hs = df.select("id", "h").as[(Long, Long)].collect().toMap
+    assert(hs(1L) != hs(2L))  // order matters
+    assert(hs(1L) == hs(3L))  // case/whitespace normalized
+    assert(hs(1L) == hs(4L))  // deterministic
+  }
+
   test("lshTopK has precision 1 vs brute force and decent recall") {
     val rng = new scala.util.Random(11)
     val dim = 16
