@@ -79,14 +79,17 @@ object DriverNet {
     val tops = (0 until nPerm).map { i =>
       val key = md5(concat(lit(s"perm$seed:$i:"), col(patCol).cast("string"),
         lit(":"), col(geneCol).cast("string")))
-      // permute genes among mutation rows: pair slot-ranked genes with
-      // slot-ranked (patient) rows under two different deterministic orders
-      val wGene = org.apache.spark.sql.expressions.Window.orderBy(key, col(patCol), col(geneCol))
-      val wRow = org.apache.spark.sql.expressions.Window.orderBy(col(patCol), col(geneCol))
-      val genes = mutations.select(col(geneCol).as("gene"),
-        row_number().over(wGene).as("slot"))
-      val rows = mutations.select(col(patCol).as("patient"),
-        row_number().over(wRow).as("slot"))
+      // permute genes among mutation rows: pair slot-indexed genes with
+      // slot-indexed patient rows under two different deterministic total
+      // orders. withRowIndex = distributed sort + zipWithIndex (a bare
+      // global row_number window would single-partition the table).
+      val genes = graft.ops.Relational.withRowIndex(
+        mutations.select(col(geneCol).as("gene"),
+          key.as("__k"), col(patCol).as("__p")),
+        Seq(col("__k"), col("__p"), col("gene")), "slot").select("gene", "slot")
+      val rows = graft.ops.Relational.withRowIndex(
+        mutations.select(col(patCol).as("patient"), col(geneCol).as("__g")),
+        Seq(col("patient"), col("__g")), "slot").select("patient", "slot")
       val permMut = rows.join(genes, "slot").select("patient", "gene")
       val cov = coverage(permMut, outliers, influence)
       val top = cov.groupBy("driver_gene").agg(count(lit(1)).as("n"))

@@ -71,6 +71,21 @@ object Relational {
       explode(filter(split(col(column), java.util.regex.Pattern.quote(delim)),
         x => length(trim(x)) > 0)))
 
+  /** Attach a 1-based positional index under an explicit total order —
+    * the scalable form of "pandas index" (merge left_index/right_index,
+    * gizmos.py:501). A bare `row_number() over (order by …)` collapses to
+    * ONE partition; this uses a distributed range-partitioned sort +
+    * zipWithIndex instead. */
+  def withRowIndex(df: DataFrame, order: Seq[Column],
+                   idxName: String = "row_idx"): DataFrame = {
+    val sorted = df.orderBy(order: _*)
+    val schema = sorted.schema
+    val rdd = sorted.rdd.zipWithIndex.map { case (r, i) =>
+      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (i + 1)) }
+    df.sparkSession.createDataFrame(rdd,
+      schema.add(idxName, org.apache.spark.sql.types.LongType, nullable = false))
+  }
+
   /** Rounded-key equi-join: the reference's surrogate for float range joins
     * (treatMassTransitions.py:30, pathMassTransitions.py:203-224) — round
     * both join values to `d` decimals and equi-join. HALF_UP rounding,

@@ -179,13 +179,11 @@ object RelQueries {
       // gizmos.py:501, validateRulesWithOrigins.py:57): make the implicit
       // row position an explicit key under a stated order, then equi-join
       (s, d) => {
-        import org.apache.spark.sql.expressions.Window
-        val wS = Window.orderBy(col("s_suppkey"))
-        val wR = Window.orderBy(col("r_regionkey"))
-        val a = t(s, d, "supplier").select(col("s_suppkey"),
-          row_number().over(wS).as("__pos"))
-        val b = t(s, d, "region").select(col("r_name"),
-          row_number().over(wR).as("__pos"))
+        val a = Relational.withRowIndex(
+          t(s, d, "supplier").select("s_suppkey"), Seq(col("s_suppkey")), "__pos")
+        val b = Relational.withRowIndex(
+          t(s, d, "region").select("r_name", "r_regionkey"),
+          Seq(col("r_regionkey")), "__pos")
         a.join(b, "__pos").select("s_suppkey", "r_name")
       },
       Some("""WITH a AS (SELECT s_suppkey, row_number() OVER (ORDER BY s_suppkey) AS pos FROM supplier), b AS (SELECT r_name, row_number() OVER (ORDER BY r_regionkey) AS pos FROM region) SELECT s_suppkey, r_name FROM a JOIN b USING (pos)""")),

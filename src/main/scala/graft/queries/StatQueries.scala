@@ -89,6 +89,14 @@ object StatQueries {
           r6(col("t")).as("t")),
       Some("""SELECT l_returnflag, round(corr(l_quantity, l_extendedprice),6) AS r, count(CASE WHEN l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL THEN 1 END) AS n, round(corr(l_quantity, l_extendedprice) * sqrt((count(*) - 2) / (CAST(1.0 AS DOUBLE) - corr(l_quantity, l_extendedprice)*corr(l_quantity, l_extendedprice))),6) AS t FROM lineitem GROUP BY 1""")),
 
+    Entry("q_partial_corr",
+      // Goh partial correlation: quantity vs extendedprice controlling for
+      // discount, per return flag (p_pcor is non-SQL; checked in ScalaTest)
+      (s, d) => Stats.partialCorr(t(s, d, "lineitem"), Seq("l_returnflag"),
+          "l_quantity", "l_extendedprice", "l_discount")
+        .select(col("l_returnflag"), r6(col("pcor")).as("pcor"), col("n")),
+      Some("""SELECT l_returnflag, round((corr(l_quantity, l_extendedprice) - corr(l_quantity, l_discount) * corr(l_extendedprice, l_discount)) / nullif(sqrt((CAST(1.0 AS DOUBLE) - corr(l_quantity, l_discount)*corr(l_quantity, l_discount)) * (CAST(1.0 AS DOUBLE) - corr(l_extendedprice, l_discount)*corr(l_extendedprice, l_discount))), 0), 6) AS pcor, count(*) AS n FROM lineitem GROUP BY 1""")),
+
     Entry("q_spearman",
       (s, d) => Stats.spearman(t(s, d, "lineitem"), Seq("l_returnflag"),
           "l_quantity", "l_discount")

@@ -57,6 +57,32 @@ object Stats {
       .withColumnRenamed("r", "rho")
   }
 
+  /** First-order partial correlation per group — the Goh regulatory-
+    * inference core (Gohs_method/integrated_aCGH_expression_relationships.R:
+    * 109-148: partial correlations of expression vs CNV controlling for a
+    * third variable, with t-test p):
+    * pcor(x,y|z) = (rxy - rxz*ryz) / sqrt((1-rxz²)(1-ryz²)),
+    * p from t = pcor*sqrt((n-3)/(1-pcor²)) with n-3 df. Pure algebraic
+    * aggregates (three corr co-moments, one shuffle) + native tail
+    * expression. */
+  def partialCorr(df: DataFrame, groupCols: Seq[String],
+                  x: String, y: String, z: String): DataFrame = {
+    val g = df.groupBy(groupCols.map(col): _*).agg(
+      corr(col(x), col(y)).as("rxy"),
+      corr(col(x), col(z)).as("rxz"),
+      corr(col(y), col(z)).as("ryz"),
+      count(when(col(x).isNotNull && col(y).isNotNull && col(z).isNotNull, 1)).as("n"))
+    val denom = sqrt((lit(1.0) - col("rxz") * col("rxz")) *
+      (lit(1.0) - col("ryz") * col("ryz")))
+    g.withColumn("pcor",
+        (col("rxy") - col("rxz") * col("ryz")) / when(denom > 0, denom))
+      .withColumn("t_pcor",
+        when(abs(col("pcor")) < 1,
+          col("pcor") * sqrt((col("n") - 3) / (lit(1.0) - col("pcor") * col("pcor")))))
+      .withColumn("p_pcor", graft.catalyst.StatFunctions.tTail2(
+        col("t_pcor"), (col("n") - 3).cast("double")))
+  }
+
   /** Benjamini-Hochberg FDR adjustment (R p.adjust(method="fdr"),
     * Gohs:80,87,158,198) within each group: p_adj = min over j>=i of
     * p_(j) * n / j, clipped at 1. Rank ascending + reverse running min —

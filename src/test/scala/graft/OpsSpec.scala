@@ -134,6 +134,26 @@ class OpsSpec extends SparkSpec {
     assert(math.abs(rho - 1.0) < 1e-12)
   }
 
+  test("partialCorr removes a confounder and keeps a direct effect") {
+    val rng2 = new scala.util.Random(13)
+    // confounded: x and y both driven by z -> pcor(x,y|z) ~ 0 though rxy >> 0
+    val conf = Seq.tabulate(500) { _ =>
+      val z = rng2.nextGaussian()
+      ("g", z + rng2.nextGaussian() * 0.3, z + rng2.nextGaussian() * 0.3, z)
+    }.toDF("grp", "x", "y", "z")
+    val pc = Stats.partialCorr(conf, Seq("grp"), "x", "y", "z")
+      .select("pcor", "p_pcor").as[(Double, Double)].head()
+    assert(math.abs(pc._1) < 0.15, s"confounded pcor should vanish: $pc")
+    // direct: y = x + noise, z independent -> pcor stays high and significant
+    val direct = Seq.tabulate(500) { _ =>
+      val x = rng2.nextGaussian()
+      ("g", x, x + rng2.nextGaussian() * 0.3, rng2.nextGaussian())
+    }.toDF("grp", "x", "y", "z")
+    val pd = Stats.partialCorr(direct, Seq("grp"), "x", "y", "z")
+      .select("pcor", "p_pcor").as[(Double, Double)].head()
+    assert(pd._1 > 0.8 && pd._2 < 1e-10, s"direct pcor lost: $pd")
+  }
+
   test("corrWithP ignores null pairs in n") {
     val df = Seq(("g", Some(1.0), Some(2.0)), ("g", Some(2.0), Some(4.0)),
       ("g", Some(3.0), Some(6.1)), ("g", None, Some(9.0)), ("g", Some(4.0), None))
