@@ -93,6 +93,49 @@ object PipelineQueries {
       },
       Some("""WITH e0 AS (SELECT concat('p', CAST(l_partkey AS VARCHAR)) AS a, concat('s', CAST(l_suppkey AS VARCHAR)) AS b, CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS r FROM lineitem GROUP BY l_partkey, l_suppkey), edges AS (SELECT a, b, r FROM e0 UNION ALL SELECT b, a, r FROM e0), ranked AS (SELECT a, b, row_number() OVER (PARTITION BY a ORDER BY r DESC, b) AS rk FROM edges) SELECT x.a, x.b, round(exp((CAST(1.0 AS DOUBLE) - sqrt(x.rk * y.rk)) / 25.0), 6) AS weight FROM ranked x JOIN ranked y ON x.a = y.b AND x.b = y.a WHERE x.a < x.b AND exp((CAST(1.0 AS DOUBLE) - sqrt(x.rk * y.rk)) / 25.0) >= 0.8""")),
 
+    Entry("q_pipeline_enzyme",
+      // gizmos.load_enzyme_input (:654-745) + heraldPathways.py:274-281:
+      // explode per-gene pfam lists → evidence-level filter → pfam→rule
+      // broadcast dict join → attach gene↔metabolite correlations → full
+      // outer merge of substrate vs product sides ("outer allows
+      // unilateral coexpression") → dedup
+      (s, d) => {
+        import s.implicits._
+        val annotations = Relational.explodeDelimited(
+          t(s, d, "part").select(
+            concat(lit("g"), col("p_partkey").cast("string")).as("gene"),
+            concat_ws(";", col("p_brand"), col("p_type")).as("pfams")),
+          "pfams", ";", "pfam").select("gene", "pfam")
+        val pfamRules = Seq(
+          ("PROMO", "r1", "substrate", "strict"),
+          ("ECONOMY", "r1", "product", "strict"),
+          ("STANDARD", "r2", "substrate", "medium"),
+          ("LARGE", "r2", "product", "medium"),
+          ("SMALL", "r3", "substrate", "loose"))
+          .toDF("pfam", "reaction_id", "role", "level")
+          .where(col("level").isin("strict", "medium"))
+        val corrs = Stats.corrWithP(
+          t(s, d, "lineitem").select(
+            concat(lit("s"), col("l_suppkey").cast("string")).as("ms_name"),
+            concat(lit("g"), col("l_partkey").cast("string")).as("gene"),
+            col("l_quantity"), col("l_extendedprice")),
+          Seq("ms_name", "gene"), "l_quantity", "l_extendedprice")
+          .where(abs(col("r")) >= 0.5 && col("n") >= 3)
+          .select(col("ms_name"), col("gene"), r6(col("r")).as("correlation"))
+        val annotated = annotations.join(broadcast(pfamRules), "pfam")
+          .join(corrs, "gene")
+        val sub = annotated.where(col("role") === "substrate")
+          .select(col("reaction_id"), col("ms_name"),
+            col("gene").as("substrate_gene"),
+            col("correlation").as("substrate_corr")).distinct()
+        val prod = annotated.where(col("role") === "product")
+          .select(col("reaction_id"), col("ms_name"),
+            col("gene").as("product_gene"),
+            col("correlation").as("product_corr")).distinct()
+        sub.join(prod, Seq("reaction_id", "ms_name"), "full_outer")
+      },
+      Some("""WITH ann AS (SELECT concat('g', CAST(p_partkey AS VARCHAR)) AS gene, t AS pfam FROM part, unnest(string_split(concat_ws(';', p_brand, p_type), ';')) AS u(t) WHERE len(trim(t)) > 0), rules AS (SELECT * FROM (VALUES ('PROMO','r1','substrate','strict'), ('ECONOMY','r1','product','strict'), ('STANDARD','r2','substrate','medium'), ('LARGE','r2','product','medium'), ('SMALL','r3','substrate','loose')) r(pfam, reaction_id, role, level) WHERE level IN ('strict','medium')), corrs AS (SELECT concat('s', CAST(l_suppkey AS VARCHAR)) AS ms_name, concat('g', CAST(l_partkey AS VARCHAR)) AS gene, round(corr(l_quantity, l_extendedprice), 6) AS correlation FROM lineitem GROUP BY 1, 2 HAVING abs(corr(l_quantity, l_extendedprice)) >= 0.5 AND count(CASE WHEN l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL THEN 1 END) >= 3), annotated AS (SELECT a.gene, r.reaction_id, r.role, c.ms_name, c.correlation FROM ann a JOIN rules r USING (pfam) JOIN corrs c USING (gene)), sub AS (SELECT DISTINCT reaction_id, ms_name, gene AS substrate_gene, correlation AS substrate_corr FROM annotated WHERE role = 'substrate'), prod AS (SELECT DISTINCT reaction_id, ms_name, gene AS product_gene, correlation AS product_corr FROM annotated WHERE role = 'product') SELECT reaction_id, ms_name, substrate_gene, substrate_corr, product_gene, product_corr FROM sub FULL JOIN prod USING (reaction_id, ms_name)""")),
+
     Entry("q_permutation_null",
       // seeded permutation-null machinery (SignificanceTest.R:28-74,
       // Gohs:51-60) — the "random" relabeling is an md5-derived rank so the
