@@ -16,30 +16,39 @@ import org.apache.spark.sql.functions._
   */
 object Combat {
 
+  /** Standardized values z = (x - alpha_g)/sigma_g joined with batch
+    * labels — the ComBat front half (ComBat_NoFiles.R:30-90), exposed
+    * separately because it IS SQL-expressible and oracle-checkable. */
+  def standardized(data: DataFrame, batches: DataFrame,
+                   geneCol: String = "gene", sampleCol: String = "sample",
+                   valueCol: String = "value", batchCol: String = "batch"): DataFrame = {
+    val df = data.select(col(geneCol).as("gene"), col(sampleCol).as("sample"),
+        col(valueCol).cast("double").as("value"))
+      .join(batches.select(col(sampleCol).as("sample"), col(batchCol).as("batch")), "sample")
+    val geneStats = df.groupBy("gene")
+      .agg(avg("value").as("alpha"), stddev_samp(col("value")).as("sigma"))
+    df.join(geneStats, "gene")
+      .withColumn("z", (col("value") - col("alpha")) /
+        when(col("sigma") > 0, col("sigma")))
+  }
+
+  /** Per-(gene,batch) batch-effect moments over the standardized values. */
+  def batchMoments(z: DataFrame): DataFrame =
+    z.groupBy("gene", "batch")
+      .agg(avg("z").as("gamma_hat"), var_samp(col("z")).as("delta2_hat"),
+        count(lit(1)).as("n"))
+
   /** @return input rows with an extra `adjusted` column. */
   def adjust(data: DataFrame, batches: DataFrame,
              geneCol: String = "gene", sampleCol: String = "sample",
              valueCol: String = "value", batchCol: String = "batch",
              maxIter: Int = 100): DataFrame = {
-    val df = data.select(col(geneCol).as("gene"), col(sampleCol).as("sample"),
-        col(valueCol).cast("double").as("value"))
-      .join(batches.select(col(sampleCol).as("sample"), col(batchCol).as("batch")), "sample")
-
-    // 1. per-gene grand mean + pooled sd -> standardize
-    val geneStats = df.groupBy("gene")
-      .agg(avg("value").as("alpha"), stddev_samp(col("value")).as("sigma"))
     // z feeds both the (gene,batch) moments and the final adjustment —
     // cache it so the standardization join is not recomputed (the plan
     // audit showed the duplicated subtree doubling the exchange count)
-    val z = df.join(geneStats, "gene")
-      .withColumn("z", (col("value") - col("alpha")) /
-        when(col("sigma") > 0, col("sigma")))
+    val z = standardized(data, batches, geneCol, sampleCol, valueCol, batchCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-
-    // 2. per-(gene,batch) batch-effect moments
-    val gb = z.groupBy("gene", "batch")
-      .agg(avg("z").as("gamma_hat"), var_samp(col("z")).as("delta2_hat"),
-        count(lit(1)).as("n"))
+    val gb = batchMoments(z)
 
     // 3. per-batch hyperpriors across genes (ComBat_NoFiles.R:236-239):
     //    gamma ~ N(gamma_bar, tau2); delta2 ~ InvGamma(lambda, theta) by

@@ -18,6 +18,26 @@ import org.apache.spark.sql.functions._
   */
 object Impute {
 
+  /** Distances between entities-with-missing-cells ("needy") and every
+    * donor entity over their shared present samples — the SQL-expressible
+    * (oracle-checkable) half of the imputation. Input must be the long
+    * form with `entity`/`sample`/`value` columns; nulls mark missing. */
+  def neighborDistances(kept: DataFrame): DataFrame = {
+    val missing = kept.where(col("value").isNull).select("entity", "sample")
+    val present = kept.where(col("value").isNotNull)
+    val needy = missing.select(col("entity").as("needy")).distinct()
+    val needyVals = present.join(needy, col("entity") === col("needy"))
+      .select(col("needy"), col("sample"), col("value").as("nv"))
+    needyVals
+      .join(present.select(col("entity").as("donor"), col("sample"),
+        col("value").as("dv")), "sample")
+      .where(col("needy") =!= col("donor"))
+      .groupBy("needy", "donor")
+      .agg(sqrt(avg(pow(col("nv") - col("dv"), 2))).as("dist"),
+        count(lit(1)).as("shared"))
+      .where(col("shared") >= 2)
+  }
+
   def knnImpute(df: DataFrame, entityCol: String, sampleCol: String,
                 valueCol: String, k: Int = 15,
                 maxMissingRow: Double = 0.2, maxMissingCol: Double = 0.2): DataFrame = {
@@ -41,19 +61,7 @@ object Impute {
     val keptP = kept.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val missing = keptP.where(col("value").isNull).select("entity", "sample")
     val present = keptP.where(col("value").isNotNull)
-
-    // distances between needy entities and all donors over shared samples
-    val needy = missing.select(col("entity").as("needy")).distinct()
-    val needyVals = present.join(needy, col("entity") === col("needy"))
-      .select(col("needy"), col("sample"), col("value").as("nv"))
-    val dists = needyVals
-      .join(present.select(col("entity").as("donor"), col("sample"),
-        col("value").as("dv")), "sample")
-      .where(col("needy") =!= col("donor"))
-      .groupBy("needy", "donor")
-      .agg(sqrt(avg(pow(col("nv") - col("dv"), 2))).as("dist"),
-        count(lit(1)).as("shared"))
-      .where(col("shared") >= 2)
+    val dists = neighborDistances(keptP)
 
     // per missing cell: k nearest donors that HAVE that sample's value
     val cand = missing

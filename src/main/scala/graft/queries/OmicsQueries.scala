@@ -10,6 +10,31 @@ import Q.{Entry, t}
   * (OmicsKernelSpec) against hand-computed / published values instead. */
 object OmicsQueries {
 
+  /** Shared fixture: per-(user,type) mean values with 20% of 'error' cells
+    * nulled as synthetic missingness. */
+  private def knnCells(s: org.apache.spark.sql.SparkSession, d: String) =
+    Q.events(s, d).groupBy("user_id", "event_type")
+      .agg(round(avg("value"), 6).as("v"))
+      .withColumn("v", when(col("event_type") === "error" &&
+        col("user_id") % 5 === 0, lit(null)).otherwise(col("v")))
+
+  private def combatData(s: org.apache.spark.sql.SparkSession, d: String) =
+    t(s, d, "lineitem").select(
+      (col("l_partkey") % 50).cast("string").as("gene"),
+      concat(col("l_orderkey").cast("string"), lit("_"),
+        col("l_linenumber").cast("string"), lit("_"),
+        col("l_partkey").cast("string"), lit("_"),
+        col("l_suppkey").cast("string")).as("sample"),
+      col("l_extendedprice").as("value"))
+
+  private def combatBatches(s: org.apache.spark.sql.SparkSession, d: String) =
+    t(s, d, "lineitem").select(
+      concat(col("l_orderkey").cast("string"), lit("_"),
+        col("l_linenumber").cast("string"), lit("_"),
+        col("l_partkey").cast("string"), lit("_"),
+        col("l_suppkey").cast("string")).as("sample"),
+      col("l_returnflag").as("batch")).distinct()
+
   val entries: Seq[Entry] = Seq(
 
     Entry("q_drivernet_greedy",
@@ -82,31 +107,36 @@ object OmicsQueries {
 
     Entry("q_combat",
       // ComBat EB batch adjustment on a long-form slice
-      (s, d) => {
-        val data = t(s, d, "lineitem").select(
-          (col("l_partkey") % 50).cast("string").as("gene"),
-          concat(col("l_orderkey").cast("string"), lit("_"),
-            col("l_linenumber").cast("string")).as("sample"),
-          col("l_extendedprice").as("value"))
-        val batches = t(s, d, "lineitem").select(
-          concat(col("l_orderkey").cast("string"), lit("_"),
-            col("l_linenumber").cast("string")).as("sample"),
-          col("l_returnflag").as("batch")).distinct()
-        Combat.adjust(data, batches)
-      },
+      (s, d) => Combat.adjust(combatData(s, d), combatBatches(s, d)),
       None),
 
     Entry("q_knn_impute",
-      // KNN imputation: per-user per-type mean values with 'error' cells
-      // knocked out as synthetic missingness
+      // KNN imputation: per-user per-type mean values with 20% of the
+      // 'error' cells knocked out (NOT the whole column — a fully-missing
+      // column is dropped by the maxMissingCol filter and nothing would
+      // ever be imputed)
       (s, d) => {
-        val cells = Q.events(s, d).groupBy("user_id", "event_type")
-          .agg(round(avg("value"), 6).as("v"))
-          .withColumn("v", when(col("event_type") === "error", lit(null))
-            .otherwise(col("v")))
-        Impute.knnImpute(cells, "user_id", "event_type", "v", k = 5)
+        Impute.knnImpute(knnCells(s, d), "user_id", "event_type", "v", k = 5)
       },
       None),
+
+    Entry("q_knn_distances",
+      // the SQL-expressible half of KNN imputation: needy->donor distances
+      // over shared samples
+      (s, d) => Impute.neighborDistances(
+          knnCells(s, d).toDF("entity", "sample", "value"))
+        .select(col("needy"), col("donor"), round(col("dist"), 6).as("dist"),
+          col("shared")),
+      Some("""WITH cells AS (SELECT user_id, event_type, CASE WHEN event_type = 'error' AND user_id % 5 = 0 THEN NULL ELSE round(avg(value), 6) END AS v FROM events GROUP BY 1, 2), needy AS (SELECT DISTINCT user_id AS ne FROM cells WHERE v IS NULL), pres AS (SELECT user_id, event_type, v FROM cells WHERE v IS NOT NULL) SELECT a.user_id AS needy, b.user_id AS donor, round(sqrt(avg((a.v - b.v) * (a.v - b.v))), 6) AS dist, count(*) AS shared FROM pres a JOIN needy ON a.user_id = needy.ne JOIN pres b ON a.event_type = b.event_type AND a.user_id <> b.user_id GROUP BY 1, 2 HAVING count(*) >= 2""")),
+
+    Entry("q_combat_moments",
+      // the SQL-expressible front half of ComBat: per-gene standardization
+      // + per-(gene,batch) moments
+      (s, d) => Combat.batchMoments(Combat.standardized(
+          combatData(s, d), combatBatches(s, d)))
+        .select(col("gene"), col("batch"), round(col("gamma_hat"), 6).as("gamma_hat"),
+          round(col("delta2_hat"), 6).as("delta2_hat"), col("n")),
+      Some("""WITH d AS (SELECT CAST(l_partkey % 50 AS VARCHAR) AS gene, concat(CAST(l_orderkey AS VARCHAR), '_', CAST(l_linenumber AS VARCHAR), '_', CAST(l_partkey AS VARCHAR), '_', CAST(l_suppkey AS VARCHAR)) AS sample, l_extendedprice AS value, l_returnflag AS batch FROM lineitem), g AS (SELECT gene, avg(value) AS alpha, stddev_samp(value) AS sigma FROM d GROUP BY 1), z AS (SELECT d.gene, d.batch, (d.value - g.alpha) / CASE WHEN g.sigma > 0 THEN g.sigma END AS z FROM d JOIN g USING (gene)) SELECT gene, batch, round(avg(z), 6) AS gamma_hat, round(var_samp(z), 6) AS delta2_hat, count(*) AS n FROM z GROUP BY 1, 2""")),
 
     Entry("q_hclust_probes",
       // per-gene probe clustering (1-cor complete linkage, cutree)
