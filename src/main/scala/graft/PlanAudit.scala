@@ -27,7 +27,8 @@ object PlanAudit {
       "q_pipeline_transitions", "q_pipeline_herald", "q_drivernet_greedy",
       "q_drivernet_permutation", "q_ann_brute",
       "q_tmm_factor", // single-row percentile cutoff broadcast-joined back
-      "q_pca_batch")  // single-row grand-mean broadcast-joined back
+      "q_pca_batch",  // single-row grand-mean broadcast-joined back
+      "q_dedup_embedding") // exactness-baseline all-pairs by definition
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => names.isEmpty || names(n) }
       .foreach { case (name, fn) =>

@@ -140,4 +140,21 @@ object BetaMixture {
   }
 
   private def round6(x: Double): Double = math.rint(x * 1e6) / 1e6
+
+  /** Differential-methylation values: each fitted component's mean minus
+    * the gene's normal-tissue mean, labeled hyper/hypo/neutral
+    * (MethylMix.R:68-77 DM-values output; flip-over state labeling
+    * :458-558 reduces to this sign/threshold call once components are
+    * canonically ordered by mean, which [[fitPerGene]] guarantees). */
+  def dmValues(fits: org.apache.spark.sql.DataFrame,
+               normals: org.apache.spark.sql.DataFrame,
+               threshold: Double = 0.1): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    fits.join(normals.select(col("gene"), col("normal_mean")), "gene")
+      .withColumn("dm", round(col("mean") - col("normal_mean"), 6))
+      .withColumn("state",
+        when(col("dm") > threshold, "hyper")
+          .when(col("dm") < -threshold, "hypo")
+          .otherwise("neutral"))
+  }
 }

@@ -55,6 +55,12 @@ class OmicsKernelSpec extends SparkSpec {
     // determinism
     val fit2 = BetaMixture.fitPerGene(xs, "gene", "value").collect()
     assert(fit.map(_.bic).toSeq == fit2.map(_.bic).toSeq)
+    // DM-values against a normal mean of 0.5: low comp hypo, high comp hyper
+    val dm = BetaMixture.dmValues(
+      BetaMixture.fitPerGene(xs, "gene", "value").toDF(),
+      Seq(("g", 0.5)).toDF("gene", "normal_mean"))
+      .orderBy("comp").select("state").as[String].collect()
+    assert(dm.toSeq == Seq("hypo", "hyper"))
   }
 
   test("beta mixture picks one component for true beta-distributed data") {

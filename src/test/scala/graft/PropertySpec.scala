@@ -1,0 +1,114 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.apache.spark.sql.functions._
+import graft.ops.{RangeJoin, Relational}
+import graft.stats.Dist
+
+/** ScalaCheck-generator properties: numeric identities for the
+  * distribution kernels and generated-data equivalences for the join
+  * rewrites. Generators are driven with fixed seeds (no scalatestplus
+  * bridge in the offline cache), so failures are reproducible. */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def forAllN[A](n: Int, gen: Gen[A])(f: A => Unit): Unit =
+    (0 until n).foreach { i =>
+      f(gen.pureApply(Gen.Parameters.default, Seed(i.toLong)))
+    }
+
+  private def forAll[A](gen: Gen[A])(f: A => Unit): Unit = forAllN(50, gen)(f)
+
+  test("pnorm symmetry and monotonicity") {
+    forAll(Gen.choose(-8.0, 8.0)) { x =>
+      assert(math.abs(Dist.pnorm(x) + Dist.pnorm(-x) - 1.0) < 1e-12)
+    }
+    forAll(Gen.zip(Gen.choose(-8.0, 7.0), Gen.choose(0.001, 1.0))) { case (x, d) =>
+      assert(Dist.pnorm(x + d) >= Dist.pnorm(x))
+    }
+  }
+
+  test("incomplete beta reflection identity") {
+    forAll(Gen.zip(Gen.choose(0.1, 20.0), Gen.choose(0.1, 20.0), Gen.choose(0.0, 1.0))) {
+      case (a, b, x) =>
+        assert(math.abs(
+          Dist.betaInc(a, b, x) - (1.0 - Dist.betaInc(b, a, 1.0 - x))) < 1e-9)
+    }
+  }
+
+  test("t tail decreases in |t| and chisq tail decreases in x") {
+    forAll(Gen.zip(Gen.choose(0.0, 20.0), Gen.choose(0.01, 5.0), Gen.choose(1.0, 100.0))) {
+      case (t, d, df) =>
+        assert(Dist.tTail2(t + d, df) <= Dist.tTail2(t, df) + 1e-12)
+        assert(Dist.chisqTail(t + d, df) <= Dist.chisqTail(t, df) + 1e-12)
+    }
+  }
+
+  test("qnorm/pnorm round trip across the unit interval") {
+    forAll(Gen.choose(1e-9, 1.0 - 1e-9)) { p =>
+      assert(math.abs(Dist.pnorm(Dist.qnorm(p)) - p) < 1e-9)
+    }
+  }
+
+  test("fisher combined p of a single p-value is consistent") {
+    forAll(Gen.choose(1e-6, 1.0)) { p =>
+      val (_, combined) = Dist.fisherCombined(Seq(p))
+      // chisq(2) tail of -2 ln p is exactly p
+      assert(math.abs(combined - p) < 1e-9)
+    }
+  }
+
+  test("bucketed range join equals crossJoin+filter on generated intervals") {
+    val gen = for {
+      ivs <- Gen.listOfN(30, Gen.zip(Gen.choose(-50.0, 50.0), Gen.choose(0.0, 20.0)))
+      pts <- Gen.listOfN(60, Gen.choose(-60.0, 60.0))
+      w <- Gen.choose(1.0, 25.0)
+    } yield (ivs, pts, w)
+    forAllN(8, gen) { case (ivs, pts, w) =>
+      val intervals = ivs.zipWithIndex
+        .map { case ((lo, len), i) => (i.toLong, lo, lo + len) }
+        .toDF("iid", "lo", "hi")
+      val points = pts.zipWithIndex.map { case (v, i) => (1000L + i, v) }
+        .toDF("pid", "v")
+      val fast = RangeJoin.pointInInterval(intervals, points, "lo", "hi", "v", w)
+        .select("iid", "pid").as[(Long, Long)].collect().toSet
+      val naive = intervals.crossJoin(points)
+        .where(col("v") >= col("lo") && col("v") <= col("hi"))
+        .select("iid", "pid").as[(Long, Long)].collect().toSet
+      assert(fast == naive)
+    }
+  }
+
+  test("melt/pivot round trip preserves cell values") {
+    val gen = Gen.listOfN(12, Gen.zip(Gen.choose(0.0, 100.0), Gen.choose(0.0, 100.0)))
+    forAllN(5, gen) { cells =>
+      val df = cells.zipWithIndex.map { case ((a, b), i) => (i.toLong, a, b) }
+        .toDF("id", "ca", "cb")
+      val melted = Relational.melt(df, Seq("id"), Seq("ca", "cb"))
+      val back = melted.groupBy("id").pivot("variable", Seq("ca", "cb"))
+        .agg(first("value"))
+      val orig = df.orderBy("id").collect().map(_.toSeq)
+      val rt = back.orderBy("id").collect().map(_.toSeq)
+      assert(orig.toSeq == rt.toSeq)
+    }
+  }
+
+  test("BH adjustment is monotone in rank and bounded by 1") {
+    val gen = Gen.listOfN(25, Gen.choose(0.0, 1.0))
+    forAllN(8, gen) { ps =>
+      val df = ps.zipWithIndex.map { case (p, i) => ("g", i.toLong, p) }
+        .toDF("grp", "id", "p")
+      val adj = graft.stats.Stats.bhAdjust(df, Seq("grp"), "p", "id")
+        .orderBy("p", "id").select("p", "p_adj").as[(Double, Double)].collect()
+      assert(adj.forall(_._2 <= 1.0 + 1e-12))
+      // adjusted values are non-decreasing in p-rank order
+      adj.sliding(2).foreach {
+        case Array(a, b) => assert(b._2 >= a._2 - 1e-12)
+        case _ =>
+      }
+      // adjusted >= raw
+      adj.foreach { case (p, q) => assert(q >= p - 1e-12) }
+    }
+  }
+}
