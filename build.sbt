@@ -28,3 +28,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// Forked run output passes straight through to stdout, UNPREFIXED — the
+// driver parses Bench's single JSON line from stdout, and sbt's default
+// "[info] " log decoration would break that parse.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
