@@ -92,8 +92,20 @@ object RangeJoin {
       case None =>
         // constant-width buckets in ln-space; plan stays fully lazy
         val w = math.max(2 * ppm / 1e6, 1e-12)
+        // lazy range prune: mass windows that cannot overlap the
+        // structure-mass range are dropped BEFORE the bucket explode. The
+        // min/max is a 1-row aggregate broadcast-joined in — it runs as a
+        // stage of the same job (unlike round 1's eager .first(), which
+        // fired a separate scan at plan-construction time). When the fact
+        // side's value range is much wider than the dimension side's (the
+        // usual mass-query shape), this prunes most of the shuffle input.
+        val structStats = structures.where(col(massCol) > 0)
+          .agg(min(col(massCol)).as("__smin"), max(col(massCol)).as("__smax"))
         val ib = masses.where(col(mmCol) > 0)
           .withColumn("__lo", lo).withColumn("__hi", hi)
+          .crossJoin(broadcast(structStats))
+          .where(col("__hi") >= col("__smin") && col("__lo") <= col("__smax"))
+          .drop("__smin", "__smax")
           .withColumn("__bucket", explode(sequence(
             floor(log(col("__lo")) / w).cast("long"),
             floor(log(col("__hi")) / w).cast("long"))))
