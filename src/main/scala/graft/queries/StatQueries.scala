@@ -152,6 +152,29 @@ object StatQueries {
           col("n_pos")),
       Some("""SELECT l_returnflag, round(exp(avg(ln(l_quantity))),6) AS geo_mean, count(*) AS n_pos FROM lineitem WHERE l_quantity > 0 GROUP BY 1""")),
 
+    Entry("q_roc_auc",
+      // Robinson ROC evaluation: AUC of extendedprice as a classifier for
+      // open linestatus, per return flag (Mann-Whitney rank form)
+      (s, d) => Stats.rocAuc(
+          t(s, d, "lineitem").withColumn("label",
+            when(col("l_linestatus") === "O", 1).otherwise(0)),
+          Seq("l_returnflag"), "l_extendedprice", "label")
+        .select(col("l_returnflag"), r6(col("auc")).as("auc"),
+          col("n_pos"), col("n_neg")),
+      Some("""WITH r AS (SELECT l_returnflag AS g, CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END AS label, rank() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) + (count(*) OVER (PARTITION BY l_returnflag, l_extendedprice) - 1)/2.0 AS rk FROM lineitem) SELECT g AS l_returnflag, round((sum(CASE WHEN label = 1 THEN rk END) - sum(CASE WHEN label = 1 THEN 1.0 ELSE 0.0 END) * (sum(CASE WHEN label = 1 THEN 1.0 ELSE 0.0 END) + 1) / 2) / nullif(sum(CASE WHEN label = 1 THEN 1.0 ELSE 0.0 END) * sum(CASE WHEN label = 0 THEN 1.0 ELSE 0.0 END), 0), 6) AS auc, CAST(sum(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos, CAST(sum(CASE WHEN label = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_neg FROM r GROUP BY 1""")),
+
+    Entry("q_ids_collision_checked",
+      // full gizmos.py:330-336 semantics: seeded VM_ ids with collision
+      // retry against an existing id set; the existing set below is built
+      // so that some first-attempt candidates ARE taken and must retry
+      (s, d) => {
+        val rows = t(s, d, "orders").select(col("o_orderkey"))
+        val existing = t(s, d, "orders").where(col("o_orderkey") % 10 === 0)
+          .select(graft.ops.Ids.candidate("o_orderkey", 42L, 0).as("vm_id"))
+        graft.ops.Ids.assignNewIds(rows, "o_orderkey", existing)
+      },
+      Some("""WITH rows0 AS (SELECT o_orderkey FROM orders), existing AS (SELECT DISTINCT concat('VM_', substr(md5(concat('42:0:', CAST(o_orderkey AS VARCHAR))), 1, 7)) AS vm_id FROM orders WHERE o_orderkey % 10 = 0), a0 AS (SELECT o_orderkey, concat('VM_', substr(md5(concat('42:0:', CAST(o_orderkey AS VARCHAR))), 1, 7)) AS vm_id FROM rows0), d0 AS (SELECT vm_id, count(*) AS c, min(o_orderkey) AS w FROM a0 GROUP BY 1), ok0 AS (SELECT a0.o_orderkey, a0.vm_id FROM a0 JOIN d0 USING (vm_id) WHERE (d0.c = 1 OR a0.o_orderkey = d0.w) AND a0.vm_id NOT IN (SELECT vm_id FROM existing)), pend1 AS (SELECT o_orderkey FROM rows0 WHERE o_orderkey NOT IN (SELECT o_orderkey FROM ok0)), a1 AS (SELECT o_orderkey, concat('VM_', substr(md5(concat('42:1:', CAST(o_orderkey AS VARCHAR))), 1, 7)) AS vm_id FROM pend1), d1 AS (SELECT vm_id, count(*) AS c, min(o_orderkey) AS w FROM a1 GROUP BY 1), ok1 AS (SELECT a1.o_orderkey, a1.vm_id FROM a1 JOIN d1 USING (vm_id) WHERE (d1.c = 1 OR a1.o_orderkey = d1.w) AND a1.vm_id NOT IN (SELECT vm_id FROM existing UNION ALL SELECT vm_id FROM ok0)) SELECT * FROM ok0 UNION ALL SELECT * FROM ok1""")),
+
     Entry("q_tmm_factor",
       // full TMM-style normalization factor (run_ABCD-DNA.R:26-64,
       // Figures_3_5:27-42): per entity M-A pair between two conditions,

@@ -171,6 +171,25 @@ object Stats {
       .drop("sxx0", "sxy0", "syy0", "sigma2")
   }
 
+  /** ROC AUC per group via the rank (Mann-Whitney) formulation with
+    * midrank tie handling (Robinson_method/R/Figures_3_5_normalize_ROC.R
+    * ROC evaluation): AUC = (Σ ranks of positives − n₁(n₁+1)/2)/(n₁n₀).
+    * Two window passes + one aggregate; no sort-collect. */
+  def rocAuc(df: DataFrame, groupCols: Seq[String], scoreCol: String,
+             labelCol: String): DataFrame = {
+    val parts = groupCols.map(col)
+    val ranked = df.withColumn("__r", avgRank(parts, col(scoreCol)))
+    ranked.groupBy(parts: _*)
+      .agg(sum(when(col(labelCol) === 1, col("__r"))).as("__sumr"),
+        sum(when(col(labelCol) === 1, 1).otherwise(0)).cast("double").as("__n1"),
+        sum(when(col(labelCol) === 1, 0).otherwise(1)).cast("double").as("__n0"))
+      .withColumn("auc",
+        (col("__sumr") - col("__n1") * (col("__n1") + 1) / 2) /
+          when(col("__n1") * col("__n0") > 0, col("__n1") * col("__n0")))
+      .select(parts :+ col("auc") :+ col("__n1").cast("long").as("n_pos") :+
+        col("__n0").cast("long").as("n_neg"): _*)
+  }
+
   /** Mutual-rank co-expression edge weight (wcModules.py:96-98,167-216):
     * given a directed correlation edge list (a,b,r), rank each partner per
     * source by desc r, take MR = sqrt(rank_ab * rank_ba), weight =

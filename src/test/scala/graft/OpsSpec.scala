@@ -163,6 +163,48 @@ class OpsSpec extends SparkSpec {
     assert(row == 3L)
   }
 
+  test("rocAuc: perfect separation = 1, random labels ~ 0.5, ties handled") {
+    val perfect = Seq.tabulate(40)(i => ("g", i.toDouble, if (i >= 20) 1 else 0))
+      .toDF("grp", "score", "label")
+    val a1 = Stats.rocAuc(perfect, Seq("grp"), "score", "label")
+      .select("auc").as[Double].head()
+    assert(a1 == 1.0)
+    // all-tied scores -> AUC exactly 0.5 by midranks
+    val tied = Seq.tabulate(40)(i => ("g", 7.0, i % 2)).toDF("grp", "score", "label")
+    val a2 = Stats.rocAuc(tied, Seq("grp"), "score", "label")
+      .select("auc").as[Double].head()
+    assert(math.abs(a2 - 0.5) < 1e-12)
+    // inverted classifier -> 0
+    val inv = Seq.tabulate(40)(i => ("g", -i.toDouble, if (i >= 20) 1 else 0))
+      .toDF("grp", "score", "label")
+    assert(Stats.rocAuc(inv, Seq("grp"), "score", "label")
+      .select("auc").as[Double].head() == 0.0)
+  }
+
+  test("assignNewIds avoids existing ids and batch collisions deterministically") {
+    import graft.ops.Ids
+    val rows = Seq(1L, 2L, 3L, 4L).toDF("key")
+    // existing set contains the attempt-0 candidates of keys 1 and 3 ->
+    // those rows MUST retry with attempt 1
+    val existing = Seq(1L, 3L).toDF("key")
+      .select(Ids.candidate("key", 42L, 0).as("vm_id"))
+    val out = Ids.assignNewIds(rows, "key", existing)
+      .select("key", "vm_id").as[(Long, String)].collect().toMap
+    assert(out.size == 4 && out.values.forall(_ != null))
+    assert(out.values.toSet.size == 4, "ids must be unique")
+    val taken = existing.as[String].collect().toSet
+    assert(out.values.forall(v => !taken(v)), "no id may collide with existing")
+    // keys 2,4 keep their attempt-0 draw; 1,3 moved to attempt 1
+    val a0 = rows.select(col("key"), Ids.candidate("key", 42L, 0).as("c"))
+      .as[(Long, String)].collect().toMap
+    assert(out(2L) == a0(2L) && out(4L) == a0(4L))
+    assert(out(1L) != a0(1L) && out(3L) != a0(3L))
+    // determinism
+    val out2 = Ids.assignNewIds(rows, "key", existing)
+      .select("key", "vm_id").as[(Long, String)].collect().toMap
+    assert(out == out2)
+  }
+
   test("zscoreOutliers flags |z|>=2 and guards sd=0 groups") {
     val df = (Seq.fill(20)(10.0) :+ 100.0).zipWithIndex
       .map { case (v, i) => ("g", i.toLong, v) }.toDF("grp", "id", "v")
