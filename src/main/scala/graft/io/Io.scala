@@ -59,6 +59,19 @@ object Io {
   def exportCsv(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").option("header", "true").csv(path)
 
+  /** Write a table bucketed+sorted by join keys: two tables bucketed the
+    * same way join with ZERO exchanges — the pre-shuffled layout for hot
+    * co-located joins (the 100 TB answer to repeatedly joining the same
+    * keys; verified exchange-free in IoMultimodalSpec). Requires a table
+    * name because bucketing metadata lives in the catalog. */
+  def writeBucketed(df: DataFrame, table: String, bucketCols: Seq[String],
+                    numBuckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .format("parquet")
+      .saveAsTable(table)
+
   /** Stride-select every `stride`-th column starting at `offset` (TCGA flat
     * files carry 4 columns per sample and the loader keeps every 4th;
     * Download_Preprocess.R:686-702). */

