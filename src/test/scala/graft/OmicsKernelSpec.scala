@@ -93,6 +93,11 @@ class OmicsKernelSpec extends SparkSpec {
     assert(math.abs(fits("r1").log_fc - math.log(4.0)) < 0.25)
     assert(fits("r2").p_value > 0.1)
     assert(fits("r1").z > 0)
+    // analytical anchor: with zero offsets the fitted intercept of the
+    // null-ish region satisfies exp(b0) ~ group-0 mean (log link MLE)
+    val g0mean = nullr.filter(_._3 == 0.0).map(_._2).sum /
+      nullr.count(_._3 == 0.0)
+    assert(math.abs(math.exp(fits("r2").intercept) - g0mean) < 2.0)
   }
 
   test("multi-covariate OLS matches the single-covariate closed form") {
