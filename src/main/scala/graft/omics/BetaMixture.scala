@@ -20,10 +20,7 @@ import graft.stats.Dist
   */
 object BetaMixture {
 
-  final case class Obs(gene: String, sample: String, value: Double)
   final case class Component(comp: Int, a: Double, b: Double, weight: Double, mean: Double)
-  final case class Fit(gene: String, nComponents: Int, logLik: Double, bic: Double,
-                       comps: Seq[Component])
   final case class FitRow(gene: String, n_components: Int, comp: Int,
                           a: Double, b: Double, weight: Double, mean: Double,
                           log_lik: Double, bic: Double)
