@@ -66,6 +66,21 @@ object DriverNet {
     picked.toSeq.toDF("rank", "driver_gene", "events_covered")
   }
 
+  /** Per-driver permutation p-values (ResultSummary.R:104-129: the
+    * fraction of randomized runs whose best cover meets or beats the
+    * observed cover, with the standard +1 correction so p is never 0). */
+  def significance(drivers: DataFrame, nullTops: DataFrame): DataFrame = {
+    val n = broadcast(nullTops.agg(count(lit(1)).as("__nperm")))
+    drivers.join(broadcast(nullTops), col("top_cover") >= col("events_covered"),
+        "left")
+      .groupBy("rank", "driver_gene", "events_covered")
+      .agg(count(col("top_cover")).as("__ge"))
+      .crossJoin(n)
+      .withColumn("p_value",
+        round((col("__ge") + 1).cast("double") / (col("__nperm") + 1), 6))
+      .drop("__ge", "__nperm")
+  }
+
   /** Permutation significance: N seeded random relabelings of the mutation
     * gene column (SignificanceTest.R:28-74); the null statistic is the top
     * greedy cover size; p(driver) = fraction of null tops >= observed

@@ -85,6 +85,16 @@ object LlmQueries {
       },
       None),
 
+    Entry("q_ann_ivf",
+      // IVF coarse-quantized ANN with every cell probed: equals exact
+      // brute-force top-k, so the brute-force oracle applies verbatim
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        Similarity.ivfTopK(emb, emb.where(col("vec_id") < 5),
+          "vec_id", "embedding", k = 3, nCells = 16, nProbe = 16)
+      },
+      Some("""WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5), s AS (SELECT query_id, c.vec_id AS neighbor_id, list_sum(list_transform(list_zip(qe, c.embedding), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) / (sqrt(list_sum(list_transform(qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos FROM q, embeddings c WHERE c.vec_id <> query_id), r AS (SELECT query_id, neighbor_id, cos, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn FROM s) SELECT query_id, neighbor_id, CAST(rn AS INTEGER) AS rank, round(cos, 6) AS cos FROM r WHERE rn <= 3""")),
+
     Entry("q_text_quality",
       (s, d) => Text.qualityScore(t(s, d, "documents").select("doc_id", "text"), "text")
         .select(col("doc_id"), col("n_tokens"),

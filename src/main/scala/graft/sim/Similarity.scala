@@ -107,6 +107,54 @@ object Similarity {
       .select(col("id_a"), col("id_b"), round(col("cos0"), 6).as("cos"))
   }
 
+  /** IVF (inverted-file) approximate top-k: a k-means coarse quantizer
+    * partitions the corpus into `nCells` cells; each query probes only its
+    * `nProbe` nearest cells and candidates are re-scored exactly (precision
+    * 1, recall grows with nProbe). The production-scale ANN layout: the
+    * corpus would be WRITTEN partitioned by cell so a probe touches
+    * nProbe/nCells of the data. Deterministic via the k-means seed. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, k: Int, nCells: Int = 16, nProbe: Int = 4,
+              seed: Long = 7L): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val toMl = udf((v: Seq[Float]) =>
+      org.apache.spark.ml.linalg.Vectors.dense(v.map(_.toDouble).toArray))
+    val corpusV = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+      .withColumn("__features", toMl(col("__cv")))
+    val km = new org.apache.spark.ml.clustering.KMeans()
+      .setK(nCells).setSeed(seed).setFeaturesCol("__features")
+      .setPredictionCol("__cell")
+      .fit(corpusV)
+    val centroids = km.clusterCenters.map(_.toArray)
+    val bc = spark.sparkContext.broadcast(centroids)
+    // corpus side: cell assignment (at scale: write partitioned by __cell)
+    val assigned = km.transform(corpusV)
+      .select(col("neighbor_id"), col("__cv"), col("__cell"))
+    // query side: explode into the nProbe nearest cells
+    val probeCells = udf((v: Seq[Float]) => {
+      val cs = bc.value
+      cs.indices.sortBy { ci =>
+        val c = cs(ci)
+        var s = 0.0; var i = 0
+        while (i < c.length && i < v.length) {
+          val d = v(i) - c(i); s += d * d; i += 1
+        }
+        s
+      }.take(nProbe)
+    })
+    val qb = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+      .withColumn("__cell", explode(probeCells(col("__qv")))))
+    val scored = assigned.join(qb, "__cell")
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosine(col("__qv"), col("__cv")))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("cos"), 6).as("cos"))
+  }
+
   /** Signed-random-projection (SRP) LSH signature: `nBits` fixed random
     * hyperplanes (seeded), bit = sign of the projection. Hamming distance
     * on signatures approximates angular distance. */

@@ -103,6 +103,26 @@ class DedupSimSpec extends SparkSpec {
     assert(hs(1L) == hs(4L))  // deterministic
   }
 
+  test("ivfTopK: precision 1, recall grows with nProbe, full probe = exact") {
+    val rng = new scala.util.Random(19)
+    val dim = 16
+    val vecs = Seq.tabulate(150) { i =>
+      (i.toLong, Array.fill(dim)(rng.nextGaussian().toFloat))
+    }.toDF("vec_id", "embedding")
+    val queries = vecs.where(col("vec_id") < 4)
+    val brute = Similarity.bruteForceTopK(vecs, queries, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivfAll = Similarity.ivfTopK(vecs, queries, "vec_id", "embedding", 5,
+      nCells = 8, nProbe = 8)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(ivfAll == brute, "probing every cell must equal brute force")
+    val ivf2 = Similarity.ivfTopK(vecs, queries, "vec_id", "embedding", 5,
+      nCells = 8, nProbe = 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = ivf2.intersect(brute).size.toDouble / brute.size
+    assert(recall >= 0.5, s"recall=$recall")
+  }
+
   test("lshTopK has precision 1 vs brute force and decent recall") {
     val rng = new scala.util.Random(11)
     val dim = 16

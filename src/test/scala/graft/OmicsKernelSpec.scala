@@ -38,6 +38,17 @@ class OmicsKernelSpec extends SparkSpec {
     assert(a == b && a.size == 3)
   }
 
+  test("DriverNet significance: strong drivers beat the null, weak ones don't") {
+    val drivers = Seq((1, "gBig", 50L), (2, "gSmall", 1L))
+      .toDF("rank", "driver_gene", "events_covered")
+    val nullTops = (0 until 9).map(i => (i, (i % 3 + 2).toLong)) // nulls 2..4
+      .toDF("perm", "top_cover")
+    val sig = DriverNet.significance(drivers, nullTops)
+      .collect().map(r => r.getString(1) -> r.getDouble(3)).toMap
+    assert(sig("gBig") == 0.1)   // (0+1)/(9+1): no null reaches 50
+    assert(sig("gSmall") == 1.0) // (9+1)/(9+1): every null >= 1
+  }
+
   test("beta mixture recovers two well-separated components") {
     // deterministic pseudo-draws from Beta(2,8) (mean .2) and Beta(8,2)
     // (mean .8) via inverse-CDF on a fixed grid
