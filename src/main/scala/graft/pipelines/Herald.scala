@@ -42,7 +42,11 @@ object Herald {
         .join(broadcast(obsKeys), col("__key") === col("__obs_key"), "left_semi")
         .select(col("product_id").as("struct_id"), col("root"),
           lit(i).as("iteration"), col("product_mass").as("mass"))
-        .dropDuplicates("struct_id")
+        // deterministic dedup: same product key implies same root and same
+        // 4-decimal mass, but fp twins (e.g. +a then +b vs +b then +a)
+        // differ in ulps — keep the min rather than an arbitrary row
+        .groupBy("struct_id", "root", "iteration")
+        .agg(min(col("mass")).as("mass"))
       // only genuinely new structures continue (anti join vs everything seen)
       frontier = matched.join(all.select("struct_id"), Seq("struct_id"), "left_anti")
         .localCheckpoint()
