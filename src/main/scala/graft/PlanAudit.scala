@@ -22,10 +22,13 @@ object PlanAudit {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     // intentional non-equi plans: true cross expansions (small broadcast
-    // dims) and q_ann_brute's broadcast-queries-vs-streamed-corpus BNLJ
+    // dims), single-row broadcast prunes/cutoffs, q_ann_brute's
+    // broadcast-queries-vs-streamed-corpus BNLJ. ppmJoin's lazy range
+    // prune adds one single-row broadcast BNLJ to every plan using it.
     val intentionalCross = Set("q_cross_join", "q_pipeline_massquery",
       "q_pipeline_transitions", "q_pipeline_herald", "q_drivernet_greedy",
       "q_drivernet_permutation", "q_ann_brute",
+      "q_ppm_join",   // single-row structure min/max range prune
       "q_tmm_factor", // single-row percentile cutoff broadcast-joined back
       "q_pca_batch",  // single-row grand-mean broadcast-joined back
       "q_dedup_embedding") // exactness-baseline all-pairs by definition
@@ -42,7 +45,7 @@ object PlanAudit {
           val flags = new StringBuilder
           if ((bnlj > 0 || cart > 0) && !intentionalCross(name))
             flags.append(s" !!NESTED_LOOP(bnlj=$bnlj,cart=$cart)")
-          if (bnlj + cart > 1 && intentionalCross(name))
+          if (bnlj + cart > 2 && intentionalCross(name))
             flags.append(s" !!EXTRA_CROSS(bnlj=$bnlj,cart=$cart)")
           println(f"$name%-28s exchanges=$exch%-3d codegen=$wsc%-3d$flags")
         } catch {
