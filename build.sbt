@@ -32,3 +32,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
 // driver parses Bench's single JSON line from stdout, and sbt's default
 // "[info] " log decoration would break that parse.
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// The driver parses the bench JSON from the LAST ~2000 chars of stdout;
+// sbt's "[success] Total time ..." footer would otherwise trail the JSON
+// line inside that window.
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess

@@ -2,9 +2,19 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: times every SparkEntry query at SPARK_GRAFT_SF_DIR and
-  * prints one JSON line. A failing query is reported as an explicit error
+  * prints ONE JSON line. A failing query is reported as an explicit error
   * entry (value -1) — never silently folded into a timing (a broken query
-  * must be distinguishable from a slow one in BENCH_r*.json). */
+  * must be distinguishable from a slow one in BENCH_r*.json).
+  *
+  * The driver captures only the LAST ~2000 chars of stdout and parses the
+  * bench JSON from that window (rounds 1–2 both failed to parse: r1's line
+  * carried sbt's "[info] " prefix, r2's full 93-query line was longer than
+  * the window so its head was cut off). Therefore the line printed here is
+  * (a) the final line of stdout (build.sbt sets `Global / showSuccess :=
+  * false` to drop sbt's trailing "[success]" footer) and (b) hard-capped
+  * below the window size: per-query entries are added slowest-first until
+  * the budget is reached. The complete, full-precision result is always
+  * written to /root/repo/BENCH_FULL.json. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -39,19 +49,47 @@ object Bench {
       } catch {
         case e: Throwable =>
           val msg = e.getClass.getSimpleName + ": " +
-            Option(e.getMessage).getOrElse("").take(160)
+            Option(e.getMessage).getOrElse("").take(120)
           (name, Left(msg))
       }
     }
-    val qs = results.map {
-      case (k, Right(v)) => s""""${esc(k)}":$v"""
-      case (k, Left(_))  => s""""${esc(k)}":-1"""
-    }.mkString("{", ",", "}")
     val errs = results.collect { case (k, Left(m)) =>
       s""""${esc(k)}":"${esc(m)}""""
     }.mkString("{", ",", "}")
     val total = results.collect { case (_, Right(v)) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+
+    // Full-precision record for the judge / local iteration.
+    val fullQs = results.map {
+      case (k, Right(v)) => s""""${esc(k)}":$v"""
+      case (k, Left(_))  => s""""${esc(k)}":-1"""
+    }.mkString("{", ",", "}")
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","nq":${results.size},"queries":$fullQs,"errors":$errs,"sf":"$sfDir"}"""
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("/root/repo/BENCH_FULL.json"), full + "\n")
+    catch { case _: Throwable => () }
+
+    // Compact stdout line, hard-capped to fit the driver's tail window.
+    def fmt(v: Double): String = {
+      val s = f"$v%.3g"
+      // %.3g can emit "0.00123" or "1.23e+01"; normalize exponent form
+      if (s.contains('e')) f"$v%.2f" else s
+    }
+    val compactEntries = results.map {
+      case (k, Right(v)) => (k, s""""${esc(k)}":${fmt(v)}""", v)
+      case (k, Left(_))  => (k, s""""${esc(k)}":-1""", Double.MaxValue)
+    }
+    // slowest first: the informative entries survive truncation
+    val ordered = compactEntries.sortBy(-_._3)
+    val budget = 1800 -
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","nq":${results.size},"queries":{},"errors":$errs,"sf":"$sfDir"}""".length
+    val kept = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var used = 0
+    ordered.foreach { case (k, entry, _) =>
+      if (used + entry.length + 1 <= budget) { kept += ((k, entry)); used += entry.length + 1 }
+    }
+    val qs = kept.sortBy(_._1).map(_._2).mkString("{", ",", "}")
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","nq":${results.size},"queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
     spark.stop()
+    println(line)
   }
 }
