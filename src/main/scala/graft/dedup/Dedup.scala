@@ -83,13 +83,41 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
-  /** MinHash signature. Per shingle, the base 64-bit hash is Spark's own
-    * XXH64 (seed 42, identical to the xxhash64 SQL function); the family is
-    * h_i(x) = a_i*x + b_i wrapping mod 2^64 (multiply-shift universal
-    * family, odd a_i from a fixed-seed PRNG) evaluated in a compiled JVM
-    * kernel — wrap-around multiply is well-defined on the JVM, unlike the
-    * round-1 (a*x+b) mod p expression whose 64-bit multiply overflowed
-    * (ANSI runtime error) and voided the family guarantee.
+  /** md5 hex digest in a compiled kernel (ThreadLocal digest instance —
+    * MessageDigest is not thread-safe and per-row allocation is wasteful).
+    * The sketches below derive every hash bit from md5 ON PURPOSE: DuckDB
+    * computes the identical digest, so the correctness oracle replays the
+    * ENTIRE sketch + banding pipeline deterministically instead of leaning
+    * on a probabilistic recall bound that fresh data could violate. */
+  private val mdLocal = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+  private val hexDigits = "0123456789abcdef".toCharArray
+  private def md5hex(s: String): String = {
+    val d = mdLocal.get()
+    d.reset()
+    val bytes = d.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val out = new Array[Char](32)
+    var i = 0
+    while (i < 16) {
+      out(2 * i) = hexDigits((bytes(i) >> 4) & 0xF)
+      out(2 * i + 1) = hexDigits(bytes(i) & 0xF)
+      i += 1
+    }
+    new String(out)
+  }
+
+  /** 2^31 - 1; the minhash family works mod this Mersenne prime so every
+    * product in h_i = (h1 + i*h2) mod p stays far inside 63 bits. */
+  val MinhashP = 2147483647L
+
+  /** MinHash signature. Per shingle, two 60-bit base hashes come from the
+    * md5 hex digest (chars 1-15 and 16-30); the family is double hashing
+    * h_i(x) = (h1 + i*h2) mod (2^31-1) with h2 forced nonzero
+    * (Kirsch-Mitzenmacher construction — public knowledge). md5 rather
+    * than xxhash64 so a DuckDB oracle reproduces the signatures bit-for-bit
+    * (`CAST(concat('0x', substr(md5(s),1,15)) AS BIGINT)`).
     *
     * A compiled per-row kernel instead of 128 nested higher-order-function
     * expressions: Catalyst interprets HOF lambdas (no codegen), which
@@ -97,19 +125,16 @@ object Dedup {
     * Deterministic across runs/JVMs. Returns (id, sig ARRAY<LONG>). */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
                         k: Int = 3, numHashes: Int = 128): DataFrame = {
-    val rng = new java.util.Random(42L)
-    val as = Array.fill(numHashes)(rng.nextLong() | 1L) // odd multipliers
-    val bs = Array.fill(numHashes)(rng.nextLong())
+    val n = numHashes
     val sigUdf = udf((shingles: Seq[String]) => {
-      val sig = Array.fill(numHashes)(Long.MaxValue)
+      val sig = Array.fill(n)(Long.MaxValue)
       shingles.foreach { s =>
-        val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-        val base = org.apache.spark.sql.catalyst.expressions.XXH64
-          .hashUnsafeBytes(bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
-            bytes.length, 42L)
+        val m = md5hex(s)
+        val h1 = java.lang.Long.parseLong(m.substring(0, 15), 16) % MinhashP
+        val h2 = java.lang.Long.parseLong(m.substring(15, 30), 16) % (MinhashP - 1) + 1
         var i = 0
-        while (i < numHashes) {
-          val h = as(i) * base + bs(i)
+        while (i < n) {
+          val h = (h1 + i * h2) % MinhashP
           if (h < sig(i)) sig(i) = h
           i += 1
         }
@@ -121,13 +146,19 @@ object Dedup {
   }
 
   /** MinHash-LSH near-duplicate pairs: band the signature into
-    * `bands` groups of `numHashes/bands` rows, bucket-join on
-    * (band, hash-of-band), then verify every candidate pair with EXACT
-    * n-gram Jaccard so the output contains no false positives. With
-    * 128 hashes / 16 bands the S-curve puts collision probability at
-    * >0.99997 per pair at J=0.9 — at the declared threshold the output
-    * equals the exact all-pairs result with overwhelming probability, at
-    * index cost instead of quadratic cost. */
+    * `bands` groups of `numHashes/bands` rows, bucket-join on the exact
+    * band signature, then verify every candidate pair with EXACT n-gram
+    * Jaccard so the output contains no false positives.
+    *
+    * The declared semantics are "pairs sharing >= 1 band signature AND
+    * exact Jaccard >= threshold" — a deterministic function of the data
+    * that the DuckDB oracle mirrors band-for-band (md5-derived family, see
+    * minhashSignatures), so the correctness gate does not depend on the
+    * S-curve. Recall vs the full exact-Jaccard pair set is the usual
+    * 1-(1-J^r)^b (128/16: >0.9999 at J=0.9, ~0.95 at exactly 0.8). The
+    * band key is the joined value string, not a 32-bit hash of it: a hash
+    * would re-introduce an (astronomically small but nonzero) collision
+    * dependence the oracle cannot replay. */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       k: Int = 3, threshold: Double = 0.8,
                       numHashes: Int = 128, bands: Int = 16): DataFrame = {
@@ -140,20 +171,27 @@ object Dedup {
     // and recomputes it per candidate pair (measured 246 s vs 3 s)
     val banded = sigs.select(col("id"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          b => hash(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)), b))))
-      .toDF("id", "band", "band_hash")
-      .repartition(col("band"), col("band_hash"))
+          b => array_join(transform(
+            slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)),
+            v => v.cast("string")), "_"))))
+      .toDF("id", "band", "band_sig")
+      .repartition(col("band"), col("band_sig"))
     val candidates = banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") &&
-          col("x.band_hash") === col("y.band_hash") &&
+          col("x.band_sig") === col("y.band_sig") &&
           col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b")).distinct()
     verifyPairsExactJaccard(df, candidates, idCol, textCol, k, threshold)
   }
 
-  /** SimHash signatures as (id, simhash LONG): bit j of the sketch is the
-    * sign of Σ_features ±1 according to bit j of the feature hash;
-    * near-dups land at small hamming distance.
+  /** Width of the simhash sketch: 60 bits, so the whole sketch derives
+    * from the first 15 hex chars of one md5 digest and a DuckDB oracle can
+    * rebuild it exactly (`(h >> j) & 1` per bit). */
+  val SimhashBits = 60
+
+  /** SimHash signatures as (id, simhash LONG, 60 bits): bit j of the
+    * sketch is the sign of Σ_features ±1 according to bit j of the
+    * md5-derived feature hash; near-dups land at small hamming distance.
     *
     * `featureK` picks the feature space: 1 = unigram tokens (classic
     * simhash ≈ bag-of-words cosine), k>1 = word k-shingles. Use the SAME k
@@ -162,35 +200,28 @@ object Dedup {
     * degenerates to all-pairs candidates (measured: 6.7M candidates from
     * 5k docs) even though shingle-Jaccard separates dups cleanly.
     *
-    * Entirely per-document arithmetic — one codegen'd expression over the
-    * feature array, ZERO shuffles (the round-1 version exploded every token
-    * into 64 rows and shuffled twice; at 100 TB that shuffles 64× the token
-    * count). Feature hashes are computed once into an array column, then a
-    * nested `aggregate` folds the 64 bit-sums. */
+    * Entirely per-document arithmetic in a compiled kernel — ZERO shuffles
+    * (the round-1 version exploded every token into 64 rows and shuffled
+    * twice; at 100 TB that shuffles 64× the token count; the interim
+    * nested-HOF expression was interpreted by Catalyst and ~50× slower). */
   def simhashSignatures(df: DataFrame, idCol: String, textCol: String,
                         featureK: Int = 1): DataFrame = {
     val feats =
       if (featureK <= 1) Text.tokens(lower(col(textCol)))
       else shingles(lower(col(textCol)), featureK)
-    // compiled per-row kernel (base hash = Spark's XXH64, seed 42 — same
-    // as the xxhash64 SQL function); the earlier nested-HOF expression was
-    // interpreted by Catalyst and ~50× slower
     val sigUdf = udf((fs: Seq[String]) => {
-      val acc = new Array[Int](64)
+      val acc = new Array[Int](SimhashBits)
       fs.foreach { f =>
-        val bytes = f.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-        val h = org.apache.spark.sql.catalyst.expressions.XXH64
-          .hashUnsafeBytes(bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
-            bytes.length, 42L)
+        val h = java.lang.Long.parseLong(md5hex(f).substring(0, 15), 16)
         var j = 0
-        while (j < 64) {
+        while (j < SimhashBits) {
           acc(j) += (if (((h >>> j) & 1L) == 1L) 1 else -1)
           j += 1
         }
       }
       var sig = 0L
       var j = 0
-      while (j < 64) {
+      while (j < SimhashBits) {
         if (acc(j) > 0) sig |= (1L << j)
         j += 1
       }
@@ -199,21 +230,27 @@ object Dedup {
     spread(df).select(col(idCol).as("id"), sigUdf(feats).as("simhash"))
   }
 
-  /** SimHash near-dup pairs: chunk-bucket candidates (hamming <= bands-1
-    * guaranteed recall by pigeonhole), a cheap hamming prefilter on the
-    * 8-byte sketches, then exact-Jaccard verification.
+  /** SimHash near-dup pairs: chunk-bucket candidates, a hamming cut on the
+    * sketches inside the candidate join, then exact-Jaccard verification.
     *
-    * The prefilter is the scale lever: random band collisions vastly
-    * outnumber true near-dups, and without it every collision pays the
-    * full shingle-set verification join. The sketch is computed over the
-    * same k-shingle features the verifier uses (see simhashSignatures), so
-    * a pair at shingle-Jaccard 0.8 sits near hamming ~13 while unrelated
-    * docs sit near ~30 — `maxHamming` 24 keeps recall and kills the bulk
-    * of random collisions before they touch the shingle arrays. */
+    * Determinism contract: when `maxHamming <= bands - 1`, the pigeonhole
+    * principle makes the candidate set EXACTLY {pairs: hamming <=
+    * maxHamming} — at most maxHamming bit flips can touch at most
+    * maxHamming of the `bands` chunks, so one shared chunk always survives
+    * — and the output is the deterministic set {hamming <= maxHamming AND
+    * jaccard >= threshold}, which a DuckDB oracle replays exactly (the
+    * sketch is md5-derived, see simhashSignatures). With maxHamming >
+    * bands-1 the extra pairs are found only probabilistically.
+    *
+    * The in-join hamming cut is also the scale lever: random band
+    * collisions vastly outnumber true near-dups, and without the cut every
+    * collision pays the full shingle-set verification join (a J=0.8 pair
+    * sits near hamming ~12 of 60; unrelated docs near ~30). */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   bands: Int = 8, k: Int = 3,
-                   threshold: Double = 0.8, maxHamming: Int = 24): DataFrame = {
-    val bitsPerBand = 64 / bands
+                   bands: Int = 15, k: Int = 3,
+                   threshold: Double = 0.8, maxHamming: Int = 14): DataFrame = {
+    require(SimhashBits % bands == 0, s"bands must divide $SimhashBits")
+    val bitsPerBand = SimhashBits / bands
     val sigs = simhashSignatures(df, idCol, textCol, featureK = k)
     val mask = (1L << bitsPerBand) - 1
     // the sketch rides along with the band key, so the hamming filter runs

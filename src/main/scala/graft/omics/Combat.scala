@@ -83,9 +83,18 @@ object Combat {
       Array(g, d2)
     })
 
+    // NULL moments happen at the edges: var_samp is NULL when a (gene,batch)
+    // cell has n=1 (fall back to the batch's pooled delta2 mean, then 1.0),
+    // and tau2/lambda/theta are NULL when a batch has a single gene (tau2→0
+    // is exact there: gamma_bar over one gene IS gamma_hat, so the
+    // no-variance branch returns the unshrunk estimate). Without these
+    // coalesces the primitive-typed UDF params would silently NULL the
+    // whole `adjusted` column for those rows.
     val eb = gb.join(priors, "batch")
-      .withColumn("__eb", ebSolve(col("gamma_hat"), col("delta2_hat"), col("n"),
-        col("gamma_bar"), col("tau2"), col("lambda"), col("theta")))
+      .withColumn("__d2", coalesce(col("delta2_hat"), col("d_mean"), lit(1.0)))
+      .withColumn("__tau2", coalesce(col("tau2"), lit(0.0)))
+      .withColumn("__eb", ebSolve(col("gamma_hat"), col("__d2"), col("n"),
+        col("gamma_bar"), col("__tau2"), col("lambda"), col("theta")))
       .select(col("gene"), col("batch"),
         col("__eb").getItem(0).as("gamma_star"),
         col("__eb").getItem(1).as("delta2_star"))

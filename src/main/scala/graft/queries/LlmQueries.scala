@@ -15,11 +15,26 @@ object LlmQueries {
   private val shingleCte =
     """toks AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS ts FROM documents), sh0 AS (SELECT doc_id, CASE WHEN len(ts) >= 3 THEN array_to_string(ts[i:i+2], ' ') ELSE array_to_string(ts, ' ') END AS s FROM toks, unnest(generate_series(1, greatest(len(ts) - 2, 1))) AS g(i)), sh AS (SELECT DISTINCT doc_id, s FROM sh0)"""
 
-  /** Exact full-universe pairwise Jaccard >= threshold — the oracle for the
-    * LSH paths (whose exact-verify step makes precision 1; recall at the
-    * >=0.97 similarity of the generated near-dups is ~1). */
-  private def exactJaccardSql(threshold: Double) =
-    s"""WITH $shingleCte, sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1), it AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS inter FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2) SELECT ia AS id_a, ib AS id_b, round(CAST(inter AS DOUBLE) / (x.n + y.n - inter), 6) AS jaccard FROM it JOIN sz x ON ia = x.doc_id JOIN sz y ON ib = y.doc_id WHERE CAST(inter AS DOUBLE) / (x.n + y.n - inter) >= $threshold"""
+  /** Exact-Jaccard verification of a `cand(ia, ib)` candidate-pair CTE —
+    * the tail every sketch oracle shares (mirrors
+    * Dedup.verifyPairsExactJaccard over the raw-case shingle universe). */
+  private def verifyTailSql(threshold: Double) =
+    s"""sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1), it AS (SELECT c.ia, c.ib, count(*) AS inter FROM cand c JOIN sh a ON a.doc_id = c.ia JOIN sh b ON b.doc_id = c.ib AND b.s = a.s GROUP BY 1, 2) SELECT ia AS id_a, ib AS id_b, round(CAST(inter AS DOUBLE) / (x.n + y.n - inter), 6) AS jaccard FROM it JOIN sz x ON ia = x.doc_id JOIN sz y ON ib = y.doc_id WHERE CAST(inter AS DOUBLE) / (x.n + y.n - inter) >= $threshold"""
+
+  /** Full MinHash-LSH pipeline replayed in DuckDB: the md5-derived double-
+    * hashing family (Dedup.minhashSignatures), 16 bands × 8 rows banding on
+    * the exact band-signature string, then exact-Jaccard verify. The oracle
+    * mirrors the banding itself, so parity is deterministic for ANY data —
+    * not a recall bet on the S-curve. */
+  private def minhashLshSql(threshold: Double) =
+    s"""WITH $shingleCte, hx AS (SELECT doc_id, CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) % 2147483647 AS h1, CAST(concat('0x', substr(md5(s), 16, 15)) AS BIGINT) % 2147483646 + 1 AS h2 FROM sh), mh AS (SELECT doc_id, i, min((h1 + i * h2) % 2147483647) AS v FROM hx, unnest(generate_series(0, 127)) AS gi(i) GROUP BY 1, 2), bd AS (SELECT doc_id, i // 8 AS band, array_to_string(list(v ORDER BY i), '_') AS bsig FROM mh GROUP BY 1, 2), cand AS (SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib FROM bd a JOIN bd b ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id), ${verifyTailSql(threshold)}"""
+
+  /** Full SimHash pipeline replayed in DuckDB: 60-bit md5-derived sketch
+    * over lowercased 3-shingles, hamming cut <= 14 (= the deterministic
+    * pigeonhole regime of Dedup.simhashPairs with 15 bands), exact-Jaccard
+    * verify over raw-case shingles. */
+  private def simhashSql(threshold: Double, maxHamming: Int) =
+    s"""WITH $shingleCte, toksl AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0) AS ts FROM documents), shl0 AS (SELECT doc_id, CASE WHEN len(ts) >= 3 THEN array_to_string(ts[i:i+2], ' ') ELSE array_to_string(ts, ' ') END AS s FROM toksl, unnest(generate_series(1, greatest(len(ts) - 2, 1))) AS g(i)), shl AS (SELECT DISTINCT doc_id, s FROM shl0), hs AS (SELECT doc_id, CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) AS h FROM shl), bits AS (SELECT doc_id, j, CASE WHEN sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) > 0 THEN CAST(1 AS BIGINT) << j ELSE CAST(0 AS BIGINT) END AS bv FROM hs, unnest(generate_series(0, 59)) AS gj(j) GROUP BY 1, 2), sig AS (SELECT doc_id, CAST(sum(bv) AS BIGINT) AS sh60 FROM bits GROUP BY 1), cand AS (SELECT a.doc_id AS ia, b.doc_id AS ib FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND bit_count(xor(a.sh60, b.sh60)) <= $maxHamming), ${verifyTailSql(threshold)}"""
 
   val entries: Seq[Entry] = Seq(
 
@@ -43,21 +58,20 @@ object LlmQueries {
       Some(s"""WITH $shingleCte, pr AS (SELECT doc_id, s FROM (SELECT doc_id, s, count(*) OVER (PARTITION BY s) AS df FROM sh) WHERE df <= 100), sz AS (SELECT doc_id, count(*) AS n FROM pr GROUP BY 1), it AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS inter FROM pr a JOIN pr b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2) SELECT ia AS id_a, ib AS id_b, round(CAST(inter AS DOUBLE) / (x.n + y.n - inter), 6) AS jaccard FROM it JOIN sz x ON ia = x.doc_id JOIN sz y ON ib = y.doc_id WHERE CAST(inter AS DOUBLE) / (x.n + y.n - inter) >= 0.8""")),
 
     Entry("q_minhash_lsh",
+      // oracle mirrors the md5-derived family AND the 16×8 banding, so the
+      // hash-compare is deterministic for any data (no S-curve recall bet)
       (s, d) => Dedup.minhashLshPairs(t(s, d, "documents"), "doc_id", "text",
         k = 3, threshold = 0.8, numHashes = 128, bands = 16),
-      Some(exactJaccardSql(0.8))),
+      Some(minhashLshSql(0.8))),
 
     Entry("q_simhash_pairs",
-      // sketch over the same 3-shingle features the Jaccard verifier uses
-      // (Dedup.simhashSignatures featureK) — near-dups land at hamming
-      // ~0-5, unrelated docs ~30, so banding + the hamming cut prune
-      // candidates instead of degenerating to all-pairs
-      // 16 bands -> pigeonhole-guaranteed recall for hamming <= 15; the
-      // in-join hamming cut keeps the extra 4-bit-band collisions cheap
-      // (true j>=0.8 pairs here sit at hamming <= 10)
+      // sketch over the same 3-shingle features the Jaccard verifier uses;
+      // maxHamming 14 <= bands-1 puts the operator in its deterministic
+      // pigeonhole regime: output = {hamming <= 14 AND jaccard >= 0.8},
+      // which the oracle computes directly from its own 60-bit md5 sketch
       (s, d) => Dedup.simhashPairs(t(s, d, "documents"), "doc_id", "text",
-        bands = 16, k = 3, threshold = 0.8, maxHamming = 16),
-      Some(exactJaccardSql(0.8))),
+        bands = 15, k = 3, threshold = 0.8, maxHamming = 14),
+      Some(simhashSql(0.8, 14))),
 
     Entry("q_ann_brute",
       // exact cosine top-k; queries broadcast, corpus streamed

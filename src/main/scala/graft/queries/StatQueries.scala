@@ -171,9 +171,13 @@ object StatQueries {
         val rows = t(s, d, "orders").select(col("o_orderkey"))
         val existing = t(s, d, "orders").where(col("o_orderkey") % 10 === 0)
           .select(graft.ops.Ids.candidate("o_orderkey", 42L, 0).as("vm_id"))
-        graft.ops.Ids.assignNewIds(rows, "o_orderkey", existing)
+        // maxAttempts matches the oracle's unroll depth exactly (2 attempts
+        // + explicit NULL-id leftovers) so parity is deterministic, not
+        // probabilistic — a row first resolving at attempt >= 2 would land
+        // in BOTH sides' leftover set
+        graft.ops.Ids.assignNewIds(rows, "o_orderkey", existing, maxAttempts = 2)
       },
-      Some("""WITH rows0 AS (SELECT o_orderkey FROM orders), existing AS (SELECT DISTINCT concat('VM_', substr(md5(concat('42:0:', CAST(o_orderkey AS VARCHAR))), 1, 7)) AS vm_id FROM orders WHERE o_orderkey % 10 = 0), a0 AS (SELECT o_orderkey, concat('VM_', substr(md5(concat('42:0:', CAST(o_orderkey AS VARCHAR))), 1, 7)) AS vm_id FROM rows0), d0 AS (SELECT vm_id, count(*) AS c, min(o_orderkey) AS w FROM a0 GROUP BY 1), ok0 AS (SELECT a0.o_orderkey, a0.vm_id FROM a0 JOIN d0 USING (vm_id) WHERE (d0.c = 1 OR a0.o_orderkey = d0.w) AND a0.vm_id NOT IN (SELECT vm_id FROM existing)), pend1 AS (SELECT o_orderkey FROM rows0 WHERE o_orderkey NOT IN (SELECT o_orderkey FROM ok0)), a1 AS (SELECT o_orderkey, concat('VM_', substr(md5(concat('42:1:', CAST(o_orderkey AS VARCHAR))), 1, 7)) AS vm_id FROM pend1), d1 AS (SELECT vm_id, count(*) AS c, min(o_orderkey) AS w FROM a1 GROUP BY 1), ok1 AS (SELECT a1.o_orderkey, a1.vm_id FROM a1 JOIN d1 USING (vm_id) WHERE (d1.c = 1 OR a1.o_orderkey = d1.w) AND a1.vm_id NOT IN (SELECT vm_id FROM existing UNION ALL SELECT vm_id FROM ok0)) SELECT * FROM ok0 UNION ALL SELECT * FROM ok1""")),
+      Some("""WITH rows0 AS (SELECT o_orderkey FROM orders), existing AS (SELECT DISTINCT concat('VM_', substr(md5(concat('42:0:', CAST(o_orderkey AS VARCHAR))), 1, 7)) AS vm_id FROM orders WHERE o_orderkey % 10 = 0), a0 AS (SELECT o_orderkey, concat('VM_', substr(md5(concat('42:0:', CAST(o_orderkey AS VARCHAR))), 1, 7)) AS vm_id FROM rows0), d0 AS (SELECT vm_id, count(*) AS c, min(o_orderkey) AS w FROM a0 GROUP BY 1), ok0 AS (SELECT a0.o_orderkey, a0.vm_id FROM a0 JOIN d0 USING (vm_id) WHERE (d0.c = 1 OR a0.o_orderkey = d0.w) AND a0.vm_id NOT IN (SELECT vm_id FROM existing)), pend1 AS (SELECT o_orderkey FROM rows0 WHERE o_orderkey NOT IN (SELECT o_orderkey FROM ok0)), a1 AS (SELECT o_orderkey, concat('VM_', substr(md5(concat('42:1:', CAST(o_orderkey AS VARCHAR))), 1, 7)) AS vm_id FROM pend1), d1 AS (SELECT vm_id, count(*) AS c, min(o_orderkey) AS w FROM a1 GROUP BY 1), ok1 AS (SELECT a1.o_orderkey, a1.vm_id FROM a1 JOIN d1 USING (vm_id) WHERE (d1.c = 1 OR a1.o_orderkey = d1.w) AND a1.vm_id NOT IN (SELECT vm_id FROM existing UNION ALL SELECT vm_id FROM ok0)) SELECT * FROM ok0 UNION ALL SELECT * FROM ok1 UNION ALL SELECT o_orderkey, CAST(NULL AS VARCHAR) AS vm_id FROM rows0 WHERE o_orderkey NOT IN (SELECT o_orderkey FROM ok0) AND o_orderkey NOT IN (SELECT o_orderkey FROM ok1)""")),
 
     Entry("q_tmm_factor",
       // full TMM-style normalization factor (run_ABCD-DNA.R:26-64,

@@ -59,11 +59,14 @@ class DedupSimSpec extends SparkSpec {
     val sigs = Dedup.simhashSignatures(corpus(), "doc_id", "text")
       .as[(Long, Long)].collect().toMap
     assert(sigs(1L) == sigs(2L))
+    assert(sigs.values.forall(s => (s >>> Dedup.SimhashBits) == 0L), "60-bit sketch")
     def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
-    assert(hamming(sigs(1L), sigs(3L)) <= 8)
-    assert(hamming(sigs(1L), sigs(4L)) > 8)
+    assert(hamming(sigs(1L), sigs(3L)) <= 14)
+    assert(hamming(sigs(1L), sigs(4L)) > 14)
+    // 30 bands of 2 bits: pigeonhole-deterministic up to hamming 24 — wide
+    // enough that the J~0.76 near-dup (expected hamming ~13) is guaranteed
     val pairs = Dedup.simhashPairs(corpus(), "doc_id", "text",
-      bands = 8, k = 3, threshold = 0.5)
+      bands = 30, k = 3, threshold = 0.5, maxHamming = 24)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(pairs.contains((1L, 2L)) && pairs.contains((1L, 3L)))
   }

@@ -105,6 +105,21 @@ class IoMultimodalSpec extends SparkSpec {
     // left join keeps unmatched big rows exactly once
     val saltedLeft = Skew.saltedJoin(big, small, "key", how = "left")
     assert(saltedLeft.count() == big.count())
+    // full outer: unmatched small rows (keys 0,1,5 — no big row has them)
+    // must appear exactly once, not once per shard
+    def sortedRows(df: org.apache.spark.sql.DataFrame) = df
+      .select("key", "payload", "tag")
+      .collect().map(r => (r.isNullAt(0), if (r.isNullAt(0)) 0L else r.getLong(0),
+        r.isNullAt(1), if (r.isNullAt(1)) 0 else r.getInt(1),
+        Option(r.getString(2)).getOrElse(""))).sorted.toSeq
+    val smallMiss = small.union(Seq((777L, "unmatched")).toDF("key", "tag"))
+    val saltedFull = Skew.saltedJoin(big, smallMiss, "key", how = "full")
+    val plainFull = big.join(smallMiss, Seq("key"), "full")
+    assert(sortedRows(saltedFull) == sortedRows(plainFull))
+    val saltedRight = Skew.saltedJoin(big, smallMiss, "key", how = "right")
+    val plainRight = big.join(smallMiss, Seq("key"), "right")
+    assert(sortedRows(saltedRight) == sortedRows(plainRight))
+    assert(saltedRight.count() == plainRight.count())
   }
 
   test("multimodal feature extraction is deterministic and batch-shaped") {
