@@ -35,7 +35,12 @@ object Dedup {
       .groupBy("content_hash")
       .agg(min(col(idCol)).as("kept_id"), count(lit(1)).as("dup_count"))
 
-  /** Word k-shingles of a document as a distinct array column. */
+  /** Word k-shingles of a document as a distinct array column.
+    *
+    * Declarative form — kept as the semantic definition (it is what the
+    * DuckDB oracles mirror), but Catalyst INTERPRETS the transform/
+    * array_join lambdas, so the hot paths below use [[shingleSet]], a
+    * compiled kernel with identical output, instead. */
   def shingles(text: Column, k: Int): Column = {
     val toks = Text.tokens(text)
     array_distinct(
@@ -43,6 +48,33 @@ object Dedup {
         transform(sequence(lit(0), size(toks) - k),
           i => array_join(slice(toks, i + 1, lit(k)), " ")))
         .otherwise(array(array_join(toks, " "))))
+  }
+
+  private val wsPattern = java.util.regex.Pattern.compile("\\s+")
+
+  /** Compiled twin of [[shingles]]: distinct word k-shingles of `text`.
+    * Same output set (whitespace split, empties dropped, windows of k
+    * joined by single spaces; short docs collapse to one whole-doc
+    * shingle); compiled loop instead of interpreted HOF lambdas. */
+  private[graft] def shingleSet(text: String, k: Int): Array[String] = {
+    if (text == null) return Array.empty
+    val toks = wsPattern.split(text).filter(_.nonEmpty)
+    val out = new java.util.LinkedHashSet[String]()
+    if (toks.length >= k) {
+      var i = 0
+      while (i <= toks.length - k) {
+        val sb = new java.lang.StringBuilder()
+        var j = 0
+        while (j < k) {
+          if (j > 0) sb.append(' ')
+          sb.append(toks(i + j))
+          j += 1
+        }
+        out.add(sb.toString)
+        i += 1
+      }
+    } else out.add(toks.mkString(" "))
+    out.toArray(new Array[String](0))
   }
 
   /** Exact n-gram Jaccard near-duplicate pairs.
@@ -60,23 +92,35 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         k: Int = 3, threshold: Double = 0.8,
                         maxShingleDf: Long = 100): DataFrame = {
-    val sh = df.select(col(idCol).as("id"),
-        explode(shingles(col(textCol), k)).as("shingle"))
-    // DF-pruning defines the shingle universe: both the candidate index AND
+    val shUdf = udf((t: String) => shingleSet(t, k))
+    val sh = spread(df).select(col(idCol).as("id"),
+        explode(shUdf(col(textCol))).as("shingle"))
+    // One shuffle builds the pruned inverted index as sorted posting lists;
+    // DF-pruning is the size cap on the list. This replaces the round-2
+    // shape (df via a partitionBy-shingle WINDOW + index self-join = two
+    // extra sort shuffles of the full index; measured 13× DuckDB at sf0.1).
+    // DF-pruning defines the shingle universe: both the candidate pairs AND
     // the per-doc sizes come from the pruned set, so the Jaccard reported is
-    // consistently "Jaccard over shingles with df <= maxShingleDf" (the
-    // round-1 version mixed pruned intersections with unpruned sizes).
-    val pruned = sh.withColumn("df",
-        count(lit(1)).over(Window.partitionBy("shingle")))
-      .where(col("df") <= maxShingleDf).drop("df")
-    val sizes = pruned.groupBy("id").agg(count(lit(1)).as("sz"))
-    val inter = pruned.as("x").join(pruned.as("y"),
-        col("x.shingle") === col("y.shingle") && col("x.id") < col("y.id"))
-      .groupBy(col("x.id").as("id_a"), col("y.id").as("id_b"))
-      .agg(count(lit(1)).as("inter"))
+    // consistently "Jaccard over shingles with df <= maxShingleDf".
+    val posting = sh.groupBy("shingle")
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .where(size(col("ids")) <= maxShingleDf)
+      .select("ids")
+    // per-doc pruned set sizes: tiny aggregate, broadcast back to the pairs
+    val sizes = posting.select(explode(col("ids")).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("sz"))
+    // candidate pairs exploded inside each posting list (ids sorted, so
+    // id_a < id_b by construction); co-occurrence count = |intersection|
+    val inter = posting
+      .select(posexplode(col("ids")).as(Seq("i", "id_a")), col("ids"))
+      .select(col("id_a"),
+        explode(slice(col("ids"), col("i") + lit(2), size(col("ids")))).as("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+    // no broadcast hint: sizes is one row per doc (fine here, petabyte-scale
+    // corpora make it shuffle-sized) — AQE picks broadcast when it fits
     inter
-      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sa"), "id_a")
-      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sb"), "id_b")
+      .join(sizes.toDF("id_a", "sa"), "id_a")
+      .join(sizes.toDF("id_b", "sb"), "id_b")
       .withColumn("jaccard",
         col("inter").cast("double") / (col("sa") + col("sb") - col("inter")))
       .where(col("jaccard") >= threshold)
@@ -126,9 +170,11 @@ object Dedup {
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
                         k: Int = 3, numHashes: Int = 128): DataFrame = {
     val n = numHashes
-    val sigUdf = udf((shingles: Seq[String]) => {
+    // text -> shingles -> signature in ONE compiled kernel: the interpreted
+    // shingle HOF and the Seq[String] ser/deser hop both disappear
+    val sigUdf = udf((text: String) => {
       val sig = Array.fill(n)(Long.MaxValue)
-      shingles.foreach { s =>
+      shingleSet(text, k).foreach { s =>
         val m = md5hex(s)
         val h1 = java.lang.Long.parseLong(m.substring(0, 15), 16) % MinhashP
         val h2 = java.lang.Long.parseLong(m.substring(15, 30), 16) % (MinhashP - 1) + 1
@@ -142,7 +188,7 @@ object Dedup {
       sig
     })
     spread(df).select(col(idCol).as("id"),
-        sigUdf(shingles(col(textCol), k)).as("sig"))
+        sigUdf(col(textCol)).as("sig"))
   }
 
   /** MinHash-LSH near-duplicate pairs: band the signature into
@@ -206,10 +252,12 @@ object Dedup {
     * nested-HOF expression was interpreted by Catalyst and ~50× slower). */
   def simhashSignatures(df: DataFrame, idCol: String, textCol: String,
                         featureK: Int = 1): DataFrame = {
-    val feats =
-      if (featureK <= 1) Text.tokens(lower(col(textCol)))
-      else shingles(lower(col(textCol)), featureK)
-    val sigUdf = udf((fs: Seq[String]) => {
+    // text -> lowercase -> features -> sketch in one compiled kernel
+    // (feature set: distinct tokens for featureK=1, else distinct
+    // k-shingles — shingleSet(_, 1) IS the distinct token set)
+    val fk = math.max(featureK, 1)
+    val sigUdf = udf((text: String) => {
+      val fs = shingleSet(if (text == null) null else text.toLowerCase, fk)
       val acc = new Array[Int](SimhashBits)
       fs.foreach { f =>
         val h = java.lang.Long.parseLong(md5hex(f).substring(0, 15), 16)
@@ -227,7 +275,7 @@ object Dedup {
       }
       sig
     })
-    spread(df).select(col(idCol).as("id"), sigUdf(feats).as("simhash"))
+    spread(df).select(col(idCol).as("id"), sigUdf(col(textCol)).as("simhash"))
   }
 
   /** SimHash near-dup pairs: chunk-bucket candidates, a hamming cut on the
@@ -276,7 +324,8 @@ object Dedup {
   def verifyPairsExactJaccard(df: DataFrame, candidates: DataFrame,
                               idCol: String, textCol: String,
                               k: Int, threshold: Double): DataFrame = {
-    val docs = spread(df).select(col(idCol).as("id"), shingles(col(textCol), k).as("sh"))
+    val shUdf = udf((t: String) => shingleSet(t, k))
+    val docs = spread(df).select(col(idCol).as("id"), shUdf(col(textCol)).as("sh"))
     candidates
       .join(docs.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(docs.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")

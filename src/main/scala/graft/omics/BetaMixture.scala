@@ -32,6 +32,12 @@ object BetaMixture {
                            tol: Double = 1e-8): (Double, Array[Component]) = {
     val xs = xs0.map(x => math.min(1 - Eps, math.max(Eps, x)))
     val n = xs.length
+    // ln x / ln(1-x) are loop invariants of the whole EM (and of every k);
+    // with them hoisted, a density evaluation is two multiplies and one
+    // exp instead of three lgammas — the lgammas that remain (one log-beta
+    // per component per iteration) are O(k·iter), not O(n·k·iter)
+    val lx = xs.map(math.log)
+    val l1x = xs.map(x => math.log1p(-x))
     val sorted = xs.sorted
     // deterministic init: split at quantiles into k blocks; moments per block
     val blocks = Array.tabulate(k) { j =>
@@ -48,14 +54,18 @@ object BetaMixture {
     var converged = false
     val resp = Array.ofDim[Double](n, k)
     while (iter < maxIter && !converged) {
-      // E step
+      // E step; per-component log-normalizer computed once per iteration
+      val lnB = comps.map { case (a, b, _) =>
+        Dist.lgamma(a) + Dist.lgamma(b) - Dist.lgamma(a + b)
+      }
       var newLl = 0.0
       var i = 0
       while (i < n) {
         var tot = 0.0
         var j = 0
         while (j < k) {
-          val d = comps(j)._3 * math.exp(Dist.dbetaLog(xs(i), comps(j)._1, comps(j)._2))
+          val (a, b, w) = comps(j)
+          val d = w * math.exp((a - 1) * lx(i) + (b - 1) * l1x(i) - lnB(j))
           resp(i)(j) = d; tot += d; j += 1
         }
         if (tot <= 0 || tot.isNaN) { tot = Double.MinPositiveValue }

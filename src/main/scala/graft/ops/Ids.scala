@@ -24,26 +24,43 @@ object Ids {
   def assignNewIds(rows: DataFrame, keyCol: String, existing: DataFrame,
                    seed: Long = 42L, maxAttempts: Int = 5): DataFrame = {
     val taken0 = existing.toDF("vm_id").distinct()
-    var pending = rows.localCheckpoint()
-    var taken = taken0.localCheckpoint()
+    var pending = rows
+    var taken = taken0
     var done: DataFrame = null
     var attempt = 0
-    while (attempt < maxAttempts && !pending.isEmpty) {
+    while (attempt < maxAttempts) {
       val cand = pending.withColumn("vm_id", candidate(keyCol, seed, attempt))
       // a candidate survives if it collides with neither the taken set nor
-      // another candidate in this batch (keep-min-key wins the batch tie)
-      val batchDups = cand.groupBy("vm_id")
-        .agg(count(lit(1)).as("__c"), min(col(keyCol)).as("__winner"))
-      val checked = cand.join(batchDups, "vm_id")
+      // another candidate in this batch (keep-min-key wins the batch tie).
+      // Batch-dup detection is a window over vm_id, not groupBy+self-join:
+      // one exchange computes both aggregates AND leaves the stream
+      // partitioned by vm_id, which the taken anti-check join then reuses.
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("vm_id")
+      // LAZY checkpoint: `checked` feeds ok, pending AND (via taken) the
+      // next attempt, so without it the plan both doubles per attempt and
+      // RECOMPUTES the whole join chain once per consuming branch (the
+      // round-2 eager variant instead paid one materialization job per
+      // derived frame — 5.0 s vs DuckDB's 0.55 s at sf0.1, all overhead).
+      // eager=false materializes on first use, reuses the blocks after,
+      // and costs zero extra jobs on the fast path.
+      val checked = cand
+        .withColumn("__c", count(lit(1)).over(w))
+        .withColumn("__winner", min(col(keyCol)).over(w))
         .withColumn("__ok", col("__c") === 1 || col(keyCol) === col("__winner"))
         .join(taken.withColumn("__taken", lit(true)), Seq("vm_id"), "left")
         .withColumn("__ok", col("__ok") && col("__taken").isNull)
         .drop("__c", "__winner", "__taken")
-      val ok = checked.where(col("__ok")).drop("__ok").localCheckpoint()
+        .localCheckpoint(false)
+      val ok = checked.where(col("__ok")).drop("__ok")
       done = if (done == null) ok else done.union(ok)
-      taken = taken.union(ok.select("vm_id")).localCheckpoint()
-      pending = checked.where(!col("__ok")).drop("__ok", "vm_id").localCheckpoint()
+      taken = taken.union(ok.select("vm_id"))
+      pending = checked.where(!col("__ok")).drop("__ok", "vm_id")
       attempt += 1
+      // early-exit probe only past the common resolution depth (a re-drawn
+      // id collides at ~n/16^7, so virtually everything settles within two
+      // attempts); earlier probes would spend a job to learn nothing
+      if (attempt < maxAttempts && attempt >= 2 && pending.isEmpty)
+        attempt = maxAttempts
     }
     val leftover = pending.withColumn("vm_id", lit(null).cast("string"))
     if (done == null) leftover

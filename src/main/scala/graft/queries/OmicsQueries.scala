@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.omics.{BetaMixture, Combat, DriverNet, GlmNb, Impute, Models}
+import graft.stats.Stats
 import Q.{Entry, t}
 
 /** Per-group model kernels (SURVEY §2.4's non-algebraic rows) wired over
@@ -100,12 +101,19 @@ object OmicsQueries {
       None),
 
     Entry("q_ols_covariate",
-      // MethylMix covariate branch: y ~ x1 + x2 per group via in-task
-      // normal equations
-      (s, d) => Models.olsMultiPerGroup(t(s, d, "lineitem"),
-          "l_returnflag", "l_extendedprice", Seq("l_quantity", "l_discount"))
-        .toDF().withColumn("coef", col("coef").cast("string")),
-      None),
+      // MethylMix covariate branch y ~ x1 + x2 per group — the closed-form
+      // exact-decimal aggregate (map-side partials + Cramer solve in the
+      // projection; bit-reproducible, so fully DuckDB-oracled). The
+      // general-k mapGroups kernel (Models.olsMultiPerGroup) remains the
+      // library path for >2 covariates and is golden-tested against this
+      // on the same data in OmicsKernelSpec.
+      (s, d) => Stats.olsTwoCovariatesExact(t(s, d, "lineitem"),
+          Seq("l_returnflag"), "l_extendedprice", "l_quantity", "l_discount")
+        .select(col("l_returnflag"), col("n").cast("long").as("n"),
+          Q.r6(col("b0")).as("b0"), Q.r6(col("b1")).as("b1"),
+          Q.r6(col("b2")).as("b2"), Q.r6(col("t_slope")).as("t_slope"),
+          Q.r6(col("r2")).as("r2")),
+      Some("""WITH g AS (SELECT l_returnflag, CAST(count(*) AS DOUBLE) AS n, CAST(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS s1, CAST(CAST(sum(CAST(l_discount AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS s2, CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sy, CAST(CAST(sum(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS s11, CAST(CAST(sum(CAST(l_discount AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS s22, CAST(CAST(sum(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS s12, CAST(CAST(sum(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS s1y, CAST(CAST(sum(CAST(l_discount AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS s2y, CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS syy FROM lineitem GROUP BY 1), k AS (SELECT *, n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2) + s2 * (s1 * s12 - s11 * s2) AS det FROM g), c AS (SELECT l_returnflag, n, sy, s1y, s2y, syy, det, (sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y) + s2 * (s1y * s12 - s11 * s2y)) / nullif(det, 0) AS b0, (n * (s1y * s22 - s12 * s2y) - sy * (s1 * s22 - s12 * s2) + s2 * (s1 * s2y - s1y * s2)) / nullif(det, 0) AS b1, (n * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2) + sy * (s1 * s12 - s11 * s2)) / nullif(det, 0) AS b2, n * s22 - s2 * s2 AS c11 FROM k), f AS (SELECT l_returnflag, n, b0, b1, b2, syy - b0 * sy - b1 * s1y - b2 * s2y AS rss, syy - sy * sy / n AS tss, det, c11 FROM c) SELECT l_returnflag, CAST(n AS BIGINT) AS n, round(b0, 6) AS b0, round(b1, 6) AS b1, round(b2, 6) AS b2, round(b1 / nullif(sqrt(rss / (n - 3) * c11 / det), 0), 6) AS t_slope, round(1.0 - rss / nullif(tss, 0), 6) AS r2 FROM f""")),
 
     Entry("q_combat",
       // ComBat EB batch adjustment on a long-form slice

@@ -86,7 +86,12 @@ object PipelineQueries {
           .agg(Q.sumDec(col("l_quantity")).as("r"))
           .select(concat(lit("p"), col("l_partkey").cast("string")).as("src"),
             concat(lit("s"), col("l_suppkey").cast("string")).as("dst"), col("r"))
-        val edges = e0.union(e0.select(col("dst"), col("src"), col("r")))
+        // both orientations exploded from ONE aggregation pass (a self-union
+        // of the same aggregate subtree would scan+aggregate lineitem twice)
+        val edges = e0.select(explode(array(
+            struct(col("src").as("s"), col("dst").as("d"), col("r").as("r")),
+            struct(col("dst").as("s"), col("src").as("d"), col("r").as("r"))))
+          .as("e")).select(col("e.s").as("src"), col("e.d").as("dst"), col("e.r").as("r"))
         Stats.mutualRank(edges, "src", "dst", "r")
           .where(col("weight") >= 0.8)
           .select(col("a"), col("b"), r6(col("weight")).as("weight"))

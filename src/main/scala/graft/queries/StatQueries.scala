@@ -210,7 +210,11 @@ object StatQueries {
           .agg(Q.sumDec(col("l_extendedprice")).as("r"))
           .select(concat(lit("p"), col("l_partkey").cast("string")).as("src"),
             concat(lit("s"), col("l_suppkey").cast("string")).as("dst"), col("r"))
-        val edges = e0.union(e0.select(col("dst"), col("src"), col("r")))
+        // one aggregation pass, both orientations exploded (see wcmodules)
+        val edges = e0.select(explode(array(
+            struct(col("src").as("s"), col("dst").as("d"), col("r").as("r")),
+            struct(col("dst").as("s"), col("src").as("d"), col("r").as("r"))))
+          .as("e")).select(col("e.s").as("src"), col("e.d").as("dst"), col("e.r").as("r"))
         Stats.mutualRank(edges, "src", "dst", "r")
           .select(col("a"), col("b"), r6(col("mr")).as("mr"),
             r6(col("weight")).as("weight"))

@@ -126,16 +126,39 @@ object Stats {
 
   /** Median absolute deviation filter (gizmos.py:15-25 calc_MAD +
     * apply_MAD_filter gizmos.py:121-130): per entity, median of
-    * |x - median(x)|; keep entities with MAD > 0. Exact medians via the
-    * `percentile` aggregate (exact, mergeable sketch of sorted values —
-    * group cardinalities here are per-entity sample counts, i.e. small). */
+    * |x - median(x)|; keep entities with MAD > 0.
+    *
+    * ONE shuffle: the group's values are collected sorted and both exact
+    * medians come from a compiled kernel using the same linear-interpolation
+    * rule as the `percentile` aggregate (agreement is pinned by a ScalaTest
+    * against percentile() on random data). The round-2 shape — percentile,
+    * join the medians back, percentile again — paid three exchanges of the
+    * fact table for the same answer. Group cardinality = samples per
+    * entity, small by construction (the `percentile` aggregate buffers the
+    * same values per group anyway, so peak memory is unchanged). */
   def madPerGroup(df: DataFrame, groupCols: Seq[String], x: String): DataFrame = {
-    val med = df.groupBy(groupCols.map(col): _*)
-      .agg(expr(s"percentile(`$x`, 0.5)").as("med"))
-    df.join(med, groupCols)
-      .groupBy(groupCols.map(col): _*)
-      .agg(first(col("med")).as("med"),
-        expr(s"percentile(abs(`$x` - med), 0.5)").as("mad"))
+    val mm = udf((vs: Seq[Double]) => {
+      if (vs.isEmpty) null
+      else {
+        val a = vs.toArray // pre-sorted by sort_array
+        def pct(arr: Array[Double], p: Double): Double = {
+          val pos = p * (arr.length - 1)
+          val lo = math.floor(pos).toInt
+          val hi = math.ceil(pos).toInt
+          if (lo == hi) arr(lo)
+          else arr(lo) * (hi - pos) + arr(hi) * (pos - lo)
+        }
+        val med = pct(a, 0.5)
+        val dev = a.map(v => math.abs(v - med))
+        java.util.Arrays.sort(dev)
+        Array(med, pct(dev, 0.5))
+      }
+    })
+    df.groupBy(groupCols.map(col): _*)
+      .agg(sort_array(collect_list(col(x).cast("double"))).as("__v"))
+      .withColumn("__mm", mm(col("__v")))
+      .select(groupCols.map(col) :+ col("__mm").getItem(0).as("med") :+
+        col("__mm").getItem(1).as("mad"): _*)
   }
 
   /** Geometric-mean centering factor per group: exp(avg(log x)) over
@@ -171,6 +194,70 @@ object Stats {
       .drop("sxx0", "sxy0", "syy0", "sigma2")
   }
 
+  /** Per-group OLS y ~ 1 + x1 + x2 in CLOSED FORM over exact decimal moment
+    * sums — the two-covariate case of the MethylMix covariate branch
+    * (MethylMix.R:192-199) expressed as one algebraic aggregate + a Cramer
+    * 3×3 solve in the projection. Unlike the general mapGroups kernel
+    * ([[graft.omics.Models.olsMultiPerGroup]], which pays a per-group
+    * in-task sort for run-determinism and serializes when groups are huge),
+    * this is map-side-partial + codegen all the way and its arithmetic is
+    * bit-reproducible: the ten moment sums are exact DECIMAL sums
+    * (order-independent), converted to double via the decimal STRING
+    * (string→double is correctly rounded in every engine, so a DuckDB
+    * oracle lands on the identical doubles), and the downstream algebra is
+    * a fixed IEEE expression tree. Use this form when x/y are fixed-point
+    * (money-like) columns; `dec` must hold every input exactly.
+    *
+    * Emits per group: n, b0/b1/b2 (intercept, x1, x2 coefficients),
+    * t_slope + p_slope for x1 (the methylation term in the reference), r2.
+    */
+  def olsTwoCovariatesExact(df: DataFrame, groupCols: Seq[String],
+                            y: String, x1: String, x2: String,
+                            dec: String = "decimal(12,2)"): DataFrame = {
+    def d(c: String) = col(c).cast(dec)
+    def s(e: Column) = sum(e).cast("string").cast("double")
+    val g = df.groupBy(groupCols.map(col): _*).agg(
+      count(lit(1)).cast("double").as("n"),
+      s(d(x1)).as("s1"), s(d(x2)).as("s2"), s(d(y)).as("sy"),
+      s(d(x1) * d(x1)).as("s11"), s(d(x2) * d(x2)).as("s22"),
+      s(d(x1) * d(x2)).as("s12"),
+      s(d(x1) * d(y)).as("s1y"), s(d(x2) * d(y)).as("s2y"),
+      s(d(y) * d(y)).as("syy"))
+    // Cramer expansions — the oracle mirrors these token-for-token, so keep
+    // the association order stable
+    val det = col("n") * (col("s11") * col("s22") - col("s12") * col("s12")) -
+      col("s1") * (col("s1") * col("s22") - col("s12") * col("s2")) +
+      col("s2") * (col("s1") * col("s12") - col("s11") * col("s2"))
+    val det0 = col("sy") * (col("s11") * col("s22") - col("s12") * col("s12")) -
+      col("s1") * (col("s1y") * col("s22") - col("s12") * col("s2y")) +
+      col("s2") * (col("s1y") * col("s12") - col("s11") * col("s2y"))
+    val det1 = col("n") * (col("s1y") * col("s22") - col("s12") * col("s2y")) -
+      col("sy") * (col("s1") * col("s22") - col("s12") * col("s2")) +
+      col("s2") * (col("s1") * col("s2y") - col("s1y") * col("s2"))
+    val det2 = col("n") * (col("s11") * col("s2y") - col("s1y") * col("s12")) -
+      col("s1") * (col("s1") * col("s2y") - col("s1y") * col("s2")) +
+      col("sy") * (col("s1") * col("s12") - col("s11") * col("s2"))
+    g.withColumn("__det", det)
+      .withColumn("b0", det0 / when(abs(col("__det")) > 0, col("__det")))
+      .withColumn("b1", det1 / when(abs(col("__det")) > 0, col("__det")))
+      .withColumn("b2", det2 / when(abs(col("__det")) > 0, col("__det")))
+      .withColumn("rss",
+        col("syy") - col("b0") * col("sy") - col("b1") * col("s1y") -
+          col("b2") * col("s2y"))
+      .withColumn("tss", col("syy") - col("sy") * col("sy") / col("n"))
+      .withColumn("sigma2", col("rss") / (col("n") - 3))
+      // (X'X)^-1 [1][1] = cofactor (n*s22 - s2*s2) / det
+      .withColumn("se1",
+        sqrt(col("sigma2") * (col("n") * col("s22") - col("s2") * col("s2")) /
+          col("__det")))
+      .withColumn("t_slope", col("b1") / when(col("se1") > 0, col("se1")))
+      .withColumn("p_slope", graft.catalyst.StatFunctions.tTail2(
+        col("t_slope"), col("n") - 3))
+      .withColumn("r2", lit(1.0) - col("rss") / when(col("tss") > 0, col("tss")))
+      .drop("s1", "s2", "sy", "s11", "s22", "s12", "s1y", "s2y", "syy",
+        "__det", "rss", "tss", "sigma2", "se1")
+  }
+
   /** ROC AUC per group via the rank (Mann-Whitney) formulation with
     * midrank tie handling (Robinson_method/R/Figures_3_5_normalize_ROC.R
     * ROC evaluation): AUC = (Σ ranks of positives − n₁(n₁+1)/2)/(n₁n₀).
@@ -199,12 +286,22 @@ object Stats {
                  decay: Double = 25.0): DataFrame = {
     val w = Window.partitionBy(col(src)).orderBy(col(r).desc, col(dst))
     val ranked = edges.withColumn("rank", row_number().over(w))
-    val ab = ranked.select(col(src).as("a"), col(dst).as("b"),
-      col(r).as("r"), col("rank").as("rank_ab"))
-    val ba = ranked.select(col(dst).as("a"), col(src).as("b"),
-      col("rank").as("rank_ba"))
-    ab.join(ba, Seq("a", "b"))
-      .where(col("a") < col("b"))
+    // both orientations of a pair meet under the unordered key via ONE
+    // hash aggregate instead of a self-join (which sort-shuffles the
+    // ranked edge list twice more); requires each direction to appear at
+    // most once, which a correlation edge list satisfies by construction
+    ranked
+      .where(col(src) =!= col(dst))
+      .select(
+        least(col(src), col(dst)).as("a"),
+        greatest(col(src), col(dst)).as("b"),
+        when(col(src) < col(dst), col(r)).as("__r"),
+        when(col(src) < col(dst), col("rank")).as("__rab"),
+        when(col(src) > col(dst), col("rank")).as("__rba"))
+      .groupBy("a", "b")
+      .agg(max(col("__r")).as("r"), max(col("__rab")).as("rank_ab"),
+        max(col("__rba")).as("rank_ba"))
+      .where(col("rank_ab").isNotNull && col("rank_ba").isNotNull)
       .withColumn("mr", sqrt(col("rank_ab") * col("rank_ba")))
       .withColumn("weight", exp((lit(1.0) - col("mr")) / decay))
   }

@@ -131,6 +131,35 @@ class OmicsKernelSpec extends SparkSpec {
     assert(math.abs(multi2.slope - 2.0) < 0.1)
   }
 
+  test("closed-form two-covariate OLS agrees with the mapGroups kernel") {
+    val rng = new scala.util.Random(7)
+    val rows = Seq.tabulate(3, 80) { (g, i) =>
+      val x1 = math.rint((10 + rng.nextGaussian() * 3) * 100) / 100
+      val x2 = math.rint(rng.nextDouble() * 10) / 100
+      val y = math.rint((5.0 + 2.5 * x1 - 40.0 * x2 + rng.nextGaussian()) * 100) / 100
+      (s"g$g", y, x1, x2)
+    }.flatten
+    val df = rows.toDF("grp", "y", "x1", "x2")
+    val exact = graft.stats.Stats.olsTwoCovariatesExact(
+        df, Seq("grp"), "y", "x1", "x2")
+      .select("grp", "b0", "b1", "b2", "t_slope", "p_slope", "r2")
+      .as[(String, Double, Double, Double, Double, Double, Double)]
+      .collect().map(r => r._1 -> r).toMap
+    val kernel = Models.olsMultiPerGroup(df, "grp", "y", Seq("x1", "x2"))
+      .collect().map(r => r.group -> r).toMap
+    assert(exact.keySet == kernel.keySet && exact.size == 3)
+    exact.foreach { case (g, e) =>
+      val m = kernel(g)
+      assert(math.abs(e._2 - m.coef(0)) < 1e-4, s"$g b0")
+      assert(math.abs(e._3 - m.coef(1)) < 1e-4, s"$g b1")
+      assert(math.abs(e._4 - m.coef(2)) < 1e-4, s"$g b2")
+      assert(math.abs(e._5 - m.t_slope) < 1e-3, s"$g t")
+      assert(math.abs(e._6 - m.p_slope) < 1e-4, s"$g p")
+      assert(math.abs(e._7 - m.r2) < 1e-6, s"$g r2")
+      assert(math.abs(e._3 - 2.5) < 0.2, s"$g recovers the planted slope")
+    }
+  }
+
   test("ComBat centers batch means toward each other") {
     val rng = new scala.util.Random(3)
     val rows = for {

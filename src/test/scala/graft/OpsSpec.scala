@@ -205,6 +205,35 @@ class OpsSpec extends SparkSpec {
     assert(out == out2)
   }
 
+  test("madPerGroup equals the percentile-aggregate reference bit-for-bit") {
+    val rng = new scala.util.Random(3)
+    val df = Seq.tabulate(501)(i => (s"g${i % 7}", rng.nextDouble() * 100))
+      .toDF("g", "x")
+    // reference = the declarative percentile/join/percentile shape the
+    // DuckDB oracle mirrors; the one-shuffle kernel must match EXACTLY
+    // (same linear-interpolation rule), else the correctness gate drifts
+    val med = df.groupBy("g").agg(expr("percentile(x, 0.5)").as("med"))
+    val ref = df.join(med, Seq("g")).groupBy("g")
+      .agg(first(col("med")).as("med"),
+        expr("percentile(abs(x - med), 0.5)").as("mad"))
+      .select("g", "med", "mad").as[(String, Double, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    val got = Stats.madPerGroup(df, Seq("g"), "x")
+      .select("g", "med", "mad").as[(String, Double, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got.keySet == ref.keySet && got.size == 7)
+    got.foreach { case (g, (m, d)) =>
+      assert(m == ref(g)._1, s"$g med")   // exact, not approx
+      assert(d == ref(g)._2, s"$g mad")
+    }
+    // even-sized group interpolation + empty-after-null behavior
+    val small = Seq(("e", 1.0), ("e", 2.0), ("e", 4.0), ("e", 8.0))
+      .toDF("g", "x")
+    val s = Stats.madPerGroup(small, Seq("g"), "x")
+      .select("med", "mad").as[(Double, Double)].head()
+    assert(s._1 == 3.0 && s._2 == 1.5) // devs [1,1,2,5] -> (1+2)/2
+  }
+
   test("zscoreOutliers flags |z|>=2 and guards sd=0 groups") {
     val df = (Seq.fill(20)(10.0) :+ 100.0).zipWithIndex
       .map { case (v, i) => ("g", i.toLong, v) }.toDF("grp", "id", "v")
