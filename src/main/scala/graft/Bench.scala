@@ -56,6 +56,14 @@ object Bench {
           val msg = e.getClass.getSimpleName + ": " +
             Option(e.getMessage).getOrElse("").take(120)
           (name, Left(msg))
+      } finally {
+        // isolate queries from each other: kernels that persist()
+        // internally (ComBat, KNN impute) or localCheckpoint (greedy
+        // loops) leave blocks pinned in storage memory; 90+ queries of
+        // accumulation was measurably inflating late-alphabet timings
+        // (wcmodules benched 11.1 s polluted vs 2.5 s isolated)
+        spark.catalog.clearCache()
+        System.gc()
       }
     }
     val errs = results.collect { case (k, Left(m)) =>

@@ -1,6 +1,7 @@
 package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 // throwaway profiling harness (not part of the library surface)
 object DebugProfile {
@@ -17,23 +18,39 @@ object DebugProfile {
       val n = f
       println(f"[prof] $name: ${(System.nanoTime()-t0)/1e9}%.2f s rows=$n")
     }
-    val orders = spark.read.parquet(s"$d/orders.parquet")
-    time("warmup")(orders.count())
-    val rows = orders.select(col("o_orderkey"))
-    val existing = orders.where(col("o_orderkey") % 10 === 0)
-      .select(graft.ops.Ids.candidate("o_orderkey", 42L, 0).as("vm_id"))
-    time("cand md5")(rows.withColumn("vm_id", graft.ops.Ids.candidate("o_orderkey", 42L, 0)).count())
-    val cand = rows.withColumn("vm_id", graft.ops.Ids.candidate("o_orderkey", 42L, 0))
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("vm_id")
-    val windowed = cand.withColumn("__c", count(lit(1)).over(w))
-      .withColumn("__winner", min(col("o_orderkey")).over(w))
-    time("window")(windowed.count())
-    val taken0 = existing.toDF("vm_id").distinct()
-    time("taken distinct")(taken0.count())
-    val joined = windowed.join(taken0.withColumn("__t", lit(true)), Seq("vm_id"), "left")
-    time("window+join")(joined.count())
-    time("full assignNewIds")(graft.ops.Ids.assignNewIds(rows, "o_orderkey", existing, maxAttempts = 2).count())
-    time("full again")(graft.ops.Ids.assignNewIds(rows, "o_orderkey", existing, maxAttempts = 2).count())
+    val li = spark.read.parquet(s"$d/lineitem.parquet")
+    time("warmup")(li.count())
+
+    val e0 = li.groupBy("l_partkey", "l_suppkey")
+      .agg(graft.queries.Q.sumDec(col("l_quantity")).as("r"))
+      .select(concat(lit("p"), col("l_partkey").cast("string")).as("src"),
+        concat(lit("s"), col("l_suppkey").cast("string")).as("dst"), col("r"))
+    time("e0")(e0.count())
+    val edges = e0.select(explode(array(
+        struct(col("src").as("s"), col("dst").as("d"), col("r").as("r")),
+        struct(col("dst").as("s"), col("src").as("d"), col("r").as("r"))))
+      .as("e")).select(col("e.s").as("src"), col("e.d").as("dst"), col("e.r").as("r"))
+    time("edges")(edges.count())
+    val w = Window.partitionBy(col("src")).orderBy(col("r").desc, col("dst"))
+    val ranked = edges.withColumn("rank", row_number().over(w))
+    time("ranked")(ranked.count())
+    val paired = ranked
+      .where(col("src") =!= col("dst"))
+      .select(
+        least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"),
+        when(col("src") < col("dst"), col("r")).as("__r"),
+        when(col("src") < col("dst"), col("rank")).as("__rab"),
+        when(col("src") > col("dst"), col("rank")).as("__rba"))
+      .groupBy("a", "b")
+      .agg(max(col("__r")).as("r"), max(col("__rab")).as("rank_ab"),
+        max(col("__rba")).as("rank_ba"))
+      .where(col("rank_ab").isNotNull && col("rank_ba").isNotNull)
+    time("paired")(paired.count())
+    val full = graft.stats.Stats.mutualRank(edges, "src", "dst", "r")
+      .where(col("weight") >= 0.8)
+    time("full wcmodules")(full.count())
+    time("full again")(full.count())
     spark.stop()
   }
 }

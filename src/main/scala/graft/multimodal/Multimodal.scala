@@ -38,19 +38,25 @@ object Multimodal {
 
   /** Deterministic stand-in decoder: features are a folded byte histogram —
     * stable across runs/JVMs, zero native deps. Clearly NOT a real codec;
-    * swap for a production decoder behind the same trait. */
+    * swap for a production decoder behind the same trait.
+    *
+    * The fold accumulates exact integer byte sums and divides once at the
+    * end, so feature j is the closed form float((Σ bytes[i≡j mod dim] /
+    * 255) / max(len/dim, 1)) — order-independent and replayable by the
+    * DuckDB oracle (a float running sum would be accumulation-order
+    * sensitive and only approximately reproducible). */
   final class HashFeatureDecoder(val featureDim: Int = 16) extends MediaDecoder {
     override def features(modality: String, content: Array[Byte]): Option[Array[Float]] = {
       if (content == null || content.isEmpty) None
       else {
-        val acc = new Array[Float](featureDim)
+        val acc = new Array[Long](featureDim)
         var i = 0
         while (i < content.length) {
-          acc(i % featureDim) += (content(i) & 0xff) / 255.0f
+          acc(i % featureDim) += (content(i) & 0xff)
           i += 1
         }
         val n = math.max(content.length / featureDim, 1)
-        Some(acc.map(_ / n))
+        Some(acc.map(a => (a.toDouble / 255.0 / n).toFloat))
       }
     }
   }

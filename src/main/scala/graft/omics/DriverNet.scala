@@ -90,27 +90,38 @@ object DriverNet {
                         influence: DataFrame, nPerm: Int, seed: Long = 42L,
                         patCol: String = "patient", geneCol: String = "gene"): DataFrame = {
     val spark = mutations.sparkSession
-    import spark.implicits._
-    val tops = (0 until nPerm).map { i =>
-      val key = md5(concat(lit(s"perm$seed:$i:"), col(patCol).cast("string"),
-        lit(":"), col(geneCol).cast("string")))
-      // permute genes among mutation rows: pair slot-indexed genes with
-      // slot-indexed patient rows under two different deterministic total
-      // orders. withRowIndex = distributed sort + zipWithIndex (a bare
-      // global row_number window would single-partition the table).
-      val genes = graft.ops.Relational.withRowIndex(
-        mutations.select(col(geneCol).as("gene"),
-          key.as("__k"), col(patCol).as("__p")),
-        Seq(col("__k"), col("__p"), col("gene")), "slot").select("gene", "slot")
-      val rows = graft.ops.Relational.withRowIndex(
-        mutations.select(col(patCol).as("patient"), col(geneCol).as("__g")),
-        Seq(col("patient"), col("__g")), "slot").select("patient", "slot")
-      val permMut = rows.join(genes, "slot").select("patient", "gene")
-      val cov = coverage(permMut, outliers, influence)
-      val top = cov.groupBy("driver_gene").agg(count(lit(1)).as("n"))
-        .agg(max(col("n"))).collect()(0)
-      (i, if (top.isNullAt(0)) 0L else top.getLong(0))
-    }
-    tops.toDF("perm", "top_cover")
+    import org.apache.spark.sql.expressions.Window
+    // ALL permutations in one plan: replicate the mutation rows per perm
+    // index, then permute genes among rows inside each replica by pairing
+    // two deterministic total orders — slot-by-md5-key for the gene column,
+    // slot-by-(patient, gene) for the row. Windows are partitioned by perm
+    // (parallelism = nPerm, and the reference runs hundreds of perms), so
+    // nothing single-partitions; the round-2 shape ran nPerm sequential
+    // jobs with a driver collect each — all scheduling overhead.
+    val perms = spark.range(nPerm).select(col("id").cast("int").as("perm"))
+    val keyed = mutations
+      .select(col(patCol).cast("string").as("patient"), col(geneCol).as("gene"))
+      .crossJoin(broadcast(perms))
+      .withColumn("__k", md5(concat(lit(s"perm$seed:"), col("perm").cast("string"),
+        lit(":"), col("patient"), lit(":"), col("gene"))))
+    val byKey = Window.partitionBy("perm").orderBy(col("__k"), col("patient"), col("gene"))
+    val byRow = Window.partitionBy("perm").orderBy(col("patient"), col("gene"))
+    val slotted = keyed
+      .withColumn("gslot", row_number().over(byKey))
+      .withColumn("rslot", row_number().over(byRow))
+    val permMut = slotted.select(col("perm"), col("gslot").as("slot"), col("gene"))
+      .join(slotted.select(col("perm"), col("rslot").as("slot"), col("patient")),
+        Seq("perm", "slot"))
+    val inf = influence.select(col("gene_a").as("gene"), col("gene_b").as("outlier_gene"))
+    val out = outliers.select(col(patCol).cast("string").as("patient"),
+      col(geneCol).as("outlier_gene"))
+    val cov = permMut.join(broadcast(inf), "gene")
+      .join(out, Seq("patient", "outlier_gene"))
+      .select(col("perm"), col("gene").as("driver_gene"),
+        col("patient"), col("outlier_gene")).distinct()
+    val tops = cov.groupBy("perm", "driver_gene").agg(count(lit(1)).as("n"))
+      .groupBy("perm").agg(max(col("n")).as("top_cover"))
+    perms.join(tops, Seq("perm"), "left")
+      .select(col("perm"), coalesce(col("top_cover"), lit(0L)).as("top_cover"))
   }
 }

@@ -63,13 +63,18 @@ object Impute {
     val present = keptP.where(col("value").isNotNull)
     val dists = neighborDistances(keptP)
 
-    // per missing cell: k nearest donors that HAVE that sample's value
+    // per missing cell: k nearest donors that HAVE that sample's value.
+    // The selection orders by round(dist, 6) (ties broken by donor), not
+    // the raw double: the raw distances differ across engines in the last
+    // ulp (summation order inside avg), so a raw-ordered top-k would be
+    // luck-dependent under the DuckDB oracle — rounding first makes the
+    // neighbor set deterministic for any data.
     val cand = missing
       .join(dists, missing("entity") === dists("needy"))
       .join(present.select(col("entity").as("donor"), col("sample"),
         col("value").as("dv")), Seq("donor", "sample"))
     val w = Window.partitionBy("entity", "sample")
-      .orderBy(col("dist"), col("donor"))
+      .orderBy(round(col("dist"), 6), col("donor"))
     val filled = cand
       .withColumn("__rn", row_number().over(w))
       .where(col("__rn") <= k)

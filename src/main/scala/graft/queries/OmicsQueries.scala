@@ -58,7 +58,11 @@ object OmicsQueries {
         val cov = DriverNet.coverage(mutations, outliers, influence)
         DriverNet.greedyDrivers(cov, maxDrivers = 3)
       },
-      None),
+      // the greedy loop unrolled to its maxDrivers=3 depth (same pattern as
+      // the herald oracle): pick argmax (count desc, gene asc), delete
+      // covered (patient, outlier) events, repeat; a rank-k row exists only
+      // if iteration k still had coverage, matching the loop's early stop
+      Some("""WITH mut AS (SELECT DISTINCT CAST(user_id AS VARCHAR) AS patient, event_type AS gene FROM events WHERE event_type IN ('click','error','signup')), outl AS (SELECT DISTINCT CAST(user_id AS VARCHAR) AS patient, event_type AS gene FROM events WHERE event_type IN ('view','purchase')), inf AS (SELECT * FROM (VALUES ('click','view'),('error','purchase'),('signup','view')) i(ga, gb)), cov AS (SELECT DISTINCT m.gene AS dg, m.patient AS patient, i.gb AS og FROM mut m JOIN inf i ON m.gene = i.ga JOIN outl o ON o.patient = m.patient AND o.gene = i.gb), p1 AS (SELECT dg, count(*) AS n FROM cov GROUP BY 1 ORDER BY n DESC, dg LIMIT 1), r2 AS (SELECT c.* FROM cov c WHERE NOT EXISTS (SELECT 1 FROM cov x, p1 WHERE x.dg = p1.dg AND x.patient = c.patient AND x.og = c.og)), p2 AS (SELECT dg, count(*) AS n FROM r2 GROUP BY 1 ORDER BY n DESC, dg LIMIT 1), r3 AS (SELECT c.* FROM r2 c WHERE NOT EXISTS (SELECT 1 FROM r2 x, p2 WHERE x.dg = p2.dg AND x.patient = c.patient AND x.og = c.og)), p3 AS (SELECT dg, count(*) AS n FROM r3 GROUP BY 1 ORDER BY n DESC, dg LIMIT 1) SELECT CAST(rank AS INTEGER) AS rank, driver_gene, events_covered FROM (SELECT 1 AS rank, dg AS driver_gene, n AS events_covered FROM p1 UNION ALL SELECT 2, dg, n FROM p2 UNION ALL SELECT 3, dg, n FROM p3)""")),
 
     Entry("q_drivernet_permutation",
       (s, d) => {
@@ -74,7 +78,10 @@ object OmicsQueries {
           .toDF("gene_a", "gene_b")
         DriverNet.permutedTopCovers(mutations, outliers, influence, nPerm = 5)
       },
-      None),
+      // the md5-derived permutation is replayed exactly: slot genes by
+      // (md5 key, patient, gene), slot rows by (patient, gene), pair on
+      // slot, rebuild coverage, take the top cover per perm (0 if none)
+      Some("""WITH mut AS (SELECT DISTINCT CAST(user_id AS VARCHAR) AS patient, event_type AS gene FROM events WHERE event_type IN ('click','error')), outl AS (SELECT DISTINCT CAST(user_id AS VARCHAR) AS patient, event_type AS gene FROM events WHERE event_type IN ('view','purchase')), inf AS (SELECT * FROM (VALUES ('click','view'),('error','purchase')) i(ga, gb)), perms AS (SELECT CAST(i AS INTEGER) AS perm FROM generate_series(0, 4) g(i)), keyed AS (SELECT p.perm, m.patient, m.gene, md5(concat('perm42:', CAST(p.perm AS VARCHAR), ':', m.patient, ':', m.gene)) AS k FROM mut m CROSS JOIN perms p), slotted AS (SELECT perm, patient, gene, row_number() OVER (PARTITION BY perm ORDER BY k, patient, gene) AS gslot, row_number() OVER (PARTITION BY perm ORDER BY patient, gene) AS rslot FROM keyed), pm AS (SELECT g.perm, r.patient, g.gene FROM (SELECT perm, gslot AS slot, gene FROM slotted) g JOIN (SELECT perm, rslot AS slot, patient FROM slotted) r ON g.perm = r.perm AND g.slot = r.slot), cov AS (SELECT DISTINCT pm.perm, pm.gene AS dg, pm.patient, i.gb AS og FROM pm JOIN inf i ON pm.gene = i.ga JOIN outl o ON o.patient = pm.patient AND o.gene = i.gb), tops AS (SELECT perm, max(n) AS top_cover FROM (SELECT perm, dg, count(*) AS n FROM cov GROUP BY 1, 2) GROUP BY 1) SELECT p.perm, coalesce(t.top_cover, 0) AS top_cover FROM perms p LEFT JOIN tops t ON p.perm = t.perm""")),
 
     Entry("q_beta_mixture",
       // MethylMix beta-mixture EM + BIC per group on discount mapped into
@@ -128,7 +135,11 @@ object OmicsQueries {
       (s, d) => {
         Impute.knnImpute(knnCells(s, d), "user_id", "event_type", "v", k = 5)
       },
-      None),
+      // full impute.knn replay: row/col missing filters, needy->donor
+      // distances over shared samples, top-5 by (round(dist,6), donor) —
+      // the same tie-safe ordering the engine uses — then the donor mean.
+      // round mimics use the documented decimal-cast form (Q.scala).
+      Some("""WITH cells AS (SELECT user_id AS entity, event_type AS sample, CASE WHEN event_type = 'error' AND user_id % 5 = 0 THEN NULL ELSE round(avg(value), 6) END AS v FROM events GROUP BY 1, 2), rowok AS (SELECT entity FROM cells GROUP BY 1 HAVING CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*) <= 0.2), colok AS (SELECT sample FROM cells GROUP BY 1 HAVING CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*) <= 0.2), kept AS (SELECT c.entity, c.sample, c.v FROM cells c JOIN rowok USING (entity) JOIN colok USING (sample)), miss AS (SELECT entity, sample FROM kept WHERE v IS NULL), pres AS (SELECT entity, sample, v FROM kept WHERE v IS NOT NULL), needy AS (SELECT DISTINCT entity FROM miss), dst AS (SELECT a.entity AS needy, b.entity AS donor, sqrt(avg((a.v - b.v) * (a.v - b.v))) AS dist FROM pres a JOIN needy n ON a.entity = n.entity JOIN pres b ON a.sample = b.sample AND a.entity <> b.entity GROUP BY 1, 2 HAVING count(*) >= 2), cand AS (SELECT m.entity, m.sample, d.donor, round(CAST(CAST(d.dist AS VARCHAR) AS DECIMAL(38,12)), 6) AS rdist, p.v AS dv FROM miss m JOIN dst d ON m.entity = d.needy JOIN pres p ON p.entity = d.donor AND p.sample = m.sample), sel AS (SELECT entity, sample, dv, row_number() OVER (PARTITION BY entity, sample ORDER BY rdist, donor) AS rn FROM cand), fill AS (SELECT entity, sample, round(CAST(CAST(avg(dv) AS VARCHAR) AS DECIMAL(38,12)), 6) AS imputed FROM sel WHERE rn <= 5 GROUP BY 1, 2) SELECT k.entity, k.sample, k.v AS value, CASE WHEN k.v IS NOT NULL THEN k.v ELSE f.imputed END AS value_imputed FROM kept k LEFT JOIN fill f ON k.entity = f.entity AND k.sample = f.sample""")),
 
     Entry("q_knn_distances",
       // the SQL-expressible half of KNN imputation: needy->donor distances
