@@ -58,12 +58,12 @@ object Bench {
           (name, Left(msg))
       } finally {
         // isolate queries from each other: kernels that persist()
-        // internally (ComBat, KNN impute) or localCheckpoint (greedy
-        // loops) leave blocks pinned in storage memory; 90+ queries of
-        // accumulation was measurably inflating late-alphabet timings
-        // (wcmodules benched 11.1 s polluted vs 2.5 s isolated)
+        // internally (ComBat, KNN impute) leave blocks pinned in storage
+        // memory; 90+ queries of accumulation was measurably inflating
+        // late-alphabet timings (wcmodules benched 11.1 s polluted vs
+        // 2.5 s isolated). A forced full GC here costs more than it frees
+        // (checkpoint blocks are small) — clearCache alone is the fix.
         spark.catalog.clearCache()
-        System.gc()
       }
     }
     val errs = results.collect { case (k, Left(m)) =>

@@ -19,22 +19,23 @@ object OmicsQueries {
       .withColumn("v", when(col("event_type") === "error" &&
         col("user_id") % 5 === 0, lit(null)).otherwise(col("v")))
 
+  // sample id is the NUMERIC (orderkey*10 + linenumber) key, and batch is
+  // a pure function of it (so the sample→batch map is 1:1 even though the
+  // fixture reuses (orderkey, linenumber) across rows). Long join keys
+  // keep the sample-axis shuffles (standardize join, final adjust join)
+  // off wide strings: the 4-part concat-string key cost q_combat ~40% of
+  // its round-2 wall time
   private def combatData(s: org.apache.spark.sql.SparkSession, d: String) =
     t(s, d, "lineitem").select(
       (col("l_partkey") % 50).cast("string").as("gene"),
-      concat(col("l_orderkey").cast("string"), lit("_"),
-        col("l_linenumber").cast("string"), lit("_"),
-        col("l_partkey").cast("string"), lit("_"),
-        col("l_suppkey").cast("string")).as("sample"),
+      (col("l_orderkey") * 10 + col("l_linenumber")).as("sample"),
       col("l_extendedprice").as("value"))
 
   private def combatBatches(s: org.apache.spark.sql.SparkSession, d: String) =
     t(s, d, "lineitem").select(
-      concat(col("l_orderkey").cast("string"), lit("_"),
-        col("l_linenumber").cast("string"), lit("_"),
-        col("l_partkey").cast("string"), lit("_"),
-        col("l_suppkey").cast("string")).as("sample"),
-      col("l_returnflag").as("batch")).distinct()
+      (col("l_orderkey") * 10 + col("l_linenumber")).as("sample"))
+      .distinct()
+      .withColumn("batch", concat(lit("b"), (col("sample") % 3).cast("string")))
 
   val entries: Seq[Entry] = Seq(
 
@@ -157,7 +158,7 @@ object OmicsQueries {
           combatData(s, d), combatBatches(s, d)))
         .select(col("gene"), col("batch"), round(col("gamma_hat"), 6).as("gamma_hat"),
           round(col("delta2_hat"), 6).as("delta2_hat"), col("n")),
-      Some("""WITH d AS (SELECT CAST(l_partkey % 50 AS VARCHAR) AS gene, concat(CAST(l_orderkey AS VARCHAR), '_', CAST(l_linenumber AS VARCHAR), '_', CAST(l_partkey AS VARCHAR), '_', CAST(l_suppkey AS VARCHAR)) AS sample, l_extendedprice AS value, l_returnflag AS batch FROM lineitem), g AS (SELECT gene, avg(value) AS alpha, stddev_samp(value) AS sigma FROM d GROUP BY 1), z AS (SELECT d.gene, d.batch, (d.value - g.alpha) / CASE WHEN g.sigma > 0 THEN g.sigma END AS z FROM d JOIN g USING (gene)) SELECT gene, batch, round(avg(z), 6) AS gamma_hat, round(var_samp(z), 6) AS delta2_hat, count(*) AS n FROM z GROUP BY 1, 2""")),
+      Some("""WITH d AS (SELECT CAST(l_partkey % 50 AS VARCHAR) AS gene, l_orderkey * 10 + l_linenumber AS sample, l_extendedprice AS value, concat('b', CAST((l_orderkey * 10 + l_linenumber) % 3 AS VARCHAR)) AS batch FROM lineitem), g AS (SELECT gene, avg(value) AS alpha, stddev_samp(value) AS sigma FROM d GROUP BY 1), z AS (SELECT d.gene, d.batch, (d.value - g.alpha) / CASE WHEN g.sigma > 0 THEN g.sigma END AS z FROM d JOIN g USING (gene)) SELECT gene, batch, round(avg(z), 6) AS gamma_hat, round(var_samp(z), 6) AS delta2_hat, count(*) AS n FROM z GROUP BY 1, 2""")),
 
     Entry("q_hclust_probes",
       // per-gene probe clustering (1-cor complete linkage, cutree)

@@ -19,26 +19,42 @@ object PipelineQueries {
       // equi rewrite (no BNLJ anywhere in the plan).
       (s, d) => {
         import s.implicits._
+        // ms id stays NUMERIC until the final projection: the dedup
+        // aggregate below groups 10M+ nearly-unique keys, and long keys
+        // keep it in the vectorized hash map (string keys + a min(struct)
+        // buffer forced the sort-based aggregate fallback: 14 s of the
+        // round-2 query's 15 s went to that one exchange+sort)
         val masses = t(s, d, "lineitem").select(
-          concat(lit("m"), (col("l_orderkey") * 10 + col("l_linenumber")).cast("string")).as("ms_name"),
+          (col("l_orderkey") * 10 + col("l_linenumber")).as("ms_id"),
           (col("l_extendedprice") / when(col("l_quantity") =!= 0, col("l_quantity"))).as("mz"))
-        val adducts = Seq(("M+0", 1.0, 0.0), ("M+10", 1.0, 10.0), ("2M", 2.0, 0.0))
-          .toDF("adduct", "mult", "mass")
+        // __ord is the adduct's rank in lexicographic adduct order — the
+        // keep-first order — so "winner" reduces to min(__ord)
+        val adducts = Seq(("2M", 2.0, 0.0, 0), ("M+0", 1.0, 0.0, 1), ("M+10", 1.0, 10.0, 2))
+          .toDF("adduct", "mult", "mass", "__ord")
         val withMm = masses.crossJoin(broadcast(adducts))
           .withColumn("mm", (col("mz") - col("mass")) / col("mult"))
           .where(col("mm") > 0)
         val structs = t(s, d, "part").select(col("p_partkey").as("struct_id"),
           col("p_retailprice").as("monoisotopic_mass"))
         val joined = RangeJoin.ppmJoin(withMm, structs, "mm", "monoisotopic_mass", 500.0)
-        // keep-first by (adduct, mm) expressed as a min-of-struct aggregate:
-        // same semantics as the window form, but with map-side partial
-        // aggregation instead of a full sort shuffle (matters at 100 TB)
-        joined.groupBy("ms_name", "struct_id")
-          .agg(min(struct(col("adduct"), col("mm"),
-            col("monoisotopic_mass"))).as("__w"))
-          .select(col("ms_name"), col("struct_id"), col("__w.adduct").as("adduct"),
-            r6(col("__w.mm")).as("mm"),
-            col("__w.monoisotopic_mass").as("monoisotopic_mass"))
+        // keep-first by adduct within (ms, struct): the adduct dim is
+        // bounded, so pivot each adduct's mm into its own column — every
+        // aggregation buffer is a primitive, the whole dedup is ONE
+        // map-side-combinable hash aggregate, and no struct/window sort
+        // ever materializes. (General unbounded case: Relational.keepFirst.)
+        val dd = joined.groupBy("ms_id", "struct_id").agg(
+          min(col("__ord")).as("__w"),
+          min(when(col("__ord") === 0, col("mm"))).as("__mm0"),
+          min(when(col("__ord") === 1, col("mm"))).as("__mm1"),
+          min(when(col("__ord") === 2, col("mm"))).as("__mm2"),
+          min(col("monoisotopic_mass")).as("monoisotopic_mass"))
+        dd.select(
+          concat(lit("m"), col("ms_id").cast("string")).as("ms_name"),
+          col("struct_id"),
+          element_at(array(lit("2M"), lit("M+0"), lit("M+10")), col("__w") + 1).as("adduct"),
+          r6(element_at(array(col("__mm0"), col("__mm1"), col("__mm2")),
+            col("__w") + 1)).as("mm"),
+          col("monoisotopic_mass"))
       },
       Some("""WITH masses AS (SELECT concat('m', CAST(l_orderkey*10 + l_linenumber AS VARCHAR)) AS ms_name, l_extendedprice / nullif(l_quantity, 0) AS mz FROM lineitem), add AS (SELECT * FROM (VALUES ('M+0', 1.0, 0.0), ('M+10', 1.0, 10.0), ('2M', 2.0, 0.0)) a(adduct, mult, mass)), wm AS (SELECT ms_name, adduct, (mz - CAST(mass AS DOUBLE)) / CAST(mult AS DOUBLE) AS mm FROM masses CROSS JOIN add), j AS (SELECT ms_name, adduct, mm, p_partkey AS struct_id, p_retailprice AS monoisotopic_mass FROM wm JOIN part ON p_retailprice >= mm - mm*500/1e6 AND p_retailprice <= mm + mm*500/1e6 WHERE mm > 0 AND p_retailprice > 0), dd AS (SELECT *, row_number() OVER (PARTITION BY ms_name, struct_id ORDER BY adduct, mm) AS rn FROM j) SELECT ms_name, struct_id, adduct, round(mm, 6) AS mm, monoisotopic_mass FROM dd WHERE rn = 1""")),
 

@@ -122,9 +122,13 @@ object Similarity {
       org.apache.spark.ml.linalg.Vectors.dense(v.map(_.toDouble).toArray))
     val corpusV = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
       .withColumn("__features", toMl(col("__cv")))
+    // a coarse quantizer does not need convergence — 8 Lloyd iterations
+    // give stable-enough cells (each fit iteration is a full corpus pass
+    // + a scheduled job; the default 20 iterations tripled the fit time
+    // for no recall gain). At 100 TB the fit would run on a sample.
     val km = new org.apache.spark.ml.clustering.KMeans()
       .setK(nCells).setSeed(seed).setFeaturesCol("__features")
-      .setPredictionCol("__cell")
+      .setPredictionCol("__cell").setMaxIter(8)
       .fit(corpusV)
     val centroids = km.clusterCenters.map(_.toArray)
     val bc = spark.sparkContext.broadcast(centroids)
