@@ -93,6 +93,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   private def dc(e: Expression) = Cast(e, DoubleType)
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // auto range-join rewrite (opt-in via spark.graft.rangeJoin.bucketWidth)
+    ext.injectOptimizerRule(_ => RangeJoinRewrite)
     ext.injectFunction((FunctionIdentifier("graft_pnorm"),
       info("graft_pnorm", "standard normal CDF"),
       (es: Seq[Expression]) => PNormExpr(dc(es.head))))
@@ -112,6 +114,9 @@ object GraftExtensions {
   /** Register the graft_* SQL functions on an already-running session
     * (spark.sql.extensions only applies at session construction). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    if (!spark.experimental.extraOptimizations.contains(RangeJoinRewrite))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ RangeJoinRewrite
     val dc = (e: Expression) => Cast(e, DoubleType)
     val reg = spark.sessionState.functionRegistry
     def info(name: String, usage: String) =

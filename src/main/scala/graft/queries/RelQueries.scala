@@ -125,6 +125,22 @@ object RelQueries {
       },
       Some("""SELECT s_suppkey, c_custkey, c_acctbal FROM supplier JOIN customer ON c_acctbal >= s_acctbal - 500 AND c_acctbal <= s_acctbal + 500""")),
 
+    Entry("q_range_join_auto",
+      // the SAME theta join written naively — no library call — with the
+      // graft.catalyst.RangeJoinRewrite optimizer rule turning it into the
+      // bucketed equi join (the rule-based face of q_range_join; its spec
+      // additionally asserts the BNLJ is gone from the physical plan)
+      (s, d) => {
+        graft.catalyst.GraftExtensions.register(s)
+        s.conf.set(graft.catalyst.RangeJoinRewrite.WidthKey, "1000.0")
+        val iv = t(s, d, "supplier").select(col("s_suppkey"),
+          (col("s_acctbal") - 500).as("lo"), (col("s_acctbal") + 500).as("hi"))
+        val pts = t(s, d, "customer").select(col("c_custkey"), col("c_acctbal"))
+        iv.join(pts, col("lo") <= col("c_acctbal") && col("c_acctbal") <= col("hi"))
+          .select("s_suppkey", "c_custkey", "c_acctbal")
+      },
+      Some("""SELECT s_suppkey, c_custkey, c_acctbal FROM supplier JOIN customer ON c_acctbal >= s_acctbal - 500 AND c_acctbal <= s_acctbal + 500""")),
+
     Entry("q_ppm_join",
       // relative-tolerance ppm join, log-space buckets (gizmos.py:133-144)
       (s, d) => {
