@@ -12,7 +12,6 @@ object DebugProfile {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    import spark.implicits._
     val d = "/root/testdata/sf0.1"
     def time(name: String)(f: => Long): Unit = {
       val t0 = System.nanoTime()
@@ -22,26 +21,20 @@ object DebugProfile {
     val li = spark.read.parquet(s"$d/lineitem.parquet")
     time("warmup")(li.count())
 
-    val masses = li.select(
-      (col("l_orderkey") * 10 + col("l_linenumber")).as("ms_id"),
-      (col("l_extendedprice") / when(col("l_quantity") =!= 0, col("l_quantity"))).as("mz"))
-    val adducts = Seq(("2M", 2.0, 0.0, 0), ("M+0", 1.0, 0.0, 1), ("M+10", 1.0, 10.0, 2))
-      .toDF("adduct", "mult", "mass", "__ord")
-    val withMm = masses.crossJoin(broadcast(adducts))
-      .withColumn("mm", (col("mz") - col("mass")) / col("mult"))
-      .where(col("mm") > 0)
-    val structs = spark.read.parquet(s"$d/part.parquet")
-      .select(col("p_partkey").as("struct_id"), col("p_retailprice").as("monoisotopic_mass"))
-    val joined = graft.ops.RangeJoin.ppmJoin(withMm, structs, "mm", "monoisotopic_mass", 500.0)
-    time("mq joined")(joined.count())
-    val dd = joined.groupBy("ms_id", "struct_id").agg(
-      min(col("__ord")).as("__w"),
-      min(when(col("__ord") === 0, col("mm"))).as("__mm0"),
-      min(when(col("__ord") === 1, col("mm"))).as("__mm1"),
-      min(when(col("__ord") === 2, col("mm"))).as("__mm2"),
-      min(col("monoisotopic_mass")).as("monoisotopic_mass"))
-    time("mq agg")(dd.count())
-    dd.explain("formatted")
+    val data = li.select(
+      (col("l_partkey") % 50).cast("string").as("gene"),
+      (col("l_orderkey") * 10 + col("l_linenumber")).as("sample"),
+      col("l_extendedprice").as("value"))
+    val batches = li.select(
+      (col("l_orderkey") * 10 + col("l_linenumber")).as("sample"))
+      .distinct()
+      .withColumn("batch", concat(lit("b"), (col("sample") % 3).cast("string")))
+    time("batches distinct")(batches.count())
+    val z = graft.omics.Combat.standardized(data, batches)
+    time("z")(z.count())
+    val adj = graft.omics.Combat.adjust(data, batches)
+    time("adjust full")(adj.count())
+    time("adjust again")(adj.count())
     spark.stop()
   }
 }

@@ -1,0 +1,84 @@
+package graft
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scaling-evidence harness: synthesizes a 10x dataset from sf0.1 by
+  * unioning key-offset copies (same value distributions, 10x rows and 10x
+  * distinct keys — the shape a scale-up actually has), then times the
+  * flagship queries on both. Near-linear growth = the plan is shuffle-bound
+  * with no quadratic or driver-side step; the numbers land in SCALING.md.
+  *
+  * Usage: runMain graft.ScaleCheck [outDir] — writes the 10x tables once
+  * (skipped if present), then prints per-query seconds at 1x and 10x.
+  */
+object ScaleCheck {
+  val Flagships = Seq("q1_agg", "q_pipeline_massquery", "q_ppm_join",
+    "q_range_join", "q_minhash_lsh", "q_ngram_jaccard", "q_dedup_exact",
+    "q_pipeline_wcmodules", "q_mutual_rank", "q_bh_adjust",
+    "q_stream_sliding", "q_topk_per_group")
+
+  def main(args: Array[String]): Unit = {
+    val src = "/root/testdata/sf0.1"
+    val out = args.headOption.getOrElse("/tmp/graft_sfx10")
+    val copies = 10
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // key columns to offset per copy so distinct-key counts scale too
+    val keyCols: Map[String, Seq[String]] = Map(
+      "lineitem" -> Seq("l_orderkey", "l_partkey", "l_suppkey"),
+      "orders" -> Seq("o_orderkey", "o_custkey"),
+      "part" -> Seq("p_partkey"),
+      "supplier" -> Seq("s_suppkey", "s_nationkey"),
+      "customer" -> Seq("c_custkey", "c_nationkey"),
+      "nation" -> Seq(), "region" -> Seq(),
+      "events" -> Seq("user_id"),
+      "documents" -> Seq("doc_id"),
+      "embeddings" -> Seq("vec_id"))
+
+    if (!new java.io.File(s"$out/lineitem.parquet").exists()) {
+      keyCols.foreach { case (t, keys) =>
+        val df = spark.read.parquet(s"$src/$t.parquet")
+        val offsets = keys.map(k => k ->
+          (df.agg(max(col(k))).head().getAs[Number](0).longValue() + 1L)).toMap
+        val copiesDf = (0 until copies).map { i =>
+          keys.foldLeft(df) { (acc, k) =>
+            acc.withColumn(k, (col(k) + lit(i.toLong * offsets(k))).cast("long"))
+          }
+        }.reduce(_.union(_))
+        copiesDf.write.mode("overwrite").parquet(s"$out/$t.parquet")
+        println(s"[scale] wrote $t x$copies")
+      }
+    }
+
+    def bench(sfDir: String, label: String): Map[String, Double] = {
+      // warm FS cache
+      keyCols.keys.foreach { t =>
+        try spark.read.parquet(s"$sfDir/$t.parquet").count()
+        catch { case _: Throwable => () }
+      }
+      Flagships.map { name =>
+        val fn = SparkEntry.queries(name)
+        val t0 = System.nanoTime()
+        val n = fn(spark, sfDir).count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache()
+        println(f"[scale] $label $name%-24s ${sec}%7.2f s  rows=$n")
+        name -> sec
+      }.toMap
+    }
+    val t1 = bench(src, " 1x")
+    val t10 = bench(out, "10x")
+    println("[scale] ---- ratio table (10x time / 1x time; ~10 = linear)")
+    Flagships.foreach { n =>
+      println(f"[scale] ratio $n%-24s ${t10(n) / t1(n)}%5.1f")
+    }
+    spark.stop()
+  }
+}

@@ -98,21 +98,27 @@ object PipelineQueries {
       // wcModules.py:96-216 end-to-end: correlation edge list → mutual rank
       // → decay weight → cutoff (module edge set)
       (s, d) => {
+        // numeric node dictionary (see q_mutual_rank): both mutual-rank
+        // shuffles run on long ids; labels appear only in the projection
         val e0 = t(s, d, "lineitem").groupBy("l_partkey", "l_suppkey")
           .agg(Q.sumDec(col("l_quantity")).as("r"))
-          .select(concat(lit("p"), col("l_partkey").cast("string")).as("src"),
-            concat(lit("s"), col("l_suppkey").cast("string")).as("dst"), col("r"))
+          .select((col("l_partkey") * 2).as("src"),
+            (col("l_suppkey") * 2 + 1).as("dst"), col("r"))
         // both orientations exploded from ONE aggregation pass (a self-union
         // of the same aggregate subtree would scan+aggregate lineitem twice)
         val edges = e0.select(explode(array(
             struct(col("src").as("s"), col("dst").as("d"), col("r").as("r")),
             struct(col("dst").as("s"), col("src").as("d"), col("r").as("r"))))
           .as("e")).select(col("e.s").as("src"), col("e.d").as("dst"), col("e.r").as("r"))
+        def lbl(c: org.apache.spark.sql.Column) =
+          concat(when(c % 2 === 0, lit("p")).otherwise(lit("s")),
+            shiftright(c, 1).cast("string"))
         Stats.mutualRank(edges, "src", "dst", "r")
           .where(col("weight") >= 0.8)
-          .select(col("a"), col("b"), r6(col("weight")).as("weight"))
+          .select(lbl(col("a")).as("a"), lbl(col("b")).as("b"),
+            r6(col("weight")).as("weight"))
       },
-      Some("""WITH e0 AS (SELECT concat('p', CAST(l_partkey AS VARCHAR)) AS a, concat('s', CAST(l_suppkey AS VARCHAR)) AS b, CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS r FROM lineitem GROUP BY l_partkey, l_suppkey), edges AS (SELECT a, b, r FROM e0 UNION ALL SELECT b, a, r FROM e0), ranked AS (SELECT a, b, row_number() OVER (PARTITION BY a ORDER BY r DESC, b) AS rk FROM edges) SELECT x.a, x.b, round(exp((CAST(1.0 AS DOUBLE) - sqrt(x.rk * y.rk)) / 25.0), 6) AS weight FROM ranked x JOIN ranked y ON x.a = y.b AND x.b = y.a WHERE x.a < x.b AND exp((CAST(1.0 AS DOUBLE) - sqrt(x.rk * y.rk)) / 25.0) >= 0.8""")),
+      Some("""WITH e0 AS (SELECT l_partkey * 2 AS a, l_suppkey * 2 + 1 AS b, CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS r FROM lineitem GROUP BY l_partkey, l_suppkey), edges AS (SELECT a, b, r FROM e0 UNION ALL SELECT b, a, r FROM e0), ranked AS (SELECT a, b, row_number() OVER (PARTITION BY a ORDER BY r DESC, b) AS rk FROM edges), p AS (SELECT x.a, x.b, x.rk AS rab, y.rk AS rba FROM ranked x JOIN ranked y ON x.a = y.b AND x.b = y.a WHERE x.a < x.b AND exp((CAST(1.0 AS DOUBLE) - sqrt(x.rk * y.rk)) / 25.0) >= 0.8) SELECT concat(CASE WHEN a % 2 = 0 THEN 'p' ELSE 's' END, CAST(a // 2 AS VARCHAR)) AS a, concat(CASE WHEN b % 2 = 0 THEN 'p' ELSE 's' END, CAST(b // 2 AS VARCHAR)) AS b, round(exp((CAST(1.0 AS DOUBLE) - sqrt(rab * rba)) / 25.0), 6) AS weight FROM p""")),
 
     Entry("q_pipeline_enzyme",
       // gizmos.load_enzyme_input (:654-745) + heraldPathways.py:274-281:

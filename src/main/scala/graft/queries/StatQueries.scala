@@ -204,22 +204,31 @@ object StatQueries {
       Some("""WITH x AS (SELECT l_partkey, CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS x FROM lineitem WHERE l_returnflag='R' GROUP BY 1), y AS (SELECT l_partkey, CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS y FROM lineitem WHERE l_returnflag='A' GROUP BY 1), ma AS (SELECT log2(x.x / y.y) AS m, (log2(x.x) + log2(y.y)) / 2 AS a, x.x AS x FROM x JOIN y USING (l_partkey) WHERE x.x > 0 AND y.y > 0), cut AS (SELECT quantile_cont(a, 0.99) AS a99 FROM ma) SELECT round(CAST(quantile_cont(m, 0.5) AS DOUBLE),6) AS tmm_log2, round(exp(avg(ln(x))),6) AS geo_mean_x, count(*) AS n_used FROM ma, cut WHERE a <= a99""")),
 
     Entry("q_mutual_rank",
-      // mutual-rank co-expression weight (wcModules.py:96-98,167-216)
+      // mutual-rank co-expression weight (wcModules.py:96-98,167-216).
+      // Node ids are dictionary-encoded longs (part -> 2k, supplier ->
+      // 2k+1) through BOTH shuffles — the rank window and the pair
+      // aggregate hash/sort numeric keys, and the "p123"/"s45" labels are
+      // reconstructed only in the final projection. At 100 TB the node
+      // dictionary is the difference between shuffling ids and shuffling
+      // strings.
       (s, d) => {
         val e0 = t(s, d, "lineitem").groupBy("l_partkey", "l_suppkey")
           .agg(Q.sumDec(col("l_extendedprice")).as("r"))
-          .select(concat(lit("p"), col("l_partkey").cast("string")).as("src"),
-            concat(lit("s"), col("l_suppkey").cast("string")).as("dst"), col("r"))
+          .select((col("l_partkey") * 2).as("src"),
+            (col("l_suppkey") * 2 + 1).as("dst"), col("r"))
         // one aggregation pass, both orientations exploded (see wcmodules)
         val edges = e0.select(explode(array(
             struct(col("src").as("s"), col("dst").as("d"), col("r").as("r")),
             struct(col("dst").as("s"), col("src").as("d"), col("r").as("r"))))
           .as("e")).select(col("e.s").as("src"), col("e.d").as("dst"), col("e.r").as("r"))
+        def lbl(c: org.apache.spark.sql.Column) =
+          concat(when(c % 2 === 0, lit("p")).otherwise(lit("s")),
+            shiftright(c, 1).cast("string"))
         Stats.mutualRank(edges, "src", "dst", "r")
-          .select(col("a"), col("b"), r6(col("mr")).as("mr"),
-            r6(col("weight")).as("weight"))
+          .select(lbl(col("a")).as("a"), lbl(col("b")).as("b"),
+            r6(col("mr")).as("mr"), r6(col("weight")).as("weight"))
       },
-      Some("""WITH e0 AS (SELECT concat('p', CAST(l_partkey AS VARCHAR)) AS a, concat('s', CAST(l_suppkey AS VARCHAR)) AS b, CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS r FROM lineitem GROUP BY l_partkey, l_suppkey), edges AS (SELECT a, b, r FROM e0 UNION ALL SELECT b, a, r FROM e0), ranked AS (SELECT a, b, row_number() OVER (PARTITION BY a ORDER BY r DESC, b) AS rk FROM edges) SELECT x.a, x.b, round(sqrt(x.rk * y.rk),6) AS mr, round(exp((CAST(1.0 AS DOUBLE) - sqrt(x.rk * y.rk)) / 25.0),6) AS weight FROM ranked x JOIN ranked y ON x.a = y.b AND x.b = y.a WHERE x.a < x.b""")),
+      Some("""WITH e0 AS (SELECT l_partkey * 2 AS a, l_suppkey * 2 + 1 AS b, CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS r FROM lineitem GROUP BY l_partkey, l_suppkey), edges AS (SELECT a, b, r FROM e0 UNION ALL SELECT b, a, r FROM e0), ranked AS (SELECT a, b, row_number() OVER (PARTITION BY a ORDER BY r DESC, b) AS rk FROM edges), p AS (SELECT x.a, x.b, x.rk AS rab, y.rk AS rba FROM ranked x JOIN ranked y ON x.a = y.b AND x.b = y.a WHERE x.a < x.b) SELECT concat(CASE WHEN a % 2 = 0 THEN 'p' ELSE 's' END, CAST(a // 2 AS VARCHAR)) AS a, concat(CASE WHEN b % 2 = 0 THEN 'p' ELSE 's' END, CAST(b // 2 AS VARCHAR)) AS b, round(sqrt(rab * rba),6) AS mr, round(exp((CAST(1.0 AS DOUBLE) - sqrt(rab * rba)) / 25.0),6) AS weight FROM p""")),
 
     Entry("q_value_counts",
       (s, d) => Q.events(s, d).groupBy("event_type").count(),
