@@ -64,6 +64,10 @@ object Bench {
         // 2.5 s isolated). A forced full GC here costs more than it frees
         // (checkpoint blocks are small) — clearCache alone is the fix.
         spark.catalog.clearCache()
+        // queries that opt into session-level knobs (q_range_join_auto's
+        // rule width) must not leak them into later measurements
+        try spark.conf.unset(graft.catalyst.RangeJoinRewrite.WidthKey)
+        catch { case _: Throwable => () }
       }
     }
     val errs = results.collect { case (k, Left(m)) =>

@@ -12,29 +12,25 @@ object DebugProfile {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
     val d = "/root/testdata/sf0.1"
     def time(name: String)(f: => Long): Unit = {
       val t0 = System.nanoTime()
       val n = f
       println(f"[prof] $name: ${(System.nanoTime()-t0)/1e9}%.2f s rows=$n")
     }
-    val li = spark.read.parquet(s"$d/lineitem.parquet")
-    time("warmup")(li.count())
-
-    val data = li.select(
-      (col("l_partkey") % 50).cast("string").as("gene"),
-      (col("l_orderkey") * 10 + col("l_linenumber")).as("sample"),
-      col("l_extendedprice").as("value"))
-    val batches = li.select(
-      (col("l_orderkey") * 10 + col("l_linenumber")).as("sample"))
-      .distinct()
-      .withColumn("batch", concat(lit("b"), (col("sample") % 3).cast("string")))
-    time("batches distinct")(batches.count())
-    val z = graft.omics.Combat.standardized(data, batches)
-    time("z")(z.count())
-    val adj = graft.omics.Combat.adjust(data, batches)
-    time("adjust full")(adj.count())
-    time("adjust again")(adj.count())
+    val emb = spark.read.parquet(s"$d/embeddings.parquet")
+    time("emb count")(emb.count())
+    time("sample collect")({
+      val s = emb.select(col("embedding")).limit(20000)
+        .as[Seq[Float]].collect()
+      s.length.toLong
+    })
+    val q = emb.where(col("vec_id") < 5)
+    val full = graft.sim.Similarity.ivfTopK(emb, q, "vec_id", "embedding", 3,
+      nCells = 16, nProbe = 16)
+    time("ivf full")(full.count())
+    time("ivf again")(full.count())
     spark.stop()
   }
 }

@@ -31,6 +31,8 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       } finally {
         spark.catalog.clearCache() // drop kernels' internal persists
+        try spark.conf.unset(graft.catalyst.RangeJoinRewrite.WidthKey)
+        catch { case _: Throwable => () }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -107,34 +107,91 @@ object Similarity {
       .select(col("id_a"), col("id_b"), round(col("cos0"), 6).as("cos"))
   }
 
+  /** Seeded Lloyd k-means on a local sample — the coarse-quantizer fit.
+    * Quantizer training is sample-based at any scale (FAISS-style: a few
+    * 10k vectors bound the fit regardless of corpus size), so the corpus
+    * never does per-iteration distributed passes; the only full-corpus
+    * work is ONE cell-assignment projection. k-means++-seeded, fixed
+    * iteration count, deterministic for a given (sample, seed). */
+  private[graft] def fitQuantizer(sample: Array[Array[Double]], nCells: Int,
+                                  seed: Long, iters: Int = 12): Array[Array[Double]] = {
+    require(sample.nonEmpty, "quantizer fit needs a non-empty sample")
+    val rng = new scala.util.Random(seed)
+    val dim = sample.head.length
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < dim) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    // k-means++ init
+    val cents = scala.collection.mutable.ArrayBuffer(sample(rng.nextInt(sample.length)))
+    while (cents.length < math.min(nCells, sample.length)) {
+      val dists = sample.map(v => cents.map(c => d2(v, c)).min)
+      val tot = dists.sum
+      var r = rng.nextDouble() * tot
+      var i = 0
+      while (i < sample.length - 1 && r > dists(i)) { r -= dists(i); i += 1 }
+      cents += sample(i)
+    }
+    val k = cents.length
+    var centroids = cents.toArray
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Long](k)
+      sample.foreach { v =>
+        var best = 0; var bd = Double.MaxValue; var c = 0
+        while (c < k) { val d = d2(v, centroids(c)); if (d < bd) { bd = d; best = c }; c += 1 }
+        counts(best) += 1
+        var i = 0
+        while (i < dim) { sums(best)(i) += v(i); i += 1 }
+      }
+      centroids = Array.tabulate(k) { c =>
+        if (counts(c) == 0) centroids(c)
+        else sums(c).map(_ / counts(c))
+      }
+      it += 1
+    }
+    centroids
+  }
+
   /** IVF (inverted-file) approximate top-k: a k-means coarse quantizer
     * partitions the corpus into `nCells` cells; each query probes only its
     * `nProbe` nearest cells and candidates are re-scored exactly (precision
     * 1, recall grows with nProbe). The production-scale ANN layout: the
     * corpus would be WRITTEN partitioned by cell so a probe touches
-    * nProbe/nCells of the data. Deterministic via the k-means seed. */
+    * nProbe/nCells of the data. Deterministic via the k-means seed.
+    *
+    * The quantizer fits on a bounded driver-side sample (`maxFitSample`
+    * rows via deterministic limit) — one small collect — so the fit costs
+    * zero distributed iterations; the round-2 spark.ml fit paid 8-20
+    * full-corpus jobs to train 16 centroids. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int, nCells: Int = 16, nProbe: Int = 4,
-              seed: Long = 7L): DataFrame = {
+              seed: Long = 7L, maxFitSample: Int = 20000): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val toMl = udf((v: Seq[Float]) =>
-      org.apache.spark.ml.linalg.Vectors.dense(v.map(_.toDouble).toArray))
     val corpusV = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
-      .withColumn("__features", toMl(col("__cv")))
-    // a coarse quantizer does not need convergence — 8 Lloyd iterations
-    // give stable-enough cells (each fit iteration is a full corpus pass
-    // + a scheduled job; the default 20 iterations tripled the fit time
-    // for no recall gain). At 100 TB the fit would run on a sample.
-    val km = new org.apache.spark.ml.clustering.KMeans()
-      .setK(nCells).setSeed(seed).setFeaturesCol("__features")
-      .setPredictionCol("__cell").setMaxIter(8)
-      .fit(corpusV)
-    val centroids = km.clusterCenters.map(_.toArray)
+    val sample = corpusV.select(col("__cv")).limit(maxFitSample)
+      .as[Seq[Float]].collect().map(_.map(_.toDouble).toArray)
+    val centroids = fitQuantizer(sample, nCells, seed)
     val bc = spark.sparkContext.broadcast(centroids)
+    val nearestCell = udf((v: Seq[Float]) => {
+      val cs = bc.value
+      var best = 0; var bd = Double.MaxValue; var c = 0
+      while (c < cs.length) {
+        val cent = cs(c)
+        var s = 0.0; var i = 0
+        while (i < cent.length && i < v.length) {
+          val d = v(i) - cent(i); s += d * d; i += 1
+        }
+        if (s < bd) { bd = s; best = c }
+        c += 1
+      }
+      best
+    })
     // corpus side: cell assignment (at scale: write partitioned by __cell)
-    val assigned = km.transform(corpusV)
-      .select(col("neighbor_id"), col("__cv"), col("__cell"))
+    val assigned = corpusV.withColumn("__cell", nearestCell(col("__cv")))
     // query side: explode into the nProbe nearest cells
     val probeCells = udf((v: Seq[Float]) => {
       val cs = bc.value
