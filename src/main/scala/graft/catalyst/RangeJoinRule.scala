@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{DoubleType, LongType}
+import org.apache.spark.sql.types.{DoubleType, LongType, NumericType}
 
 /** Optimizer rule that rewrites point-in-interval theta joins into the
   * bucketed equi-join [[graft.ops.RangeJoin]] builds by hand.
@@ -48,9 +48,12 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
   /** lo/hi bound pair for a point expression from the other side. */
   private case class RangeSides(point: Expression, lo: Expression, hi: Expression)
 
+  /** The rewrite buckets via numeric division, so it is only meaning-
+    * preserving for numeric operands: a lexicographic string range
+    * ("10" <= v <= "9") or a date/interval comparison must never match. */
   private def from(e: Expression, side: LogicalPlan): Boolean =
     e.references.nonEmpty && e.references.subsetOf(side.outputSet) &&
-      e.deterministic
+      e.deterministic && e.dataType.isInstanceOf[NumericType]
 
   /** Match one conjunct as `point (from `pt` side) bounded below/above by
     * an expression from `bound` side`; returns (point, boundExpr, isLower). */

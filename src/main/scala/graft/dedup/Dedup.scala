@@ -115,6 +115,9 @@ object Dedup {
       .select(posexplode(col("ids")).as(Seq("i", "id_a")), col("ids"))
       .select(col("id_a"),
         explode(slice(col("ids"), col("i") + lit(2), size(col("ids")))).as("id_b"))
+      // guard degenerate input: a duplicated doc id appears twice in a
+      // sorted posting list and would otherwise pair with itself
+      .where(col("id_a") =!= col("id_b"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
     // no broadcast hint: sizes is one row per doc (fine here, petabyte-scale
     // corpora make it shuffle-sized) — AQE picks broadcast when it fits
@@ -252,12 +255,17 @@ object Dedup {
     * nested-HOF expression was interpreted by Catalyst and ~50× slower). */
   def simhashSignatures(df: DataFrame, idCol: String, textCol: String,
                         featureK: Int = 1): DataFrame = {
-    // text -> lowercase -> features -> sketch in one compiled kernel
-    // (feature set: distinct tokens for featureK=1, else distinct
-    // k-shingles — shingleSet(_, 1) IS the distinct token set)
+    // text -> lowercase -> features -> sketch in one compiled kernel.
+    // Feature universe is the DISTINCT token/shingle set at every k (the
+    // round-2 featureK=1 path hashed tokens once per OCCURRENCE; set
+    // semantics are the declared contract now — each feature votes once,
+    // which is what the DuckDB oracle computes). Locale.ROOT pins the
+    // lowercase fold: the default-locale fold diverges from the oracle's
+    // lower() on e.g. Turkish-locale JVMs (I -> dotless ı).
     val fk = math.max(featureK, 1)
     val sigUdf = udf((text: String) => {
-      val fs = shingleSet(if (text == null) null else text.toLowerCase, fk)
+      val fs = shingleSet(
+        if (text == null) null else text.toLowerCase(java.util.Locale.ROOT), fk)
       val acc = new Array[Int](SimhashBits)
       fs.foreach { f =>
         val h = java.lang.Long.parseLong(md5hex(f).substring(0, 15), 16)

@@ -12,10 +12,14 @@ import Q.{Entry, t}
 object OmicsQueries {
 
   /** Shared fixture: per-(user,type) mean values with 20% of 'error' cells
-    * nulled as synthetic missingness. */
+    * nulled as synthetic missingness. The mean is sum(decimal)/count —
+    * events.value is 2-decimal, so the sum is exact and order-independent
+    * and the rounded cell value is bit-identical across engines (a native
+    * avg() is summation-order dependent AND Spark/DuckDB round() disagree
+    * on binary-double ties; see Q.scala's parity rules). */
   private def knnCells(s: org.apache.spark.sql.SparkSession, d: String) =
     Q.events(s, d).groupBy("user_id", "event_type")
-      .agg(round(avg("value"), 6).as("v"))
+      .agg(round(Q.sumDec(col("value")) / count(lit(1)), 6).as("v"))
       .withColumn("v", when(col("event_type") === "error" &&
         col("user_id") % 5 === 0, lit(null)).otherwise(col("v")))
 
@@ -121,7 +125,7 @@ object OmicsQueries {
           Q.r6(col("b0")).as("b0"), Q.r6(col("b1")).as("b1"),
           Q.r6(col("b2")).as("b2"), Q.r6(col("t_slope")).as("t_slope"),
           Q.r6(col("r2")).as("r2")),
-      Some("""WITH g AS (SELECT l_returnflag, CAST(count(*) AS DOUBLE) AS n, CAST(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS s1, CAST(CAST(sum(CAST(l_discount AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS s2, CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sy, CAST(CAST(sum(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS s11, CAST(CAST(sum(CAST(l_discount AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS s22, CAST(CAST(sum(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS s12, CAST(CAST(sum(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS s1y, CAST(CAST(sum(CAST(l_discount AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS s2y, CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS syy FROM lineitem GROUP BY 1), k AS (SELECT *, n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2) + s2 * (s1 * s12 - s11 * s2) AS det FROM g), c AS (SELECT l_returnflag, n, sy, s1y, s2y, syy, det, (sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y) + s2 * (s1y * s12 - s11 * s2y)) / nullif(det, 0) AS b0, (n * (s1y * s22 - s12 * s2y) - sy * (s1 * s22 - s12 * s2) + s2 * (s1 * s2y - s1y * s2)) / nullif(det, 0) AS b1, (n * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2) + sy * (s1 * s12 - s11 * s2)) / nullif(det, 0) AS b2, n * s22 - s2 * s2 AS c11 FROM k), f AS (SELECT l_returnflag, n, b0, b1, b2, syy - b0 * sy - b1 * s1y - b2 * s2y AS rss, syy - sy * sy / n AS tss, det, c11 FROM c) SELECT l_returnflag, CAST(n AS BIGINT) AS n, round(b0, 6) AS b0, round(b1, 6) AS b1, round(b2, 6) AS b2, round(b1 / nullif(sqrt(rss / (n - 3) * c11 / det), 0), 6) AS t_slope, round(1.0 - rss / nullif(tss, 0), 6) AS r2 FROM f""")),
+      Some("""WITH g AS (SELECT l_returnflag, CAST(count(*) AS DOUBLE) AS n, CAST(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS s1, CAST(CAST(sum(CAST(l_discount AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS s2, CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sy, CAST(CAST(sum(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS s11, CAST(CAST(sum(CAST(l_discount AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS s22, CAST(CAST(sum(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS s12, CAST(CAST(sum(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS s1y, CAST(CAST(sum(CAST(l_discount AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS s2y, CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS syy FROM lineitem WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL AND l_discount IS NOT NULL GROUP BY 1), k AS (SELECT *, n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2) + s2 * (s1 * s12 - s11 * s2) AS det FROM g), c AS (SELECT l_returnflag, n, sy, s1y, s2y, syy, det, (sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y) + s2 * (s1y * s12 - s11 * s2y)) / nullif(det, 0) AS b0, (n * (s1y * s22 - s12 * s2y) - sy * (s1 * s22 - s12 * s2) + s2 * (s1 * s2y - s1y * s2)) / nullif(det, 0) AS b1, (n * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2) + sy * (s1 * s12 - s11 * s2)) / nullif(det, 0) AS b2, n * s22 - s2 * s2 AS c11 FROM k), f AS (SELECT l_returnflag, n, b0, b1, b2, greatest(syy - b0 * sy - b1 * s1y - b2 * s2y, 0.0) AS rss, syy - sy * sy / n AS tss, det, c11 FROM c) SELECT l_returnflag, CAST(n AS BIGINT) AS n, round(b0, 6) AS b0, round(b1, 6) AS b1, round(b2, 6) AS b2, round(b1 / nullif(sqrt(rss / (n - 3) * c11 / nullif(det, 0)), 0), 6) AS t_slope, round(1.0 - rss / (CASE WHEN tss > 0 THEN tss END), 6) AS r2 FROM f""")),
 
     Entry("q_combat",
       // ComBat EB batch adjustment on a long-form slice
@@ -140,7 +144,7 @@ object OmicsQueries {
       // distances over shared samples, top-5 by (round(dist,6), donor) —
       // the same tie-safe ordering the engine uses — then the donor mean.
       // round mimics use the documented decimal-cast form (Q.scala).
-      Some("""WITH cells AS (SELECT user_id AS entity, event_type AS sample, CASE WHEN event_type = 'error' AND user_id % 5 = 0 THEN NULL ELSE round(avg(value), 6) END AS v FROM events GROUP BY 1, 2), rowok AS (SELECT entity FROM cells GROUP BY 1 HAVING CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*) <= 0.2), colok AS (SELECT sample FROM cells GROUP BY 1 HAVING CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*) <= 0.2), kept AS (SELECT c.entity, c.sample, c.v FROM cells c JOIN rowok USING (entity) JOIN colok USING (sample)), miss AS (SELECT entity, sample FROM kept WHERE v IS NULL), pres AS (SELECT entity, sample, v FROM kept WHERE v IS NOT NULL), needy AS (SELECT DISTINCT entity FROM miss), dst AS (SELECT a.entity AS needy, b.entity AS donor, sqrt(avg((a.v - b.v) * (a.v - b.v))) AS dist FROM pres a JOIN needy n ON a.entity = n.entity JOIN pres b ON a.sample = b.sample AND a.entity <> b.entity GROUP BY 1, 2 HAVING count(*) >= 2), cand AS (SELECT m.entity, m.sample, d.donor, round(CAST(CAST(d.dist AS VARCHAR) AS DECIMAL(38,12)), 6) AS rdist, p.v AS dv FROM miss m JOIN dst d ON m.entity = d.needy JOIN pres p ON p.entity = d.donor AND p.sample = m.sample), sel AS (SELECT entity, sample, dv, row_number() OVER (PARTITION BY entity, sample ORDER BY rdist, donor) AS rn FROM cand), fill AS (SELECT entity, sample, round(CAST(CAST(avg(dv) AS VARCHAR) AS DECIMAL(38,12)), 6) AS imputed FROM sel WHERE rn <= 5 GROUP BY 1, 2) SELECT k.entity, k.sample, k.v AS value, CASE WHEN k.v IS NOT NULL THEN k.v ELSE f.imputed END AS value_imputed FROM kept k LEFT JOIN fill f ON k.entity = f.entity AND k.sample = f.sample""")),
+      Some("""WITH cells AS (SELECT user_id AS entity, event_type AS sample, CASE WHEN event_type = 'error' AND user_id % 5 = 0 THEN NULL ELSE CAST(round(CAST(CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS VARCHAR) AS DECIMAL(38,12)), 6) AS DOUBLE) END AS v FROM events GROUP BY 1, 2), rowok AS (SELECT entity FROM cells GROUP BY 1 HAVING CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*) <= 0.2), colok AS (SELECT sample FROM cells GROUP BY 1 HAVING CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*) <= 0.2), kept AS (SELECT c.entity, c.sample, c.v FROM cells c JOIN rowok USING (entity) JOIN colok USING (sample)), miss AS (SELECT entity, sample FROM kept WHERE v IS NULL), pres AS (SELECT entity, sample, v FROM kept WHERE v IS NOT NULL), needy AS (SELECT DISTINCT entity FROM miss), dst AS (SELECT a.entity AS needy, b.entity AS donor, sqrt(avg((a.v - b.v) * (a.v - b.v))) AS dist FROM pres a JOIN needy n ON a.entity = n.entity JOIN pres b ON a.sample = b.sample AND a.entity <> b.entity GROUP BY 1, 2 HAVING count(*) >= 2), cand AS (SELECT m.entity, m.sample, d.donor, round(CAST(CAST(d.dist AS VARCHAR) AS DECIMAL(38,12)), 6) AS rdist, p.v AS dv FROM miss m JOIN dst d ON m.entity = d.needy JOIN pres p ON p.entity = d.donor AND p.sample = m.sample), sel AS (SELECT entity, sample, dv, row_number() OVER (PARTITION BY entity, sample ORDER BY rdist, donor) AS rn FROM cand), fill AS (SELECT entity, sample, CAST(round(CAST(CAST(avg(dv) AS VARCHAR) AS DECIMAL(38,12)), 6) AS DOUBLE) AS imputed FROM sel WHERE rn <= 5 GROUP BY 1, 2) SELECT k.entity, k.sample, k.v AS value, CASE WHEN k.v IS NOT NULL THEN k.v ELSE f.imputed END AS value_imputed FROM kept k LEFT JOIN fill f ON k.entity = f.entity AND k.sample = f.sample""")),
 
     Entry("q_knn_distances",
       // the SQL-expressible half of KNN imputation: needy->donor distances
@@ -149,7 +153,7 @@ object OmicsQueries {
           knnCells(s, d).toDF("entity", "sample", "value"))
         .select(col("needy"), col("donor"), round(col("dist"), 6).as("dist"),
           col("shared")),
-      Some("""WITH cells AS (SELECT user_id, event_type, CASE WHEN event_type = 'error' AND user_id % 5 = 0 THEN NULL ELSE round(avg(value), 6) END AS v FROM events GROUP BY 1, 2), needy AS (SELECT DISTINCT user_id AS ne FROM cells WHERE v IS NULL), pres AS (SELECT user_id, event_type, v FROM cells WHERE v IS NOT NULL) SELECT a.user_id AS needy, b.user_id AS donor, round(sqrt(avg((a.v - b.v) * (a.v - b.v))), 6) AS dist, count(*) AS shared FROM pres a JOIN needy ON a.user_id = needy.ne JOIN pres b ON a.event_type = b.event_type AND a.user_id <> b.user_id GROUP BY 1, 2 HAVING count(*) >= 2""")),
+      Some("""WITH cells AS (SELECT user_id, event_type, CASE WHEN event_type = 'error' AND user_id % 5 = 0 THEN NULL ELSE CAST(round(CAST(CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS VARCHAR) AS DECIMAL(38,12)), 6) AS DOUBLE) END AS v FROM events GROUP BY 1, 2), needy AS (SELECT DISTINCT user_id AS ne FROM cells WHERE v IS NULL), pres AS (SELECT user_id, event_type, v FROM cells WHERE v IS NOT NULL) SELECT a.user_id AS needy, b.user_id AS donor, CAST(round(CAST(CAST(sqrt(avg((a.v - b.v) * (a.v - b.v))) AS VARCHAR) AS DECIMAL(38,12)), 6) AS DOUBLE) AS dist, count(*) AS shared FROM pres a JOIN needy ON a.user_id = needy.ne JOIN pres b ON a.event_type = b.event_type AND a.user_id <> b.user_id GROUP BY 1, 2 HAVING count(*) >= 2""")),
 
     Entry("q_combat_moments",
       // the SQL-expressible front half of ComBat: per-gene standardization

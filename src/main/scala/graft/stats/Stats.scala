@@ -216,7 +216,11 @@ object Stats {
                             dec: String = "decimal(12,2)"): DataFrame = {
     def d(c: String) = col(c).cast(dec)
     def s(e: Column) = sum(e).cast("string").cast("double")
-    val g = df.groupBy(groupCols.map(col): _*).agg(
+    // complete-case rows only: n and every moment must come from the SAME
+    // row set (count(*) over null-skipping sums would solve a regression
+    // that matches neither the complete-case nor the full-data fit)
+    val cc = df.where(col(y).isNotNull && col(x1).isNotNull && col(x2).isNotNull)
+    val g = cc.groupBy(groupCols.map(col): _*).agg(
       count(lit(1)).cast("double").as("n"),
       s(d(x1)).as("s1"), s(d(x2)).as("s2"), s(d(y)).as("sy"),
       s(d(x1) * d(x1)).as("s11"), s(d(x2) * d(x2)).as("s22"),
@@ -241,15 +245,20 @@ object Stats {
       .withColumn("b0", det0 / when(abs(col("__det")) > 0, col("__det")))
       .withColumn("b1", det1 / when(abs(col("__det")) > 0, col("__det")))
       .withColumn("b2", det2 / when(abs(col("__det")) > 0, col("__det")))
+      // clamp at 0: an exact-fit group's analytic rss=0 computes as a tiny
+      // NEGATIVE from FP cancellation, and a negative operand would make
+      // the engine's sqrt NaN but ABORT the DuckDB oracle (its sqrt raises
+      // on negatives) — greatest() is mirrored in the oracle SQL
       .withColumn("rss",
-        col("syy") - col("b0") * col("sy") - col("b1") * col("s1y") -
-          col("b2") * col("s2y"))
+        greatest(col("syy") - col("b0") * col("sy") - col("b1") * col("s1y") -
+          col("b2") * col("s2y"), lit(0.0)))
       .withColumn("tss", col("syy") - col("sy") * col("sy") / col("n"))
       .withColumn("sigma2", col("rss") / (col("n") - 3))
-      // (X'X)^-1 [1][1] = cofactor (n*s22 - s2*s2) / det
+      // (X'X)^-1 [1][1] = cofactor (n*s22 - s2*s2) / det; det guarded so a
+      // singular group yields NULL t/p rather than a NaN surprise
       .withColumn("se1",
         sqrt(col("sigma2") * (col("n") * col("s22") - col("s2") * col("s2")) /
-          col("__det")))
+          when(abs(col("__det")) > 0, col("__det"))))
       .withColumn("t_slope", col("b1") / when(col("se1") > 0, col("se1")))
       .withColumn("p_slope", graft.catalyst.StatFunctions.tTail2(
         col("t_slope"), col("n") - 3))

@@ -90,4 +90,17 @@ class RangeJoinRuleSpec extends SparkSpec {
       assert(nullIv.join(points, theta).count() == 0)
     }
   }
+
+  test("non-numeric (lexicographic) ranges are never rewritten") {
+    // "10" <= "2" <= "9" lexicographically — numeric bucketing would
+    // wrongly drop this match, so the rule must not fire on strings
+    val siv = Seq((1L, "10", "9")).toDF("iid", "lo", "hi")
+    val spt = Seq((7L, "2")).toDF("pid", "v")
+    val cond = col("lo") <= col("v") && col("v") <= col("hi")
+    withRule(Some(2.0)) {
+      val j = siv.join(spt, cond)
+      assert(!j.queryExecution.executedPlan.toString.contains("Generate explode"))
+      assert(j.count() == 1)
+    }
+  }
 }
