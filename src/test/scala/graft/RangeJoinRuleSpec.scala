@@ -91,6 +91,26 @@ class RangeJoinRuleSpec extends SparkSpec {
     }
   }
 
+  test("random data + widths: rewritten join equals crossJoin+filter") {
+    val cond = col("lo") <= col("v") && col("v") <= col("hi")
+    (0 until 6).foreach { i =>
+      val rng = new scala.util.Random(100 + i)
+      val iv = Seq.tabulate(80) { j =>
+        val lo = rng.nextDouble() * 100 - 50
+        (j.toLong, lo, lo + rng.nextDouble() * 20 - 2) // ~10% empty (hi < lo)
+      }.toDF("iid", "lo", "hi")
+      val pt = Seq.tabulate(120)(j => (j.toLong, rng.nextDouble() * 140 - 70))
+        .toDF("pid", "v")
+      val expected = iv.crossJoin(pt)
+        .where(cond).select("iid", "pid").collect().toSet
+      val width = Seq(0.5, 3.0, 25.0)(i % 3)
+      val got = withRule(Some(width)) {
+        iv.join(pt, cond).select("iid", "pid").collect().toSet
+      }
+      assert(got == expected, s"seed ${100 + i} width $width")
+    }
+  }
+
   test("non-numeric (lexicographic) ranges are never rewritten") {
     // "10" <= "2" <= "9" lexicographically — numeric bucketing would
     // wrongly drop this match, so the rule must not fire on strings
