@@ -115,9 +115,16 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
             val bucketI = AttributeReference("__graft_bucket_i", LongType,
               nullable = false)()
             // Sequence is TimeZoneAware: without an explicit zone the new
-            // node is unresolved and plan validation rejects the rewrite
-            val seq = Sequence(bucketOf(lo, w), bucketOf(hi, w), None,
-              Some(conf.sessionLocalTimeZone))
+            // node is unresolved and plan validation rejects the rewrite.
+            // Inverted intervals (lo > hi) match nothing, but a bare
+            // Sequence would enumerate them DESCENDING — potentially many
+            // buckets per dead row — so they emit zero buckets instead.
+            val loB = bucketOf(lo, w)
+            val hiB = bucketOf(hi, w)
+            val seq = If(LessThanOrEqual(loB, hiB),
+              Sequence(loB, hiB, None, Some(conf.sessionLocalTimeZone)),
+              Literal.create(Array.empty[Long],
+                org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)))
             val gen = Generate(
               Explode(seq),
               unrequiredChildIndex = Nil, outer = false, qualifier = None,
