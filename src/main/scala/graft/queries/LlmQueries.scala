@@ -36,6 +36,30 @@ object LlmQueries {
   private def simhashSql(threshold: Double, maxHamming: Int) =
     s"""WITH $shingleCte, toksl AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0) AS ts FROM documents), shl0 AS (SELECT doc_id, CASE WHEN len(ts) >= 3 THEN array_to_string(ts[i:i+2], ' ') ELSE array_to_string(ts, ' ') END AS s FROM toksl, unnest(generate_series(1, greatest(len(ts) - 2, 1))) AS g(i)), shl AS (SELECT DISTINCT doc_id, s FROM shl0), hs AS (SELECT doc_id, CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) AS h FROM shl), bits AS (SELECT doc_id, j, CASE WHEN sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) > 0 THEN CAST(1 AS BIGINT) << j ELSE CAST(0 AS BIGINT) END AS bv FROM hs, unnest(generate_series(0, 59)) AS gj(j) GROUP BY 1, 2), sig AS (SELECT doc_id, CAST(sum(bv) AS BIGINT) AS sh60 FROM bits GROUP BY 1), cand AS (SELECT a.doc_id AS ia, b.doc_id AS ib FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND bit_count(xor(a.sh60, b.sh60)) <= $maxHamming), ${verifyTailSql(threshold)}"""
 
+  /** DuckDB replay of Similarity.lshTopK: the seed-7 SRP hyperplanes are
+    * regenerated here (same scala.util.Random stream the engine uses) and
+    * inlined as double literals; each projection is an explicitly
+    * parenthesized left-fold sum so its double value — and hence every
+    * sign bit, band chunk, candidate set, and exact rescore — matches the
+    * engine bit-for-bit. */
+  private def srpLshOracleSql(dim: Int, nBits: Int, bands: Int, seed: Long,
+                              k: Int): String = {
+    val rng = new scala.util.Random(seed)
+    val planes = Array.fill(nBits, dim)(rng.nextGaussian())
+    val bitsPerBand = nBits / bands
+    val mask = (1L << bitsPerBand) - 1
+    def proj(v: String, p: Array[Double]): String =
+      p.zipWithIndex.foldLeft("CAST(0.0 AS DOUBLE)") { case (acc, (w, i)) =>
+        s"($acc + CAST($v[${i + 1}] AS DOUBLE) * $w)"
+      }
+    def sig(v: String): String =
+      planes.zipWithIndex.map { case (p, i) =>
+        s"(CASE WHEN ${proj(v, p)} >= 0 THEN CAST(${1L << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+      }.mkString(" + ")
+    val cos = "list_sum(list_transform(list_zip(q.qe, c.ce), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) / (sqrt(list_sum(list_transform(q.qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * sqrt(list_sum(list_transform(c.ce, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))"
+    s"""WITH cs AS (SELECT vec_id, embedding AS ce, ${sig("embedding")} AS sig FROM embeddings), qs AS (SELECT vec_id, ce AS qe, sig FROM cs WHERE vec_id < 5), cb AS (SELECT vec_id, (sig >> (b * $bitsPerBand)) & $mask AS chunk, b FROM cs, unnest(generate_series(0, ${bands - 1})) AS g(b)), qb AS (SELECT vec_id, (sig >> (b * $bitsPerBand)) & $mask AS chunk, b FROM qs, unnest(generate_series(0, ${bands - 1})) AS g(b)), cand AS (SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id AS neighbor_id FROM qb JOIN cb ON qb.b = cb.b AND qb.chunk = cb.chunk AND qb.vec_id <> cb.vec_id), sc AS (SELECT cand.query_id, cand.neighbor_id, $cos AS cos FROM cand JOIN qs q ON q.vec_id = cand.query_id JOIN cs c ON c.vec_id = cand.neighbor_id), r AS (SELECT query_id, neighbor_id, cos, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn FROM sc) SELECT query_id, neighbor_id, CAST(rn AS INTEGER) AS rank, round(cos, 6) AS cos FROM r WHERE rn <= $k"""
+  }
+
   val entries: Seq[Entry] = Seq(
 
     Entry("q_dedup_exact",
@@ -91,13 +115,19 @@ object LlmQueries {
 
     Entry("q_ann_lsh",
       // SRP-LSH approximate top-k: precision 1 (exact re-score), recall < 1
-      // by design — rows-only check; recall vs brute force in ScalaTest
+      // by design — but the seeded hyperplanes are BUILD-TIME constants, so
+      // the whole pipeline (projections, sign bits, banding, exact rescore)
+      // is a deterministic function of the data and DuckDB replays it with
+      // the plane values inlined as literals (srpLshOracleSql below). The
+      // left-fold addition order of the engine's aggregate() projection is
+      // reproduced as an explicitly-parenthesized sum chain, so the sign
+      // decisions are bit-identical.
       (s, d) => {
         val emb = t(s, d, "embeddings")
         Similarity.lshTopK(emb, emb.where(col("vec_id") < 5),
           "vec_id", "embedding", dim = 64, k = 3)
       },
-      None),
+      Some(srpLshOracleSql(dim = 64, nBits = 32, bands = 8, seed = 7L, k = 3))),
 
     Entry("q_ann_ivf",
       // IVF coarse-quantized ANN with every cell probed: equals exact
