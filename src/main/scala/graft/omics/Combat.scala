@@ -21,10 +21,21 @@ object Combat {
     * separately because it IS SQL-expressible and oracle-checkable. */
   def standardized(data: DataFrame, batches: DataFrame,
                    geneCol: String = "gene", sampleCol: String = "sample",
-                   valueCol: String = "value", batchCol: String = "batch"): DataFrame = {
-    val df = data.select(col(geneCol).as("gene"), col(sampleCol).as("sample"),
-        col(valueCol).cast("double").as("value"))
-      .join(batches.select(col(sampleCol).as("sample"), col(batchCol).as("batch")), "sample")
+                   valueCol: String = "value", batchCol: String = "batch"): DataFrame =
+    standardizedPreJoined(
+      data.select(col(geneCol).as("gene"), col(sampleCol).as("sample"),
+          col(valueCol).cast("double").as("value"))
+        .join(batches.select(col(sampleCol).as("sample"), col(batchCol).as("batch")),
+          "sample"))
+
+  /** Same, over a long form that ALREADY carries the batch label — the
+    * reference's natural input shape (ComBat takes a batch vector aligned
+    * with the sample axis, i.e. the join is done upstream). Skipping the
+    * sample-axis shuffle join matters when the label is derivable in the
+    * projection. Expects columns gene/sample/value/batch. */
+  def standardizedPreJoined(df0: DataFrame): DataFrame = {
+    val df = df0.select(col("gene"), col("sample"),
+      col("value").cast("double").as("value"), col("batch"))
     val geneStats = df.groupBy("gene")
       .agg(avg("value").as("alpha"), stddev_samp(col("value")).as("sigma"))
     df.join(geneStats, "gene")
@@ -42,12 +53,19 @@ object Combat {
   def adjust(data: DataFrame, batches: DataFrame,
              geneCol: String = "gene", sampleCol: String = "sample",
              valueCol: String = "value", batchCol: String = "batch",
-             maxIter: Int = 100): DataFrame = {
+             maxIter: Int = 100): DataFrame =
+    adjustStandardized(
+      standardized(data, batches, geneCol, sampleCol, valueCol, batchCol), maxIter)
+
+  /** ComBat over a pre-joined long form (gene, sample, value, batch). */
+  def adjustPreJoined(df: DataFrame, maxIter: Int = 100): DataFrame =
+    adjustStandardized(standardizedPreJoined(df), maxIter)
+
+  private def adjustStandardized(z0: DataFrame, maxIter: Int): DataFrame = {
     // z feeds both the (gene,batch) moments and the final adjustment —
     // cache it so the standardization join is not recomputed (the plan
     // audit showed the duplicated subtree doubling the exchange count)
-    val z = standardized(data, batches, geneCol, sampleCol, valueCol, batchCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val z = z0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val gb = batchMoments(z)
 
     // 3. per-batch hyperpriors across genes (ComBat_NoFiles.R:236-239):
