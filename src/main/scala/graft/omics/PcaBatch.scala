@@ -1,7 +1,5 @@
 package graft.omics
 
-import org.apache.spark.ml.feature.PCA
-import org.apache.spark.ml.linalg.Vectors
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.stats.Dist
@@ -11,47 +9,83 @@ import graft.stats.Dist
   * aov(PC1 ~ batch) — "does the first principal component separate
   * batches?").
   *
-  * Spark-first: per-sample feature vectors are assembled from long form
-  * (the gene panel is a bounded user-chosen list — hundreds, not the 450k
-  * probe space), PCA runs on the distributed Gramian via spark.ml, and the
-  * one-way ANOVA of PC1 against batch is a pair of aggregates with the
-  * F-tail computed from the regularized incomplete beta.
+  * Spark-first: the gene panel is bounded (a user-chosen list — hundreds,
+  * not the 450k probe space), so the p×p Gramian is ONE distributed
+  * aggregate (a self-join on the sample axis — never a dense per-sample
+  * vector assembly), the dominant eigenvector comes from a deterministic
+  * fixed-iteration power method on the driver (p² doubles — trivially
+  * driver-sized), and PC1 scores + the one-way ANOVA are two more
+  * aggregates. Everything is a closed-form function of the data, so the
+  * whole statistic is DuckDB-oracle-replayable (the round-2 spark.ml
+  * PCA ran an opaque eigensolver and forced a rows-only check).
+  *
+  * Missing (sample, gene) cells densify to 0.0 before centering — the
+  * same convention the previous dense-vector assembly used.
   */
 object PcaBatch {
 
   /** @return one row: (n_samples, n_batches, f_stat, p_value) for
-    *         aov(PC1 ~ batch). */
+    *         aov(PC1 ~ batch). `iters` is the fixed power-iteration count
+    *         (contractive, so engine and oracle trajectories agree to
+    *         ~1e-13 regardless of convergence). */
   def pc1BatchAnova(data: DataFrame, batches: DataFrame,
                     entityCol: String = "gene", sampleCol: String = "sample",
-                    valueCol: String = "value", batchCol: String = "batch"): DataFrame = {
+                    valueCol: String = "value", batchCol: String = "batch",
+                    iters: Int = 300): DataFrame = {
     val spark = data.sparkSession
     import spark.implicits._
     val d = data.select(col(entityCol).cast("string").as("gene"),
       col(sampleCol).cast("string").as("sample"),
       col(valueCol).cast("double").as("value"))
-    // bounded, sorted gene panel -> stable vector layout
     val genes = d.select("gene").distinct().as[String].collect().sorted
     require(genes.length <= 10000,
-      s"pc1BatchAnova: gene panel of ${genes.length} exceeds the dense-vector bound")
+      s"pc1BatchAnova: gene panel of ${genes.length} exceeds the bounded-panel assumption")
+    val p = genes.length
+
+    // dense 0-filled grid, columns centered by their mean over ALL samples
+    val geneDf = broadcast(genes.toSeq.toDF("gene"))
+    val cells = d.select("sample").distinct().crossJoin(geneDf)
+      .join(d, Seq("sample", "gene"), "left")
+      .select(col("sample"), col("gene"),
+        coalesce(col("value"), lit(0.0)).as("value"))
+    val mu = cells.groupBy("gene").agg(avg("value").as("mu"))
+    val x = cells.join(broadcast(mu), "gene")
+      .select(col("sample"), col("gene"), (col("value") - col("mu")).as("x"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // p×p Gramian of the centered matrix: one shuffle join on sample
+    // (p² · n intermediate rows with p bounded), one aggregate, p² collect
+    val covRows = x.as("a").join(x.as("b"), "sample")
+      .groupBy(col("a.gene").as("gi"), col("b.gene").as("gj"))
+      .agg(sum(col("a.x") * col("b.x")).as("s"))
+      .collect()
     val idx = genes.zipWithIndex.toMap
-    val bIdx = spark.sparkContext.broadcast(idx)
-    val toVec = udf((pairs: Seq[org.apache.spark.sql.Row]) => {
-      val arr = new Array[Double](bIdx.value.size)
-      pairs.foreach { r =>
-        bIdx.value.get(r.getString(0)).foreach(i => arr(i) = r.getDouble(1))
+    val c = Array.ofDim[Double](p, p)
+    covRows.foreach(r => c(idx(r.getString(0)))(idx(r.getString(1))) = r.getDouble(2))
+
+    // deterministic power iteration from the uniform unit vector
+    var v = Array.fill(p)(1.0 / math.sqrt(p))
+    var it = 0
+    while (it < iters) {
+      val nv = Array.tabulate(p) { i =>
+        var s = 0.0; var j = 0
+        while (j < p) { s += c(i)(j) * v(j); j += 1 }
+        s
       }
-      Vectors.dense(arr)
-    })
-    val vecs = d.groupBy("sample")
-      .agg(collect_list(struct(col("gene"), col("value"))).as("pairs"))
-      .withColumn("features", toVec(col("pairs"))).drop("pairs")
-    val pca = new PCA().setK(1).setInputCol("features").setOutputCol("pc")
-      .fit(vecs)
-    val firstEl = udf((v: org.apache.spark.ml.linalg.Vector) => v(0))
-    val scored = pca.transform(vecs)
-      .select(col("sample"), firstEl(col("pc")).as("pc1"))
+      var n2 = 0.0; var j = 0
+      while (j < p) { n2 += nv(j) * nv(j); j += 1 }
+      val nrm = math.sqrt(n2)
+      v = if (nrm > 0) nv.map(_ / nrm) else nv
+      it += 1
+    }
+
+    // PC1 scores: broadcast the p-row loading table, one aggregate
+    val loadings = broadcast(genes.zip(v).toSeq.toDF("gene", "w"))
+    val scored = x.join(loadings, "gene")
+      .groupBy("sample").agg(sum(col("x") * col("w")).as("pc1"))
       .join(batches.select(col(sampleCol).cast("string").as("sample"),
         col(batchCol).cast("string").as("batch")), "sample")
+
     // one-way ANOVA of pc1 ~ batch as two aggregates
     val byBatch = scored.groupBy("batch")
       .agg(count(lit(1)).as("nb"), avg("pc1").as("mb"),

@@ -10,6 +10,20 @@ import Q.{Entry, t, r6}
 /** Herald iterative loop + multimodal column plumbing wired to the gate. */
 object ExtQueries {
 
+  /** DuckDB replay of PcaBatch.pc1BatchAnova over the q_pca_batch fixture:
+    * centered 0-densified cell grid, p×p Gramian, `iters` power-method
+    * steps from the uniform unit vector (each step = one matrix-vector CTE
+    * + one normalization CTE, MATERIALIZED so the chain evaluates once per
+    * level instead of re-inlining exponentially), PC1 scores, one-way
+    * ANOVA. Mirrors the engine's arithmetic shape term for term. */
+  private def pcaOracleSql(iters: Int): String = {
+    val fixed = """cells AS MATERIALIZED (SELECT CAST(l_partkey % 20 AS VARCHAR) AS gene, CAST(l_suppkey AS VARCHAR) AS sample, CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS value FROM lineitem GROUP BY 1, 2), grid AS MATERIALIZED (SELECT s.sample, g.gene FROM (SELECT DISTINCT sample FROM cells) s CROSS JOIN (SELECT DISTINCT gene FROM cells) g), dense AS MATERIALIZED (SELECT grid.sample, grid.gene, coalesce(c.value, 0.0) AS value FROM grid LEFT JOIN cells c ON grid.sample = c.sample AND grid.gene = c.gene), mu AS MATERIALIZED (SELECT gene, avg(value) AS mu FROM dense GROUP BY 1), x AS MATERIALIZED (SELECT d.sample, d.gene, d.value - mu.mu AS x FROM dense d JOIN mu USING (gene)), cov AS MATERIALIZED (SELECT a.gene AS gi, b.gene AS gj, sum(a.x * b.x) AS s FROM x a JOIN x b ON a.sample = b.sample GROUP BY 1, 2), v0 AS MATERIALIZED (SELECT gene, 1.0 / sqrt((SELECT CAST(count(*) AS DOUBLE) FROM mu)) AS w FROM mu)"""
+    val its = (1 to iters).map { i =>
+      s"m$i AS MATERIALIZED (SELECT cov.gi AS gene, sum(cov.s * v${i - 1}.w) AS w FROM cov JOIN v${i - 1} ON cov.gj = v${i - 1}.gene GROUP BY 1), v$i AS MATERIALIZED (SELECT gene, w / (SELECT sqrt(sum(w * w)) FROM m$i) AS w FROM m$i)"
+    }.mkString(", ")
+    s"""WITH $fixed, $its, scores AS MATERIALIZED (SELECT x.sample, sum(x.x * v$iters.w) AS pc1 FROM x JOIN v$iters ON x.gene = v$iters.gene GROUP BY 1), sb AS (SELECT CAST(s_suppkey AS VARCHAR) AS sample, CAST(s_nationkey % 2 AS VARCHAR) AS batch FROM supplier), sc AS MATERIALIZED (SELECT s.pc1, sb.batch FROM scores s JOIN sb USING (sample)), bb AS (SELECT batch, CAST(count(*) AS DOUBLE) AS nb, avg(pc1) AS mb, sum(pc1 * pc1) AS sq FROM sc GROUP BY 1), gg AS (SELECT count(*) AS n, avg(pc1) AS gm FROM sc), pr AS (SELECT sum(nb * (mb - gg.gm) * (mb - gg.gm)) AS ssb, sum(sq - nb * mb * mb) AS ssw, count(*) AS k, first(gg.n) AS n FROM bb, gg) SELECT CAST(n AS BIGINT) AS n_samples, CAST(k AS BIGINT) AS n_batches, CAST(round(CAST(CAST((ssb / (k - 1)) / (ssw / (n - k)) AS VARCHAR) AS DECIMAL(38,12)), 6) AS DOUBLE) AS f_stat FROM pr"""
+  }
+
   val entries: Seq[Entry] = Seq(
 
     Entry("q_pipeline_herald",
@@ -50,18 +64,25 @@ object ExtQueries {
       Some("""WITH h AS (SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n FROM documents), bytes AS (SELECT doc_id, (i - 1) % 8 AS j, CAST(concat('0x', substr(hx, 2 * i - 1, 2)) AS BIGINT) AS byte FROM h, unnest(generate_series(1, n)) AS g(i) WHERE n > 0), feats AS (SELECT b.doc_id, b.j, CAST(CAST(sum(b.byte) / 255.0 / greatest(h.n // 8, 1) AS FLOAT) AS DOUBLE) AS f FROM bytes b JOIN h ON b.doc_id = h.doc_id GROUP BY b.doc_id, b.j, h.n), agg AS (SELECT doc_id, sum(f) AS fs FROM feats GROUP BY 1) SELECT h.doc_id AS media_id, CAST(h.n AS BIGINT) AS n_bytes, CASE WHEN h.n > 0 THEN CAST(round(CAST(CAST(a.fs AS VARCHAR) AS DECIMAL(38,12)), 4) AS DOUBLE) END AS feat_sum FROM h LEFT JOIN agg a ON h.doc_id = a.doc_id""")),
 
     Entry("q_pca_batch",
-      // PCA batch check: PC1 of the sample matrix, one-way ANOVA vs batch
+      // PCA batch check: PC1 of the sample matrix, one-way ANOVA vs batch.
+      // The kernel is now a closed-form function of the data (Gramian
+      // aggregate + fixed-iteration power method + ANOVA aggregates), so
+      // the oracle replays it exactly — the iteration unrolls into
+      // MATERIALIZED CTEs (plain CTEs re-inline the chain exponentially).
+      // p_value stays kernel-side (F-tail has no SQL form; Dist golden
+      // tests cover it) — the gate compares n/k/f_stat.
       (s, d) => {
         val data = t(s, d, "lineitem")
           .groupBy((col("l_partkey") % 20).cast("string").as("gene"),
             col("l_suppkey").cast("string").as("sample"))
-          .agg(avg("l_extendedprice").as("value"))
+          .agg((Q.sumDec(col("l_extendedprice")) / count(lit(1))).as("value"))
         val batches = t(s, d, "supplier").select(
           col("s_suppkey").cast("string").as("sample"),
           (col("s_nationkey") % 2).cast("string").as("batch"))
         PcaBatch.pc1BatchAnova(data, batches)
+          .select("n_samples", "n_batches", "f_stat")
       },
-      None),
+      Some(pcaOracleSql(iters = 300))),
 
     Entry("q_multimodal_frames",
       // frame sampling: binary chunked at 64 bytes, every 2nd kept — the
