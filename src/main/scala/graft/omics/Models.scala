@@ -123,7 +123,15 @@ object Models {
     * at height h (Download_Preprocess.R:1433-1482: hclust(as.dist(1-cor)),
     * cutree(h = 1-0.4)). Probes-per-gene is ≤ ~50, so the linkage runs
     * in-task; cluster ids are canonicalized by each cluster's
-    * lexicographically-smallest probe for determinism. */
+    * lexicographically-smallest probe for determinism.
+    *
+    * The 1-cor distance is computed from EXACT decimal raw sums over the
+    * pair's shared samples, with the closing arithmetic in a fixed double
+    * op order — so for fixed-precision inputs (e.g. 6-decimal means) the
+    * whole distance matrix, and therefore every merge decision, is
+    * bit-identical to a SQL replay with DECIMAL sums (the q_hclust_probes
+    * oracle). Ties in the merge argmin break on the canonical
+    * (lexicographically-smallest-member) cluster-id pair. */
   def clusterProbesPerGene(df: DataFrame, geneCol: String, probeCol: String,
                            sampleCol: String, valueCol: String,
                            h: Double = 0.6): Dataset[ClusterRow] = {
@@ -137,15 +145,14 @@ object Models {
       .groupByKey(_.gene)
       .flatMapGroups { (gene, it) =>
         val rows = it.toArray
-        val samples = rows.map(_.sample).distinct.sorted
         val probes = rows.map(_.probe).distinct.sorted
-        val byProbe = rows.groupBy(_.probe).map { case (p, rs) =>
-          val m = rs.map(r => r.sample -> r.value).toMap
-          p -> samples.map(s => m.getOrElse(s, Double.NaN))
-        }
+        val byProbe: Map[String, Map[String, Double]] =
+          rows.groupBy(_.probe).map { case (p, rs) =>
+            p -> rs.map(r => r.sample -> r.value).toMap
+          }
         val dist = Array.tabulate(probes.length, probes.length) { (i, j) =>
           if (i == j) 0.0
-          else 1.0 - pearson(byProbe(probes(i)), byProbe(probes(j)))
+          else corDistExact(byProbe(probes(i)), byProbe(probes(j)))
         }
         val assign = completeLinkageCut(dist, h)
         // canonical cluster ids: order clusters by smallest member probe
@@ -158,39 +165,73 @@ object Models {
       }
   }
 
-  private def pearson(a: Array[Double], b: Array[Double]): Double = {
-    val pairs = a.zip(b).filter { case (x, y) => !x.isNaN && !y.isNaN }
-    if (pairs.length < 2) return 0.0
-    val n = pairs.length
-    val mx = pairs.map(_._1).sum / n; val my = pairs.map(_._2).sum / n
-    var sxy = 0.0; var sxx = 0.0; var syy = 0.0
-    pairs.foreach { case (x, y) =>
-      sxy += (x - mx) * (y - my); sxx += (x - mx) * (x - mx); syy += (y - my) * (y - my)
+  /** 1 - pearson(a, b) over the SHARED samples, from exact decimal raw
+    * sums (n, Σx, Σy, Σxy, Σxx, Σyy as BigDecimal ≡ SQL DECIMAL sums)
+    * closed out in a fixed double op order. No-signal cases (n < 2 or a
+    * zero variance) map to distance 1.0. */
+  private[omics] def corDistExact(xa: Map[String, Double],
+                                  xb: Map[String, Double]): Double = {
+    val shared = xa.keySet.intersect(xb.keySet)
+    val n = shared.size
+    if (n < 2) return 1.0
+    var sx, sy, sxy, sxx, syy = BigDecimal(0)
+    shared.foreach { s =>
+      val x = BigDecimal(java.lang.Double.toString(xa(s)))
+      val y = BigDecimal(java.lang.Double.toString(xb(s)))
+      sx += x; sy += y; sxy += x * y; sxx += x * x; syy += y * y
     }
-    if (sxx <= 0 || syy <= 0) 0.0 else sxy / math.sqrt(sxx * syy)
+    val nd = n.toDouble
+    val dsx = sx.toDouble; val dsy = sy.toDouble
+    val num = nd * sxy.toDouble - dsx * dsy
+    val d1 = nd * sxx.toDouble - dsx * dsx
+    val d2 = nd * syy.toDouble - dsy * dsy
+    if (d1 <= 0 || d2 <= 0) 1.0 else 1.0 - num / math.sqrt(d1 * d2)
   }
 
   /** Complete-linkage agglomeration; stop merging when the best merge
     * distance exceeds h; return cluster assignment per index. */
   private[omics] def completeLinkageCut(dist: Array[Array[Double]], h: Double): Array[Int] = {
+    // cluster id = smallest member index; the argmin scans id pairs in
+    // ascending (a, b) order with a strict <, so equal-distance merges
+    // resolve to the smallest canonical pair — the same total order a SQL
+    // replay's ORDER BY (d, ca, cb) row_number produces
     val n = dist.length
     val assign = Array.tabulate(n)(identity)
-    var clusters = (0 until n).map(i => Set(i)).toBuffer
-    var merging = true
-    while (merging && clusters.length > 1) {
-      var best = Double.PositiveInfinity
-      var bi = -1; var bj = -1
-      for (i <- clusters.indices; j <- (i + 1) until clusters.length) {
-        val d = clusters(i).flatMap(a => clusters(j).map(b => dist(a)(b))).max
-        if (d < best - 1e-15) { best = d; bi = i; bj = j }
+    var done = n <= 1
+    while (!done) {
+      val ids = assign.distinct.sorted
+      if (ids.length <= 1) done = true
+      else {
+        var best = Double.PositiveInfinity
+        var ba = -1; var bb = -1
+        var ai = 0
+        while (ai < ids.length) {
+          var bi = ai + 1
+          while (bi < ids.length) {
+            val a = ids(ai); val b = ids(bi)
+            var m = Double.NegativeInfinity
+            var i = 0
+            while (i < n) {
+              if (assign(i) == a) {
+                var j = 0
+                while (j < n) {
+                  if (assign(j) == b && dist(i)(j) > m) m = dist(i)(j)
+                  j += 1
+                }
+              }
+              i += 1
+            }
+            if (m < best) { best = m; ba = a; bb = b }
+            bi += 1
+          }
+          ai += 1
+        }
+        if (best <= h) {
+          var i = 0
+          while (i < n) { if (assign(i) == bb) assign(i) = ba; i += 1 }
+        } else done = true
       }
-      if (best <= h && bi >= 0) {
-        val merged = clusters(bi) ++ clusters(bj)
-        clusters.remove(bj); clusters.remove(bi)
-        clusters += merged
-      } else merging = false
     }
-    clusters.zipWithIndex.foreach { case (c, id) => c.foreach(assign(_) = id) }
     assign
   }
 

@@ -164,14 +164,34 @@ object OmicsQueries {
       Some("""WITH d AS (SELECT CAST(l_partkey % 50 AS VARCHAR) AS gene, l_orderkey * 10 + l_linenumber AS sample, l_extendedprice AS value, concat('b', CAST((l_orderkey * 10 + l_linenumber) % 3 AS VARCHAR)) AS batch FROM lineitem), g AS (SELECT gene, avg(value) AS alpha, stddev_samp(value) AS sigma FROM d GROUP BY 1), z AS (SELECT d.gene, d.batch, (d.value - g.alpha) / CASE WHEN g.sigma > 0 THEN g.sigma END AS z FROM d JOIN g USING (gene)) SELECT gene, batch, round(avg(z), 6) AS gamma_hat, round(var_samp(z), 6) AS delta2_hat, count(*) AS n FROM z GROUP BY 1, 2""")),
 
     Entry("q_hclust_probes",
-      // per-gene probe clustering (1-cor complete linkage, cutree)
+      // per-gene probe clustering (1-cor complete linkage, cutree). Cell
+      // values are 6-decimal exact means, the kernel's distances come from
+      // exact decimal raw sums with a fixed closing op order, and merge
+      // ties break on canonical cluster-id pairs — so the agglomeration is
+      // bit-replayable: the oracle unrolls all 19 possible merge steps
+      // (extra steps no-op once best > h or one cluster remains).
       (s, d) => Models.clusterProbesPerGene(
         t(s, d, "lineitem")
           .withColumn("probe", (col("l_partkey") % 20).cast("string"))
           .groupBy(col("l_returnflag").as("gene"), col("probe"),
             col("l_suppkey").cast("string").as("sample"))
-          .agg(avg("l_extendedprice").as("value")),
+          .agg(round(Q.sumDec(col("l_extendedprice")) / count(lit(1)), 6).as("value")),
         "gene", "probe", "sample", "value").toDF(),
-      None)
+      Some(hclustOracleSql(steps = 19, h = 0.6)))
   )
+
+  /** DuckDB replay of clusterProbesPerGene over the q_hclust_probes
+    * fixture: pairwise 1-cor distances from exact DECIMAL raw sums (the
+    * kernel mirrors this bit-for-bit), then `steps` unrolled merge rounds
+    * — per round: cluster-pair complete-linkage distances, the per-gene
+    * argmin (d, ca, cb), and the membership remap. MATERIALIZED CTEs keep
+    * the chain linear. */
+  private def hclustOracleSql(steps: Int, h: Double): String = {
+    val cells = """cells AS MATERIALIZED (SELECT l_returnflag AS gene, CAST(l_partkey % 20 AS VARCHAR) AS probe, CAST(l_suppkey AS VARCHAR) AS sample, CAST(round(CAST(CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS VARCHAR) AS DECIMAL(38,12)), 6) AS DOUBLE) AS value FROM lineitem GROUP BY 1, 2, 3)"""
+    val pairs = """pr AS MATERIALIZED (SELECT DISTINCT gene, probe FROM cells), pg AS MATERIALIZED (SELECT a.gene, a.probe AS pa, b.probe AS pb FROM pr a JOIN pr b ON a.gene = b.gene AND a.probe < b.probe), pp AS MATERIALIZED (SELECT a.gene, a.probe AS pa, b.probe AS pb, CAST(count(*) AS DOUBLE) AS n, CAST(sum(CAST(a.value AS DECIMAL(19,6))) AS DOUBLE) AS sx, CAST(sum(CAST(b.value AS DECIMAL(19,6))) AS DOUBLE) AS sy, CAST(sum(CAST(a.value AS DECIMAL(19,6)) * CAST(b.value AS DECIMAL(19,6))) AS DOUBLE) AS sxy, CAST(sum(CAST(a.value AS DECIMAL(19,6)) * CAST(a.value AS DECIMAL(19,6))) AS DOUBLE) AS sxx, CAST(sum(CAST(b.value AS DECIMAL(19,6)) * CAST(b.value AS DECIMAL(19,6))) AS DOUBLE) AS syy FROM cells a JOIN cells b ON a.gene = b.gene AND a.sample = b.sample AND a.probe < b.probe GROUP BY 1, 2, 3), pd AS MATERIALIZED (SELECT g.gene, g.pa, g.pb, CASE WHEN pp.n IS NULL OR pp.n < 2 THEN 1.0 WHEN (pp.n * pp.sxx - pp.sx * pp.sx) <= 0 OR (pp.n * pp.syy - pp.sy * pp.sy) <= 0 THEN 1.0 ELSE 1.0 - (pp.n * pp.sxy - pp.sx * pp.sy) / sqrt((pp.n * pp.sxx - pp.sx * pp.sx) * (pp.n * pp.syy - pp.sy * pp.sy)) END AS d FROM pg g LEFT JOIN pp ON g.gene = pp.gene AND g.pa = pp.pa AND g.pb = pp.pb), s0 AS MATERIALIZED (SELECT gene, probe, probe AS cid FROM pr)"""
+    val its = (1 to steps).map { k =>
+      s"""d$k AS MATERIALIZED (SELECT pd.gene, CASE WHEN a.cid < b.cid THEN a.cid ELSE b.cid END AS ca, CASE WHEN a.cid < b.cid THEN b.cid ELSE a.cid END AS cb, max(pd.d) AS d FROM pd JOIN s${k - 1} a ON pd.gene = a.gene AND pd.pa = a.probe JOIN s${k - 1} b ON pd.gene = b.gene AND pd.pb = b.probe WHERE a.cid <> b.cid GROUP BY 1, 2, 3), b$k AS MATERIALIZED (SELECT gene, ca, cb FROM (SELECT gene, ca, cb, d, row_number() OVER (PARTITION BY gene ORDER BY d, ca, cb) AS rn FROM d$k) WHERE rn = 1 AND d <= $h), s$k AS MATERIALIZED (SELECT s.gene, s.probe, CASE WHEN b.cb IS NOT NULL AND s.cid = b.cb THEN b.ca ELSE s.cid END AS cid FROM s${k - 1} s LEFT JOIN b$k b ON s.gene = b.gene)"""
+    }.mkString(", ")
+    s"WITH $cells, $pairs, $its SELECT gene, probe, CAST(dense_rank() OVER (PARTITION BY gene ORDER BY cid) AS INTEGER) AS cluster FROM s$steps"
+  }
 }
