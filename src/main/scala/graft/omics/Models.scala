@@ -171,7 +171,10 @@ object Models {
     * zero variance) map to distance 1.0. */
   private[omics] def corDistExact(xa: Map[String, Double],
                                   xb: Map[String, Double]): Double = {
-    val shared = xa.keySet.intersect(xb.keySet)
+    // non-finite cells count as missing (the previous NaN-vector path
+    // dropped such pairs too; BigDecimal would throw on them)
+    val shared = xa.keySet.intersect(xb.keySet).filter(s =>
+      java.lang.Double.isFinite(xa(s)) && java.lang.Double.isFinite(xb(s)))
     val n = shared.size
     if (n < 2) return 1.0
     var sx, sy, sxy, sxx, syy = BigDecimal(0)

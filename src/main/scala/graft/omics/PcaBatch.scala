@@ -25,9 +25,16 @@ import graft.stats.Dist
 object PcaBatch {
 
   /** @return one row: (n_samples, n_batches, f_stat, p_value) for
-    *         aov(PC1 ~ batch). `iters` is the fixed power-iteration count
-    *         (contractive, so engine and oracle trajectories agree to
-    *         ~1e-13 regardless of convergence). */
+    *         aov(PC1 ~ batch). `iters` is the fixed power-iteration count.
+    *
+    *         Cross-engine parity note: both engines run the identical
+    *         iteration, but they build the Gramian from differently-ordered
+    *         double sums (~1e-15 apart), and the dominant eigenvector's
+    *         sensitivity to that perturbation scales with 1/gap(λ1, λ2) —
+    *         round-6 parity therefore assumes a non-degenerate top
+    *         eigengap (true of any fixture where PC1 means something; a
+    *         near-tied spectrum makes "the" first component ill-defined
+    *         for every implementation, including R's prcomp). */
   def pc1BatchAnova(data: DataFrame, batches: DataFrame,
                     entityCol: String = "gene", sampleCol: String = "sample",
                     valueCol: String = "value", batchCol: String = "batch",
@@ -38,8 +45,11 @@ object PcaBatch {
       col(sampleCol).cast("string").as("sample"),
       col(valueCol).cast("double").as("value"))
     val genes = d.select("gene").distinct().as[String].collect().sorted
-    require(genes.length <= 10000,
-      s"pc1BatchAnova: gene panel of ${genes.length} exceeds the bounded-panel assumption")
+    // the Gramian collect is p² rows on the driver — bound it where that
+    // is still trivially driver-sized (1000² = 1M rows), not at the old
+    // dense-vector limit which the p² collect could not honor
+    require(genes.length <= 1000,
+      s"pc1BatchAnova: gene panel of ${genes.length} exceeds the p<=1000 Gramian-collect bound")
     val p = genes.length
 
     // dense 0-filled grid, columns centered by their mean over ALL samples
@@ -97,7 +107,7 @@ object PcaBatch {
         sum(col("ssb_raw") - col("nb") * col("mb") * col("mb")).as("ss_within"),
         count(lit(1)).as("k"), first(col("n")).as("n"))
     val pUdf = udf((f: Double, d1: Double, d2: Double) => Dist.fTail(f, d1, d2))
-    parts
+    val out = parts
       .withColumn("f_stat",
         (col("ss_between") / (col("k") - 1)) /
           when(col("n") - col("k") > 0, col("ss_within") / (col("n") - col("k"))))
@@ -105,5 +115,15 @@ object PcaBatch {
         round(col("f_stat"), 6).as("f_stat"),
         round(pUdf(col("f_stat"), (col("k") - 1).cast("double"),
           (col("n") - col("k")).cast("double")), 6).as("p_value"))
+      .collect()
+    // the result is one row, so finish eagerly and RELEASE the persisted
+    // centered grid — a lazy return would pin it past the method for
+    // callers without a clearCache harness
+    x.unpersist()
+    val row = out.head
+    Seq((row.getLong(0), row.getLong(1),
+        Option(row.get(2)).map(_.asInstanceOf[Double]),
+        Option(row.get(3)).map(_.asInstanceOf[Double])))
+      .toDF("n_samples", "n_batches", "f_stat", "p_value")
   }
 }

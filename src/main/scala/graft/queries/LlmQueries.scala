@@ -44,8 +44,7 @@ object LlmQueries {
     * engine bit-for-bit. */
   private def srpLshOracleSql(dim: Int, nBits: Int, bands: Int, seed: Long,
                               k: Int): String = {
-    val rng = new scala.util.Random(seed)
-    val planes = Array.fill(nBits, dim)(rng.nextGaussian())
+    val planes = Similarity.srpPlanes(dim, nBits, seed)
     val bitsPerBand = nBits / bands
     val mask = (1L << bitsPerBand) - 1
     def proj(v: String, p: Array[Double]): String =

@@ -219,9 +219,17 @@ object Similarity {
   /** Signed-random-projection (SRP) LSH signature: `nBits` fixed random
     * hyperplanes (seeded), bit = sign of the projection. Hamming distance
     * on signatures approximates angular distance. */
-  def srpSignature(vec: Column, dim: Int, nBits: Int = 16, seed: Long = 7L): Column = {
+  /** The seeded SRP hyperplanes — THE canonical generation, shared by the
+    * engine signature and the q_ann_lsh oracle generator so the two can
+    * never drift apart (the oracle replays these exact doubles as SQL
+    * literals). */
+  def srpPlanes(dim: Int, nBits: Int, seed: Long): Array[Array[Double]] = {
     val rng = new scala.util.Random(seed)
-    val planes = Array.fill(nBits, dim)(rng.nextGaussian())
+    Array.fill(nBits, dim)(rng.nextGaussian())
+  }
+
+  def srpSignature(vec: Column, dim: Int, nBits: Int = 16, seed: Long = 7L): Column = {
+    val planes = srpPlanes(dim, nBits, seed)
     val bits = planes.zipWithIndex.map { case (p, i) =>
       val proj = aggregate(
         zip_with(vec, lit(p), (x, w) => x.cast("double") * w),
