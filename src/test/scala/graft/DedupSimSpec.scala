@@ -143,4 +143,39 @@ class DedupSimSpec extends SparkSpec {
     val recall = lsh.intersect(brute).size.toDouble / brute.size
     assert(recall >= 0.5, s"recall=$recall")
   }
+
+  test("degenerate corpora: empty, whitespace, unicode, single-token docs") {
+    val weird = Seq(
+      (1L, ""), (2L, "   \t  "), (3L, "one"),
+      (4L, "\u00fcber str\u00dfe \u00e9t\u00e9"), // non-ASCII survives
+      (5L, "a b"), (6L, "a b")
+    ).toDF("doc_id", "text")
+    // none of the tiers may throw; identical short docs still pair up
+    val ex = Dedup.exact(weird, "doc_id", "text")
+    assert(ex.count() > 0)
+    // "" and whitespace-only normalize to the same empty fingerprint
+    assert(ex.where(col("kept_id") === 1L).select("dup_count").head().getLong(0) == 2)
+    val nj = Dedup.ngramJaccardPairs(weird, "doc_id", "text", k = 3, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(nj.contains((5L, 6L)))
+    assert(Dedup.minhashLshPairs(weird, "doc_id", "text", k = 3, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet.contains((5L, 6L)))
+    assert(Dedup.simhashPairs(weird, "doc_id", "text", bands = 15, k = 3,
+      threshold = 0.5, maxHamming = 14)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet.contains((5L, 6L)))
+    val q = graft.text.Text.qualityScore(weird, "text")
+    assert(q.count() == 6) // empty docs get a row, not an exception
+  }
+
+  test("duplicated doc ids never produce self-pairs in ngramJaccardPairs") {
+    val dup = Seq(
+      (7L, "alpha beta gamma delta epsilon zeta"),
+      (7L, "alpha beta gamma delta epsilon zeta"), // same id twice
+      (8L, "alpha beta gamma delta epsilon zeta")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.ngramJaccardPairs(dup, "doc_id", "text", k = 3, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    assert(pairs.forall { case (a, b) => a != b }, pairs.mkString(","))
+    assert(pairs.toSet == Set((7L, 8L)))
+  }
 }
