@@ -102,10 +102,16 @@ object Dedup {
     // DF-pruning defines the shingle universe: both the candidate pairs AND
     // the per-doc sizes come from the pruned set, so the Jaccard reported is
     // consistently "Jaccard over shingles with df <= maxShingleDf".
+    // the posting index feeds BOTH the sizes aggregate and the pair
+    // explode below; without a materialization barrier the whole
+    // shingle-UDF + groupBy subtree executes once per branch (measured
+    // ~2× the query's work at sf0.1). Lazy localCheckpoint: one
+    // computation on first use, block reuse after, no extra job.
     val posting = sh.groupBy("shingle")
       .agg(sort_array(collect_list(col("id"))).as("ids"))
       .where(size(col("ids")) <= maxShingleDf)
       .select("ids")
+      .localCheckpoint(false)
     // per-doc pruned set sizes: tiny aggregate, broadcast back to the pairs
     val sizes = posting.select(explode(col("ids")).as("id"))
       .groupBy("id").agg(count(lit(1)).as("sz"))
@@ -333,7 +339,11 @@ object Dedup {
                               idCol: String, textCol: String,
                               k: Int, threshold: Double): DataFrame = {
     val shUdf = udf((t: String) => shingleSet(t, k))
+    // the shingled docs join the candidates twice (id_a side and id_b
+    // side) — barrier them so the shingle UDF runs once per document,
+    // not once per side
     val docs = spread(df).select(col(idCol).as("id"), shUdf(col(textCol)).as("sh"))
+      .localCheckpoint(false)
     candidates
       .join(docs.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(docs.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")

@@ -146,14 +146,7 @@ object Models {
       .flatMapGroups { (gene, it) =>
         val rows = it.toArray
         val probes = rows.map(_.probe).distinct.sorted
-        val byProbe: Map[String, Map[String, Double]] =
-          rows.groupBy(_.probe).map { case (p, rs) =>
-            p -> rs.map(r => r.sample -> r.value).toMap
-          }
-        val dist = Array.tabulate(probes.length, probes.length) { (i, j) =>
-          if (i == j) 0.0
-          else corDistExact(byProbe(probes(i)), byProbe(probes(j)))
-        }
+        val dist = distanceMatrix(rows, probes)
         val assign = completeLinkageCut(dist, h)
         // canonical cluster ids: order clusters by smallest member probe
         val groups = probes.indices.groupBy(assign)
@@ -163,6 +156,131 @@ object Models {
           idxs.map(i => ClusterRow(gene, probes(i), cid + 1))
         }.iterator
       }
+  }
+
+  /** Pairwise 1-cor distance matrix over `probes` for one gene's rows.
+    *
+    * Hot path: when every finite cell value is an exact ≤6-decimal
+    * decimal that fits a scaled long (true of the round(x, 6) means this
+    * kernel is fed in practice), each value converts ONCE to integer
+    * micros and every pair's raw sums accumulate in 64/128-bit integer
+    * arithmetic — the identical exact rationals the BigDecimal path
+    * produces, closed out to double by the same nearest-even rounding
+    * (see [[corDistMicros]]), so merge decisions are bit-identical while
+    * skipping the per-pair-per-sample Double.toString/BigDecimal work
+    * that dominated this kernel's profile (~2.5× the whole query). Any
+    * unconvertible finite value falls the whole gene back to the
+    * BigDecimal path. */
+  private[omics] def distanceMatrix(rows: Array[ProbeObs],
+                                    probes: Array[String]): Array[Array[Double]] = {
+    val samples = rows.map(_.sample).distinct.sorted
+    val pIdx = probes.zipWithIndex.toMap
+    val sIdx = samples.zipWithIndex.toMap
+    val nP = probes.length
+    val nS = samples.length
+    val vals = Array.ofDim[Long](nP, nS)
+    val present = Array.ofDim[Boolean](nP, nS)
+    var fast = true
+    // fill in row order: a duplicated (probe, sample) keeps the LAST
+    // value, matching the Map-building semantics of the fallback path
+    var r = 0
+    while (fast && r < rows.length) {
+      val row = rows(r)
+      val pi = pIdx(row.probe)
+      val si = sIdx(row.sample)
+      if (!java.lang.Double.isFinite(row.value)) {
+        present(pi)(si) = false
+      } else {
+        val m = microsExact(row.value)
+        if (m == Long.MinValue) fast = false
+        else { vals(pi)(si) = m; present(pi)(si) = true }
+      }
+      r += 1
+    }
+    if (fast) {
+      Array.tabulate(nP, nP) { (i, j) =>
+        if (i == j) 0.0
+        else corDistMicros(vals(i), present(i), vals(j), present(j))
+      }
+    } else {
+      val byProbe: Map[String, Map[String, Double]] =
+        rows.groupBy(_.probe).map { case (p, rs) =>
+          p -> rs.map(x => x.sample -> x.value).toMap
+        }
+      Array.tabulate(nP, nP) { (i, j) =>
+        if (i == j) 0.0
+        else corDistExact(byProbe(probes(i)), byProbe(probes(j)))
+      }
+    }
+  }
+
+  /** `v` as exact integer micros (scale-6), or Long.MinValue when `v` is
+    * not exactly a ≤6-decimal value in long range (the sentinel itself is
+    * ~-9.2e12 micros — unreachable by any ≤6-decimal double's exact
+    * representation that equals it, since longValueExact would have to
+    * land on it exactly; data anywhere near that magnitude has scale 0). */
+  private def microsExact(v: Double): Long =
+    try {
+      new java.math.BigDecimal(java.lang.Double.toString(v))
+        .movePointRight(6).longValueExact()
+    } catch { case _: ArithmeticException => Long.MinValue }
+
+  /** Exact-integer twin of [[corDistExact]] over scale-6 micros: Σx, Σy in
+    * 64-bit; Σxy, Σxx, Σyy as 128-bit signed accumulators (a product of
+    * two scale-6 longs is a scale-12 128-bit integer). The closing
+    * conversion routes each exact rational through BigDecimal.doubleValue
+    * — the same nearest-even rounding the BigDecimal path applies — and
+    * then the identical fixed double op order. */
+  private[omics] def corDistMicros(xa: Array[Long], pa: Array[Boolean],
+                                   xb: Array[Long], pb: Array[Boolean]): Double = {
+    var n = 0
+    var sx = 0L; var sy = 0L
+    var sxyHi = 0L; var sxyLo = 0L
+    var sxxHi = 0L; var sxxLo = 0L
+    var syyHi = 0L; var syyLo = 0L
+    var i = 0
+    val len = xa.length
+    while (i < len) {
+      if (pa(i) && pb(i)) {
+        val x = xa(i); val y = xb(i)
+        n += 1; sx += x; sy += y
+        var pl = x * y
+        var ph = Math.multiplyHigh(x, y)
+        var nl = sxyLo + pl
+        sxyHi += ph + (if (java.lang.Long.compareUnsigned(nl, sxyLo) < 0) 1L else 0L)
+        sxyLo = nl
+        pl = x * x; ph = Math.multiplyHigh(x, x)
+        nl = sxxLo + pl
+        sxxHi += ph + (if (java.lang.Long.compareUnsigned(nl, sxxLo) < 0) 1L else 0L)
+        sxxLo = nl
+        pl = y * y; ph = Math.multiplyHigh(y, y)
+        nl = syyLo + pl
+        syyHi += ph + (if (java.lang.Long.compareUnsigned(nl, syyLo) < 0) 1L else 0L)
+        syyLo = nl
+      }
+      i += 1
+    }
+    if (n < 2) return 1.0
+    val nd = n.toDouble
+    val dsx = java.math.BigDecimal.valueOf(sx, 6).doubleValue
+    val dsy = java.math.BigDecimal.valueOf(sy, 6).doubleValue
+    val num = nd * d128(sxyHi, sxyLo, 12) - dsx * dsy
+    val d1 = nd * d128(sxxHi, sxxLo, 12) - dsx * dsx
+    val d2 = nd * d128(syyHi, syyLo, 12) - dsy * dsy
+    if (d1 <= 0 || d2 <= 0) 1.0 else 1.0 - num / math.sqrt(d1 * d2)
+  }
+
+  /** Signed 128-bit (hi:lo) at decimal `scale` → nearest double (exact
+    * rational through BigDecimal, same rounding as the BigDecimal path). */
+  private def d128(hi: Long, lo: Long, scale: Int): Double = {
+    val bytes = new Array[Byte](16)
+    var k = 0
+    while (k < 8) {
+      bytes(k) = (hi >>> (56 - 8 * k)).toByte
+      bytes(k + 8) = (lo >>> (56 - 8 * k)).toByte
+      k += 1
+    }
+    new java.math.BigDecimal(new java.math.BigInteger(bytes), scale).doubleValue
   }
 
   /** 1 - pearson(a, b) over the SHARED samples, from exact decimal raw

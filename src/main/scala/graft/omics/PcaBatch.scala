@@ -41,9 +41,15 @@ object PcaBatch {
                     iters: Int = 300): DataFrame = {
     val spark = data.sparkSession
     import spark.implicits._
+    // `data` is typically itself an aggregate over the raw fact table;
+    // without a barrier here every downstream job (gene-panel collect,
+    // sample grid, Gramian, scores) re-runs that upstream scan+aggregate
+    // from parquet — measured ~4 redundant full-table passes. The cell
+    // table is (genes × samples)-sized, so the checkpoint is tiny.
     val d = data.select(col(entityCol).cast("string").as("gene"),
       col(sampleCol).cast("string").as("sample"),
       col(valueCol).cast("double").as("value"))
+      .localCheckpoint(false)
     val genes = d.select("gene").distinct().as[String].collect().sorted
     // the Gramian collect is p² rows on the driver — bound it where that
     // is still trivially driver-sized (1000² = 1M rows), not at the old
