@@ -333,6 +333,83 @@ object Dedup {
     verifyPairsExactJaccard(df, candidates, idCol, textCol, k, threshold)
   }
 
+  /** Connected components over a near-duplicate pair list — the step that
+    * turns pairwise evidence (from [[ngramJaccardPairs]],
+    * [[minhashLshPairs]], [[simhashPairs]] or an embedding-cosine pair
+    * set) into dedup groups. Returns one row per node OF THE PAIR GRAPH:
+    * (id, cluster_id) with cluster_id = the smallest id in the node's
+    * component — the canonical representative a dedup pipeline keeps.
+    *
+    * Iterative min-label propagation with pointer jumping: each round
+    * takes the min over neighbour labels (one hop) and then jumps
+    * label := label(label) (path halving), so rounds grow with
+    * log(component diameter), not diameter. Near-dup components are
+    * near-cliques, so 2-4 rounds in practice; maxRounds=50 bounds even
+    * adversarial chains of ~2^49 hops. The state is node-of-pair-graph
+    * sized — at web scale that is orders of magnitude smaller than the
+    * corpus (singletons never enter the iteration) — and each round is
+    * two equi-joins + localCheckpoint to truncate lineage. The fixpoint
+    * is the component minimum regardless of execution order, so the
+    * result is deterministic and SQL-replayable (a recursive transitive
+    * closure); non-convergence inside maxRounds throws rather than
+    * returning silently-partial clusters. */
+  def duplicateClusters(pairs: DataFrame, maxRounds: Int = 50): DataFrame = {
+    val edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
+      .union(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
+      .localCheckpoint(false)
+    var labels = edges.select(col("u").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint(false)
+    var round = 0
+    var converged = false
+    while (round < maxRounds && !converged) {
+      val nbr = edges
+        .join(labels.select(col("id").as("v"), col("label").as("vl")), "v")
+        .groupBy(col("u").as("id")).agg(min(col("vl")).as("nl"))
+      val stepped = labels
+        .join(nbr, Seq("id"), "left")
+        .select(col("id"), col("label").as("old"),
+          least(col("label"), coalesce(col("nl"), col("label"))).as("l1"))
+      // pointer jump: every label is itself a node id, so one self-join
+      // rebinds label(u) := label(label(u)) (path halving)
+      val next = stepped
+        .join(stepped.select(col("id").as("__jid"), col("l1").as("__jl")),
+          col("l1") === col("__jid"), "left")
+        .select(col("id"), col("old"),
+          least(col("l1"), coalesce(col("__jl"), col("l1"))).as("label"))
+        .localCheckpoint(false)
+      converged = next.where(col("label") =!= col("old")).isEmpty
+      labels = next.select("id", "label")
+      round += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"duplicateClusters: no fixpoint after $maxRounds rounds")
+    labels.select(col("id"), col("label").as("cluster_id"))
+  }
+
+  /** End-to-end dedup grouping for a corpus: every document labelled with
+    * its near-dup cluster (cluster id = smallest member id), the cluster
+    * size, and whether this row is the kept representative.
+    *
+    * Scale shape: the component state and per-cluster sizes are pair-graph
+    * sized, so they attach to the corpus via two small-side joins (AQE
+    * broadcasts them when they fit) — the corpus itself is never shuffled;
+    * singletons fall out of the left joins as their own cluster of 1. */
+  def clusterDocuments(docs: DataFrame, idCol: String,
+                       pairs: DataFrame): DataFrame = {
+    val comp = duplicateClusters(pairs)
+    val sizes = comp.groupBy("cluster_id")
+      .agg(count(lit(1)).cast("long").as("cluster_size"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(comp.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+      .join(sizes, Seq("cluster_id"), "left")
+      .select(col("doc_id"), col("cluster_id"),
+        coalesce(col("cluster_size"), lit(1L)).as("cluster_size"),
+        (col("doc_id") === col("cluster_id")).as("kept"))
+  }
+
   /** Join candidate (id_a, id_b) pairs back to documents and keep those
     * with exact shingle-Jaccard >= threshold. */
   def verifyPairsExactJaccard(df: DataFrame, candidates: DataFrame,

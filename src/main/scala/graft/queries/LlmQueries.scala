@@ -17,17 +17,34 @@ object LlmQueries {
 
   /** Exact-Jaccard verification of a `cand(ia, ib)` candidate-pair CTE —
     * the tail every sketch oracle shares (mirrors
-    * Dedup.verifyPairsExactJaccard over the raw-case shingle universe). */
+    * Dedup.verifyPairsExactJaccard over the raw-case shingle universe).
+    * Split into the shared CTE block and the closing SELECT so composite
+    * oracles (q_dedup_clusters) can wrap the SELECT as one more CTE. */
+  private val verifyCtes =
+    """sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1), it AS (SELECT c.ia, c.ib, count(*) AS inter FROM cand c JOIN sh a ON a.doc_id = c.ia JOIN sh b ON b.doc_id = c.ib AND b.s = a.s GROUP BY 1, 2)"""
+  private def verifySelect(threshold: Double) =
+    s"""SELECT ia AS id_a, ib AS id_b, round(CAST(inter AS DOUBLE) / (x.n + y.n - inter), 6) AS jaccard FROM it JOIN sz x ON ia = x.doc_id JOIN sz y ON ib = y.doc_id WHERE CAST(inter AS DOUBLE) / (x.n + y.n - inter) >= $threshold"""
   private def verifyTailSql(threshold: Double) =
-    s"""sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1), it AS (SELECT c.ia, c.ib, count(*) AS inter FROM cand c JOIN sh a ON a.doc_id = c.ia JOIN sh b ON b.doc_id = c.ib AND b.s = a.s GROUP BY 1, 2) SELECT ia AS id_a, ib AS id_b, round(CAST(inter AS DOUBLE) / (x.n + y.n - inter), 6) AS jaccard FROM it JOIN sz x ON ia = x.doc_id JOIN sz y ON ib = y.doc_id WHERE CAST(inter AS DOUBLE) / (x.n + y.n - inter) >= $threshold"""
+    s"$verifyCtes ${verifySelect(threshold)}"
 
   /** Full MinHash-LSH pipeline replayed in DuckDB: the md5-derived double-
     * hashing family (Dedup.minhashSignatures), 16 bands × 8 rows banding on
     * the exact band-signature string, then exact-Jaccard verify. The oracle
     * mirrors the banding itself, so parity is deterministic for ANY data —
     * not a recall bet on the S-curve. */
+  private val minhashCandCtes =
+    """hx AS (SELECT doc_id, CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) % 2147483647 AS h1, CAST(concat('0x', substr(md5(s), 16, 15)) AS BIGINT) % 2147483646 + 1 AS h2 FROM sh), mh AS (SELECT doc_id, i, min((h1 + i * h2) % 2147483647) AS v FROM hx, unnest(generate_series(0, 127)) AS gi(i) GROUP BY 1, 2), bd AS (SELECT doc_id, i // 8 AS band, array_to_string(list(v ORDER BY i), '_') AS bsig FROM mh GROUP BY 1, 2), cand AS (SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib FROM bd a JOIN bd b ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id)"""
   private def minhashLshSql(threshold: Double) =
-    s"""WITH $shingleCte, hx AS (SELECT doc_id, CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) % 2147483647 AS h1, CAST(concat('0x', substr(md5(s), 16, 15)) AS BIGINT) % 2147483646 + 1 AS h2 FROM sh), mh AS (SELECT doc_id, i, min((h1 + i * h2) % 2147483647) AS v FROM hx, unnest(generate_series(0, 127)) AS gi(i) GROUP BY 1, 2), bd AS (SELECT doc_id, i // 8 AS band, array_to_string(list(v ORDER BY i), '_') AS bsig FROM mh GROUP BY 1, 2), cand AS (SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib FROM bd a JOIN bd b ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id), ${verifyTailSql(threshold)}"""
+    s"""WITH $shingleCte, $minhashCandCtes, ${verifyTailSql(threshold)}"""
+
+  /** DuckDB replay of Dedup.clusterDocuments over minhashLshPairs: the
+    * full LSH pair pipeline as CTEs, then connected components as a
+    * recursive transitive closure — min reachable id per pair-graph node
+    * — left-joined back to the corpus (singletons = own cluster of 1).
+    * The engine's min-label-propagation fixpoint equals the component
+    * minimum, which is exactly what `min(r)` over the closure computes. */
+  private def dedupClustersSql(threshold: Double) =
+    s"""WITH RECURSIVE $shingleCte, $minhashCandCtes, $verifyCtes, pairs AS (${verifySelect(threshold)}), edges AS (SELECT id_a AS u, id_b AS v FROM pairs UNION ALL SELECT id_b, id_a FROM pairs), nodes AS (SELECT DISTINCT u AS id FROM edges), reach AS (SELECT id, id AS r FROM nodes UNION SELECT e.v AS id, reach.r FROM reach JOIN edges e ON e.u = reach.id), comp AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY 1), cs AS (SELECT cluster_id, count(*) AS n FROM comp GROUP BY 1) SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id, CAST(coalesce(cs.n, 1) AS BIGINT) AS cluster_size, d.doc_id = coalesce(c.cluster_id, d.doc_id) AS kept FROM documents d LEFT JOIN comp c ON d.doc_id = c.id LEFT JOIN cs ON c.cluster_id = cs.cluster_id"""
 
   /** Full SimHash pipeline replayed in DuckDB: 60-bit md5-derived sketch
     * over lowercased 3-shingles, hamming cut <= 14 (= the deterministic
@@ -95,6 +112,18 @@ object LlmQueries {
       (s, d) => Dedup.simhashPairs(t(s, d, "documents"), "doc_id", "text",
         bands = 15, k = 3, threshold = 0.8, maxHamming = 14),
       Some(simhashSql(0.8, 14))),
+
+    Entry("q_dedup_clusters",
+      // pairwise near-dup evidence → connected components → per-doc
+      // cluster label + representative pick: the end-to-end dedup
+      // pipeline (pairs alone don't dedup a corpus — transitive groups do)
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
+          k = 3, threshold = 0.8, numHashes = 128, bands = 16)
+        Dedup.clusterDocuments(docs, "doc_id", pairs)
+      },
+      Some(dedupClustersSql(0.8))),
 
     Entry("q_ann_brute",
       // exact cosine top-k; queries broadcast, corpus streamed

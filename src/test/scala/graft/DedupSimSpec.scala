@@ -167,6 +167,57 @@ class DedupSimSpec extends SparkSpec {
     assert(q.count() == 6) // empty docs get a row, not an exception
   }
 
+  test("duplicateClusters finds component minima on chains and multiple components") {
+    // component {1..5} is a pure CHAIN (1-2, 2-3, 3-4, 4-5: transitivity
+    // required, no clique shortcut) + component {10, 11} + an isolated
+    // pair graph never sees node 99
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L))
+      .toDF("id_a", "id_b")
+    val comp = Dedup.duplicateClusters(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L))
+  }
+
+  test("duplicateClusters matches brute-force components on a random graph") {
+    val rnd = new scala.util.Random(7)
+    val n = 60
+    val edges = Seq.fill(55)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      .filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+    // brute-force union-find on the driver
+    val parent = Array.tabulate(n)(identity)
+    def find(x: Int): Int = if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+    edges.foreach { case (a, b) => parent(find(a.toInt)) = find(b.toInt) }
+    val expected = edges.flatMap(e => Seq(e._1, e._2)).distinct.map { v =>
+      val root = find(v.toInt)
+      val members = (0 until n).filter(find(_) == root).map(_.toLong)
+      v -> members.min
+    }.toMap
+    val got = Dedup.duplicateClusters(edges.toDF("id_a", "id_b"))
+      .as[(Long, Long)].collect().toMap
+    assert(got == expected)
+  }
+
+  test("clusterDocuments labels singletons, sizes clusters, picks min-id representative") {
+    val docs = corpus() // near-dup trio 1,2,3; singletons 4,5
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
+      k = 3, threshold = 0.5, numHashes = 128, bands = 32)
+    val out = Dedup.clusterDocuments(docs, "doc_id", pairs)
+      .as[(Long, Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq(
+      (1L, 1L, 3L, true), (2L, 1L, 3L, false), (3L, 1L, 3L, false),
+      (4L, 4L, 1L, true), (5L, 5L, 1L, true)))
+  }
+
+  test("duplicateClusters and clusterDocuments handle an empty pair set") {
+    val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(Dedup.duplicateClusters(empty).count() == 0)
+    val out = Dedup.clusterDocuments(corpus(), "doc_id", empty)
+      .as[(Long, Long, Long, Boolean)].collect()
+    assert(out.length == 5 && out.forall(r => r._1 == r._2 && r._3 == 1L && r._4))
+  }
+
   test("duplicated doc ids never produce self-pairs in ngramJaccardPairs") {
     val dup = Seq(
       (7L, "alpha beta gamma delta epsilon zeta"),
