@@ -27,9 +27,13 @@ object BetaMixture {
 
   private val Eps = 1e-6
 
-  /** EM fit with k components on clipped values; returns (ll, comps). */
+  /** EM fit with k components on clipped values; returns (ll, comps).
+    * maxIter/tol defaults mirror the reference's own EM budget
+    * (MethylMix.R:313-321: maxiter=100, tol=1e-6) — the earlier 1e-8
+    * default ran most fits to the full 100 iterations for digits the
+    * BIC selection never looks at. */
   private[omics] def emFit(xs0: Array[Double], k: Int, maxIter: Int = 100,
-                           tol: Double = 1e-8): (Double, Array[Component]) = {
+                           tol: Double = 1e-6): (Double, Array[Component]) = {
     val xs = xs0.map(x => math.min(1 - Eps, math.max(Eps, x)))
     val n = xs.length
     // ln x / ln(1-x) are loop invariants of the whole EM (and of every k);
@@ -121,13 +125,23 @@ object BetaMixture {
   def bic(ll: Double, k: Int, n: Int): Double =
     -2.0 * ll + (3.0 * k - 1.0) * math.log(n.toDouble)
 
-  /** Fit the best-of-1..maxK mixture per gene. */
+  /** Fit the best-of-1..maxK mixture per gene.
+    *
+    * Formulation note (measured at sf0.1, 600k rows / 2k genes): the typed
+    * `groupByKey.flatMapGroups` path benches ~4.7 s vs ~10-12 s for a
+    * `groupBy.agg(sort_array(collect_list))` rewrite — collect_list is an
+    * ObjectHashAggregate that falls back to sort-based past 128 in-memory
+    * keys and its partial aggregation ships whole boxed arrays without any
+    * map-side reduction, so "Tungsten aggregate" intuition loses to the
+    * plain row shuffle here. NULL values are dropped up front (the typed
+    * encoder errors on them). */
   def fitPerGene(df: DataFrame, geneCol: String, valueCol: String,
                  maxK: Int = 3): Dataset[FitRow] = {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col(geneCol).cast("string").as("gene"),
         col(valueCol).cast("double").as("value"))
+      .na.drop()
       .as[(String, Double)]
       .groupByKey(_._1)
       .flatMapGroups { (gene, it) =>
