@@ -340,22 +340,45 @@ object Dedup {
     * (id, cluster_id) with cluster_id = the smallest id in the node's
     * component — the canonical representative a dedup pipeline keeps.
     *
-    * Iterative min-label propagation with pointer jumping: each round
+    * ADAPTIVE execution. The pair graph after LSH + exact verification is
+    * orders of magnitude smaller than the corpus (only near-dup evidence
+    * survives), so when it fits in a bounded driver budget
+    * (`driverMaxPairs`) a driver-side union-find answers in ONE job —
+    * the distributed loop's ~4 jobs per round are pure scheduling
+    * overhead at that size (same bounded-driver pattern as the IVF
+    * quantizer fit). Above the budget — the 100 TB regime — it runs
+    * iterative min-label propagation with pointer jumping: each round
     * takes the min over neighbour labels (one hop) and then jumps
     * label := label(label) (path halving), so rounds grow with
     * log(component diameter), not diameter. Near-dup components are
     * near-cliques, so 2-4 rounds in practice; maxRounds=50 bounds even
     * adversarial chains of ~2^49 hops. The state is node-of-pair-graph
-    * sized — at web scale that is orders of magnitude smaller than the
-    * corpus (singletons never enter the iteration) — and each round is
-    * two equi-joins + localCheckpoint to truncate lineage. The fixpoint
-    * is the component minimum regardless of execution order, so the
-    * result is deterministic and SQL-replayable (a recursive transitive
-    * closure); non-convergence inside maxRounds throws rather than
-    * returning silently-partial clusters. */
-  def duplicateClusters(pairs: DataFrame, maxRounds: Int = 50): DataFrame = {
-    val edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
-      .union(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
+    * sized — singletons never enter the iteration — and each round is
+    * two equi-joins + localCheckpoint to truncate lineage. Both paths
+    * compute the identical fixpoint (component minimum, order
+    * independent), so the result is deterministic and SQL-replayable (a
+    * recursive transitive closure); non-convergence inside maxRounds
+    * throws rather than returning silently-partial clusters.
+    * `driverMaxPairs = 0` forces the distributed path (used by tests and
+    * callers that know the graph is huge). */
+  def duplicateClusters(pairs: DataFrame, maxRounds: Int = 50,
+                        driverMaxPairs: Int = 1000000): DataFrame = {
+    val idType = pairs.schema("id_a").dataType
+    val driverEligible = driverMaxPairs > 0 && (idType match {
+      case _: org.apache.spark.sql.types.LongType => true
+      case _: org.apache.spark.sql.types.IntegerType => true
+      case _: org.apache.spark.sql.types.StringType => true
+      case _ => false
+    })
+    // barrier: the pair pipeline above this (sketch + banding + verify) is
+    // expensive — size probe, collect/loop must not re-execute it
+    val p0 = pairs.select(col("id_a"), col("id_b")).localCheckpoint(false)
+    if (driverEligible &&
+        p0.limit(driverMaxPairs + 1).count() <= driverMaxPairs) {
+      return driverUnionFind(p0, idType)
+    }
+    val edges = p0.select(col("id_a").as("u"), col("id_b").as("v"))
+      .union(p0.select(col("id_b").as("u"), col("id_a").as("v")))
       .localCheckpoint(false)
     var labels = edges.select(col("u").as("id")).distinct()
       .withColumn("label", col("id"))
@@ -386,6 +409,53 @@ object Dedup {
       throw new IllegalStateException(
         s"duplicateClusters: no fixpoint after $maxRounds rounds")
     labels.select(col("id"), col("label").as("cluster_id"))
+  }
+
+  /** Bounded driver-side path of [[duplicateClusters]]: classic union-find
+    * with path compression over the collected pair list, then per-root
+    * minimum as the canonical label. One collect job + one tiny
+    * createDataFrame; only reached when the pair count fits the caller's
+    * driver budget and ids are Long/Int/String (orderable identically to
+    * Spark's `least`). */
+  private def driverUnionFind(pairs: DataFrame,
+                              idType: org.apache.spark.sql.types.DataType): DataFrame = {
+    val spark = pairs.sparkSession
+    val lt: (Any, Any) => Boolean = idType match {
+      case _: org.apache.spark.sql.types.LongType =>
+        (a, b) => a.asInstanceOf[Long] < b.asInstanceOf[Long]
+      case _: org.apache.spark.sql.types.IntegerType =>
+        (a, b) => a.asInstanceOf[Int] < b.asInstanceOf[Int]
+      case _ =>
+        (a, b) => a.asInstanceOf[String] < b.asInstanceOf[String]
+    }
+    val parent = new java.util.HashMap[Any, Any]()
+    def find(x: Any): Any = {
+      var r = x
+      while (parent.get(r) != r) r = parent.get(r)
+      var c = x // path compression
+      while (parent.get(c) != r) { val n = parent.get(c); parent.put(c, r); c = n }
+      r
+    }
+    pairs.collect().foreach { row =>
+      val a = row.get(0); val b = row.get(1)
+      if (!parent.containsKey(a)) parent.put(a, a)
+      if (!parent.containsKey(b)) parent.put(b, b)
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) parent.put(ra, rb)
+    }
+    val minOf = new java.util.HashMap[Any, Any]()
+    parent.keySet().forEach { n =>
+      val r = find(n)
+      val m = minOf.get(r)
+      if (m == null || lt(n, m)) minOf.put(r, n)
+    }
+    val rows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+    parent.keySet().forEach { n =>
+      rows.add(org.apache.spark.sql.Row(n, minOf.get(find(n))))
+    }
+    spark.createDataFrame(rows, org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", idType),
+      org.apache.spark.sql.types.StructField("cluster_id", idType))))
   }
 
   /** End-to-end dedup grouping for a corpus: every document labelled with

@@ -210,6 +210,26 @@ class DedupSimSpec extends SparkSpec {
       (4L, 4L, 1L, true), (5L, 5L, 1L, true)))
   }
 
+  test("duplicateClusters distributed path equals the driver union-find") {
+    // driverMaxPairs = 0 forces the pointer-jumping loop; both paths must
+    // produce the identical component-minimum fixpoint on a chain (worst
+    // case for propagation depth) and on a random graph
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L))
+      .toDF("id_a", "id_b")
+    val viaLoop = Dedup.duplicateClusters(chain, driverMaxPairs = 0)
+      .as[(Long, Long)].collect().toMap
+    val viaDriver = Dedup.duplicateClusters(chain)
+      .as[(Long, Long)].collect().toMap
+    assert(viaLoop == viaDriver && viaLoop(5L) == 1L)
+    val rnd = new scala.util.Random(13)
+    val edges = Seq.fill(40)((rnd.nextInt(50).toLong, rnd.nextInt(50).toLong))
+      .filter { case (a, b) => a != b }.distinct.toDF("id_a", "id_b")
+    val l2 = Dedup.duplicateClusters(edges, driverMaxPairs = 0)
+      .as[(Long, Long)].collect().toMap
+    val d2 = Dedup.duplicateClusters(edges).as[(Long, Long)].collect().toMap
+    assert(l2 == d2 && l2.nonEmpty)
+  }
+
   test("duplicateClusters and clusterDocuments handle an empty pair set") {
     val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
     assert(Dedup.duplicateClusters(empty).count() == 0)
