@@ -35,6 +35,21 @@ object Bench {
       try spark.read.parquet(s"$sfDir/$t.parquet").count()
       catch { case _: Throwable => () }
     }
+    // ... and exercise the execution machinery itself (whole-stage codegen
+    // compilation, shuffle writers/readers, hash aggregate, broadcast,
+    // window sort): plain scans above leave all of that cold, and the
+    // alphabetically-first timed query was absorbing ~1 s of it
+    try {
+      import org.apache.spark.sql.functions._
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("c_nationkey").orderBy("n")
+      val o = spark.read.parquet(s"$sfDir/orders.parquet")
+        .groupBy("o_custkey").agg(count(lit(1)).as("n"))
+      val c = spark.read.parquet(s"$sfDir/customer.parquet")
+      o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .withColumn("r", row_number().over(w))
+        .count()
+    } catch { case _: Throwable => () }
     def esc(s: String): String = s.flatMap {
       case '"' => "\\\""
       case '\\' => "\\\\"
