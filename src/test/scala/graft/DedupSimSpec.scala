@@ -230,6 +230,18 @@ class DedupSimSpec extends SparkSpec {
     assert(l2 == d2 && l2.nonEmpty)
   }
 
+  test("duplicateClusters orders string ids like least() on both paths") {
+    // "doc10" < "doc2" lexicographically — the driver path must use the
+    // same string ordering Spark's least()/min() applies, not numeric
+    val pairs = Seq(("doc2", "doc10"), ("doc10", "doc3")).toDF("id_a", "id_b")
+    val viaDriver = Dedup.duplicateClusters(pairs)
+      .as[(String, String)].collect().toMap
+    val viaLoop = Dedup.duplicateClusters(pairs, driverMaxPairs = 0)
+      .as[(String, String)].collect().toMap
+    assert(viaDriver == viaLoop)
+    assert(viaDriver == Map("doc2" -> "doc10", "doc10" -> "doc10", "doc3" -> "doc10"))
+  }
+
   test("duplicateClusters and clusterDocuments handle an empty pair set") {
     val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
     assert(Dedup.duplicateClusters(empty).count() == 0)
