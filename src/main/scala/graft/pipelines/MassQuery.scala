@@ -1,0 +1,105 @@
+package graft.pipelines
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.ops.RangeJoin
+
+/** The queryMassNPDB operator: adduct-expanded ppm structure annotation
+  * with keep-first dedup per (mass id, structure) —
+  * `integrative_omics/queryMassNPDB_mod.py:75-173` (adduct expansion
+  * :116-125, ppm window match :127-141, dedup keep-first :144).
+  *
+  * An adduct is a (label, mult, offset) transform: the neutral-mass
+  * hypothesis for an observed m/z is `mm = (mz - offset) / mult`, and a
+  * structure matches when its mass lies within ±ppm of mm. One observed
+  * mass can match the same structure under several adducts (and ids may be
+  * carried by several physical rows); the reference keeps the first match
+  * in adduct-priority order, then lowest mm.
+  *
+  * Scale design — the dedup is a ROW-LOCAL broadcast filter, not a
+  * shuffle. The naive plan ends in groupBy(id, struct) over the join
+  * output; with a relative ppm window nearly every (id, struct) group has
+  * exactly one row, so that exchange ships the whole join output to
+  * collapse almost nothing (measured at sf0.1: 11.19M keys to merge ~3k
+  * groups — 10.6 s of an 11.8 s query). Instead every joined row
+  * reconstructs its whole dedup group locally: the adduct list is a
+  * constant, the few mz values sharing an id are broadcast as per-id
+  * lists, and window membership is re-derived with BIT-IDENTICAL double
+  * arithmetic to the join's residual predicate ((mz-offset)/mult,
+  * tol = mm*ppm/1e6 — IEEE doubles are deterministic, so a row's own
+  * window always tests true). A row survives iff its (adduct-rank, mm) is
+  * the minimum over its group's matches. One equi-shuffle total (the
+  * range join's bucket exchange); the 10× ScaleCheck run went from
+  * 347.6 s to 19.9 s for 1.119B output rows.
+  *
+  * @param masses     observed masses; `idCol` (any equality-comparable
+  *                   type), `mzCol` (double). Identical (id, mz) rows are
+  *                   collapsed (they would produce identical matches).
+  * @param adducts    (label, mult, offset) in keep-first PRIORITY order
+  * @param structures candidate structures; `structIdCol`, `massCol`
+  * @param ppm        relative tolerance (×1e-6)
+  * @return one row per kept (id, structure) match:
+  *         idCol, structIdCol, adduct, mm, massCol
+  */
+object MassQuery {
+
+  def annotate(masses: DataFrame, idCol: String, mzCol: String,
+               adducts: Seq[(String, Double, Double)],
+               structures: DataFrame, structIdCol: String, massCol: String,
+               ppm: Double): DataFrame = {
+    require(adducts.nonEmpty, "at least one adduct transform required")
+    require(adducts.forall(_._2 != 0.0), "adduct mult must be nonzero")
+    val spark = masses.sparkSession
+    import spark.implicits._
+
+    val mass1 = masses.select(col(idCol).as("__id"), col(mzCol).cast("double").as("__mz"))
+      .where(col("__mz").isNotNull)
+      .dropDuplicates("__id", "__mz")
+      // two consumers (adduct expansion and the dup-id lists): barrier so
+      // the scan+distinct subtree executes once
+      .localCheckpoint(false)
+    // per-id mz lists for ids carried by >1 row — the only group state the
+    // row-local dedup needs; small by construction, broadcast
+    val dupMz = mass1.groupBy("__id")
+      .agg(collect_list(col("__mz")).as("__mzs"))
+      .where(size(col("__mzs")) > 1)
+
+    val adductDf = adducts.zipWithIndex
+      .map { case ((l, m, o), i) => (l, m, o, i) }
+      .toDF("adduct", "__mult", "__off", "__ord")
+    val withMm = mass1.crossJoin(broadcast(adductDf))
+      .withColumn("__mm", (col("__mz") - col("__off")) / col("__mult"))
+      .where(col("__mm") > 0)
+    val structs = structures.select(col(structIdCol).as("__sid"),
+      col(massCol).cast("double").as("__smass"))
+    val joined = RangeJoin.ppmJoin(withMm, structs, "__mm", "__smass", ppm)
+
+    // compiled kernel, not a HOF lambda (Catalyst interprets those): scan
+    // every (member mz × adduct) candidate of the group, keep iff this
+    // row's (adduct-rank, mm) is the minimum among in-window candidates
+    val mults = adducts.map(_._2).toArray
+    val offs = adducts.map(_._3).toArray
+    val nAdd = adducts.length
+    val keepUdf = udf((p: Double, ownOrd: Int, ownMz: Double, mzs: Seq[Double]) => {
+      var bOrd = Int.MaxValue; var bMm = Double.MaxValue
+      def consider(mz: Double): Unit = {
+        var o = 0
+        while (o < nAdd) {
+          val mm = (mz - offs(o)) / mults(o)
+          if (mm > 0 && p >= mm - mm * ppm / 1e6 && p <= mm + mm * ppm / 1e6 &&
+              (o < bOrd || (o == bOrd && mm < bMm))) {
+            bOrd = o; bMm = mm
+          }
+          o += 1
+        }
+      }
+      if (mzs == null) consider(ownMz) else mzs.foreach(consider)
+      val ownMm = (ownMz - offs(ownOrd)) / mults(ownOrd)
+      bOrd == ownOrd && bMm == ownMm
+    })
+    joined.join(broadcast(dupMz), Seq("__id"), "left")
+      .where(keepUdf(col("__smass"), col("__ord"), col("__mz"), col("__mzs")))
+      .select(col("__id").as(idCol), col("__sid").as(structIdCol),
+        col("adduct"), col("__mm").as("mm"), col("__smass").as(massCol))
+  }
+}

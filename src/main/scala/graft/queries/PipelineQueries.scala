@@ -15,86 +15,20 @@ object PipelineQueries {
     Entry("q_pipeline_massquery",
       // queryMassNPDB_mod.py:75-173: masses → crossJoin(adducts) → ppm
       // window → range join vs structures → dedup keep-first → project.
-      // Adducts are a tiny broadcast dim; the range join is the log-bucketed
-      // equi rewrite (no BNLJ anywhere in the plan).
+      // MassQuery.annotate is the library operator: adduct-expanded
+      // log-bucketed ppm equi join (no BNLJ) with ROW-LOCAL keep-first
+      // dedup — no 11M-key exchange; see its scaladoc for the design.
+      // ms_id stays numeric until the final projection; adduct priority =
+      // lexicographic label order, matching the oracle's ORDER BY adduct, mm.
       (s, d) => {
-        import s.implicits._
-        // Keep-first dedup WITHOUT shuffling the join output. The naive
-        // plan ends in groupBy(ms_id, struct_id) over the joined stream —
-        // at sf0.1 that exchanges 11.19M nearly-unique keys to collapse
-        // ~3k duplicate groups: 10.6 s of an 11.8 s query, pure shuffle
-        // overhead (high-cardinality groupBy gets no map-side reduction).
-        // Instead the winner of each (ms, struct) group is decided ROW-
-        // LOCALLY: every joined row can reconstruct its whole group —
-        // the group's members are (distinct mz with this ms_id) × (adduct)
-        // pairs whose ppm window contains this struct — because (a) the
-        // adduct table is a constant, (b) the few mz values sharing an
-        // ms_id are broadcast as a list, and (c) window membership is
-        // re-derived with bit-identical double arithmetic to the join's
-        // own residual predicate ((mz-mass)/mult, tol = mm*ppm/1e6). A row
-        // keeps itself iff its (adduct-ord, mm) is the group minimum —
-        // the same (adduct, mm) keep-first order the reference applies.
-        // The whole dedup becomes a map-side filter: one equi-shuffle
-        // total (the range join's bucket exchange), and the plan is
-        // executed once (the earlier direct/contested union re-ran the
-        // join subtree per branch).
-        // ms_id is NOT unique (l_linenumber repeats within an order in the
-        // testdata — 43% of sf0.1 rows share their id), so rows sharing an
-        // id must dedup against each other's windows too. Identical
-        // (ms_id, mz) rows produce identical matches, so they collapse up
-        // front — after which (adduct-ord, mm) is already unique within a
-        // group and no synthetic row index is needed. The per-id mz lists
-        // of the duplicated ids are a small broadcast to the joined stream.
-        val mass1 = t(s, d, "lineitem").select(
+        val masses = t(s, d, "lineitem").select(
           (col("l_orderkey") * 10 + col("l_linenumber")).as("ms_id"),
           (col("l_extendedprice") / when(col("l_quantity") =!= 0, col("l_quantity"))).as("mz"))
-          .where(col("mz").isNotNull)
-          .dropDuplicates("ms_id", "mz")
-          // two consumers (the adduct expansion and dupMz): barrier so the
-          // scan+distinct subtree executes once, not per branch
-          .localCheckpoint(false)
-        val dupMz = mass1.groupBy("ms_id")
-          .agg(collect_list(col("mz")).as("__mzs"))
-          .where(size(col("__mzs")) > 1)
-        // __ord is the adduct's rank in lexicographic adduct order — the
-        // keep-first order — so the winner comparison starts at min(__ord)
-        val adducts = Seq(("2M", 2.0, 0.0, 0), ("M+0", 1.0, 0.0, 1), ("M+10", 1.0, 10.0, 2))
-          .toDF("adduct", "mult", "mass", "__ord")
-        val withMm = mass1.crossJoin(broadcast(adducts))
-          .withColumn("mm", (col("mz") - col("mass")) / col("mult"))
-          .where(col("mm") > 0)
         val structs = t(s, d, "part").select(col("p_partkey").as("struct_id"),
           col("p_retailprice").as("monoisotopic_mass"))
-        val joined = RangeJoin.ppmJoin(withMm, structs, "mm", "monoisotopic_mass", 500.0)
-        // compiled kernel, not a HOF lambda (Catalyst interprets those):
-        // scan every (member mz × adduct) candidate of the group, track
-        // the (ord, mm) minimum among those whose window contains the
-        // struct, keep iff this row IS that minimum. `mzs` is null for the
-        // rows whose ms_id is unique — they scan just their own 3 adduct
-        // windows.
-        val mults = Array(2.0, 1.0, 1.0)
-        val offs = Array(0.0, 0.0, 10.0)
-        val keepUdf = udf((p: Double, ownOrd: Int, ownMz: Double,
-                           mzs: Seq[Double]) => {
-          var bOrd = Int.MaxValue; var bMm = Double.MaxValue
-          def consider(mz: Double): Unit = {
-            var o = 0
-            while (o < 3) {
-              val mm = (mz - offs(o)) / mults(o)
-              if (mm > 0 && p >= mm - mm * 500.0 / 1e6 && p <= mm + mm * 500.0 / 1e6 &&
-                  (o < bOrd || (o == bOrd && mm < bMm))) {
-                bOrd = o; bMm = mm
-              }
-              o += 1
-            }
-          }
-          if (mzs == null) consider(ownMz) else mzs.foreach(consider)
-          val ownMm = (ownMz - offs(ownOrd)) / mults(ownOrd)
-          bOrd == ownOrd && bMm == ownMm
-        })
-        joined.join(broadcast(dupMz), Seq("ms_id"), "left")
-          .where(keepUdf(col("monoisotopic_mass"), col("__ord"),
-            col("mz"), col("__mzs")))
+        graft.pipelines.MassQuery.annotate(masses, "ms_id", "mz",
+            Seq(("2M", 2.0, 0.0), ("M+0", 1.0, 0.0), ("M+10", 1.0, 10.0)),
+            structs, "struct_id", "monoisotopic_mass", ppm = 500.0)
           .select(
             concat(lit("m"), col("ms_id").cast("string")).as("ms_name"),
             col("struct_id"), col("adduct"), r6(col("mm")).as("mm"),

@@ -80,6 +80,44 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("MassQuery.annotate equals naive crossJoin + window keep-first") {
+    // random masses WITH duplicated ids (the row-local dedup's hard case),
+    // ppm wide enough that adduct windows overlap and contest
+    val gen = for {
+      mzs <- Gen.listOfN(40, Gen.choose(5.0, 60.0))
+      dups <- Gen.listOfN(10, Gen.zip(Gen.choose(0, 19), Gen.choose(5.0, 60.0)))
+      smass <- Gen.listOfN(30, Gen.choose(1.0, 70.0))
+    } yield (mzs, dups, smass)
+    val adducts = Seq(("A2M", 2.0, 0.0), ("B+0", 1.0, 0.0), ("C+10", 1.0, 10.0))
+    forAllN(6, gen) { case (mzs, dups, smass) =>
+      val masses = (mzs.zipWithIndex.map { case (m, i) => (i.toLong, m) } ++
+        dups.map { case (i, m) => (i.toLong, m) }).toDF("id", "mz")
+      val structs = smass.zipWithIndex.map { case (m, i) => (i.toLong, m) }
+        .toDF("sid", "smass")
+      val ppm = 40000.0 // ±4% — forces multi-window contention
+      val fast = graft.pipelines.MassQuery.annotate(
+          masses, "id", "mz", adducts, structs, "sid", "smass", ppm)
+        .select(col("id"), col("sid"), col("adduct"), round(col("mm"), 9))
+        .as[(Long, Long, String, Double)].collect().toSet
+      // naive: expand, theta-join, window keep-first by (adduct, mm)
+      val expanded = masses.dropDuplicates("id", "mz")
+        .crossJoin(adducts.toDF("adduct", "mult", "off"))
+        .withColumn("mm", (col("mz") - col("off")) / col("mult"))
+        .where(col("mm") > 0)
+      val naiveJoin = expanded.crossJoin(structs)
+        .where(col("smass") >= col("mm") - col("mm") * ppm / 1e6 &&
+          col("smass") <= col("mm") + col("mm") * ppm / 1e6)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("id", "sid").orderBy("adduct", "mm")
+      val naive = naiveJoin
+        .withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("id"), col("sid"), col("adduct"), round(col("mm"), 9))
+        .as[(Long, Long, String, Double)].collect().toSet
+      assert(fast == naive && fast.nonEmpty)
+    }
+  }
+
   test("melt/pivot round trip preserves cell values") {
     val gen = Gen.listOfN(12, Gen.zip(Gen.choose(0.0, 100.0), Gen.choose(0.0, 100.0)))
     forAllN(5, gen) { cells =>
