@@ -79,13 +79,27 @@ object Dedup {
 
   /** Exact n-gram Jaccard near-duplicate pairs.
     *
-    * Candidate generation is an inverted-index self-join on shingles with
-    * document-frequency pruning: a shingle occurring in more than
-    * `maxShingleDf` documents is dropped from the index (it cannot be
-    * discriminative and it is what makes the join quadratic). With a
-    * threshold t and pruning, recall is exact for pairs whose similarity
-    * actually comes from non-stop shingles; `maxShingleDf` is part of the
-    * operator's declared semantics so the oracle applies the same cut.
+    * Candidate generation is a PREFIX-FILTERED inverted-index self-join
+    * (Bayardo et al. "Scaling Up All Pairs Similarity Search" / PPJoin —
+    * public-knowledge algorithms) over df-pruned shingles:
+    *
+    *  - a shingle occurring in more than `maxShingleDf` documents is
+    *    dropped (it cannot be discriminative and it is what makes the join
+    *    quadratic); the pruned set is the operator's declared Jaccard
+    *    universe, and the per-ID shingle set is the DISTINCT union over
+    *    the id's rows — both mirrored by the oracle;
+    *  - each document's pruned shingles are sorted by a global
+    *    (rarity, shingle) order and only the first |d| - ceil(t*|d|) + 1
+    *    are indexed. If J(A,B) >= t then |A∩B| >= ceil(t*|A|), and the
+    *    global-order-smallest common element provably sits inside BOTH
+    *    prefixes, so prefix-index candidates are lossless; everything the
+    *    suffixes share is unindexed — at threshold 0.8 that is ~25× fewer
+    *    candidate pairs than the full inverted index, which is what kept
+    *    the 10× ScaleCheck run quadratic-ish (ceil is biased down 1e-9 so
+    *    float error can only lengthen a prefix, never lose a pair);
+    *  - every candidate is then verified with the exact pruned-universe
+    *    Jaccard (array intersect over the per-doc sets), so the output
+    *    never depends on the prefix math.
     *
     * Output: (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
     */
@@ -95,43 +109,45 @@ object Dedup {
     val shUdf = udf((t: String) => shingleSet(t, k))
     val sh = spread(df).select(col(idCol).as("id"),
         explode(shUdf(col(textCol))).as("shingle"))
-    // One shuffle builds the pruned inverted index as sorted posting lists;
-    // DF-pruning is the size cap on the list. This replaces the round-2
-    // shape (df via a partitionBy-shingle WINDOW + index self-join = two
-    // extra sort shuffles of the full index; measured 13× DuckDB at sf0.1).
-    // DF-pruning defines the shingle universe: both the candidate pairs AND
-    // the per-doc sizes come from the pruned set, so the Jaccard reported is
-    // consistently "Jaccard over shingles with df <= maxShingleDf".
-    // the posting index feeds BOTH the sizes aggregate and the pair
-    // explode below; without a materialization barrier the whole
-    // shingle-UDF + groupBy subtree executes once per branch (measured
-    // ~2× the query's work at sf0.1). Lazy localCheckpoint: one
-    // computation on first use, block reuse after, no extra job.
+    // one shuffle builds the pruned inverted index; collect_set dedups ids
+    // so a duplicated doc id contributes one set membership (the oracle's
+    // DISTINCT doc_id, s universe)
     val posting = sh.groupBy("shingle")
-      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .agg(sort_array(collect_set(col("id"))).as("ids"))
       .where(size(col("ids")) <= maxShingleDf)
-      .select("ids")
+    // per-doc pruned shingle sets ordered by (df, shingle) — the global
+    // rarity order that maximizes prefix pruning. Feeds BOTH the prefix
+    // index and the verify joins: barrier so the subtree runs once.
+    val docSets = posting
+      .select(explode(col("ids")).as("id"),
+        struct(size(col("ids")).as("df"), col("shingle").as("s")).as("e"))
+      .groupBy("id")
+      .agg(sort_array(collect_list(col("e"))).as("es"))
+      .select(col("id"), transform(col("es"), e => e.getField("s")).as("shs"))
       .localCheckpoint(false)
-    // per-doc pruned set sizes: tiny aggregate, broadcast back to the pairs
-    val sizes = posting.select(explode(col("ids")).as("id"))
-      .groupBy("id").agg(count(lit(1)).as("sz"))
-    // candidate pairs exploded inside each posting list (ids sorted, so
-    // id_a < id_b by construction); co-occurrence count = |intersection|
-    val inter = posting
+    // prefix length |d| - ceil(t*|d|) + 1 (epsilon-down ceil: safe side)
+    val prefix = docSets.select(col("id"),
+        explode(slice(col("shs"), lit(1),
+          (size(col("shs")) -
+            ceil(size(col("shs")) * lit(threshold) - lit(1e-9)) + 1)
+            .cast("int"))).as("shingle"))
+    val prefPosting = prefix.groupBy("shingle")
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+    // candidate pairs exploded inside each prefix posting list (ids
+    // sorted, so id_a < id_b by construction)
+    val candidates = prefPosting
       .select(posexplode(col("ids")).as(Seq("i", "id_a")), col("ids"))
       .select(col("id_a"),
         explode(slice(col("ids"), col("i") + lit(2), size(col("ids")))).as("id_b"))
-      // guard degenerate input: a duplicated doc id appears twice in a
-      // sorted posting list and would otherwise pair with itself
-      .where(col("id_a") =!= col("id_b"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
-    // no broadcast hint: sizes is one row per doc (fine here, petabyte-scale
-    // corpora make it shuffle-sized) — AQE picks broadcast when it fits
-    inter
-      .join(sizes.toDF("id_a", "sa"), "id_a")
-      .join(sizes.toDF("id_b", "sb"), "id_b")
-      .withColumn("jaccard",
-        col("inter").cast("double") / (col("sa") + col("sb") - col("inter")))
+      .distinct()
+    // exact pruned-universe verify; AQE broadcasts the candidate side of
+    // the doc-set joins when it fits
+    candidates
+      .join(docSets.select(col("id").as("id_a"), col("shs").as("sh_a")), "id_a")
+      .join(docSets.select(col("id").as("id_b"), col("shs").as("sh_b")), "id_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
       .where(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }

@@ -118,6 +118,45 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("prefix-filtered ngramJaccardPairs equals brute-force pairs") {
+    // random word soup with planted duplicates; the prefix filter must be
+    // lossless for every pair above threshold (df pruning applies to both)
+    val words = Vector("aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh")
+    val gen = for {
+      n <- Gen.choose(10, 24)
+      docs <- Gen.listOfN(n, Gen.listOfN(12, Gen.oneOf(words)).map(_.mkString(" ")))
+      t <- Gen.oneOf(0.3, 0.5, 0.8)
+    } yield (docs, t)
+    forAllN(6, gen) { case (docs, t) =>
+      val corpus = docs.zipWithIndex.map { case (d, i) => (i.toLong, d) }
+        .toDF("doc_id", "text")
+      val fast = graft.dedup.Dedup
+        .ngramJaccardPairs(corpus, "doc_id", "text", k = 2, threshold = t,
+          maxShingleDf = 100)
+        .select("id_a", "id_b", "jaccard")
+        .as[(Long, Long, Double)].collect().toSet
+      // brute force over the same df-pruned distinct-shingle universe
+      def shingles(s: String): Set[String] = {
+        val toks = s.split("\\s+").filter(_.nonEmpty)
+        if (toks.length >= 2) toks.sliding(2).map(_.mkString(" ")).toSet
+        else Set(toks.mkString(" "))
+      }
+      val sets = docs.zipWithIndex.map { case (d, i) => i.toLong -> shingles(d) }.toMap
+      val dfCount = sets.values.flatten.groupBy(identity).map { case (s, o) => s -> o.size }
+      val pruned = sets.map { case (i, ss) => i -> ss.filter(dfCount(_) <= 100) }
+      val naive = (for {
+        a <- pruned.keys; b <- pruned.keys if a < b
+        inter = (pruned(a) intersect pruned(b)).size
+        uni = (pruned(a) union pruned(b)).size
+        if uni > 0 && inter.toDouble / uni >= t
+        // Spark round(x,6) = HALF_UP on the shortest decimal repr
+        j = BigDecimal((inter.toDouble / uni).toString)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      } yield (a, b, j)).toSet
+      assert(fast == naive)
+    }
+  }
+
   test("melt/pivot round trip preserves cell values") {
     val gen = Gen.listOfN(12, Gen.zip(Gen.choose(0.0, 100.0), Gen.choose(0.0, 100.0)))
     forAllN(5, gen) { cells =>
