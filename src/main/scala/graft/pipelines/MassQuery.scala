@@ -28,9 +28,10 @@ import graft.ops.RangeJoin
   * arithmetic to the join's residual predicate ((mz-offset)/mult,
   * tol = mm*ppm/1e6 — IEEE doubles are deterministic, so a row's own
   * window always tests true). A row survives iff its (adduct-rank, mm) is
-  * the minimum over its group's matches. One equi-shuffle total (the
-  * range join's bucket exchange); the 10× ScaleCheck run went from
-  * 347.6 s to 19.9 s for 1.119B output rows.
+  * the minimum over its group's matches. No join-output-sized exchange
+  * remains: the only shuffles are mass-table-sized (the distinct and the
+  * dup-id lists) plus the range join's own bucket exchange; the 10×
+  * ScaleCheck run went from 347.6 s to 19.9 s for 1.119B output rows.
   *
   * @param masses     observed masses; `idCol` (any equality-comparable
   *                   type), `mzCol` (double). Identical (id, mz) rows are
