@@ -255,9 +255,9 @@ object Similarity {
     val bitsPerBand = nBits / bands
     val mask = (1L << bitsPerBand) - 1
     def banded(df: DataFrame, side: String) =
-      df.select(col(idCol).as(s"${side}_id"), col(vecCol).as(s"__${side}v"),
+      df.select(col(idCol).as(s"${side}_id"),
           srpSignature(col(vecCol), dim, nBits, seed).as("__sig"))
-        .select(col(s"${side}_id"), col(s"__${side}v"),
+        .select(col(s"${side}_id"),
           posexplode(transform(sequence(lit(0), lit(bands - 1)),
             b => call_function("shiftright", col("__sig"), b * bitsPerBand)
               .bitwiseAND(lit(mask)))))
@@ -267,10 +267,20 @@ object Similarity {
     // recomputed per candidate row
     val cb = banded(corpus, "neighbor").repartition(col("band"), col("chunk"))
     val qb = broadcast(banded(queries, "query"))
+    // candidate DEDUP runs on bare id pairs (vectorized hash aggregate on
+    // numeric keys, map-side partials kill the per-band duplicates before
+    // the exchange); vectors re-attach afterwards — an earlier shape ran
+    // distinct() with both embedding vectors as grouping keys, shuffling
+    // the full payload once per band collision and hashing arrays
     val candidates = cb.join(qb, Seq("band", "chunk"))
       .where(col("query_id") =!= col("neighbor_id"))
-      .select("query_id", "neighbor_id", "__queryv", "__neighborv").distinct()
-    val scored = candidates.withColumn("cos", cosine(col("__queryv"), col("__neighborv")))
+      .select("query_id", "neighbor_id").distinct()
+    val scored = candidates
+      .join(broadcast(queries.select(col(idCol).as("query_id"),
+        col(vecCol).as("__queryv"))), "query_id")
+      .join(corpus.select(col(idCol).as("neighbor_id"),
+        col(vecCol).as("__neighborv")), "neighbor_id")
+      .withColumn("cos", cosine(col("__queryv"), col("__neighborv")))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
