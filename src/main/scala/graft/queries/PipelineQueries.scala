@@ -106,11 +106,16 @@ object PipelineQueries {
       // unilateral coexpression") → dedup
       (s, d) => {
         import s.implicits._
+        // keys stay NUMERIC (suppkey/partkey) through the correlation
+        // aggregate, the joins and both distincts; the 'g'/'s' labels are
+        // built only in the final projection (string group keys are ~2×
+        // the hash/compare cost in the vectorized aggregate — same lesson
+        // as q_combat's round-2 concat-key regression)
         val annotations = Relational.explodeDelimited(
           t(s, d, "part").select(
-            concat(lit("g"), col("p_partkey").cast("string")).as("gene"),
+            col("p_partkey").as("gkey"),
             concat_ws(";", col("p_brand"), col("p_type")).as("pfams")),
-          "pfams", ";", "pfam").select("gene", "pfam")
+          "pfams", ";", "pfam").select("gkey", "pfam")
         val pfamRules = Seq(
           ("PROMO", "r1", "substrate", "strict"),
           ("ECONOMY", "r1", "product", "strict"),
@@ -121,23 +126,28 @@ object PipelineQueries {
           .where(col("level").isin("strict", "medium"))
         val corrs = Stats.corrWithP(
           t(s, d, "lineitem").select(
-            concat(lit("s"), col("l_suppkey").cast("string")).as("ms_name"),
-            concat(lit("g"), col("l_partkey").cast("string")).as("gene"),
+            col("l_suppkey").as("skey"), col("l_partkey").as("gkey"),
             col("l_quantity"), col("l_extendedprice")),
-          Seq("ms_name", "gene"), "l_quantity", "l_extendedprice")
+          Seq("skey", "gkey"), "l_quantity", "l_extendedprice")
           .where(abs(col("r")) >= 0.5 && col("n") >= 3)
-          .select(col("ms_name"), col("gene"), r6(col("r")).as("correlation"))
+          .select(col("skey"), col("gkey"), r6(col("r")).as("correlation"))
         val annotated = annotations.join(broadcast(pfamRules), "pfam")
-          .join(corrs, "gene")
+          .join(corrs, "gkey")
         val sub = annotated.where(col("role") === "substrate")
-          .select(col("reaction_id"), col("ms_name"),
-            col("gene").as("substrate_gene"),
+          .select(col("reaction_id"), col("skey"),
+            col("gkey").as("sub_gkey"),
             col("correlation").as("substrate_corr")).distinct()
         val prod = annotated.where(col("role") === "product")
-          .select(col("reaction_id"), col("ms_name"),
-            col("gene").as("product_gene"),
+          .select(col("reaction_id"), col("skey"),
+            col("gkey").as("prod_gkey"),
             col("correlation").as("product_corr")).distinct()
-        sub.join(prod, Seq("reaction_id", "ms_name"), "full_outer")
+        sub.join(prod, Seq("reaction_id", "skey"), "full_outer")
+          .select(col("reaction_id"),
+            concat(lit("s"), col("skey").cast("string")).as("ms_name"),
+            concat(lit("g"), col("sub_gkey").cast("string")).as("substrate_gene"),
+            col("substrate_corr"),
+            concat(lit("g"), col("prod_gkey").cast("string")).as("product_gene"),
+            col("product_corr"))
       },
       Some("""WITH ann AS (SELECT concat('g', CAST(p_partkey AS VARCHAR)) AS gene, t AS pfam FROM part, unnest(string_split(concat_ws(';', p_brand, p_type), ';')) AS u(t) WHERE len(trim(t)) > 0), rules AS (SELECT * FROM (VALUES ('PROMO','r1','substrate','strict'), ('ECONOMY','r1','product','strict'), ('STANDARD','r2','substrate','medium'), ('LARGE','r2','product','medium'), ('SMALL','r3','substrate','loose')) r(pfam, reaction_id, role, level) WHERE level IN ('strict','medium')), corrs AS (SELECT concat('s', CAST(l_suppkey AS VARCHAR)) AS ms_name, concat('g', CAST(l_partkey AS VARCHAR)) AS gene, round(corr(l_quantity, l_extendedprice), 6) AS correlation FROM lineitem GROUP BY 1, 2 HAVING abs(corr(l_quantity, l_extendedprice)) >= 0.5 AND count(CASE WHEN l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL THEN 1 END) >= 3), annotated AS (SELECT a.gene, r.reaction_id, r.role, c.ms_name, c.correlation FROM ann a JOIN rules r USING (pfam) JOIN corrs c USING (gene)), sub AS (SELECT DISTINCT reaction_id, ms_name, gene AS substrate_gene, correlation AS substrate_corr FROM annotated WHERE role = 'substrate'), prod AS (SELECT DISTINCT reaction_id, ms_name, gene AS product_gene, correlation AS product_corr FROM annotated WHERE role = 'product') SELECT reaction_id, ms_name, substrate_gene, substrate_corr, product_gene, product_corr FROM sub FULL JOIN prod USING (reaction_id, ms_name)""")),
 
