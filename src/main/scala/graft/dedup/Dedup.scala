@@ -443,7 +443,22 @@ object Dedup {
       case _: org.apache.spark.sql.types.IntegerType =>
         (a, b) => a.asInstanceOf[Int] < b.asInstanceOf[Int]
       case _ =>
-        (a, b) => a.asInstanceOf[String] < b.asInstanceOf[String]
+        // Spark's least()/min() compare UTF8String BYTES (code-point
+        // order); Java String < is UTF-16 code-unit order, which ranks
+        // supplementary chars BELOW [U+E000,U+FFFF] — compare UTF-8 bytes
+        // so both paths pick the identical representative
+        (a, b) => {
+          val x = a.asInstanceOf[String].getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val y = b.asInstanceOf[String].getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          var i = 0
+          val n = math.min(x.length, y.length)
+          var res = 0
+          while (res == 0 && i < n) {
+            res = java.lang.Integer.compare(x(i) & 0xFF, y(i) & 0xFF)
+            i += 1
+          }
+          if (res != 0) res < 0 else x.length < y.length
+        }
     }
     val parent = new java.util.HashMap[Any, Any]()
     def find(x: Any): Any = {

@@ -181,6 +181,7 @@ object Models {
     val vals = Array.ofDim[Long](nP, nS)
     val present = Array.ofDim[Boolean](nP, nS)
     var fast = true
+    var maxAbs = 0L
     // fill in row order: a duplicated (probe, sample) keeps the LAST
     // value, matching the Map-building semantics of the fallback path
     var r = 0
@@ -193,10 +194,19 @@ object Models {
       } else {
         val m = microsExact(row.value)
         if (m == Long.MinValue) fast = false
-        else { vals(pi)(si) = m; present(pi)(si) = true }
+        else {
+          vals(pi)(si) = m; present(pi)(si) = true
+          val a = math.abs(m)
+          if (a > maxAbs) maxAbs = a
+        }
       }
       r += 1
     }
+    // the micros kernel's Σx/Σy are plain 64-bit sums (and Σx², 128-bit):
+    // magnitudes where nS terms could wrap must take the exact BigDecimal
+    // path — per-value long fit alone does not bound the SUM. The 64-bit
+    // linear-sum bound dominates (the 128-bit quadratic one is looser).
+    if (maxAbs > Long.MaxValue / math.max(nS, 1)) fast = false
     if (fast) {
       Array.tabulate(nP, nP) { (i, j) =>
         if (i == j) 0.0

@@ -81,22 +81,28 @@ object MassQuery {
     val mults = adducts.map(_._2).toArray
     val offs = adducts.map(_._3).toArray
     val nAdd = adducts.length
+    // tie-break on mz as the third key: two DISTINCT member mzs can in
+    // principle divide to the bitwise-identical mm under a non-exact mult
+    // (adjacent-ulp mzs, mult not a power of two) — without the mz key
+    // both rows would claim the (ord, mm) minimum and the pair would be
+    // emitted twice
     val keepUdf = udf((p: Double, ownOrd: Int, ownMz: Double, mzs: Seq[Double]) => {
-      var bOrd = Int.MaxValue; var bMm = Double.MaxValue
+      var bOrd = Int.MaxValue; var bMm = Double.MaxValue; var bMz = Double.MaxValue
       def consider(mz: Double): Unit = {
         var o = 0
         while (o < nAdd) {
           val mm = (mz - offs(o)) / mults(o)
           if (mm > 0 && p >= mm - mm * ppm / 1e6 && p <= mm + mm * ppm / 1e6 &&
-              (o < bOrd || (o == bOrd && mm < bMm))) {
-            bOrd = o; bMm = mm
+              (o < bOrd || (o == bOrd &&
+                (mm < bMm || (mm == bMm && mz < bMz))))) {
+            bOrd = o; bMm = mm; bMz = mz
           }
           o += 1
         }
       }
       if (mzs == null) consider(ownMz) else mzs.foreach(consider)
       val ownMm = (ownMz - offs(ownOrd)) / mults(ownOrd)
-      bOrd == ownOrd && bMm == ownMm
+      bOrd == ownOrd && bMm == ownMm && bMz == ownMz
     })
     joined.join(broadcast(dupMz), Seq("__id"), "left")
       .where(keepUdf(col("__smass"), col("__ord"), col("__mz"), col("__mzs")))

@@ -275,11 +275,14 @@ object Similarity {
     val candidates = cb.join(qb, Seq("band", "chunk"))
       .where(col("query_id") =!= col("neighbor_id"))
       .select("query_id", "neighbor_id").distinct()
+    // ids are treated as unique keys on the re-attach: a corpus row
+    // duplicated verbatim must not occupy two top-k slots after the
+    // id-level candidate dedup collapsed it to one pair
     val scored = candidates
       .join(broadcast(queries.select(col(idCol).as("query_id"),
-        col(vecCol).as("__queryv"))), "query_id")
+        col(vecCol).as("__queryv")).dropDuplicates("query_id")), "query_id")
       .join(corpus.select(col(idCol).as("neighbor_id"),
-        col(vecCol).as("__neighborv")), "neighbor_id")
+        col(vecCol).as("__neighborv")).dropDuplicates("neighbor_id"), "neighbor_id")
       .withColumn("cos", cosine(col("__queryv"), col("__neighborv")))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
