@@ -171,7 +171,7 @@ object Models {
     * that dominated this kernel's profile (~2.5× the whole query). Any
     * unconvertible finite value falls the whole gene back to the
     * BigDecimal path. */
-  private[omics] def distanceMatrix(rows: Array[ProbeObs],
+  private[graft] def distanceMatrix(rows: Array[ProbeObs],
                                     probes: Array[String]): Array[Array[Double]] = {
     val samples = rows.map(_.sample).distinct.sorted
     val pIdx = probes.zipWithIndex.toMap

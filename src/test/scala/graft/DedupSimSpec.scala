@@ -240,6 +240,18 @@ class DedupSimSpec extends SparkSpec {
       .as[(String, String)].collect().toMap
     assert(viaDriver == viaLoop)
     assert(viaDriver == Map("doc2" -> "doc10", "doc10" -> "doc10", "doc3" -> "doc10"))
+    // non-BMP ordering: Spark compares UTF-8 BYTES (code points), Java
+    // String < compares UTF-16 code units, which would rank the emoji
+    // (surrogate pair, U+1F600) BELOW U+FFFF — both paths must pick the
+    // U+FFFF id as the representative like Spark's min() does
+    val bmp = "￿"
+    val emoji = new String(Character.toChars(0x1F600))
+    val tricky = Seq((bmp, emoji)).toDF("id_a", "id_b")
+    val dr = Dedup.duplicateClusters(tricky).as[(String, String)].collect().toMap
+    val lp = Dedup.duplicateClusters(tricky, driverMaxPairs = 0)
+      .as[(String, String)].collect().toMap
+    assert(dr == lp, s"driver $dr vs loop $lp")
+    assert(dr(emoji) == bmp && dr(bmp) == bmp)
   }
 
   test("duplicateClusters and clusterDocuments handle an empty pair set") {

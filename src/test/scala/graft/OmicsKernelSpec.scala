@@ -214,6 +214,26 @@ class OmicsKernelSpec extends SparkSpec {
     assert(math.abs(graft.stats.Dist.fTail(4.102821015152, 2, 10) - 0.05) < 1e-6)
   }
 
+  test("distanceMatrix micros fast path matches exact path at extreme magnitudes") {
+    import graft.omics.Models.ProbeObs
+    // values near 5e12: each micros value fits a long, but 10-sample sums
+    // would wrap 64 bits — the magnitude guard must route the whole gene
+    // to the exact BigDecimal path instead of silently overflowing
+    def obs(scale: Double) = (1 to 10).flatMap { s =>
+      Seq(ProbeObs("g", "p1", s"s$s", s * scale),
+        ProbeObs("g", "p2", s"s$s", (11 - s) * scale),
+        ProbeObs("g", "p3", s"s$s", s * scale + (if (s % 2 == 0) scale / 2 else 0.0)))
+    }.toArray
+    val probes = Array("p1", "p2", "p3")
+    val small = Models.distanceMatrix(obs(1.0), probes)
+    val big = Models.distanceMatrix(obs(5e11), probes)
+    // pearson is scale-invariant: distances must agree across magnitudes
+    for (i <- 0 until 3; j <- 0 until 3)
+      assert(math.abs(small(i)(j) - big(i)(j)) < 1e-9,
+        s"($i,$j): ${small(i)(j)} vs ${big(i)(j)}")
+    assert(math.abs(big(0)(1) - 2.0) < 1e-9) // perfectly anti-correlated
+  }
+
   test("per-gene probe clustering groups correlated probes") {
     // probes p1,p2 perfectly correlated; p3 anti-correlated
     val samples = 1 to 10
