@@ -77,19 +77,64 @@ object Dedup {
     out.toArray(new Array[String](0))
   }
 
-  /** Exact n-gram Jaccard near-duplicate pairs.
+  /** Distinct word k-shingles of `text` as SORTED 60-bit md5-prefix
+    * hashes — the declared Jaccard universe of the exact-verify operators
+    * below. Hashing the shingle space: the inverted-index shuffle carries
+    * 8-byte keys instead of multi-word strings (~3× narrower at k=3) and
+    * set intersection becomes a primitive-long merge. A 60-bit collision
+    * collapses two shingles IDENTICALLY in the engine and in the DuckDB
+    * oracle (both take the same md5 prefix of the same shingle string), so
+    * hash-parity is preserved by construction rather than probabilistically. */
+  private[graft] def shingleHashes(text: String, k: Int): Array[Long] = {
+    val ss = shingleSet(text, k)
+    val out = new Array[Long](ss.length)
+    var i = 0
+    while (i < ss.length) {
+      out(i) = java.lang.Long.parseLong(md5hex(ss(i)).substring(0, 15), 16)
+      i += 1
+    }
+    java.util.Arrays.sort(out)
+    var n = 0 // dedupe adjacent (collisions only; shingleSet is distinct)
+    var j = 0
+    while (j < out.length) {
+      if (j == 0 || out(j) != out(j - 1)) { out(n) = out(j); n += 1 }
+      j += 1
+    }
+    if (n == out.length) out else java.util.Arrays.copyOf(out, n)
+  }
+
+  /** Exact Jaccard of two long-hash sets: sort local copies, two-pointer
+    * merge — compiled, no per-element hashing, no boxing in the loop.
+    * Inputs need not arrive sorted (the inverted-index path stores sets in
+    * global-rarity order). Empty ∩ empty = NaN, which every >= threshold
+    * predicate rejects. */
+  private[graft] def jaccardLongs(a: Seq[Long], b: Seq[Long]): Double = {
+    val x = a.toArray; val y = b.toArray
+    java.util.Arrays.sort(x); java.util.Arrays.sort(y)
+    var i = 0; var j = 0; var inter = 0
+    while (i < x.length && j < y.length) {
+      if (x(i) == y(j)) { inter += 1; i += 1; j += 1 }
+      else if (x(i) < y(j)) i += 1
+      else j += 1
+    }
+    inter.toDouble / (x.length + y.length - inter)
+  }
+
+  /** Exact n-gram Jaccard near-duplicate pairs over the HASHED shingle
+    * universe (distinct 60-bit md5 prefixes, [[shingleHashes]] — the same
+    * oracle-replayable hash space the minhash/simhash sketches use).
     *
     * Candidate generation is a PREFIX-FILTERED inverted-index self-join
     * (Bayardo et al. "Scaling Up All Pairs Similarity Search" / PPJoin —
-    * public-knowledge algorithms) over df-pruned shingles:
+    * public-knowledge algorithms) over df-pruned shingle hashes:
     *
     *  - a shingle occurring in more than `maxShingleDf` documents is
     *    dropped (it cannot be discriminative and it is what makes the join
     *    quadratic); the pruned set is the operator's declared Jaccard
-    *    universe, and the per-ID shingle set is the DISTINCT union over
-    *    the id's rows — both mirrored by the oracle;
+    *    universe, and the per-ID set is the DISTINCT union over the id's
+    *    rows — both mirrored by the oracle;
     *  - each document's pruned shingles are sorted by a global
-    *    (rarity, shingle) order and only the first |d| - ceil(t*|d|) + 1
+    *    (rarity, hash) order and only the first |d| - ceil(t*|d|) + 1
     *    are indexed. If J(A,B) >= t then |A∩B| >= ceil(t*|A|), and the
     *    global-order-smallest common element provably sits inside BOTH
     *    prefixes, so prefix-index candidates are lossless; everything the
@@ -99,29 +144,29 @@ object Dedup {
     *    9.7 s (ceil is biased down 1e-9 so float error can only lengthen
     *    a prefix, never lose a pair);
     *  - every candidate is then verified with the exact pruned-universe
-    *    Jaccard (array intersect over the per-doc sets), so the output
-    *    never depends on the prefix math.
+    *    Jaccard ([[jaccardLongs]] merge kernel over the per-doc sets), so
+    *    the output never depends on the prefix math.
     *
     * Output: (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         k: Int = 3, threshold: Double = 0.8,
                         maxShingleDf: Long = 100): DataFrame = {
-    val shUdf = udf((t: String) => shingleSet(t, k))
+    val shUdf = udf((t: String) => shingleHashes(t, k))
     val sh = spread(df).select(col(idCol).as("id"),
-        explode(shUdf(col(textCol))).as("shingle"))
+        explode(shUdf(col(textCol))).as("h"))
     // one shuffle builds the pruned inverted index; collect_set dedups ids
     // so a duplicated doc id contributes one set membership (the oracle's
-    // DISTINCT doc_id, s universe)
-    val posting = sh.groupBy("shingle")
+    // DISTINCT doc_id, h universe)
+    val posting = sh.groupBy("h")
       .agg(sort_array(collect_set(col("id"))).as("ids"))
       .where(size(col("ids")) <= maxShingleDf)
-    // per-doc pruned shingle sets ordered by (df, shingle) — the global
+    // per-doc pruned shingle sets ordered by (df, hash) — the global
     // rarity order that maximizes prefix pruning. Feeds BOTH the prefix
     // index and the verify joins: barrier so the subtree runs once.
     val docSets = posting
       .select(explode(col("ids")).as("id"),
-        struct(size(col("ids")).as("df"), col("shingle").as("s")).as("e"))
+        struct(size(col("ids")).as("df"), col("h").as("s")).as("e"))
       .groupBy("id")
       .agg(sort_array(collect_list(col("e"))).as("es"))
       .select(col("id"), transform(col("es"), e => e.getField("s")).as("shs"))
@@ -131,8 +176,8 @@ object Dedup {
         explode(slice(col("shs"), lit(1),
           (size(col("shs")) -
             ceil(size(col("shs")) * lit(threshold) - lit(1e-9)) + 1)
-            .cast("int"))).as("shingle"))
-    val prefPosting = prefix.groupBy("shingle")
+            .cast("int"))).as("h"))
+    val prefPosting = prefix.groupBy("h")
       .agg(sort_array(collect_list(col("id"))).as("ids"))
     // candidate pairs exploded inside each prefix posting list (ids
     // sorted, so id_a < id_b by construction)
@@ -143,12 +188,11 @@ object Dedup {
       .distinct()
     // exact pruned-universe verify; AQE broadcasts the candidate side of
     // the doc-set joins when it fits
+    val jacUdf = udf(jaccardLongs _)
     candidates
       .join(docSets.select(col("id").as("id_a"), col("shs").as("sh_a")), "id_a")
       .join(docSets.select(col("id").as("id_b"), col("shs").as("sh_b")), "id_b")
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
-      .withColumn("jaccard", col("inter").cast("double") /
-        (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
+      .withColumn("jaccard", jacUdf(col("sh_a"), col("sh_b")))
       .where(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
@@ -390,8 +434,11 @@ object Dedup {
     // barrier: the pair pipeline above this (sketch + banding + verify) is
     // expensive — size probe, collect/loop must not re-execute it
     val p0 = pairs.select(col("id_a"), col("id_b")).localCheckpoint(false)
+    // clamp so a driverMaxPairs of Int.MaxValue cannot overflow the probe
+    // limit to a negative value
+    val budget = math.min(driverMaxPairs, Int.MaxValue - 1)
     if (driverEligible &&
-        p0.limit(driverMaxPairs + 1).count() <= driverMaxPairs) {
+        p0.limit(budget + 1).count() <= budget) {
       return driverUnionFind(p0, idType)
     }
     val edges = p0.select(col("id_a").as("u"), col("id_b").as("v"))
@@ -513,22 +560,23 @@ object Dedup {
   }
 
   /** Join candidate (id_a, id_b) pairs back to documents and keep those
-    * with exact shingle-Jaccard >= threshold. */
+    * with exact shingle-Jaccard >= threshold, over the hashed universe
+    * ([[shingleHashes]]; jaccard via the [[jaccardLongs]] merge kernel —
+    * the hash arrays arrive pre-sorted here). */
   def verifyPairsExactJaccard(df: DataFrame, candidates: DataFrame,
                               idCol: String, textCol: String,
                               k: Int, threshold: Double): DataFrame = {
-    val shUdf = udf((t: String) => shingleSet(t, k))
+    val shUdf = udf((t: String) => shingleHashes(t, k))
     // the shingled docs join the candidates twice (id_a side and id_b
     // side) — barrier them so the shingle UDF runs once per document,
     // not once per side
     val docs = spread(df).select(col(idCol).as("id"), shUdf(col(textCol)).as("sh"))
       .localCheckpoint(false)
+    val jacUdf = udf(jaccardLongs _)
     candidates
       .join(docs.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(docs.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
-      .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard", jacUdf(col("sh_a"), col("sh_b")))
       .where(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }

@@ -33,12 +33,24 @@ import graft.ops.RangeJoin
   * dup-id lists) plus the range join's own bucket exchange; the 10×
   * ScaleCheck run went from 347.6 s to 19.9 s for 1.119B output rows.
   *
+  * The broadcast is guarded: the dup-id lists are usually tiny (ids
+  * carried by >1 distinct mz are the exception), but an adversarial input
+  * could put millions of mzs behind one id. A one-pass size probe over the
+  * (already checkpointed) distinct masses counts the list elements; above
+  * `maxBroadcastDupMzs` the operator falls back to the shuffle-based
+  * keep-first window (rank 1 by (adduct-rank, mm, mz) per structure row) —
+  * slower but bounded, and exactly equivalent (both paths pick the same
+  * minimum; the window uses rank() so duplicated identical structure rows
+  * keep the same multiplicity the row-local filter emits).
+  *
   * @param masses     observed masses; `idCol` (any equality-comparable
   *                   type), `mzCol` (double). Identical (id, mz) rows are
   *                   collapsed (they would produce identical matches).
   * @param adducts    (label, mult, offset) in keep-first PRIORITY order
   * @param structures candidate structures; `structIdCol`, `massCol`
   * @param ppm        relative tolerance (×1e-6)
+  * @param maxBroadcastDupMzs budget (total list elements) for the row-local
+  *                   broadcast path; above it the window fallback runs
   * @return one row per kept (id, structure) match:
   *         idCol, structIdCol, adduct, mm, massCol
   */
@@ -47,7 +59,7 @@ object MassQuery {
   def annotate(masses: DataFrame, idCol: String, mzCol: String,
                adducts: Seq[(String, Double, Double)],
                structures: DataFrame, structIdCol: String, massCol: String,
-               ppm: Double): DataFrame = {
+               ppm: Double, maxBroadcastDupMzs: Long = 4000000L): DataFrame = {
     require(adducts.nonEmpty, "at least one adduct transform required")
     require(adducts.forall(_._2 != 0.0), "adduct mult must be nonzero")
     val spark = masses.sparkSession
@@ -64,6 +76,8 @@ object MassQuery {
     val dupMz = mass1.groupBy("__id")
       .agg(collect_list(col("__mz")).as("__mzs"))
       .where(size(col("__mzs")) > 1)
+      // two consumers (size probe and the broadcast): compute once
+      .localCheckpoint(false)
 
     val adductDf = adducts.zipWithIndex
       .map { case ((l, m, o), i) => (l, m, o, i) }
@@ -74,6 +88,22 @@ object MassQuery {
     val structs = structures.select(col(structIdCol).as("__sid"),
       col(massCol).cast("double").as("__smass"))
     val joined = RangeJoin.ppmJoin(withMm, structs, "__mm", "__smass", ppm)
+
+    // broadcast-budget probe: total elements across the dup-id lists (one
+    // cheap agg over the checkpointed distinct masses). Above the budget
+    // the row-local plan would broadcast unbounded state and pay an
+    // unbounded per-row scan — take the shuffle keep-first instead.
+    val dupElems = dupMz.agg(coalesce(sum(size(col("__mzs"))), lit(0L)))
+      .first().getLong(0)
+    if (dupElems > maxBroadcastDupMzs) {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("__id"), col("__sid"), col("__smass"))
+        .orderBy(col("__ord"), col("__mm"), col("__mz"))
+      return joined.withColumn("__rk", rank().over(w))
+        .where(col("__rk") === 1)
+        .select(col("__id").as(idCol), col("__sid").as(structIdCol),
+          col("adduct"), col("__mm").as("mm"), col("__smass").as(massCol))
+    }
 
     // compiled kernel, not a HOF lambda (Catalyst interprets those): scan
     // every (member mz × adduct) candidate of the group, keep iff this

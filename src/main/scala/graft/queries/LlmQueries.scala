@@ -11,17 +11,20 @@ import Q.{Entry, t, r6}
 object LlmQueries {
 
   /** Shared DuckDB CTE: whitespace tokens / distinct 3-shingles of
-    * documents, mirroring Text.tokens + Dedup.shingles semantics. */
+    * documents, mirroring Text.tokens + Dedup.shingles semantics; `shh`
+    * is the hashed universe (distinct 60-bit md5 prefixes) that
+    * Dedup.shingleHashes computes — identical md5 both sides, so even a
+    * hash collision collapses the same two shingles in both engines. */
   private val shingleCte =
-    """toks AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS ts FROM documents), sh0 AS (SELECT doc_id, CASE WHEN len(ts) >= 3 THEN array_to_string(ts[i:i+2], ' ') ELSE array_to_string(ts, ' ') END AS s FROM toks, unnest(generate_series(1, greatest(len(ts) - 2, 1))) AS g(i)), sh AS (SELECT DISTINCT doc_id, s FROM sh0)"""
+    """toks AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS ts FROM documents), sh0 AS (SELECT doc_id, CASE WHEN len(ts) >= 3 THEN array_to_string(ts[i:i+2], ' ') ELSE array_to_string(ts, ' ') END AS s FROM toks, unnest(generate_series(1, greatest(len(ts) - 2, 1))) AS g(i)), sh AS (SELECT DISTINCT doc_id, s FROM sh0), shh AS (SELECT DISTINCT doc_id, CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) AS h FROM sh)"""
 
   /** Exact-Jaccard verification of a `cand(ia, ib)` candidate-pair CTE —
     * the tail every sketch oracle shares (mirrors
-    * Dedup.verifyPairsExactJaccard over the raw-case shingle universe).
+    * Dedup.verifyPairsExactJaccard over the hashed shingle universe).
     * Split into the shared CTE block and the closing SELECT so composite
     * oracles (q_dedup_clusters) can wrap the SELECT as one more CTE. */
   private val verifyCtes =
-    """sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1), it AS (SELECT c.ia, c.ib, count(*) AS inter FROM cand c JOIN sh a ON a.doc_id = c.ia JOIN sh b ON b.doc_id = c.ib AND b.s = a.s GROUP BY 1, 2)"""
+    """sz AS (SELECT doc_id, count(*) AS n FROM shh GROUP BY 1), it AS (SELECT c.ia, c.ib, count(*) AS inter FROM cand c JOIN shh a ON a.doc_id = c.ia JOIN shh b ON b.doc_id = c.ib AND b.h = a.h GROUP BY 1, 2)"""
   private def verifySelect(threshold: Double) =
     s"""SELECT ia AS id_a, ib AS id_b, round(CAST(inter AS DOUBLE) / (x.n + y.n - inter), 6) AS jaccard FROM it JOIN sz x ON ia = x.doc_id JOIN sz y ON ib = y.doc_id WHERE CAST(inter AS DOUBLE) / (x.n + y.n - inter) >= $threshold"""
   private def verifyTailSql(threshold: Double) =
@@ -95,7 +98,7 @@ object LlmQueries {
       // the declared semantics, so the oracle applies the same cut
       (s, d) => Dedup.ngramJaccardPairs(t(s, d, "documents"), "doc_id", "text",
         k = 3, threshold = 0.8, maxShingleDf = 100),
-      Some(s"""WITH $shingleCte, pr AS (SELECT doc_id, s FROM (SELECT doc_id, s, count(*) OVER (PARTITION BY s) AS df FROM sh) WHERE df <= 100), sz AS (SELECT doc_id, count(*) AS n FROM pr GROUP BY 1), it AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS inter FROM pr a JOIN pr b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2) SELECT ia AS id_a, ib AS id_b, round(CAST(inter AS DOUBLE) / (x.n + y.n - inter), 6) AS jaccard FROM it JOIN sz x ON ia = x.doc_id JOIN sz y ON ib = y.doc_id WHERE CAST(inter AS DOUBLE) / (x.n + y.n - inter) >= 0.8""")),
+      Some(s"""WITH $shingleCte, pr AS (SELECT doc_id, h FROM (SELECT doc_id, h, count(*) OVER (PARTITION BY h) AS df FROM shh) WHERE df <= 100), sz AS (SELECT doc_id, count(*) AS n FROM pr GROUP BY 1), it AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS inter FROM pr a JOIN pr b ON a.h = b.h AND a.doc_id < b.doc_id GROUP BY 1, 2) SELECT ia AS id_a, ib AS id_b, round(CAST(inter AS DOUBLE) / (x.n + y.n - inter), 6) AS jaccard FROM it JOIN sz x ON ia = x.doc_id JOIN sz y ON ib = y.doc_id WHERE CAST(inter AS DOUBLE) / (x.n + y.n - inter) >= 0.8""")),
 
     Entry("q_minhash_lsh",
       // oracle mirrors the md5-derived family AND the 16×8 banding, so the

@@ -277,12 +277,19 @@ object Similarity {
       .select("query_id", "neighbor_id").distinct()
     // ids are treated as unique keys on the re-attach: a corpus row
     // duplicated verbatim must not occupy two top-k slots after the
-    // id-level candidate dedup collapsed it to one pair
+    // id-level candidate dedup collapsed it to one pair. An id carried by
+    // rows with DIFFERENT vectors keeps the array-minimum vector — min()
+    // over the orderable array type, so the pick is deterministic instead
+    // of whichever row dropDuplicates happened to see first (the agg
+    // falls back to sort-based with an array buffer, but it runs on the
+    // id-deduped sides only once per lshTopK call)
     val scored = candidates
       .join(broadcast(queries.select(col(idCol).as("query_id"),
-        col(vecCol).as("__queryv")).dropDuplicates("query_id")), "query_id")
+        col(vecCol).as("__queryv")).groupBy("query_id")
+        .agg(min(col("__queryv")).as("__queryv"))), "query_id")
       .join(corpus.select(col(idCol).as("neighbor_id"),
-        col(vecCol).as("__neighborv")).dropDuplicates("neighbor_id"), "neighbor_id")
+        col(vecCol).as("__neighborv")).groupBy("neighbor_id")
+        .agg(min(col("__neighborv")).as("__neighborv")), "neighbor_id")
       .withColumn("cos", cosine(col("__queryv"), col("__neighborv")))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))

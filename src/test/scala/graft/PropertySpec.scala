@@ -126,13 +126,17 @@ class PropertySpec extends SparkSpec {
       n <- Gen.choose(10, 24)
       docs <- Gen.listOfN(n, Gen.listOfN(12, Gen.oneOf(words)).map(_.mkString(" ")))
       t <- Gen.oneOf(0.3, 0.5, 0.8)
-    } yield (docs, t)
-    forAllN(6, gen) { case (docs, t) =>
+      // small budgets make df-pruning actually fire, exercising the
+      // pruning × prefix-order interaction (df of the PRUNED postings
+      // feeds the global rarity order); 100 = pruning never fires
+      maxDf <- Gen.oneOf(2L, 4L, 8L, 100L)
+    } yield (docs, t, maxDf)
+    forAllN(8, gen) { case (docs, t, maxDf) =>
       val corpus = docs.zipWithIndex.map { case (d, i) => (i.toLong, d) }
         .toDF("doc_id", "text")
       val fast = graft.dedup.Dedup
         .ngramJaccardPairs(corpus, "doc_id", "text", k = 2, threshold = t,
-          maxShingleDf = 100)
+          maxShingleDf = maxDf)
         .select("id_a", "id_b", "jaccard")
         .as[(Long, Long, Double)].collect().toSet
       // brute force over the same df-pruned distinct-shingle universe
@@ -143,7 +147,7 @@ class PropertySpec extends SparkSpec {
       }
       val sets = docs.zipWithIndex.map { case (d, i) => i.toLong -> shingles(d) }.toMap
       val dfCount = sets.values.flatten.groupBy(identity).map { case (s, o) => s -> o.size }
-      val pruned = sets.map { case (i, ss) => i -> ss.filter(dfCount(_) <= 100) }
+      val pruned = sets.map { case (i, ss) => i -> ss.filter(dfCount(_) <= maxDf) }
       val naive = (for {
         a <- pruned.keys; b <- pruned.keys if a < b
         inter = (pruned(a) intersect pruned(b)).size
