@@ -25,6 +25,13 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // AQE coalesces shuffle reads by BYTE size (1 MiB floor); the
+      // per-group model kernels (beta-mixture EM, NB-GLM, hclust) are
+      // heavy CPU over few bytes, and byte-based coalescing collapses
+      // them to 1-7 tasks (measured: the 500-gene EM stage ran 7-wide,
+      // ~5× the wall of the 32-wide plan). A smaller floor keeps
+      // parallelismFirst effective for CPU-dense stages.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -1,0 +1,188 @@
+package graft.catalyst
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftColumnBridge
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Cast, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the array-heavy dedup/similarity
+  * kernels (shingle hashing, minhash/simhash sketches, exact Jaccard,
+  * float-vector dot/cosine).
+  *
+  * Why these are expressions and not Scala UDFs: a `udf((a: Seq[Long],
+  * b: Seq[Long]) => ...)` pays an ExpressionEncoder deserialization per
+  * ROW per ARGUMENT (SpecificSafeProjection.MapObjects — element-wise
+  * boxing into an immutable Seq). Profiled on the n-gram verify join at
+  * sf0.1 that converter was ~99% of the stage's CPU: 118k candidate pairs
+  * × two ~50-element arrays burned ~100 s of CPU before the actual
+  * jaccard merge (microbenchmark: the merge itself is ~0.1 s). The same
+  * tax hits every array-returning UDF (minhash signatures) and every
+  * float-vector UDF (cosine scoring joins). These expressions read the
+  * Tungsten [[ArrayData]] directly — `toLongArray`/`toFloatArray` are
+  * single primitive bulk copies, no boxing, no encoder — and stay inside
+  * whole-stage codegen via `doGenCode`, so the surrounding join/filter
+  * span is not broken the way a ScalaUDF node breaks it. */
+object ArrayKernels {
+
+  /** Exact Jaccard of two long-hash sets ([[graft.dedup.Dedup.jaccardLongs]]
+    * semantics: local sorted copies, two-pointer merge; empty∩empty = NaN
+    * which every >= threshold predicate rejects). */
+  def jaccardLongs(a: ArrayData, b: ArrayData): Double = {
+    val x = a.toLongArray()
+    val y = b.toLongArray()
+    java.util.Arrays.sort(x)
+    java.util.Arrays.sort(y)
+    var i = 0; var j = 0; var inter = 0
+    while (i < x.length && j < y.length) {
+      if (x(i) == y(j)) { inter += 1; i += 1; j += 1 }
+      else if (x(i) < y(j)) i += 1
+      else j += 1
+    }
+    inter.toDouble / (x.length + y.length - inter)
+  }
+
+  /** Distinct word-k-shingle 60-bit md5 hashes of a text (delegates to the
+    * [[graft.dedup.Dedup.shingleHashes]] kernel — identical output). */
+  def shingleHashes(t: UTF8String, k: Int): ArrayData =
+    new GenericArrayData(graft.dedup.Dedup.shingleHashesKernel(
+      if (t == null) null else t.toString, k))
+
+  /** MinHash signature (double-hashing family over md5-derived base
+    * hashes — [[graft.dedup.Dedup.minhashSigKernel]]). */
+  def minhashSig(t: UTF8String, k: Int, n: Int): ArrayData =
+    new GenericArrayData(graft.dedup.Dedup.minhashSigKernel(
+      if (t == null) null else t.toString, k, n))
+
+  /** 60-bit SimHash sketch over lowercased k-shingles
+    * ([[graft.dedup.Dedup.simhashSigKernel]]). */
+  def simhashSig(t: UTF8String, k: Int): Long =
+    graft.dedup.Dedup.simhashSigKernel(if (t == null) null else t.toString, k)
+
+  /** Float-vector dot product accumulated left-to-right in double —
+    * bit-identical to the former Seq[Float] UDF. */
+  def dotF(a: ArrayData, b: ArrayData): Double = {
+    val x = a.toFloatArray()
+    val y = b.toFloatArray()
+    val n = math.min(x.length, y.length)
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += x(i).toDouble * y(i).toDouble; i += 1 }
+    s
+  }
+
+  /** cosine(a,b) = dot(a,b) / (sqrt(dot(a,a)) * sqrt(dot(b,b))) computed
+    * in ONE pass over ONE pair of primitive copies. Each accumulator adds
+    * the same terms in the same left-to-right order as three separate
+    * [[dotF]] calls, so the IEEE result is bit-identical to the composed
+    * form (which the SRP-LSH DuckDB oracle replays literally). */
+  def cosineF(a: ArrayData, b: ArrayData): Double = {
+    val x = a.toFloatArray()
+    val y = b.toFloatArray()
+    val n = math.min(x.length, y.length)
+    var d = 0.0; var i = 0
+    while (i < n) { d += x(i).toDouble * y(i).toDouble; i += 1 }
+    // norms run over each vector's own full length, exactly like dot(a,a)
+    var na = 0.0; i = 0
+    while (i < x.length) { na += x(i).toDouble * x(i).toDouble; i += 1 }
+    var nb = 0.0; i = 0
+    while (i < y.length) { nb += y(i).toDouble * y(i).toDouble; i += 1 }
+    d / (math.sqrt(na) * math.sqrt(nb))
+  }
+}
+
+case class JaccardLongsExpr(left: Expression, right: Expression)
+    extends BinaryExpression with Serializable {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_jaccard_longs"
+  protected override def nullSafeEval(a: Any, b: Any): Any =
+    ArrayKernels.jaccardLongs(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.catalyst.ArrayKernels.jaccardLongs($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): JaccardLongsExpr =
+    copy(left = l, right = r)
+}
+
+case class ShingleHashesExpr(child: Expression, k: Int)
+    extends UnaryExpression with Serializable {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_shingle_hashes"
+  protected override def nullSafeEval(t: Any): Any =
+    ArrayKernels.shingleHashes(t.asInstanceOf[UTF8String], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.catalyst.ArrayKernels.shingleHashes($c, $k)")
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashesExpr =
+    copy(child = newChild)
+}
+
+case class MinhashSigExpr(child: Expression, k: Int, numHashes: Int)
+    extends UnaryExpression with Serializable {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_minhash_sig"
+  protected override def nullSafeEval(t: Any): Any =
+    ArrayKernels.minhashSig(t.asInstanceOf[UTF8String], k, numHashes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.catalyst.ArrayKernels.minhashSig($c, $k, $numHashes)")
+  override protected def withNewChildInternal(newChild: Expression): MinhashSigExpr =
+    copy(child = newChild)
+}
+
+case class SimhashSigExpr(child: Expression, k: Int)
+    extends UnaryExpression with Serializable {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash_sig"
+  protected override def nullSafeEval(t: Any): Any =
+    ArrayKernels.simhashSig(t.asInstanceOf[UTF8String], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.catalyst.ArrayKernels.simhashSig($c, $k)")
+  override protected def withNewChildInternal(newChild: Expression): SimhashSigExpr =
+    copy(child = newChild)
+}
+
+case class DotFExpr(left: Expression, right: Expression)
+    extends BinaryExpression with Serializable {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_dot_f"
+  protected override def nullSafeEval(a: Any, b: Any): Any =
+    ArrayKernels.dotF(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.catalyst.ArrayKernels.dotF($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): DotFExpr =
+    copy(left = l, right = r)
+}
+
+case class CosineFExpr(left: Expression, right: Expression)
+    extends BinaryExpression with Serializable {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_cosine_f"
+  protected override def nullSafeEval(a: Any, b: Any): Any =
+    ArrayKernels.cosineF(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.catalyst.ArrayKernels.cosineF($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineFExpr =
+    copy(left = l, right = r)
+}
+
+/** Column-API face of the array kernels. Children are cast explicitly
+  * (same technique as [[StatFunctions]]). */
+object ArrayFunctions {
+  private def c(e: Expression): Column = GraftColumnBridge.column(e)
+  private def e(col: Column): Expression = GraftColumnBridge.expression(col)
+  private def longs(col: Column): Expression =
+    Cast(e(col), ArrayType(LongType))
+  private def floats(col: Column): Expression =
+    Cast(e(col), ArrayType(FloatType))
+
+  def jaccardLongs(a: Column, b: Column): Column =
+    c(JaccardLongsExpr(longs(a), longs(b)))
+  def shingleHashes(text: Column, k: Int): Column =
+    c(ShingleHashesExpr(e(text), k))
+  def minhashSig(text: Column, k: Int, numHashes: Int): Column =
+    c(MinhashSigExpr(e(text), k, numHashes))
+  def simhashSig(text: Column, k: Int): Column =
+    c(SimhashSigExpr(e(text), k))
+  def dotF(a: Column, b: Column): Column = c(DotFExpr(floats(a), floats(b)))
+  def cosineF(a: Column, b: Column): Column = c(CosineFExpr(floats(a), floats(b)))
+}

@@ -86,6 +86,12 @@ object Dedup {
     * oracle (both take the same md5 prefix of the same shingle string), so
     * hash-parity is preserved by construction rather than probabilistically. */
   private[graft] def shingleHashes(text: String, k: Int): Array[Long] = {
+    shingleHashesKernel(text, k)
+  }
+
+  /** Public static twin of [[shingleHashes]] for the
+    * [[graft.catalyst.ArrayKernels]] codegen surface. */
+  def shingleHashesKernel(text: String, k: Int): Array[Long] = {
     val ss = shingleSet(text, k)
     val out = new Array[Long](ss.length)
     var i = 0
@@ -152,9 +158,8 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         k: Int = 3, threshold: Double = 0.8,
                         maxShingleDf: Long = 100): DataFrame = {
-    val shUdf = udf((t: String) => shingleHashes(t, k))
     val sh = spread(df).select(col(idCol).as("id"),
-        explode(shUdf(col(textCol))).as("h"))
+        explode(graft.catalyst.ArrayFunctions.shingleHashes(col(textCol), k)).as("h"))
     // one shuffle builds the pruned inverted index; collect_set dedups ids
     // so a duplicated doc id contributes one set membership (the oracle's
     // DISTINCT doc_id, h universe)
@@ -186,13 +191,20 @@ object Dedup {
       .select(col("id_a"),
         explode(slice(col("ids"), col("i") + lit(2), size(col("ids")))).as("id_b"))
       .distinct()
+      // candidate pairs are few BYTES but verify is CPU per ROW; AQE
+      // coalesces the distinct's output to one task on byte size and
+      // serializes the verification — explicit fan-out keeps the verify
+      // stage wide (user repartition is exempt from AQE coalescing)
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
     // exact pruned-universe verify; AQE broadcasts the candidate side of
-    // the doc-set joins when it fits
-    val jacUdf = udf(jaccardLongs _)
+    // the doc-set joins when it fits. The jaccard is a native codegen
+    // expression over the Tungsten arrays — a Scala UDF here paid ~800 µs
+    // PER ROW of encoder deserialization (see ArrayExpressions scaladoc)
     candidates
       .join(docSets.select(col("id").as("id_a"), col("shs").as("sh_a")), "id_a")
       .join(docSets.select(col("id").as("id_b"), col("shs").as("sh_b")), "id_b")
-      .withColumn("jaccard", jacUdf(col("sh_a"), col("sh_b")))
+      .withColumn("jaccard",
+        graft.catalyst.ArrayFunctions.jaccardLongs(col("sh_a"), col("sh_b")))
       .where(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
@@ -235,30 +247,32 @@ object Dedup {
     *
     * A compiled per-row kernel instead of 128 nested higher-order-function
     * expressions: Catalyst interprets HOF lambdas (no codegen), which
-    * measured ~50× slower than this loop at 5k docs × 300 shingles.
+    * measured ~50× slower than this loop at 5k docs × 300 shingles. The
+    * kernel is surfaced as a native codegen expression
+    * ([[graft.catalyst.MinhashSigExpr]]) — an Array[Long]-returning Scala
+    * UDF pays a per-row encoder conversion on the output side.
     * Deterministic across runs/JVMs. Returns (id, sig ARRAY<LONG>). */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
-                        k: Int = 3, numHashes: Int = 128): DataFrame = {
-    val n = numHashes
-    // text -> shingles -> signature in ONE compiled kernel: the interpreted
-    // shingle HOF and the Seq[String] ser/deser hop both disappear
-    val sigUdf = udf((text: String) => {
-      val sig = Array.fill(n)(Long.MaxValue)
-      shingleSet(text, k).foreach { s =>
-        val m = md5hex(s)
-        val h1 = java.lang.Long.parseLong(m.substring(0, 15), 16) % MinhashP
-        val h2 = java.lang.Long.parseLong(m.substring(15, 30), 16) % (MinhashP - 1) + 1
-        var i = 0
-        while (i < n) {
-          val h = (h1 + i * h2) % MinhashP
-          if (h < sig(i)) sig(i) = h
-          i += 1
-        }
-      }
-      sig
-    })
+                        k: Int = 3, numHashes: Int = 128): DataFrame =
     spread(df).select(col(idCol).as("id"),
-        sigUdf(col(textCol)).as("sig"))
+      graft.catalyst.ArrayFunctions.minhashSig(col(textCol), k, numHashes).as("sig"))
+
+  /** Static minhash-signature kernel behind [[minhashSignatures]] /
+    * [[graft.catalyst.ArrayKernels.minhashSig]]. */
+  def minhashSigKernel(text: String, k: Int, n: Int): Array[Long] = {
+    val sig = Array.fill(n)(Long.MaxValue)
+    shingleSet(text, k).foreach { s =>
+      val m = md5hex(s)
+      val h1 = java.lang.Long.parseLong(m.substring(0, 15), 16) % MinhashP
+      val h2 = java.lang.Long.parseLong(m.substring(15, 30), 16) % (MinhashP - 1) + 1
+      var i = 0
+      while (i < n) {
+        val h = (h1 + i * h2) % MinhashP
+        if (h < sig(i)) sig(i) = h
+        i += 1
+      }
+    }
+    sig
   }
 
   /** MinHash-LSH near-duplicate pairs: band the signature into
@@ -330,27 +344,31 @@ object Dedup {
     // lowercase fold: the default-locale fold diverges from the oracle's
     // lower() on e.g. Turkish-locale JVMs (I -> dotless ı).
     val fk = math.max(featureK, 1)
-    val sigUdf = udf((text: String) => {
-      val fs = shingleSet(
-        if (text == null) null else text.toLowerCase(java.util.Locale.ROOT), fk)
-      val acc = new Array[Int](SimhashBits)
-      fs.foreach { f =>
-        val h = java.lang.Long.parseLong(md5hex(f).substring(0, 15), 16)
-        var j = 0
-        while (j < SimhashBits) {
-          acc(j) += (if (((h >>> j) & 1L) == 1L) 1 else -1)
-          j += 1
-        }
-      }
-      var sig = 0L
+    spread(df).select(col(idCol).as("id"),
+      graft.catalyst.ArrayFunctions.simhashSig(col(textCol), fk).as("simhash"))
+  }
+
+  /** Static simhash-sketch kernel behind [[simhashSignatures]] /
+    * [[graft.catalyst.ArrayKernels.simhashSig]]. */
+  def simhashSigKernel(text: String, fk: Int): Long = {
+    val fs = shingleSet(
+      if (text == null) null else text.toLowerCase(java.util.Locale.ROOT), fk)
+    val acc = new Array[Int](SimhashBits)
+    fs.foreach { f =>
+      val h = java.lang.Long.parseLong(md5hex(f).substring(0, 15), 16)
       var j = 0
       while (j < SimhashBits) {
-        if (acc(j) > 0) sig |= (1L << j)
+        acc(j) += (if (((h >>> j) & 1L) == 1L) 1 else -1)
         j += 1
       }
-      sig
-    })
-    spread(df).select(col(idCol).as("id"), sigUdf(col(textCol)).as("simhash"))
+    }
+    var sig = 0L
+    var j = 0
+    while (j < SimhashBits) {
+      if (acc(j) > 0) sig |= (1L << j)
+      j += 1
+    }
+    sig
   }
 
   /** SimHash near-dup pairs: chunk-bucket candidates, a hamming cut on the
@@ -566,17 +584,19 @@ object Dedup {
   def verifyPairsExactJaccard(df: DataFrame, candidates: DataFrame,
                               idCol: String, textCol: String,
                               k: Int, threshold: Double): DataFrame = {
-    val shUdf = udf((t: String) => shingleHashes(t, k))
     // the shingled docs join the candidates twice (id_a side and id_b
-    // side) — barrier them so the shingle UDF runs once per document,
+    // side) — barrier them so the shingle kernel runs once per document,
     // not once per side
-    val docs = spread(df).select(col(idCol).as("id"), shUdf(col(textCol)).as("sh"))
+    val docs = spread(df).select(col(idCol).as("id"),
+        graft.catalyst.ArrayFunctions.shingleHashes(col(textCol), k).as("sh"))
       .localCheckpoint(false)
-    val jacUdf = udf(jaccardLongs _)
     candidates
+      // see ngramJaccardPairs: keep the per-row-CPU verify stage wide
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
       .join(docs.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(docs.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
-      .withColumn("jaccard", jacUdf(col("sh_a"), col("sh_b")))
+      .withColumn("jaccard",
+        graft.catalyst.ArrayFunctions.jaccardLongs(col("sh_a"), col("sh_b")))
       .where(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }

@@ -14,22 +14,23 @@ import org.apache.spark.sql.functions._
 object Similarity {
 
   /** Dot product of two float-array columns, accumulated left-to-right in
-    * double — a compiled per-row kernel. (An aggregate/zip_with expression
-    * computes the identical value, but Catalyst interprets HOF lambdas —
-    * measured ~15× slower on a 2M-pair × 64-dim scoring join.) */
-  private val dotUdf = udf((a: Seq[Float], b: Seq[Float]) => {
-    val n = math.min(a.length, b.length)
-    var s = 0.0
-    var i = 0
-    while (i < n) { s += a(i).toDouble * b(i).toDouble; i += 1 }
-    s
-  })
-
-  def dot(a: Column, b: Column): Column = dotUdf(a, b)
+    * double — a native codegen expression over the Tungsten arrays.
+    * (An aggregate/zip_with expression computes the identical value, but
+    * Catalyst interprets HOF lambdas — measured ~15× slower on a 2M-pair ×
+    * 64-dim scoring join. A Seq[Float] Scala UDF is worse still: the
+    * per-row encoder conversion of both arrays dominated scoring-join CPU
+    * — see graft.catalyst.ArrayExpressions.) */
+  def dot(a: Column, b: Column): Column =
+    graft.catalyst.ArrayFunctions.dotF(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** cosine(a,b) = dot/(norm·norm) fused into ONE single-pass expression —
+    * bit-identical accumulation order to the composed form (which the
+    * SRP-LSH oracle replays as literal SQL), one array conversion instead
+    * of three. */
+  def cosine(a: Column, b: Column): Column =
+    graft.catalyst.ArrayFunctions.cosineF(a, b)
 
   /** Exact top-k cosine neighbors for each query vector.
     *
