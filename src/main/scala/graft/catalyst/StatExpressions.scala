@@ -107,10 +107,41 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_corr_p"),
       info("graft_corr_p", "two-sided p of Pearson r over n obs"),
       (es: Seq[Expression]) => CorrPValueExpr(dc(es(0)), Cast(es(1), LongType))))
+    GraftExtensions.arrayFns.foreach { case (n, u, b) =>
+      ext.injectFunction((FunctionIdentifier(n), info(n, u), b))
+    }
   }
 }
 
 object GraftExtensions {
+  /** Array-kernel SQL builders (name, usage, builder) — k / numHashes
+    * arguments must be literals (they parameterize the generated code). */
+  private[catalyst] val arrayFns: Seq[(String, String, Seq[Expression] => Expression)] = {
+    import org.apache.spark.sql.types.{ArrayType, FloatType, LongType => LT}
+    def ac(e: Expression, et: org.apache.spark.sql.types.DataType) =
+      Cast(e, ArrayType(et))
+    def litInt(e: Expression, what: String): Int = e match {
+      case f if f.foldable => f.eval().asInstanceOf[Number].intValue()
+      case _ => throw new IllegalArgumentException(s"$what must be a literal")
+    }
+    Seq(
+      ("graft_jaccard_longs", "exact Jaccard of two BIGINT-array sets",
+        (es: Seq[Expression]) => JaccardLongsExpr(ac(es(0), LT), ac(es(1), LT))),
+      ("graft_shingle_hashes", "distinct word-k-shingle 60-bit md5 hashes",
+        (es: Seq[Expression]) =>
+          ShingleHashesExpr(es(0), litInt(es(1), "k"))),
+      ("graft_minhash_sig", "minhash signature (k-shingles, n hashes)",
+        (es: Seq[Expression]) =>
+          MinhashSigExpr(es(0), litInt(es(1), "k"), litInt(es(2), "numHashes"))),
+      ("graft_simhash_sig", "60-bit simhash sketch over lowercased k-shingles",
+        (es: Seq[Expression]) =>
+          SimhashSigExpr(es(0), litInt(es(1), "k"))),
+      ("graft_dot_f", "float-vector dot product in double",
+        (es: Seq[Expression]) => DotFExpr(ac(es(0), FloatType), ac(es(1), FloatType))),
+      ("graft_cosine_f", "float-vector cosine similarity",
+        (es: Seq[Expression]) => CosineFExpr(ac(es(0), FloatType), ac(es(1), FloatType))))
+  }
+
   /** Register the graft_* SQL functions on an already-running session
     * (spark.sql.extensions only applies at session construction). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
@@ -133,5 +164,8 @@ object GraftExtensions {
     reg.registerFunction(FunctionIdentifier("graft_corr_p"),
       info("graft_corr_p", "two-sided p of Pearson r over n obs"),
       (es: Seq[Expression]) => CorrPValueExpr(dc(es(0)), Cast(es(1), LongType)))
+    arrayFns.foreach { case (n, u, b) =>
+      reg.registerFunction(FunctionIdentifier(n), info(n, u), b)
+    }
   }
 }

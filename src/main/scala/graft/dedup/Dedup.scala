@@ -158,7 +158,11 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         k: Int = 3, threshold: Double = 0.8,
                         maxShingleDf: Long = 100): DataFrame = {
-    val sh = spread(df).select(col(idCol).as("id"),
+    // no spread() here: the shingle kernel is ~20 µs/doc, so even a
+    // single-split input computes it faster than the full-text repartition
+    // it would take to fan out (the posting groupBy right after provides
+    // the parallelism for everything downstream)
+    val sh = df.select(col(idCol).as("id"),
         explode(graft.catalyst.ArrayFunctions.shingleHashes(col(textCol), k)).as("h"))
     // one shuffle builds the pruned inverted index; collect_set dedups ids
     // so a duplicated doc id contributes one set membership (the oracle's
@@ -190,12 +194,15 @@ object Dedup {
       .select(posexplode(col("ids")).as(Seq("i", "id_a")), col("ids"))
       .select(col("id_a"),
         explode(slice(col("ids"), col("i") + lit(2), size(col("ids")))).as("id_b"))
-      .distinct()
       // candidate pairs are few BYTES but verify is CPU per ROW; AQE
-      // coalesces the distinct's output to one task on byte size and
-      // serializes the verification — explicit fan-out keeps the verify
-      // stage wide (user repartition is exempt from AQE coalescing)
-      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+      // coalesces a plain distinct's output to one task on byte size and
+      // serializes the verification. Hash-repartition on the pair key
+      // (user repartition — exempt from AQE coalescing) satisfies the
+      // dedup's clustering requirement, so dropDuplicates runs in the
+      // same wide stage with no second exchange.
+      .repartition(df.sparkSession.sparkContext.defaultParallelism,
+        col("id_a"), col("id_b"))
+      .dropDuplicates()
     // exact pruned-universe verify; AQE broadcasts the candidate side of
     // the doc-set joins when it fits. The jaccard is a native codegen
     // expression over the Tungsten arrays — a Scala UDF here paid ~800 µs
@@ -586,8 +593,8 @@ object Dedup {
                               k: Int, threshold: Double): DataFrame = {
     // the shingled docs join the candidates twice (id_a side and id_b
     // side) — barrier them so the shingle kernel runs once per document,
-    // not once per side
-    val docs = spread(df).select(col(idCol).as("id"),
+    // not once per side (no spread: see ngramJaccardPairs)
+    val docs = df.select(col(idCol).as("id"),
         graft.catalyst.ArrayFunctions.shingleHashes(col(textCol), k).as("sh"))
       .localCheckpoint(false)
     candidates

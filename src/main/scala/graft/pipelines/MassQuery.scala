@@ -1,8 +1,89 @@
 package graft.pipelines
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame, GraftColumnBridge}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{BooleanType, DataType}
 import graft.ops.RangeJoin
+
+/** The row-local keep-first predicate of [[MassQuery.annotate]] as a
+  * native codegen expression: for a joined (structure-mass, own-adduct,
+  * own-mz, member-mz-list) row, true iff the row's (adduct-rank, mm, mz)
+  * is the minimum over all in-window candidates of its dedup group. The
+  * adduct table and ppm are plan-time constants embedded via
+  * addReferenceObj; a null member list means the id is unduplicated and
+  * only the row's own mz is considered — which is why this needs custom
+  * null handling instead of nullSafeEval (and why it is not a Scala UDF:
+  * a Seq[Double] UDF argument pays a per-row encoder conversion — see
+  * graft.catalyst.ArrayExpressions — on the JOIN-OUTPUT-sized stream,
+  * the largest intermediate of the whole pipeline). */
+private[pipelines] case class MassKeepExpr(
+    p: Expression, ord: Expression, mz: Expression, mzs: Expression,
+    mults: Array[Double], offs: Array[Double], ppm: Double)
+  extends Expression with Serializable {
+
+  override def children: Seq[Expression] = Seq(p, ord, mz, mzs)
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_mass_keep"
+
+  def keep(pv: Double, ownOrd: Int, ownMz: Double, mzsArr: ArrayData): Boolean = {
+    val nAdd = mults.length
+    var bOrd = Int.MaxValue; var bMm = Double.MaxValue; var bMz = Double.MaxValue
+    def consider(mzv: Double): Unit = {
+      var o = 0
+      while (o < nAdd) {
+        val mm = (mzv - offs(o)) / mults(o)
+        if (mm > 0 && pv >= mm - mm * ppm / 1e6 && pv <= mm + mm * ppm / 1e6 &&
+            (o < bOrd || (o == bOrd &&
+              (mm < bMm || (mm == bMm && mzv < bMz))))) {
+          bOrd = o; bMm = mm; bMz = mzv
+        }
+        o += 1
+      }
+    }
+    if (mzsArr == null) consider(ownMz)
+    else {
+      var i = 0
+      val n = mzsArr.numElements()
+      while (i < n) { consider(mzsArr.getDouble(i)); i += 1 }
+    }
+    val ownMm = (ownMz - offs(ownOrd)) / mults(ownOrd)
+    bOrd == ownOrd && bMm == ownMm && bMz == ownMz
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val pv = p.eval(input).asInstanceOf[Double]
+    val ov = ord.eval(input).asInstanceOf[Int]
+    val mv = mz.eval(input).asInstanceOf[Double]
+    val av = mzs.eval(input).asInstanceOf[ArrayData]
+    keep(pv, ov, mv, av)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("massKeep", this)
+    val evs = children.map(_.genCode(ctx))
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    ev.copy(code =
+      code"""
+        ${evs(0).code}
+        ${evs(1).code}
+        ${evs(2).code}
+        ${evs(3).code}
+        final boolean ${ev.value} = $ref.keep(${evs(0).value},
+          ${evs(1).value}, ${evs(2).value},
+          ${evs(3).isNull} ? null : ${evs(3).value});
+      """, isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): MassKeepExpr =
+    copy(p = newChildren(0), ord = newChildren(1),
+      mz = newChildren(2), mzs = newChildren(3))
+}
 
 /** The queryMassNPDB operator: adduct-expanded ppm structure annotation
   * with keep-first dedup per (mass id, structure) —
@@ -116,26 +197,15 @@ object MassQuery {
     // (adjacent-ulp mzs, mult not a power of two) — without the mz key
     // both rows would claim the (ord, mm) minimum and the pair would be
     // emitted twice
-    val keepUdf = udf((p: Double, ownOrd: Int, ownMz: Double, mzs: Seq[Double]) => {
-      var bOrd = Int.MaxValue; var bMm = Double.MaxValue; var bMz = Double.MaxValue
-      def consider(mz: Double): Unit = {
-        var o = 0
-        while (o < nAdd) {
-          val mm = (mz - offs(o)) / mults(o)
-          if (mm > 0 && p >= mm - mm * ppm / 1e6 && p <= mm + mm * ppm / 1e6 &&
-              (o < bOrd || (o == bOrd &&
-                (mm < bMm || (mm == bMm && mz < bMz))))) {
-            bOrd = o; bMm = mm; bMz = mz
-          }
-          o += 1
-        }
-      }
-      if (mzs == null) consider(ownMz) else mzs.foreach(consider)
-      val ownMm = (ownMz - offs(ownOrd)) / mults(ownOrd)
-      bOrd == ownOrd && bMm == ownMm && bMz == ownMz
-    })
+    def keepCol(pc: Column, oc: Column, mc: Column, ac: Column): Column =
+      GraftColumnBridge.column(MassKeepExpr(
+        GraftColumnBridge.expression(pc.cast("double")),
+        GraftColumnBridge.expression(oc.cast("int")),
+        GraftColumnBridge.expression(mc.cast("double")),
+        GraftColumnBridge.expression(ac.cast("array<double>")),
+        mults, offs, ppm))
     joined.join(broadcast(dupMz), Seq("__id"), "left")
-      .where(keepUdf(col("__smass"), col("__ord"), col("__mz"), col("__mzs")))
+      .where(keepCol(col("__smass"), col("__ord"), col("__mz"), col("__mzs")))
       .select(col("__id").as(idCol), col("__sid").as(structIdCol),
         col("adduct"), col("__mm").as("mm"), col("__smass").as(massCol))
   }

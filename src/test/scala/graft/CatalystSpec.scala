@@ -38,4 +38,65 @@ class CatalystSpec extends SparkSpec {
     assert(math.abs(v.getDouble(2) - 0.05) < 1e-9)
     assert(math.abs(v.getDouble(3) - 0.05) < 1e-9)
   }
+
+  test("array-kernel expressions match their Scala kernels on both eval paths") {
+    import graft.catalyst.ArrayFunctions
+    val texts = Seq("the quick brown fox jumps over the lazy dog",
+      "the quick brown fox jumps over the lazy cat", "one two", "")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+    def run(codegen: Boolean): Seq[org.apache.spark.sql.Row] = {
+      spark.conf.set("spark.sql.codegen.factoryMode",
+        if (codegen) "CODEGEN_ONLY" else "NO_CODEGEN")
+      try df.select(col("id"),
+          ArrayFunctions.shingleHashes(col("text"), 3).as("sh"),
+          ArrayFunctions.minhashSig(col("text"), 3, 16).as("mh"),
+          ArrayFunctions.simhashSig(col("text"), 3).as("simh"))
+        .orderBy("id").collect().toSeq
+      finally spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
+    val gen = run(codegen = true)
+    val interp = run(codegen = false)
+    texts.zipWithIndex.foreach { case (t, i) =>
+      val expSh = graft.dedup.Dedup.shingleHashesKernel(t, 3).toSeq
+      val expMh = graft.dedup.Dedup.minhashSigKernel(t, 3, 16).toSeq
+      val expSimh = graft.dedup.Dedup.simhashSigKernel(t, 3)
+      for (rows <- Seq(gen, interp)) {
+        assert(rows(i).getSeq[Long](1) == expSh)
+        assert(rows(i).getSeq[Long](2) == expMh)
+        assert(rows(i).getLong(3) == expSimh)
+      }
+    }
+    // jaccard + cosine against hand values
+    val jc = Seq((Seq(1L, 2L, 3L, 4L), Seq(3L, 4L, 5L),
+        Seq(1.0f, 2.0f, 2.0f), Seq(2.0f, 4.0f, 4.0f)))
+      .toDF("a", "b", "va", "vb")
+      .select(ArrayFunctions.jaccardLongs(col("a"), col("b")).as("j"),
+        ArrayFunctions.dotF(col("va"), col("vb")).as("d"),
+        ArrayFunctions.cosineF(col("va"), col("vb")).as("c")).head()
+    assert(math.abs(jc.getDouble(0) - 2.0 / 5.0) < 1e-15)
+    assert(math.abs(jc.getDouble(1) - 18.0) < 1e-12)
+    assert(math.abs(jc.getDouble(2) - 1.0) < 1e-12) // parallel vectors
+    // null propagation
+    val nu = Seq((Option.empty[String], Option(Seq(1L)))).toDF("t", "a")
+      .select(ArrayFunctions.shingleHashes(col("t"), 3).as("sh"),
+        ArrayFunctions.jaccardLongs(col("a"), lit(null).cast("array<long>")).as("j"))
+      .head()
+    assert(nu.isNullAt(0) && nu.isNullAt(1))
+  }
+
+  test("array-kernel SQL functions are registered") {
+    graft.catalyst.GraftExtensions.register(spark)
+    val r = spark.sql(
+      "SELECT graft_jaccard_longs(array(1L,2L,3L), array(2L,3L,4L)) AS j, " +
+        "graft_cosine_f(array(1.0F, 0.0F), array(1.0F, 0.0F)) AS c, " +
+        "size(graft_shingle_hashes('a b c d', 3)) AS ns, " +
+        "size(graft_minhash_sig('a b c d', 3, 32)) AS nm, " +
+        "graft_simhash_sig('a b c d', 3) AS sh").head()
+    assert(math.abs(r.getDouble(0) - 0.5) < 1e-15)
+    assert(math.abs(r.getDouble(1) - 1.0) < 1e-12)
+    assert(r.getInt(2) == 2)   // "a b c", "b c d"
+    assert(r.getInt(3) == 32)
+    assert(r.getLong(4) == graft.dedup.Dedup.simhashSigKernel("a b c d", 3))
+  }
 }
