@@ -176,37 +176,17 @@ object Similarity {
     val sample = corpusV.select(col("__cv")).limit(maxFitSample)
       .as[Seq[Float]].collect().map(_.map(_.toDouble).toArray)
     val centroids = fitQuantizer(sample, nCells, seed)
-    val bc = spark.sparkContext.broadcast(centroids)
-    val nearestCell = udf((v: Seq[Float]) => {
-      val cs = bc.value
-      var best = 0; var bd = Double.MaxValue; var c = 0
-      while (c < cs.length) {
-        val cent = cs(c)
-        var s = 0.0; var i = 0
-        while (i < cent.length && i < v.length) {
-          val d = v(i) - cent(i); s += d * d; i += 1
-        }
-        if (s < bd) { bd = s; best = c }
-        c += 1
-      }
-      best
-    })
-    // corpus side: cell assignment (at scale: write partitioned by __cell)
-    val assigned = corpusV.withColumn("__cell", nearestCell(col("__cv")))
-    // query side: explode into the nProbe nearest cells
-    val probeCells = udf((v: Seq[Float]) => {
-      val cs = bc.value
-      cs.indices.sortBy { ci =>
-        val c = cs(ci)
-        var s = 0.0; var i = 0
-        while (i < c.length && i < v.length) {
-          val d = v(i) - c(i); s += d * d; i += 1
-        }
-        s
-      }.take(nProbe)
-    })
+    // corpus side: cell assignment — a native expression (the centroid
+    // table is a plan-time constant); this runs once per CORPUS row, the
+    // full-data side of the operator, where a Seq[Float] UDF would pay
+    // the per-row encoder conversion (see graft.catalyst.ArrayExpressions)
+    // (at scale: write partitioned by __cell)
+    val assigned = corpusV.withColumn("__cell",
+      CellExprs.nearest(col("__cv"), centroids))
+    // query side: explode into the nProbe nearest cells (query set is
+    // small and broadcast — the same expression kernel ranks all cells)
     val qb = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
-      .withColumn("__cell", explode(probeCells(col("__qv")))))
+      .withColumn("__cell", explode(CellExprs.probes(col("__qv"), centroids, nProbe))))
     val scored = assigned.join(qb, "__cell")
       .where(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", cosine(col("__qv"), col("__cv")))
@@ -297,5 +277,83 @@ object Similarity {
       .where(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank"),
         round(col("cos"), 6).as("cos"))
+  }
+}
+
+/** Native quantizer-cell expressions for [[Similarity.ivfTopK]]: the
+  * centroid table is a small plan-time constant (embedded via
+  * addReferenceObj), the vector argument is read straight from Tungsten
+  * ArrayData — no per-row encoder conversion, full codegen span. */
+private[sim] object CellExprs {
+  import org.apache.spark.sql.{Column, GraftColumnBridge}
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.catalyst.expressions.Expression
+  import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
+  import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+  import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+  import org.apache.spark.sql.types._
+
+  private def floats(c: Column): Expression =
+    org.apache.spark.sql.catalyst.expressions.Cast(
+      GraftColumnBridge.expression(c), ArrayType(FloatType))
+
+  def nearest(vec: Column, cents: Array[Array[Double]]): Column =
+    GraftColumnBridge.column(NearestCellExpr(floats(vec), cents))
+  def probes(vec: Column, cents: Array[Array[Double]], nProbe: Int): Column =
+    GraftColumnBridge.column(ProbeCellsExpr(floats(vec), cents, nProbe))
+
+  private[sim] def d2(v: Array[Float], c: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    val n = math.min(v.length, c.length)
+    while (i < n) { val d = v(i).toDouble - c(i); s += d * d; i += 1 }
+    s
+  }
+
+  case class NearestCellExpr(child: Expression, cents: Array[Array[Double]])
+      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+      with Serializable {
+    override def dataType: DataType = IntegerType
+    override def prettyName: String = "graft_nearest_cell"
+    def kernel(a: ArrayData): Int = {
+      val v = a.toFloatArray()
+      var best = 0; var bd = Double.MaxValue; var c = 0
+      while (c < cents.length) {
+        val s = d2(v, cents(c))
+        if (s < bd) { bd = s; best = c }
+        c += 1
+      }
+      best
+    }
+    protected override def nullSafeEval(a: Any): Any =
+      kernel(a.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("nearestCell", this)
+      defineCodeGen(ctx, ev, c => s"$ref.kernel($c)")
+    }
+    override protected def withNewChildInternal(n: Expression): NearestCellExpr =
+      copy(child = n)
+  }
+
+  case class ProbeCellsExpr(child: Expression, cents: Array[Array[Double]],
+                            nProbe: Int)
+      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+      with Serializable {
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def prettyName: String = "graft_probe_cells"
+    def kernel(a: ArrayData): ArrayData = {
+      val v = a.toFloatArray()
+      // same ordering as the former sortBy(d2): stable ascending distance,
+      // ties by cell index
+      val order = cents.indices.sortBy(ci => d2(v, cents(ci))).take(nProbe)
+      new GenericArrayData(order.map(Integer.valueOf).toArray[Any])
+    }
+    protected override def nullSafeEval(a: Any): Any =
+      kernel(a.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("probeCells", this)
+      defineCodeGen(ctx, ev, c => s"$ref.kernel($c)")
+    }
+    override protected def withNewChildInternal(n: Expression): ProbeCellsExpr =
+      copy(child = n)
   }
 }
