@@ -317,7 +317,9 @@ object Dedup {
         col("x.band") === col("y.band") &&
           col("x.band_sig") === col("y.band_sig") &&
           col("x.id") < col("y.id"))
-      .select(col("x.id").as("id_a"), col("y.id").as("id_b")).distinct()
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+    // per-band duplicate pairs are deduped inside the verify's pair-key
+    // exchange — no separate distinct shuffle
     verifyPairsExactJaccard(df, candidates, idCol, textCol, k, threshold)
   }
 
@@ -415,7 +417,9 @@ object Dedup {
         col("x.band") === col("y.band") && col("x.chunk") === col("y.chunk") &&
           col("x.id") < col("y.id") &&
           bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))) <= maxHamming)
-      .select(col("x.id").as("id_a"), col("y.id").as("id_b")).distinct()
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+    // per-chunk duplicate pairs are deduped inside the verify's pair-key
+    // exchange — no separate distinct shuffle
     verifyPairsExactJaccard(df, candidates, idCol, textCol, k, threshold)
   }
 
@@ -587,7 +591,12 @@ object Dedup {
   /** Join candidate (id_a, id_b) pairs back to documents and keep those
     * with exact shingle-Jaccard >= threshold, over the hashed universe
     * ([[shingleHashes]]; jaccard via the [[jaccardLongs]] merge kernel —
-    * the hash arrays arrive pre-sorted here). */
+    * the hash arrays arrive pre-sorted here).
+    *
+    * Candidates may arrive with duplicates (one pair per colliding band/
+    * chunk): ONE hash exchange on the pair key both dedups them and fans
+    * the per-row-CPU verify out wide (user repartition is exempt from
+    * AQE's byte-based coalescing — see ngramJaccardPairs). */
   def verifyPairsExactJaccard(df: DataFrame, candidates: DataFrame,
                               idCol: String, textCol: String,
                               k: Int, threshold: Double): DataFrame = {
@@ -598,8 +607,9 @@ object Dedup {
         graft.catalyst.ArrayFunctions.shingleHashes(col(textCol), k).as("sh"))
       .localCheckpoint(false)
     candidates
-      // see ngramJaccardPairs: keep the per-row-CPU verify stage wide
-      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .repartition(df.sparkSession.sparkContext.defaultParallelism,
+        col("id_a"), col("id_b"))
+      .dropDuplicates()
       .join(docs.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(docs.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
       .withColumn("jaccard",
