@@ -100,7 +100,13 @@ object Bench {
         // min-of-two measures the plan, not the neighbor's burst; (b) a
         // first run also pays one-time codegen/janino compilation, which
         // a steady-state engine amortizes to zero
-        val t = if (t1 > 1.5) math.min(t1, once()) else t1
+        // the optional re-run must never turn a measured success into an
+        // error: a transient failure during the (flaky-host-motivated)
+        // second attempt falls back to the first timing
+        val t =
+          if (t1 > 1.5) scala.util.Try(once()).toOption
+            .fold(t1)(t2 => math.min(t1, t2))
+          else t1
         (name, Right(t))
       } catch {
         case e: Throwable =>

@@ -117,29 +117,41 @@ object GraftExtensions {
   /** Array-kernel SQL builders (name, usage, builder) — k / numHashes
     * arguments must be literals (they parameterize the generated code). */
   private[catalyst] val arrayFns: Seq[(String, String, Seq[Expression] => Expression)] = {
-    import org.apache.spark.sql.types.{ArrayType, FloatType, LongType => LT}
+    import org.apache.spark.sql.types.{ArrayType, FloatType, LongType => LT, StringType}
     def ac(e: Expression, et: org.apache.spark.sql.types.DataType) =
       Cast(e, ArrayType(et))
+    def sc(e: Expression) = Cast(e, StringType)
+    def nArgs(es: Seq[Expression], n: Int, name: String): Unit =
+      if (es.length != n) throw new IllegalArgumentException(
+        s"$name expects $n arguments, got ${es.length}")
     def litInt(e: Expression, what: String): Int = e match {
-      case f if f.foldable => f.eval().asInstanceOf[Number].intValue()
+      case f if f.foldable =>
+        f.eval() match {
+          case n: Number => n.intValue()
+          case other => throw new IllegalArgumentException(
+            s"$what must be a non-null integer literal, got $other")
+        }
       case _ => throw new IllegalArgumentException(s"$what must be a literal")
     }
     Seq(
       ("graft_jaccard_longs", "exact Jaccard of two BIGINT-array sets",
-        (es: Seq[Expression]) => JaccardLongsExpr(ac(es(0), LT), ac(es(1), LT))),
+        (es: Seq[Expression]) => { nArgs(es, 2, "graft_jaccard_longs")
+          JaccardLongsExpr(ac(es(0), LT), ac(es(1), LT)) }),
       ("graft_shingle_hashes", "distinct word-k-shingle 60-bit md5 hashes",
-        (es: Seq[Expression]) =>
-          ShingleHashesExpr(es(0), litInt(es(1), "k"))),
+        (es: Seq[Expression]) => { nArgs(es, 2, "graft_shingle_hashes")
+          ShingleHashesExpr(sc(es(0)), litInt(es(1), "k")) }),
       ("graft_minhash_sig", "minhash signature (k-shingles, n hashes)",
-        (es: Seq[Expression]) =>
-          MinhashSigExpr(es(0), litInt(es(1), "k"), litInt(es(2), "numHashes"))),
+        (es: Seq[Expression]) => { nArgs(es, 3, "graft_minhash_sig")
+          MinhashSigExpr(sc(es(0)), litInt(es(1), "k"), litInt(es(2), "numHashes")) }),
       ("graft_simhash_sig", "60-bit simhash sketch over lowercased k-shingles",
-        (es: Seq[Expression]) =>
-          SimhashSigExpr(es(0), litInt(es(1), "k"))),
+        (es: Seq[Expression]) => { nArgs(es, 2, "graft_simhash_sig")
+          SimhashSigExpr(sc(es(0)), litInt(es(1), "k")) }),
       ("graft_dot_f", "float-vector dot product in double",
-        (es: Seq[Expression]) => DotFExpr(ac(es(0), FloatType), ac(es(1), FloatType))),
+        (es: Seq[Expression]) => { nArgs(es, 2, "graft_dot_f")
+          DotFExpr(ac(es(0), FloatType), ac(es(1), FloatType)) }),
       ("graft_cosine_f", "float-vector cosine similarity",
-        (es: Seq[Expression]) => CosineFExpr(ac(es(0), FloatType), ac(es(1), FloatType))))
+        (es: Seq[Expression]) => { nArgs(es, 2, "graft_cosine_f")
+          CosineFExpr(ac(es(0), FloatType), ac(es(1), FloatType)) }))
   }
 
   /** Register the graft_* SQL functions on an already-running session

@@ -258,7 +258,12 @@ object Dedup {
     * kernel is surfaced as a native codegen expression
     * ([[graft.catalyst.MinhashSigExpr]]) — an Array[Long]-returning Scala
     * UDF pays a per-row encoder conversion on the output side.
-    * Deterministic across runs/JVMs. Returns (id, sig ARRAY<LONG>). */
+    * Deterministic across runs/JVMs. Returns (id, sig ARRAY<LONG>).
+    *
+    * NULL text yields a NULL signature (standard expression null
+    * propagation; the pre-round-5 UDF returned the empty-set sentinel
+    * Long.MaxValue per slot — pair outputs were and are unaffected, since
+    * the exact-Jaccard verify rejects empty-universe pairs as NaN). */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
                         k: Int = 3, numHashes: Int = 128): DataFrame =
     spread(df).select(col(idCol).as("id"),
@@ -351,7 +356,9 @@ object Dedup {
     // semantics are the declared contract now — each feature votes once,
     // which is what the DuckDB oracle computes). Locale.ROOT pins the
     // lowercase fold: the default-locale fold diverges from the oracle's
-    // lower() on e.g. Turkish-locale JVMs (I -> dotless ı).
+    // lower() on e.g. Turkish-locale JVMs (I -> dotless ı). NULL text
+    // yields a NULL sketch (expression null propagation; the pre-round-5
+    // UDF returned 0L — pair outputs unaffected, see minhashSignatures).
     val fk = math.max(featureK, 1)
     spread(df).select(col(idCol).as("id"),
       graft.catalyst.ArrayFunctions.simhashSig(col(textCol), fk).as("simhash"))

@@ -191,7 +191,6 @@ object MassQuery {
     // row's (adduct-rank, mm) is the minimum among in-window candidates
     val mults = adducts.map(_._2).toArray
     val offs = adducts.map(_._3).toArray
-    val nAdd = adducts.length
     // tie-break on mz as the third key: two DISTINCT member mzs can in
     // principle divide to the bitwise-identical mm under a non-exact mult
     // (adjacent-ulp mzs, mult not a power of two) — without the mz key

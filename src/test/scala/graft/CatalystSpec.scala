@@ -48,12 +48,19 @@ class CatalystSpec extends SparkSpec {
     def run(codegen: Boolean): Seq[org.apache.spark.sql.Row] = {
       spark.conf.set("spark.sql.codegen.factoryMode",
         if (codegen) "CODEGEN_ONLY" else "NO_CODEGEN")
+      // factoryMode only controls the projection/predicate factories;
+      // whole-stage codegen is gated separately and would otherwise keep
+      // running doGenCode in the "interpreted" leg
+      spark.conf.set("spark.sql.codegen.wholeStage", codegen)
       try df.select(col("id"),
           ArrayFunctions.shingleHashes(col("text"), 3).as("sh"),
           ArrayFunctions.minhashSig(col("text"), 3, 16).as("mh"),
           ArrayFunctions.simhashSig(col("text"), 3).as("simh"))
         .orderBy("id").collect().toSeq
-      finally spark.conf.unset("spark.sql.codegen.factoryMode")
+      finally {
+        spark.conf.unset("spark.sql.codegen.factoryMode")
+        spark.conf.unset("spark.sql.codegen.wholeStage")
+      }
     }
     val gen = run(codegen = true)
     val interp = run(codegen = false)
