@@ -49,7 +49,10 @@ object GlmNb {
       var i = 0
       while (i < n) {
         val eta = b0 + (if (useSlope) b1 * x(i) else 0.0) + off(i)
-        val mu = math.min(math.max(math.exp(eta), 1e-8), 1e12)
+        // eta floored before exp: exp(-19) already lands below the 1e-8
+        // clamp, and feeding exp an arbitrarily negative argument walks
+        // through the subnormal range (~100x slow microcode arithmetic)
+        val mu = math.min(math.max(math.exp(math.max(eta, -19.0)), 1e-8), 1e12)
         val w = mu / (1.0 + phi * mu)
         val z = (eta - off(i)) + (y(i) - mu) / mu
         s00 += w; s01 += w * x(i); s11 += w * x(i) * x(i)
@@ -88,8 +91,15 @@ object GlmNb {
         val y = obs.map(_.y); val x = obs.map(_.group); val off = obs.map(_.offset)
         val (b0f, b1f) = irls(y, x, off, dispersion, useSlope = true)
         val (b0n, _) = irls(y, x, off, dispersion, useSlope = false)
-        val muF = y.indices.map(i => math.exp(b0f + b1f * x(i) + off(i))).toArray
-        val muN = y.indices.map(i => math.exp(b0n + off(i))).toArray
+        // same [1e-8, 1e12] clamp as the IRLS loop: an unguarded
+        // exp(eta) underflows to EXACTLY 0 for eta < -745 (divergent fit
+        // or extreme offsets), and log(0) inside nbLogLik turns the LRT
+        // and p-value into NaN; between -708 and -745 it returns
+        // subnormal doubles whose arithmetic runs ~100x slow
+        def muClamp(eta: Double): Double =
+          math.min(math.max(math.exp(math.max(eta, -19.0)), 1e-8), 1e12)
+        val muF = y.indices.map(i => muClamp(b0f + b1f * x(i) + off(i))).toArray
+        val muN = y.indices.map(i => muClamp(b0n + off(i))).toArray
         val lrt = math.max(0.0, 2.0 * (nbLogLik(y, muF, dispersion) - nbLogLik(y, muN, dispersion)))
         val p = Dist.chisqTail(lrt, 1.0)
         // z = -sign(logFC) * qnorm(p/2)  (Figures_3_5:93)
