@@ -1,0 +1,57 @@
+package graft.pipelines
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.dedup.Dedup
+import graft.text.Text
+
+/** End-to-end corpus curation — the composition a training-data pipeline
+  * actually runs over raw documents (driver-brief extension; each stage is
+  * an already-oracle-verified operator):
+  *
+  *   1. near-duplicate clustering: MinHash-LSH candidate pairs
+  *      ([[Dedup.minhashLshPairs]], exact-Jaccard verified) → connected
+  *      components → one representative per duplicate group
+  *      ([[Dedup.clusterDocuments]], min-id representative);
+  *   2. quality scoring ([[Text.qualityScore]]: length/punctuation/
+  *      stopword/uniqueness mix);
+  *   3. language identification ([[Text.langId]], stopword-hit heuristic);
+  *   4. the curation gate: keep representatives with quality >= cut whose
+  *      predicted language is in the accept list.
+  *
+  * Scale shape: inherits its stages' shapes — banding equi-joins and
+  * pair-key exchanges from the dedup tier (never all-pairs), zero-shuffle
+  * codegen expressions for quality/language, one broadcast-sized join of
+  * the per-doc cluster labels back to the metrics. Dropping a whole
+  * cluster whose representative fails the gate is intentional: the
+  * representative IS the cluster's surviving text.
+  *
+  * @return (doc_id, cluster_id, cluster_size, n_tokens, quality,
+  *         pred_lang) — one row per SURVIVING document
+  */
+object Curate {
+
+  def curate(docs: DataFrame, idCol: String, textCol: String,
+             k: Int = 3, threshold: Double = 0.8,
+             numHashes: Int = 128, bands: Int = 16,
+             minQuality: Double = 0.5,
+             langs: Seq[String] = Seq("en")): DataFrame = {
+    val pairs = Dedup.minhashLshPairs(docs, idCol, textCol,
+      k = k, threshold = threshold, numHashes = numHashes, bands = bands)
+    val clustered = Dedup.clusterDocuments(docs, idCol, pairs)
+      .where(col("kept"))
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
+    val quality = Text.qualityScore(
+        docs.select(col(idCol).as("doc_id"), col(textCol)), textCol)
+      .select(col("doc_id"), col("n_tokens"), col("quality"))
+    val lang = Text.langId(
+        docs.select(col(idCol).as("doc_id"), col(textCol)), textCol)
+      .select(col("doc_id"), col("pred_lang"))
+    clustered
+      .join(quality, "doc_id")
+      .join(lang, "doc_id")
+      .where(col("quality") >= minQuality && col("pred_lang").isin(langs: _*))
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+        col("n_tokens"), col("quality"), col("pred_lang"))
+  }
+}

@@ -262,6 +262,28 @@ class DedupSimSpec extends SparkSpec {
     assert(out.length == 5 && out.forall(r => r._1 == r._2 && r._3 == 1L && r._4))
   }
 
+  test("Curate keeps one representative per near-dup group and gates quality/language") {
+    val res = graft.pipelines.Curate.curate(corpus(), "doc_id", "text",
+      k = 3, threshold = 0.8, minQuality = 0.0, langs = Seq("en"))
+      .orderBy("doc_id")
+      .select("doc_id", "cluster_id", "cluster_size", "pred_lang")
+      .as[(Long, Long, Long, String)].collect()
+    // docs 1,2 are exact dups (J=1) -> representative 1 survives; doc 3's
+    // one-word edit lands at J~0.76 < 0.8 so it stays its own cluster;
+    // 4 and 5 are singletons; every fixture doc is English-heavy
+    assert(res.map(_._1).toSeq == Seq(1L, 3L, 4L, 5L))
+    assert(res.head == ((1L, 1L, 2L, "en")))
+    assert(res.forall(_._4 == "en"))
+    // a quality bar above every score drops everything
+    val none = graft.pipelines.Curate.curate(corpus(), "doc_id", "text",
+      minQuality = 1.01)
+    assert(none.count() == 0)
+    // language gate: no fixture doc is German
+    val de = graft.pipelines.Curate.curate(corpus(), "doc_id", "text",
+      minQuality = 0.0, langs = Seq("de"))
+    assert(de.count() == 0)
+  }
+
   test("duplicated doc ids never produce self-pairs in ngramJaccardPairs") {
     val dup = Seq(
       (7L, "alpha beta gamma delta epsilon zeta"),
