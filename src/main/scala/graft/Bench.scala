@@ -101,12 +101,14 @@ object Bench {
         // first run also pays one-time codegen/janino compilation, which
         // a steady-state engine amortizes to zero
         // the optional re-run must never turn a measured success into an
-        // error: a transient failure during the (flaky-host-motivated)
-        // second attempt falls back to the first timing
+        // error: ANY failure during the (flaky-host-motivated) second
+        // attempt — fatal ones included, Try would let OOM through —
+        // falls back to the first timing
         val t =
-          if (t1 > 1.5) scala.util.Try(once()).toOption
-            .fold(t1)(t2 => math.min(t1, t2))
-          else t1
+          if (t1 > 1.5) {
+            val t2 = try once() catch { case _: Throwable => t1 }
+            math.min(t1, t2)
+          } else t1
         (name, Right(t))
       } catch {
         case e: Throwable =>

@@ -95,25 +95,37 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     // auto range-join rewrite (opt-in via spark.graft.rangeJoin.bucketWidth)
     ext.injectOptimizerRule(_ => RangeJoinRewrite)
-    ext.injectFunction((FunctionIdentifier("graft_pnorm"),
-      info("graft_pnorm", "standard normal CDF"),
-      (es: Seq[Expression]) => PNormExpr(dc(es.head))))
-    ext.injectFunction((FunctionIdentifier("graft_chisq_tail"),
-      info("graft_chisq_tail", "chi-square upper tail"),
-      (es: Seq[Expression]) => ChisqTailExpr(dc(es(0)), dc(es(1)))))
-    ext.injectFunction((FunctionIdentifier("graft_t_tail2"),
-      info("graft_t_tail2", "two-sided Student-t tail"),
-      (es: Seq[Expression]) => TTail2Expr(dc(es(0)), dc(es(1)))))
-    ext.injectFunction((FunctionIdentifier("graft_corr_p"),
-      info("graft_corr_p", "two-sided p of Pearson r over n obs"),
-      (es: Seq[Expression]) => CorrPValueExpr(dc(es(0)), Cast(es(1), LongType))))
-    GraftExtensions.arrayFns.foreach { case (n, u, b) =>
-      ext.injectFunction((FunctionIdentifier(n), info(n, u), b))
+    (GraftExtensions.statFns ++ GraftExtensions.arrayFns).foreach {
+      case (n, u, b) =>
+        ext.injectFunction((FunctionIdentifier(n), info(n, u), b))
     }
   }
 }
 
 object GraftExtensions {
+  private def nArgs(es: Seq[Expression], n: Int, name: String): Unit =
+    if (es.length != n) throw new IllegalArgumentException(
+      s"$name expects $n arguments, got ${es.length}")
+
+  /** Stat-tail SQL builders (name, usage, builder), shared by the
+    * extension hook and [[register]]. */
+  private[catalyst] val statFns: Seq[(String, String, Seq[Expression] => Expression)] = {
+    def dc(e: Expression) = Cast(e, DoubleType)
+    Seq(
+      ("graft_pnorm", "standard normal CDF",
+        (es: Seq[Expression]) => { nArgs(es, 1, "graft_pnorm")
+          PNormExpr(dc(es(0))) }),
+      ("graft_chisq_tail", "chi-square upper tail",
+        (es: Seq[Expression]) => { nArgs(es, 2, "graft_chisq_tail")
+          ChisqTailExpr(dc(es(0)), dc(es(1))) }),
+      ("graft_t_tail2", "two-sided Student-t tail",
+        (es: Seq[Expression]) => { nArgs(es, 2, "graft_t_tail2")
+          TTail2Expr(dc(es(0)), dc(es(1))) }),
+      ("graft_corr_p", "two-sided p of Pearson r over n obs",
+        (es: Seq[Expression]) => { nArgs(es, 2, "graft_corr_p")
+          CorrPValueExpr(dc(es(0)), Cast(es(1), LongType)) }))
+  }
+
   /** Array-kernel SQL builders (name, usage, builder) — k / numHashes
     * arguments must be literals (they parameterize the generated code). */
   private[catalyst] val arrayFns: Seq[(String, String, Seq[Expression] => Expression)] = {
@@ -121,13 +133,15 @@ object GraftExtensions {
     def ac(e: Expression, et: org.apache.spark.sql.types.DataType) =
       Cast(e, ArrayType(et))
     def sc(e: Expression) = Cast(e, StringType)
-    def nArgs(es: Seq[Expression], n: Int, name: String): Unit =
-      if (es.length != n) throw new IllegalArgumentException(
-        s"$name expects $n arguments, got ${es.length}")
     def litInt(e: Expression, what: String): Int = e match {
       case f if f.foldable =>
         f.eval() match {
-          case n: Number => n.intValue()
+          // integral literals only — a fractional 3.7 silently truncating
+          // to k=3 would compute a shingle space the caller never asked for
+          case n: java.lang.Integer => n.intValue()
+          case n: java.lang.Long => n.intValue()
+          case n: java.lang.Short => n.intValue()
+          case n: java.lang.Byte => n.intValue()
           case other => throw new IllegalArgumentException(
             s"$what must be a non-null integer literal, got $other")
         }
@@ -160,23 +174,10 @@ object GraftExtensions {
     if (!spark.experimental.extraOptimizations.contains(RangeJoinRewrite))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ RangeJoinRewrite
-    val dc = (e: Expression) => Cast(e, DoubleType)
     val reg = spark.sessionState.functionRegistry
     def info(name: String, usage: String) =
       new ExpressionInfo("graft.catalyst", null, name, usage, "")
-    reg.registerFunction(FunctionIdentifier("graft_pnorm"),
-      info("graft_pnorm", "standard normal CDF"),
-      (es: Seq[Expression]) => PNormExpr(dc(es.head)))
-    reg.registerFunction(FunctionIdentifier("graft_chisq_tail"),
-      info("graft_chisq_tail", "chi-square upper tail"),
-      (es: Seq[Expression]) => ChisqTailExpr(dc(es(0)), dc(es(1))))
-    reg.registerFunction(FunctionIdentifier("graft_t_tail2"),
-      info("graft_t_tail2", "two-sided Student-t tail"),
-      (es: Seq[Expression]) => TTail2Expr(dc(es(0)), dc(es(1))))
-    reg.registerFunction(FunctionIdentifier("graft_corr_p"),
-      info("graft_corr_p", "two-sided p of Pearson r over n obs"),
-      (es: Seq[Expression]) => CorrPValueExpr(dc(es(0)), Cast(es(1), LongType)))
-    arrayFns.foreach { case (n, u, b) =>
+    (statFns ++ arrayFns).foreach { case (n, u, b) =>
       reg.registerFunction(FunctionIdentifier(n), info(n, u), b)
     }
   }

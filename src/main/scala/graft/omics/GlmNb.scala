@@ -91,11 +91,14 @@ object GlmNb {
         val y = obs.map(_.y); val x = obs.map(_.group); val off = obs.map(_.offset)
         val (b0f, b1f) = irls(y, x, off, dispersion, useSlope = true)
         val (b0n, _) = irls(y, x, off, dispersion, useSlope = false)
-        // same [1e-8, 1e12] clamp as the IRLS loop: an unguarded
-        // exp(eta) underflows to EXACTLY 0 for eta < -745 (divergent fit
-        // or extreme offsets), and log(0) inside nbLogLik turns the LRT
-        // and p-value into NaN; between -708 and -745 it returns
-        // subnormal doubles whose arithmetic runs ~100x slow
+        // same [1e-8, 1e12] clamp as the IRLS loop. Both ends matter:
+        // eta > ~709 overflows exp to +Infinity, and nbLogLik's
+        // inv*log(inv/(inv+mu)) evaluates log(NaN) — LRT/p/z all NaN
+        // (the 1e12 cap is what prevents it); eta in (-745, -708]
+        // produces subnormal doubles whose arithmetic runs ~100x slow
+        // (the -19 floor prevents those before exp even runs; underflow
+        // to exactly 0 was already harmless — nbLogLik floors mu at
+        // 1e-12, now dead code since mu >= 1e-8 here)
         def muClamp(eta: Double): Double =
           math.min(math.max(math.exp(math.max(eta, -19.0)), 1e-8), 1e12)
         val muF = y.indices.map(i => muClamp(b0f + b1f * x(i) + off(i))).toArray

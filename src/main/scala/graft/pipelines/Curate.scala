@@ -20,11 +20,12 @@ import graft.text.Text
   *      predicted language is in the accept list.
   *
   * Scale shape: inherits its stages' shapes — banding equi-joins and
-  * pair-key exchanges from the dedup tier (never all-pairs), zero-shuffle
-  * codegen expressions for quality/language, one broadcast-sized join of
-  * the per-doc cluster labels back to the metrics. Dropping a whole
-  * cluster whose representative fails the gate is intentional: the
-  * representative IS the cluster's surviving text.
+  * pair-key exchanges from the dedup tier (never all-pairs). Quality and
+  * language are zero-shuffle column pipelines CHAINED over one projection
+  * of the corpus (one scan computes both), so the whole gate costs the
+  * dedup tier plus a single doc_id equi-join of cluster labels against
+  * metrics. Dropping a whole cluster whose representative fails the gate
+  * is intentional: the representative IS the cluster's surviving text.
   *
   * @return (doc_id, cluster_id, cluster_size, n_tokens, quality,
   *         pred_lang) — one row per SURVIVING document
@@ -41,15 +42,14 @@ object Curate {
     val clustered = Dedup.clusterDocuments(docs, idCol, pairs)
       .where(col("kept"))
       .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
-    val quality = Text.qualityScore(
-        docs.select(col(idCol).as("doc_id"), col(textCol)), textCol)
-      .select(col("doc_id"), col("n_tokens"), col("quality"))
-    val lang = Text.langId(
-        docs.select(col(idCol).as("doc_id"), col(textCol)), textCol)
-      .select(col("doc_id"), col("pred_lang"))
+    // quality + language chained on ONE projection: both are zero-shuffle
+    // withColumn pipelines, so a single corpus scan computes all metrics
+    // and only one doc_id join remains
+    val metrics = Text.langId(Text.qualityScore(
+        docs.select(col(idCol).as("doc_id"), col(textCol)), textCol), textCol)
+      .select(col("doc_id"), col("n_tokens"), col("quality"), col("pred_lang"))
     clustered
-      .join(quality, "doc_id")
-      .join(lang, "doc_id")
+      .join(metrics, "doc_id")
       .where(col("quality") >= minQuality && col("pred_lang").isin(langs: _*))
       .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
         col("n_tokens"), col("quality"), col("pred_lang"))
