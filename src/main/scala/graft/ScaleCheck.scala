@@ -14,8 +14,8 @@ import org.apache.spark.sql.functions._
 object ScaleCheck {
   val Flagships = Seq("q1_agg", "q_pipeline_massquery", "q_ppm_join",
     "q_range_join", "q_minhash_lsh", "q_ngram_jaccard", "q_dedup_exact",
-    "q_pipeline_wcmodules", "q_mutual_rank", "q_bh_adjust",
-    "q_stream_sliding", "q_topk_per_group")
+    "q_pipeline_curate", "q_pipeline_wcmodules", "q_mutual_rank",
+    "q_bh_adjust", "q_stream_sliding", "q_topk_per_group")
 
   def main(args: Array[String]): Unit = {
     val src = "/root/testdata/sf0.1"
