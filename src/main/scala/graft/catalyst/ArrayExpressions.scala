@@ -27,12 +27,29 @@ import org.apache.spark.unsafe.types.UTF8String
   * span is not broken the way a ScalaUDF node breaks it. */
 object ArrayKernels {
 
+  /** `toLongArray`/`toFloatArray` raw-copy the value region and would
+    * silently coerce null ELEMENTS to 0 (a wrong similarity, not an
+    * error) — the former Seq-typed UDFs failed loudly instead. The SQL
+    * builders cast with containsNull allowed, so guard here. One
+    * `isNullAt` bit-test per element is noise next to the sort/dot the
+    * kernels then do. */
+  private def checkNoNulls(a: ArrayData, fn: String): ArrayData = {
+    val n = a.numElements()
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i)) throw new IllegalArgumentException(
+        s"$fn: null array element at position $i (null elements are not supported)")
+      i += 1
+    }
+    a
+  }
+
   /** Exact Jaccard of two long-hash sets ([[graft.dedup.Dedup.jaccardLongs]]
     * semantics: local sorted copies, two-pointer merge; empty∩empty = NaN
     * which every >= threshold predicate rejects). */
   def jaccardLongs(a: ArrayData, b: ArrayData): Double = {
-    val x = a.toLongArray()
-    val y = b.toLongArray()
+    val x = checkNoNulls(a, "graft_jaccard_longs").toLongArray()
+    val y = checkNoNulls(b, "graft_jaccard_longs").toLongArray()
     java.util.Arrays.sort(x)
     java.util.Arrays.sort(y)
     var i = 0; var j = 0; var inter = 0
@@ -64,8 +81,8 @@ object ArrayKernels {
   /** Float-vector dot product accumulated left-to-right in double —
     * bit-identical to the former Seq[Float] UDF. */
   def dotF(a: ArrayData, b: ArrayData): Double = {
-    val x = a.toFloatArray()
-    val y = b.toFloatArray()
+    val x = checkNoNulls(a, "graft_dot_f").toFloatArray()
+    val y = checkNoNulls(b, "graft_dot_f").toFloatArray()
     val n = math.min(x.length, y.length)
     var s = 0.0
     var i = 0
@@ -79,8 +96,8 @@ object ArrayKernels {
     * [[dotF]] calls, so the IEEE result is bit-identical to the composed
     * form (which the SRP-LSH DuckDB oracle replays literally). */
   def cosineF(a: ArrayData, b: ArrayData): Double = {
-    val x = a.toFloatArray()
-    val y = b.toFloatArray()
+    val x = checkNoNulls(a, "graft_cosine_f").toFloatArray()
+    val y = checkNoNulls(b, "graft_cosine_f").toFloatArray()
     val n = math.min(x.length, y.length)
     var d = 0.0; var i = 0
     while (i < n) { d += x(i).toDouble * y(i).toDouble; i += 1 }

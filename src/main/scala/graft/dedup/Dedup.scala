@@ -616,7 +616,11 @@ object Dedup {
     candidates
       .repartition(df.sparkSession.sparkContext.defaultParallelism,
         col("id_a"), col("id_b"))
-      .dropDuplicates()
+      // dedup on the PAIR KEY (matching the repartition key and the
+      // documented contract), not all columns — a caller passing extra
+      // columns (e.g. an LSH band score) must still get one verified row
+      // per (id_a, id_b)
+      .dropDuplicates("id_a", "id_b")
       .join(docs.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(docs.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
       .withColumn("jaccard",

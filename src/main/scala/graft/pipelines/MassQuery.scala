@@ -56,11 +56,18 @@ private[pipelines] case class MassKeepExpr(
   }
 
   override def eval(input: InternalRow): Any = {
-    val pv = p.eval(input).asInstanceOf[Double]
-    val ov = ord.eval(input).asInstanceOf[Int]
-    val mv = mz.eval(input).asInstanceOf[Double]
-    val av = mzs.eval(input).asInstanceOf[ArrayData]
-    keep(pv, ov, mv, av)
+    // null in any required child ⇒ false (drop the row), mirroring the
+    // former UDF's `__mz.isNotNull` filter semantics rather than unboxing
+    // null to 0/0.0; only the member list is legitimately nullable
+    val pv = p.eval(input)
+    val ov = ord.eval(input)
+    val mv = mz.eval(input)
+    if (pv == null || ov == null || mv == null) false
+    else {
+      val av = mzs.eval(input).asInstanceOf[ArrayData]
+      keep(pv.asInstanceOf[Double], ov.asInstanceOf[Int],
+        mv.asInstanceOf[Double], av)
+    }
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
@@ -73,7 +80,8 @@ private[pipelines] case class MassKeepExpr(
         ${evs(1).code}
         ${evs(2).code}
         ${evs(3).code}
-        final boolean ${ev.value} = $ref.keep(${evs(0).value},
+        final boolean ${ev.value} = !(${evs(0).isNull} || ${evs(1).isNull}
+          || ${evs(2).isNull}) && $ref.keep(${evs(0).value},
           ${evs(1).value}, ${evs(2).value},
           ${evs(3).isNull} ? null : ${evs(3).value});
       """, isNull = FalseLiteral)
