@@ -61,6 +61,108 @@ object Combat {
   def adjustPreJoined(df: DataFrame, maxIter: Int = 100): DataFrame =
     adjustStandardized(standardizedPreJoined(df), maxIter)
 
+  /** The hash-verifiable twin of [[adjustPreJoined]]: the same EB
+    * adjustment re-expressed so every aggregate is an exact decimal sum
+    * (order-independent ⇒ bit-identical across engines) and the EB fixed
+    * point runs exactly `iters` steps with no convergence exit — a
+    * closed-form function of the data that q_combat_fixed's DuckDB oracle
+    * replays term for term. Differences from the converged path are
+    * quantization-only: standardized z is rounded to 6 decimals before
+    * the (gene,batch) moments, the moments are rounded to 12 decimals
+    * before the cross-gene priors, and gene mean/sd come from exact raw
+    * sums instead of avg/stddev_samp. OmicsKernelSpec pins the two paths
+    * within tolerance of each other. Assumes |gamma_hat|, |delta2_hat|
+    * < 100 (true for standardized data by construction — the priors sum
+    * over a DECIMAL(14,12) lattice). */
+  def adjustPreJoinedFixed(df0: DataFrame, iters: Int = 40): DataFrame = {
+    val df = df0.select(col("gene"), col("sample"),
+      col("value").cast("double").as("value"), col("batch"))
+    // exact 2-decimal raw sums -> alpha/sigma are deterministic doubles
+    val v = col("value").cast("decimal(18,2)")
+    val geneStats = df.groupBy("gene").agg(
+        count(col("value")).as("n_g"),
+        sum(v).cast("double").as("s1"),
+        sum(v * v).cast("double").as("s2"))
+      .withColumn("alpha", col("s1") / col("n_g"))
+      .withColumn("sigma", when(col("n_g") > 1, sqrt(greatest(
+        (col("s2") - col("s1") * col("s1") / col("n_g")) / (col("n_g") - 1),
+        lit(0.0)))))
+      .drop("n_g", "s1", "s2")
+    val z = df.join(geneStats, "gene")
+      .withColumn("z", (col("value") - col("alpha")) /
+        when(col("sigma") > 0, col("sigma")))
+      .withColumn("z6", round(col("z"), 6))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val zd = col("z6").cast("decimal(17,6)")
+    val gb = z.groupBy("gene", "batch").agg(
+        count(col("z6")).as("n"),
+        sum(zd).cast("double").as("sz"),
+        sum(zd * zd).cast("double").as("szz"))
+      .withColumn("gamma_hat", round(col("sz") / col("n"), 12))
+      .withColumn("delta2_hat", when(col("n") > 1, round(
+        (col("szz") - col("sz") * col("sz") / col("n")) / (col("n") - 1), 12)))
+      .drop("sz", "szz")
+    val gq = col("gamma_hat").cast("decimal(14,12)")
+    val dq = col("delta2_hat").cast("decimal(14,12)")
+    val priors = gb.groupBy("batch").agg(
+        count(lit(1)).as("k"),
+        sum(gq).cast("double").as("sg"),
+        sum(gq * gq).cast("double").as("sgg"),
+        count(col("delta2_hat")).as("kd"),
+        sum(dq).cast("double").as("sd"),
+        sum(dq * dq).cast("double").as("sdd"))
+      .withColumn("gamma_bar", col("sg") / col("k"))
+      .withColumn("tau2", when(col("k") > 1,
+        (col("sgg") - col("sg") * col("sg") / col("k")) / (col("k") - 1)))
+      .withColumn("d_mean", col("sd") / col("kd"))
+      .withColumn("d_var", when(col("kd") > 1,
+        (col("sdd") - col("sd") * col("sd") / col("kd")) / (col("kd") - 1)))
+      .withColumn("lambda", lit(2.0) + col("d_mean") * col("d_mean") /
+        when(col("d_var") > 0, col("d_var")))
+      .withColumn("theta", col("d_mean") * (col("lambda") - 1))
+      .select("batch", "gamma_bar", "tau2", "d_mean", "lambda", "theta")
+    val eb = gb.join(priors, "batch")
+      .withColumn("__d2", coalesce(col("delta2_hat"), col("d_mean"), lit(1.0)))
+      .withColumn("__tau2", coalesce(col("tau2"), lit(0.0)))
+      .withColumn("__eb", ebSolve(iters, 0.0)(col("gamma_hat"), col("__d2"),
+        col("n"), col("gamma_bar"), col("__tau2"), col("lambda"), col("theta")))
+      .select(col("gene"), col("batch"),
+        col("__eb").getItem(0).as("gamma_star"),
+        col("__eb").getItem(1).as("delta2_star"))
+    z.join(eb, Seq("gene", "batch"))
+      .withColumn("adjusted",
+        col("sigma") * (col("z") - col("gamma_star")) /
+          sqrt(col("delta2_star")) + col("alpha"))
+      .select(col("gene"), col("sample"), col("batch"), col("value"),
+        round(col("adjusted"), 6).as("adjusted"))
+  }
+
+  /** EB shrinkage fixed-point per (gene,batch) row
+    * (ComBat_NoFiles.R:243-262). tol <= 0 disables the early exit —
+    * exactly maxIter steps, the replayable form. */
+  private def ebSolve(maxIter: Int, tol: Double) =
+    udf((gammaHat: Double, delta2Hat: Double, n: Long,
+         gammaBar: Double, tau2: Double,
+         lambda: java.lang.Double, theta: java.lang.Double) => {
+      val lam = Option(lambda).map(_.doubleValue).getOrElse(2.0)
+      val th = Option(theta).map(_.doubleValue).getOrElse(delta2Hat)
+      var g = gammaHat
+      var d2 = math.max(delta2Hat, 1e-8)
+      var i = 0
+      var done = false
+      while (i < maxIter && !done) {
+        val gNew =
+          if (tau2 > 0) (n * tau2 * gammaHat + d2 * gammaBar) / (n * tau2 + d2)
+          else gammaBar
+        val ss = (n - 1).toDouble * delta2Hat + n * (gammaHat - gNew) * (gammaHat - gNew)
+        val d2New = math.max((th + 0.5 * ss) / (n / 2.0 + lam - 1.0), 1e-8)
+        if (tol > 0 && math.abs(gNew - g) + math.abs(d2New - d2) < tol) done = true
+        g = gNew; d2 = d2New
+        i += 1
+      }
+      Array(g, d2)
+    })
+
   private def adjustStandardized(z0: DataFrame, maxIter: Int): DataFrame = {
     // z feeds both the (gene,batch) moments and the final adjustment —
     // cache it so the standardization join is not recomputed (the plan
@@ -79,27 +181,8 @@ object Combat {
       .withColumn("theta", (col("d_mean") * (col("lambda") - 1)))
 
     // 4. EB shrinkage: fixed-point iteration per (gene,batch) row
-    val ebSolve = udf((gammaHat: Double, delta2Hat: Double, n: Long,
-                       gammaBar: Double, tau2: Double,
-                       lambda: java.lang.Double, theta: java.lang.Double) => {
-      val lam = Option(lambda).map(_.doubleValue).getOrElse(2.0)
-      val th = Option(theta).map(_.doubleValue).getOrElse(delta2Hat)
-      var g = gammaHat
-      var d2 = math.max(delta2Hat, 1e-8)
-      var i = 0
-      var done = false
-      while (i < 100 && !done) {
-        val gNew =
-          if (tau2 > 0) (n * tau2 * gammaHat + d2 * gammaBar) / (n * tau2 + d2)
-          else gammaBar
-        val ss = (n - 1).toDouble * delta2Hat + n * (gammaHat - gNew) * (gammaHat - gNew)
-        val d2New = math.max((th + 0.5 * ss) / (n / 2.0 + lam - 1.0), 1e-8)
-        if (math.abs(gNew - g) + math.abs(d2New - d2) < 1e-10) done = true
-        g = gNew; d2 = d2New
-        i += 1
-      }
-      Array(g, d2)
-    })
+    // (shared solver; maxIter was previously ignored — an inline copy
+    // hardcoded 100 iterations)
 
     // NULL moments happen at the edges: var_samp is NULL when a (gene,batch)
     // cell has n=1 (fall back to the batch's pooled delta2 mean, then 1.0),
@@ -111,8 +194,8 @@ object Combat {
     val eb = gb.join(priors, "batch")
       .withColumn("__d2", coalesce(col("delta2_hat"), col("d_mean"), lit(1.0)))
       .withColumn("__tau2", coalesce(col("tau2"), lit(0.0)))
-      .withColumn("__eb", ebSolve(col("gamma_hat"), col("__d2"), col("n"),
-        col("gamma_bar"), col("__tau2"), col("lambda"), col("theta")))
+      .withColumn("__eb", ebSolve(maxIter, 1e-10)(col("gamma_hat"), col("__d2"),
+        col("n"), col("gamma_bar"), col("__tau2"), col("lambda"), col("theta")))
       .select(col("gene"), col("batch"),
         col("__eb").getItem(0).as("gamma_star"),
         col("__eb").getItem(1).as("delta2_star"))

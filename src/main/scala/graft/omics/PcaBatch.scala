@@ -38,7 +38,7 @@ object PcaBatch {
   def pc1BatchAnova(data: DataFrame, batches: DataFrame,
                     entityCol: String = "gene", sampleCol: String = "sample",
                     valueCol: String = "value", batchCol: String = "batch",
-                    iters: Int = 300): DataFrame = {
+                    iters: Int = 300, maxDriverP: Int = 1000): DataFrame = {
     val spark = data.sparkSession
     import spark.implicits._
     // `data` is typically itself an aggregate over the raw fact table;
@@ -51,12 +51,14 @@ object PcaBatch {
       col(valueCol).cast("double").as("value"))
       .localCheckpoint(false)
     val genes = d.select("gene").distinct().as[String].collect().sorted
-    // the Gramian collect is p² rows on the driver — bound it where that
-    // is still trivially driver-sized (1000² = 1M rows), not at the old
-    // dense-vector limit which the p² collect could not honor
-    require(genes.length <= 1000,
-      s"pc1BatchAnova: gene panel of ${genes.length} exceeds the p<=1000 Gramian-collect bound")
     val p = genes.length
+    // the Gramian collect is p² rows on the driver — trivially
+    // driver-sized up to maxDriverP (1000² = 1M rows). Above the bound
+    // the SAME power iteration runs with the Gramian left distributed
+    // (each step = one broadcast join + aggregate; the driver only ever
+    // holds the p-element vector), so a 2k-gene panel degrades to a
+    // slower plan instead of throwing.
+    val driverSized = p <= maxDriverP
 
     // dense 0-filled grid, columns centered by their mean over ALL samples
     val geneDf = broadcast(genes.toSeq.toDF("gene"))
@@ -70,30 +72,60 @@ object PcaBatch {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // p×p Gramian of the centered matrix: one shuffle join on sample
-    // (p² · n intermediate rows with p bounded), one aggregate, p² collect
-    val covRows = x.as("a").join(x.as("b"), "sample")
+    // (p² · n intermediate rows), one aggregate
+    val cov = x.as("a").join(x.as("b"), "sample")
       .groupBy(col("a.gene").as("gi"), col("b.gene").as("gj"))
       .agg(sum(col("a.x") * col("b.x")).as("s"))
-      .collect()
-    val idx = genes.zipWithIndex.toMap
-    val c = Array.ofDim[Double](p, p)
-    covRows.foreach(r => c(idx(r.getString(0)))(idx(r.getString(1))) = r.getDouble(2))
 
-    // deterministic power iteration from the uniform unit vector
-    var v = Array.fill(p)(1.0 / math.sqrt(p))
-    var it = 0
-    while (it < iters) {
-      val nv = Array.tabulate(p) { i =>
-        var s = 0.0; var j = 0
-        while (j < p) { s += c(i)(j) * v(j); j += 1 }
-        s
+    val v: Array[Double] =
+      if (driverSized) {
+        // p² collect + in-memory power iteration from the uniform unit
+        // vector — deterministic, and what the q_pca_batch oracle replays
+        val covRows = cov.collect()
+        val idx = genes.zipWithIndex.toMap
+        val c = Array.ofDim[Double](p, p)
+        covRows.foreach(r => c(idx(r.getString(0)))(idx(r.getString(1))) = r.getDouble(2))
+        var w = Array.fill(p)(1.0 / math.sqrt(p))
+        var it = 0
+        while (it < iters) {
+          val nv = Array.tabulate(p) { i =>
+            var s = 0.0; var j = 0
+            while (j < p) { s += c(i)(j) * w(j); j += 1 }
+            s
+          }
+          var n2 = 0.0; var j = 0
+          while (j < p) { n2 += nv(j) * nv(j); j += 1 }
+          val nrm = math.sqrt(n2)
+          w = if (nrm > 0) nv.map(_ / nrm) else nv
+          it += 1
+        }
+        w
+      } else {
+        // distributed power steps: the Gramian stays a DataFrame; each
+        // step joins the broadcast p-row vector and aggregates per gi.
+        // Only the p-element vector crosses the driver boundary (sorted
+        // by gene so the norm reduction is order-deterministic). Same
+        // math as the driver path modulo double-summation order.
+        val covD = cov.localCheckpoint(false)
+        var w = genes.map(g => g -> 1.0 / math.sqrt(p))
+        var it = 0
+        while (it < iters) {
+          val vDf = broadcast(w.toSeq.toDF("gj", "w"))
+          val nv = covD.join(vDf, "gj")
+            .groupBy("gi").agg(sum(col("s") * col("w")).as("w"))
+            .collect().map(r => r.getString(0) -> r.getDouble(1))
+            .sortBy(_._1)
+          var n2 = 0.0
+          nv.foreach { case (_, wi) => n2 += wi * wi }
+          val nrm = math.sqrt(n2)
+          w = if (nrm > 0) nv.map { case (g, wi) => g -> wi / nrm } else nv
+          it += 1
+        }
+        // genes with no Gramian row (impossible after densification, but
+        // keep the vector aligned defensively)
+        val m = w.toMap
+        genes.map(g => m.getOrElse(g, 0.0))
       }
-      var n2 = 0.0; var j = 0
-      while (j < p) { n2 += nv(j) * nv(j); j += 1 }
-      val nrm = math.sqrt(n2)
-      v = if (nrm > 0) nv.map(_ / nrm) else nv
-      it += 1
-    }
 
     // PC1 scores: broadcast the p-row loading table, one aggregate
     val loadings = broadcast(genes.zip(v).toSeq.toDF("gene", "w"))

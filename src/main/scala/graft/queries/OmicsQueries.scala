@@ -29,6 +29,14 @@ object OmicsQueries {
   // keep the sample-axis shuffles (standardize join, final adjust join)
   // off wide strings: the 4-part concat-string key cost q_combat ~40% of
   // its round-2 wall time
+  // shared q_glm_nb / q_glm_nb_fixed fixture: counts = l_quantity,
+  // binary condition = linestatus, offset = log copy-number surrogate
+  private def glmNbData(s: org.apache.spark.sql.SparkSession, d: String) =
+    t(s, d, "lineitem")
+      .withColumn("region", (col("l_partkey") % 100).cast("string"))
+      .withColumn("grp", when(col("l_linestatus") === "O", 1.0).otherwise(0.0))
+      .withColumn("off", log(lit(1.0) + col("l_tax")))
+
   private def combatData(s: org.apache.spark.sql.SparkSession, d: String) =
     t(s, d, "lineitem").select(
       (col("l_partkey") % 50).cast("string").as("gene"),
@@ -98,13 +106,23 @@ object OmicsQueries {
     Entry("q_glm_nb",
       // ABCD-DNA NB-GLM with offsets per region; counts = l_quantity,
       // condition = linestatus, offset = log copy-number surrogate
-      (s, d) => GlmNb.fitPerRegion(
-        t(s, d, "lineitem")
-          .withColumn("region", (col("l_partkey") % 100).cast("string"))
-          .withColumn("grp", when(col("l_linestatus") === "O", 1.0).otherwise(0.0))
-          .withColumn("off", log(lit(1.0) + col("l_tax"))),
+      (s, d) => GlmNb.fitPerRegion(glmNbData(s, d),
         "region", "l_quantity", "grp", "off").toDF(),
       None),
+
+    Entry("q_glm_nb_fixed",
+      // the hash-verified twin of q_glm_nb: exactly 8 IRLS steps for both
+      // models (no convergence exit), so the whole fit is a closed-form
+      // recurrence the oracle unrolls into MATERIALIZED CTEs (the
+      // q_hclust_probes / q_pca_batch pattern). p/z stay kernel-side
+      // (chi-square(1) tail = erf, which DuckDB lacks; Dist goldens cover
+      // it) — the gate compares region, n, both coefficients and the LRT
+      // statistic, i.e. everything upstream of the tail lookup.
+      (s, d) => GlmNb.fitPerRegionFixed(glmNbData(s, d),
+          "region", "l_quantity", "grp", "off", dispersion = 0.1, iters = 8)
+        .select(col("region"), col("n"), round(col("intercept"), 6).as("intercept"),
+          round(col("log_fc"), 6).as("log_fc"), round(col("lrt_stat"), 4).as("lrt_stat")),
+      Some(glmNbOracleSql(iters = 8))),
 
     Entry("q_ols_covariate",
       // MethylMix covariate branch y ~ x1 + x2 per group — the closed-form
@@ -129,6 +147,18 @@ object OmicsQueries {
       (s, d) => Combat.adjustPreJoined(combatData(s, d)
         .withColumn("batch", concat(lit("b"), (col("sample") % 3).cast("string")))),
       None),
+
+    Entry("q_combat_fixed",
+      // the hash-verified twin of q_combat (same recipe as q_glm_nb_fixed):
+      // exact decimal raw sums make alpha/sigma/moments/priors
+      // order-independent — hence bit-identical across engines — and the
+      // EB fixed point runs exactly 40 steps, unrolled in the oracle as 40
+      // scalar CTEs over the 150-row (gene,batch) grid. The only
+      // double-rounding seams are the documented varchar-decimal round
+      // mimics (z at 6, moments at 12, adjusted at 6).
+      (s, d) => Combat.adjustPreJoinedFixed(combatData(s, d)
+        .withColumn("batch", concat(lit("b"), (col("sample") % 3).cast("string")))),
+      Some(combatFixedOracleSql(iters = 40))),
 
     Entry("q_knn_impute",
       // KNN imputation: per-user per-type mean values with 20% of the
@@ -179,6 +209,54 @@ object OmicsQueries {
         "gene", "probe", "sample", "value").toDF(),
       Some(hclustOracleSql(steps = 19, h = 0.6)))
   )
+
+  /** DuckDB replay of Combat.adjustPreJoinedFixed over the q_combat
+    * fixture. Every aggregate is an exact DECIMAL raw sum (the kernel
+    * mirrors this), so alpha/sigma, the (gene,batch) moments, and the
+    * cross-gene priors are bit-identical doubles on both sides; the EB
+    * fixed point then unrolls into `iters` scalar CTE steps. Spark round
+    * is mimicked with the varchar-decimal form throughout. */
+  private def combatFixedOracleSql(iters: Int): String = {
+    def rnd(x: String, dec: Int, wide: Int) =
+      s"CAST(round(CAST(CAST($x AS VARCHAR) AS DECIMAL(38,$wide)), $dec) AS DOUBLE)"
+    val base = s"""d AS MATERIALIZED (SELECT CAST(l_partkey % 50 AS VARCHAR) AS gene, l_orderkey * 10 + l_linenumber AS sample, l_extendedprice AS value, concat('b', CAST((l_orderkey * 10 + l_linenumber) % 3 AS VARCHAR)) AS batch FROM lineitem), gs AS MATERIALIZED (SELECT gene, count(value) AS n_g, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s1, CAST(sum(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s2 FROM d GROUP BY 1), gs2 AS MATERIALIZED (SELECT gene, s1 / n_g AS alpha, CASE WHEN n_g > 1 THEN sqrt(greatest((s2 - s1 * s1 / n_g) / (n_g - 1), CAST(0.0 AS DOUBLE))) END AS sigma FROM gs), z AS MATERIALIZED (SELECT d.gene, d.sample, d.batch, d.value, g.alpha, g.sigma, (d.value - g.alpha) / (CASE WHEN g.sigma > 0 THEN g.sigma END) AS z FROM d JOIN gs2 g USING (gene)), z6t AS MATERIALIZED (SELECT *, ${rnd("z", 6, 12)} AS z6 FROM z), gb AS MATERIALIZED (SELECT gene, batch, count(z6) AS n, CAST(sum(CAST(z6 AS DECIMAL(17,6))) AS DOUBLE) AS sz, CAST(sum(CAST(z6 AS DECIMAL(17,6)) * CAST(z6 AS DECIMAL(17,6))) AS DOUBLE) AS szz FROM z6t GROUP BY 1, 2), gb2 AS MATERIALIZED (SELECT gene, batch, n, ${rnd("sz / n", 12, 18)} AS gamma_hat, CASE WHEN n > 1 THEN ${rnd("(szz - sz * sz / n) / (n - 1)", 12, 18)} END AS delta2_hat FROM gb), pr AS MATERIALIZED (SELECT batch, count(*) AS k, CAST(sum(CAST(gamma_hat AS DECIMAL(14,12))) AS DOUBLE) AS sg, CAST(sum(CAST(gamma_hat AS DECIMAL(14,12)) * CAST(gamma_hat AS DECIMAL(14,12))) AS DOUBLE) AS sgg, count(delta2_hat) AS kd, CAST(sum(CAST(delta2_hat AS DECIMAL(14,12))) AS DOUBLE) AS sd, CAST(sum(CAST(delta2_hat AS DECIMAL(14,12)) * CAST(delta2_hat AS DECIMAL(14,12))) AS DOUBLE) AS sdd FROM gb2 GROUP BY 1), pr2 AS MATERIALIZED (SELECT batch, sg / k AS gamma_bar, CASE WHEN k > 1 THEN (sgg - sg * sg / k) / (k - 1) END AS tau2, sd / kd AS d_mean, CASE WHEN kd > 1 THEN (sdd - sd * sd / kd) / (kd - 1) END AS d_var FROM pr), pr3 AS MATERIALIZED (SELECT batch, gamma_bar, tau2, d_mean, CAST(2.0 AS DOUBLE) + d_mean * d_mean / (CASE WHEN d_var > 0 THEN d_var END) AS lambda FROM pr2), pr4 AS MATERIALIZED (SELECT *, d_mean * (lambda - CAST(1.0 AS DOUBLE)) AS theta FROM pr3), e0 AS MATERIALIZED (SELECT g.gene, g.batch, g.gamma_hat, g.n, coalesce(g.delta2_hat, p.d_mean, CAST(1.0 AS DOUBLE)) AS d2h, p.gamma_bar, coalesce(p.tau2, CAST(0.0 AS DOUBLE)) AS tau2, coalesce(p.lambda, CAST(2.0 AS DOUBLE)) AS lam, coalesce(p.theta, g.delta2_hat, p.d_mean, CAST(1.0 AS DOUBLE)) AS th, g.gamma_hat AS g_cur, greatest(coalesce(g.delta2_hat, p.d_mean, CAST(1.0 AS DOUBLE)), 1e-8) AS d2_cur FROM gb2 g JOIN pr4 p USING (batch))"""
+    val its = (1 to iters).map { k =>
+      s"""e$k AS MATERIALIZED (SELECT gene, batch, gamma_hat, n, d2h, gamma_bar, tau2, lam, th, g_new AS g_cur, greatest((th + CAST(0.5 AS DOUBLE) * ((n - 1) * d2h + n * (gamma_hat - g_new) * (gamma_hat - g_new))) / (n / CAST(2.0 AS DOUBLE) + lam - CAST(1.0 AS DOUBLE)), 1e-8) AS d2_cur FROM (SELECT *, CASE WHEN tau2 > 0 THEN (n * tau2 * gamma_hat + d2_cur * gamma_bar) / (n * tau2 + d2_cur) ELSE gamma_bar END AS g_new FROM e${k - 1}))"""
+    }.mkString(", ")
+    s"""WITH $base, $its SELECT z.gene, z.sample, z.batch, z.value, ${rnd(s"z.sigma * (z.z - e.g_cur) / sqrt(e.d2_cur) + z.alpha", 6, 12)} AS adjusted FROM z6t z JOIN e$iters e ON z.gene = e.gene AND z.batch = e.batch"""
+  }
+
+  /** DuckDB replay of GlmNb.fitPerRegionFixed over the q_glm_nb fixture:
+    * the IRLS recurrence unrolled — per step, one aggregate CTE (the five
+    * weighted sums over the data joined to the previous coefficients) and
+    * one update CTE, for the full (cf*) and null (cn*) models; then the NB
+    * log-likelihoods (DuckDB has lgamma) and the LRT. Every arithmetic
+    * step mirrors the kernel term for term (same clamps, same association
+    * order; phi = 0.1 so inv = 1.0/phi is exactly 10.0 in IEEE double).
+    * Summation order across engines differs only at ulp scale and the
+    * recurrence is contractive, so 6-decimal coefficient / 4-decimal LRT
+    * rounding absorbs it (the q_pca_batch precedent). */
+  private def glmNbOracleSql(iters: Int): String = {
+    val d = """d AS MATERIALIZED (SELECT CAST(l_partkey % 100 AS VARCHAR) AS region, l_quantity AS y, CASE WHEN l_linestatus = 'O' THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END AS x, ln(CAST(1.0 AS DOUBLE) + l_tax) AS off FROM lineitem), cf0 AS MATERIALIZED (SELECT region, count(*) AS n, ln(greatest(sum(y) / count(*), CAST(0.1 AS DOUBLE))) - sum(off) / count(*) AS b0, CAST(0.0 AS DOUBLE) AS b1 FROM d GROUP BY 1), cn0 AS MATERIALIZED (SELECT region, b0 FROM cf0)"""
+    // per-row weights/working response at coefficients c: mirrors the
+    // kernel's eta/mu/w/z lines (clamps and parenthesization included)
+    def rows(coef: String, eta: String) =
+      s"""(SELECT r.region, r.x, r.mu / (CAST(1.0 AS DOUBLE) + CAST(0.1 AS DOUBLE) * r.mu) AS w, (r.eta - r.off) + (r.y - r.mu) / r.mu AS z FROM (SELECT d.region, d.x, d.y, d.off, $eta AS eta, least(greatest(exp(greatest($eta, CAST(-19.0 AS DOUBLE))), 1e-8), 1e12) AS mu FROM d JOIN $coef c USING (region)) r)"""
+    val etaF = "c.b0 + c.b1 * d.x + d.off"
+    val etaN = "c.b0 + d.off"
+    val its = (1 to iters).map { k =>
+      val f = s"""f$k AS MATERIALIZED (SELECT region, sum(w) AS s00, sum(w * x) AS s01, sum(w * x * x) AS s11, sum(w * z) AS t0, sum(w * x * z) AS t1 FROM ${rows(s"cf${k - 1}", etaF)} GROUP BY 1), cf$k AS MATERIALIZED (SELECT region, CASE WHEN abs(s00 * s11 - s01 * s01) < 1e-12 THEN t0 / s00 ELSE (s11 * t0 - s01 * t1) / (s00 * s11 - s01 * s01) END AS b0, CASE WHEN abs(s00 * s11 - s01 * s01) < 1e-12 THEN CAST(0.0 AS DOUBLE) ELSE (s00 * t1 - s01 * t0) / (s00 * s11 - s01 * s01) END AS b1 FROM f$k)"""
+      val n = s"""n$k AS MATERIALIZED (SELECT region, sum(w) AS s00, sum(w * z) AS t0 FROM ${rows(s"cn${k - 1}", etaN)} GROUP BY 1), cn$k AS MATERIALIZED (SELECT region, t0 / s00 AS b0 FROM n$k)"""
+      s"$f, $n"
+    }.mkString(", ")
+    // nbLogLik with inv = 10.0; mu is already >= 1e-8 so the kernel's
+    // max(mu, 1e-12) floor is a no-op on both sides
+    def ll(name: String, coef: String, eta: String) =
+      s"""$name AS MATERIALIZED (SELECT region, sum(lgamma(y + CAST(10.0 AS DOUBLE)) - lgamma(CAST(10.0 AS DOUBLE)) - lgamma(y + CAST(1.0 AS DOUBLE)) + CAST(10.0 AS DOUBLE) * ln(CAST(10.0 AS DOUBLE) / (CAST(10.0 AS DOUBLE) + mu)) + y * ln(mu / (CAST(10.0 AS DOUBLE) + mu))) AS ll FROM (SELECT d.region, d.y, least(greatest(exp(greatest($eta, CAST(-19.0 AS DOUBLE))), 1e-8), 1e12) AS mu FROM d JOIN $coef c USING (region)) GROUP BY 1)"""
+    def r(x: String, dec: Int) =
+      s"CAST(round(CAST(CAST($x AS VARCHAR) AS DECIMAL(38,12)), $dec) AS DOUBLE)"
+    s"""WITH $d, $its, ${ll("llf", s"cf$iters", etaF)}, ${ll("lln", s"cn$iters", etaN)} SELECT c.region, cf0.n AS n, ${r("c.b0", 6)} AS intercept, ${r("c.b1", 6)} AS log_fc, ${r("greatest(CAST(0.0 AS DOUBLE), 2.0 * (llf.ll - lln.ll))", 4)} AS lrt_stat FROM cf$iters c JOIN cf0 USING (region) JOIN llf USING (region) JOIN lln USING (region)"""
+  }
 
   /** DuckDB replay of clusterProbesPerGene over the q_hclust_probes
     * fixture: pairwise 1-cor distances from exact DECIMAL raw sums (the

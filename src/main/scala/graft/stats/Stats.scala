@@ -134,9 +134,40 @@ object Stats {
     * against percentile() on random data). The round-2 shape — percentile,
     * join the medians back, percentile again — paid three exchanges of the
     * fact table for the same answer. Group cardinality = samples per
-    * entity, small by construction (the `percentile` aggregate buffers the
-    * same values per group anyway, so peak memory is unchanged). */
-  def madPerGroup(df: DataFrame, groupCols: Seq[String], x: String): DataFrame = {
+    * entity, small by construction in the reference domain — but a skewed
+    * entity with millions of rows would OOM an executor buffering the
+    * whole group, so a one-aggregate size probe precedes the plan: above
+    * `maxBufferedGroup` rows in the largest group, fall back to the
+    * two-pass percentile()/join/percentile() shape (three exchanges, but
+    * per-group state is a value→count map — bounded by DISTINCT values,
+    * not rows). Both paths use the identical interpolation rule; OpsSpec
+    * pins them equal. */
+  def madPerGroup(df: DataFrame, groupCols: Seq[String], x: String,
+                  maxBufferedGroup: Long = 4000000L): DataFrame = {
+    val biggest = df.groupBy(groupCols.map(col): _*)
+      .agg(count(col(x)).as("__n"))
+      .agg(max(col("__n"))).first()
+    if (!biggest.isNullAt(0) && biggest.getLong(0) > maxBufferedGroup)
+      return madPerGroupTwoPass(df, groupCols, x)
+    madPerGroupBuffered(df, groupCols, x)
+  }
+
+  /** The two-pass exact-percentile MAD: median per group, join back, median
+    * of absolute deviations. Value→count aggregation state, so a single
+    * massive group streams instead of buffering row-per-row. */
+  private def madPerGroupTwoPass(df: DataFrame, groupCols: Seq[String],
+                                 x: String): DataFrame = {
+    val meds = df.groupBy(groupCols.map(col): _*)
+      .agg(percentile(col(x).cast("double"), lit(0.5)).as("med"))
+    df.join(meds, groupCols)
+      .groupBy(groupCols.map(col): _*)
+      .agg(first(col("med")).as("med"),
+        percentile(abs(col(x).cast("double") - col("med")), lit(0.5)).as("mad"))
+      .select(groupCols.map(col) :+ col("med") :+ col("mad"): _*)
+  }
+
+  private def madPerGroupBuffered(df: DataFrame, groupCols: Seq[String],
+                                  x: String): DataFrame = {
     val mm = udf((vs: Seq[Double]) => {
       if (vs.isEmpty) null
       else {

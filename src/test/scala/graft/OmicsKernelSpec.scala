@@ -111,6 +111,34 @@ class OmicsKernelSpec extends SparkSpec {
     assert(math.abs(math.exp(fits("r2").intercept) - g0mean) < 2.0)
   }
 
+  test("fixed-iteration NB GLM agrees with the converged fit") {
+    // the replayable (q_glm_nb_fixed) twin must land on the same optimum
+    // as the early-exit fit: 8 Newton steps from the log-mean init is past
+    // machine-precision convergence on well-conditioned groups
+    val rows = (1 to 60).map { i =>
+      val g = i % 2
+      val r = s"r${i % 3}"
+      (r, (if (g == 1) 30.0 else 12.0) + (i % 7), g.toDouble, 0.03 * (i % 4))
+    }
+    val df = rows.toDF("region", "y", "grp", "off")
+    val conv = GlmNb.fitPerRegion(df, "region", "y", "grp", "off")
+      .collect().map(r => r.region -> r).toMap
+    val fixed = GlmNb.fitPerRegionFixed(df, "region", "y", "grp", "off", iters = 8)
+      .collect().map(r => r.region -> r).toMap
+    assert(fixed.keySet == conv.keySet)
+    conv.foreach { case (region, c) =>
+      val f = fixed(region)
+      assert(math.abs(f.intercept - c.intercept) < 1e-6, s"$region intercept")
+      assert(math.abs(f.log_fc - c.log_fc) < 1e-6, s"$region log_fc")
+      assert(math.abs(f.lrt_stat - c.lrt_stat) < 1e-4, s"$region lrt")
+      assert(math.abs(f.p_value - c.p_value) < 1e-6, s"$region p")
+    }
+    // determinism of the fixed form (no convergence race to hide behind)
+    val again = GlmNb.fitPerRegionFixed(df, "region", "y", "grp", "off", iters = 8)
+      .collect().map(r => r.region -> r).toMap
+    assert(fixed.forall { case (k, v) => again(k) == v })
+  }
+
   test("multi-covariate OLS matches the single-covariate closed form") {
     val rows = (1 to 50).map { i =>
       val x = i.toDouble
@@ -180,6 +208,33 @@ class OmicsKernelSpec extends SparkSpec {
     assert(gaps.forall(_ < rawGap))
   }
 
+  test("fixed-iteration ComBat agrees with the converged path") {
+    // 2-decimal values (the replayable kernel's exact-decimal contract)
+    val rng = new scala.util.Random(11)
+    val rows = for { g <- 1 to 8; s <- 1 to 40 } yield {
+      val batch = s"b${s % 2}"
+      val shift = if (batch == "b0") 2.0 else -2.0
+      (s"g$g", s.toLong,
+        math.rint((10.0 + g + shift + rng.nextGaussian() * 0.3) * 100) / 100,
+        batch)
+    }
+    val data = rows.toDF("gene", "sample", "value", "batch")
+    val conv = Combat.adjustPreJoined(data)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(4)).toMap
+    val fixed = Combat.adjustPreJoinedFixed(data)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(4)).toMap
+    assert(fixed.keySet == conv.keySet)
+    // quantization seams (z at 1e-6, moments at 1e-12) and the fixed step
+    // count bound the divergence well below data scale
+    conv.foreach { case (k, c) =>
+      assert(math.abs(fixed(k) - c) < 1e-3, s"$k: fixed=${fixed(k)} conv=$c")
+    }
+    // determinism of the fixed form
+    val again = Combat.adjustPreJoinedFixed(data)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(4)).toMap
+    assert(fixed.forall { case (k, v) => again(k) == v })
+  }
+
   test("KNN impute fills missing cells with neighbor means") {
     // three entities; e3 tracks e1 exactly, e2 is far away
     val rows = Seq(
@@ -212,6 +267,41 @@ class OmicsKernelSpec extends SparkSpec {
     assert(nul.getAs[Double]("p_value") > 0.001, s"null case too significant: $nul")
     // F tail sanity: published 95th percentile F(2,10)=4.103
     assert(math.abs(graft.stats.Dist.fTail(4.102821015152, 2, 10) - 0.05) < 1e-6)
+  }
+
+  test("PCA batch check distributed fallback matches the driver path") {
+    val rng = new scala.util.Random(9)
+    val rows = for { g <- 1 to 10; s <- 1 to 30 } yield {
+      val shift = if (s <= 15) 3.0 else 0.0
+      (s"g$g", s"s$s", g + shift + rng.nextGaussian() * 0.4)
+    }
+    val data = rows.toDF("gene", "sample", "value")
+    val batches = (1 to 30).map(s => (s"s$s", if (s <= 15) "b1" else "b2"))
+      .toDF("sample", "batch")
+    val driver = PcaBatch.pc1BatchAnova(data, batches).collect().head
+    // maxDriverP below p forces the distributed Gramian × power-step loop
+    val dist = PcaBatch.pc1BatchAnova(data, batches, maxDriverP = 2)
+      .collect().head
+    assert(dist.getLong(0) == driver.getLong(0))
+    assert(dist.getLong(1) == driver.getLong(1))
+    assert(math.abs(dist.getDouble(2) - driver.getDouble(2)) < 1e-6,
+      s"f_stat: ${dist.getDouble(2)} vs ${driver.getDouble(2)}")
+  }
+
+  test("PCA batch check runs above the old p=1000 landmine") {
+    // 1050 genes x 5 samples: the round-5 require() threw here; now the
+    // distributed path must complete and produce a finite statistic
+    val rows = for { g <- 1 to 1050; s <- 1 to 5 } yield {
+      val shift = if (s <= 2) 1.0 else 0.0
+      (s"g$g", s"s$s", (g % 7) + shift + 0.01 * ((g * 31 + s * 17) % 13))
+    }
+    val data = rows.toDF("gene", "sample", "value")
+    val batches = (1 to 5).map(s => (s"s$s", if (s <= 2) "b1" else "b2"))
+      .toDF("sample", "batch")
+    val r = PcaBatch.pc1BatchAnova(data, batches, iters = 5).collect().head
+    assert(r.getLong(0) == 5L)
+    assert(r.getLong(1) == 2L)
+    assert(!r.isNullAt(2) && !r.getDouble(2).isNaN)
   }
 
   test("distanceMatrix micros fast path matches exact path at extreme magnitudes") {

@@ -234,6 +234,40 @@ class OpsSpec extends SparkSpec {
     assert(s._1 == 3.0 && s._2 == 1.5) // devs [1,1,2,5] -> (1+2)/2
   }
 
+  test("madPerGroup two-pass fallback equals the buffered kernel") {
+    val rng = new scala.util.Random(17)
+    val df = Seq.tabulate(400)(i => (s"g${i % 5}", rng.nextDouble() * 50))
+      .toDF("g", "x")
+    val buffered = Stats.madPerGroup(df, Seq("g"), "x")
+      .select("g", "med", "mad").as[(String, Double, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    // maxBufferedGroup below every group size forces the two-pass plan
+    val twoPass = Stats.madPerGroup(df, Seq("g"), "x", maxBufferedGroup = 1)
+      .select("g", "med", "mad").as[(String, Double, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(twoPass.keySet == buffered.keySet)
+    buffered.foreach { case (g, (m, d)) =>
+      assert(twoPass(g)._1 == m, s"$g med")
+      assert(twoPass(g)._2 == d, s"$g mad")
+    }
+  }
+
+  test("madPerGroup completes on one million-row skewed group") {
+    // one entity carrying 1e6 samples: the probe must route to the
+    // two-pass plan (value->count state, ~100 distinct values) instead of
+    // buffering the group row-per-row
+    val big = spark.range(1000000L)
+      .select(lit("hot").as("g"), (col("id") % 100).cast("double").as("x"))
+      .unionByName(Seq(("cold", 5.0), ("cold", 7.0), ("cold", 11.0))
+        .toDF("g", "x"))
+    val out = Stats.madPerGroup(big, Seq("g"), "x", maxBufferedGroup = 100000)
+      .select("g", "med", "mad").as[(String, Double, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    // 0..99 uniform: median 49.5, deviations |v-49.5| -> median 25.0
+    assert(out("hot")._1 == 49.5 && out("hot")._2 == 25.0, out("hot").toString)
+    assert(out("cold")._1 == 7.0 && out("cold")._2 == 2.0)
+  }
+
   test("zscoreOutliers flags |z|>=2 and guards sd=0 groups") {
     val df = (Seq.fill(20)(10.0) :+ 100.0).zipWithIndex
       .map { case (v, i) => ("g", i.toLong, v) }.toDF("grp", "id", "v")
