@@ -234,6 +234,28 @@ class OpsSpec extends SparkSpec {
     assert(s._1 == 3.0 && s._2 == 1.5) // devs [1,1,2,5] -> (1+2)/2
   }
 
+  test("table chem backend replays multi-product reactions from the fixture") {
+    import graft.chem.TableChemBackend
+    val subs = Seq(("A", 10.0, "A"), ("B", 10.04, "B"), ("C", 55.0, "C"))
+      .toDF("id", "mass", "root")
+    val rules = Seq("r1").toDF("rule_id")
+    val tab = Seq(
+      (10.0, "r1", "P20", 20.0), (10.0, "r1", "P30", 30.0), // 2-product fan-out
+      (10.0, "r2", "P99", 99.0),                            // rule not in play
+      (55.0, "r1", "Pneg", -1.0))                           // non-positive mass
+      .toDF("sub_mass_key", "rule_id", "product_id", "product_mass")
+    val out = TableChemBackend(tab, keyD = 1)
+      .virtualProducts(subs, rules, "id", "mass", "root")
+      .select("substrate_id", "rule_id", "product_id", "product_mass", "root")
+      .as[(String, String, String, Double, String)].collect().toSet
+    // A and B share the 10.0 key -> both get BOTH products; product ids
+    // converge across roots (table identity, not root-embedded md5); the
+    // r2 row and the negative-mass row never surface
+    assert(out == Set(
+      ("A", "r1", "P20", 20.0, "A"), ("A", "r1", "P30", 30.0, "A"),
+      ("B", "r1", "P20", 20.0, "B"), ("B", "r1", "P30", 30.0, "B")))
+  }
+
   test("madPerGroup two-pass fallback equals the buffered kernel") {
     val rng = new scala.util.Random(17)
     val df = Seq.tabulate(400)(i => (s"g${i % 5}", rng.nextDouble() * 50))
