@@ -151,6 +151,35 @@ object PipelineQueries {
       },
       Some("""WITH ann AS (SELECT concat('g', CAST(p_partkey AS VARCHAR)) AS gene, t AS pfam FROM part, unnest(string_split(concat_ws(';', p_brand, p_type), ';')) AS u(t) WHERE len(trim(t)) > 0), rules AS (SELECT * FROM (VALUES ('PROMO','r1','substrate','strict'), ('ECONOMY','r1','product','strict'), ('STANDARD','r2','substrate','medium'), ('LARGE','r2','product','medium'), ('SMALL','r3','substrate','loose')) r(pfam, reaction_id, role, level) WHERE level IN ('strict','medium')), corrs AS (SELECT concat('s', CAST(l_suppkey AS VARCHAR)) AS ms_name, concat('g', CAST(l_partkey AS VARCHAR)) AS gene, round(corr(l_quantity, l_extendedprice), 6) AS correlation FROM lineitem GROUP BY 1, 2 HAVING abs(corr(l_quantity, l_extendedprice)) >= 0.5 AND count(CASE WHEN l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL THEN 1 END) >= 3), annotated AS (SELECT a.gene, r.reaction_id, r.role, c.ms_name, c.correlation FROM ann a JOIN rules r USING (pfam) JOIN corrs c USING (gene)), sub AS (SELECT DISTINCT reaction_id, ms_name, gene AS substrate_gene, correlation AS substrate_corr FROM annotated WHERE role = 'substrate'), prod AS (SELECT DISTINCT reaction_id, ms_name, gene AS product_gene, correlation AS product_corr FROM annotated WHERE role = 'product') SELECT reaction_id, ms_name, substrate_gene, substrate_corr, product_gene, product_corr FROM sub FULL JOIN prod USING (reaction_id, ms_name)""")),
 
+    Entry("q_pipeline_methylmix",
+      // MethylMix.R:101-150 composed end to end: per-gene lm FILTER
+      // (GE ~ MET: slope<0, p<1e-3, R²>0.1) → beta-mixture EM + BIC on
+      // the functional genes → DM state vs the normal cohort's mean.
+      // Fixture plants the signal: even genes get ge exactly
+      // anti-correlated with met (plus a small sample jitter so the
+      // residual variance is positive), odd genes get met-independent ge —
+      // the filter must keep exactly the even half. Rows-only for the
+      // driver (the EM convergence loop is not SQL); the composition and
+      // each stage carry golden ScalaTests, and every stage kernel is
+      // independently hash-verified (q_ols / q_beta_mixture goldens /
+      // q_group_mean).
+      (s, d) => {
+        val cells = t(s, d, "lineitem")
+          .groupBy((col("l_partkey") % 200).as("g"), col("l_suppkey").as("sk"))
+          .agg(((Q.sumDec(col("l_discount")) / count(lit(1)) + lit(0.005)) / lit(0.12)).as("met"))
+          .withColumn("gene", concat(lit("g"), col("g").cast("string")))
+          .withColumn("sample", col("sk").cast("string"))
+          .withColumn("ge", when(col("g") % 2 === 0,
+              lit(2.0) - col("met") * 3.0 + (col("sk") % 7).cast("double") * 0.001)
+            .otherwise((col("sk") % 13).cast("double") * 0.05))
+        val cancer = cells.where(col("sk") % 4 =!= 0)
+          .select("gene", "sample", "met", "ge")
+        val normal = cells.where(col("sk") % 4 === 0)
+          .select("gene", "sample", "met")
+        graft.pipelines.MethylMixPipeline.run(cancer, normal)
+      },
+      None),
+
     Entry("q_permutation_null",
       // seeded permutation-null machinery (SignificanceTest.R:28-74,
       // Gohs:51-60) — the "random" relabeling is an md5-derived rank so the

@@ -208,6 +208,32 @@ class OmicsKernelSpec extends SparkSpec {
     assert(gaps.forall(_ < rawGap))
   }
 
+  test("MethylMix pipeline keeps driven genes and calls DM states") {
+    import graft.pipelines.MethylMixPipeline
+    // gA: bimodal methylation DRIVING expression (negative slope);
+    // gB: methylation unrelated to expression -> lm filter must drop it
+    val cancer = (1 to 60).map { i =>
+      val metA = if (i % 2 == 0) 0.8 + 0.001 * (i % 5) else 0.2 + 0.001 * (i % 5)
+      val geA = 5.0 - 4.0 * metA + 0.01 * (i % 3)
+      ("gA", s"s$i", metA, geA)
+    } ++ (1 to 60).map { i =>
+      ("gB", s"s$i", 0.3 + 0.005 * (i % 20), (i % 11) * 1.0)
+    }
+    val normal = (1 to 20).map(i => ("gA", s"n$i", 0.5)) ++
+      (1 to 20).map(i => ("gB", s"n$i", 0.3))
+    val out = MethylMixPipeline.run(
+      cancer.toDF("gene", "sample", "met", "ge"),
+      normal.toDF("gene", "sample", "met")).collect()
+    assert(out.nonEmpty)
+    assert(out.map(_.getAs[String]("gene")).toSet == Set("gA"), "filter leak")
+    // two components around 0.2 / 0.8 vs normal 0.5 -> one hypo, one hyper
+    val states = out.map(r =>
+      r.getAs[Double]("mean") -> r.getAs[String]("state")).sortBy(_._1)
+    assert(states.head._2 == "hypo" && states.last._2 == "hyper",
+      states.mkString(","))
+    assert(out.head.getAs[Int]("n_components") == 2)
+  }
+
   test("fixed-iteration ComBat agrees with the converged path") {
     // 2-decimal values (the replayable kernel's exact-decimal contract)
     val rng = new scala.util.Random(11)
