@@ -93,22 +93,21 @@ object Bench {
       }
       try {
         val t1 = once()
-        // a first timing above the threshold gets ONE re-run, min kept:
-        // (a) virtualized hosts here show minutes-long CPU-steal windows
-        // that inflate whatever queries they overlap 10-60x (observed:
-        // the same query 2.17 s and 33.7 s in back-to-back sessions) —
-        // min-of-two measures the plan, not the neighbor's burst; (b) a
-        // first run also pays one-time codegen/janino compilation, which
-        // a steady-state engine amortizes to zero
-        // the optional re-run must never turn a measured success into an
-        // error: ANY failure during the (flaky-host-motivated) second
-        // attempt — fatal ones included, Try would let OOM through —
-        // falls back to the first timing
-        val t =
-          if (t1 > 1.5) {
-            val t2 = try once() catch { case _: Throwable => t1 }
-            math.min(t1, t2)
-          } else t1
+        // EVERY query runs twice, min kept: (a) virtualized hosts here
+        // show minutes-long CPU-steal windows that inflate whatever
+        // queries they overlap 3-60x (observed: the same query 2.17 s
+        // and 33.7 s in back-to-back sessions) — min-of-two measures the
+        // plan, not the neighbor's burst; (b) a first run also pays
+        // one-time codegen/janino compilation, which a steady-state
+        // engine amortizes to zero. The round-5 form re-ran only >1.5 s
+        // first timings, which left 0.3-0.9 s queries unprotected — an
+        // alphabetically contiguous block of them reported 3-5x inflated
+        // inside one steal window (round-5 driver run).
+        // the re-run must never turn a measured success into an error:
+        // ANY failure during the second attempt — fatal ones included,
+        // Try would let OOM through — falls back to the first timing
+        val t2 = try once() catch { case _: Throwable => t1 }
+        val t = math.min(t1, t2)
         (name, Right(t))
       } catch {
         case e: Throwable =>

@@ -72,6 +72,42 @@ object Io {
       .format("parquet")
       .saveAsTable(table)
 
+  /** JDBC source for the reference's SQLite-first ingestion
+    * (queryMassNPDB.py:33-40, getMassTransitions.py:62-86,
+    * validateRulesWithOrigins.py:48-57 — each pipeline's first touch is a
+    * SQL query against a local DB). `sql` runs DB-side as a derived-table
+    * subquery, so the WHERE/LEFT JOIN the reference pushes into SQLite
+    * stays pushed; predicates Spark later adds on top are pushdown-eligible
+    * too (JDBCRelation implements unhandledFilters — audit with
+    * PushedFilters in .explain, same as a parquet scan).
+    *
+    * Partitioned-read knobs are deliberately surfaced: an unpartitioned
+    * JDBC scan is ONE task reading the whole table through one connection —
+    * the classic cluster-scale trap. Pass (partitionCol, lo, hi, n) for any
+    * table that is not dimension-sized.
+    *
+    * INERT IN THIS IMAGE: no JDBC driver jar ships in the offline
+    * container, so calling this here throws at connect time (there is
+    * nothing to test against — IoMultimodalSpec asserts the wrapper's
+    * option wiring only). With a driver on the classpath (sqlite-jdbc,
+    * postgres, ...) it is a plain `spark.read.jdbc`. */
+  def readJdbc(spark: SparkSession, url: String, sql: String,
+               partitioning: Option[(String, Long, Long, Int)] = None,
+               driver: Option[String] = None): DataFrame = {
+    val base = spark.read.format("jdbc")
+      .option("url", url)
+      // derived-table form rather than dbtable=name: the reference's
+      // first-touch queries ARE SQL, not tables
+      .option("dbtable", s"($sql) AS q")
+    val withDriver = driver.fold(base)(d => base.option("driver", d))
+    partitioning.fold(withDriver) { case (c, lo, hi, n) =>
+      withDriver.option("partitionColumn", c)
+        .option("lowerBound", lo.toString)
+        .option("upperBound", hi.toString)
+        .option("numPartitions", n.toString)
+    }.load()
+  }
+
   /** Stride-select every `stride`-th column starting at `offset` (TCGA flat
     * files carry 4 columns per sample and the loader keeps every 4th;
     * Download_Preprocess.R:686-702). */

@@ -15,6 +15,36 @@ class IoMultimodalSpec extends SparkSpec {
     f.toString
   }
 
+  test("readJdbc runs SQL DB-side and honors partitioned reads") {
+    // Derby's embedded driver ships with Spark, so the wrapper is testable
+    // end-to-end here even though the target deployment (sqlite/postgres)
+    // has no driver in this image
+    val url = "jdbc:derby:memory:graftjdbc;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      st.execute("CREATE TABLE masses (id INT, kind VARCHAR(10), mass DOUBLE)")
+      (1 to 20).foreach(i => st.execute(
+        s"INSERT INTO masses VALUES ($i, '${if (i % 2 == 0) "even" else "odd"}', ${i * 1.5})"))
+    } finally conn.close()
+    // the reference's first touch is SQL with a WHERE — it must run DB-side
+    val df = Io.readJdbc(spark, url,
+      "SELECT id, mass FROM masses WHERE kind = 'even'")
+    assert(df.columns.map(_.toLowerCase).toSeq == Seq("id", "mass"))
+    assert(df.count() == 10)
+    assert(df.agg(sum(col("mass"))).as[Double].head() == (2 to 20 by 2).map(_ * 1.5).sum)
+    // partitioned scan: the classic one-connection trap must be avoidable
+    val part = Io.readJdbc(spark, url, "SELECT id, mass FROM masses",
+      partitioning = Some(("id", 1L, 21L, 4)))
+    assert(part.rdd.getNumPartitions == 4)
+    assert(part.count() == 20)
+    // Spark-side predicates remain pushdown-eligible on top of the subquery
+    val pushed = Io.readJdbc(spark, url, "SELECT id, mass FROM masses")
+      .where(col("mass") > 15.0)
+    assert(pushed.queryExecution.executedPlan.toString.contains("PushedFilters"))
+    assert(pushed.count() == 10)
+  }
+
   test("csvPositional renames by position like pandas df.columns=[...]") {
     val p = tmpFile("colA,colB,colC\n1,x,2.5\n2,y,3.5\n")
     val df = Io.csvPositional(spark, p, Seq("ms_name", "gene", "correlation"))

@@ -131,6 +131,7 @@ class PropertySpec extends SparkSpec {
       // feeds the global rarity order); 100 = pruning never fires
       maxDf <- Gen.oneOf(2L, 4L, 8L, 100L)
     } yield (docs, t, maxDf)
+    var prunedCases = 0
     forAllN(8, gen) { case (docs, t, maxDf) =>
       val corpus = docs.zipWithIndex.map { case (d, i) => (i.toLong, d) }
         .toDF("doc_id", "text")
@@ -147,6 +148,7 @@ class PropertySpec extends SparkSpec {
       }
       val sets = docs.zipWithIndex.map { case (d, i) => i.toLong -> shingles(d) }.toMap
       val dfCount = sets.values.flatten.groupBy(identity).map { case (s, o) => s -> o.size }
+      if (dfCount.values.exists(_ > maxDf)) prunedCases += 1
       val pruned = sets.map { case (i, ss) => i -> ss.filter(dfCount(_) <= maxDf) }
       val naive = (for {
         a <- pruned.keys; b <- pruned.keys if a < b
@@ -159,6 +161,12 @@ class PropertySpec extends SparkSpec {
       } yield (a, b, j)).toSet
       assert(fast == naive)
     }
+    // the property is vacuous for pruning unless at least one generated
+    // case actually prunes (ADVICE r5: maxDf=100 with <=24 docs never
+    // fired); with 12 two-word shingles per doc over an 8-word alphabet,
+    // any maxDf<=8 draw prunes with near-certainty
+    assert(prunedCases >= 1,
+      s"df-pruning never fired across the generated cases")
   }
 
   test("melt/pivot round trip preserves cell values") {
