@@ -78,6 +78,23 @@ object ArrayKernels {
   def simhashSig(t: UTF8String, k: Int): Long =
     graft.dedup.Dedup.simhashSigKernel(if (t == null) null else t.toString, k)
 
+  /** Order-sensitive 64-bit rolling (polynomial) hash over the UTF-8
+    * bytes: h = h*1000003 + byte, wrapping mod 2^64, FNV offset basis as
+    * seed — bit-identical to the former `String`-typed UDF in
+    * [[graft.text.Text.rollingHash]], but reading the UTF8String's bytes
+    * directly (no String decode per row, no ScalaUDF node breaking the
+    * codegen span). */
+  def rollingHash(t: UTF8String): Long = {
+    val bytes = t.getBytes
+    var h = 1469598103934665603L
+    var i = 0
+    while (i < bytes.length) {
+      h = h * 1000003L + (bytes(i) & 0xff)
+      i += 1
+    }
+    h
+  }
+
   /** Float-vector dot product accumulated left-to-right in double —
     * bit-identical to the former Seq[Float] UDF. */
   def dotF(a: ArrayData, b: ArrayData): Double = {
@@ -158,6 +175,18 @@ case class SimhashSigExpr(child: Expression, k: Int)
     copy(child = newChild)
 }
 
+case class RollingHashExpr(child: Expression)
+    extends UnaryExpression with Serializable {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_rolling_hash"
+  protected override def nullSafeEval(t: Any): Any =
+    ArrayKernels.rollingHash(t.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.catalyst.ArrayKernels.rollingHash($c)")
+  override protected def withNewChildInternal(newChild: Expression): RollingHashExpr =
+    copy(child = newChild)
+}
+
 case class DotFExpr(left: Expression, right: Expression)
     extends BinaryExpression with Serializable {
   override def dataType: DataType = DoubleType
@@ -200,6 +229,7 @@ object ArrayFunctions {
     c(MinhashSigExpr(e(text), k, numHashes))
   def simhashSig(text: Column, k: Int): Column =
     c(SimhashSigExpr(e(text), k))
+  def rollingHash(text: Column): Column = c(RollingHashExpr(e(text)))
   def dotF(a: Column, b: Column): Column = c(DotFExpr(floats(a), floats(b)))
   def cosineF(a: Column, b: Column): Column = c(CosineFExpr(floats(a), floats(b)))
 }

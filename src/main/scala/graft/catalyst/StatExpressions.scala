@@ -160,6 +160,9 @@ object GraftExtensions {
       ("graft_simhash_sig", "60-bit simhash sketch over lowercased k-shingles",
         (es: Seq[Expression]) => { nArgs(es, 2, "graft_simhash_sig")
           SimhashSigExpr(sc(es(0)), litInt(es(1), "k")) }),
+      ("graft_rolling_hash", "order-sensitive 64-bit polynomial hash of UTF-8 bytes",
+        (es: Seq[Expression]) => { nArgs(es, 1, "graft_rolling_hash")
+          RollingHashExpr(sc(es(0))) }),
       ("graft_dot_f", "float-vector dot product in double",
         (es: Seq[Expression]) => { nArgs(es, 2, "graft_dot_f")
           DotFExpr(ac(es(0), FloatType), ac(es(1), FloatType)) }),

@@ -105,22 +105,12 @@ object Text {
 
   /** Order-sensitive 64-bit rolling (polynomial) content hash of the
     * normalized text — the classic Rabin-Karp-style fingerprint
-    * (complements [[fingerprint]], which is order-INsensitive). Compiled
-    * per-row kernel; h = h*1000003 + byte, wrapping mod 2^64. */
-  def rollingHash(text: Column): Column = {
-    val udfH = udf((s: String) => {
-      if (s == null) null
-      else {
-        var h = 1469598103934665603L // FNV offset basis as seed
-        val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-        var i = 0
-        while (i < bytes.length) {
-          h = h * 1000003L + (bytes(i) & 0xff)
-          i += 1
-        }
-        java.lang.Long.valueOf(h)
-      }
-    })
-    udfH(normalized(text))
-  }
+    * (complements [[fingerprint]], which is order-INsensitive).
+    * h = h*1000003 + byte over the UTF-8 bytes, wrapping mod 2^64, FNV
+    * offset basis as seed. Native codegen expression
+    * ([[graft.catalyst.RollingHashExpr]]) reading UTF8String bytes
+    * directly — the normalize→hash projection stays one whole-stage
+    * codegen span with no per-row String decode. */
+  def rollingHash(text: Column): Column =
+    graft.catalyst.ArrayFunctions.rollingHash(normalized(text))
 }

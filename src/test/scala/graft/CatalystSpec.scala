@@ -99,11 +99,16 @@ class CatalystSpec extends SparkSpec {
         "graft_cosine_f(array(1.0F, 0.0F), array(1.0F, 0.0F)) AS c, " +
         "size(graft_shingle_hashes('a b c d', 3)) AS ns, " +
         "size(graft_minhash_sig('a b c d', 3, 32)) AS nm, " +
-        "graft_simhash_sig('a b c d', 3) AS sh").head()
+        "graft_simhash_sig('a b c d', 3) AS sh, " +
+        "graft_rolling_hash('a b c') AS rh").head()
     assert(math.abs(r.getDouble(0) - 0.5) < 1e-15)
     assert(math.abs(r.getDouble(1) - 1.0) < 1e-12)
     assert(r.getInt(2) == 2)   // "a b c", "b c d"
     assert(r.getInt(3) == 32)
     assert(r.getLong(4) == graft.dedup.Dedup.simhashSigKernel("a b c d", 3))
+    // pin the rolling-hash recurrence bit-exactly to its documented form
+    val expected = "a b c".getBytes("UTF-8")
+      .foldLeft(1469598103934665603L)((h, b) => h * 1000003L + (b & 0xff))
+    assert(r.getLong(5) == expected)
   }
 }
