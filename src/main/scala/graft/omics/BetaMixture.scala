@@ -221,6 +221,40 @@ object BetaMixture {
 
   private def round6(x: Double): Double = math.rint(x * 1e6) / 1e6
 
+  /** Fixed-iteration twin of [[fitPerGene]] for hash verification (the
+    * q_glm_nb_fixed / q_combat_fixed recipe): a FIXED component count and
+    * exactly `iters` EM steps — [[emFit]] with tol=0 can never take the
+    * convergence exit, so the twin shares every kernel line with the
+    * converged library path while the whole fit becomes a closed-form
+    * recurrence over the per-gene distinct-value histogram that the
+    * DuckDB oracle unrolls into MATERIALIZED CTEs. No BIC selection
+    * across k (a near-tied argmin is the one non-contractive comparison
+    * ulp drift could flip); bic is still emitted as a deterministic
+    * function of the final log-likelihood. Outputs are raw doubles —
+    * rounding happens at the query layer so both engines round once. */
+  def fitPerGeneFixed(df: DataFrame, geneCol: String, valueCol: String,
+                      k: Int = 2, iters: Int = 10): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(geneCol).cast("string").as("gene"),
+        col(valueCol).cast("double").as("value"))
+      .na.drop()
+      .as[(String, Double)]
+      .groupByKey(_._1)
+      .flatMapGroups { (gene, it) =>
+        val xs = it.map(_._2).toArray
+        if (xs.length < 4) Iterator.empty
+        else {
+          val (ll, comps) = emFit(xs, k, maxIter = iters, tol = 0.0)
+          val b = bic(ll, k, xs.length)
+          comps.iterator.map(c =>
+            (gene, k, c.comp, c.a, c.b, c.weight, c.mean, ll, b))
+        }
+      }
+      .toDF("gene", "n_components", "comp", "a", "b", "weight", "mean",
+        "log_lik", "bic")
+  }
+
   /** Differential-methylation values: each fitted component's mean minus
     * the gene's normal-tissue mean, labeled hyper/hypo/neutral
     * (MethylMix.R:68-77 DM-values output; flip-over state labeling

@@ -103,6 +103,28 @@ object OmicsQueries {
         "gene", "value").toDF(),
       None),
 
+    Entry("q_beta_mixture_fixed",
+      // the hash-verified twin of q_beta_mixture (same recipe as
+      // q_glm_nb_fixed / q_combat_fixed): fixed k=2 and exactly 10 EM
+      // steps, so the fit is a closed-form recurrence over the per-gene
+      // (distinct value, count) histogram — l_discount's 11-point grid —
+      // that the oracle unrolls: deterministic quantile-split init, then
+      // per step one row-level E CTE (log-space responsibilities, -700
+      // exp floor) and one aggregate M CTE (weighted method-of-moments).
+      // exp/ln/lgamma differ across engines only at ulp scale and EM is
+      // contractive, so 6-decimal parameter / 3-decimal likelihood
+      // rounding absorbs the drift (the q_glm_nb_fixed precedent).
+      (s, d) => BetaMixture.fitPerGeneFixed(
+          t(s, d, "lineitem").select(
+            (col("l_partkey") % 500).cast("string").as("gene"),
+            ((col("l_discount") + 0.005) / 0.12).as("value")),
+          "gene", "value", k = 2, iters = 10)
+        .select(col("gene"), col("n_components"), col("comp"),
+          round(col("a"), 6).as("a"), round(col("b"), 6).as("b"),
+          round(col("weight"), 6).as("weight"), round(col("mean"), 6).as("mean"),
+          round(col("log_lik"), 3).as("log_lik"), round(col("bic"), 3).as("bic")),
+      Some(betaMixtureFixedOracleSql(iters = 10))),
+
     Entry("q_glm_nb",
       // ABCD-DNA NB-GLM with offsets per region; counts = l_quantity,
       // condition = linestatus, offset = log copy-number surrogate
@@ -256,6 +278,48 @@ object OmicsQueries {
     def r(x: String, dec: Int) =
       s"CAST(round(CAST(CAST($x AS VARCHAR) AS DECIMAL(38,12)), $dec) AS DOUBLE)"
     s"""WITH $d, $its, ${ll("llf", s"cf$iters", etaF)}, ${ll("lln", s"cn$iters", etaN)} SELECT c.region, cf0.n AS n, ${r("c.b0", 6)} AS intercept, ${r("c.b1", 6)} AS log_fc, ${r("greatest(CAST(0.0 AS DOUBLE), 2.0 * (llf.ll - lln.ll))", 4)} AS lrt_stat FROM cf$iters c JOIN cf0 USING (region) JOIN llf USING (region) JOIN lln USING (region)"""
+  }
+
+  /** DuckDB replay of BetaMixture.fitPerGeneFixed (k=2) over the
+    * q_beta_mixture fixture. The EM runs over the per-gene distinct-value
+    * histogram exactly as the kernel does: `hist` is the run-length
+    * compression (the discount grid has ~11 support points per gene),
+    * `ch` the cumulative multiset position feeding the quantile-split
+    * init's partial-count blocks, `s0` the method-of-moments init, then
+    * per step one row-level E stage (log-space responsibilities with the
+    * -700 exp floor) and one aggregate M stage feeding a nested
+    * momentsToAB update. Every clamp and association order mirrors the
+    * kernel line for line; ln(1-v) vs the kernel's log1p(-v) and the
+    * engines' exp/ln/lgamma differ only at ulp scale, which the final
+    * rounding absorbs (EM is contractive). */
+  private def betaMixtureFixedOracleSql(iters: Int): String = {
+    def rnd(x: String, dec: Int) =
+      s"CAST(round(CAST(CAST($x AS VARCHAR) AS DECIMAL(38,12)), $dec) AS DOUBLE)"
+    val one = "CAST(1.0 AS DOUBLE)"
+    val zero = "CAST(0.0 AS DOUBLE)"
+    val p999 = "CAST(0.999 AS DOUBLE)"
+    // quantile-split block counts: block1 covers multiset positions
+    // [0, n/2), block2 [n/2, n) — a straddling run contributes partial
+    // counts to both, exactly the kernel's begin/end clipping
+    val h0 = "CAST(greatest(1, g.nb // 2) AS DOUBLE)"
+    val h1 = "CAST(greatest(g.nb // 2 + 1, g.nb) AS DOUBLE)"
+    val lo1 = "CAST(g.nb // 2 AS DOUBLE)"
+    val c1 = s"greatest($zero, least(c.cend, $h0) - greatest(c.cend - c.cnt, $zero))"
+    val c2 = s"greatest($zero, least(c.cend, $h1) - greatest(c.cend - c.cnt, $lo1))"
+    val base =
+      s"""raw AS MATERIALIZED (SELECT CAST(l_partkey % 500 AS VARCHAR) AS gene, least($one - 1e-6, greatest(1e-6, (l_discount + CAST(0.005 AS DOUBLE)) / CAST(0.12 AS DOUBLE))) AS v FROM lineitem), """ +
+      s"""hist AS MATERIALIZED (SELECT gene, v, CAST(count(*) AS DOUBLE) AS cnt, ln(v) AS lx, ln($one - v) AS l1x FROM raw GROUP BY 1, 2), """ +
+      s"""gn AS MATERIALIZED (SELECT gene, CAST(sum(cnt) AS BIGINT) AS nb, sum(cnt) AS nd FROM hist GROUP BY 1 HAVING sum(cnt) >= 4), """ +
+      s"""ch AS MATERIALIZED (SELECT gene, v, cnt, lx, l1x, sum(cnt) OVER (PARTITION BY gene ORDER BY v ROWS UNBOUNDED PRECEDING) AS cend FROM hist), """ +
+      s"""ia AS MATERIALIZED (SELECT c.gene, g.nb, g.nd, sum($c1) AS w1b, sum($c1 * c.v) AS s11, sum($c1 * c.v * c.v) AS s21, sum($c2) AS w2b, sum($c2 * c.v) AS s12, sum($c2 * c.v * c.v) AS s22 FROM ch c JOIN gn g USING (gene) GROUP BY 1, 2, 3), """ +
+      s"""s0 AS MATERIALIZED (SELECT gene, nb, nd, greatest(mu1 * t1, 1e-3) AS a1, greatest(($one - mu1) * t1, 1e-3) AS b1, w1b / nd AS w1, greatest(mu2 * t2, 1e-3) AS a2, greatest(($one - mu2) * t2, 1e-3) AS b2, w2b / nd AS w2 FROM (SELECT *, cap1 / vv1 - $one AS t1, cap2 / vv2 - $one AS t2 FROM (SELECT *, least(v1, cap1 * $p999) AS vv1, least(v2, cap2 * $p999) AS vv2 FROM (SELECT *, mu1 * ($one - mu1) AS cap1, mu2 * ($one - mu2) AS cap2, greatest(CASE WHEN w1b > 1 THEN (s21 - w1b * mu1 * mu1) / (w1b - 1) ELSE 1e-6 END, 1e-6) AS v1, greatest(CASE WHEN w2b > 1 THEN (s22 - w2b * mu2 * mu2) / (w2b - 1) ELSE 1e-6 END, 1e-6) AS v2 FROM (SELECT *, s11 / w1b AS mu1, s12 / w2b AS mu2 FROM ia)))))"""
+    def lnd(a: String, b: String, w: String) =
+      s"ln(greatest($w, 1e-300)) + ($a - $one) * c.lx + ($b - $one) * c.l1x - (lgamma($a) + lgamma($b) - lgamma($a + $b))"
+    val its = (1 to iters).map { k =>
+      s"""e$k AS MATERIALIZED (SELECT gene, nb, nd, a1, b1, w1, a2, b2, w2, sum(cnt * rsp1) AS w1n, sum(cnt * rsp1 * v) AS m11, sum(cnt * rsp1 * v * v) AS m21, sum(cnt * rsp2) AS w2n, sum(cnt * rsp2 * v) AS m12, sum(cnt * rsp2 * v * v) AS m22, sum(cnt * (mx + ln(tot))) AS ll FROM (SELECT *, r1 / tot AS rsp1, r2 / tot AS rsp2 FROM (SELECT *, r1 + r2 AS tot FROM (SELECT *, CASE WHEN ld1 - mx < -700 THEN $zero ELSE exp(ld1 - mx) END AS r1, CASE WHEN ld2 - mx < -700 THEN $zero ELSE exp(ld2 - mx) END AS r2 FROM (SELECT *, greatest(ld1, ld2) AS mx FROM (SELECT c.gene, c.v, c.cnt, s.nb, s.nd, s.a1, s.b1, s.w1, s.a2, s.b2, s.w2, ${lnd("s.a1", "s.b1", "s.w1")} AS ld1, ${lnd("s.a2", "s.b2", "s.w2")} AS ld2 FROM ch c JOIN s${k - 1} s USING (gene)))))) GROUP BY 1, 2, 3, 4, 5, 6, 7, 8, 9), """ +
+      s"""s$k AS MATERIALIZED (SELECT gene, nb, nd, ll, CASE WHEN w1n < 1e-12 THEN a1 ELSE greatest(mu1 * t1, 1e-3) END AS a1, CASE WHEN w1n < 1e-12 THEN b1 ELSE greatest(($one - mu1) * t1, 1e-3) END AS b1, CASE WHEN w1n < 1e-12 THEN w1 ELSE w1n / nd END AS w1, CASE WHEN w2n < 1e-12 THEN a2 ELSE greatest(mu2 * t2, 1e-3) END AS a2, CASE WHEN w2n < 1e-12 THEN b2 ELSE greatest(($one - mu2) * t2, 1e-3) END AS b2, CASE WHEN w2n < 1e-12 THEN w2 ELSE w2n / nd END AS w2 FROM (SELECT *, cap1 / vv1 - $one AS t1, cap2 / vv2 - $one AS t2 FROM (SELECT *, least(v1, cap1 * $p999) AS vv1, least(v2, cap2 * $p999) AS vv2 FROM (SELECT *, mu1 * ($one - mu1) AS cap1, mu2 * ($one - mu2) AS cap2 FROM (SELECT *, greatest(m21 / w1n - mu1 * mu1, 1e-8) AS v1, greatest(m22 / w2n - mu2 * mu2, 1e-8) AS v2 FROM (SELECT *, m11 / w1n AS mu1, m12 / w2n AS mu2 FROM e$k))))))"""
+    }.mkString(", ")
+    s"""WITH $base, $its, fin AS (SELECT gene, nd, ll, a1 AS a, b1 AS b, w1 AS weight, a1 / (a1 + b1) AS mean, 1 AS j FROM s$iters UNION ALL SELECT gene, nd, ll, a2, b2, w2, a2 / (a2 + b2), 2 FROM s$iters) SELECT gene, CAST(2 AS INTEGER) AS n_components, CAST(row_number() OVER (PARTITION BY gene ORDER BY mean, j) AS INTEGER) AS comp, ${rnd("a", 6)} AS a, ${rnd("b", 6)} AS b, ${rnd("weight", 6)} AS weight, ${rnd("mean", 6)} AS mean, ${rnd("ll", 3)} AS log_lik, ${rnd(s"CAST(-2.0 AS DOUBLE) * ll + CAST(5.0 AS DOUBLE) * ln(nd)", 3)} AS bic FROM fin"""
   }
 
   /** DuckDB replay of clusterProbesPerGene over the q_hclust_probes

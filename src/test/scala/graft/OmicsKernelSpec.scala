@@ -74,6 +74,31 @@ class OmicsKernelSpec extends SparkSpec {
     assert(dm.toSeq == Seq("hypo", "hyper"))
   }
 
+  test("beta mixture fixed-iteration twin recovers the same components") {
+    val lo = (1 to 150).map(i => 0.05 + 0.25 * i / 151.0)
+    val hi = (1 to 150).map(i => 0.70 + 0.25 * i / 151.0)
+    val xs = (lo ++ hi).map(v => ("g", v)).toDF("gene", "value")
+    val fixed = BetaMixture.fitPerGeneFixed(xs, "gene", "value", k = 2, iters = 10)
+      .orderBy("comp").collect()
+    assert(fixed.length == 2)
+    val means = fixed.map(_.getDouble(6))
+    assert(math.abs(means(0) - 0.175) < 0.05)
+    assert(math.abs(means(1) - 0.825) < 0.05)
+    assert(math.abs(fixed.map(_.getDouble(5)).sum - 1.0) < 1e-9)
+    // ten fixed steps already sit on the converged fit for separated
+    // components: parameters match the tol-converged library path closely
+    val conv = BetaMixture.fitPerGene(xs, "gene", "value").orderBy("comp").collect()
+    assert(conv.length == 2)
+    fixed.zip(conv).foreach { case (f, c) =>
+      assert(math.abs(f.getDouble(6) - c.mean) < 1e-4,
+        s"twin mean ${f.getDouble(6)} vs converged ${c.mean}")
+    }
+    // bit-determinism across runs (the oracle hash-compare relies on it)
+    val again = BetaMixture.fitPerGeneFixed(xs, "gene", "value", k = 2, iters = 10)
+      .orderBy("comp").collect()
+    assert(fixed.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+
   test("beta mixture picks one component for true beta-distributed data") {
     // exact Beta(5,5) quantile draws via bisection on the incomplete beta
     def qbeta(p: Double): Double = {
