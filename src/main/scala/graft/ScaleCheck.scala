@@ -15,7 +15,11 @@ object ScaleCheck {
   val Flagships = Seq("q1_agg", "q_pipeline_massquery", "q_ppm_join",
     "q_range_join", "q_minhash_lsh", "q_ngram_jaccard", "q_dedup_exact",
     "q_pipeline_curate", "q_pipeline_wcmodules", "q_mutual_rank",
-    "q_bh_adjust", "q_stream_sliding", "q_topk_per_group")
+    "q_bh_adjust", "q_stream_sliding", "q_topk_per_group",
+    // round-6 additions: the fixed-iteration kernel twins (per-group
+    // mapGroups fan-out) and the two new composition pipelines
+    "q_beta_mixture_fixed", "q_glm_nb_fixed", "q_combat_fixed",
+    "q_pipeline_methylmix", "q_pipeline_herald_table")
 
   def main(args: Array[String]): Unit = {
     val src = "/root/testdata/sf0.1"

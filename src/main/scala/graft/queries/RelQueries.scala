@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import graft.ops.{Relational, RangeJoin}
+import graft.ops.{Relational, RangeJoin, Skew}
 import Q.{Entry, t, r6}
 
 /** Scans, filters, joins, set ops, scalar functions — SURVEY.md §2.1-§2.3,
@@ -104,6 +104,24 @@ object RelQueries {
           col("c_custkey") === col("o_custkey"), "left_anti")
         .select("c_custkey", "c_name"),
       Some("""SELECT c_custkey, c_name FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)""")),
+
+    Entry("q_salted_join",
+      // skew-salted equi-join on a degenerate hot key (3 distinct values
+      // across all of lineitem — the rounded-mass degeneracy shape,
+      // treatMassTransitions.py:56-59). full_outer + an unmatched small
+      // row exercises the outer-dedup branch (unmatched small rows kept
+      // from shard 0 only); the oracle is the PLAIN join — salting must
+      // be invisible in the output
+      (s, d) => {
+        import s.implicits._
+        val big = t(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"),
+            col("l_returnflag").as("flag"))
+        val small = Seq(("R", "returned"), ("A", "accepted"),
+          ("X", "unmatched")).toDF("flag", "label")
+        Skew.saltedJoin(big, small, "flag", shards = 8, how = "full_outer")
+      },
+      Some("""SELECT flag, l_orderkey, l_linenumber, label FROM (SELECT l_orderkey, l_linenumber, l_returnflag AS flag FROM lineitem) b FULL JOIN (SELECT * FROM (VALUES ('R','returned'),('A','accepted'),('X','unmatched')) v(flag, label)) s USING (flag)""")),
 
     Entry("q_cross_join",
       // adduct-style cross expansion (queryMassNPDB_mod.py:116-120)

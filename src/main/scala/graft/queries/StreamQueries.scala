@@ -40,6 +40,13 @@ object StreamQueries {
           col("n_events")),
       Some("""WITH t AS (SELECT user_id, ts, CASE WHEN lag(ts) OVER w IS NULL OR ts - lag(ts) OVER w >= INTERVAL '30 minutes' THEN 1 ELSE 0 END AS new_s FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)), r AS (SELECT user_id, ts, CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid FROM t) SELECT user_id, CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start, count(*) AS n_events FROM r GROUP BY user_id, sid""")),
 
+    Entry("q_stream_join",
+      // batch face of the stream-stream interval join (same function —
+      // withWatermark is a no-op in batch); micros-truncated timestamps
+      // on the Spark side are mirrored with epoch_ns//1000 in the oracle
+      (s, d) => graft.streaming.Events.clickPurchaseJoin(Q.events(s, d)),
+      Some("""WITH c AS (SELECT user_id, event_id AS click_id, epoch_ns(ts) // 1000 AS us FROM events WHERE event_type = 'click'), p AS (SELECT user_id, event_id AS purchase_id, epoch_ns(ts) // 1000 AS us FROM events WHERE event_type = 'purchase') SELECT c.user_id, c.click_id, p.purchase_id, p.us // 1000000 - c.us // 1000000 AS lag_sec FROM c JOIN p ON c.user_id = p.user_id AND p.us >= c.us AND p.us <= c.us + 1800000000""")),
+
     Entry("q_stream_dedup",
       // batch analogue of dropDuplicatesWithinWatermark: earliest event per
       // (user, type)

@@ -55,6 +55,30 @@ object Events {
       .dropDuplicatesWithinWatermark("user_id", "event_type")
       .select("user_id", "event_type", "event_id")
 
+  /** Stream-stream interval join (click→purchase attribution): purchases
+    * joined to the same user's clicks within the FOLLOWING 30 minutes of
+    * the click. Both sides carry a watermark and the join condition
+    * bounds p_ts relative to c_ts, so the state store can evict rows
+    * once the watermark passes — the canonical bounded-state
+    * stream-stream join. Works unchanged on a batch frame (withWatermark
+    * is a no-op there), which is how the oracle-checked q_stream_join
+    * entry runs it; StreamingSpec drives the same function through a
+    * real readStream and compares. */
+  def clickPurchaseJoin(events: DataFrame): DataFrame = {
+    val clicks = events.where(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", "30 minutes")
+    val purchases = events.where(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "30 minutes")
+    clicks.join(purchases, expr(
+        "c_user = p_user AND p_ts >= c_ts AND p_ts <= c_ts + interval 30 minutes"))
+      .select(col("c_user").as("user_id"), col("click_id"), col("purchase_id"),
+        (unix_timestamp(col("p_ts")) - unix_timestamp(col("c_ts"))).as("lag_sec"))
+  }
+
   final case class UserState(n: Long, total: Double, lastTsMicros: Long)
   final case class UserUpdate(user_id: Long, n_events: Long, total_value: Double,
                               last_ts: Long)

@@ -31,6 +31,16 @@ class StreamingSpec extends SparkSpec {
     spark.table(name)
   }
 
+  test("stream-stream interval join equals the batch entry") {
+    val stream = Events.readStream(spark, streamDir)
+    val streamed = runToMemory(Events.clickPurchaseJoin(stream), "t_join",
+        complete = false) // stream-stream inner join is append-only
+      .collect().map(_.toSeq).toSet
+    val batch = SparkEntry.queries("q_stream_join")(spark, sf001)
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch && batch.nonEmpty)
+  }
+
   test("streaming tumbling window equals the batch entry") {
     val stream = Events.readStream(spark, streamDir)
     val streamed = runToMemory(Events.tumblingAgg(stream), "t_tumbling")
