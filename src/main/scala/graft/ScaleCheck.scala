@@ -8,8 +8,10 @@ import org.apache.spark.sql.functions._
   * flagship queries on both. Near-linear growth = the plan is shuffle-bound
   * with no quadratic or driver-side step; the numbers land in SCALING.md.
   *
-  * Usage: runMain graft.ScaleCheck [outDir] — writes the 10x tables once
-  * (skipped if present), then prints per-query seconds at 1x and 10x.
+  * Usage: runMain graft.ScaleCheck [outDir] [queryName...] — writes the
+  * 10x tables once (skipped if present), then prints per-query seconds at
+  * 1x and 10x (all flagships, or just the named ones — for steal-window
+  * rechecks of a single query).
   */
 object ScaleCheck {
   val Flagships = Seq("q1_agg", "q_pipeline_massquery", "q_ppm_join",
@@ -24,6 +26,8 @@ object ScaleCheck {
   def main(args: Array[String]): Unit = {
     val src = "/root/testdata/sf0.1"
     val out = args.headOption.getOrElse("/tmp/graft_sfx10")
+    val names = if (args.length > 1) Flagships.filter(args.drop(1).toSet)
+                else Flagships
     val copies = 10
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
@@ -67,7 +71,7 @@ object ScaleCheck {
         try spark.read.parquet(s"$sfDir/$t.parquet").count()
         catch { case _: Throwable => () }
       }
-      Flagships.map { name =>
+      names.map { name =>
         val fn = SparkEntry.queries(name)
         val t0 = System.nanoTime()
         val n = fn(spark, sfDir).count()
@@ -80,7 +84,7 @@ object ScaleCheck {
     val t1 = bench(src, " 1x")
     val t10 = bench(out, "10x")
     println("[scale] ---- ratio table (10x time / 1x time; ~10 = linear)")
-    Flagships.foreach { n =>
+    names.foreach { n =>
       println(f"[scale] ratio $n%-24s ${t10(n) / t1(n)}%5.1f")
     }
     spark.stop()

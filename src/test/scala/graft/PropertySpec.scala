@@ -115,6 +115,14 @@ class PropertySpec extends SparkSpec {
         .select(col("id"), col("sid"), col("adduct"), round(col("mm"), 9))
         .as[(Long, Long, String, Double)].collect().toSet
       assert(fast == naive && fast.nonEmpty)
+      // budget 0 forces the over-budget split fallback (unique ids via the
+      // null-list kernel, dup ids via the rank window) — must be identical
+      val fallback = graft.pipelines.MassQuery.annotate(
+          masses, "id", "mz", adducts, structs, "sid", "smass", ppm,
+          maxBroadcastDupMzs = 0L)
+        .select(col("id"), col("sid"), col("adduct"), round(col("mm"), 9))
+        .as[(Long, Long, String, Double)].collect().toSet
+      assert(fallback == naive)
     }
   }
 
