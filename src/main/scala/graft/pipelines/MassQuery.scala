@@ -32,6 +32,23 @@ private[pipelines] case class MassKeepExpr(
 
   def keep(pv: Double, ownOrd: Int, ownMz: Double, mzsArr: ArrayData): Boolean = {
     val nAdd = mults.length
+    if (mzsArr == null) {
+      // unduplicated id: the group is {own mz} × adducts and the row's own
+      // candidate is always in-window (bit-identical arithmetic to the
+      // join predicate), so the (ord, mm, mz)-minimum test collapses to
+      // "no LOWER-priority adduct of my own mz also lands in this window"
+      // (same ord ⇒ same mm and mz ⇒ it IS the own candidate; higher ord
+      // never wins). This is the join-output-sized hot path — on average
+      // ownOrd window tests instead of nAdd plus the full min scan.
+      var o = 0
+      while (o < ownOrd) {
+        val mm = (ownMz - offs(o)) / mults(o)
+        if (mm > 0 && pv >= mm - mm * ppm / 1e6 && pv <= mm + mm * ppm / 1e6)
+          return false
+        o += 1
+      }
+      return true
+    }
     var bOrd = Int.MaxValue; var bMm = Double.MaxValue; var bMz = Double.MaxValue
     def consider(mzv: Double): Unit = {
       var o = 0
@@ -45,12 +62,9 @@ private[pipelines] case class MassKeepExpr(
         o += 1
       }
     }
-    if (mzsArr == null) consider(ownMz)
-    else {
-      var i = 0
-      val n = mzsArr.numElements()
-      while (i < n) { consider(mzsArr.getDouble(i)); i += 1 }
-    }
+    var i = 0
+    val n = mzsArr.numElements()
+    while (i < n) { consider(mzsArr.getDouble(i)); i += 1 }
     val ownMm = (ownMz - offs(ownOrd)) / mults(ownOrd)
     bOrd == ownOrd && bMm == ownMm && bMz == ownMz
   }
