@@ -127,9 +127,12 @@ object Bench {
       case (k, Left(_))  => s""""${esc(k)}":-1"""
     }.mkString("{", ",", "}")
     val full = s"""{"metric":"total","value":$total,"unit":"sec","nq":${results.size},"queries":$fullQs,"errors":$errs,"sf":"$sfDir"}"""
-    try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("/root/repo/BENCH_FULL.json"), full + "\n")
-    catch { case _: Throwable => () }
+    // a SPARK_GRAFT_ONLY-filtered run is local iteration — don't clobber
+    // the committed full-suite snapshot with a partial one
+    if (only.isEmpty)
+      try java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("/root/repo/BENCH_FULL.json"), full + "\n")
+      catch { case _: Throwable => () }
 
     // Compact stdout line, hard-capped to fit the driver's tail window.
     def fmt(v: Double): String = {
