@@ -88,29 +88,49 @@ object Combat {
         (col("s2") - col("s1") * col("s1") / col("n_g")) / (col("n_g") - 1),
         lit(0.0)))))
       .drop("n_g", "s1", "s2")
+    // string-free quantizers, NOT round(): Spark round goes through
+    // BigDecimal.valueOf = Double.toString, and pre-19 Java toString is
+    // occasionally non-shortest, so Spark and the oracle's varchar-parse
+    // can round two different decimal SPELLINGS of the same double onto
+    // different grid points (observed at sf0.1: two of 150 gamma_hat
+    // cells straddled, shifting their whole batches through the priors).
+    // floor(x*g+0.5)/g is the same IEEE sequence on both engines; the
+    // subsequent DECIMAL casts of already-quantized doubles are safe
+    // (spelling noise ~ulp << half the decimal grid).
+    def q(c: org.apache.spark.sql.Column, g: Double) =
+      floor(c * lit(g) + lit(0.5)) / lit(g)
     val z = df.join(geneStats, "gene")
       .withColumn("z", (col("value") - col("alpha")) /
         when(col("sigma") > 0, col("sigma")))
-      .withColumn("z6", round(col("z"), 6))
+      .withColumn("z6", q(col("z"), 1e6))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val zd = col("z6").cast("decimal(17,6)")
     val gb = z.groupBy("gene", "batch").agg(
         count(col("z6")).as("n"),
         sum(zd).cast("double").as("sz"),
         sum(zd * zd).cast("double").as("szz"))
-      .withColumn("gamma_hat", round(col("sz") / col("n"), 12))
-      .withColumn("delta2_hat", when(col("n") > 1, round(
-        (col("szz") - col("sz") * col("sz") / col("n")) / (col("n") - 1), 12)))
+      .withColumn("gamma_hat", q(col("sz") / col("n"), 1e12))
+      .withColumn("delta2_hat", when(col("n") > 1, q(
+        (col("szz") - col("sz") * col("sz") / col("n")) / (col("n") - 1), 1e12)))
       .drop("sz", "szz")
     val gq = col("gamma_hat").cast("decimal(14,12)")
     val dq = col("delta2_hat").cast("decimal(14,12)")
+    // the SQUARED sums carry scale 24, and a scale-24 decimal→double cast
+    // is not correctly rounded in both engines (numerator > 2^53 and
+    // 10^24 is not double-exact: DuckDB's conversion landed 1 ulp off
+    // Spark's BigDecimal for 2 of 6 sums at sf0.1, shifting the priors of
+    // their whole batches). Rounding to scale 12 first is an exact
+    // decimal op with the same half-up rule on both sides, and from
+    // scale 12 (numerator ~1e10, 10^12 double-exact) the cast is an
+    // exact division — bit-identical. The scale-12/6/2 sums (sg, sd, sz,
+    // s1) are already in the safe domain.
     val priors = gb.groupBy("batch").agg(
         count(lit(1)).as("k"),
         sum(gq).cast("double").as("sg"),
-        sum(gq * gq).cast("double").as("sgg"),
+        sum(gq * gq).cast("decimal(38,12)").cast("double").as("sgg"),
         count(col("delta2_hat")).as("kd"),
         sum(dq).cast("double").as("sd"),
-        sum(dq * dq).cast("double").as("sdd"))
+        sum(dq * dq).cast("decimal(38,12)").cast("double").as("sdd"))
       .withColumn("gamma_bar", col("sg") / col("k"))
       .withColumn("tau2", when(col("k") > 1,
         (col("sgg") - col("sg") * col("sg") / col("k")) / (col("k") - 1)))
@@ -133,8 +153,11 @@ object Combat {
       .withColumn("adjusted",
         col("sigma") * (col("z") - col("gamma_star")) /
           sqrt(col("delta2_star")) + col("alpha"))
+      // same string-free quantizer as z6/moments (see above) — at
+      // |adjusted| ~ 1e5 a double's ulp is 1.5e-11, so a spelling
+      // difference there can even straddle the 6-decimal output grid
       .select(col("gene"), col("sample"), col("batch"), col("value"),
-        round(col("adjusted"), 6).as("adjusted"))
+        (floor(col("adjusted") * lit(1e6) + lit(0.5)) / lit(1e6)).as("adjusted"))
   }
 
   /** EB shrinkage fixed-point per (gene,batch) row

@@ -175,9 +175,12 @@ object OmicsQueries {
       // exact decimal raw sums make alpha/sigma/moments/priors
       // order-independent — hence bit-identical across engines — and the
       // EB fixed point runs exactly 40 steps, unrolled in the oracle as 40
-      // scalar CTEs over the 150-row (gene,batch) grid. The only
-      // double-rounding seams are the documented varchar-decimal round
-      // mimics (z at 6, moments at 12, adjusted at 6).
+      // scalar CTEs over the 150-row (gene,batch) grid. Rounding seams:
+      // the O(1)-magnitude intermediates (z at 6, moments at 12) use the
+      // varchar-decimal mimic (sound there — ulp << the decimal grid);
+      // the final adjusted rides the 1e5 value magnitude where ulp beats
+      // the grid, so it uses the string-free floor(x*1e6+0.5)/1e6
+      // quantizer instead (identical IEEE ops on both engines).
       (s, d) => Combat.adjustPreJoinedFixed(combatData(s, d)
         .withColumn("batch", concat(lit("b"), (col("sample") % 3).cast("string")))),
       Some(combatFixedOracleSql(iters = 40))),
@@ -239,13 +242,16 @@ object OmicsQueries {
     * fixed point then unrolls into `iters` scalar CTE steps. Spark round
     * is mimicked with the varchar-decimal form throughout. */
   private def combatFixedOracleSql(iters: Int): String = {
-    def rnd(x: String, dec: Int, wide: Int) =
-      s"CAST(round(CAST(CAST($x AS VARCHAR) AS DECIMAL(38,$wide)), $dec) AS DOUBLE)"
-    val base = s"""d AS MATERIALIZED (SELECT CAST(l_partkey % 50 AS VARCHAR) AS gene, l_orderkey * 10 + l_linenumber AS sample, l_extendedprice AS value, concat('b', CAST((l_orderkey * 10 + l_linenumber) % 3 AS VARCHAR)) AS batch FROM lineitem), gs AS MATERIALIZED (SELECT gene, count(value) AS n_g, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s1, CAST(sum(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s2 FROM d GROUP BY 1), gs2 AS MATERIALIZED (SELECT gene, s1 / n_g AS alpha, CASE WHEN n_g > 1 THEN sqrt(greatest((s2 - s1 * s1 / n_g) / (n_g - 1), CAST(0.0 AS DOUBLE))) END AS sigma FROM gs), z AS MATERIALIZED (SELECT d.gene, d.sample, d.batch, d.value, g.alpha, g.sigma, (d.value - g.alpha) / (CASE WHEN g.sigma > 0 THEN g.sigma END) AS z FROM d JOIN gs2 g USING (gene)), z6t AS MATERIALIZED (SELECT *, ${rnd("z", 6, 12)} AS z6 FROM z), gb AS MATERIALIZED (SELECT gene, batch, count(z6) AS n, CAST(sum(CAST(z6 AS DECIMAL(17,6))) AS DOUBLE) AS sz, CAST(sum(CAST(z6 AS DECIMAL(17,6)) * CAST(z6 AS DECIMAL(17,6))) AS DOUBLE) AS szz FROM z6t GROUP BY 1, 2), gb2 AS MATERIALIZED (SELECT gene, batch, n, ${rnd("sz / n", 12, 18)} AS gamma_hat, CASE WHEN n > 1 THEN ${rnd("(szz - sz * sz / n) / (n - 1)", 12, 18)} END AS delta2_hat FROM gb), pr AS MATERIALIZED (SELECT batch, count(*) AS k, CAST(sum(CAST(gamma_hat AS DECIMAL(14,12))) AS DOUBLE) AS sg, CAST(sum(CAST(gamma_hat AS DECIMAL(14,12)) * CAST(gamma_hat AS DECIMAL(14,12))) AS DOUBLE) AS sgg, count(delta2_hat) AS kd, CAST(sum(CAST(delta2_hat AS DECIMAL(14,12))) AS DOUBLE) AS sd, CAST(sum(CAST(delta2_hat AS DECIMAL(14,12)) * CAST(delta2_hat AS DECIMAL(14,12))) AS DOUBLE) AS sdd FROM gb2 GROUP BY 1), pr2 AS MATERIALIZED (SELECT batch, sg / k AS gamma_bar, CASE WHEN k > 1 THEN (sgg - sg * sg / k) / (k - 1) END AS tau2, sd / kd AS d_mean, CASE WHEN kd > 1 THEN (sdd - sd * sd / kd) / (kd - 1) END AS d_var FROM pr), pr3 AS MATERIALIZED (SELECT batch, gamma_bar, tau2, d_mean, CAST(2.0 AS DOUBLE) + d_mean * d_mean / (CASE WHEN d_var > 0 THEN d_var END) AS lambda FROM pr2), pr4 AS MATERIALIZED (SELECT *, d_mean * (lambda - CAST(1.0 AS DOUBLE)) AS theta FROM pr3), e0 AS MATERIALIZED (SELECT g.gene, g.batch, g.gamma_hat, g.n, coalesce(g.delta2_hat, p.d_mean, CAST(1.0 AS DOUBLE)) AS d2h, p.gamma_bar, coalesce(p.tau2, CAST(0.0 AS DOUBLE)) AS tau2, coalesce(p.lambda, CAST(2.0 AS DOUBLE)) AS lam, coalesce(p.theta, g.delta2_hat, p.d_mean, CAST(1.0 AS DOUBLE)) AS th, g.gamma_hat AS g_cur, greatest(coalesce(g.delta2_hat, p.d_mean, CAST(1.0 AS DOUBLE)), 1e-8) AS d2_cur FROM gb2 g JOIN pr4 p USING (batch))"""
+    // string-free grid quantizer mirroring the kernel's floor(x*g+0.5)/g
+    // (see Combat.adjustPreJoinedFixed — the varchar-decimal mimic is
+    // unsound when Java's pre-19 toString spells a double non-shortest)
+    def q(x: String, g: String) =
+      s"floor(($x) * CAST($g AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST($g AS DOUBLE)"
+    val base = s"""d AS MATERIALIZED (SELECT CAST(l_partkey % 50 AS VARCHAR) AS gene, l_orderkey * 10 + l_linenumber AS sample, l_extendedprice AS value, concat('b', CAST((l_orderkey * 10 + l_linenumber) % 3 AS VARCHAR)) AS batch FROM lineitem), gs AS MATERIALIZED (SELECT gene, count(value) AS n_g, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s1, CAST(sum(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s2 FROM d GROUP BY 1), gs2 AS MATERIALIZED (SELECT gene, s1 / n_g AS alpha, CASE WHEN n_g > 1 THEN sqrt(greatest((s2 - s1 * s1 / n_g) / (n_g - 1), CAST(0.0 AS DOUBLE))) END AS sigma FROM gs), z AS MATERIALIZED (SELECT d.gene, d.sample, d.batch, d.value, g.alpha, g.sigma, (d.value - g.alpha) / (CASE WHEN g.sigma > 0 THEN g.sigma END) AS z FROM d JOIN gs2 g USING (gene)), z6t AS MATERIALIZED (SELECT *, ${q("z", "1000000.0")} AS z6 FROM z), gb AS MATERIALIZED (SELECT gene, batch, count(z6) AS n, CAST(sum(CAST(z6 AS DECIMAL(17,6))) AS DOUBLE) AS sz, CAST(sum(CAST(z6 AS DECIMAL(17,6)) * CAST(z6 AS DECIMAL(17,6))) AS DOUBLE) AS szz FROM z6t GROUP BY 1, 2), gb2 AS MATERIALIZED (SELECT gene, batch, n, ${q("sz / n", "1000000000000.0")} AS gamma_hat, CASE WHEN n > 1 THEN ${q("(szz - sz * sz / n) / (n - 1)", "1000000000000.0")} END AS delta2_hat FROM gb), pr AS MATERIALIZED (SELECT batch, count(*) AS k, CAST(sum(CAST(gamma_hat AS DECIMAL(14,12))) AS DOUBLE) AS sg, CAST(round(sum(CAST(gamma_hat AS DECIMAL(14,12)) * CAST(gamma_hat AS DECIMAL(14,12))), 12) AS DOUBLE) AS sgg, count(delta2_hat) AS kd, CAST(sum(CAST(delta2_hat AS DECIMAL(14,12))) AS DOUBLE) AS sd, CAST(round(sum(CAST(delta2_hat AS DECIMAL(14,12)) * CAST(delta2_hat AS DECIMAL(14,12))), 12) AS DOUBLE) AS sdd FROM gb2 GROUP BY 1), pr2 AS MATERIALIZED (SELECT batch, sg / k AS gamma_bar, CASE WHEN k > 1 THEN (sgg - sg * sg / k) / (k - 1) END AS tau2, sd / kd AS d_mean, CASE WHEN kd > 1 THEN (sdd - sd * sd / kd) / (kd - 1) END AS d_var FROM pr), pr3 AS MATERIALIZED (SELECT batch, gamma_bar, tau2, d_mean, CAST(2.0 AS DOUBLE) + d_mean * d_mean / (CASE WHEN d_var > 0 THEN d_var END) AS lambda FROM pr2), pr4 AS MATERIALIZED (SELECT *, d_mean * (lambda - CAST(1.0 AS DOUBLE)) AS theta FROM pr3), e0 AS MATERIALIZED (SELECT g.gene, g.batch, g.gamma_hat, g.n, coalesce(g.delta2_hat, p.d_mean, CAST(1.0 AS DOUBLE)) AS d2h, p.gamma_bar, coalesce(p.tau2, CAST(0.0 AS DOUBLE)) AS tau2, coalesce(p.lambda, CAST(2.0 AS DOUBLE)) AS lam, coalesce(p.theta, g.delta2_hat, p.d_mean, CAST(1.0 AS DOUBLE)) AS th, g.gamma_hat AS g_cur, greatest(coalesce(g.delta2_hat, p.d_mean, CAST(1.0 AS DOUBLE)), 1e-8) AS d2_cur FROM gb2 g JOIN pr4 p USING (batch))"""
     val its = (1 to iters).map { k =>
       s"""e$k AS MATERIALIZED (SELECT gene, batch, gamma_hat, n, d2h, gamma_bar, tau2, lam, th, g_new AS g_cur, greatest((th + CAST(0.5 AS DOUBLE) * ((n - 1) * d2h + n * (gamma_hat - g_new) * (gamma_hat - g_new))) / (n / CAST(2.0 AS DOUBLE) + lam - CAST(1.0 AS DOUBLE)), 1e-8) AS d2_cur FROM (SELECT *, CASE WHEN tau2 > 0 THEN (n * tau2 * gamma_hat + d2_cur * gamma_bar) / (n * tau2 + d2_cur) ELSE gamma_bar END AS g_new FROM e${k - 1}))"""
     }.mkString(", ")
-    s"""WITH $base, $its SELECT z.gene, z.sample, z.batch, z.value, ${rnd(s"z.sigma * (z.z - e.g_cur) / sqrt(e.d2_cur) + z.alpha", 6, 12)} AS adjusted FROM z6t z JOIN e$iters e ON z.gene = e.gene AND z.batch = e.batch"""
+    s"""WITH $base, $its SELECT z.gene, z.sample, z.batch, z.value, floor((z.sigma * (z.z - e.g_cur) / sqrt(e.d2_cur) + z.alpha) * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000.0 AS DOUBLE) AS adjusted FROM z6t z JOIN e$iters e ON z.gene = e.gene AND z.batch = e.batch"""
   }
 
   /** DuckDB replay of GlmNb.fitPerRegionFixed over the q_glm_nb fixture:

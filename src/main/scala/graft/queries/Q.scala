@@ -11,7 +11,15 @@ import org.apache.spark.sql.functions._
   *  - means are computed as exact-decimal-sum / count in double on BOTH
   *    sides (never the engines' own avg-of-decimal, whose internal rounding
   *    differs);
-  *  - every remaining double output is round(x, 6);
+  *  - every remaining double output is round(x, 6) — UNLESS the value's
+  *    magnitude pushes a double's ulp near or past the rounding grid
+  *    (|x| ≳ 1e4 for 6 decimals: ulp(1e5) = 1.5e-11): there the decimal
+  *    mimic is unsound because Java's pre-19 Double.toString is not
+  *    always shortest, so Spark and DuckDB can round two DIFFERENT
+  *    decimal spellings of the same double (q_combat_fixed lost 1 row in
+  *    600k this way at sf0.1). Large-magnitude outputs use the
+  *    string-free quantizer floor(x*1e6+0.5)/1e6 on BOTH sides — the
+  *    same IEEE sequence, bit-identical regardless of representation;
   *  - timestamps are never emitted raw — epoch seconds as BIGINT;
   *  - divisions are guarded (`nullif` in SQL, `when` here) so both engines
   *    yield NULL rather than one erroring.
