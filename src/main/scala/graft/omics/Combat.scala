@@ -108,7 +108,18 @@ object Combat {
     val gb = z.groupBy("gene", "batch").agg(
         count(col("z6")).as("n"),
         sum(zd).cast("double").as("sz"),
-        sum(zd * zd).cast("double").as("szz"))
+        // szz carries decimal scale 12 and its value grows with the cell
+        // size n, so the decimal→double numerator (value×10^12) crosses
+        // 2^53 around n ≈ 10^4.5 — the proven 1-ulp conversion seam
+        // (see the priors note below). Rounding to scale 8 in decimal
+        // domain first keeps the conversion exact up to n ≈ 9·10^7
+        // samples per (gene,batch) cell; the 1e-8 quantization is far
+        // inside delta2_hat's own 1e-12 output grid divided by n. The
+        // raw 2-decimal s2 gene sums above face the same seam only when
+        // sum magnitude × 10^4 nears 2^53 (n_g ≈ 10^6 price-scale rows
+        // per gene) — a centered-sum (Welford-style) formulation would
+        // extend that envelope if ever needed.
+        round(sum(zd * zd), 8).cast("double").as("szz"))
       .withColumn("gamma_hat", q(col("sz") / col("n"), 1e12))
       .withColumn("delta2_hat", when(col("n") > 1, q(
         (col("szz") - col("sz") * col("sz") / col("n")) / (col("n") - 1), 1e12)))

@@ -247,7 +247,7 @@ object OmicsQueries {
     // unsound when Java's pre-19 toString spells a double non-shortest)
     def q(x: String, g: String) =
       s"floor(($x) * CAST($g AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST($g AS DOUBLE)"
-    val base = s"""d AS MATERIALIZED (SELECT CAST(l_partkey % 50 AS VARCHAR) AS gene, l_orderkey * 10 + l_linenumber AS sample, l_extendedprice AS value, concat('b', CAST((l_orderkey * 10 + l_linenumber) % 3 AS VARCHAR)) AS batch FROM lineitem), gs AS MATERIALIZED (SELECT gene, count(value) AS n_g, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s1, CAST(sum(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s2 FROM d GROUP BY 1), gs2 AS MATERIALIZED (SELECT gene, s1 / n_g AS alpha, CASE WHEN n_g > 1 THEN sqrt(greatest((s2 - s1 * s1 / n_g) / (n_g - 1), CAST(0.0 AS DOUBLE))) END AS sigma FROM gs), z AS MATERIALIZED (SELECT d.gene, d.sample, d.batch, d.value, g.alpha, g.sigma, (d.value - g.alpha) / (CASE WHEN g.sigma > 0 THEN g.sigma END) AS z FROM d JOIN gs2 g USING (gene)), z6t AS MATERIALIZED (SELECT *, ${q("z", "1000000.0")} AS z6 FROM z), gb AS MATERIALIZED (SELECT gene, batch, count(z6) AS n, CAST(sum(CAST(z6 AS DECIMAL(17,6))) AS DOUBLE) AS sz, CAST(sum(CAST(z6 AS DECIMAL(17,6)) * CAST(z6 AS DECIMAL(17,6))) AS DOUBLE) AS szz FROM z6t GROUP BY 1, 2), gb2 AS MATERIALIZED (SELECT gene, batch, n, ${q("sz / n", "1000000000000.0")} AS gamma_hat, CASE WHEN n > 1 THEN ${q("(szz - sz * sz / n) / (n - 1)", "1000000000000.0")} END AS delta2_hat FROM gb), pr AS MATERIALIZED (SELECT batch, count(*) AS k, CAST(sum(CAST(gamma_hat AS DECIMAL(14,12))) AS DOUBLE) AS sg, CAST(round(sum(CAST(gamma_hat AS DECIMAL(14,12)) * CAST(gamma_hat AS DECIMAL(14,12))), 12) AS DOUBLE) AS sgg, count(delta2_hat) AS kd, CAST(sum(CAST(delta2_hat AS DECIMAL(14,12))) AS DOUBLE) AS sd, CAST(round(sum(CAST(delta2_hat AS DECIMAL(14,12)) * CAST(delta2_hat AS DECIMAL(14,12))), 12) AS DOUBLE) AS sdd FROM gb2 GROUP BY 1), pr2 AS MATERIALIZED (SELECT batch, sg / k AS gamma_bar, CASE WHEN k > 1 THEN (sgg - sg * sg / k) / (k - 1) END AS tau2, sd / kd AS d_mean, CASE WHEN kd > 1 THEN (sdd - sd * sd / kd) / (kd - 1) END AS d_var FROM pr), pr3 AS MATERIALIZED (SELECT batch, gamma_bar, tau2, d_mean, CAST(2.0 AS DOUBLE) + d_mean * d_mean / (CASE WHEN d_var > 0 THEN d_var END) AS lambda FROM pr2), pr4 AS MATERIALIZED (SELECT *, d_mean * (lambda - CAST(1.0 AS DOUBLE)) AS theta FROM pr3), e0 AS MATERIALIZED (SELECT g.gene, g.batch, g.gamma_hat, g.n, coalesce(g.delta2_hat, p.d_mean, CAST(1.0 AS DOUBLE)) AS d2h, p.gamma_bar, coalesce(p.tau2, CAST(0.0 AS DOUBLE)) AS tau2, coalesce(p.lambda, CAST(2.0 AS DOUBLE)) AS lam, coalesce(p.theta, g.delta2_hat, p.d_mean, CAST(1.0 AS DOUBLE)) AS th, g.gamma_hat AS g_cur, greatest(coalesce(g.delta2_hat, p.d_mean, CAST(1.0 AS DOUBLE)), 1e-8) AS d2_cur FROM gb2 g JOIN pr4 p USING (batch))"""
+    val base = s"""d AS MATERIALIZED (SELECT CAST(l_partkey % 50 AS VARCHAR) AS gene, l_orderkey * 10 + l_linenumber AS sample, l_extendedprice AS value, concat('b', CAST((l_orderkey * 10 + l_linenumber) % 3 AS VARCHAR)) AS batch FROM lineitem), gs AS MATERIALIZED (SELECT gene, count(value) AS n_g, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s1, CAST(sum(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s2 FROM d GROUP BY 1), gs2 AS MATERIALIZED (SELECT gene, s1 / n_g AS alpha, CASE WHEN n_g > 1 THEN sqrt(greatest((s2 - s1 * s1 / n_g) / (n_g - 1), CAST(0.0 AS DOUBLE))) END AS sigma FROM gs), z AS MATERIALIZED (SELECT d.gene, d.sample, d.batch, d.value, g.alpha, g.sigma, (d.value - g.alpha) / (CASE WHEN g.sigma > 0 THEN g.sigma END) AS z FROM d JOIN gs2 g USING (gene)), z6t AS MATERIALIZED (SELECT *, ${q("z", "1000000.0")} AS z6 FROM z), gb AS MATERIALIZED (SELECT gene, batch, count(z6) AS n, CAST(sum(CAST(z6 AS DECIMAL(17,6))) AS DOUBLE) AS sz, CAST(round(sum(CAST(z6 AS DECIMAL(17,6)) * CAST(z6 AS DECIMAL(17,6))), 8) AS DOUBLE) AS szz FROM z6t GROUP BY 1, 2), gb2 AS MATERIALIZED (SELECT gene, batch, n, ${q("sz / n", "1000000000000.0")} AS gamma_hat, CASE WHEN n > 1 THEN ${q("(szz - sz * sz / n) / (n - 1)", "1000000000000.0")} END AS delta2_hat FROM gb), pr AS MATERIALIZED (SELECT batch, count(*) AS k, CAST(sum(CAST(gamma_hat AS DECIMAL(14,12))) AS DOUBLE) AS sg, CAST(round(sum(CAST(gamma_hat AS DECIMAL(14,12)) * CAST(gamma_hat AS DECIMAL(14,12))), 12) AS DOUBLE) AS sgg, count(delta2_hat) AS kd, CAST(sum(CAST(delta2_hat AS DECIMAL(14,12))) AS DOUBLE) AS sd, CAST(round(sum(CAST(delta2_hat AS DECIMAL(14,12)) * CAST(delta2_hat AS DECIMAL(14,12))), 12) AS DOUBLE) AS sdd FROM gb2 GROUP BY 1), pr2 AS MATERIALIZED (SELECT batch, sg / k AS gamma_bar, CASE WHEN k > 1 THEN (sgg - sg * sg / k) / (k - 1) END AS tau2, sd / kd AS d_mean, CASE WHEN kd > 1 THEN (sdd - sd * sd / kd) / (kd - 1) END AS d_var FROM pr), pr3 AS MATERIALIZED (SELECT batch, gamma_bar, tau2, d_mean, CAST(2.0 AS DOUBLE) + d_mean * d_mean / (CASE WHEN d_var > 0 THEN d_var END) AS lambda FROM pr2), pr4 AS MATERIALIZED (SELECT *, d_mean * (lambda - CAST(1.0 AS DOUBLE)) AS theta FROM pr3), e0 AS MATERIALIZED (SELECT g.gene, g.batch, g.gamma_hat, g.n, coalesce(g.delta2_hat, p.d_mean, CAST(1.0 AS DOUBLE)) AS d2h, p.gamma_bar, coalesce(p.tau2, CAST(0.0 AS DOUBLE)) AS tau2, coalesce(p.lambda, CAST(2.0 AS DOUBLE)) AS lam, coalesce(p.theta, g.delta2_hat, p.d_mean, CAST(1.0 AS DOUBLE)) AS th, g.gamma_hat AS g_cur, greatest(coalesce(g.delta2_hat, p.d_mean, CAST(1.0 AS DOUBLE)), 1e-8) AS d2_cur FROM gb2 g JOIN pr4 p USING (batch))"""
     val its = (1 to iters).map { k =>
       s"""e$k AS MATERIALIZED (SELECT gene, batch, gamma_hat, n, d2h, gamma_bar, tau2, lam, th, g_new AS g_cur, greatest((th + CAST(0.5 AS DOUBLE) * ((n - 1) * d2h + n * (gamma_hat - g_new) * (gamma_hat - g_new))) / (n / CAST(2.0 AS DOUBLE) + lam - CAST(1.0 AS DOUBLE)), 1e-8) AS d2_cur FROM (SELECT *, CASE WHEN tau2 > 0 THEN (n * tau2 * gamma_hat + d2_cur * gamma_bar) / (n * tau2 + d2_cur) ELSE gamma_bar END AS g_new FROM e${k - 1}))"""
     }.mkString(", ")
