@@ -43,7 +43,11 @@ def main():
     for f in os.listdir(sf_dir):
         if f.endswith('.parquet'):
             name = f[:-8]
-            con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{sf_dir}/{f}')")
+            # driver tables are single files; Spark-written tables (e.g. the
+            # ScaleCheck sfx10 set) are directories of part files
+            path = os.path.join(sf_dir, f)
+            src = f"{path}/*.parquet" if os.path.isdir(path) else path
+            con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{src}')")
     oracle = json.load(open(os.path.join(out_dir, 'oracle_sql.json')))
     results = {}
     for q in sorted(os.listdir(out_dir)):
