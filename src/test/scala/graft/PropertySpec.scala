@@ -191,6 +191,70 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("KNN impute equals a brute-force reference on generated matrices") {
+    // random (entity × sample) grids with ~20% missing cells, 2-decimal
+    // values (so donor means terminate well inside the 6-decimal output
+    // grid — no rounding-boundary luck), random k. Exercises the row/col
+    // missing-fraction filters, the >=2-shared-sample distance guard, the
+    // rounded-distance donor tie-break, and cells no donor can fill.
+    val gen = for {
+      k <- Gen.choose(1, 4)
+      cells <- Gen.sequence[List[(Int, Int, Option[Double])], (Int, Int, Option[Double])](
+        for { e <- (0 until 8).toList; s <- 0 until 6 } yield
+          for {
+            miss <- Gen.prob(0.2)
+            cents <- Gen.choose(0, 10000)
+          } yield (e, s, if (miss) None else Some(cents / 100.0)))
+    } yield (k, cells)
+    def r6(d: Double): Double =
+      BigDecimal.valueOf(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).doubleValue
+    var sawImputed, sawUnfillable, sawDropped = false
+    forAllN(6, gen) { case (k, cells) =>
+      val ents = cells.map { case (e, s, v) => (s"e$e", s"s$s", v) }
+      // brute-force reference, mirroring impute.knn semantics
+      val rowOk = ents.groupBy(_._1).collect {
+        case (e, cs) if cs.count(_._3.isEmpty).toDouble / cs.size <= 0.2 => e
+      }.toSet
+      val colOk = ents.groupBy(_._2).collect {
+        case (s, cs) if cs.count(_._3.isEmpty).toDouble / cs.size <= 0.2 => s
+      }.toSet
+      val kept = ents.filter(c => rowOk(c._1) && colOk(c._2))
+      val byEnt: Map[String, Map[String, Double]] = kept.groupBy(_._1)
+        .map { case (e, cs) => e -> cs.collect { case (_, s, Some(v)) => s -> v }.toMap }
+      def dist(a: String, b: String): Option[Double] = {
+        val shared = (byEnt(a).keySet & byEnt(b).keySet).toSeq.sorted
+        if (shared.size < 2) None
+        else Some(math.sqrt(shared.map { s =>
+          val d = byEnt(a)(s) - byEnt(b)(s); d * d
+        }.sum / shared.size))
+      }
+      val needy = kept.collect { case (e, s, None) => (e, s) }
+      val expected = kept.map { case (e, s, v) =>
+        val imputed = v.orElse {
+          val donors = byEnt.keys.filter(_ != e).toSeq
+            .flatMap(d => dist(e, d).filter(_ => byEnt(d).contains(s))
+              .map(dd => (r6(dd), d)))
+            .sorted.take(k)
+          if (donors.isEmpty) None
+          else Some(r6(donors.map { case (_, d) => byEnt(d)(s) }.sum / donors.size))
+        }
+        (e, s, v, imputed)
+      }.toSet
+      val got = graft.omics.Impute.knnImpute(
+          ents.toDF("entity", "sample", "value"), "entity", "sample", "value", k = k)
+        .select("entity", "sample", "value", "value_imputed")
+        .as[(String, String, Option[Double], Option[Double])].collect().toSet
+      assert(got == expected,
+        s"k=$k\n  missing-from-engine=${expected -- got}\n  extra=${got -- expected}")
+      sawImputed ||= expected.exists(r => r._3.isEmpty && r._4.isDefined)
+      sawUnfillable ||= expected.exists(r => r._3.isEmpty && r._4.isEmpty)
+      sawDropped ||= kept.size < ents.size
+    }
+    // the generated cases must actually exercise the interesting branches
+    assert(sawImputed && sawDropped,
+      s"vacuous generation: imputed=$sawImputed dropped=$sawDropped unfillable=$sawUnfillable")
+  }
+
   test("BH adjustment is monotone in rank and bounded by 1") {
     val gen = Gen.listOfN(25, Gen.choose(0.0, 1.0))
     forAllN(8, gen) { ps =>
