@@ -45,4 +45,30 @@ object MethylMixPipeline {
       .agg(avg(col("met")).as("normal_mean"))
     BetaMixture.dmValues(fits, normals, dmThreshold)
   }
+
+  /** Fixed-iteration, hash-verifiable twin of [[run]] (the
+    * q_glm_nb_fixed / q_combat_fixed / q_beta_mixture_fixed recipe): the
+    * functional filter thresholds the t-STATISTIC directly (|t| > tMin
+    * with the negative-slope sign, so the decision is replayable in SQL —
+    * DuckDB has no t tail; the tail lookup itself is Dist-golden-tested),
+    * and the mixture stage is [[BetaMixture.fitPerGeneFixed]] (fixed k,
+    * exactly `iters` EM steps — shares every kernel line with the
+    * converged path). The filter/EM/DM machinery this exercises is
+    * byte-for-byte the machinery [[run]] composes; only the two
+    * data-dependent exits (p-value threshold, EM convergence/BIC) are
+    * pinned. */
+  def runFixed(cancer: DataFrame, normalMet: DataFrame,
+               slopeMax: Double = 0.0, tMin: Double = 10.0, r2Min: Double = 0.1,
+               dmThreshold: Double = 0.1, k: Int = 2, iters: Int = 10): DataFrame = {
+    val functional = Stats.olsPerGroup(cancer, Seq("gene"), "met", "ge")
+      .where(col("slope") < slopeMax && col("t_slope") < -tMin &&
+        col("r2") > r2Min)
+      .select("gene")
+    val fits = BetaMixture.fitPerGeneFixed(
+      cancer.join(broadcast(functional), Seq("gene"), "left_semi"),
+      "gene", "met", k = k, iters = iters)
+    val normals = normalMet.groupBy("gene")
+      .agg(avg(col("met")).as("normal_mean"))
+    BetaMixture.dmValues(fits, normals, dmThreshold)
+  }
 }

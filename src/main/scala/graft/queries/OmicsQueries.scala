@@ -298,9 +298,14 @@ object OmicsQueries {
     * kernel line for line; ln(1-v) vs the kernel's log1p(-v) and the
     * engines' exp/ln/lgamma differ only at ulp scale, which the final
     * rounding absorbs (EM is contractive). */
-  private def betaMixtureFixedOracleSql(iters: Int): String = {
-    def rnd(x: String, dec: Int) =
-      s"CAST(round(CAST(CAST($x AS VARCHAR) AS DECIMAL(38,12)), $dec) AS DOUBLE)"
+  private[queries] def rndSql(x: String, dec: Int): String =
+    s"CAST(round(CAST(CAST($x AS VARCHAR) AS DECIMAL(38,12)), $dec) AS DOUBLE)"
+
+  /** The EM-unroll CTE chain (raw → hist → gn → ch → ia → s0 → e1/s1 …
+    * e`iters`/s`iters`) over a caller-supplied `raw` subquery producing
+    * (gene VARCHAR, v DOUBLE in (0,1)). Shared by the standalone
+    * q_beta_mixture_fixed oracle and the composed MethylMix twin. */
+  private[queries] def betaMixtureFixedCtes(iters: Int, rawSql: String): String = {
     val one = "CAST(1.0 AS DOUBLE)"
     val zero = "CAST(0.0 AS DOUBLE)"
     val p999 = "CAST(0.999 AS DOUBLE)"
@@ -313,7 +318,7 @@ object OmicsQueries {
     val c1 = s"greatest($zero, least(c.cend, $h0) - greatest(c.cend - c.cnt, $zero))"
     val c2 = s"greatest($zero, least(c.cend, $h1) - greatest(c.cend - c.cnt, $lo1))"
     val base =
-      s"""raw AS MATERIALIZED (SELECT CAST(l_partkey % 500 AS VARCHAR) AS gene, least($one - 1e-6, greatest(1e-6, (l_discount + CAST(0.005 AS DOUBLE)) / CAST(0.12 AS DOUBLE))) AS v FROM lineitem), """ +
+      s"""raw AS MATERIALIZED ($rawSql), """ +
       s"""hist AS MATERIALIZED (SELECT gene, v, CAST(count(*) AS DOUBLE) AS cnt, ln(v) AS lx, ln($one - v) AS l1x FROM raw GROUP BY 1, 2), """ +
       s"""gn AS MATERIALIZED (SELECT gene, CAST(sum(cnt) AS BIGINT) AS nb, sum(cnt) AS nd FROM hist GROUP BY 1 HAVING sum(cnt) >= 4), """ +
       s"""ch AS MATERIALIZED (SELECT gene, v, cnt, lx, l1x, sum(cnt) OVER (PARTITION BY gene ORDER BY v ROWS UNBOUNDED PRECEDING) AS cend FROM hist), """ +
@@ -325,7 +330,20 @@ object OmicsQueries {
       s"""e$k AS MATERIALIZED (SELECT gene, nb, nd, a1, b1, w1, a2, b2, w2, sum(cnt * rsp1) AS w1n, sum(cnt * rsp1 * v) AS m11, sum(cnt * rsp1 * v * v) AS m21, sum(cnt * rsp2) AS w2n, sum(cnt * rsp2 * v) AS m12, sum(cnt * rsp2 * v * v) AS m22, sum(cnt * (mx + ln(tot))) AS ll FROM (SELECT *, r1 / tot AS rsp1, r2 / tot AS rsp2 FROM (SELECT *, r1 + r2 AS tot FROM (SELECT *, CASE WHEN ld1 - mx < -700 THEN $zero ELSE exp(ld1 - mx) END AS r1, CASE WHEN ld2 - mx < -700 THEN $zero ELSE exp(ld2 - mx) END AS r2 FROM (SELECT *, greatest(ld1, ld2) AS mx FROM (SELECT c.gene, c.v, c.cnt, s.nb, s.nd, s.a1, s.b1, s.w1, s.a2, s.b2, s.w2, ${lnd("s.a1", "s.b1", "s.w1")} AS ld1, ${lnd("s.a2", "s.b2", "s.w2")} AS ld2 FROM ch c JOIN s${k - 1} s USING (gene)))))) GROUP BY 1, 2, 3, 4, 5, 6, 7, 8, 9), """ +
       s"""s$k AS MATERIALIZED (SELECT gene, nb, nd, ll, CASE WHEN w1n < 1e-12 THEN a1 ELSE greatest(mu1 * t1, 1e-3) END AS a1, CASE WHEN w1n < 1e-12 THEN b1 ELSE greatest(($one - mu1) * t1, 1e-3) END AS b1, CASE WHEN w1n < 1e-12 THEN w1 ELSE w1n / nd END AS w1, CASE WHEN w2n < 1e-12 THEN a2 ELSE greatest(mu2 * t2, 1e-3) END AS a2, CASE WHEN w2n < 1e-12 THEN b2 ELSE greatest(($one - mu2) * t2, 1e-3) END AS b2, CASE WHEN w2n < 1e-12 THEN w2 ELSE w2n / nd END AS w2 FROM (SELECT *, cap1 / vv1 - $one AS t1, cap2 / vv2 - $one AS t2 FROM (SELECT *, least(v1, cap1 * $p999) AS vv1, least(v2, cap2 * $p999) AS vv2 FROM (SELECT *, mu1 * ($one - mu1) AS cap1, mu2 * ($one - mu2) AS cap2 FROM (SELECT *, greatest(m21 / w1n - mu1 * mu1, 1e-8) AS v1, greatest(m22 / w2n - mu2 * mu2, 1e-8) AS v2 FROM (SELECT *, m11 / w1n AS mu1, m12 / w2n AS mu2 FROM e$k))))))"""
     }.mkString(", ")
-    s"""WITH $base, $its, fin AS (SELECT gene, nd, ll, a1 AS a, b1 AS b, w1 AS weight, a1 / (a1 + b1) AS mean, 1 AS j FROM s$iters UNION ALL SELECT gene, nd, ll, a2, b2, w2, a2 / (a2 + b2), 2 FROM s$iters) SELECT gene, CAST(2 AS INTEGER) AS n_components, CAST(row_number() OVER (PARTITION BY gene ORDER BY mean, j) AS INTEGER) AS comp, ${rnd("a", 6)} AS a, ${rnd("b", 6)} AS b, ${rnd("weight", 6)} AS weight, ${rnd("mean", 6)} AS mean, ${rnd("ll", 3)} AS log_lik, ${rnd(s"CAST(-2.0 AS DOUBLE) * ll + CAST(5.0 AS DOUBLE) * ln(nd)", 3)} AS bic FROM fin"""
+    s"$base, $its"
+  }
+
+  /** Per-component final projection over the unroll's s`iters` state:
+    * canonical mean-ordered comp numbering, the fixed-k twin's
+    * n_components, and the raw (unrounded) a/b/weight/mean/ll columns. */
+  private[queries] def betaMixtureFixedFinCte(iters: Int): String =
+    s"fin AS (SELECT gene, nd, ll, a1 AS a, b1 AS b, w1 AS weight, a1 / (a1 + b1) AS mean, 1 AS j FROM s$iters UNION ALL SELECT gene, nd, ll, a2, b2, w2, a2 / (a2 + b2), 2 FROM s$iters)"
+
+  private def betaMixtureFixedOracleSql(iters: Int): String = {
+    def rnd = rndSql _
+    val one = "CAST(1.0 AS DOUBLE)"
+    val raw = s"SELECT CAST(l_partkey % 500 AS VARCHAR) AS gene, least($one - 1e-6, greatest(1e-6, (l_discount + CAST(0.005 AS DOUBLE)) / CAST(0.12 AS DOUBLE))) AS v FROM lineitem"
+    s"""WITH ${betaMixtureFixedCtes(iters, raw)}, ${betaMixtureFixedFinCte(iters)} SELECT gene, CAST(2 AS INTEGER) AS n_components, CAST(row_number() OVER (PARTITION BY gene ORDER BY mean, j) AS INTEGER) AS comp, ${rnd("a", 6)} AS a, ${rnd("b", 6)} AS b, ${rnd("weight", 6)} AS weight, ${rnd("mean", 6)} AS mean, ${rnd("ll", 3)} AS log_lik, ${rnd(s"CAST(-2.0 AS DOUBLE) * ll + CAST(5.0 AS DOUBLE) * ln(nd)", 3)} AS bic FROM fin"""
   }
 
   /** DuckDB replay of clusterProbesPerGene over the q_hclust_probes

@@ -164,21 +164,34 @@ object PipelineQueries {
       // independently hash-verified (q_ols / q_beta_mixture goldens /
       // q_group_mean).
       (s, d) => {
-        val cells = t(s, d, "lineitem")
-          .groupBy((col("l_partkey") % 200).as("g"), col("l_suppkey").as("sk"))
-          .agg(((Q.sumDec(col("l_discount")) / count(lit(1)) + lit(0.005)) / lit(0.12)).as("met"))
-          .withColumn("gene", concat(lit("g"), col("g").cast("string")))
-          .withColumn("sample", col("sk").cast("string"))
-          .withColumn("ge", when(col("g") % 2 === 0,
-              lit(2.0) - col("met") * 3.0 + (col("sk") % 7).cast("double") * 0.001)
-            .otherwise((col("sk") % 13).cast("double") * 0.05))
-        val cancer = cells.where(col("sk") % 4 =!= 0)
-          .select("gene", "sample", "met", "ge")
-        val normal = cells.where(col("sk") % 4 === 0)
-          .select("gene", "sample", "met")
+        val (cancer, normal) = methylMixCohorts(s, d)
         graft.pipelines.MethylMixPipeline.run(cancer, normal)
       },
       None),
+
+    Entry("q_pipeline_methylmix_fixed",
+      // the hash-verified twin of q_pipeline_methylmix (the
+      // q_glm_nb_fixed / q_combat_fixed / q_beta_mixture_fixed recipe
+      // applied at the COMPOSITION level): the lm filter thresholds the
+      // t-statistic directly (|t| > 10 with negative slope — DuckDB has
+      // no t tail; Dist goldens cover the tail lookup) and the mixture
+      // stage runs fixed k=2 for exactly 10 EM steps, so the whole
+      // lifecycle — filter decision, EM recurrence, normal means, DM
+      // call — is replayed in one oracle: the filter as moment CTEs,
+      // the EM via the shared unroll (betaMixtureFixedCtes over the
+      // functional cancer cells), then dm/state on top.
+      (s, d) => {
+        val (cancer, normal) = methylMixCohorts(s, d)
+        graft.pipelines.MethylMixPipeline.runFixed(cancer, normal)
+          .select(col("gene"), col("n_components"), col("comp"),
+            r6(col("a")).as("a"), r6(col("b")).as("b"),
+            r6(col("weight")).as("weight"), r6(col("mean")).as("mean"),
+            round(col("log_lik"), 3).as("log_lik"),
+            round(col("bic"), 3).as("bic"),
+            r6(col("normal_mean")).as("normal_mean"),
+            col("dm"), col("state"))
+      },
+      Some(methylMixFixedOracleSql(iters = 10))),
 
     Entry("q_permutation_null",
       // seeded permutation-null machinery (SignificanceTest.R:28-74,
@@ -201,4 +214,51 @@ object PipelineQueries {
       },
       Some("""WITH orig AS (SELECT o_orderpriority, o_orderkey, o_totalprice, row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_orderkey) AS slot FROM orders), perm AS (SELECT o_orderpriority, o_totalprice AS perm_price, row_number() OVER (PARTITION BY o_orderpriority ORDER BY md5(concat('seed42:', CAST(o_orderkey AS VARCHAR))), o_orderkey) AS slot FROM orders) SELECT o.o_orderpriority, round(corr(o.o_totalprice, p.perm_price), 6) AS null_corr, count(*) AS n FROM orig o JOIN perm p ON o.o_orderpriority = p.o_orderpriority AND o.slot = p.slot GROUP BY 1"""))
   )
+
+  /** Shared MethylMix fixture over lineitem: 200 genes × suppkey samples,
+    * met = exact-decimal discount mean mapped into (0,1); even genes get
+    * ge exactly anti-correlated with met (plus a small sample jitter so
+    * residual variance is positive), odd genes met-independent ge. The
+    * sk%4 split yields (cancer, normal) cohorts. All arithmetic is a
+    * fixed IEEE expression tree over exact decimal sums, so the oracle
+    * lands on bit-identical met/ge doubles. */
+  private def methylMixCohorts(s: org.apache.spark.sql.SparkSession,
+                               d: String): (org.apache.spark.sql.DataFrame,
+                                            org.apache.spark.sql.DataFrame) = {
+    val cells = t(s, d, "lineitem")
+      .groupBy((col("l_partkey") % 200).as("g"), col("l_suppkey").as("sk"))
+      .agg(((Q.sumDec(col("l_discount")) / count(lit(1)) + lit(0.005)) / lit(0.12)).as("met"))
+      .withColumn("gene", concat(lit("g"), col("g").cast("string")))
+      .withColumn("sample", col("sk").cast("string"))
+      .withColumn("ge", when(col("g") % 2 === 0,
+          lit(2.0) - col("met") * 3.0 + (col("sk") % 7).cast("double") * 0.001)
+        .otherwise((col("sk") % 13).cast("double") * 0.05))
+    val cancer = cells.where(col("sk") % 4 =!= 0)
+      .select("gene", "sample", "met", "ge")
+    val normal = cells.where(col("sk") % 4 === 0)
+      .select("gene", "sample", "met")
+    (cancer, normal)
+  }
+
+  /** DuckDB replay of MethylMixPipeline.runFixed over the methylMixCohorts
+    * fixture: the fixture as moment-exact CTEs, olsPerGroup's moment
+    * algebra mirrored term for term (the t < -10 / r2 > 0.1 / slope < 0
+    * decisions ride double sums whose cross-engine ulp drift is far from
+    * the planted fixture's decision boundaries), the shared EM unroll
+    * (OmicsQueries.betaMixtureFixedCtes) over the functional cancer
+    * cells, then normal means, dm and the hyper/hypo/neutral call. */
+  private def methylMixFixedOracleSql(iters: Int): String = {
+    def rnd = OmicsQueries.rndSql _
+    val fixture =
+      "mxg AS MATERIALIZED (SELECT l_partkey % 200 AS g, l_suppkey AS sk, (CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*) + CAST(0.005 AS DOUBLE)) / CAST(0.12 AS DOUBLE) AS met FROM lineitem GROUP BY 1, 2), " +
+      "mxc AS MATERIALIZED (SELECT concat('g', CAST(g AS VARCHAR)) AS gene, g, sk, met, CASE WHEN g % 2 = 0 THEN CAST(2.0 AS DOUBLE) - met * CAST(3.0 AS DOUBLE) + CAST(sk % 7 AS DOUBLE) * CAST(0.001 AS DOUBLE) ELSE CAST(sk % 13 AS DOUBLE) * CAST(0.05 AS DOUBLE) END AS ge FROM mxg), " +
+      "cancer AS MATERIALIZED (SELECT gene, met, ge FROM mxc WHERE sk % 4 <> 0), " +
+      "normals AS MATERIALIZED (SELECT gene, avg(met) AS normal_mean FROM mxc WHERE sk % 4 = 0 GROUP BY 1), " +
+      "mxo AS MATERIALIZED (SELECT gene, CAST(count(*) AS DOUBLE) AS n, avg(met) AS xbar, avg(ge) AS ybar, sum(met * met) AS sxx0, sum(met * ge) AS sxy0, sum(ge * ge) AS syy0 FROM cancer GROUP BY 1), " +
+      "mxo2 AS MATERIALIZED (SELECT gene, n, sxx0 - n * xbar * xbar AS sxx, sxy0 - n * xbar * ybar AS sxy, syy0 - n * ybar * ybar AS syy FROM mxo), " +
+      "mxo3 AS MATERIALIZED (SELECT gene, sxy / sxx AS slope, sxy * sxy / (sxx * syy) AS r2, (sxy / sxx) / sqrt(((syy - (sxy / sxx) * sxy) / (n - 2)) / sxx) AS t FROM mxo2), " +
+      "functional AS MATERIALIZED (SELECT gene FROM mxo3 WHERE slope < CAST(0.0 AS DOUBLE) AND t < CAST(-10.0 AS DOUBLE) AND r2 > CAST(0.1 AS DOUBLE))"
+    val raw = "SELECT c.gene, least(CAST(1.0 AS DOUBLE) - 1e-6, greatest(1e-6, c.met)) AS v FROM cancer c JOIN functional f USING (gene)"
+    s"""WITH $fixture, ${OmicsQueries.betaMixtureFixedCtes(iters, raw)}, ${OmicsQueries.betaMixtureFixedFinCte(iters)}, fin2 AS (SELECT f.gene, f.nd, f.ll, f.a, f.b, f.weight, f.mean, f.j, n.normal_mean, ${rnd("f.mean - n.normal_mean", 6)} AS dm FROM fin f JOIN normals n USING (gene)) SELECT gene, CAST(2 AS INTEGER) AS n_components, CAST(row_number() OVER (PARTITION BY gene ORDER BY mean, j) AS INTEGER) AS comp, ${rnd("a", 6)} AS a, ${rnd("b", 6)} AS b, ${rnd("weight", 6)} AS weight, ${rnd("mean", 6)} AS mean, ${rnd("ll", 3)} AS log_lik, ${rnd("CAST(-2.0 AS DOUBLE) * ll + CAST(5.0 AS DOUBLE) * ln(nd)", 3)} AS bic, ${rnd("normal_mean", 6)} AS normal_mean, dm, CASE WHEN dm > CAST(0.1 AS DOUBLE) THEN 'hyper' WHEN dm < CAST(-0.1 AS DOUBLE) THEN 'hypo' ELSE 'neutral' END AS state FROM fin2"""
+  }
 }

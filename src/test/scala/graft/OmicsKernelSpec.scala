@@ -259,6 +259,38 @@ class OmicsKernelSpec extends SparkSpec {
     assert(out.head.getAs[Int]("n_components") == 2)
   }
 
+  test("fixed-iteration MethylMix pipeline agrees with the converged run") {
+    import graft.pipelines.MethylMixPipeline
+    // same planted fixture as the converged-pipeline test: gA driven
+    // (bimodal met, negative slope — |t| far beyond the twin's 10 cut),
+    // gB undriven (t near 0) — both filters must make the same call,
+    // and the k=2 fixed fit must land on the converged components
+    val cancer = (1 to 60).map { i =>
+      val metA = if (i % 2 == 0) 0.8 + 0.001 * (i % 5) else 0.2 + 0.001 * (i % 5)
+      val geA = 5.0 - 4.0 * metA + 0.01 * (i % 3)
+      ("gA", s"s$i", metA, geA)
+    } ++ (1 to 60).map { i =>
+      ("gB", s"s$i", 0.3 + 0.005 * (i % 20), (i % 11) * 1.0)
+    }
+    val normal = (1 to 20).map(i => ("gA", s"n$i", 0.5)) ++
+      (1 to 20).map(i => ("gB", s"n$i", 0.3))
+    val conv = MethylMixPipeline.run(
+      cancer.toDF("gene", "sample", "met", "ge"),
+      normal.toDF("gene", "sample", "met")).collect()
+    val fixed = MethylMixPipeline.runFixed(
+      cancer.toDF("gene", "sample", "met", "ge"),
+      normal.toDF("gene", "sample", "met")).collect()
+    assert(fixed.map(_.getAs[String]("gene")).toSet == Set("gA"),
+      "twin filter decision differs")
+    assert(fixed.length == conv.length)
+    val cs = conv.sortBy(_.getAs[Double]("mean"))
+    val fs = fixed.sortBy(_.getAs[Double]("mean"))
+    cs.zip(fs).foreach { case (c, f) =>
+      assert(math.abs(c.getAs[Double]("mean") - f.getAs[Double]("mean")) < 1e-4)
+      assert(c.getAs[String]("state") == f.getAs[String]("state"))
+    }
+  }
+
   test("fixed-iteration ComBat agrees with the converged path") {
     // 2-decimal values (the replayable kernel's exact-decimal contract)
     val rng = new scala.util.Random(11)
