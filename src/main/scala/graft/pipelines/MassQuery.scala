@@ -88,14 +88,17 @@ private[pipelines] case class MassKeepExpr(
     val ref = ctx.addReferenceObj("massKeep", this)
     val evs = children.map(_.genCode(ctx))
     import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    // No template line may BEGIN with '|': the code interpolator
+    // margin-strips it, emitting invalid Java — the stage then silently
+    // demotes to interpreted eval (janino "is not a type" in the logs).
     ev.copy(code =
       code"""
         ${evs(0).code}
         ${evs(1).code}
         ${evs(2).code}
         ${evs(3).code}
-        final boolean ${ev.value} = !(${evs(0).isNull} || ${evs(1).isNull}
-          || ${evs(2).isNull}) && $ref.keep(${evs(0).value},
+        final boolean ${ev.value} = !(${evs(0).isNull} || ${evs(1).isNull} ||
+          ${evs(2).isNull}) && $ref.keep(${evs(0).value},
           ${evs(1).value}, ${evs(2).value},
           ${evs(3).isNull} ? null : ${evs(3).value});
       """, isNull = FalseLiteral)
