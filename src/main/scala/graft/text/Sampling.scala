@@ -1,0 +1,176 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+/** Deterministic sampling / splitting / ordering operators for training-data
+  * pipelines: stable train/val/test assignment, per-stratum downsampling,
+  * global shuffle order, and concat-then-split sequence packing.
+  *
+  * Everything here is reproducible by construction — no `rand()`: each row's
+  * fate is a pure function of (seed, key). That is the property a 100 TB
+  * corpus build actually needs (re-running a failed stage, adding a source,
+  * or changing executor count must not resample the corpus), and it is what
+  * makes the operators oracle-checkable at all.
+  *
+  * The uniform draw stays in STRING space end to end: 15 lowercase hex chars
+  * of md5 read as a base-16 fraction, compared lexicographically against a
+  * precomputed hex threshold literal. Both Spark and DuckDB emit identical
+  * lowercase-hex md5 over UTF-8 bytes, so an oracle replays the exact keep
+  * decision with no hex-to-integer conversion seam (the [[hexThreshold]]
+  * literal is computed once, on the driver, and inlined into both plans).
+  *
+  * Scale shapes:
+  *  - [[splitAssign]] / [[stratifiedSample]]: pure codegen'd column
+  *    pipelines — zero shuffle, one pass, stream through the scan.
+  *  - [[shuffleOrder]] / [[packSequences]]: one range exchange + the
+  *    textbook two-pass distributed prefix sum ([[withRunningOffset]]) —
+  *    driver state is one long per partition, never row data.
+  */
+object Sampling {
+
+  /** Uniform draw in [0,1) for (seed, key), as 15 lowercase hex chars of
+    * md5 (60 bits — exact in a long, exceeds double precision). */
+  def hashFrac(key: Column, seed: Long): Column =
+    substring(md5(concat(lit(s"$seed:"), key.cast("string"))), 1, 15)
+
+  /** SQL twin of [[hashFrac]] for oracle construction. */
+  def hashFracSql(keyExpr: String, seed: Long): String =
+    s"substring(md5('$seed:' || CAST($keyExpr AS VARCHAR)), 1, 15)"
+
+  /** rate in [0,1] -> threshold string with P[hashFrac < threshold] = rate
+    * at 60-bit resolution. rate >= 1 returns "g", which every hex string
+    * sorts below (hex digits stop at 'f'), so the keep test stays a plain
+    * string compare even in the keep-everything case. */
+  def hexThreshold(rate: Double): String = {
+    require(rate >= 0.0 && rate <= 1.0, s"rate out of [0,1]: $rate")
+    if (rate >= 1.0) "g"
+    else {
+      val n = (BigDecimal(rate) * BigDecimal(BigInt(1) << 60)).toBigInt
+      f"${n.bigInteger}%015x"
+    }
+  }
+
+  /** Deterministic train/val/test-style assignment: adds a `split` column
+    * naming the first cut whose cumulative fraction exceeds the row's hash.
+    * cuts are (name, fraction) and must sum to 1; the last cut is the CASE
+    * else-branch so rounding in the cumulative sum can never drop a row. */
+  def splitAssign(df: DataFrame, keyCol: String, seed: Long,
+                  cuts: Seq[(String, Double)]): DataFrame = {
+    val pairs = cutThresholds(cuts)
+    val h = hashFrac(col(keyCol), seed)
+    val expr = pairs.init.foldRight(lit(pairs.last._1): Column) {
+      case ((name, thr), els) => when(h < lit(thr), lit(name)).otherwise(els)
+    }
+    df.withColumn("split", expr)
+  }
+
+  /** SQL twin of [[splitAssign]]'s CASE, sharing the exact threshold
+    * literals (same cumulative-sum arithmetic, same [[hexThreshold]]). */
+  def splitAssignSql(keyExpr: String, seed: Long,
+                     cuts: Seq[(String, Double)]): String = {
+    val pairs = cutThresholds(cuts)
+    val h = hashFracSql(keyExpr, seed)
+    val whens = pairs.init
+      .map { case (name, thr) => s"WHEN $h < '$thr' THEN '$name'" }
+      .mkString(" ")
+    s"CASE $whens ELSE '${pairs.last._1}' END"
+  }
+
+  private def cutThresholds(cuts: Seq[(String, Double)]): Seq[(String, String)] = {
+    require(cuts.nonEmpty, "no cuts")
+    val cum = cuts.scanLeft(0.0) { case (acc, (_, f)) => acc + f }.tail
+    require(math.abs(cum.last - 1.0) < 1e-9,
+      s"split fractions must sum to 1, got ${cum.last}")
+    cuts.map(_._1).zip(cum.map(hexThreshold))
+  }
+
+  /** Deterministic per-stratum downsampling: keep a row iff its hash falls
+    * under its stratum's rate. Zero shuffle, exactly reproducible, and
+    * NESTED by construction — the rate-0.2 sample of a stratum is a subset
+    * of its rate-0.5 sample under the same seed (both are hash-prefix
+    * cuts), which is what incremental corpus-mix tuning wants. */
+  def stratifiedSample(df: DataFrame, keyCol: String, stratumCol: String,
+                       rates: Map[String, Double], defaultRate: Double,
+                       seed: Long): DataFrame = {
+    val thr = rates.toSeq.sortBy(_._1)
+      .foldRight(lit(hexThreshold(defaultRate)): Column) {
+        case ((stratum, r), els) =>
+          when(col(stratumCol) === stratum, lit(hexThreshold(r))).otherwise(els)
+      }
+    df.where(hashFrac(col(keyCol), seed) < thr)
+  }
+
+  /** Distributed exclusive prefix sum of `valueCol` (cast to long, null=0)
+    * over the global `orderCols` order, appended as `outCol`.
+    *
+    * Two-pass shape that holds at any scale: range-partition on the order
+    * key, sort within partitions, per-partition sums (a P-row shuffle),
+    * cumulative-sum those P longs on the driver, broadcast the offsets,
+    * then one imperative running-sum pass per partition. The data crosses
+    * the wire once (the range exchange); there is no global
+    * single-partition window anywhere. The per-partition pass is
+    * `mapPartitionsWithIndex` — genuinely imperative per-partition logic,
+    * the documented carve-out for dropping below the DataFrame API. */
+  def withRunningOffset(df: DataFrame, orderCols: Seq[String],
+                        valueCol: Column, outCol: String,
+                        numPartitions: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    val p = if (numPartitions > 0) numPartitions
+            else spark.sessionState.conf.numShufflePartitions
+    val oc = orderCols.map(col)
+    // lazy localCheckpoint: the frame is consumed twice (partition sums,
+    // then the offset pass) — materialize once, reuse blocks, and pin the
+    // partitioning so both passes see identical partition ids.
+    val prepared = df
+      .withColumn("__v", coalesce(valueCol.cast("long"), lit(0L)))
+      .repartitionByRange(p, oc: _*)
+      .sortWithinPartitions(oc: _*)
+      .localCheckpoint(false)
+    val sums = prepared.groupBy(spark_partition_id().as("__pid"))
+      .agg(sum(col("__v")).as("__s"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val nParts = prepared.rdd.getNumPartitions
+    val offsets = new Array[Long](nParts)
+    var acc = 0L
+    var i = 0
+    while (i < nParts) {
+      offsets(i) = acc; acc += sums.getOrElse(i, 0L); i += 1
+    }
+    val bc = spark.sparkContext.broadcast(offsets)
+    val vIdx = prepared.schema.fieldIndex("__v")
+    val outSchema = StructType(
+      prepared.schema.fields :+ StructField(outCol, LongType, nullable = false))
+    val rdd = prepared.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var running = bc.value(pid)
+      it.map { r =>
+        val out = Row.fromSeq(r.toSeq :+ running)
+        running += r.getLong(vIdx)
+        out
+      }
+    }
+    spark.createDataFrame(rdd, outSchema).drop("__v")
+  }
+
+  /** Deterministic global shuffle position: `pos` = the row's rank in
+    * md5-hash order (ties broken by key) — the reproducible analogue of
+    * ORDER BY rand() for training-order randomization. */
+  def shuffleOrder(df: DataFrame, keyCol: String, seed: Long): DataFrame =
+    withRunningOffset(df.withColumn("__h", hashFrac(col(keyCol), seed)),
+      Seq("__h", keyCol), lit(1L), "pos").drop("__h")
+
+  /** Concat-then-split sequence packing: lay documents out in `orderCols`
+    * order as one token stream; each doc gets its global `start_offset`
+    * and `chunk_id` = the fixed-size chunk its first token lands in — the
+    * standard pre-training packing layout (documents straddle chunk
+    * boundaries; a doc belongs to the chunk where it starts). `tokensCol`
+    * must be an existing integral column. */
+  def packSequences(df: DataFrame, orderCols: Seq[String], tokensCol: String,
+                    budget: Long): DataFrame = {
+    require(budget > 0, s"budget must be positive: $budget")
+    withRunningOffset(df, orderCols, col(tokensCol), "start_offset")
+      .withColumn("chunk_id",
+        floor(col("start_offset") / lit(budget.toDouble)).cast("long"))
+  }
+}

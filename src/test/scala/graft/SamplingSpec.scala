@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.text.Sampling
+
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hexThreshold edges and monotonicity") {
+    assert(Sampling.hexThreshold(0.0) == "000000000000000")
+    assert(Sampling.hexThreshold(1.0) == "g")
+    val ts = Seq(0.1, 0.25, 0.5, 0.8, 0.99).map(Sampling.hexThreshold)
+    assert(ts == ts.sorted, "thresholds must be monotone in the rate")
+    assert(ts.forall(t => t.length == 15 && t.forall("0123456789abcdef".contains(_))))
+  }
+
+  test("splitAssign covers every row, hits fractions, and is stable") {
+    val ids = (0 until 20000).toDF("id")
+    val cuts = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val out = Sampling.splitAssign(ids, "id", 42L, cuts).cache()
+    val byCut = out.groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(byCut.values.sum == 20000L, "every row must land in exactly one split")
+    assert(math.abs(byCut("train") / 20000.0 - 0.8) < 0.02)
+    assert(math.abs(byCut("val") / 20000.0 - 0.1) < 0.01)
+    assert(math.abs(byCut("test") / 20000.0 - 0.1) < 0.01)
+    // determinism: independent evaluation produces the identical assignment
+    val again = Sampling.splitAssign(ids.repartition(7), "id", 42L, cuts)
+    assert(out.join(again.withColumnRenamed("split", "s2"), "id")
+      .where(col("split") =!= col("s2")).count() == 0)
+    out.unpersist()
+  }
+
+  test("stratifiedSample rates per stratum; samples are nested across rates") {
+    val rows = (0 until 12000).map(i => (i, if (i % 3 == 0) "en" else if (i % 3 == 1) "de" else "fr"))
+      .toDF("id", "lang")
+    val s1 = Sampling.stratifiedSample(rows, "id", "lang",
+      Map("en" -> 0.5, "de" -> 0.2), 0.1, 7L).cache()
+    val n = s1.groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(math.abs(n("en") / 4000.0 - 0.5) < 0.05)
+    assert(math.abs(n("de") / 4000.0 - 0.2) < 0.04)
+    assert(math.abs(n("fr") / 4000.0 - 0.1) < 0.03)
+    // nested: the 0.2-rate sample of en is a subset of the 0.5-rate one
+    val s2 = Sampling.stratifiedSample(rows, "id", "lang",
+      Map("en" -> 0.2, "de" -> 0.2), 0.1, 7L)
+    assert(s2.select("id").except(s1.select("id")).count() == 0,
+      "hash-threshold samples must be nested across rates")
+    s1.unpersist()
+  }
+
+  test("withRunningOffset equals the single-partition window reference") {
+    val rnd = new scala.util.Random(1)
+    val data = (0 until 1000).map(i => (rnd.nextInt(1000000), rnd.nextInt(100).toLong))
+      .distinct.toDF("k", "v").repartition(8)
+    val got = Sampling.withRunningOffset(data, Seq("k"), col("v"), "off", 8)
+      .select("k", "v", "off").as[(Int, Long, Long)].collect().sortBy(_._1)
+    val sorted = data.as[(Int, Long)].collect().sortBy(_._1)
+    var acc = 0L
+    val expect = sorted.map { case (k, v) => val r = (k, v, acc); acc += v; r }
+    assert(got.toSeq == expect.toSeq)
+  }
+
+  test("shuffleOrder is a deterministic permutation, seed-sensitive") {
+    val ids = (0 until 5000).toDF("id")
+    val p1 = Sampling.shuffleOrder(ids, "id", 13L).as[(Int, Long)].collect()
+    assert(p1.map(_._2).sorted.toSeq == (0L until 5000L), "pos must be a permutation")
+    val p1b = Sampling.shuffleOrder(ids.repartition(5), "id", 13L).as[(Int, Long)].collect()
+    assert(p1.sortBy(_._1).toSeq == p1b.sortBy(_._1).toSeq, "stable under repartition")
+    val p2 = Sampling.shuffleOrder(ids, "id", 14L).as[(Int, Long)].collect()
+    assert(p1.sortBy(_._1).map(_._2).toSeq != p2.sortBy(_._1).map(_._2).toSeq,
+      "different seed must give a different order")
+  }
+
+  test("packSequences: offsets are the running token stream; chunks honor the budget") {
+    val rnd = new scala.util.Random(2)
+    val docs = (0 until 800).map(i => (i, 1 + rnd.nextInt(300))).toDF("id", "n")
+      .repartition(6)
+    val packed = Sampling.packSequences(docs, Seq("id"), "n", 512L)
+      .select("id", "n", "start_offset", "chunk_id")
+      .as[(Int, Int, Long, Long)].collect().sortBy(_._1)
+    var acc = 0L
+    packed.foreach { case (_, n, off, chunk) =>
+      assert(off == acc, s"start_offset must be the exclusive prefix sum (got $off want $acc)")
+      assert(chunk == off / 512L)
+      acc += n
+    }
+  }
+}
