@@ -102,6 +102,37 @@ object Sampling {
     df.where(hashFrac(col(keyCol), seed) < thr)
   }
 
+  /** Deterministic mixture sampling with rates that may EXCEED 1 — the
+    * upsampling half of corpus-mix control (e.g. a high-quality source at
+    * 2.5x: two full copies, plus a third for the hash-chosen half). Emits
+    * one row per kept copy with a `rep` index (0-based), so downstream
+    * shuffling/packing can treat copies as distinct rows. A row keeps copy
+    * `rep` iff rep < floor(rate), or rep == floor(rate) and its hash falls
+    * under the fractional remainder — one draw per row, so the rate-2.5
+    * output contains the rate-2.2 output (nested, like
+    * [[stratifiedSample]]). Zero shuffle: the fan-out is a codegen'd
+    * sequence explode, sized ceil(rate) per stratum. */
+  def sampleWithRepetition(df: DataFrame, keyCol: String, stratumCol: String,
+                           rates: Map[String, Double], defaultRate: Double,
+                           seed: Long): DataFrame = {
+    require((rates.values ++ Seq(defaultRate)).forall(_ >= 0.0),
+      "rates must be non-negative")
+    def byStratum[T](f: Double => T, toCol: T => Column): Column =
+      rates.toSeq.sortBy(_._1).foldRight(toCol(f(defaultRate))) {
+        case ((stratum, r), els) =>
+          when(col(stratumCol) === stratum, toCol(f(r))).otherwise(els)
+      }
+    val nCopies = byStratum[Int](r => math.ceil(r).toInt, lit(_))
+    val fullCopies = byStratum[Int](r => math.floor(r).toInt, lit(_))
+    val fracThr = byStratum[String](r => hexThreshold(r - math.floor(r)), lit(_))
+    val h = hashFrac(col(keyCol), seed)
+    df.withColumn("__n", nCopies)
+      .withColumn("rep", explode(when(col("__n") > 0,
+        sequence(lit(0), col("__n") - 1)).otherwise(lit(Array.empty[Int]))))
+      .where(col("rep") < fullCopies || h < fracThr)
+      .drop("__n")
+  }
+
   /** Distributed exclusive prefix sum of `valueCol` (cast to long, null=0)
     * over the global `orderCols` order, appended as `outCol`.
     *

@@ -47,6 +47,23 @@ class SamplingSpec extends SparkSpec {
     s1.unpersist()
   }
 
+  test("sampleWithRepetition: expected copy counts, full copies always kept, nested") {
+    val rows = (0 until 9000).map(i => (i, s"src${i % 3}")).toDF("id", "src")
+    val up = Sampling.sampleWithRepetition(rows, "id", "src",
+      Map("src0" -> 2.5, "src1" -> 1.0), 0.4, 21L).cache()
+    val n = up.groupBy("src").count().as[(String, Long)].collect().toMap
+    assert(math.abs(n("src0") / 3000.0 - 2.5) < 0.1)
+    assert(n("src1") == 3000L, "rate 1.0 must keep exactly one copy of every row")
+    assert(math.abs(n("src2") / 3000.0 - 0.4) < 0.05)
+    // floor copies are unconditional: every src0 row appears with rep 0 and 1
+    assert(up.where(col("src") === "src0" && col("rep") < 2).count() == 6000L)
+    // nested: the 2.2x sample is contained in the 2.5x sample
+    val up22 = Sampling.sampleWithRepetition(rows, "id", "src",
+      Map("src0" -> 2.2, "src1" -> 1.0), 0.4, 21L)
+    assert(up22.select("id", "rep").except(up.select("id", "rep")).count() == 0)
+    up.unpersist()
+  }
+
   test("withRunningOffset equals the single-partition window reference") {
     val rnd = new scala.util.Random(1)
     val data = (0 until 1000).map(i => (rnd.nextInt(1000000), rnd.nextInt(100).toLong))
