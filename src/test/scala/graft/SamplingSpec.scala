@@ -87,6 +87,30 @@ class SamplingSpec extends SparkSpec {
       "different seed must give a different order")
   }
 
+  test("TrainData.build: curate -> split -> shuffled pack composition") {
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+    val out = graft.pipelines.TrainData.build(docs, "doc_id", "text").cache()
+    assert(out.count() > 0)
+    // the packed set is exactly the train split of the curated corpus
+    val curated = graft.pipelines.Curate.curate(docs, "doc_id", "text")
+    val train = Sampling.splitAssign(curated.select("doc_id"), "doc_id", 42L,
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .where(col("split") === "train").select("doc_id")
+    assert(out.select("doc_id").except(train).count() == 0)
+    assert(train.except(out.select("doc_id")).count() == 0)
+    // offsets accumulate n_tokens in (shuffle-hash, doc_id) order
+    val hashes = Sampling.hashFrac(col("doc_id"), 13L)
+    val rows = out.withColumn("__h", hashes)
+      .select("__h", "doc_id", "n_tokens", "start_offset", "chunk_id")
+      .as[(String, Long, Int, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    var acc = 0L
+    rows.foreach { case (_, _, n, off, chunk) =>
+      assert(off == acc && chunk == off / 256L)
+      acc += n
+    }
+    out.unpersist()
+  }
+
   test("packSequences: offsets are the running token stream; chunks honor the budget") {
     val rnd = new scala.util.Random(2)
     val docs = (0 until 800).map(i => (i, 1 + rnd.nextInt(300))).toDF("id", "n")
