@@ -21,7 +21,10 @@ object ScaleCheck {
     // round-6 additions: the fixed-iteration kernel twins (per-group
     // mapGroups fan-out) and the two new composition pipelines
     "q_beta_mixture_fixed", "q_glm_nb_fixed", "q_combat_fixed",
-    "q_pipeline_methylmix", "q_pipeline_herald_table")
+    "q_pipeline_methylmix", "q_pipeline_herald_table",
+    // the sampling tier: the distributed prefix-sum kernel, the sequence
+    // fan-out upsampler, and the curate->split->pack composition
+    "q_pack_sequences", "q_mixture_upsample", "q_pipeline_traindata")
 
   def main(args: Array[String]): Unit = {
     val src = "/root/testdata/sf0.1"
@@ -81,6 +84,14 @@ object ScaleCheck {
         name -> sec
       }.toMap
     }
+    // JIT/codegen warmup: run every named query once untimed — the 1x
+    // pass runs first and was absorbing whole-stage-codegen compilation,
+    // which dominates sub-second queries and skews ratios below 1
+    names.foreach { name =>
+      try { SparkEntry.queries(name)(spark, src).count(); () }
+      catch { case _: Throwable => () }
+    }
+    spark.catalog.clearCache()
     val t1 = bench(src, " 1x")
     val t10 = bench(out, "10x")
     println("[scale] ---- ratio table (10x time / 1x time; ~10 = linear)")
