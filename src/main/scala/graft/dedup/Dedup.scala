@@ -628,4 +628,42 @@ object Dedup {
       .where(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
+
+  /** Benchmark decontamination: flag corpus documents sharing any word
+    * k-gram with an evaluation set — the standard train/test-overlap
+    * check a pre-training pipeline runs before shipping a corpus (an eval
+    * question leaked into training data invalidates the benchmark).
+    *
+    * The overlap universe is the same distinct 60-bit md5 shingle-hash
+    * space as the Jaccard dedup tier ([[shingleHashes]]): a hash collision
+    * collapses identically in engine and oracle, so parity is by
+    * construction. `n_hits` counts the DISTINCT contaminated k-grams per
+    * corpus document; every corpus document is emitted (zero hits
+    * included) so the caller can filter or join without re-deriving the
+    * corpus.
+    *
+    * Scale shape: the eval side collapses to a distinct hash SET before
+    * touching the corpus — eval benchmarks are tiny next to a 100 TB
+    * corpus by nature (the broadcast is the point: the corpus-side
+    * explode then joins hash-local with NO corpus shuffle). Callers with a
+    * pathologically large eval set should pre-partition instead of
+    * broadcasting; the corpus-side aggregate shuffles only matching
+    * (id, hash) pairs, which contamination keeps rare. */
+  def decontaminate(corpus: DataFrame, eval: DataFrame, idCol: String,
+                    textCol: String, k: Int = 5): DataFrame = {
+    val evalHashes = eval
+      .select(explode(graft.catalyst.ArrayFunctions.shingleHashes(
+        col(textCol), k)).as("__h"))
+      .distinct()
+    val hits = corpus
+      .select(col(idCol), explode(graft.catalyst.ArrayFunctions.shingleHashes(
+        col(textCol), k)).as("__h"))
+      .join(broadcast(evalHashes), Seq("__h"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_hits"))
+    corpus.select(col(idCol))
+      .join(hits, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+      .withColumn("contaminated", col("n_hits") > 0)
+  }
 }

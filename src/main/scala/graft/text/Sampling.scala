@@ -204,4 +204,25 @@ object Sampling {
       .withColumn("chunk_id",
         floor(col("start_offset") / lit(budget.toDouble)).cast("long"))
   }
+
+  /** Per-domain quota: keep at most `quota` rows per `domainCol` value,
+    * chosen in deterministic md5-hash order (ties by key) — the standard
+    * "no single site dominates the corpus" cap. Adds `rn`, the row's
+    * 1-based position within its domain's hash order.
+    *
+    * One hash-partitioned window on the domain key — the minimal shape
+    * (the quota is a per-group ORDER-sensitive selection, so some
+    * exchange on the domain key is irreducible). A skewed mega-domain
+    * still sorts only its own partition's rows; callers with a domain
+    * carrying a double-digit share of a 100 TB corpus should pre-filter
+    * that domain by [[hashFrac]] threshold first (a plain scan predicate)
+    * and window only the survivors. */
+  def domainQuota(df: DataFrame, keyCol: String, domainCol: String,
+                  quota: Int, seed: Long): DataFrame = {
+    require(quota > 0, s"quota must be positive: $quota")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(domainCol))
+      .orderBy(hashFrac(col(keyCol), seed), col(keyCol))
+    df.withColumn("rn", row_number().over(w)).where(col("rn") <= quota)
+  }
 }

@@ -113,4 +113,94 @@ object Text {
     * codegen span with no per-row String decode. */
   def rollingHash(text: Column): Column =
     graft.catalyst.ArrayFunctions.rollingHash(normalized(text))
+
+  /** Gopher-style in-document repetition signals: top word-2-gram and
+    * word-3-gram multiplicity and the duplicated-5-gram fraction — the
+    * standard "is this document mostly itself repeated" quality cuts a
+    * pre-training corpus filter applies before any cross-document dedup.
+    *
+    * Row-local and zero-shuffle: the gram frequency maps are built per
+    * document by one native linear-pass kernel
+    * ([[graft.catalyst.RepetitionStatsExpr]]) — NOT by exploding grams and
+    * re-aggregating, which would shuffle the corpus's entire token stream
+    * to compute per-document numbers. All counts are exact integers over
+    * gram strings; the two emitted fractions are single IEEE divisions of
+    * those integers, so a SQL oracle replays them bit-for-bit.
+    *
+    * Output per row: idCol, n_tokens, n_2grams, top2_count, top2_frac,
+    * n_3grams, top3_count, top3_frac, n_5grams, distinct_5grams,
+    * dup5_frac (fraction of 5-gram OCCURRENCES that are repeats of an
+    * earlier occurrence = 1 - distinct/total). */
+  def repetitionStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val frac = (num: Column, den: Column) =>
+      when(den > 0, round(num.cast("double") / den, 6)).otherwise(0.0)
+    df.select(col(idCol),
+        graft.catalyst.TextFunctions.repetitionStats(col(textCol)).as("__r"))
+      .select(col(idCol), col("__r.n_tokens").as("n_tokens"),
+        greatest(col("__r.n_tokens") - 1, lit(0)).as("n_2grams"),
+        col("__r.top2_count").as("top2_count"),
+        greatest(col("__r.n_tokens") - 2, lit(0)).as("n_3grams"),
+        col("__r.top3_count").as("top3_count"),
+        greatest(col("__r.n_tokens") - 4, lit(0)).as("n_5grams"),
+        col("__r.distinct_5grams").as("distinct_5grams"))
+      .withColumn("top2_frac", frac(col("top2_count"), col("n_2grams")))
+      .withColumn("top3_frac", frac(col("top3_count"), col("n_3grams")))
+      .withColumn("dup5_frac",
+        when(col("n_5grams") > 0,
+          round(lit(1.0) - col("distinct_5grams").cast("double") / col("n_5grams"), 6))
+          .otherwise(0.0))
+  }
+
+  /** PII redaction patterns, in application order. Sequential: each stage
+    * runs on the previous stage's output, so an already-redacted span can't
+    * double-match (an all-digit email local part would otherwise also match
+    * the IPv4 rule). Pattern syntax is the common RE2 ∩ java.util.regex
+    * subset — char classes, bounded repetition, `\b` — so a SQL engine
+    * replays the same replacements. */
+  val PiiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ssn", "\\b\\d{3}-\\d{2}-\\d{4}\\b", "<SSN>"),
+    ("ipv4", "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>"),
+    ("phone", "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b", "<PHONE>"))
+
+  /** Redact emails / SSNs / IPv4s / phone numbers, emitting the redacted
+    * text plus a per-pattern hit count (counted on each stage's INPUT, i.e.
+    * the number of replacements that stage actually made). Pure codegen'd
+    * regexp pipeline — zero shuffle, one pass. */
+  def redactPii(df: DataFrame, textCol: String): DataFrame =
+    PiiPatterns.foldLeft(df.withColumn("redacted", col(textCol))) {
+      case (acc, (name, re, tok)) =>
+        acc.withColumn(s"n_$name",
+            size(regexp_extract_all(col("redacted"), lit(re), lit(0))))
+          .withColumn("redacted", regexp_replace(col("redacted"), re, tok))
+    }
+
+  /** Per-document salient terms: tf × (N/df) ranked top-k per document —
+    * the no-transcendentals cousin of TF-IDF (the ratio N/df IS the raw
+    * inverse document frequency; skipping the log keeps every score one
+    * exact IEEE division of integers, so ranks and values are
+    * bit-reproducible across engines — same reason the oracle-parity
+    * rules in [[graft.queries.Q]] avoid ln/exp in compared output).
+    *
+    * Shapes: one shuffle for tf (groupBy doc,term over the exploded token
+    * stream), one term-sized aggregate for df, a join back on term (AQE
+    * broadcasts the df side when small — it is vocabulary-sized, not
+    * corpus-sized), and the per-doc top-k window partitioned by document.
+    * N is a driver scalar (one count), the only driver-side state. */
+  def termSalienceTopK(df: DataFrame, idCol: String, textCol: String,
+                       k: Int = 3): DataFrame = {
+    val nDocs = df.count()
+    val tf = df.select(col(idCol), explode(tokens(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol))
+      .orderBy(col("salience").desc, col("term"))
+    tf.join(dfreq, Seq("term"))
+      .withColumn("salience", (col("tf") * lit(nDocs)).cast("double") / col("df"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col(idCol), col("term"), col("tf"), col("df"),
+        col("rank"), col("salience"))
+  }
 }
