@@ -126,7 +126,7 @@ object Bench {
       case (k, Right(v)) => s""""${esc(k)}":$v"""
       case (k, Left(_))  => s""""${esc(k)}":-1"""
     }.mkString("{", ",", "}")
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","nq":${results.size},"queries":$fullQs,"errors":$errs,"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","nq":${results.size},"n_err":${results.count(_._2.isLeft)},"queries":$fullQs,"errors":$errs,"sf":"$sfDir"}"""
     // a SPARK_GRAFT_ONLY-filtered run is local iteration — don't clobber
     // the committed full-suite snapshot with a partial one
     if (only.isEmpty)
@@ -140,6 +140,16 @@ object Bench {
       // %.3g can emit "0.00123" or "1.23e+01"; normalize exponent form
       if (s.contains('e')) f"$v%.2f" else s
     }
+    // The errors map must be bounded too — round 6's 13 × ~140-char error
+    // strings alone exceeded the driver's window and pushed the JSON head
+    // out, leaving BENCH_r6 unparseable. Compact line: at most 6 errors at
+    // 40 chars each plus an n_err count; full messages live in
+    // BENCH_FULL.json.
+    val nErr = results.count(_._2.isLeft)
+    val compactErrs = results.collect { case (k, Left(m)) => (k, m) }
+      .take(6)
+      .map { case (k, m) => s""""${esc(k)}":"${esc(m.take(40))}"""" }
+      .mkString("{", ",", "}")
     val compactEntries = results.map {
       case (k, Right(v)) => (k, s""""${esc(k)}":${fmt(v)}""", v)
       case (k, Left(_))  => (k, s""""${esc(k)}":-1""", Double.MaxValue)
@@ -147,14 +157,14 @@ object Bench {
     // slowest first: the informative entries survive truncation
     val ordered = compactEntries.sortBy(-_._3)
     val budget = 1800 -
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","nq":${results.size},"queries":{},"errors":$errs,"sf":"$sfDir"}""".length
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","nq":${results.size},"n_err":$nErr,"queries":{},"errors":$compactErrs,"sf":"$sfDir"}""".length
     val kept = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     var used = 0
     ordered.foreach { case (k, entry, _) =>
       if (used + entry.length + 1 <= budget) { kept += ((k, entry)); used += entry.length + 1 }
     }
     val qs = kept.sortBy(_._1).map(_._2).mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","nq":${results.size},"queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","nq":${results.size},"n_err":$nErr,"queries":$qs,"errors":$compactErrs,"sf":"$sfDir"}"""
     spark.stop()
     println(line)
   }

@@ -24,7 +24,24 @@ object Dedup {
     * has >= that many splits and this is a no-op). */
   private def spread(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    // Plan-safe width probe: leafInputNumPartitions from the optimized plan's
+    // file-scan relations, NOT df.rdd.getNumPartitions — touching .rdd forces
+    // eager physical planning of the whole frame and pins the decision
+    // outside AQE. Non-file leaves (in-memory test frames) report unknown →
+    // repartition, which is the safe direction for a heavy per-row stage.
+    val leafParts = df.queryExecution.optimizedPlan.collectLeaves().map {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        r.relation match {
+          case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            // mirrors FilePartition packing: total bytes / maxPartitionBytes
+            val maxSplit = df.sparkSession.sessionState.conf.filesMaxPartitionBytes
+            math.max(1L, h.location.sizeInBytes / math.max(1L, maxSplit)).toInt
+          case _ => Int.MaxValue
+        }
+      case _ => 0 // unknown width: assume narrow, fan out
+    }
+    if (leafParts.nonEmpty && leafParts.min >= target) df
+    else df.repartition(target)
   }
 
   /** Exact dedup on normalized-text hash. Returns one surviving row per

@@ -35,14 +35,27 @@ object Q {
   def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
-  /** events.parquet carries TIMESTAMP(NANOS) which Spark reads only as a
-    * long (spark.sql.legacy.parquet.nanosAsLong=true, set in Verify/Bench).
-    * Exposes `ts` truncated to a microsecond timestamp (what a native Spark
-    * reader would hold) plus `ts_ns` for exact ordering. */
+  /** events.parquet has shipped with `ts` as either TIMESTAMP(NANOS)
+    * (which Spark reads only as a nanos long under
+    * spark.sql.legacy.parquet.nanosAsLong=true, set in Verify/Bench) or a
+    * plain timestamp[us]. Adapt to whichever the fixture carries and
+    * normalise to the same two columns: `ts` as a microsecond timestamp
+    * and `ts_ns` as an exact nanos BIGINT for total ordering. */
   def events(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "events")
-      .withColumn("ts_ns", col("ts"))
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    normalizeEventTs(t(s, dir, "events"))
+
+  /** Shared ts normalisation for the batch and streaming events readers. */
+  def normalizeEventTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => // nanos-as-long fixture
+        df.withColumn("ts_ns", col("ts"))
+          .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _ => // native timestamp[us] fixture (arrives as TIMESTAMP_NTZ;
+        // sessions run UTC, so the cast to TIMESTAMP is the identity
+        // wall-clock mapping DuckDB's epoch_ns uses on naive timestamps)
+        df.withColumn("ts", col("ts").cast("timestamp"))
+          .withColumn("ts_ns", expr("unix_micros(ts) * 1000L"))
+    }
 
   /** Exact order-independent sum of a 2-decimal money column, as double. */
   def sumDec(c: Column): Column = sum(c.cast("decimal(18,2)")).cast("double")

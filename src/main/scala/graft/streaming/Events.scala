@@ -13,14 +13,14 @@ object Events {
 
   /** Open a DIRECTORY of events parquet files as a stream (the file
     * source's contract — new files appearing in the directory become new
-    * micro-batches; this is the real deployment shape). The nanos
-    * timestamp arrives as a long (nanosAsLong) and is exposed as a micros
-    * `ts` like the batch reader. */
+    * micro-batches; this is the real deployment shape). The fixture's ts
+    * arrives either as a nanos long (nanosAsLong) or a native
+    * timestamp[us]; graft.queries.Q.normalizeEventTs adapts both to a
+    * micros `ts` + exact nanos `ts_ns`, same as the batch reader. */
   def readStream(spark: SparkSession, dir: String): DataFrame = {
     val schema = spark.read.parquet(dir).schema
-    spark.readStream.schema(schema).parquet(dir)
-      .withColumn("ts_ns", col("ts"))
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    graft.queries.Q.normalizeEventTs(
+      spark.readStream.schema(schema).parquet(dir))
   }
 
   /** Tumbling 10-minute counts+sums per event type with a 30-minute
