@@ -236,5 +236,21 @@ object LlmQueries {
         Text.bpeishTokenCount(col("text")).as("bpeish_tokens"),
         size(Text.tokens(col("text"))).as("ws_tokens")),
       Some("""SELECT doc_id, CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS INTEGER) AS bpeish_tokens, CAST(len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) AS INTEGER) AS ws_tokens FROM documents"""))
+  ,
+
+    Entry("q_text_repetition",
+      // Gopher-style in-document repetition stats via the native
+      // struct-returning codegen kernel (one linear pass per doc, row-local
+      // state, zero shuffle); the oracle rebuilds the same gram universes
+      // with unnest + GROUP BY — counting is over gram STRINGS, so the two
+      // engines agree exactly
+      (s, d) => t(s, d, "documents")
+        .select(col("doc_id"),
+          graft.catalyst.TextFunctions.repetitionStats(col("text")).as("r"))
+        .select(col("doc_id"), col("r.n_tokens").as("n_tokens"),
+          col("r.top2_count").as("top2_count"),
+          col("r.top3_count").as("top3_count"),
+          col("r.distinct_5grams").as("distinct_5grams")),
+      Some("""WITH toks AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS ts FROM documents), g2 AS (SELECT doc_id, array_to_string(ts[i:i+1], ' ') AS g FROM toks, unnest(generate_series(1, len(ts) - 1)) AS u(i)), t2 AS (SELECT doc_id, max(c) AS m FROM (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2) GROUP BY 1), g3 AS (SELECT doc_id, array_to_string(ts[i:i+2], ' ') AS g FROM toks, unnest(generate_series(1, len(ts) - 2)) AS u(i)), t3 AS (SELECT doc_id, max(c) AS m FROM (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY 1, 2) GROUP BY 1), g5 AS (SELECT doc_id, array_to_string(ts[i:i+4], ' ') AS g FROM toks, unnest(generate_series(1, len(ts) - 4)) AS u(i)), d5 AS (SELECT doc_id, count(DISTINCT g) AS m FROM g5 GROUP BY 1) SELECT k.doc_id, CAST(len(k.ts) AS INTEGER) AS n_tokens, CAST(coalesce(t2.m, 0) AS INTEGER) AS top2_count, CAST(coalesce(t3.m, 0) AS INTEGER) AS top3_count, CAST(coalesce(d5.m, 0) AS INTEGER) AS distinct_5grams FROM toks k LEFT JOIN t2 ON k.doc_id = t2.doc_id LEFT JOIN t3 ON k.doc_id = t3.doc_id LEFT JOIN d5 ON k.doc_id = d5.doc_id"""))
   )
 }
