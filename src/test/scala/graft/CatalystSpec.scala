@@ -90,6 +90,15 @@ class CatalystSpec extends SparkSpec {
         ArrayFunctions.jaccardLongs(col("a"), lit(null).cast("array<long>")).as("j"))
       .head()
     assert(nu.isNullAt(0) && nu.isNullAt(1))
+    // null ELEMENTS are rejected loudly (toLongArray would silently
+    // coerce them to 0 — a wrong similarity, not an error)
+    val bad = Seq((Seq(Option(1L), None), Seq(Option(1L), Option(2L))))
+      .toDF("a", "b")
+      .select(ArrayFunctions.jaccardLongs(col("a"), col("b")).as("j"))
+    val ex = intercept[Exception] { bad.head() }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ msgs(e.getCause))
+    assert(msgs(ex).exists(_.contains("null array element")))
   }
 
   test("array-kernel SQL functions are registered") {

@@ -40,6 +40,18 @@ class DedupSimSpec extends SparkSpec {
     assert(exact == 1.0)
   }
 
+  test("verifyPairsExactJaccard dedups on the pair key even with extra " +
+    "candidate columns") {
+    // duplicate pairs that differ in a band column must collapse to ONE
+    // verified row per (id_a, id_b)
+    val cands = Seq((1L, 2L, 0), (1L, 2L, 7), (1L, 3L, 1), (1L, 3L, 3))
+      .toDF("id_a", "id_b", "band")
+    val verified = Dedup.verifyPairsExactJaccard(corpus(), cands,
+      "doc_id", "text", k = 3, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSeq
+    assert(verified.sorted == Seq((1L, 2L), (1L, 3L)))
+  }
+
   test("minhash LSH pairs equal exact pairs at high threshold (recall) and " +
     "signatures are overflow-free") {
     val lsh = Dedup.minhashLshPairs(corpus(), "doc_id", "text",
