@@ -40,7 +40,7 @@ object ExtQueries {
         val rules = Seq(("r_plus10", 10.0), ("r_minus25", -25.5))
           .toDF("rule_id", "mass_delta")
         val observed = part.select(col("p_retailprice").as("obs_mass"))
-        Herald.reactionLoop(structures, rules, observed, MassOnlyBackend,
+        Herald.reactionLoopFused(structures, rules, observed, MassOnlyBackend,
             iterations = 2, roundD = 1)
           .groupBy("struct_id", "root", "iteration")
           .agg(r6(min(col("mass"))).as("mass"))

@@ -23,6 +23,11 @@ class OmicsKernelSpec extends SparkSpec {
     val drivers = DriverNet.greedyDrivers(cov, maxDrivers = 5)
       .orderBy("rank").as[(Int, String, Long)].collect().toSeq
     assert(drivers == Seq((1, "g1", 3L), (2, "g2", 1L), (3, "g3", 1L)))
+    // the single-plan fixed-depth twin emits the identical cover,
+    // including the implicit early exit past the last nonempty pick
+    val fused = DriverNet.greedyDriversFused(cov, maxDrivers = 5)
+      .orderBy("rank").as[(Int, String, Long)].collect().toSeq
+    assert(fused == drivers)
   }
 
   test("DriverNet permutation null is reproducible") {
