@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Live JDBC integration surface (test scope only): the public
+// org.duckdb:duckdb_jdbc driver jar happens to ship in the image's
+// pre-warmed artifact cache; glob for it rather than declaring a
+// libraryDependency (offline resolution) or hardcoding cache layout.
+// JdbcSpec `assume`s the driver class, so a cache without the jar
+// cancels those tests instead of failing the build.
+Test / unmanagedJars ++=
+  (file(sys.props("user.home")) / ".cache" / "coursier" ** "duckdb_jdbc-*.jar")
+    .get().take(1).map(Attributed.blank(_))
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

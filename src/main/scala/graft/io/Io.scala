@@ -86,11 +86,11 @@ object Io {
     * the classic cluster-scale trap. Pass (partitionCol, lo, hi, n) for any
     * table that is not dimension-sized.
     *
-    * INERT IN THIS IMAGE: no JDBC driver jar ships in the offline
-    * container, so calling this here throws at connect time (there is
-    * nothing to test against — IoMultimodalSpec asserts the wrapper's
-    * option wiring only). With a driver on the classpath (sqlite-jdbc,
-    * postgres, ...) it is a plain `spark.read.jdbc`. */
+    * Live-tested via DuckDB-over-JDBC (JdbcSpec: in-database LEFT
+    * JOIN + WHERE, Spark filter pushdown onto the derived table,
+    * partitioned parallel scan, append sink) — the same file-database
+    * in-process-driver shape as the reference's sqlite3 first touch;
+    * any other driver (sqlite-jdbc, postgres, ...) drops in by URL. */
   def readJdbc(spark: SparkSession, url: String, sql: String,
                partitioning: Option[(String, Long, Long, Int)] = None,
                driver: Option[String] = None): DataFrame = {
