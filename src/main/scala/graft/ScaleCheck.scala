@@ -24,7 +24,10 @@ object ScaleCheck {
     "q_pipeline_methylmix", "q_pipeline_herald_table",
     // the sampling tier: the distributed prefix-sum kernel, the sequence
     // fan-out upsampler, and the curate->split->pack composition
-    "q_pack_sequences", "q_mixture_upsample", "q_pipeline_traindata")
+    "q_pack_sequences", "q_mixture_upsample", "q_pipeline_traindata",
+    // round-7 additions: the zero-shuffle repetition kernel, the
+    // window-capped domain quota, and the fused herald unroll
+    "q_text_repetition", "q_domain_quota", "q_pipeline_herald")
 
   def main(args: Array[String]): Unit = {
     val src = "/root/testdata/sf0.1"
