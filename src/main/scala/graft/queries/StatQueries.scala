@@ -230,6 +230,22 @@ object StatQueries {
       },
       Some("""WITH e0 AS (SELECT l_partkey * 2 AS a, l_suppkey * 2 + 1 AS b, CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS r FROM lineitem GROUP BY l_partkey, l_suppkey), edges AS (SELECT a, b, r FROM e0 UNION ALL SELECT b, a, r FROM e0), ranked AS (SELECT a, b, row_number() OVER (PARTITION BY a ORDER BY r DESC, b) AS rk FROM edges), p AS (SELECT x.a, x.b, x.rk AS rab, y.rk AS rba FROM ranked x JOIN ranked y ON x.a = y.b AND x.b = y.a WHERE x.a < x.b) SELECT concat(CASE WHEN a % 2 = 0 THEN 'p' ELSE 's' END, CAST(a // 2 AS VARCHAR)) AS a, concat(CASE WHEN b % 2 = 0 THEN 'p' ELSE 's' END, CAST(b // 2 AS VARCHAR)) AS b, round(sqrt(rab * rba),6) AS mr, round(exp((CAST(1.0 AS DOUBLE) - sqrt(rab * rba)) / 25.0),6) AS weight FROM p""")),
 
+    Entry("q_json_extract",
+      // semi-structured extraction from the events props JSON column:
+      // one from_json parse per row (schema'd JacksonParser — never a
+      // regex or a UDF), then a plain rollup; the 100 TB shape is
+      // parse-project-aggregate with zero extra shuffle beyond the agg
+      (s, d) => Q.events(s, d)
+        .select(col("event_type"),
+          from_json(col("props"),
+            org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+            .getField("k").as("k"))
+        .groupBy("event_type")
+        .agg(count(col("k")).as("n_parsed"),
+          sum(col("k")).cast("long").as("sum_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k")),
+      Some("""WITH j AS (SELECT event_type, CAST(json_extract(props, '$.k') AS INTEGER) AS k FROM events) SELECT event_type, count(k) AS n_parsed, CAST(sum(k) AS BIGINT) AS sum_k, min(k) AS min_k, max(k) AS max_k FROM j GROUP BY 1""")),
+
     Entry("q_value_counts",
       (s, d) => Q.events(s, d).groupBy("event_type").count(),
       Some("""SELECT event_type, count(*) AS count FROM events GROUP BY 1""")),

@@ -53,6 +53,20 @@ object StreamQueries {
       (s, d) => Relational.keepFirst(Q.events(s, d), Seq("user_id", "event_type"),
           Seq(col("ts"), col("event_id")))
         .select("user_id", "event_type", "event_id"),
-      Some("""SELECT user_id, event_type, event_id FROM (SELECT user_id, event_type, event_id, row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn FROM events) WHERE rn = 1"""))
+      Some("""SELECT user_id, event_type, event_id FROM (SELECT user_id, event_type, event_id, row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn FROM events) WHERE rn = 1""")),
+
+    Entry("q_stream_enrich",
+      // stream-static broadcast enrichment (events joined to the nation
+      // dim by a derived key) rolled up per dim row; the same function
+      // runs against a real readStream in StreamingSpec
+      (s, d) => {
+        val ev = Q.events(s, d).withColumn("nkey", col("user_id") % 25)
+        val dim = t(s, d, "nation").select(col("n_nationkey"), col("n_name"))
+        graft.streaming.Events.enrichStatic(ev, dim,
+            col("nkey"), col("n_nationkey"))
+          .groupBy("n_name")
+          .agg(count(lit(1)).as("n"), Q.sumDec6(col("value")).as("sum_value"))
+      },
+      Some("""SELECT n_name, count(*) AS n, CAST(sum(CAST(value AS DECIMAL(24,6))) AS DOUBLE) AS sum_value FROM events e LEFT JOIN nation ON e.user_id % 25 = n_nationkey GROUP BY 1"""))
   )
 }

@@ -79,6 +79,18 @@ object Events {
         (unix_timestamp(col("p_ts")) - unix_timestamp(col("c_ts"))).as("lag_sec"))
   }
 
+  /** Stream-static enrichment join: events (streaming or batch) joined to
+    * a small static dimension, broadcast so the stream side never
+    * shuffles — the canonical "enrich events with a dim table" shape. In
+    * streaming mode Spark re-plans the static side per micro-batch, so a
+    * dim refresh (new parquet snapshot) is picked up without restarting
+    * the query. Left join: an event with no dim match survives with
+    * nulls (enrichment must not drop data). */
+  def enrichStatic(events: DataFrame, dim: DataFrame,
+                   eventKey: org.apache.spark.sql.Column,
+                   dimKey: org.apache.spark.sql.Column): DataFrame =
+    events.join(broadcast(dim), eventKey === dimKey, "left")
+
   final case class UserState(n: Long, total: Double, lastTsMicros: Long)
   final case class UserUpdate(user_id: Long, n_events: Long, total_value: Double,
                               last_ts: Long)

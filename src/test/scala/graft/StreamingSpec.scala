@@ -87,6 +87,23 @@ class StreamingSpec extends SparkSpec {
     assert(sTot == bTot)
   }
 
+  test("stream-static broadcast enrichment equals the batch entry") {
+    val stream = Events.readStream(spark, streamDir)
+      .withColumn("nkey", col("user_id") % 25)
+    val dim = spark.read.parquet(s"$sf001/nation.parquet")
+      .select(col("n_nationkey"), col("n_name"))
+    val streamed = runToMemory(
+      Events.enrichStatic(stream, dim, col("nkey"), col("n_nationkey"))
+        .groupBy("n_name").agg(count(lit(1)).as("n")),
+      "t_enrich")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val batch = graft.SparkEntry.queries("q_stream_enrich")(spark, sf001)
+      .select("n_name", "n").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(streamed == batch)
+    assert(streamed.values.sum > 0)
+  }
+
   test("dropDuplicatesWithinWatermark emits one row per key") {
     val stream = Events.readStream(spark, streamDir)
     val streamed = runToMemory(Events.dedupWithinWatermark(stream), "t_dedup",
