@@ -36,6 +36,50 @@ object Relational {
       .where(col("__rn") === 1).drop("__rn")
   }
 
+  /** As-of join: for each probe row, the LATEST reference row of the same
+    * key with ref ts <= probe ts (ties at equal ts match). The reference
+    * engine has no as-of (SURVEY §2.3 note), but it is the canonical
+    * time-series enrichment a 100 TB event store needs, and Spark lacks a
+    * native one.
+    *
+    * Scale shape: NOT a range join (which explodes candidates and
+    * re-filters) — both sides are union-tagged and a single per-key window
+    * carries the last non-null reference payload forward
+    * (`last(ignoreNulls)` over rows-unbounded-preceding). ONE hash
+    * exchange on the key + one in-partition sort, linear in rows,
+    * skew-bounded by the per-key row count; the probe side is never
+    * duplicated. Reference rows sort before probe rows at equal ts so
+    * an exactly-simultaneous reference row is visible.
+    *
+    * @param probe    left side; all its columns survive
+    * @param ref      reference side: `keyCol`, `tsCol`, `refCols` — if
+    *                 several rows share (key, ts), callers must pre-dedup
+    *                 (the ordering inside a tie is otherwise unspecified,
+    *                 same as DuckDB's ASOF)
+    * @param refCols  reference payload carried onto each probe row (null
+    *                 when no reference row precedes it) */
+  def asofJoin(probe: DataFrame, ref: DataFrame, keyCol: String,
+               tsCol: String, refCols: Seq[String]): DataFrame = {
+    val probePayload = probe.columns.toSeq.filterNot(Set(keyCol, tsCol))
+    require(probePayload.intersect(refCols).isEmpty,
+      s"asofJoin: overlapping payload columns ${probePayload.intersect(refCols)}")
+    val order = Seq(keyCol, tsCol, "__p") ++ probePayload ++ refCols
+    val p = refCols.foldLeft(probe.withColumn("__p", lit(1))) { (df, c) =>
+      df.withColumn(c, lit(null).cast(ref.schema(c).dataType))
+    }.select(order.map(col): _*)
+    val r = probePayload.foldLeft(
+      ref.select((Seq(keyCol, tsCol) ++ refCols).map(col): _*)
+        .withColumn("__p", lit(0))) { (df, c) =>
+      df.withColumn(c, lit(null).cast(probe.schema(c).dataType))
+    }.select(order.map(col): _*)
+    val w = Window.partitionBy(keyCol).orderBy(col(tsCol), col("__p"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = refCols.foldLeft(p.union(r)) { (df, c) =>
+      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    }
+    filled.where(col("__p") === 1).drop("__p")
+  }
+
   /** Top-k rows per group under an explicit ordering (wcModules.py:167-198
     * rank-partners idiom; gizmos.py:510-516 top-diameter). */
   def topKPerGroup(df: DataFrame, keys: Seq[String], order: Seq[Column], k: Int): DataFrame = {

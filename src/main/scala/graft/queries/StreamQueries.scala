@@ -67,6 +67,28 @@ object StreamQueries {
           .groupBy("n_name")
           .agg(count(lit(1)).as("n"), Q.sumDec6(col("value")).as("sum_value"))
       },
-      Some("""SELECT n_name, count(*) AS n, CAST(sum(CAST(value AS DECIMAL(24,6))) AS DOUBLE) AS sum_value FROM events e LEFT JOIN nation ON e.user_id % 25 = n_nationkey GROUP BY 1"""))
+      Some("""SELECT n_name, count(*) AS n, CAST(sum(CAST(value AS DECIMAL(24,6))) AS DOUBLE) AS sum_value FROM events e LEFT JOIN nation ON e.user_id % 25 = n_nationkey GROUP BY 1""")),
+
+    Entry("q_asof_join",
+      // as-of enrichment: each purchase carries the user's latest click
+      // at-or-before it (union-tag + window fill — one exchange, no range
+      // explosion; see Relational.asofJoin). Clicks pre-deduped to one
+      // per (user, ts) so tie order is defined in both engines; DuckDB's
+      // native ASOF LEFT JOIN is the oracle.
+      (s, d) => {
+        val ev = Q.events(s, d)
+        val clicks = ev.where(col("event_type") === "click")
+          .groupBy(col("user_id"), col("ts"))
+          .agg(max(col("event_id")).as("click_id"))
+          .withColumn("click_us", expr("unix_micros(ts)"))
+        val purchases = ev.where(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), col("event_id").as("purchase_id"))
+        Relational.asofJoin(purchases, clicks, "user_id", "ts",
+            Seq("click_id", "click_us"))
+          .select(col("user_id"), col("purchase_id"),
+            expr("unix_micros(ts)").as("purchase_us"),
+            col("click_id"), col("click_us"))
+      },
+      Some("""WITH c AS (SELECT user_id, ts, max(event_id) AS click_id FROM events WHERE event_type = 'click' GROUP BY 1, 2), p AS (SELECT user_id, ts, event_id AS purchase_id FROM events WHERE event_type = 'purchase') SELECT p.user_id, p.purchase_id, epoch_ns(p.ts) // 1000 AS purchase_us, c.click_id, epoch_ns(c.ts) // 1000 AS click_us FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts"""))
   )
 }

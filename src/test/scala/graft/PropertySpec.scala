@@ -255,6 +255,35 @@ class PropertySpec extends SparkSpec {
       s"vacuous generation: imputed=$sawImputed dropped=$sawDropped unfillable=$sawUnfillable")
   }
 
+  test("asofJoin equals a brute-force latest-at-or-before lookup") {
+    // random probe/ref event sets with deliberately colliding timestamps
+    // (small ts universe) to hit the equal-ts tie rule
+    val gen = Gen.zip(
+      Gen.listOfN(30, Gen.zip(Gen.choose(1L, 4L), Gen.choose(0L, 20L))),
+      Gen.listOfN(20, Gen.zip(Gen.choose(1L, 4L), Gen.choose(0L, 20L))))
+    forAllN(12, gen) { case (probeRaw, refRaw) =>
+      val probe = probeRaw.zipWithIndex
+        .map { case ((k, ts), i) => (k, ts, i.toLong) }
+        .toDF("key", "ts", "probe_id")
+      // one ref row per (key, ts): max payload wins, as the contract asks
+      val ref = refRaw.zipWithIndex
+        .map { case ((k, ts), i) => (k, ts, 1000L + i) }
+        .toDF("key", "ts", "ref_id")
+        .groupBy("key", "ts").agg(max("ref_id").as("ref_id"))
+      val got = Relational.asofJoin(probe, ref, "key", "ts", Seq("ref_id"))
+        .select("probe_id", "ref_id").as[(Long, Option[Long])]
+        .collect().toMap
+      val refMap = ref.as[(Long, Long, Long)].collect()
+      val expected = probe.as[(Long, Long, Long)].collect().map {
+        case (k, ts, pid) =>
+          val cands = refMap.filter(r => r._1 == k && r._2 <= ts)
+          pid -> (if (cands.isEmpty) None
+                  else Some(cands.maxBy(r => (r._2, r._3))._3))
+      }.toMap
+      assert(got == expected)
+    }
+  }
+
   test("BH adjustment is monotone in rank and bounded by 1") {
     val gen = Gen.listOfN(25, Gen.choose(0.0, 1.0))
     forAllN(8, gen) { ps =>
