@@ -308,6 +308,36 @@ object RelQueries {
     Entry("q_melt",
       (s, d) => Relational.melt(t(s, d, "part"), Seq("p_partkey"),
         Seq("p_size", "p_retailprice"), castTo = Some("double")),
-      Some("""SELECT p_partkey, 'p_size' AS variable, CAST(p_size AS DOUBLE) AS value FROM part UNION ALL SELECT p_partkey, 'p_retailprice', p_retailprice FROM part"""))
+      Some("""SELECT p_partkey, 'p_size' AS variable, CAST(p_size AS DOUBLE) AS value FROM part UNION ALL SELECT p_partkey, 'p_retailprice', p_retailprice FROM part""")),
+
+    Entry("q_pivot_wide",
+      // melt's inverse — the long→wide reshape the reference uses to
+      // build its gene × sample matrices (dcast/pivot_table). Pivot
+      // values are DECLARED, not discovered: at 100 TB the
+      // values-discovery pass of an open pivot is a full extra scan, and
+      // a declared list keeps the plan a single partial-aggregated
+      // shuffle (one exchange, map-side combine over the pivot CASEs)
+      (s, d) => Q.events(s, d)
+        .groupBy("user_id")
+        .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+        .agg(count(lit(1)))
+        .na.fill(0L),
+      Some("""SELECT user_id, count(*) FILTER (event_type = 'click') AS click, count(*) FILTER (event_type = 'view') AS view, count(*) FILTER (event_type = 'purchase') AS purchase, count(*) FILTER (event_type = 'signup') AS signup, count(*) FILTER (event_type = 'error') AS error FROM events GROUP BY 1""")),
+
+    Entry("q_histogram",
+      // fixed-width histogram profile of a numeric column: bucket index
+      // is row-local arithmetic, the rollup is one exchange — the
+      // standard distribution-profile pass over a 100 TB column
+      (s, d) => {
+        val lo = 900.0; val hi = 105000.0; val n = 20
+        val w = (hi - lo) / n
+        t(s, d, "lineitem").select(col("l_extendedprice").as("x"))
+          .withColumn("bucket",
+            when(col("x") < lo, lit(-1))
+              .when(col("x") >= hi, lit(n))
+              .otherwise(floor((col("x") - lo) / w).cast("int")))
+          .groupBy("bucket").agg(count(lit(1)).as("n"))
+      },
+      Some("""SELECT CASE WHEN l_extendedprice < 900.0 THEN -1 WHEN l_extendedprice >= 105000.0 THEN 20 ELSE CAST(floor((l_extendedprice - 900.0) / ((105000.0 - 900.0) / 20)) AS INTEGER) END AS bucket, count(*) AS n FROM lineitem GROUP BY 1"""))
   )
 }
