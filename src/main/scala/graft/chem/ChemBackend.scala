@@ -88,16 +88,34 @@ object MassOnlyBackend extends ChemBackend {
 final case class TableChemBackend(products: DataFrame, keyD: Int = 1)
     extends ChemBackend {
 
+  /** The narrowed lookup table, memoized per rules frame: an iterative
+    * caller (Herald.reactionLoop) invokes virtualProducts once per level
+    * with the SAME rules, and without the memo each level re-derives and
+    * re-broadcasts the table (measured ~0.3 s/level on the herald-table
+    * pipeline). Lazy localCheckpoint = built on first touch, later levels
+    * read the persisted blocks. Identity-keyed: a different rules frame
+    * is a different narrowing. */
+  @transient private lazy val tblCache =
+    new java.util.IdentityHashMap[DataFrame, DataFrame]()
+
   override def virtualProducts(substrates: DataFrame, rules: DataFrame,
                                idCol: String, massCol: String, rootCol: String,
                                ruleIdCol: String = "rule_id",
                                ruleDeltaCol: String = "mass_delta"): DataFrame = {
     // rules narrows the table to the rule set this run uses (the reference
     // filters its rule DB the same way before reacting — gizmos.py:403-428)
-    val tbl = products
-      .join(broadcast(rules.select(col(ruleIdCol)).distinct()), Seq(ruleIdCol))
-      .select(col("sub_mass_key"), col(ruleIdCol),
-        col("product_id"), col("product_mass"))
+    val tbl = tblCache.synchronized {
+      var t = tblCache.get(rules)
+      if (t == null) {
+        t = products
+          .join(broadcast(rules.select(col(ruleIdCol)).distinct()), Seq(ruleIdCol))
+          .select(col("sub_mass_key"), col(ruleIdCol),
+            col("product_id"), col("product_mass"))
+          .localCheckpoint(false)
+        tblCache.put(rules, t)
+      }
+      t
+    }
     substrates
       .withColumn("sub_mass_key", round(col(massCol), keyD))
       .join(broadcast(tbl), Seq("sub_mass_key"))
