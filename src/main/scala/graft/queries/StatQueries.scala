@@ -186,11 +186,15 @@ object StatQueries {
       // the median M as the scaling factor, plus the geometric-mean center
       (s, d) => {
         val li = t(s, d, "lineitem")
-        val x = li.where(col("l_returnflag") === "R").groupBy("l_partkey")
-          .agg(Q.sumDec(col("l_quantity")).as("x"))
-        val y = li.where(col("l_returnflag") === "A").groupBy("l_partkey")
-          .agg(Q.sumDec(col("l_quantity")).as("y"))
-        val ma = x.join(y, "l_partkey")
+        // both conditions in ONE scan + ONE exchange (conditional
+        // aggregation; a sum over zero matching rows is null, so the
+        // not-null guard reproduces the former x-join-y inner join)
+        val ma = li.where(col("l_returnflag").isin("R", "A"))
+          .groupBy("l_partkey")
+          .agg(
+            Q.sumDec(when(col("l_returnflag") === "R", col("l_quantity"))).as("x"),
+            Q.sumDec(when(col("l_returnflag") === "A", col("l_quantity"))).as("y"))
+          .where(col("x").isNotNull && col("y").isNotNull)
           .where(col("x") > 0 && col("y") > 0)
           .withColumn("m", log2(col("x") / col("y")))
           .withColumn("a", (log2(col("x")) + log2(col("y"))) / 2)
