@@ -133,6 +133,34 @@ object Sampling {
       .drop("__n")
   }
 
+  /** Seeded weighted sampling WITHOUT replacement (Efraimidis–Spirakis):
+    * keep the n rows with the largest ln(u)/w, where u is the row's
+    * deterministic (seed, key) uniform draw and w its positive weight —
+    * equivalent to sequential weighted draws, but embarrassingly parallel
+    * and reproducible (quality-weighted corpus selection needs both).
+    *
+    * Scale shape: no global sort — orderBy+limit plans as
+    * TakeOrderedAndProject (per-partition top-n, single merge of P·n
+    * rows). The draw u is the first 13 md5 hex digits (52 bits, exact in
+    * a double) over the same "seed:key" preimage as [[hashFrac]], so a
+    * SQL oracle replays the selection bit for bit (ln and the division
+    * hit the same libm/IEEE ops in both engines). */
+  def weightedSample(df: DataFrame, keyCol: String, weightCol: String,
+                     n: Int, seed: Long): DataFrame = {
+    require(n > 0, s"n must be positive: $n")
+    val u = conv(substring(md5(concat(lit(s"$seed:"),
+        col(keyCol).cast("string"))), 1, 13), 16, 10)
+      .cast("double") / lit(4503599627370496.0) // 2^52
+    df.withColumn("es_key", log(u) / col(weightCol))
+      .orderBy(col("es_key").desc, col(keyCol))
+      .limit(n)
+      .drop("es_key")
+  }
+
+  /** SQL twin of [[weightedSample]]'s sort key, for oracle construction. */
+  def esKeySql(keyExpr: String, weightExpr: String, seed: Long): String =
+    s"ln(CAST(concat('0x', substr(md5('$seed:' || CAST($keyExpr AS VARCHAR)), 1, 13)) AS BIGINT) / 4503599627370496.0) / $weightExpr"
+
   /** Distributed exclusive prefix sum of `valueCol` (cast to long, null=0)
     * over the global `orderCols` order, appended as `outCol`.
     *

@@ -64,6 +64,28 @@ class SamplingSpec extends SparkSpec {
     up.unpersist()
   }
 
+  test("weightedSample: without replacement, deterministic, weight-biased") {
+    val rows = (0 until 2000).map(i => (i.toLong, if (i < 200) 10.0 else 1.0))
+      .toDF("id", "w")
+    val s1 = Sampling.weightedSample(rows, "id", "w", n = 400, seed = 3L)
+      .select("id").as[Long].collect().toSeq
+    assert(s1.size == 400 && s1.distinct.size == 400) // without replacement
+    // determinism under repartition
+    val s2 = Sampling.weightedSample(rows.repartition(13), "id", "w",
+      n = 400, seed = 3L).select("id").as[Long].collect().toSeq
+    assert(s1.toSet == s2.toSet)
+    // 200 heavy rows (w=10) vs 1800 light (w=1): heavy inclusion
+    // probability ~4.7x the light one at this draw size — demand the
+    // heavy group is clearly overrepresented but not exhaustively taken
+    val nHeavy = s1.count(_ < 200)
+    assert(nHeavy > 120 && nHeavy < 200,
+      s"heavy-weight rows not plausibly biased: $nHeavy of 200 drawn")
+    // a different seed draws a different sample
+    val s3 = Sampling.weightedSample(rows, "id", "w", n = 400, seed = 4L)
+      .select("id").as[Long].collect().toSet
+    assert(s3 != s1.toSet)
+  }
+
   test("withRunningOffset equals the single-partition window reference") {
     val rnd = new scala.util.Random(1)
     val data = (0 until 1000).map(i => (rnd.nextInt(1000000), rnd.nextInt(100).toLong))
