@@ -163,6 +163,12 @@ object GraftExtensions {
       ("graft_rolling_hash", "order-sensitive 64-bit polynomial hash of UTF-8 bytes",
         (es: Seq[Expression]) => { nArgs(es, 1, "graft_rolling_hash")
           RollingHashExpr(sc(es(0))) }),
+      ("graft_nfc", "Unicode NFC canonical composition",
+        (es: Seq[Expression]) => { nArgs(es, 1, "graft_nfc")
+          NfcNormalizeExpr(sc(es(0))) }),
+      ("graft_strip_accents", "remove combining marks after NFD decomposition",
+        (es: Seq[Expression]) => { nArgs(es, 1, "graft_strip_accents")
+          StripAccentsExpr(sc(es(0))) }),
       ("graft_dot_f", "float-vector dot product in double",
         (es: Seq[Expression]) => { nArgs(es, 2, "graft_dot_f")
           DotFExpr(ac(es(0), FloatType), ac(es(1), FloatType)) }),

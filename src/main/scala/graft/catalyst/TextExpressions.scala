@@ -96,8 +96,60 @@ object RepetitionStatsExpr {
     StructField("distinct_5grams", IntegerType, nullable = false)))
 }
 
+/** Unicode canonicalization kernels: NFC composition and accent
+  * stripping (NFD + combining-mark removal). Standard corpus-cleaning
+  * passes Spark has no built-in for; pure row-local codegen, zero
+  * shuffle. Semantics mirror DuckDB's nfc_normalize / strip_accents
+  * (the oracle functions) on the covered cases. */
+object UnicodeKernels {
+  import java.text.Normalizer
+
+  def nfc(t: UTF8String): UTF8String = {
+    val s = t.toString
+    // fast path: already-NFC text (all ASCII trivially is) skips the copy
+    if (Normalizer.isNormalized(s, Normalizer.Form.NFC)) t
+    else UTF8String.fromString(Normalizer.normalize(s, Normalizer.Form.NFC))
+  }
+
+  private val combining = java.util.regex.Pattern.compile("\\p{M}+")
+
+  def stripAccents(t: UTF8String): UTF8String = {
+    val d = Normalizer.normalize(t.toString, Normalizer.Form.NFD)
+    val out = combining.matcher(d).replaceAll("")
+    if (out == t.toString) t else UTF8String.fromString(out)
+  }
+}
+
+case class NfcNormalizeExpr(child: Expression)
+    extends UnaryExpression with Serializable {
+  override def dataType: DataType = org.apache.spark.sql.types.StringType
+  override def prettyName: String = "graft_nfc"
+  protected override def nullSafeEval(t: Any): Any =
+    UnicodeKernels.nfc(t.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.catalyst.UnicodeKernels.nfc($c)")
+  override protected def withNewChildInternal(newChild: Expression): NfcNormalizeExpr =
+    copy(child = newChild)
+}
+
+case class StripAccentsExpr(child: Expression)
+    extends UnaryExpression with Serializable {
+  override def dataType: DataType = org.apache.spark.sql.types.StringType
+  override def prettyName: String = "graft_strip_accents"
+  protected override def nullSafeEval(t: Any): Any =
+    UnicodeKernels.stripAccents(t.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.catalyst.UnicodeKernels.stripAccents($c)")
+  override protected def withNewChildInternal(newChild: Expression): StripAccentsExpr =
+    copy(child = newChild)
+}
+
 /** Column-API face of the text kernels. */
 object TextFunctions {
   def repetitionStats(text: Column): Column =
     GraftColumnBridge.column(RepetitionStatsExpr(GraftColumnBridge.expression(text)))
+  def nfcNormalize(text: Column): Column =
+    GraftColumnBridge.column(NfcNormalizeExpr(GraftColumnBridge.expression(text)))
+  def stripAccents(text: Column): Column =
+    GraftColumnBridge.column(StripAccentsExpr(GraftColumnBridge.expression(text)))
 }

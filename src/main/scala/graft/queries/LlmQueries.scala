@@ -251,6 +251,16 @@ object LlmQueries {
           col("r.top2_count").as("top2_count"),
           col("r.top3_count").as("top3_count"),
           col("r.distinct_5grams").as("distinct_5grams")),
-      Some("""WITH toks AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS ts FROM documents), g2 AS (SELECT doc_id, array_to_string(ts[i:i+1], ' ') AS g FROM toks, unnest(generate_series(1, len(ts) - 1)) AS u(i)), t2 AS (SELECT doc_id, max(c) AS m FROM (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2) GROUP BY 1), g3 AS (SELECT doc_id, array_to_string(ts[i:i+2], ' ') AS g FROM toks, unnest(generate_series(1, len(ts) - 2)) AS u(i)), t3 AS (SELECT doc_id, max(c) AS m FROM (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY 1, 2) GROUP BY 1), g5 AS (SELECT doc_id, array_to_string(ts[i:i+4], ' ') AS g FROM toks, unnest(generate_series(1, len(ts) - 4)) AS u(i)), d5 AS (SELECT doc_id, count(DISTINCT g) AS m FROM g5 GROUP BY 1) SELECT k.doc_id, CAST(len(k.ts) AS INTEGER) AS n_tokens, CAST(coalesce(t2.m, 0) AS INTEGER) AS top2_count, CAST(coalesce(t3.m, 0) AS INTEGER) AS top3_count, CAST(coalesce(d5.m, 0) AS INTEGER) AS distinct_5grams FROM toks k LEFT JOIN t2 ON k.doc_id = t2.doc_id LEFT JOIN t3 ON k.doc_id = t3.doc_id LEFT JOIN d5 ON k.doc_id = d5.doc_id"""))
+      Some("""WITH toks AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS ts FROM documents), g2 AS (SELECT doc_id, array_to_string(ts[i:i+1], ' ') AS g FROM toks, unnest(generate_series(1, len(ts) - 1)) AS u(i)), t2 AS (SELECT doc_id, max(c) AS m FROM (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2) GROUP BY 1), g3 AS (SELECT doc_id, array_to_string(ts[i:i+2], ' ') AS g FROM toks, unnest(generate_series(1, len(ts) - 2)) AS u(i)), t3 AS (SELECT doc_id, max(c) AS m FROM (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY 1, 2) GROUP BY 1), g5 AS (SELECT doc_id, array_to_string(ts[i:i+4], ' ') AS g FROM toks, unnest(generate_series(1, len(ts) - 4)) AS u(i)), d5 AS (SELECT doc_id, count(DISTINCT g) AS m FROM g5 GROUP BY 1) SELECT k.doc_id, CAST(len(k.ts) AS INTEGER) AS n_tokens, CAST(coalesce(t2.m, 0) AS INTEGER) AS top2_count, CAST(coalesce(t3.m, 0) AS INTEGER) AS top3_count, CAST(coalesce(d5.m, 0) AS INTEGER) AS distinct_5grams FROM toks k LEFT JOIN t2 ON k.doc_id = t2.doc_id LEFT JOIN t3 ON k.doc_id = t3.doc_id LEFT JOIN d5 ON k.doc_id = d5.doc_id""")),
+
+    Entry("q_text_normalize",
+      // Unicode canonicalization pass (NFC + accent strip + casefold) via
+      // the native codegen kernels — row-local, zero shuffle; the fixture
+      // is ASCII so the oracle guards the plumbing while CatalystSpec
+      // goldens pin the non-ASCII semantics against known strings
+      (s, d) => t(s, d, "documents").select(col("doc_id"),
+        graft.catalyst.TextFunctions.nfcNormalize(col("text")).as("nfc"),
+        lower(graft.catalyst.TextFunctions.stripAccents(col("text"))).as("folded")),
+      Some("""SELECT doc_id, nfc_normalize(text) AS nfc, lower(strip_accents(text)) AS folded FROM documents"""))
   )
 }

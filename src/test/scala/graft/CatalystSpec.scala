@@ -101,6 +101,29 @@ class CatalystSpec extends SparkSpec {
     assert(msgs(ex).exists(_.contains("null array element")))
   }
 
+  test("unicode kernels: NFC composes, strip_accents drops marks, nulls pass") {
+    import graft.catalyst.TextFunctions
+    // "école" with a decomposed e+combining-acute must compose to the
+    // precomposed form; strip_accents removes marks from both spellings
+    val decomposed = "e\u0301cole"
+    val df = Seq((decomposed, "São naïve Ωμέγα")).toDF("a", "b")
+      .select(TextFunctions.nfcNormalize(col("a")).as("nfc"),
+        TextFunctions.stripAccents(col("a")).as("sa"),
+        TextFunctions.stripAccents(col("b")).as("sb"))
+    val r = df.head()
+    assert(r.getString(0) == "\u00e9cole")
+    assert(r.getString(1) == "ecole")
+    assert(r.getString(2) == "Sao naive Ωμεγα")
+    val n = Seq(Option.empty[String]).toDF("t")
+      .select(TextFunctions.nfcNormalize(col("t"))).head()
+    assert(n.isNullAt(0))
+    // SQL registration
+    graft.catalyst.GraftExtensions.register(spark)
+    val s = spark.sql(
+      s"SELECT graft_nfc('$decomposed') AS n, graft_strip_accents('\u00e0') AS a").head()
+    assert(s.getString(0) == "\u00e9cole" && s.getString(1) == "a")
+  }
+
   test("array-kernel SQL functions are registered") {
     graft.catalyst.GraftExtensions.register(spark)
     val r = spark.sql(
