@@ -91,6 +91,24 @@ object Events {
                    dimKey: org.apache.spark.sql.Column): DataFrame =
     events.join(broadcast(dim), eventKey === dimKey, "left")
 
+  /** Idempotent parquet lake sink via foreachBatch: every micro-batch
+    * lands under its own `batch=<id>` partition directory with
+    * mode("overwrite"). Exactly-once by construction — a batch replayed
+    * after a failure rewrites the SAME directory instead of appending
+    * duplicates (the checkpoint's batch ids are the unit of replay), which
+    * is the standard recipe for streaming ingestion into a parquet lake
+    * without a transactional table format. Readers see the whole lake with
+    * `spark.read.parquet(dir)`; `batch` surfaces as a partition column and
+    * prunes. */
+  def writeParquetIdempotent(df: DataFrame, dir: String,
+                             checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        batch.write.mode("overwrite").parquet(s"$dir/batch=$id")
+      }
+      .start()
+
   final case class UserState(n: Long, total: Double, lastTsMicros: Long)
   final case class UserUpdate(user_id: Long, n_events: Long, total_value: Double,
                               last_ts: Long)

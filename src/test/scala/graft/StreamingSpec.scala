@@ -104,6 +104,31 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.values.sum > 0)
   }
 
+  test("foreachBatch parquet sink is idempotent and lands every row") {
+    val out = java.nio.file.Files.createTempDirectory("graft_lake")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt")
+    def runOnce(): Unit = {
+      val stream = Events.readStream(spark, streamDir)
+        .select("event_id", "user_id", "event_type", "value")
+      val q = Events.writeParquetIdempotent(stream, out.toString, ckpt.toString)
+      // AvailableNow isn't applicable through start(); the source drains
+      // in the first trigger for a static directory — wait for idle
+      q.processAllAvailable()
+      q.stop()
+    }
+    runOnce()
+    val first = spark.read.parquet(out.toString)
+    val expected = spark.read.parquet(s"$sf001/events.parquet").count()
+    assert(first.count() == expected)
+    assert(first.columns.contains("batch")) // partition column surfaces
+    // re-running against the SAME checkpoint replays nothing and the same
+    // lake count holds (no duplicate append)
+    runOnce()
+    assert(spark.read.parquet(out.toString).count() == expected)
+    assert(spark.read.parquet(out.toString)
+      .select("event_id").distinct().count() == expected)
+  }
+
   test("dropDuplicatesWithinWatermark emits one row per key") {
     val stream = Events.readStream(spark, streamDir)
     val streamed = runToMemory(Events.dedupWithinWatermark(stream), "t_dedup",
