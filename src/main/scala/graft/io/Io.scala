@@ -111,6 +111,24 @@ object Io {
   /** Stride-select every `stride`-th column starting at `offset` (TCGA flat
     * files carry 4 columns per sample and the loader keeps every 4th;
     * Download_Preprocess.R:686-702). */
+  /** Compact a directory of (possibly many small) parquet files into
+    * ~`targetBytes` output files — the standard lake maintenance pass
+    * after streaming/append ingestion (the idempotent foreachBatch sink
+    * produces one directory per micro-batch; a 100 TB table read through
+    * thousands of tiny files pays open/footer costs per file and starves
+    * the scheduler). Uses the INPUT byte size to pick the output file
+    * count, coalesce (no shuffle) when narrowing. Writes to `outDir`
+    * (never in place — the swap is the caller's atomic step). */
+  def compactParquet(spark: SparkSession, inDir: String, outDir: String,
+                     targetBytes: Long = 128L << 20): Unit = {
+    val df = spark.read.parquet(inDir)
+    val inBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val nOut = math.max(1,
+      (inBytes / BigInt(math.max(1L, targetBytes))).toInt +
+        (if (inBytes % BigInt(math.max(1L, targetBytes)) > 0) 1 else 0))
+    df.coalesce(nOut).write.mode("overwrite").parquet(outDir)
+  }
+
   def strideSelect(df: DataFrame, keep: Seq[String], stride: Int,
                    offset: Int): DataFrame = {
     val strided = df.columns.zipWithIndex

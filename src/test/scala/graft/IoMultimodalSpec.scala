@@ -85,6 +85,40 @@ class IoMultimodalSpec extends SparkSpec {
     assert(spark.read.parquet(dir).count() == 2)
   }
 
+  test("orc and json-lines round-trip with schema intact") {
+    val df = Seq((1L, "alpha", 1.5), (2L, "beta", 2.5), (3L, null, 3.5))
+      .toDF("id", "name", "x")
+    val base = Files.createTempDirectory("graft_fmt").toString
+    df.write.orc(s"$base/orc")
+    df.write.json(s"$base/jsonl")
+    val orc = spark.read.orc(s"$base/orc")
+    // file formats relax primitive nullability on read; names/types hold
+    assert(orc.schema.map(f => (f.name, f.dataType)) ==
+      df.schema.map(f => (f.name, f.dataType)))
+    assert(orc.orderBy("id").collect().toSeq == df.orderBy("id").collect().toSeq)
+    // json needs the schema pinned to avoid inference drift (long->long)
+    val jsonl = spark.read.schema(df.schema).json(s"$base/jsonl")
+    assert(jsonl.orderBy("id").collect().toSeq == df.orderBy("id").collect().toSeq)
+  }
+
+  test("compactParquet collapses a many-file directory, preserving rows") {
+    val base = Files.createTempDirectory("graft_compact").toString
+    // simulate the per-batch lake layout: 8 tiny single-file writes
+    (0 until 8).foreach { i =>
+      Seq.tabulate(100)(j => (i * 100 + j, s"row$i$j")).toDF("id", "v")
+        .coalesce(1).write.parquet(s"$base/in/batch=$i")
+    }
+    val before = new java.io.File(s"$base/in").listFiles().length
+    assert(before == 8)
+    Io.compactParquet(spark, s"$base/in", s"$base/out")
+    val files = new java.io.File(s"$base/out").listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    assert(files.length == 1, s"expected 1 compacted file, got ${files.length}")
+    val out = spark.read.parquet(s"$base/out")
+    assert(out.count() == 800)
+    assert(out.select("id").distinct().count() == 800)
+  }
+
   test("strideSelect keeps every nth column (TCGA 4-col stride)") {
     val df = Seq((1, 2, 3, 4, 5, 6, 7, 8, 9))
       .toDF("id", "b1", "b2", "b3", "s1", "b4", "b5", "b6", "s2")
