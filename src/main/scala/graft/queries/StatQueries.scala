@@ -234,6 +234,33 @@ object StatQueries {
       },
       Some("""WITH e0 AS (SELECT l_partkey * 2 AS a, l_suppkey * 2 + 1 AS b, CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS r FROM lineitem GROUP BY l_partkey, l_suppkey), edges AS (SELECT a, b, r FROM e0 UNION ALL SELECT b, a, r FROM e0), ranked AS (SELECT a, b, row_number() OVER (PARTITION BY a ORDER BY r DESC, b) AS rk FROM edges), p AS (SELECT x.a, x.b, x.rk AS rab, y.rk AS rba FROM ranked x JOIN ranked y ON x.a = y.b AND x.b = y.a WHERE x.a < x.b) SELECT concat(CASE WHEN a % 2 = 0 THEN 'p' ELSE 's' END, CAST(a // 2 AS VARCHAR)) AS a, concat(CASE WHEN b % 2 = 0 THEN 'p' ELSE 's' END, CAST(b // 2 AS VARCHAR)) AS b, round(sqrt(rab * rba),6) AS mr, round(exp((CAST(1.0 AS DOUBLE) - sqrt(rab * rba)) / 25.0),6) AS weight FROM p""")),
 
+    Entry("q_kmv_distinct",
+      // approximate distinct count via a K-minimum-values sketch: the k
+      // smallest md5 draws per group estimate the distinct cardinality as
+      // (k-1)/kth-smallest-fraction. Unlike HLL, every step is exact
+      // deterministic arithmetic over the shared md5 draw, so the oracle
+      // replays the ESTIMATE bit for bit — and the sketch is mergeable
+      // (union the min-sets, re-take k smallest), the 100 TB shape for
+      // per-partition profiles that roll up
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val k = 64
+        val two60 = 1152921504606846976.0 // 2^60, the draw's range
+        val ev = Q.events(s, d).select(col("event_type"), col("user_id"))
+          .distinct()
+          .withColumn("h", conv(substring(md5(concat(lit("kmv:"),
+            col("user_id").cast("string"))), 1, 15), 16, 10).cast("long"))
+        val w = Window.partitionBy("event_type").orderBy("h")
+        ev.withColumn("rn", row_number().over(w))
+          .where(col("rn") <= k)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_mins"), max(col("h")).as("kth"))
+          .withColumn("est_distinct",
+            when(col("n_mins") < k, col("n_mins").cast("double"))
+              .otherwise(round(lit((k - 1).toDouble) * lit(two60) / col("kth"), 2)))
+      },
+      Some("""WITH u AS (SELECT DISTINCT event_type, user_id FROM events), h AS (SELECT event_type, CAST(concat('0x', substr(md5('kmv:' || CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h FROM u), r AS (SELECT event_type, h, row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn FROM h), m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_mins, max(h) AS kth FROM r WHERE rn <= 64 GROUP BY 1) SELECT event_type, n_mins, kth, CASE WHEN n_mins < 64 THEN CAST(n_mins AS DOUBLE) ELSE CAST(round(CAST(CAST(63.0 * 1152921504606846976.0 / kth AS VARCHAR) AS DECIMAL(38,12)), 2) AS DOUBLE) END AS est_distinct FROM m""")),
+
     Entry("q_json_extract",
       // semi-structured extraction from the events props JSON column:
       // one from_json parse per row (schema'd JacksonParser — never a

@@ -290,6 +290,22 @@ class OpsSpec extends SparkSpec {
     assert(out("cold")._1 == 7.0 && out("cold")._2 == 2.0)
   }
 
+  test("KMV distinct estimate lands within the sketch's error envelope") {
+    // 10k distinct keys, k=64: relative error concentrates around
+    // 1/sqrt(k-2) ~ 13%; allow 3x that. Mirrors q_kmv_distinct's formula.
+    import org.apache.spark.sql.expressions.Window
+    val k = 64
+    val n = 10000
+    val df = (0 until n).map(i => s"u$i").toDF("key")
+      .withColumn("h", conv(substring(md5(concat(lit("kmv:"), col("key"))),
+        1, 15), 16, 10).cast("long"))
+    val kth = df.withColumn("rn",
+        row_number().over(Window.orderBy("h")))
+      .where(col("rn") <= k).agg(max("h")).head().getLong(0)
+    val est = (k - 1).toDouble * 1152921504606846976.0 / kth
+    assert(math.abs(est - n) / n < 0.4, s"estimate $est too far from $n")
+  }
+
   test("zscoreOutliers flags |z|>=2 and guards sd=0 groups") {
     val df = (Seq.fill(20)(10.0) :+ 100.0).zipWithIndex
       .map { case (v, i) => ("g", i.toLong, v) }.toDF("grp", "id", "v")
