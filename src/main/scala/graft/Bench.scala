@@ -86,10 +86,29 @@ object Bench {
         try spark.conf.unset(graft.catalyst.RangeJoinRewrite.WidthKey)
         catch { case _: Throwable => () }
       }
+      // Watchdog: a single hung query must degrade to one error entry,
+      // not stall the whole bench past the driver's budget (which would
+      // leave the round with no JSON at all). Cancels the Spark jobs at
+      // the deadline; the interrupted count() then throws and is recorded
+      // like any other failure.
+      val timeoutMs =
+        sys.env.getOrElse("SPARK_GRAFT_QUERY_TIMEOUT_S", "300").toLong * 1000L
       def once(): Double = {
+        val timedOut = new java.util.concurrent.atomic.AtomicBoolean(false)
+        val timer = new java.util.Timer("bench-watchdog", true)
+        timer.schedule(new java.util.TimerTask {
+          override def run(): Unit = {
+            timedOut.set(true)
+            spark.sparkContext.cancelAllJobs()
+          }
+        }, timeoutMs)
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
-        finally cleanup()
+        try {
+          fn(spark, sfDir).count()
+          if (timedOut.get()) throw new RuntimeException(
+            s"timeout: cancelled after ${timeoutMs / 1000}s")
+          (System.nanoTime() - t0) / 1e9
+        } finally { timer.cancel(); cleanup() }
       }
       try {
         val t1 = once()
