@@ -24,14 +24,23 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // same per-query watchdog as Bench: one hung query degrades to one
+    // missing dump (the driver records it as an error), not a stalled gate
+    val timeoutMs =
+      sys.env.getOrElse("SPARK_GRAFT_QUERY_TIMEOUT_S", "600").toLong * 1000L
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
+      val timer = new java.util.Timer("verify-watchdog", true)
+      timer.schedule(new java.util.TimerTask {
+        override def run(): Unit = spark.sparkContext.cancelAllJobs()
+      }, timeoutMs)
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       } finally {
+        timer.cancel()
         spark.catalog.clearCache() // drop kernels' internal persists
         try spark.conf.unset(graft.catalyst.RangeJoinRewrite.WidthKey)
         catch { case _: Throwable => () }

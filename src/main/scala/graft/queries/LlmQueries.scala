@@ -253,6 +253,29 @@ object LlmQueries {
           col("r.distinct_5grams").as("distinct_5grams")),
       Some("""WITH toks AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS ts FROM documents), g2 AS (SELECT doc_id, array_to_string(ts[i:i+1], ' ') AS g FROM toks, unnest(generate_series(1, len(ts) - 1)) AS u(i)), t2 AS (SELECT doc_id, max(c) AS m FROM (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2) GROUP BY 1), g3 AS (SELECT doc_id, array_to_string(ts[i:i+2], ' ') AS g FROM toks, unnest(generate_series(1, len(ts) - 2)) AS u(i)), t3 AS (SELECT doc_id, max(c) AS m FROM (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY 1, 2) GROUP BY 1), g5 AS (SELECT doc_id, array_to_string(ts[i:i+4], ' ') AS g FROM toks, unnest(generate_series(1, len(ts) - 4)) AS u(i)), d5 AS (SELECT doc_id, count(DISTINCT g) AS m FROM g5 GROUP BY 1) SELECT k.doc_id, CAST(len(k.ts) AS INTEGER) AS n_tokens, CAST(coalesce(t2.m, 0) AS INTEGER) AS top2_count, CAST(coalesce(t3.m, 0) AS INTEGER) AS top3_count, CAST(coalesce(d5.m, 0) AS INTEGER) AS distinct_5grams FROM toks k LEFT JOIN t2 ON k.doc_id = t2.doc_id LEFT JOIN t3 ON k.doc_id = t3.doc_id LEFT JOIN d5 ON k.doc_id = d5.doc_id""")),
 
+    Entry("q_dist_shift",
+      // corpus drift profile: per-source language-distribution entropy and
+      // KL(source || corpus) — the monitoring pass that catches a source
+      // whose mix shifted between corpus builds. Pure count ratios + ln,
+      // two exchanges (per-(source,lang) rollup, per-source agg), dim
+      // joins broadcast
+      (s, d) => {
+        val docs = t(s, d, "documents").select("source", "lang")
+        val bySl = docs.groupBy("source", "lang").agg(count(lit(1)).as("n_sl"))
+        val byS = bySl.groupBy("source").agg(sum("n_sl").as("n_s"))
+        val byL = docs.groupBy("lang").agg(count(lit(1)).as("n_l"))
+        val tot = docs.agg(count(lit(1)).as("n_tot"))
+        bySl.join(byS, "source").join(broadcast(byL), "lang")
+          .crossJoin(broadcast(tot))
+          .withColumn("p", col("n_sl") / col("n_s"))
+          .withColumn("q", col("n_l") / col("n_tot"))
+          .groupBy("source")
+          .agg(r6(-sum(col("p") * log(col("p")))).as("entropy"),
+            r6(sum(col("p") * log(col("p") / col("q")))).as("kl_vs_corpus"),
+            count(lit(1)).as("n_langs"))
+      },
+      Some("""WITH sl AS (SELECT source, lang, count(*) AS n_sl FROM documents GROUP BY 1, 2), s AS (SELECT source, sum(n_sl) AS n_s FROM sl GROUP BY 1), l AS (SELECT lang, count(*) AS n_l FROM documents GROUP BY 1), t AS (SELECT count(*) AS n_tot FROM documents), j AS (SELECT sl.source, CAST(sl.n_sl AS DOUBLE) / s.n_s AS p, CAST(l.n_l AS DOUBLE) / t.n_tot AS q FROM sl JOIN s USING (source) JOIN l USING (lang), t) SELECT source, CAST(round(CAST(CAST(-sum(p * ln(p)) AS VARCHAR) AS DECIMAL(38,12)), 6) AS DOUBLE) AS entropy, CAST(round(CAST(CAST(sum(p * ln(p / q)) AS VARCHAR) AS DECIMAL(38,12)), 6) AS DOUBLE) AS kl_vs_corpus, count(*) AS n_langs FROM j GROUP BY 1""")),
+
     Entry("q_text_normalize",
       // Unicode canonicalization pass (NFC + accent strip + casefold) via
       // the native codegen kernels — row-local, zero shuffle; the fixture
