@@ -26,8 +26,11 @@ object ScaleCheck {
     // fan-out upsampler, and the curate->split->pack composition
     "q_pack_sequences", "q_mixture_upsample", "q_pipeline_traindata",
     // round-7 additions: the zero-shuffle repetition kernel, the
-    // window-capped domain quota, and the fused herald unroll
-    "q_text_repetition", "q_domain_quota", "q_pipeline_herald")
+    // window-capped domain quota, the fused herald unroll, the as-of
+    // window join, the KMV sketch, the token-stream vocab pass, and the
+    // drift profile
+    "q_text_repetition", "q_domain_quota", "q_pipeline_herald",
+    "q_asof_join", "q_kmv_distinct", "q_vocab_topk", "q_dist_shift")
 
   def main(args: Array[String]): Unit = {
     val src = "/root/testdata/sf0.1"
