@@ -36,6 +36,24 @@ object Relational {
       .where(col("__rn") === 1).drop("__rn")
   }
 
+  /** [[keepFirst]] specialized to the case where the caller needs only the
+    * key and (a prefix of) the ordering columns: the lexicographic
+    * struct-minimum per key group replaces the row_number window. Same
+    * rows out, but aggregation gets MAP-SIDE COMBINE — each partition
+    * ships one candidate row per key instead of every row through the
+    * window's full shuffle-and-sort, the difference between exchanging
+    * |keys| and |rows| at 100 TB. Requires all-ascending, null-free
+    * ordering columns (struct comparison and the window's default
+    * nulls-first would disagree on nulls). */
+  def keepFirstAgg(df: DataFrame, keys: Seq[String],
+                   order: Seq[String]): DataFrame = {
+    val w = df.groupBy(keys.map(col): _*)
+      .agg(min(struct(order.map(col): _*)).as("__first"))
+    order.zipWithIndex.foldLeft(w) { case (acc, (c, i)) =>
+      acc.withColumn(c, col("__first").getField(c))
+    }.drop("__first")
+  }
+
   /** As-of join: for each probe row, the LATEST reference row of the same
     * key with ref ts <= probe ts (ties at equal ts match). The reference
     * engine has no as-of (SURVEY §2.3 note), but it is the canonical

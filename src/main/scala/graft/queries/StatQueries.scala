@@ -43,8 +43,10 @@ object StatQueries {
 
     Entry("q_distinct_subset",
       // order-deterministic drop_duplicates(keep='first') (gizmos.py:509-516)
-      (s, d) => Relational.keepFirst(t(s, d, "lineitem"), Seq("l_orderkey"),
-          Seq(col("l_linenumber"), col("l_partkey"), col("l_suppkey")))
+      // via the struct-min aggregate (map-side combine; ships one candidate
+      // per key per partition instead of every row through a window sort)
+      (s, d) => Relational.keepFirstAgg(t(s, d, "lineitem"),
+          Seq("l_orderkey"), Seq("l_linenumber", "l_partkey", "l_suppkey"))
         .select("l_orderkey", "l_linenumber", "l_partkey"),
       Some("""SELECT l_orderkey, l_linenumber, l_partkey FROM (SELECT l_orderkey, l_linenumber, l_partkey, row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey, l_suppkey) AS rn FROM lineitem) WHERE rn = 1""")),
 

@@ -255,6 +255,19 @@ class PropertySpec extends SparkSpec {
       s"vacuous generation: imputed=$sawImputed dropped=$sawDropped unfillable=$sawUnfillable")
   }
 
+  test("keepFirstAgg equals the window keepFirst on duplicate-heavy keys") {
+    val gen = Gen.listOfN(200,
+      Gen.zip(Gen.choose(1L, 20L), Gen.choose(0, 50), Gen.choose(0, 50)))
+    forAllN(10, gen) { rows =>
+      val df = rows.toDF("k", "a", "b")
+      val win = Relational.keepFirst(df, Seq("k"), Seq(col("a"), col("b")))
+        .select("k", "a", "b").as[(Long, Int, Int)].collect().toSet
+      val agg = Relational.keepFirstAgg(df, Seq("k"), Seq("a", "b"))
+        .select("k", "a", "b").as[(Long, Int, Int)].collect().toSet
+      assert(agg == win)
+    }
+  }
+
   test("asofJoin equals a brute-force latest-at-or-before lookup") {
     // random probe/ref event sets with deliberately colliding timestamps
     // (small ts universe) to hit the equal-ts tie rule
