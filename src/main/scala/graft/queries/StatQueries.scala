@@ -29,8 +29,8 @@ object StatQueries {
 
     Entry("q_minby_group",
       // smallest-diameter-per-group keep-first (mapBaseRetroRules.py:164-171)
-      (s, d) => Relational.keepFirst(t(s, d, "part"), Seq("p_brand"),
-          Seq(col("p_size"), col("p_partkey")))
+      (s, d) => Relational.keepFirstAgg(t(s, d, "part"), Seq("p_brand"),
+          Seq("p_size", "p_partkey"))
         .select("p_brand", "p_partkey", "p_size"),
       Some("""SELECT p_brand, p_partkey, p_size FROM (SELECT p_brand, p_partkey, p_size, row_number() OVER (PARTITION BY p_brand ORDER BY p_size, p_partkey) AS rn FROM part) WHERE rn = 1""")),
 

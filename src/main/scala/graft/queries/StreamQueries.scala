@@ -50,8 +50,8 @@ object StreamQueries {
     Entry("q_stream_dedup",
       // batch analogue of dropDuplicatesWithinWatermark: earliest event per
       // (user, type)
-      (s, d) => Relational.keepFirst(Q.events(s, d), Seq("user_id", "event_type"),
-          Seq(col("ts"), col("event_id")))
+      (s, d) => Relational.keepFirstAgg(Q.events(s, d),
+          Seq("user_id", "event_type"), Seq("ts", "event_id"))
         .select("user_id", "event_type", "event_id"),
       Some("""SELECT user_id, event_type, event_id FROM (SELECT user_id, event_type, event_id, row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn FROM events) WHERE rn = 1""")),
 
