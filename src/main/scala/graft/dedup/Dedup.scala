@@ -36,7 +36,8 @@ object Dedup {
             // mirrors FilePartition packing: total bytes / maxPartitionBytes
             val maxSplit = df.sparkSession.sessionState.conf.filesMaxPartitionBytes
             math.max(1L, h.location.sizeInBytes / math.max(1L, maxSplit)).toInt
-          case _ => Int.MaxValue
+          case _ => 0 // non-file relation (e.g. a 1-partition JDBC scan):
+            // width unknown — fan out, the safe direction here
         }
       case _ => 0 // unknown width: assume narrow, fan out
     }
