@@ -104,6 +104,54 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.values.sum > 0)
   }
 
+  test("multi-batch run: watermark advances, append emits finalized windows") {
+    // split events into 3 time-ordered files and feed ONE file per
+    // trigger — the watermark then actually advances between batches and
+    // append mode emits each 10-min window only once it is finalized
+    // (single-batch drains never exercise state eviction)
+    val ev = spark.read.parquet(s"$sf001/events.parquet").orderBy("ts")
+    val n = ev.count()
+    val dir = java.nio.file.Files.createTempDirectory("graft_batches")
+    val parts = Seq(
+      ev.limit((n / 3).toInt),
+      ev.orderBy("ts").offset((n / 3).toInt).limit((n / 3).toInt),
+      ev.orderBy("ts").offset((2 * n / 3).toInt))
+    parts.zipWithIndex.foreach { case (p, i) =>
+      p.coalesce(1).write.parquet(s"$dir/f$i")
+    }
+    // flatten the part dirs into one source dir of single files
+    val src = java.nio.file.Files.createTempDirectory("graft_src")
+    (0 until 3).foreach { i =>
+      val f = new java.io.File(s"$dir/f$i").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(f.toPath, src.resolve(f"part$i%02d.parquet"))
+    }
+    val schema = spark.read.parquet(src.toString).schema
+    val stream = graft.queries.Q.normalizeEventTs(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+        .parquet(src.toString))
+    val q = Events.tumblingAgg(stream).writeStream
+      .format("memory").queryName("t_multibatch")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val emitted = spark.table("t_multibatch")
+      .select("event_type", "ws", "n", "sum_value")
+      .collect().map(_.toSeq)
+    // append emits each finalized window EXACTLY once (no updates)
+    assert(emitted.length == emitted.toSet.size)
+    val batchAll = SparkEntry.queries("q_stream_tumbling")(spark, sf001)
+      .collect().map(_.toSeq).toSet
+    // every emitted window matches the batch result exactly
+    assert(emitted.toSet.subsetOf(batchAll))
+    // the watermark genuinely advanced: windows older than
+    // (max ts - 30 min watermark) in the first two thirds are finalized
+    assert(emitted.length > batchAll.size / 2,
+      s"only ${emitted.length} of ${batchAll.size} windows finalized — " +
+        "watermark did not advance across batches")
+  }
+
   test("foreachBatch parquet sink is idempotent and lands every row") {
     val out = java.nio.file.Files.createTempDirectory("graft_lake")
     val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt")
