@@ -152,6 +152,26 @@ class StreamingSpec extends SparkSpec {
         "watermark did not advance across batches")
   }
 
+  test("stateful aggregate runs on the RocksDB state store backend") {
+    // HDFSBackedStateStore keeps state on the executor heap — fine for
+    // tests, a memory ceiling at real scale. The deployment-grade backend
+    // is RocksDB (spilling, changelog checkpointing); prove the custom
+    // flatMapGroupsWithState state round-trips through it unchanged.
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = Events.readStream(spark, streamDir)
+      val streamed = runToMemory(Events.statefulUserAgg(stream).toDF(),
+          "t_state_rocks", complete = false)
+        .groupBy("user_id").agg(max("n_events").as("n_events"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      val batch = spark.read.parquet(s"$sf001/events.parquet")
+        .groupBy("user_id").agg(count(lit(1)).as("n"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(streamed == batch)
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("foreachBatch parquet sink is idempotent and lands every row") {
     val out = java.nio.file.Files.createTempDirectory("graft_lake")
     val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt")
