@@ -253,6 +253,34 @@ object LlmQueries {
           col("r.distinct_5grams").as("distinct_5grams")),
       Some("""WITH toks AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS ts FROM documents), g2 AS (SELECT doc_id, array_to_string(ts[i:i+1], ' ') AS g FROM toks, unnest(generate_series(1, len(ts) - 1)) AS u(i)), t2 AS (SELECT doc_id, max(c) AS m FROM (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2) GROUP BY 1), g3 AS (SELECT doc_id, array_to_string(ts[i:i+2], ' ') AS g FROM toks, unnest(generate_series(1, len(ts) - 2)) AS u(i)), t3 AS (SELECT doc_id, max(c) AS m FROM (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY 1, 2) GROUP BY 1), g5 AS (SELECT doc_id, array_to_string(ts[i:i+4], ' ') AS g FROM toks, unnest(generate_series(1, len(ts) - 4)) AS u(i)), d5 AS (SELECT doc_id, count(DISTINCT g) AS m FROM g5 GROUP BY 1) SELECT k.doc_id, CAST(len(k.ts) AS INTEGER) AS n_tokens, CAST(coalesce(t2.m, 0) AS INTEGER) AS top2_count, CAST(coalesce(t3.m, 0) AS INTEGER) AS top3_count, CAST(coalesce(d5.m, 0) AS INTEGER) AS distinct_5grams FROM toks k LEFT JOIN t2 ON k.doc_id = t2.doc_id LEFT JOIN t3 ON k.doc_id = t3.doc_id LEFT JOIN d5 ON k.doc_id = d5.doc_id""")),
 
+    Entry("q_text_redact",
+      // PII scrub (emails / SSNs / IPv4s / phones): sequential
+      // count-then-replace regexp pipeline, zero shuffle; the oracle
+      // replays the same stage order so counts are over each stage's
+      // input exactly like the engine's fold
+      (s, d) => graft.text.Text.redactPii(
+        t(s, d, "documents").select("doc_id", "text"), "text")
+        .select("doc_id", "redacted", "n_email", "n_ssn", "n_ipv4", "n_phone"),
+      Some {
+        val stages = graft.text.Text.PiiPatterns
+        // fold the same pipeline into chained CTEs r1..r4, each counting
+        // on its input then replacing (EXCLUDE carries the accumulator)
+        val ctes = stages.zipWithIndex.map { case ((name, re, tok), i) =>
+          val esc = re.replace("'", "''")
+          s"r${i + 1} AS (SELECT * EXCLUDE (redacted), CAST(len(regexp_extract_all(redacted, '$esc')) AS INTEGER) AS n_$name, regexp_replace(redacted, '$esc', '$tok', 'g') AS redacted FROM r$i)"
+        }.mkString(", ")
+        s"""WITH r0 AS (SELECT doc_id, text AS redacted FROM documents), $ctes SELECT doc_id, redacted, n_email, n_ssn, n_ipv4, n_phone FROM r${stages.size}"""
+      }),
+
+    Entry("q_term_salience",
+      // per-document salient terms: tf x (N/df) top-3 — the
+      // no-transcendentals TF-IDF (integer-ratio scores are exact IEEE
+      // divisions, bit-reproducible across engines)
+      (s, d) => graft.text.Text.termSalienceTopK(
+        t(s, d, "documents").select("doc_id", "text"), "doc_id", "text", k = 3)
+        .select("doc_id", "term", "tf", "df", "salience"),
+      Some("""WITH tok AS (SELECT doc_id, unnest(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) AS term FROM documents), tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2), dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1), n AS (SELECT count(*) AS nd FROM documents), s AS (SELECT tf.doc_id, tf.term, tf.tf, dfq.df, CAST(tf.tf * n.nd AS DOUBLE) / dfq.df AS salience FROM tf JOIN dfq USING (term), n), r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY salience DESC, term) AS rn FROM s) SELECT doc_id, term, tf, df, salience FROM r WHERE rn <= 3""")),
+
     Entry("q_vocab_topk",
       // vocabulary pass: token frequencies over the corpus, top 50 by
       // (count desc, token) — explode + partial-aggregated groupBy (the
