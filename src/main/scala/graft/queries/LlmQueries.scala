@@ -253,6 +253,18 @@ object LlmQueries {
           col("r.distinct_5grams").as("distinct_5grams")),
       Some("""WITH toks AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS ts FROM documents), g2 AS (SELECT doc_id, array_to_string(ts[i:i+1], ' ') AS g FROM toks, unnest(generate_series(1, len(ts) - 1)) AS u(i)), t2 AS (SELECT doc_id, max(c) AS m FROM (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2) GROUP BY 1), g3 AS (SELECT doc_id, array_to_string(ts[i:i+2], ' ') AS g FROM toks, unnest(generate_series(1, len(ts) - 2)) AS u(i)), t3 AS (SELECT doc_id, max(c) AS m FROM (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY 1, 2) GROUP BY 1), g5 AS (SELECT doc_id, array_to_string(ts[i:i+4], ' ') AS g FROM toks, unnest(generate_series(1, len(ts) - 4)) AS u(i)), d5 AS (SELECT doc_id, count(DISTINCT g) AS m FROM g5 GROUP BY 1) SELECT k.doc_id, CAST(len(k.ts) AS INTEGER) AS n_tokens, CAST(coalesce(t2.m, 0) AS INTEGER) AS top2_count, CAST(coalesce(t3.m, 0) AS INTEGER) AS top3_count, CAST(coalesce(d5.m, 0) AS INTEGER) AS distinct_5grams FROM toks k LEFT JOIN t2 ON k.doc_id = t2.doc_id LEFT JOIN t3 ON k.doc_id = t3.doc_id LEFT JOIN d5 ON k.doc_id = d5.doc_id""")),
 
+    Entry("q_decontaminate",
+      // benchmark decontamination: flag corpus docs sharing any word
+      // 5-gram with the eval set (docs with doc_id % 40 == 0 stand in
+      // for the benchmark). Eval hash set broadcast; corpus never
+      // shuffles — only matching (id, hash) pairs reach the aggregate
+      (s, d) => {
+        val docs = t(s, d, "documents").select("doc_id", "text")
+        val eval = docs.where(col("doc_id") % 40 === 0)
+        Dedup.decontaminate(docs, eval, "doc_id", "text", k = 5)
+      },
+      Some("""WITH toks AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS ts FROM documents), sh0 AS (SELECT doc_id, CASE WHEN len(ts) >= 5 THEN array_to_string(ts[i:i+4], ' ') ELSE array_to_string(ts, ' ') END AS s FROM toks, unnest(generate_series(1, greatest(len(ts) - 4, 1))) AS g(i)), shh AS (SELECT DISTINCT doc_id, CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) AS h FROM sh0), ev AS (SELECT DISTINCT h FROM shh WHERE doc_id % 40 = 0), hits AS (SELECT shh.doc_id, count(*) AS n_hits FROM shh JOIN ev USING (h) GROUP BY 1) SELECT d.doc_id, coalesce(hits.n_hits, 0) AS n_hits, coalesce(hits.n_hits, 0) > 0 AS contaminated FROM documents d LEFT JOIN hits ON d.doc_id = hits.doc_id""")),
+
     Entry("q_text_redact",
       // PII scrub (emails / SSNs / IPv4s / phones): sequential
       // count-then-replace regexp pipeline, zero shuffle; the oracle
