@@ -101,6 +101,23 @@ class IoMultimodalSpec extends SparkSpec {
     assert(jsonl.orderBy("id").collect().toSeq == df.orderBy("id").collect().toSeq)
   }
 
+  test("partitioned writes prune partitions at the scan") {
+    val base = Files.createTempDirectory("graft_part").toString
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs.write.partitionBy("lang").parquet(s"$base/by_lang")
+    val one = spark.read.parquet(s"$base/by_lang").where(col("lang") === "en")
+    // the filter must become a PartitionFilter (directory pruning), not a
+    // row-level PushedFilter over all files
+    val plan = one.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)\\].*", "$1")
+        .contains("lang"), s"lang filter not pruned to partitions:\n$plan")
+    val expected = docs.where(col("lang") === "en").count()
+    assert(one.count() == expected && expected > 0)
+    // round-trip integrity: partition column rehydrates on read
+    assert(spark.read.parquet(s"$base/by_lang").count() == docs.count())
+  }
+
   test("compactParquet collapses a many-file directory, preserving rows") {
     val base = Files.createTempDirectory("graft_compact").toString
     // simulate the per-batch lake layout: 8 tiny single-file writes
