@@ -199,6 +199,33 @@ class IoMultimodalSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("AQE splits a skewed sort-merge join at runtime") {
+    // one hot key carrying ~all rows: AQE's skew-join optimization must
+    // split the oversized partition (finalPlan marks the SMJ skew=true).
+    // This is the runtime complement to the explicit ops/Skew.saltedJoin.
+    val conf = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8KB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") // force SMJ
+    conf.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val big = spark.range(200000)
+        .select(when(col("id") % 100 =!= 0, lit(7L)).otherwise(col("id")).as("k"),
+          concat(lit("payload_payload_payload_"), col("id")).as("v"))
+      val small = spark.range(1000).select(col("id").as("k"),
+        col("id").cast("string").as("w"))
+      val joined = big.join(small, "k")
+      // collect() executes joined's OWN queryExecution, finalizing its
+      // AQE plan (count() would build a separate Aggregate execution and
+      // leave this one isFinalPlan=false)
+      assert(joined.collect().length == 198010) // 198000 hot-key + 10 cold
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE did not mark the skewed join:\n${plan.take(2000)}")
+    } finally conf.foreach { case (k, _) => spark.conf.unset(k) }
+  }
+
   test("saltedJoin equals the plain join under a skewed key") {
     import graft.ops.Skew
     // 90% of big rows share one hot key
