@@ -94,9 +94,15 @@ final case class TableChemBackend(products: DataFrame, keyD: Int = 1)
     * re-broadcasts the table (measured ~0.3 s/level on the herald-table
     * pipeline). Lazy localCheckpoint = built on first touch, later levels
     * read the persisted blocks. Identity-keyed: a different rules frame
-    * is a different narrowing. */
+    * is a different narrowing. Bounded to the few most recent entries —
+    * dropping an evicted frame's reference lets Spark's ContextCleaner
+    * reclaim its checkpoint blocks, so a long-lived backend fed many
+    * distinct rules frames cannot accumulate storage without bound. */
   @transient private lazy val tblCache =
-    new java.util.IdentityHashMap[DataFrame, DataFrame]()
+    new java.util.LinkedHashMap[DataFrame, DataFrame](8, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[DataFrame, DataFrame]): Boolean = size() > 4
+    }
 
   override def virtualProducts(substrates: DataFrame, rules: DataFrame,
                                idCol: String, massCol: String, rootCol: String,

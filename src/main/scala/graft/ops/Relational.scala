@@ -49,7 +49,7 @@ object Relational {
                    order: Seq[String]): DataFrame = {
     val w = df.groupBy(keys.map(col): _*)
       .agg(min(struct(order.map(col): _*)).as("__first"))
-    order.zipWithIndex.foldLeft(w) { case (acc, (c, i)) =>
+    order.foldLeft(w) { (acc, c) =>
       acc.withColumn(c, col("__first").getField(c))
     }.drop("__first")
   }
@@ -81,21 +81,29 @@ object Relational {
     val probePayload = probe.columns.toSeq.filterNot(Set(keyCol, tsCol))
     require(probePayload.intersect(refCols).isEmpty,
       s"asofJoin: overlapping payload columns ${probePayload.intersect(refCols)}")
-    val order = Seq(keyCol, tsCol, "__p") ++ probePayload ++ refCols
-    val p = refCols.foldLeft(probe.withColumn("__p", lit(1))) { (df, c) =>
-      df.withColumn(c, lit(null).cast(ref.schema(c).dataType))
-    }.select(order.map(col): _*)
+    // the reference payload travels as ONE struct so the fill is atomic —
+    // per-column fills would resurrect an older row's value wherever the
+    // latest reference row carries a null in that column, stitching
+    // columns from different reference rows onto one probe row
+    val cols = Seq(keyCol, tsCol, "__p", "__ref") ++ probePayload
+    val refStructType = org.apache.spark.sql.types.StructType(
+      refCols.map(c => ref.schema(c).copy()))
+    val p = probe.withColumn("__p", lit(1))
+      .withColumn("__ref", lit(null).cast(refStructType))
+      .select(cols.map(col): _*)
     val r = probePayload.foldLeft(
-      ref.select((Seq(keyCol, tsCol) ++ refCols).map(col): _*)
+      ref.select(col(keyCol), col(tsCol),
+          struct(refCols.map(col): _*).as("__ref"))
         .withColumn("__p", lit(0))) { (df, c) =>
       df.withColumn(c, lit(null).cast(probe.schema(c).dataType))
-    }.select(order.map(col): _*)
+    }.select(cols.map(col): _*)
     val w = Window.partitionBy(keyCol).orderBy(col(tsCol), col("__p"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = refCols.foldLeft(p.union(r)) { (df, c) =>
-      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-    }
-    filled.where(col("__p") === 1).drop("__p")
+    val filled = p.union(r)
+      .withColumn("__ref", last(col("__ref"), ignoreNulls = true).over(w))
+    refCols.foldLeft(filled.where(col("__p") === 1)) { (df, c) =>
+      df.withColumn(c, col("__ref").getField(c))
+    }.drop("__p", "__ref")
   }
 
   /** Top-k rows per group under an explicit ordering (wcModules.py:167-198

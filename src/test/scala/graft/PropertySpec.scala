@@ -278,20 +278,30 @@ class PropertySpec extends SparkSpec {
       val probe = probeRaw.zipWithIndex
         .map { case ((k, ts), i) => (k, ts, i.toLong) }
         .toDF("key", "ts", "probe_id")
-      // one ref row per (key, ts): max payload wins, as the contract asks
+      // one ref row per (key, ts): max id wins, as the contract asks.
+      // Every third ref row carries a NULL extra payload — the latest
+      // row's null must WIN (not resurrect an older non-null value);
+      // the struct fill is atomic per reference row
       val ref = refRaw.zipWithIndex
         .map { case ((k, ts), i) => (k, ts, 1000L + i) }
-        .toDF("key", "ts", "ref_id")
-        .groupBy("key", "ts").agg(max("ref_id").as("ref_id"))
-      val got = Relational.asofJoin(probe, ref, "key", "ts", Seq("ref_id"))
-        .select("probe_id", "ref_id").as[(Long, Option[Long])]
-        .collect().toMap
-      val refMap = ref.as[(Long, Long, Long)].collect()
+        .toDF("key", "ts", "rid")
+        .groupBy("key", "ts").agg(max("rid").as("ref_id"))
+        .withColumn("extra",
+          when(col("ref_id") % 3 === 0, col("ref_id") * 10))
+      val got = Relational.asofJoin(probe, ref, "key", "ts",
+          Seq("ref_id", "extra"))
+        .select("probe_id", "ref_id", "extra")
+        .as[(Long, Option[Long], Option[Long])]
+        .collect().map(r => r._1 -> (r._2, r._3)).toMap
+      val refRows = ref.as[(Long, Long, Long, Option[Long])].collect()
       val expected = probe.as[(Long, Long, Long)].collect().map {
         case (k, ts, pid) =>
-          val cands = refMap.filter(r => r._1 == k && r._2 <= ts)
-          pid -> (if (cands.isEmpty) None
-                  else Some(cands.maxBy(r => (r._2, r._3))._3))
+          val cands = refRows.filter(r => r._1 == k && r._2 <= ts)
+          pid -> (if (cands.isEmpty) (None, None)
+                  else {
+                    val best = cands.maxBy(r => (r._2, r._3))
+                    (Some(best._3), best._4)
+                  })
       }.toMap
       assert(got == expected)
     }

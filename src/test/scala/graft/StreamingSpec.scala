@@ -109,13 +109,14 @@ class StreamingSpec extends SparkSpec {
     // trigger — the watermark then actually advances between batches and
     // append mode emits each 10-min window only once it is finalized
     // (single-batch drains never exercise state eviction)
-    val ev = spark.read.parquet(s"$sf001/events.parquet").orderBy("ts")
+    val ev = spark.read.parquet(s"$sf001/events.parquet")
+      .orderBy("ts", "event_id") // total order: ts alone has ties
     val n = ev.count()
     val dir = java.nio.file.Files.createTempDirectory("graft_batches")
     val parts = Seq(
       ev.limit((n / 3).toInt),
-      ev.orderBy("ts").offset((n / 3).toInt).limit((n / 3).toInt),
-      ev.orderBy("ts").offset((2 * n / 3).toInt))
+      ev.orderBy("ts", "event_id").offset((n / 3).toInt).limit((n / 3).toInt),
+      ev.orderBy("ts", "event_id").offset((2 * n / 3).toInt))
     parts.zipWithIndex.foreach { case (p, i) =>
       p.coalesce(1).write.parquet(s"$dir/f$i")
     }
