@@ -30,7 +30,8 @@ object ScaleCheck {
     // window join, the KMV sketch, the token-stream vocab pass, and the
     // drift profile
     "q_text_repetition", "q_domain_quota", "q_pipeline_herald",
-    "q_asof_join", "q_kmv_distinct", "q_vocab_topk", "q_dist_shift")
+    "q_asof_join", "q_kmv_distinct", "q_vocab_topk", "q_dist_shift",
+    "q_text_redact", "q_term_salience", "q_decontaminate")
 
   def main(args: Array[String]): Unit = {
     val src = "/root/testdata/sf0.1"
