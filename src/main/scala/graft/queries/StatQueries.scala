@@ -50,6 +50,17 @@ object StatQueries {
         .select("l_orderkey", "l_linenumber", "l_partkey"),
       Some("""SELECT l_orderkey, l_linenumber, l_partkey FROM (SELECT l_orderkey, l_linenumber, l_partkey, row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey, l_suppkey) AS rn FROM lineitem) WHERE rn = 1""")),
 
+    Entry("q_rollup",
+      // hierarchical subtotals in ONE pass (ROLLUP expands to grouping
+      // sets inside a single aggregation — no per-level rescan); the
+      // grouping-id distinguishes subtotal rows from real NULL keys
+      (s, d) => t(s, d, "orders")
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"), Q.sumDec(col("o_totalprice")).as("sum_price"),
+          grouping_id(col("o_orderstatus"), col("o_orderpriority"))
+            .cast("int").as("lvl")),
+      Some("""SELECT o_orderstatus, o_orderpriority, count(*) AS n, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price, CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS INTEGER) AS lvl FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""")),
+
     Entry("q_unique",
       (s, d) => t(s, d, "lineitem").select("l_returnflag", "l_linestatus").distinct(),
       Some("""SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem""")),
