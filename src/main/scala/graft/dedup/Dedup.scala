@@ -322,20 +322,7 @@ object Dedup {
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       k: Int = 3, threshold: Double = 0.8,
                       numHashes: Int = 128, bands: Int = 16): DataFrame = {
-    require(numHashes % bands == 0, "bands must divide numHashes")
-    val rowsPerBand = numHashes / bands
-    val sigs = minhashSignatures(df, idCol, textCol, k, numHashes)
-    // repartition on the join keys: the shuffle the join needs anyway also
-    // MATERIALIZES the signature column — without the barrier, projection
-    // collapsing inlines the signature expression into the join condition
-    // and recomputes it per candidate pair (measured 246 s vs 3 s)
-    val banded = sigs.select(col("id"),
-        posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          b => array_join(transform(
-            slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)),
-            v => v.cast("string")), "_"))))
-      .toDF("id", "band", "band_sig")
-      .repartition(col("band"), col("band_sig"))
+    val banded = bandedIndex(df, idCol, textCol, k, numHashes, bands)
     val candidates = banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") &&
           col("x.band_sig") === col("y.band_sig") &&
@@ -344,6 +331,51 @@ object Dedup {
     // per-band duplicate pairs are deduped inside the verify's pair-key
     // exchange — no separate distinct shuffle
     verifyPairsExactJaccard(df, candidates, idCol, textCol, k, threshold)
+  }
+
+  /** The banded minhash index as a first-class relation (id, band,
+    * band_sig) — the persistable artifact an INCREMENTAL corpus build
+    * keeps between runs. The repartition on the join keys doubles as the
+    * materialization barrier: without it, projection collapsing inlines
+    * the signature expression into the join condition and recomputes it
+    * per candidate pair (measured 246 s vs 3 s). */
+  def bandedIndex(df: DataFrame, idCol: String, textCol: String,
+                  k: Int = 3, numHashes: Int = 128,
+                  bands: Int = 16): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rowsPerBand = numHashes / bands
+    minhashSignatures(df, idCol, textCol, k, numHashes)
+      .select(col("id"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => array_join(transform(
+            slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)),
+            v => v.cast("string")), "_"))))
+      .toDF("id", "band", "band_sig")
+      .repartition(col("band"), col("band_sig"))
+  }
+
+  /** Incremental near-dup detection: pairs involving AT LEAST one new
+    * document — (new × old) and (new × new) — without recomputing the old
+    * corpus's sketches. `oldIndex` is a previously-built [[bandedIndex]]
+    * (in production read back from its saved table); only the new batch
+    * is sketched here, so per-ingest cost rides the batch size, not the
+    * corpus size. Old↔old pairs are by definition already known. */
+  def minhashLshPairsIncremental(oldDocs: DataFrame, newDocs: DataFrame,
+                                 oldIndex: DataFrame, idCol: String,
+                                 textCol: String, k: Int = 3,
+                                 threshold: Double = 0.8, numHashes: Int = 128,
+                                 bands: Int = 16): DataFrame = {
+    val newIdx = bandedIndex(newDocs, idCol, textCol, k, numHashes, bands)
+    val all = oldIndex.unionByName(newIdx)
+    // probe only from the new side: every emitted pair touches a new doc
+    val candidates = newIdx.as("x").join(all.as("y"),
+        col("x.band") === col("y.band") &&
+          col("x.band_sig") === col("y.band_sig") &&
+          col("x.id") =!= col("y.id"))
+      .select(least(col("x.id"), col("y.id")).as("id_a"),
+        greatest(col("x.id"), col("y.id")).as("id_b"))
+    verifyPairsExactJaccard(oldDocs.unionByName(newDocs), candidates,
+      idCol, textCol, k, threshold)
   }
 
   /** Width of the simhash sketch: 60 bits, so the whole sketch derives

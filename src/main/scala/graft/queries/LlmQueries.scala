@@ -131,6 +131,24 @@ object LlmQueries {
         k = 3, threshold = 0.8, numHashes = 128, bands = 16),
       Some(minhashLshSql(0.8))),
 
+    Entry("q_dedup_incremental",
+      // incremental ingestion: docs with doc_id >= 250 arrive as the new
+      // batch; only THEY are sketched (the old corpus contributes its
+      // persisted banded index), and every emitted pair touches a new
+      // doc. The oracle is the full-LSH pair set post-filtered to pairs
+      // involving a new id — identical by construction since banding is
+      // per-document
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val old = docs.where(col("doc_id") < 250)
+        val fresh = docs.where(col("doc_id") >= 250)
+        val oldIdx = Dedup.bandedIndex(old, "doc_id", "text",
+          k = 3, numHashes = 128, bands = 16)
+        Dedup.minhashLshPairsIncremental(old, fresh, oldIdx, "doc_id", "text",
+          k = 3, threshold = 0.8, numHashes = 128, bands = 16)
+      },
+      Some(s"""SELECT * FROM (${minhashLshSql(0.8)}) WHERE id_a >= 250 OR id_b >= 250""")),
+
     Entry("q_simhash_pairs",
       // sketch over the same 3-shingle features the Jaccard verifier uses;
       // maxHamming 14 <= bands-1 puts the operator in its deterministic
