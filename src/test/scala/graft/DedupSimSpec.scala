@@ -40,6 +40,26 @@ class DedupSimSpec extends SparkSpec {
     assert(exact == 1.0)
   }
 
+  test("incremental pairs off a PERSISTED banded index equal the filtered " +
+    "full-corpus pairs") {
+    val docs = corpus()
+    val old = docs.where(col("doc_id") <= 2)   // contains the dup pair (1,2)
+    val fresh = docs.where(col("doc_id") >= 3) // doc 3 near-dups 1 and 2
+    // the index survives a write/read round trip (the production shape)
+    val dir = java.nio.file.Files.createTempDirectory("graft_idx").toString
+    Dedup.bandedIndex(old, "doc_id", "text", k = 3, numHashes = 128,
+      bands = 32).write.parquet(s"$dir/idx")
+    val oldIdx = spark.read.parquet(s"$dir/idx")
+    val inc = Dedup.minhashLshPairsIncremental(old, fresh, oldIdx,
+        "doc_id", "text", k = 3, threshold = 0.5, numHashes = 128, bands = 32)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val full = Dedup.minhashLshPairs(docs, "doc_id", "text",
+        k = 3, threshold = 0.5, numHashes = 128, bands = 32)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(inc == full.filter { case (a, b) => a >= 3 || b >= 3 })
+    assert(inc == Set((1L, 3L), (2L, 3L))) // old-old pair (1,2) excluded
+  }
+
   test("verifyPairsExactJaccard dedups on the pair key even with extra " +
     "candidate columns") {
     // duplicate pairs that differ in a band column must collapse to ONE
