@@ -53,6 +53,29 @@ object Dedup {
       .groupBy("content_hash")
       .agg(min(col(idCol)).as("kept_id"), count(lit(1)).as("dup_count"))
 
+  /** Incremental exact dedup: which NEW documents are exact duplicates of
+    * the existing corpus (or of each other)? `oldHashes` is the persisted
+    * (content_hash, kept_id) relation from a prior [[exact]] run — only
+    * the new batch is hashed, a broadcast-or-shuffle join against the
+    * index does the rest. Emits one row per new doc: its hash, whether it
+    * duplicates the existing corpus (and whom), and a within-batch
+    * first-keeper flag — everything an ingest gate needs to admit or
+    * drop. */
+  def exactIncremental(newDocs: DataFrame, oldHashes: DataFrame,
+                       idCol: String, textCol: String): DataFrame = {
+    val hashed = newDocs.select(col(idCol).as("doc_id"),
+      md5(Text.normalized(col(textCol))).as("content_hash"))
+    val batchFirst = Window.partitionBy("content_hash").orderBy("doc_id")
+    hashed
+      .join(oldHashes.select(col("content_hash"),
+        col("kept_id").as("dup_of")), Seq("content_hash"), "left")
+      .withColumn("dup_of_corpus", col("dup_of").isNotNull)
+      .withColumn("first_in_batch",
+        row_number().over(batchFirst) === 1)
+      .select("doc_id", "content_hash", "dup_of_corpus", "dup_of",
+        "first_in_batch")
+  }
+
   /** Word k-shingles of a document as a distinct array column.
     *
     * Declarative form — kept as the semantic definition (it is what the

@@ -109,6 +109,19 @@ object LlmQueries {
       (s, d) => Dedup.exact(t(s, d, "documents"), "doc_id", "text"),
       Some("""SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS content_hash, min(doc_id) AS kept_id, count(*) AS dup_count FROM documents GROUP BY 1""")),
 
+    Entry("q_dedup_exact_incremental",
+      // ingest gate for the exact tier: new batch (doc_id >= 250) hashed
+      // and joined against the persisted corpus hash index — emits
+      // corpus-dup linkage and a within-batch first-keeper flag
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val oldIdx = Dedup.exact(docs.where(col("doc_id") < 250),
+          "doc_id", "text")
+        Dedup.exactIncremental(docs.where(col("doc_id") >= 250), oldIdx,
+          "doc_id", "text")
+      },
+      Some("""WITH oldh AS (SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS content_hash, min(doc_id) AS dup_of FROM documents WHERE doc_id < 250 GROUP BY 1), newh AS (SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS content_hash FROM documents WHERE doc_id >= 250) SELECT n.doc_id, n.content_hash, oldh.dup_of IS NOT NULL AS dup_of_corpus, oldh.dup_of, row_number() OVER (PARTITION BY n.content_hash ORDER BY n.doc_id) = 1 AS first_in_batch FROM newh n LEFT JOIN oldh USING (content_hash)""")),
+
     Entry("q_fingerprint",
       // bag-of-words fingerprint dedup key
       (s, d) => t(s, d, "documents")
