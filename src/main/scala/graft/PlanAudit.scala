@@ -31,6 +31,7 @@ object PlanAudit {
       "q_ppm_join",   // single-row structure min/max range prune
       "q_tmm_factor", // single-row percentile cutoff broadcast-joined back
       "q_pca_batch",  // single-row grand-mean broadcast-joined back
+      "q_dist_shift", // single-row corpus-total broadcast-joined back
       "q_dedup_embedding") // exactness-baseline all-pairs by definition
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => names.isEmpty || names(n) }
