@@ -50,6 +50,21 @@ object StatQueries {
         .select("l_orderkey", "l_linenumber", "l_partkey"),
       Some("""SELECT l_orderkey, l_linenumber, l_partkey FROM (SELECT l_orderkey, l_linenumber, l_partkey, row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey, l_suppkey) AS rn FROM lineitem) WHERE rn = 1""")),
 
+    Entry("q_window_ranks",
+      // the remaining rank-family windows: quartile bucket, percent_rank,
+      // cume_dist over a TOTAL order (quantity alone ties heavily; the
+      // key suffix makes every rank deterministic). percent_rank and
+      // cume_dist are ratios of integers — exact in both engines
+      (s, d) => {
+        val w = Window.partitionBy("o_orderpriority")
+          .orderBy(col("o_totalprice"), col("o_orderkey"))
+        t(s, d, "orders").select(col("o_orderkey"), col("o_orderpriority"),
+          ntile(4).over(w).as("quartile"),
+          percent_rank().over(w).as("pct_rank"),
+          cume_dist().over(w).as("cume"))
+      },
+      Some("""SELECT o_orderkey, o_orderpriority, CAST(ntile(4) OVER w AS INTEGER) AS quartile, percent_rank() OVER w AS pct_rank, cume_dist() OVER w AS cume FROM orders WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)""")),
+
     Entry("q_rollup",
       // hierarchical subtotals in ONE pass (ROLLUP expands to grouping
       // sets inside a single aggregation — no per-level rescan); the
