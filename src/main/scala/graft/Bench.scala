@@ -94,10 +94,16 @@ object Bench {
       val timeoutMs =
         sys.env.getOrElse("SPARK_GRAFT_QUERY_TIMEOUT_S", "300").toLong * 1000L
       def once(): Double = {
+        // `done` closes the race where the timer fires between count()
+        // returning and timer.cancel(): a query that finished just under
+        // the deadline must never be recorded as a timeout. The timer
+        // no-ops once done is set; timedOut can then only be true if the
+        // deadline genuinely preceded completion.
+        val done = new java.util.concurrent.atomic.AtomicBoolean(false)
         val timedOut = new java.util.concurrent.atomic.AtomicBoolean(false)
         val timer = new java.util.Timer("bench-watchdog", true)
         timer.schedule(new java.util.TimerTask {
-          override def run(): Unit = {
+          override def run(): Unit = if (!done.get()) {
             timedOut.set(true)
             spark.sparkContext.cancelAllJobs()
           }
@@ -105,10 +111,11 @@ object Bench {
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).count()
+          done.set(true)
           if (timedOut.get()) throw new RuntimeException(
             s"timeout: cancelled after ${timeoutMs / 1000}s")
           (System.nanoTime() - t0) / 1e9
-        } finally { timer.cancel(); cleanup() }
+        } finally { done.set(true); timer.cancel(); cleanup() }
       }
       try {
         val t1 = once()

@@ -39,6 +39,15 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // a watchdog cancel can interrupt the write mid-overwrite; a
+        // partial directory would read as a TRUNCATED result downstream —
+        // delete it so a failed query is a missing dump, not a wrong one
+        try {
+          val dir = Paths.get(outDir, name)
+          if (Files.exists(dir))
+            Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+              .forEach(p => Files.deleteIfExists(p))
+        } catch { case _: Throwable => () }
       } finally {
         timer.cancel()
         spark.catalog.clearCache() // drop kernels' internal persists

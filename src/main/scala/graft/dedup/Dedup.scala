@@ -367,6 +367,15 @@ object Dedup {
                   bands: Int = 16): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
+    // sketch params travel as field metadata on band_sig (Spark persists
+    // StructField metadata through a parquet write/read), so an
+    // incremental probe against a stored index can verify the index was
+    // built with the SAME (k, numHashes, bands) — a silent mismatch never
+    // collides on band_sig and yields zero pairs instead of an error
+    val paramsMeta = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong("graft.minhash.k", k)
+      .putLong("graft.minhash.numHashes", numHashes)
+      .putLong("graft.minhash.bands", bands).build()
     minhashSignatures(df, idCol, textCol, k, numHashes)
       .select(col("id"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
@@ -374,6 +383,7 @@ object Dedup {
             slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)),
             v => v.cast("string")), "_"))))
       .toDF("id", "band", "band_sig")
+      .withColumn("band_sig", col("band_sig").as("band_sig", paramsMeta))
       .repartition(col("band"), col("band_sig"))
   }
 
@@ -388,6 +398,23 @@ object Dedup {
                                  textCol: String, k: Int = 3,
                                  threshold: Double = 0.8, numHashes: Int = 128,
                                  bands: Int = 16): DataFrame = {
+    // fail fast on a parameter-mismatched stored index: band_sigs from a
+    // different (k, numHashes, bands) never collide with this call's, so
+    // the bug mode is MISSED pairs, not an error — check the params the
+    // index carries in its band_sig field metadata instead
+    oldIndex.schema.fields.find(_.name == "band_sig").foreach { f =>
+      val md = f.metadata
+      if (md.contains("graft.minhash.k")) {
+        val (ik, ih, ib) = (md.getLong("graft.minhash.k"),
+          md.getLong("graft.minhash.numHashes"),
+          md.getLong("graft.minhash.bands"))
+        require(ik == k && ih == numHashes && ib == bands,
+          s"minhashLshPairsIncremental: stored index was built with " +
+            s"(k=$ik, numHashes=$ih, bands=$ib) but this call uses " +
+            s"(k=$k, numHashes=$numHashes, bands=$bands) — pairs would be " +
+            "silently missed; rebuild the index or match the parameters")
+      }
+    }
     val newIdx = bandedIndex(newDocs, idCol, textCol, k, numHashes, bands)
     val all = oldIndex.unionByName(newIdx)
     // probe only from the new side: every emitted pair touches a new doc

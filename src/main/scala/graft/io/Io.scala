@@ -108,9 +108,6 @@ object Io {
     }.load()
   }
 
-  /** Stride-select every `stride`-th column starting at `offset` (TCGA flat
-    * files carry 4 columns per sample and the loader keeps every 4th;
-    * Download_Preprocess.R:686-702). */
   /** Compact a directory of (possibly many small) parquet files into
     * ~`targetBytes` output files — the standard lake maintenance pass
     * after streaming/append ingestion (the idempotent foreachBatch sink
@@ -129,6 +126,9 @@ object Io {
     df.coalesce(nOut).write.mode("overwrite").parquet(outDir)
   }
 
+  /** Stride-select every `stride`-th column starting at `offset` (TCGA flat
+    * files carry 4 columns per sample and the loader keeps every 4th;
+    * Download_Preprocess.R:686-702). */
   def strideSelect(df: DataFrame, keep: Seq[String], stride: Int,
                    offset: Int): DataFrame = {
     val strided = df.columns.zipWithIndex

@@ -81,6 +81,15 @@ object Relational {
     val probePayload = probe.columns.toSeq.filterNot(Set(keyCol, tsCol))
     require(probePayload.intersect(refCols).isEmpty,
       s"asofJoin: overlapping payload columns ${probePayload.intersect(refCols)}")
+    // the union-tag plumbing owns __p/__ref; a probe/ref column of that
+    // name would be silently overwritten rather than carried
+    val reserved = Set("__p", "__ref")
+    require((probe.columns ++ ref.columns).forall(c => !reserved(c)),
+      "asofJoin: column names __p and __ref are reserved")
+    // keyCol/tsCol already survive on every probe row; listing them in
+    // refCols would overwrite the probe's own key/ts in the output fold
+    require(!refCols.contains(keyCol) && !refCols.contains(tsCol),
+      s"asofJoin: refCols must not include the join key '$keyCol' or ts '$tsCol'")
     // the reference payload travels as ONE struct so the fill is atomic —
     // per-column fills would resurrect an older row's value wherever the
     // latest reference row carries a null in that column, stitching
@@ -144,16 +153,40 @@ object Relational {
   /** Attach a 1-based positional index under an explicit total order —
     * the scalable form of "pandas index" (merge left_index/right_index,
     * gizmos.py:501). A bare `row_number() over (order by …)` collapses to
-    * ONE partition; this uses a distributed range-partitioned sort +
-    * zipWithIndex instead. */
+    * ONE partition; this is the distributed two-pass form: range-partition
+    * sort, then global index = per-partition base offset (driver holds one
+    * (count, min_id) pair per partition — never row data) + the row's
+    * local position from `monotonically_increasing_id` (consecutive within
+    * a partition). Stays entirely in the DataFrame layer — no `.rdd` row
+    * re-encoding, visible to Catalyst/AQE end to end. */
   def withRowIndex(df: DataFrame, order: Seq[Column],
                    idxName: String = "row_idx"): DataFrame = {
-    val sorted = df.orderBy(order: _*)
-    val schema = sorted.schema
-    val rdd = sorted.rdd.zipWithIndex.map { case (r, i) =>
-      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (i + 1)) }
-    df.sparkSession.createDataFrame(rdd,
-      schema.add(idxName, org.apache.spark.sql.types.LongType, nullable = false))
+    val spark = df.sparkSession
+    val p = spark.sessionState.conf.numShufflePartitions
+    // orderBy == repartitionByRange + local sort; the lazy localCheckpoint
+    // pins partition ids and row order so both passes see the same layout
+    val sorted = df.repartitionByRange(p, order: _*)
+      .sortWithinPartitions(order: _*)
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__mid", monotonically_increasing_id())
+      .localCheckpoint(false)
+    // pass 1: one row PER PARTITION (bounded by shuffle parallelism, not
+    // data) — counts give the cumulative base, min(__mid) rebases the
+    // partition-local id to 0
+    val stats = sorted.groupBy("__pid")
+      .agg(count(lit(1)).as("__n"), min("__mid").as("__mid0"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    var acc = 0L
+    val baseRows = stats.map { case (pid, n, mid0) =>
+      val b = acc; acc += n; (pid, b, mid0)
+    }.toSeq
+    import spark.implicits._
+    val bases = baseRows.toDF("__pid", "__base", "__mid0")
+    // pass 2: broadcast the (≤ #partitions)-row offset table back on
+    sorted.join(broadcast(bases), Seq("__pid"))
+      .withColumn(idxName, col("__base") + (col("__mid") - col("__mid0")) + 1L)
+      .drop("__pid", "__mid", "__base", "__mid0")
   }
 
   /** Rounded-key equi-join: the reference's surrogate for float range joins

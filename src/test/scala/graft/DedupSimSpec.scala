@@ -60,6 +60,24 @@ class DedupSimSpec extends SparkSpec {
     assert(inc == Set((1L, 3L), (2L, 3L))) // old-old pair (1,2) excluded
   }
 
+  test("incremental probe rejects a stored index built with different " +
+    "sketch parameters") {
+    val docs = corpus()
+    val old = docs.where(col("doc_id") <= 2)
+    val fresh = docs.where(col("doc_id") >= 3)
+    val dir = java.nio.file.Files.createTempDirectory("graft_idx_mm").toString
+    Dedup.bandedIndex(old, "doc_id", "text", k = 3, numHashes = 128,
+      bands = 32).write.parquet(s"$dir/idx")
+    val oldIdx = spark.read.parquet(s"$dir/idx")
+    // a mismatched (bands) call would silently miss every pair — it must
+    // throw instead (params round-trip via band_sig field metadata)
+    val e = intercept[IllegalArgumentException] {
+      Dedup.minhashLshPairsIncremental(old, fresh, oldIdx, "doc_id", "text",
+        k = 3, threshold = 0.5, numHashes = 128, bands = 16)
+    }
+    assert(e.getMessage.contains("bands=32"))
+  }
+
   test("verifyPairsExactJaccard dedups on the pair key even with extra " +
     "candidate columns") {
     // duplicate pairs that differ in a band column must collapse to ONE

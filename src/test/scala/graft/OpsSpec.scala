@@ -306,6 +306,35 @@ class OpsSpec extends SparkSpec {
     assert(math.abs(est - n) / n < 0.4, s"estimate $est too far from $n")
   }
 
+  test("withRowIndex is dense 1..N in sort order, stays in the DataFrame " +
+    "layer, and survives repartitioned input") {
+    val df = rng.shuffle((1 to 997).toList).toDF("v").repartition(13)
+    val idx = Relational.withRowIndex(df, Seq(col("v").desc), "row_idx")
+    val got = idx.select("row_idx", "v").as[(Long, Int)].collect().sortBy(_._1)
+    assert(got.map(_._1).toSeq == (1L to 997L))         // dense, 1-based
+    assert(got.map(_._2).toSeq == (997 to 1 by -1))     // follows the order
+    // the contract the rewrite exists for: no RDD scan node in the plan
+    // (the old zipWithIndex form re-encoded rows through ExistingRDD)
+    assert(!idx.queryExecution.optimizedPlan.toString.contains("ExistingRDD"),
+      "withRowIndex must not drop to the RDD layer")
+  }
+
+  test("asofJoin rejects reserved/overlapping column names") {
+    val probe = Seq((1L, 1L, "x")).toDF("key", "ts", "payload")
+    val ref = Seq((1L, 1L, "r")).toDF("key", "ts", "refv")
+    intercept[IllegalArgumentException] {
+      Relational.asofJoin(probe.withColumnRenamed("payload", "__p"),
+        ref, "key", "ts", Seq("refv"))
+    }
+    intercept[IllegalArgumentException] {
+      Relational.asofJoin(probe, ref.withColumnRenamed("refv", "__ref"),
+        "key", "ts", Seq("__ref"))
+    }
+    intercept[IllegalArgumentException] { // refCols must exclude key/ts
+      Relational.asofJoin(probe, ref, "key", "ts", Seq("ts", "refv"))
+    }
+  }
+
   test("zscoreOutliers flags |z|>=2 and guards sd=0 groups") {
     val df = (Seq.fill(20)(10.0) :+ 100.0).zipWithIndex
       .map { case (v, i) => ("g", i.toLong, v) }.toDF("grp", "id", "v")
