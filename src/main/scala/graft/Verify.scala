@@ -67,8 +67,16 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // Residual oracles (the converged-kernel certificates) read the
+    // engine's own dumped parquet back via DuckDB to check a claimed
+    // fixed point — the dump directory is only known here, so the SQL
+    // carries a token that is substituted with the ABSOLUTE path at dump
+    // time (the comparator may run with a different working directory).
+    val outAbs = Paths.get(outDir).toAbsolutePath.toString
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) =>
+        s"${q(k)}: ${q(v.replace("__VERIFY_OUT__", outAbs))}" }
+      .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }

@@ -234,12 +234,18 @@ object Combat {
         col("__eb").getItem(0).as("gamma_star"),
         col("__eb").getItem(1).as("delta2_star"))
 
-    // 5. adjust: sigma * (z - gamma*) / sqrt(delta2*) + alpha
+    // 5. adjust: sigma * (z - gamma*) / sqrt(delta2*) + alpha.
+    // The EB parameters ride along after `adjusted`: they are the
+    // converged fixed point itself, which makes the output externally
+    // certifiable — an independent engine can recompute the moments,
+    // apply ONE more EB step to (gamma_star, delta2_star), and check the
+    // residual is ~0 (the q_combat residual oracle does exactly this).
     z.join(eb, Seq("gene", "batch"))
       .withColumn("adjusted",
         col("sigma") * (col("z") - col("gamma_star")) /
           sqrt(col("delta2_star")) + col("alpha"))
       .select(col("gene"), col("sample"), col("batch"), col("value"),
-        round(col("adjusted"), 6).as("adjusted"))
+        round(col("adjusted"), 6).as("adjusted"),
+        col("gamma_star"), col("delta2_star"))
   }
 }

@@ -19,8 +19,13 @@ import graft.stats.Dist
 object GlmNb {
 
   final case class CountObs(region: String, y: Double, group: Double, offset: Double)
+  /** `null_intercept` is the intercept-only model's coefficient — emitted
+    * so the LRT is externally checkable: with both fits' parameters on
+    * the row, an independent engine can recompute both NB log-likelihoods
+    * and one more IRLS step per model (the q_glm_nb residual oracle). */
   final case class GlmRow(region: String, n: Long, intercept: Double, log_fc: Double,
-                          lrt_stat: Double, p_value: Double, z: Double)
+                          lrt_stat: Double, p_value: Double, z: Double,
+                          null_intercept: Double)
 
   /** NB log-likelihood (phi = dispersion; phi->0 recovers Poisson shape). */
   private[omics] def nbLogLik(y: Array[Double], mu: Array[Double], phi: Double): Double = {
@@ -102,8 +107,8 @@ object GlmNb {
     val z = if (p >= 1.0) 0.0
       else -math.signum(b1f) * Dist.qnorm(math.max(p / 2.0, 1e-300))
     if (roundOut)
-      GlmRow(region, y.length.toLong, r6(b0f), r6(b1f), r6(lrt), r6(p), r6(z))
-    else GlmRow(region, y.length.toLong, b0f, b1f, lrt, p, z)
+      GlmRow(region, y.length.toLong, r6(b0f), r6(b1f), r6(lrt), r6(p), r6(z), r6(b0n))
+    else GlmRow(region, y.length.toLong, b0f, b1f, lrt, p, z, b0n)
   }
 
   private def asObs(df: DataFrame, regionCol: String, yCol: String,

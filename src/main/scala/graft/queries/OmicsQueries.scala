@@ -101,7 +101,10 @@ object OmicsQueries {
           (col("l_partkey") % 500).cast("string").as("gene"),
           ((col("l_discount") + 0.005) / 0.12).as("value")),
         "gene", "value").toDF(),
-      None),
+      // fixed-point-residual certificate (see ResidualOracles): DuckDB
+      // reads the claimed converged fit back, checks the log-lik at those
+      // parameters, one EM step's stationarity, BIC and the gene universe
+      Some(ResidualOracles.betaMixture("q_beta_mixture"))),
 
     Entry("q_beta_mixture_fixed",
       // the hash-verified twin of q_beta_mixture (same recipe as
@@ -130,7 +133,10 @@ object OmicsQueries {
       // condition = linestatus, offset = log copy-number surrogate
       (s, d) => GlmNb.fitPerRegion(glmNbData(s, d),
         "region", "l_quantity", "grp", "off").toDF(),
-      None),
+      // fixed-point-residual certificate: one IRLS step from the claimed
+      // full/null coefficients must return to them, the LRT must match
+      // the NB log-lik difference at those coefficients (lgamma in SQL)
+      Some(ResidualOracles.glmNb("q_glm_nb"))),
 
     Entry("q_glm_nb_fixed",
       // the hash-verified twin of q_glm_nb: exactly 8 IRLS steps for both
@@ -168,7 +174,10 @@ object OmicsQueries {
       // (Combat.adjust(data, batches) remains the map-input API)
       (s, d) => Combat.adjustPreJoined(combatData(s, d)
         .withColumn("batch", concat(lit("b"), (col("sample") % 3).cast("string")))),
-      None),
+      // fixed-point-residual certificate: claimed per-cell EB params must
+      // be one-EB-step stationary against DuckDB's own moments/priors,
+      // and each adjusted value must match the affine transform they imply
+      Some(ResidualOracles.combat("q_combat"))),
 
     Entry("q_combat_fixed",
       // the hash-verified twin of q_combat (same recipe as q_glm_nb_fixed):

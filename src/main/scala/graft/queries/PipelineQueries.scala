@@ -167,7 +167,12 @@ object PipelineQueries {
         val (cancer, normal) = methylMixCohorts(s, d)
         graft.pipelines.MethylMixPipeline.run(cancer, normal)
       },
-      None),
+      // fixed-point-residual certificate (ResidualOracles.methylMix): the
+      // generic one-EM-step stationarity check over the claimed genes,
+      // bracketed lm-filter universe (necessary t < -3 for every claimed
+      // gene; sufficient t < -40 forces membership), normal-mean/dm/state
+      // consistency — upgrades the rows-only gate entry to value-checked
+      Some(ResidualOracles.methylMix("q_pipeline_methylmix"))),
 
     Entry("q_pipeline_methylmix_fixed",
       // the hash-verified twin of q_pipeline_methylmix (the

@@ -1,0 +1,200 @@
+package graft.queries
+
+/** Fixed-point-residual oracles for the CONVERGED iterative kernels
+  * (beta-mixture EM, NB-GLM IRLS, ComBat EB, and the composed MethylMix
+  * pipeline). A convergence loop is not SQL-expressible, so these queries
+  * historically ran "rows-only" at the gate, trusting golden ScalaTests
+  * plus their hash-verified fixed-iteration twins. These oracles close
+  * that gap with a DuckDB-checkable CERTIFICATE instead of a replay:
+  *
+  *  1. the oracle reads the engine's own dumped result (the claimed
+  *     converged parameters) back via `read_parquet` — Verify substitutes
+  *     the `__VERIFY_OUT__` token with the absolute dump directory when
+  *     it writes oracle_sql.json;
+  *  2. it recomputes, from the BASE TABLES, everything SQL can express:
+  *     the row universe, sufficient statistics, log-likelihoods at the
+  *     claimed parameters, and ONE more EM/IRLS/EB step applied to the
+  *     claimed fixed point;
+  *  3. it emits the claimed rows verbatim WHERE every check passes, and
+  *     deliberately poisoned values where one fails (plus extra rows for
+  *     any missing group), so the driver's exact row/schema/hash compare
+  *     turns into "the claim is a genuine approximate fixed point of the
+  *     update map, with consistent likelihood/BIC/universe".
+  *
+  * Soundness: a stationarity certificate verifies the claimed point IS a
+  * fixed point of the declared iteration on this data — it does not
+  * verify which basin the iteration converged into (that remains pinned
+  * by the fixed-iteration twins + goldens). Emitting claimed values on
+  * pass is what makes the compare exact: the happy path has zero
+  * cross-engine float seams, and every tolerance below only guards the
+  * CHECKS (engine convergence tolerance + 1e-6 output rounding + ulp
+  * noise of DuckDB re-aggregation), not the emitted values.
+  */
+object ResidualOracles {
+
+  private def claims(query: String): String =
+    s"SELECT * FROM read_parquet('__VERIFY_OUT__/$query/*.parquet')"
+
+  // ---------------------------------------------------------------- beta EM
+
+  /** One-EM-step certificate over a (gene, v) sample. Unlike the
+    * fixed-iteration unroll this is GENERIC in k — responsibilities are a
+    * log-sum-exp over however many component rows the claim carries per
+    * gene — so it covers the BIC-selected converged output directly.
+    *
+    * Checks per gene: component count = n_components; weights sum to 1;
+    * log-lik at the claimed parameters matches the claimed log_lik;
+    * ONE full EM step improves the log-lik by less than the engine's own
+    * convergence budget (stationarity — the core certificate); BIC is
+    * -2ll + (3k-1)ln n; per component mean = a/(a+b). Universe: exactly
+    * the genes with >= 4 samples.
+    *
+    * Tolerances: the engine exits EM at |dLL| < 1e-6|LL| (or the 100-step
+    * cap, which on the 11-point discount grid is far past that), outputs
+    * round at 1e-6, and DuckDB's exp/ln/lgamma differ at ulp scale —
+    * 1e-3|LL| + 0.05 bounds all three with two orders of margin while
+    * still failing loudly for any non-stationary parameter set (one EM
+    * step from garbage moves LL by O(1)..O(n)). */
+  private def betaMixtureResidualCtes(rawSql: String, claimsSql: String,
+                                      clCols: String): String = {
+    val one = "CAST(1.0 AS DOUBLE)"
+    s"""cl AS MATERIALIZED (SELECT $clCols FROM ($claimsSql)), """ +
+    s"""raw AS MATERIALIZED ($rawSql), """ +
+    s"""hist AS MATERIALIZED (SELECT gene, v, CAST(count(*) AS DOUBLE) AS cnt, ln(v) AS lx, ln($one - v) AS l1x FROM raw GROUP BY 1, 2), """ +
+    s"""gn AS MATERIALIZED (SELECT gene, sum(cnt) AS nd FROM hist GROUP BY 1 HAVING sum(cnt) >= 4), """ +
+    s"""clg AS MATERIALIZED (SELECT gene, max(n_components) AS k, count(*) AS ncomp, sum(weight) AS wsum, max(log_lik) AS ll_cl, max(bic) AS bic_cl FROM cl GROUP BY 1), """ +
+    // E-step at the claimed parameters (log-space, -700 exp floor — the
+    // kernel's own guards, BetaMixture.scala emFit)
+    s"""ld0 AS MATERIALIZED (SELECT h.gene, h.v, h.cnt, c.comp, ln(greatest(c.weight, 1e-300)) + (c.a - $one) * h.lx + (c.b - $one) * h.l1x - (lgamma(c.a) + lgamma(c.b) - lgamma(c.a + c.b)) AS ld FROM hist h JOIN cl c USING (gene)), """ +
+    s"""mx0 AS MATERIALIZED (SELECT gene, v, max(ld) AS mx FROM ld0 GROUP BY 1, 2), """ +
+    s"""r0 AS MATERIALIZED (SELECT l.gene, l.v, l.cnt, l.comp, m.mx, CASE WHEN l.ld - m.mx < CAST(-700.0 AS DOUBLE) THEN CAST(0.0 AS DOUBLE) ELSE exp(l.ld - m.mx) END AS r FROM ld0 l JOIN mx0 m ON l.gene = m.gene AND l.v = m.v), """ +
+    s"""t0 AS MATERIALIZED (SELECT gene, v, max(cnt) AS cnt, max(mx) AS mx, sum(r) AS tot FROM r0 GROUP BY 1, 2), """ +
+    s"""llc AS MATERIALIZED (SELECT gene, sum(cnt * (mx + ln(tot))) AS ll0 FROM t0 GROUP BY 1), """ +
+    // M-step: weighted method of moments per component (same clamps and
+    // association order as the kernel)
+    s"""ms AS MATERIALIZED (SELECT r.gene, r.comp, sum(r.cnt * (r.r / t.tot)) AS wn, sum(r.cnt * (r.r / t.tot) * r.v) AS m1, sum(r.cnt * (r.r / t.tot) * r.v * r.v) AS m2 FROM r0 r JOIN t0 t ON r.gene = t.gene AND r.v = t.v GROUP BY 1, 2), """ +
+    s"""np AS MATERIALIZED (SELECT x.gene, x.comp, CASE WHEN x.wn < 1e-12 THEN c.a ELSE greatest(x.mu * x.tt, 1e-3) END AS a2, CASE WHEN x.wn < 1e-12 THEN c.b ELSE greatest(($one - x.mu) * x.tt, 1e-3) END AS b2, CASE WHEN x.wn < 1e-12 THEN c.weight ELSE x.wn / g.nd END AS w2 FROM (SELECT *, cap / vv - $one AS tt FROM (SELECT *, least(vr, cap * CAST(0.999 AS DOUBLE)) AS vv FROM (SELECT *, greatest(m2 / wn - mu * mu, 1e-8) AS vr, mu * ($one - mu) AS cap FROM (SELECT gene, comp, wn, m2, m1 / wn AS mu FROM ms)))) x JOIN cl c USING (gene, comp) JOIN gn g USING (gene)), """ +
+    // log-lik after the stepped parameters
+    s"""ld1 AS MATERIALIZED (SELECT h.gene, h.v, h.cnt, ln(greatest(p.w2, 1e-300)) + (p.a2 - $one) * h.lx + (p.b2 - $one) * h.l1x - (lgamma(p.a2) + lgamma(p.b2) - lgamma(p.a2 + p.b2)) AS ld FROM hist h JOIN np p USING (gene)), """ +
+    s"""mx1 AS MATERIALIZED (SELECT gene, v, max(ld) AS mx FROM ld1 GROUP BY 1, 2), """ +
+    s"""t1 AS MATERIALIZED (SELECT l.gene, l.v, max(l.cnt) AS cnt, max(m.mx) AS mx, sum(CASE WHEN l.ld - m.mx < CAST(-700.0 AS DOUBLE) THEN CAST(0.0 AS DOUBLE) ELSE exp(l.ld - m.mx) END) AS tot FROM ld1 l JOIN mx1 m ON l.gene = m.gene AND l.v = m.v GROUP BY 1, 2), """ +
+    s"""ll1 AS MATERIALIZED (SELECT gene, sum(cnt * (mx + ln(tot))) AS ll1 FROM t1 GROUP BY 1), """ +
+    s"""chk AS MATERIALIZED (SELECT g.gene, (c.k IS NOT NULL AND l0.ll0 IS NOT NULL AND l1.ll1 IS NOT NULL AND c.ncomp = c.k AND abs(c.wsum - $one) < 1e-4 AND abs(l0.ll0 - c.ll_cl) < CAST(0.001 AS DOUBLE) * abs(l0.ll0) + CAST(0.05 AS DOUBLE) AND (l1.ll1 - l0.ll0) < CAST(0.001 AS DOUBLE) * abs(l0.ll0) + CAST(0.05 AS DOUBLE) AND abs(c.bic_cl - (CAST(-2.0 AS DOUBLE) * c.ll_cl + (CAST(3.0 AS DOUBLE) * c.k - $one) * ln(g.nd))) < CAST(0.001 AS DOUBLE)) AS pass FROM gn g LEFT JOIN clg c USING (gene) LEFT JOIN llc l0 USING (gene) LEFT JOIN ll1 l1 USING (gene))"""
+  }
+
+  /** q_beta_mixture: BetaMixture.fitPerGene over the l_discount grid. */
+  def betaMixture(query: String): String = {
+    val one = "CAST(1.0 AS DOUBLE)"
+    val raw = s"SELECT CAST(l_partkey % 500 AS VARCHAR) AS gene, least($one - 1e-6, greatest(1e-6, (l_discount + CAST(0.005 AS DOUBLE)) / CAST(0.12 AS DOUBLE))) AS v FROM lineitem"
+    val cols = "gene, n_components, comp, a, b, weight, mean, log_lik, bic"
+    s"""WITH ${betaMixtureResidualCtes(raw, claims(query), cols)} """ +
+    s"""SELECT c.gene, CASE WHEN k.pass THEN c.n_components ELSE CAST(-1 AS INTEGER) END AS n_components, c.comp, CASE WHEN k.pass AND abs(c.mean - c.a / (c.a + c.b)) < 2e-6 THEN c.a ELSE CAST(-1.0 AS DOUBLE) END AS a, CASE WHEN k.pass THEN c.b ELSE CAST(-1.0 AS DOUBLE) END AS b, CASE WHEN k.pass THEN c.weight ELSE CAST(-1.0 AS DOUBLE) END AS weight, CASE WHEN k.pass THEN c.mean ELSE CAST(-1.0 AS DOUBLE) END AS mean, CASE WHEN k.pass THEN c.log_lik ELSE CAST(-1.0 AS DOUBLE) END AS log_lik, CASE WHEN k.pass THEN c.bic ELSE CAST(-1.0 AS DOUBLE) END AS bic FROM cl c LEFT JOIN chk k USING (gene) """ +
+    s"""UNION ALL SELECT g.gene, CAST(-1 AS INTEGER), CAST(-1 AS INTEGER), CAST(-1.0 AS DOUBLE), CAST(-1.0 AS DOUBLE), CAST(-1.0 AS DOUBLE), CAST(-1.0 AS DOUBLE), CAST(-1.0 AS DOUBLE), CAST(-1.0 AS DOUBLE) FROM gn g LEFT JOIN clg c USING (gene) WHERE c.k IS NULL"""
+  }
+
+  /** q_pipeline_methylmix: the beta-mixture certificate over the
+    * lm-filtered cancer cohort, plus filter-universe and DM checks.
+    *
+    * The lm filter itself thresholds a t TAIL (p < 1e-3) which DuckDB
+    * cannot invert, so the universe check brackets it: every CLAIMED gene
+    * must satisfy the SQL-checkable necessary conditions (slope < 0,
+    * r2 > 0.1, t < -3 — p < 1e-3 two-sided implies |t| > 3.09 at any df),
+    * and every gene satisfying a SUFFICIENT condition (t < -40 forces
+    * p < 1e-3 even at df=2) must be claimed, on pain of a poison row.
+    * Genes with t between -40 and -3 are verified by the per-gene EM
+    * certificate but not universe-forced — the planted fixture keeps all
+    * driven genes far below -40 (exact anti-correlation + 1e-3 jitter). */
+  def methylMix(query: String): String = {
+    val one = "CAST(1.0 AS DOUBLE)"
+    val fixture =
+      "mxg AS MATERIALIZED (SELECT l_partkey % 200 AS g, l_suppkey AS sk, (CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*) + CAST(0.005 AS DOUBLE)) / CAST(0.12 AS DOUBLE) AS met FROM lineitem GROUP BY 1, 2), " +
+      "mxc AS MATERIALIZED (SELECT concat('g', CAST(g AS VARCHAR)) AS gene, g, sk, met, CASE WHEN g % 2 = 0 THEN CAST(2.0 AS DOUBLE) - met * CAST(3.0 AS DOUBLE) + CAST(sk % 7 AS DOUBLE) * CAST(0.001 AS DOUBLE) ELSE CAST(sk % 13 AS DOUBLE) * CAST(0.05 AS DOUBLE) END AS ge FROM mxg), " +
+      "cancer AS MATERIALIZED (SELECT gene, met, ge FROM mxc WHERE sk % 4 <> 0), " +
+      "norm AS MATERIALIZED (SELECT gene, avg(met) AS normal_mean FROM mxc WHERE sk % 4 = 0 GROUP BY 1), " +
+      "mxo AS MATERIALIZED (SELECT gene, CAST(count(*) AS DOUBLE) AS n, avg(met) AS xbar, avg(ge) AS ybar, sum(met * met) AS sxx0, sum(met * ge) AS sxy0, sum(ge * ge) AS syy0 FROM cancer GROUP BY 1), " +
+      "mxo2 AS MATERIALIZED (SELECT gene, n, sxx0 - n * xbar * xbar AS sxx, sxy0 - n * xbar * ybar AS sxy, syy0 - n * ybar * ybar AS syy FROM mxo), " +
+      "mxo3 AS MATERIALIZED (SELECT gene, sxy / sxx AS slope, sxy * sxy / (sxx * syy) AS r2, (sxy / sxx) / sqrt(((syy - (sxy / sxx) * sxy) / (n - 2)) / sxx) AS t FROM mxo2)"
+    val raw = s"SELECT gene, least($one - 1e-6, greatest(1e-6, met)) AS v FROM cancer"
+    val cols = "gene, n_components, comp, a, b, weight, mean, log_lik, bic"
+    s"""WITH $fixture, ${betaMixtureResidualCtes(raw, claims(query), cols + ", normal_mean, dm, state")}, """ +
+    // per-gene filter verdicts joined to the EM certificate
+    s"""filt AS MATERIALIZED (SELECT g.gene, (o.slope < CAST(0.0 AS DOUBLE) AND o.r2 > CAST(0.1 AS DOUBLE) AND o.t < CAST(-3.0 AS DOUBLE)) AS necessary, (o.slope < CAST(0.0 AS DOUBLE) AND o.r2 > CAST(0.1 AS DOUBLE) AND o.t < CAST(-40.0 AS DOUBLE)) AS sufficient FROM gn g JOIN mxo3 o USING (gene)), """ +
+    s"""chk2 AS MATERIALIZED (SELECT k.gene, (k.pass AND coalesce(f.necessary, false)) AS pass FROM chk k LEFT JOIN filt f USING (gene))""" +
+    s""" SELECT c.gene, CASE WHEN k.pass THEN c.n_components ELSE CAST(-1 AS INTEGER) END AS n_components, c.comp, CASE WHEN k.pass AND abs(c.mean - c.a / (c.a + c.b)) < 2e-6 THEN c.a ELSE CAST(-1.0 AS DOUBLE) END AS a, CASE WHEN k.pass THEN c.b ELSE CAST(-1.0 AS DOUBLE) END AS b, CASE WHEN k.pass THEN c.weight ELSE CAST(-1.0 AS DOUBLE) END AS weight, CASE WHEN k.pass THEN c.mean ELSE CAST(-1.0 AS DOUBLE) END AS mean, CASE WHEN k.pass THEN c.log_lik ELSE CAST(-1.0 AS DOUBLE) END AS log_lik, CASE WHEN k.pass THEN c.bic ELSE CAST(-1.0 AS DOUBLE) END AS bic, CASE WHEN k.pass AND abs(c.normal_mean - n.normal_mean) < 1e-9 THEN c.normal_mean ELSE CAST(-1.0 AS DOUBLE) END AS normal_mean, CASE WHEN k.pass AND abs(c.dm - (c.mean - c.normal_mean)) < 2e-6 THEN c.dm ELSE CAST(-1.0 AS DOUBLE) END AS dm, CASE WHEN k.pass THEN (CASE WHEN c.dm > CAST(0.1 AS DOUBLE) THEN 'hyper' WHEN c.dm < CAST(-0.1 AS DOUBLE) THEN 'hypo' ELSE 'neutral' END) ELSE 'poison' END AS state FROM cl c LEFT JOIN chk2 k USING (gene) LEFT JOIN norm n USING (gene) """ +
+    s"""UNION ALL SELECT f.gene, CAST(-1 AS INTEGER), CAST(-1 AS INTEGER), CAST(-1.0 AS DOUBLE), CAST(-1.0 AS DOUBLE), CAST(-1.0 AS DOUBLE), CAST(-1.0 AS DOUBLE), CAST(-1.0 AS DOUBLE), CAST(-1.0 AS DOUBLE), CAST(-1.0 AS DOUBLE), CAST(-1.0 AS DOUBLE), 'poison' FROM filt f LEFT JOIN clg c USING (gene) WHERE f.sufficient AND c.k IS NULL"""
+  }
+
+  // ---------------------------------------------------------------- NB GLM
+
+  /** q_glm_nb: one IRLS step from the claimed full-model (intercept,
+    * log_fc) and null-model (null_intercept) coefficients must return to
+    * them; the LRT statistic must match the NB log-likelihood difference
+    * at the claimed coefficients (lgamma is native in DuckDB); n must
+    * match the region's row count. p_value and z ride through gated on
+    * those checks plus range/sign sanity (their tails are not
+    * SQL-expressible; Dist goldens cover the lookup).
+    *
+    * Tolerance: the engine converges to |dcoef| < 1e-10 and rounds at
+    * 1e-6; one IRLS step from the rounded point moves < ~2e-6 (the map is
+    * contractive), and the LRT at rounded-vs-exact coefficients differs
+    * second-order only — 1e-3 bounds both with margin. */
+  def glmNb(query: String): String = {
+    val d = """d AS MATERIALIZED (SELECT CAST(l_partkey % 100 AS VARCHAR) AS region, l_quantity AS y, CASE WHEN l_linestatus = 'O' THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END AS x, ln(CAST(1.0 AS DOUBLE) + l_tax) AS off FROM lineitem)"""
+    def rows(coefSel: String, eta: String) =
+      s"""(SELECT r.region, r.x, r.mu / (CAST(1.0 AS DOUBLE) + CAST(0.1 AS DOUBLE) * r.mu) AS w, (r.eta - r.off) + (r.y - r.mu) / r.mu AS z FROM (SELECT d.region, d.x, d.y, d.off, $eta AS eta, least(greatest(exp(greatest($eta, CAST(-19.0 AS DOUBLE))), 1e-8), 1e12) AS mu FROM d JOIN ($coefSel) c USING (region)) r)"""
+    def ll(name: String, coefSel: String, eta: String) =
+      s"""$name AS MATERIALIZED (SELECT region, sum(lgamma(y + CAST(10.0 AS DOUBLE)) - lgamma(CAST(10.0 AS DOUBLE)) - lgamma(y + CAST(1.0 AS DOUBLE)) + CAST(10.0 AS DOUBLE) * ln(CAST(10.0 AS DOUBLE) / (CAST(10.0 AS DOUBLE) + mu)) + y * ln(mu / (CAST(10.0 AS DOUBLE) + mu))) AS ll FROM (SELECT d.region, d.y, least(greatest(exp(greatest($eta, CAST(-19.0 AS DOUBLE))), 1e-8), 1e12) AS mu FROM d JOIN ($coefSel) c USING (region)) GROUP BY 1)"""
+    val cf = "SELECT region, intercept AS b0, log_fc AS b1 FROM cl"
+    val cn = "SELECT region, null_intercept AS b0 FROM cl"
+    val etaF = "c.b0 + c.b1 * d.x + d.off"
+    val etaN = "c.b0 + d.off"
+    s"""WITH cl AS MATERIALIZED (${claims(query)}), $d, """ +
+    s"""dn AS MATERIALIZED (SELECT region, count(*) AS n FROM d GROUP BY 1), """ +
+    s"""ff AS MATERIALIZED (SELECT region, sum(w) AS s00, sum(w * x) AS s01, sum(w * x * x) AS s11, sum(w * z) AS t0, sum(w * x * z) AS t1 FROM ${rows(cf, etaF)} GROUP BY 1), """ +
+    s"""cf1 AS MATERIALIZED (SELECT region, CASE WHEN abs(s00 * s11 - s01 * s01) < 1e-12 THEN t0 / s00 ELSE (s11 * t0 - s01 * t1) / (s00 * s11 - s01 * s01) END AS b0, CASE WHEN abs(s00 * s11 - s01 * s01) < 1e-12 THEN CAST(0.0 AS DOUBLE) ELSE (s00 * t1 - s01 * t0) / (s00 * s11 - s01 * s01) END AS b1 FROM ff), """ +
+    s"""nn AS MATERIALIZED (SELECT region, sum(w) AS s00, sum(w * z) AS t0 FROM ${rows(cn, etaN)} GROUP BY 1), """ +
+    s"""cn1 AS MATERIALIZED (SELECT region, t0 / s00 AS b0 FROM nn), """ +
+    s"""${ll("llf", cf, etaF)}, ${ll("lln", cn, etaN)}, """ +
+    s"""chk AS MATERIALIZED (SELECT n.region, (c.n IS NOT NULL AND c.n = n.n AND abs(f1.b0 - c.intercept) + abs(f1.b1 - c.log_fc) < CAST(0.001 AS DOUBLE) AND abs(n1.b0 - c.null_intercept) < CAST(0.001 AS DOUBLE) AND abs(greatest(CAST(0.0 AS DOUBLE), CAST(2.0 AS DOUBLE) * (lf.ll - ln2.ll)) - c.lrt_stat) < CAST(0.005 AS DOUBLE) + CAST(0.001 AS DOUBLE) * abs(c.lrt_stat) AND c.p_value >= CAST(0.0 AS DOUBLE) AND c.p_value <= CAST(1.0 AS DOUBLE) AND (c.z = CAST(0.0 AS DOUBLE) OR c.z * c.log_fc >= CAST(0.0 AS DOUBLE))) AS pass FROM dn n LEFT JOIN cl c USING (region) LEFT JOIN cf1 f1 USING (region) LEFT JOIN cn1 n1 USING (region) LEFT JOIN llf lf USING (region) LEFT JOIN lln ln2 USING (region)) """ +
+    s"""SELECT c.region, CASE WHEN k.pass THEN c.n ELSE CAST(-1 AS BIGINT) END AS n, CASE WHEN k.pass THEN c.intercept ELSE CAST(-999.0 AS DOUBLE) END AS intercept, CASE WHEN k.pass THEN c.log_fc ELSE CAST(-999.0 AS DOUBLE) END AS log_fc, CASE WHEN k.pass THEN c.lrt_stat ELSE CAST(-999.0 AS DOUBLE) END AS lrt_stat, CASE WHEN k.pass THEN c.p_value ELSE CAST(-999.0 AS DOUBLE) END AS p_value, CASE WHEN k.pass THEN c.z ELSE CAST(-999.0 AS DOUBLE) END AS z, CASE WHEN k.pass THEN c.null_intercept ELSE CAST(-999.0 AS DOUBLE) END AS null_intercept FROM cl c LEFT JOIN chk k USING (region) """ +
+    s"""UNION ALL SELECT n.region, CAST(-1 AS BIGINT), CAST(-999.0 AS DOUBLE), CAST(-999.0 AS DOUBLE), CAST(-999.0 AS DOUBLE), CAST(-999.0 AS DOUBLE), CAST(-999.0 AS DOUBLE), CAST(-999.0 AS DOUBLE) FROM dn n LEFT JOIN cl c USING (region) WHERE c.n IS NULL"""
+  }
+
+  // ---------------------------------------------------------------- ComBat
+
+  /** q_combat: the claimed per-(gene,batch) EB parameters must be constant
+    * within their cell and be a fixed point of one more EB step computed
+    * from DuckDB's own re-aggregated moments and hyperpriors; each row's
+    * claimed `adjusted` must equal sigma*(z - gamma*)/sqrt(delta2*) +
+    * alpha within tolerance; the row universe is exactly the fixture.
+    *
+    * Tolerance: the engine's EB loop exits at |dgamma| + |ddelta2| <
+    * 1e-10; DuckDB's avg/var_samp moments differ from Spark's at ulp
+    * scale and the EB map is smooth in them, so 1e-5 on the step residual
+    * and 1e-4 on adjusted (which also absorbs the 1e-6 output rounding at
+    * |value| ~ 1e5) are generous yet orders below any real defect. */
+  def combat(query: String): String = {
+    val one = "CAST(1.0 AS DOUBLE)"
+    s"""WITH cl AS MATERIALIZED (${claims(query)}), """ +
+    s"""d AS MATERIALIZED (SELECT CAST(l_partkey % 50 AS VARCHAR) AS gene, l_orderkey * 10 + l_linenumber AS sample, l_extendedprice AS value, concat('b', CAST((l_orderkey * 10 + l_linenumber) % 3 AS VARCHAR)) AS batch FROM lineitem), """ +
+    s"""gs AS MATERIALIZED (SELECT gene, avg(value) AS alpha, stddev_samp(value) AS sigma FROM d GROUP BY 1), """ +
+    s"""z AS MATERIALIZED (SELECT d.gene, d.sample, d.batch, d.value, g.alpha, g.sigma, (d.value - g.alpha) / (CASE WHEN g.sigma > 0 THEN g.sigma END) AS z FROM d JOIN gs g USING (gene)), """ +
+    s"""gb AS MATERIALIZED (SELECT gene, batch, avg(z) AS gamma_hat, var_samp(z) AS delta2_hat, count(*) AS n FROM z GROUP BY 1, 2), """ +
+    s"""pr AS MATERIALIZED (SELECT batch, avg(gamma_hat) AS gamma_bar, var_samp(gamma_hat) AS tau2, avg(delta2_hat) AS d_mean, var_samp(delta2_hat) AS d_var FROM gb GROUP BY 1), """ +
+    s"""pr2 AS MATERIALIZED (SELECT batch, gamma_bar, tau2, d_mean, CAST(2.0 AS DOUBLE) + d_mean * d_mean / (CASE WHEN d_var > 0 THEN d_var END) AS lambda FROM pr), """ +
+    s"""pr3 AS MATERIALIZED (SELECT *, d_mean * (lambda - $one) AS theta FROM pr2), """ +
+    s"""clp AS MATERIALIZED (SELECT gene, batch, min(gamma_star) AS gsv, max(gamma_star) AS gsx, min(delta2_star) AS dsv, max(delta2_star) AS dsx FROM cl GROUP BY 1, 2), """ +
+    // one EB step from the claimed fixed point (Combat.ebSolve body:
+    // same coalesce fallbacks for single-gene batches / n=1 cells)
+    s"""eb AS MATERIALIZED (SELECT e.gene, e.batch, e.g_new, greatest((e.th + CAST(0.5 AS DOUBLE) * ((e.n - 1) * e.d2h + e.n * (e.gamma_hat - e.g_new) * (e.gamma_hat - e.g_new))) / (e.n / CAST(2.0 AS DOUBLE) + e.lam - $one), 1e-8) AS d2_new FROM (SELECT g.gene, g.batch, g.gamma_hat, g.n, coalesce(g.delta2_hat, p.d_mean, $one) AS d2h, coalesce(p.lambda, CAST(2.0 AS DOUBLE)) AS lam, coalesce(p.theta, g.delta2_hat, p.d_mean, $one) AS th, CASE WHEN coalesce(p.tau2, CAST(0.0 AS DOUBLE)) > 0 THEN (g.n * p.tau2 * g.gamma_hat + c.dsx * p.gamma_bar) / (g.n * p.tau2 + c.dsx) ELSE p.gamma_bar END AS g_new FROM gb g JOIN pr3 p USING (batch) JOIN clp c ON g.gene = c.gene AND g.batch = c.batch) e), """ +
+    s"""chk AS MATERIALIZED (SELECT c.gene, c.batch, (c.gsx - c.gsv = CAST(0.0 AS DOUBLE) AND c.dsx - c.dsv = CAST(0.0 AS DOUBLE) AND abs(e.g_new - c.gsx) + abs(e.d2_new - c.dsx) < 1e-5) AS pass_cell FROM clp c JOIN eb e ON c.gene = e.gene AND c.batch = e.batch) """ +
+    // (gene, sample) is NOT unique in the fixture (a few hundred repeated
+    // pairs at sf0.01) — a bare FULL JOIN would fan duplicates out. Pair
+    // the two sides positionally within each (gene, sample) by a
+    // value-ordered row_number; the value-equality check then validates
+    // the pairing itself.
+    s""", cl2 AS MATERIALIZED (SELECT *, row_number() OVER (PARTITION BY gene, sample ORDER BY value, adjusted) AS rn FROM cl), """ +
+    s"""z2 AS MATERIALIZED (SELECT *, row_number() OVER (PARTITION BY gene, sample ORDER BY value) AS rn FROM z) """ +
+    s"""SELECT gene, sample, CASE WHEN ok THEN batch ELSE 'poison' END AS batch, CASE WHEN ok THEN value ELSE CAST(-1.0 AS DOUBLE) END AS value, CASE WHEN ok THEN adjusted ELSE CAST(-1.0 AS DOUBLE) END AS adjusted, CASE WHEN ok THEN gamma_star ELSE CAST(-999.0 AS DOUBLE) END AS gamma_star, CASE WHEN ok THEN delta2_star ELSE CAST(-999.0 AS DOUBLE) END AS delta2_star FROM (SELECT coalesce(c.gene, z.gene) AS gene, coalesce(c.sample, z.sample) AS sample, c.batch, c.value, c.adjusted, c.gamma_star, c.delta2_star, (c.gene IS NOT NULL AND z.gene IS NOT NULL AND c.batch = z.batch AND c.value = z.value AND coalesce(k.pass_cell, false) AND abs(c.adjusted - (z.sigma * (z.z - c.gamma_star) / sqrt(c.delta2_star) + z.alpha)) < CAST(0.0001 AS DOUBLE)) AS ok FROM cl2 c FULL JOIN z2 z ON c.gene = z.gene AND c.sample = z.sample AND c.rn = z.rn LEFT JOIN chk k ON k.gene = c.gene AND k.batch = c.batch)"""
+  }
+}
