@@ -341,19 +341,47 @@ object Dedup {
     * 1-(1-J^r)^b (128/16: >0.9999 at J=0.9, ~0.95 at exactly 0.8). The
     * band key is the joined value string, not a 32-bit hash of it: a hash
     * would re-introduce an (astronomically small but nonzero) collision
-    * dependence the oracle cannot replay. */
+    * dependence the oracle cannot replay.
+    *
+    * HOT-BAND GUARD (`hotBucketThreshold`): a degenerate bucket — 10^5+
+    * near-identical docs sharing one band_sig, the boilerplate-page shape
+    * every real corpus has — makes the all-pairs self-join QUADRATIC in
+    * that bucket (10^10 candidates from one 10^5 clone class). Buckets
+    * above the threshold therefore emit a STAR instead of a clique: every
+    * member pairs with the bucket's minimum id. Exact verification is
+    * unchanged, connectivity (what the downstream union-find clustering
+    * consumes) is preserved whenever the bucket members are true
+    * near-dups of the representative — exactly the clone-class case that
+    * creates hot buckets — and the declared all-pairs semantics hold
+    * verbatim whenever no bucket exceeds the threshold (all gate
+    * fixtures; the DuckDB oracle replays that regime). The cap is not
+    * silent: within a hot bucket, member↔member pairs whose members are
+    * near-dups of each other but NOT of the representative are the
+    * documented recall loss. */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       k: Int = 3, threshold: Double = 0.8,
-                      numHashes: Int = 128, bands: Int = 16): DataFrame = {
+                      numHashes: Int = 128, bands: Int = 16,
+                      hotBucketThreshold: Int = 4096): DataFrame = {
     val banded = bandedIndex(df, idCol, textCol, k, numHashes, bands)
-    val candidates = banded.as("x").join(banded.as("y"),
+    // bucket stats ride a window over the index's OWN (band, band_sig)
+    // partitioning — no extra exchange, one in-partition sort
+    val w = Window.partitionBy(col("band"), col("band_sig"))
+    val marked = banded.withColumn("__n", count(lit(1)).over(w))
+      .withColumn("__rep", min(col("id")).over(w))
+    val cool = marked.where(col("__n") <= hotBucketThreshold)
+    val candNormal = cool.as("x").join(cool.as("y"),
         col("x.band") === col("y.band") &&
           col("x.band_sig") === col("y.band_sig") &&
           col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+    // hot buckets: linear star to the representative, not a clique
+    val candHot = marked
+      .where(col("__n") > hotBucketThreshold && col("id") =!= col("__rep"))
+      .select(col("__rep").as("id_a"), col("id").as("id_b"))
     // per-band duplicate pairs are deduped inside the verify's pair-key
     // exchange — no separate distinct shuffle
-    verifyPairsExactJaccard(df, candidates, idCol, textCol, k, threshold)
+    verifyPairsExactJaccard(df, candNormal.unionByName(candHot),
+      idCol, textCol, k, threshold)
   }
 
   /** The banded minhash index as a first-class relation (id, band,
@@ -397,7 +425,8 @@ object Dedup {
                                  oldIndex: DataFrame, idCol: String,
                                  textCol: String, k: Int = 3,
                                  threshold: Double = 0.8, numHashes: Int = 128,
-                                 bands: Int = 16): DataFrame = {
+                                 bands: Int = 16,
+                                 hotBucketThreshold: Int = 4096): DataFrame = {
     // fail fast on a parameter-mismatched stored index: band_sigs from a
     // different (k, numHashes, bands) never collide with this call's, so
     // the bug mode is MISSED pairs, not an error — check the params the
@@ -416,16 +445,33 @@ object Dedup {
       }
     }
     val newIdx = bandedIndex(newDocs, idCol, textCol, k, numHashes, bands)
-    val all = oldIndex.unionByName(newIdx)
+    // tag sides so the hot-band guard can keep the "every pair touches a
+    // new doc" contract while probing a single unioned frame
+    val all = oldIndex.withColumn("__new", lit(0))
+      .unionByName(newIdx.withColumn("__new", lit(1)))
+    val w = Window.partitionBy(col("band"), col("band_sig"))
+    val marked = all.withColumn("__n", count(lit(1)).over(w))
+      .withColumn("__rep", min(col("id")).over(w))
+      .withColumn("__repNew",
+        max(when(col("id") === col("__rep"), col("__new"))).over(w))
+    val cool = marked.where(col("__n") <= hotBucketThreshold)
     // probe only from the new side: every emitted pair touches a new doc
-    val candidates = newIdx.as("x").join(all.as("y"),
+    val candidates = cool.where(col("__new") === 1).as("x").join(cool.as("y"),
         col("x.band") === col("y.band") &&
           col("x.band_sig") === col("y.band_sig") &&
           col("x.id") =!= col("y.id"))
       .select(least(col("x.id"), col("y.id")).as("id_a"),
         greatest(col("x.id"), col("y.id")).as("id_b"))
-    verifyPairsExactJaccard(oldDocs.unionByName(newDocs), candidates,
-      idCol, textCol, k, threshold)
+    // hot buckets (see minhashLshPairs): star to the representative. New
+    // members always pair with the rep; when the rep is itself NEW, the
+    // bucket's old members pair with it too (those pairs touch a new doc
+    // and carry the old↔new connectivity the full join would have found).
+    val candHot = marked
+      .where(col("__n") > hotBucketThreshold && col("id") =!= col("__rep") &&
+        (col("__new") === 1 || col("__repNew") === 1))
+      .select(col("__rep").as("id_a"), col("id").as("id_b"))
+    verifyPairsExactJaccard(oldDocs.unionByName(newDocs),
+      candidates.unionByName(candHot), idCol, textCol, k, threshold)
   }
 
   /** Width of the simhash sketch: 60 bits, so the whole sketch derives
@@ -505,7 +551,8 @@ object Dedup {
     * sits near hamming ~12 of 60; unrelated docs near ~30). */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    bands: Int = 15, k: Int = 3,
-                   threshold: Double = 0.8, maxHamming: Int = 14): DataFrame = {
+                   threshold: Double = 0.8, maxHamming: Int = 14,
+                   hotBucketThreshold: Int = 4096): DataFrame = {
     require(SimhashBits % bands == 0, s"bands must divide $SimhashBits")
     val bitsPerBand = SimhashBits / bands
     val sigs = simhashSignatures(df, idCol, textCol, featureK = k)
@@ -520,11 +567,28 @@ object Dedup {
       .toDF("id", "simhash", "band", "chunk")
       // materialization barrier on the join keys — see minhashLshPairs
       .repartition(col("band"), col("chunk"))
-    val candidates = banded.as("x").join(banded.as("y"),
+    // hot-chunk guard (see minhashLshPairs — the clone-class shape is the
+    // same here: identical docs share every chunk): buckets above the
+    // threshold emit a star to the min-id representative, with the same
+    // in-join hamming cut against the representative's sketch. The
+    // exactness contract (candidates == {hamming <= maxHamming} when
+    // maxHamming <= bands-1) holds verbatim whenever no bucket exceeds
+    // the threshold — all gate fixtures.
+    val w = Window.partitionBy(col("band"), col("chunk"))
+    val marked = banded.withColumn("__n", count(lit(1)).over(w))
+      .withColumn("__rep", min(struct(col("id"), col("simhash"))).over(w))
+    val cool = marked.where(col("__n") <= hotBucketThreshold)
+    val candidates = cool.as("x").join(cool.as("y"),
         col("x.band") === col("y.band") && col("x.chunk") === col("y.chunk") &&
           col("x.id") < col("y.id") &&
           bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))) <= maxHamming)
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .unionByName(marked
+        .where(col("__n") > hotBucketThreshold &&
+          col("id") =!= col("__rep").getField("id") &&
+          bit_count(col("simhash")
+            .bitwiseXOR(col("__rep").getField("simhash"))) <= maxHamming)
+        .select(col("__rep").getField("id").as("id_a"), col("id").as("id_b")))
     // per-chunk duplicate pairs are deduped inside the verify's pair-key
     // exchange — no separate distinct shuffle
     verifyPairsExactJaccard(df, candidates, idCol, textCol, k, threshold)

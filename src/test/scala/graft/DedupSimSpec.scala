@@ -78,6 +78,78 @@ class DedupSimSpec extends SparkSpec {
     assert(e.getMessage.contains("bands=32"))
   }
 
+  test("hot-band guard: star pairs preserve clone-class clustering and " +
+    "leave normal buckets untouched") {
+    val clone = "same boilerplate page text repeated across many mirrors " +
+      "of the site with identical navigation and footer content blocks"
+    val docs = ((1L to 50L).map(i => (i, clone)) ++ Seq(
+      (100L, "a genuinely unique document about catalyst optimizer rules"),
+      (101L, "another distinct text mentioning streaming watermarks"))).toDF("doc_id", "text")
+    // guard forced on (threshold 10 << 50 clones): clone buckets go star
+    val guarded = Dedup.minhashLshPairs(docs, "doc_id", "text",
+        k = 3, threshold = 0.8, hotBucketThreshold = 10)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(guarded == (2L to 50L).map(i => (1L, i)).toSet)
+    // connectivity is what downstream consumes: same clusters as the
+    // un-guarded clique
+    val full = Dedup.minhashLshPairs(docs, "doc_id", "text",
+        k = 3, threshold = 0.8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(full.size == 49 * 50 / 2)
+    def clusters(pairs: Set[(Long, Long)]) =
+      Dedup.duplicateClusters(pairs.toSeq.toDF("id_a", "id_b"))
+        .as[(Long, Long)].collect().toMap
+    assert(clusters(guarded) == clusters(full))
+    // normal (sub-threshold) buckets: guard is a no-op — identical pairs
+    val normal = Dedup.minhashLshPairs(corpus(), "doc_id", "text",
+        k = 3, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val normalHuge = Dedup.minhashLshPairs(corpus(), "doc_id", "text",
+        k = 3, threshold = 0.5, hotBucketThreshold = Int.MaxValue)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(normal == normalHuge && normal.nonEmpty)
+  }
+
+  test("hot-band guard: incremental probe stars new members (and old ones " +
+    "when the representative is new) without old-old pairs") {
+    val clone = "same boilerplate page text repeated across many mirrors " +
+      "of the site with identical navigation and footer content blocks"
+    val old = (10L to 30L).map(i => (i, clone)).toDF("doc_id", "text")
+    val fresh = (31L to 45L).map(i => (i, clone)).toDF("doc_id", "text")
+    val oldIdx = Dedup.bandedIndex(old, "doc_id", "text")
+    val inc = Dedup.minhashLshPairsIncremental(old, fresh, oldIdx,
+        "doc_id", "text", threshold = 0.8, hotBucketThreshold = 5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // rep is old doc 10: every NEW doc stars to it; no old-old pairs
+    assert(inc == (31L to 45L).map(i => (10L, i)).toSet)
+    // rep NEW: old members must star to it so old-new connectivity holds
+    val fresh2 = Seq((1L, clone)).toDF("doc_id", "text") // new min id
+    val inc2 = Dedup.minhashLshPairsIncremental(old, fresh2, oldIdx,
+        "doc_id", "text", threshold = 0.8, hotBucketThreshold = 5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(inc2 == (10L to 30L).map(i => (1L, i)).toSet)
+  }
+
+  test("hot-band guard: a 100k-doc clone class completes (the unguarded " +
+    "clique would generate ~10^10 candidates)") {
+    val clone = "boilerplate mirror page body with shared navigation text"
+    val n = 100000L
+    val docs = spark.range(1L, n + 1L)
+      .select(col("id").as("doc_id"),
+        when(col("id") <= n - 1000, lit(clone))
+          .otherwise(concat(lit("unique tail document number "),
+            col("id").cast("string"), lit(" with distinct content words")))
+          .as("text"))
+    val t0 = System.nanoTime()
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
+      k = 3, threshold = 0.8)
+    // 99k clones -> one star: (1, i) for i in 2..99000
+    assert(pairs.count() == (n - 1000) - 1)
+    val sec = (System.nanoTime() - t0) / 1e9
+    info(f"100k clone class: $sec%.1f s")
+    assert(sec < 300.0, s"hot-band path too slow: $sec s")
+  }
+
   test("verifyPairsExactJaccard dedups on the pair key even with extra " +
     "candidate columns") {
     // duplicate pairs that differ in a band column must collapse to ONE
