@@ -69,6 +69,17 @@ object Relational {
     * duplicated. Reference rows sort before probe rows at equal ts so
     * an exactly-simultaneous reference row is visible.
     *
+    * Skew note: one hot key puts ALL of that key's rows in a single
+    * window partition — linear (sort + one pass), not quadratic, and a
+    * planted 10^6-row single-key test (OpsSpec) completes in seconds. If
+    * a key ever outgrows one executor's sort budget, the escape hatch is
+    * range-splitting WITHIN the key: bucket `tsCol` into coarse epochs,
+    * run this join per (key, epoch) with each epoch's window seeded by
+    * the previous epoch's last reference row (computed by a tiny per-
+    * (key, epoch) max-aggregate first pass — the same two-pass shape as
+    * Sampling.withRunningOffset). Not wired in because the single-key
+    * path has no observed stall at the tested scale.
+    *
     * @param probe    left side; all its columns survive
     * @param ref      reference side: `keyCol`, `tsCol`, `refCols` — if
     *                 several rows share (key, ts), callers must pre-dedup

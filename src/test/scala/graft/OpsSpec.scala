@@ -319,6 +319,29 @@ class OpsSpec extends SparkSpec {
       "withRowIndex must not drop to the RDD layer")
   }
 
+  test("asofJoin survives a planted hot key: 1M probe rows on ONE key") {
+    // worst-case skew: every probe row lands in a single window partition,
+    // so the whole key sorts in one task. This must complete comfortably
+    // (linear sort + one pass), not stall — the scaladoc documents the
+    // range-split escape hatch if a key ever outgrows a single executor.
+    val n = 1000000L
+    val probe = spark.range(n).select(lit(1L).as("key"),
+      col("id").as("ts"), (col("id") % 97).as("payload"))
+    val ref = spark.range(0L, n, 1000L).select(lit(1L).as("key"),
+      col("id").as("ts"), (col("id") / 1000L).cast("long").as("refv"))
+    val t0 = System.nanoTime()
+    val out = Relational.asofJoin(probe, ref, "key", "ts", Seq("refv"))
+    assert(out.count() == n)
+    val sec = (System.nanoTime() - t0) / 1e9
+    info(f"1M-row hot key: $sec%.1f s")
+    assert(sec < 120.0, s"hot-key asofJoin too slow: $sec s")
+    // spot-check semantics on the hot key: refv = floor(ts/1000)
+    val sample = out.where(col("ts").isin(0L, 999L, 1000L, 999999L))
+      .select("ts", "refv").as[(Long, Option[Long])].collect().toMap
+    assert(sample == Map(0L -> Some(0L), 999L -> Some(0L),
+      1000L -> Some(1L), 999999L -> Some(999L)))
+  }
+
   test("asofJoin rejects reserved/overlapping column names") {
     val probe = Seq((1L, 1L, "x")).toDF("key", "ts", "payload")
     val ref = Seq((1L, 1L, "r")).toDF("key", "ts", "refv")
