@@ -5,11 +5,36 @@ import org.apache.spark.sql.SparkSession
 /** Plan auditor: prints physical-plan red flags for every registered query
   * (BroadcastNestedLoopJoin / CartesianProduct outside intentional cross
   * joins, scans without pushed filters where one was expected, exchange
-  * counts). Usage: runMain graft.PlanAudit <sfDir> [queryName...] */
+  * counts), and pins plan SHAPES against a committed baseline so a plan
+  * regression (a new exchange, a lost codegen span, an accidental nested
+  * loop) fails loudly at build time instead of surfacing as a bench
+  * mystery.
+  *
+  * Usage: runMain graft.PlanAudit <sfDir> [--write PLANS.json]
+  *                                        [--diff PLANS.json] [queryName...]
+  *  - --write: dump {query -> {bnlj, cart, exchanges, codegen}} JSON
+  *  - --diff:  compare against a previously-written baseline; exit 1 on
+  *             any regression (exchanges up, codegen spans down, new
+  *             nested loop, query lost). Improvements print a note to
+  *             refresh the baseline.
+  */
 object PlanAudit {
+
+  private final case class Shape(bnlj: Int, cart: Int, exch: Int, wsc: Int)
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
-    val names = if (args.length > 1) args.drop(1).toSet else Set.empty[String]
+    var writePath: Option[String] = None
+    var diffPath: Option[String] = None
+    val names = scala.collection.mutable.Set[String]()
+    var i = 1
+    while (i < args.length) {
+      args(i) match {
+        case "--write" => writePath = Some(args(i + 1)); i += 2
+        case "--diff" => diffPath = Some(args(i + 1)); i += 2
+        case n => names += n; i += 1
+      }
+    }
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
@@ -33,6 +58,7 @@ object PlanAudit {
       "q_pca_batch",  // single-row grand-mean broadcast-joined back
       "q_dist_shift", // single-row corpus-total broadcast-joined back
       "q_dedup_embedding") // exactness-baseline all-pairs by definition
+    val shapes = scala.collection.mutable.LinkedHashMap[String, Shape]()
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => names.isEmpty || names(n) }
       .foreach { case (name, fn) =>
@@ -53,11 +79,64 @@ object PlanAudit {
           val crossAllowance = if (name == "q_pipeline_herald") 3 else 2
           if (bnlj + cart > crossAllowance && intentionalCross(name))
             flags.append(s" !!EXTRA_CROSS(bnlj=$bnlj,cart=$cart)")
+          shapes(name) = Shape(bnlj, cart, exch, wsc)
           println(f"$name%-28s exchanges=$exch%-3d codegen=$wsc%-3d$flags")
         } catch {
           case e: Throwable => println(f"$name%-28s PLAN_ERROR ${e.getMessage.take(80)}")
         }
       }
     spark.stop()
+
+    writePath.foreach { p =>
+      val json = shapes.map { case (n, s) =>
+        s""""$n": {"bnlj": ${s.bnlj}, "cart": ${s.cart}, "exchanges": ${s.exch}, "codegen": ${s.wsc}}"""
+      }.mkString("{\n  ", ",\n  ", "\n}\n")
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(p), json)
+      println(s"[planaudit] wrote ${shapes.size} plan shapes to $p")
+    }
+
+    diffPath.foreach { p =>
+      val om = new com.fasterxml.jackson.databind.ObjectMapper()
+      val root = om.readTree(java.nio.file.Files.readString(
+        java.nio.file.Paths.get(p)))
+      var regressions = 0
+      var improvements = 0
+      val fields = root.fields()
+      val baseline = scala.collection.mutable.LinkedHashMap[String, Shape]()
+      while (fields.hasNext) {
+        val e = fields.next()
+        val v = e.getValue
+        baseline(e.getKey) = Shape(v.get("bnlj").asInt, v.get("cart").asInt,
+          v.get("exchanges").asInt, v.get("codegen").asInt)
+      }
+      baseline.foreach { case (n, b) =>
+        // a filtered run only diffs the queries it planned
+        if (names.isEmpty || names(n)) shapes.get(n) match {
+          case None =>
+            println(s"[planaudit] REGRESSION $n: in baseline but failed to plan")
+            regressions += 1
+          case Some(s) =>
+            if (s.exch > b.exch || s.wsc < b.wsc ||
+                s.bnlj > b.bnlj || s.cart > b.cart) {
+              println(s"[planaudit] REGRESSION $n: " +
+                s"exchanges ${b.exch}->${s.exch}, codegen ${b.wsc}->${s.wsc}, " +
+                s"bnlj ${b.bnlj}->${s.bnlj}, cart ${b.cart}->${s.cart}")
+              regressions += 1
+            } else if (s.exch < b.exch || s.wsc > b.wsc ||
+                       s.bnlj < b.bnlj || s.cart < b.cart) {
+              println(s"[planaudit] improved $n: " +
+                s"exchanges ${b.exch}->${s.exch}, codegen ${b.wsc}->${s.wsc} " +
+                "(refresh the baseline with --write)")
+              improvements += 1
+            }
+        }
+      }
+      shapes.keys.filterNot(baseline.contains).foreach { n =>
+        println(s"[planaudit] new query $n (no baseline; --write to pin)")
+      }
+      println(s"[planaudit] diff vs $p: $regressions regressions, " +
+        s"$improvements improvements, ${shapes.size} queries audited")
+      if (regressions > 0) sys.exit(1)
+    }
   }
 }
