@@ -65,12 +65,19 @@ object Io {
     * keys; verified exchange-free in IoMultimodalSpec). Requires a table
     * name because bucketing metadata lives in the catalog. */
   def writeBucketed(df: DataFrame, table: String, bucketCols: Seq[String],
-                    numBuckets: Int): Unit =
-    df.write.mode("overwrite")
+                    numBuckets: Int, path: Option[String] = None): Unit = {
+    // drop a stale catalog entry first: `overwrite` only replaces a table
+    // the CURRENT session's catalog knows about — a leftover managed
+    // location from an earlier session fails with LOCATION_ALREADY_EXISTS
+    df.sparkSession.sql(s"DROP TABLE IF EXISTS $table")
+    val w = df.write.mode("overwrite")
       .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
       .sortBy(bucketCols.head, bucketCols.tail: _*)
       .format("parquet")
-      .saveAsTable(table)
+    // explicit path = external table at a caller-owned location (what a
+    // lake deployment does anyway); default stays the managed warehouse
+    path.fold(w)(p => w.option("path", p)).saveAsTable(table)
+  }
 
   /** JDBC source for the reference's SQLite-first ingestion
     * (queryMassNPDB.py:33-40, getMassTransitions.py:62-86,

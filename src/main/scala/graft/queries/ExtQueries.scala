@@ -133,6 +133,51 @@ object ExtQueries {
             chunkBytes = 64, stride = 2)
           .groupBy("media_id").agg(count(lit(1)).as("n_frames"))
       },
-      Some("""SELECT doc_id AS media_id, (CAST(ceil(octet_length(encode(text)) / 64.0) AS BIGINT) + 1) // 2 AS n_frames FROM documents WHERE len(text) > 0"""))
+      Some("""SELECT doc_id AS media_id, (CAST(ceil(octet_length(encode(text)) / 64.0) AS BIGINT) + 1) // 2 AS n_frames FROM documents WHERE len(text) > 0""")),
+
+    Entry("q_lake_compact",
+      // lake maintenance under the gate: fan documents out into 32 small
+      // files (the post-streaming-ingest shape), compact to ~32 MB
+      // targets, read the compacted result back. The oracle checks the
+      // round trip is LOSSLESS row-for-row (doc_id + content digest
+      // against the source table) — stronger than the spec's file-count
+      // assertion alone, which stays in IoMultimodalSpec.
+      (s, d) => {
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_lake_compact").toString
+        t(s, d, "documents").select("doc_id", "text")
+          .repartition(32).write.mode("overwrite").parquet(s"$tmp/small")
+        graft.io.Io.compactParquet(s, s"$tmp/small", s"$tmp/compact",
+          targetBytes = 32L << 20)
+        s.read.parquet(s"$tmp/compact")
+          .select(col("doc_id"), md5(col("text")).as("text_md5"))
+      },
+      Some("""SELECT doc_id, md5(text) AS text_md5 FROM documents""")),
+
+    Entry("q_lake_bucketed",
+      // bucketed-table round trip under the gate: write both join sides
+      // bucketed+sorted on the key (the pre-shuffled layout for hot
+      // co-located joins — IoMultimodalSpec verifies the join plan is
+      // exchange-free), then join the CATALOG tables and aggregate. The
+      // oracle replays the same join/agg from the raw tables, so a
+      // content defect in the bucketed write/read path hash-mismatches.
+      (s, d) => {
+        val c = t(s, d, "customer")
+          .select("c_custkey", "c_nationkey", "c_acctbal")
+        val n = t(s, d, "nation")
+          .select(col("n_nationkey").as("c_nationkey"), col("n_name"))
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_lake_bucket").toString
+        graft.io.Io.writeBucketed(c, "graft_gate_bucket_cust",
+          Seq("c_nationkey"), 4, path = Some(s"$tmp/cust"))
+        graft.io.Io.writeBucketed(n, "graft_gate_bucket_nat",
+          Seq("c_nationkey"), 4, path = Some(s"$tmp/nat"))
+        s.table("graft_gate_bucket_cust")
+          .join(s.table("graft_gate_bucket_nat"), "c_nationkey")
+          .groupBy("n_name")
+          .agg(count(lit(1)).as("n_cust"),
+            r6(Q.sumDec(col("c_acctbal")) / count(lit(1))).as("avg_bal"))
+      },
+      Some("""SELECT n_name, count(*) AS n_cust, CAST(round(CAST(CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS VARCHAR) AS DECIMAL(38,12)), 6) AS DOUBLE) AS avg_bal FROM customer JOIN nation ON c_nationkey = n_nationkey GROUP BY 1"""))
   )
 }
