@@ -8,10 +8,13 @@ import org.apache.spark.sql.functions._
   * flagship queries on both. Near-linear growth = the plan is shuffle-bound
   * with no quadratic or driver-side step; the numbers land in SCALING.md.
   *
-  * Usage: runMain graft.ScaleCheck [outDir] [queryName...] — writes the
-  * 10x tables once (skipped if present), then prints per-query seconds at
-  * 1x and 10x (all flagships, or just the named ones — for steal-window
-  * rechecks of a single query).
+  * Usage: runMain graft.ScaleCheck [outDir] [--copies N] [--tables a,b]
+  * [queryName...] — writes the Nx tables once (skipped if present), then
+  * prints per-query seconds at 1x and Nx (all flagships, or just the
+  * named ones — for steal-window rechecks of a single query).
+  * `--copies` defaults to 10; `--tables` limits the synthesized set (for
+  * a 100x run of a documents-only pipeline there is no reason to write a
+  * 60M-row lineitem).
   */
 object ScaleCheck {
   val Flagships = Seq("q1_agg", "q_pipeline_massquery", "q_ppm_join",
@@ -36,9 +39,20 @@ object ScaleCheck {
   def main(args: Array[String]): Unit = {
     val src = "/root/testdata/sf0.1"
     val out = args.headOption.getOrElse("/tmp/graft_sfx10")
-    val names = if (args.length > 1) Flagships.filter(args.drop(1).toSet)
+    var copies = 10
+    var tableFilter: Option[Set[String]] = None
+    val nameArgs = scala.collection.mutable.Buffer[String]()
+    var i = 1
+    while (i < args.length) {
+      args(i) match {
+        case "--copies" => copies = args(i + 1).toInt; i += 2
+        case "--tables" =>
+          tableFilter = Some(args(i + 1).split(",").toSet); i += 2
+        case n => nameArgs += n; i += 1
+      }
+    }
+    val names = if (nameArgs.nonEmpty) Flagships.filter(nameArgs.toSet)
                 else Flagships
-    val copies = 10
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.sql.session.timeZone", "UTC")
@@ -49,7 +63,7 @@ object ScaleCheck {
     spark.sparkContext.setLogLevel("WARN")
 
     // key columns to offset per copy so distinct-key counts scale too
-    val keyCols: Map[String, Seq[String]] = Map(
+    val allKeyCols: Map[String, Seq[String]] = Map(
       "lineitem" -> Seq("l_orderkey", "l_partkey", "l_suppkey"),
       "orders" -> Seq("o_orderkey", "o_custkey"),
       "part" -> Seq("p_partkey"),
@@ -59,8 +73,10 @@ object ScaleCheck {
       "events" -> Seq("user_id"),
       "documents" -> Seq("doc_id"),
       "embeddings" -> Seq("vec_id"))
+    val keyCols = tableFilter.fold(allKeyCols)(f =>
+      allKeyCols.filter { case (t, _) => f(t) })
 
-    if (!new java.io.File(s"$out/lineitem.parquet").exists()) {
+    if (!new java.io.File(s"$out/${keyCols.keys.head}.parquet").exists()) {
       keyCols.foreach { case (t, keys) =>
         val df = spark.read.parquet(s"$src/$t.parquet")
         val offsets = keys.map(k => k ->

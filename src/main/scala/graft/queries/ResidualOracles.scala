@@ -79,7 +79,16 @@ object ResidualOracles {
     s"""mx1 AS MATERIALIZED (SELECT gene, v, max(ld) AS mx FROM ld1 GROUP BY 1, 2), """ +
     s"""t1 AS MATERIALIZED (SELECT l.gene, l.v, max(l.cnt) AS cnt, max(m.mx) AS mx, sum(CASE WHEN l.ld - m.mx < CAST(-700.0 AS DOUBLE) THEN CAST(0.0 AS DOUBLE) ELSE exp(l.ld - m.mx) END) AS tot FROM ld1 l JOIN mx1 m ON l.gene = m.gene AND l.v = m.v GROUP BY 1, 2), """ +
     s"""ll1 AS MATERIALIZED (SELECT gene, sum(cnt * (mx + ln(tot))) AS ll1 FROM t1 GROUP BY 1), """ +
-    s"""chk AS MATERIALIZED (SELECT g.gene, (c.k IS NOT NULL AND l0.ll0 IS NOT NULL AND l1.ll1 IS NOT NULL AND c.ncomp = c.k AND abs(c.wsum - $one) < 1e-4 AND abs(l0.ll0 - c.ll_cl) < CAST(0.001 AS DOUBLE) * abs(l0.ll0) + CAST(0.05 AS DOUBLE) AND (l1.ll1 - l0.ll0) < CAST(0.001 AS DOUBLE) * abs(l0.ll0) + CAST(0.05 AS DOUBLE) AND abs(c.bic_cl - (CAST(-2.0 AS DOUBLE) * c.ll_cl + (CAST(3.0 AS DOUBLE) * c.k - $one) * ln(g.nd))) < CAST(0.001 AS DOUBLE)) AS pass FROM gn g LEFT JOIN clg c USING (gene) LEFT JOIN llc l0 USING (gene) LEFT JOIN ll1 l1 USING (gene))"""
+    // BIC-selection bracket: the k=1 fit is CLOSED FORM (single-component
+    // EM fixes to the method-of-moments of all values after one step), so
+    // SQL can compute its BIC exactly. A claimed k=1 must BE that fit's
+    // BIC; a claimed k>=2 must beat-or-tie it (the selection minimized
+    // over k, and k=1 was in the candidate set). k=2-vs-k=3 remains
+    // pinned by the fixed-iteration twin + goldens only.
+    s"""k1m AS MATERIALIZED (SELECT h.gene, g.nd, sum(h.cnt * h.v) / g.nd AS mu, greatest(sum(h.cnt * h.v * h.v) / g.nd - (sum(h.cnt * h.v) / g.nd) * (sum(h.cnt * h.v) / g.nd), 1e-8) AS pv FROM hist h JOIN gn g USING (gene) GROUP BY 1, 2), """ +
+    s"""k1p AS MATERIALIZED (SELECT gene, nd, greatest(mu * tt, 1e-3) AS a1, greatest(($one - mu) * tt, 1e-3) AS b1 FROM (SELECT *, (mu * ($one - mu)) / least(pv, mu * ($one - mu) * CAST(0.999 AS DOUBLE)) - $one AS tt FROM k1m)), """ +
+    s"""k1 AS MATERIALIZED (SELECT p.gene, CAST(-2.0 AS DOUBLE) * sum(h.cnt * ((p.a1 - $one) * h.lx + (p.b1 - $one) * h.l1x - (lgamma(p.a1) + lgamma(p.b1) - lgamma(p.a1 + p.b1)))) + CAST(2.0 AS DOUBLE) * ln(max(p.nd)) AS bic1 FROM k1p p JOIN hist h USING (gene) GROUP BY 1), """ +
+    s"""chk AS MATERIALIZED (SELECT g.gene, (c.k IS NOT NULL AND l0.ll0 IS NOT NULL AND l1.ll1 IS NOT NULL AND c.ncomp = c.k AND abs(c.wsum - $one) < 1e-4 AND abs(l0.ll0 - c.ll_cl) < CAST(0.001 AS DOUBLE) * abs(l0.ll0) + CAST(0.05 AS DOUBLE) AND (l1.ll1 - l0.ll0) < CAST(0.001 AS DOUBLE) * abs(l0.ll0) + CAST(0.05 AS DOUBLE) AND abs(c.bic_cl - (CAST(-2.0 AS DOUBLE) * c.ll_cl + (CAST(3.0 AS DOUBLE) * c.k - $one) * ln(g.nd))) < CAST(0.001 AS DOUBLE) AND (CASE WHEN c.k = 1 THEN abs(c.bic_cl - b1.bic1) < CAST(0.001 AS DOUBLE) * abs(b1.bic1) + CAST(0.1 AS DOUBLE) ELSE c.bic_cl <= b1.bic1 + CAST(0.01 AS DOUBLE) END)) AS pass FROM gn g LEFT JOIN clg c USING (gene) LEFT JOIN llc l0 USING (gene) LEFT JOIN ll1 l1 USING (gene) LEFT JOIN k1 b1 USING (gene))"""
   }
 
   /** q_beta_mixture: BetaMixture.fitPerGene over the l_discount grid. */
