@@ -139,6 +139,17 @@ class OmicsKernelSpec extends SparkSpec {
     val g0mean = nullr.filter(_._3 == 0.0).map(_._2).sum /
       nullr.count(_._3 == 0.0)
     assert(math.abs(math.exp(fits("r2").intercept) - g0mean) < 2.0)
+    // null-model anchor: with zero offsets the intercept-only NB MLE is
+    // exactly the overall mean count (the new null_intercept output the
+    // residual oracle one-steps against)
+    Seq("r1", "r2").foreach { r =>
+      val ys = (strong ++ nullr).filter(_._1 == r).map(_._2)
+      val overall = ys.sum / ys.length
+      // 1e-3 not tighter: the output intercept is rounded at 1e-6 and
+      // exp() scales that to ~mean*5e-7 ≈ 1e-5 here
+      assert(math.abs(math.exp(fits(r).null_intercept) - overall) < 1e-3,
+        s"$r null intercept")
+    }
   }
 
   test("fixed-iteration NB GLM agrees with the converged fit") {

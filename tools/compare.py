@@ -39,6 +39,12 @@ def eq(a, b):
 
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    # optional: --times PATH records per-query DuckDB oracle seconds (the
+    # baseline side of the engine-vs-DuckDB aggregate in SCALING.md)
+    times_path = None
+    if '--times' in sys.argv:
+        times_path = sys.argv[sys.argv.index('--times') + 1]
+    times = {}
     con = duckdb.connect()
     for f in os.listdir(sf_dir):
         if f.endswith('.parquet'):
@@ -65,9 +71,12 @@ def main():
             results[q] = f'ROWS_ONLY rows={len(sp_rows)}'
             continue
         try:
+            import time
+            t0 = time.monotonic()
             du = con.execute(oracle[q])
             du_cols = [d[0] for d in du.description]
             du_rows = du.fetchall()
+            times[q] = round(time.monotonic() - t0, 3)
         except Exception as e:
             results[q] = f'ORACLE_ERR {str(e)[:200]}'
             continue
@@ -94,6 +103,12 @@ def main():
         flag = 'PASS' if v.startswith('OK') else ('INFO' if v.startswith('ROWS_ONLY') else 'FAIL')
         print(f'[{flag}] {q}: {v}')
     print(f'\n{n_ok} OK, {n_ro} rows-only, {len(results)-n_ok-n_ro} failing, of {len(results)}')
+    if times_path:
+        with open(times_path, 'w') as fh:
+            json.dump({'total_oracle_sec': round(sum(times.values()), 1),
+                       'queries': times}, fh, indent=1)
+        print(f'oracle timings -> {times_path} '
+              f'(total {sum(times.values()):.1f} s over {len(times)} oracles)')
 
 if __name__ == '__main__':
     main()
