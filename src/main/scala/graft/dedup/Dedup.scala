@@ -196,6 +196,81 @@ object Dedup {
     *
     * Output: (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
     */
+  /** Repeated-span detection — SUBSTRING-level dedup, the tier below
+    * whole-document near-dup: find each document's maximal token spans
+    * whose k-gram content also appears in at least `minDf` distinct
+    * documents (boilerplate paragraphs, licence blocks, navigation text —
+    * the shapes substring dedup removes from a pre-training corpus where
+    * document-level dedup cannot, because the host documents differ).
+    *
+    * Spark shape, all relational — no per-doc UDF:
+    *  1. tokenize (lowercase, whitespace split) and emit every word
+    *     k-gram WITH its token position;
+    *  2. one shuffle counts each gram's distinct-document frequency
+    *     (map-side partial on (gram, id) first — the classic inverted
+    *     index build; at corpus scale this is the dominant, linear cost);
+    *  3. positions of duplicated grams flow back per document and a
+    *     gap-and-island window merge (running `max(pos + k)` over the
+    *     per-doc position order) coalesces overlapping/touching gram
+    *     hits into MAXIMAL spans — one hash exchange on the doc id, one
+    *     in-partition sort, no quadratic step anywhere.
+    *
+    * Every step is deterministic and SQL-expressible (grams join on their
+    * literal text, not a hash), so the DuckDB oracle replays it exactly.
+    *
+    * Output: (id, span_start, span_end, span_tokens) — token positions,
+    * 0-based, end exclusive; spans never overlap and are maximal. */
+  def repeatedSpans(df: DataFrame, idCol: String, textCol: String,
+                    k: Int = 8, minDf: Int = 2): DataFrame = {
+    val toks = df.select(col(idCol).as("id"),
+        filter(split(lower(col(textCol)), "\\s+"),
+          t => length(t) > 0).as("toks"))
+      .where(size(col("toks")) >= k)
+    val grams = toks.select(col("id"), posexplode(
+        transform(sequence(lit(0), size(col("toks")) - k),
+          i => array_join(slice(col("toks"), i + 1, lit(k)), " "))))
+      .toDF("id", "pos", "gram")
+      // the gram relation feeds both the df count and the position
+      // join-back — barrier so tokenization/gram assembly runs once
+      .localCheckpoint(false)
+    val dup = grams.groupBy("gram")
+      .agg(count_distinct(col("id")).as("df"))
+      .where(col("df") >= minDf)
+      .select("gram")
+    val hits = grams.join(dup, "gram").select("id", "pos")
+    val w = Window.partitionBy("id").orderBy("pos")
+    hits
+      .withColumn("__prev_end", max(col("pos") + k)
+        .over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("__new", when(col("__prev_end").isNull ||
+        col("pos") > col("__prev_end"), 1).otherwise(0))
+      .withColumn("__isl", sum(col("__new")).over(w))
+      .groupBy("id", "__isl")
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + k).as("span_end"))
+      .select(col("id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start")).as("span_tokens"))
+  }
+
+  /** Per-document duplicated-token profile over [[repeatedSpans]]:
+    * (id, n_tokens, dup_tokens, dup_fraction) for every document large
+    * enough to carry a k-gram — the decision input for span-stripping or
+    * document-dropping policies (docs that are MOSTLY shared boilerplate
+    * get dropped; docs with one shared paragraph get cleaned). */
+  def duplicatedTokenProfile(df: DataFrame, idCol: String, textCol: String,
+                             k: Int = 8, minDf: Int = 2): DataFrame = {
+    val spans = repeatedSpans(df, idCol, textCol, k, minDf)
+      .groupBy("id").agg(sum(col("span_tokens")).as("dup_tokens"))
+    df.select(col(idCol).as("id"),
+        size(filter(split(lower(col(textCol)), "\\s+"),
+          t => length(t) > 0)).as("n_tokens"))
+      .where(col("n_tokens") >= k)
+      .join(spans, Seq("id"), "left")
+      .withColumn("dup_tokens", coalesce(col("dup_tokens"), lit(0L)))
+      .withColumn("dup_fraction",
+        round(col("dup_tokens").cast("double") / col("n_tokens"), 6))
+  }
+
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         k: Int = 3, threshold: Double = 0.8,
                         maxShingleDf: Long = 100): DataFrame = {

@@ -18,6 +18,24 @@ object LlmQueries {
   private val shingleCte =
     """toks AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS ts FROM documents), sh0 AS (SELECT doc_id, CASE WHEN len(ts) >= 3 THEN array_to_string(ts[i:i+2], ' ') ELSE array_to_string(ts, ' ') END AS s FROM toks, unnest(generate_series(1, greatest(len(ts) - 2, 1))) AS g(i)), sh AS (SELECT DISTINCT doc_id, s FROM sh0), shh AS (SELECT DISTINCT doc_id, CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) AS h FROM sh)"""
 
+  /** DuckDB replay of Dedup.repeatedSpans: lowercase whitespace tokens,
+    * positional word k-grams (list slice is 1-based INCLUSIVE in DuckDB,
+    * so gram i covers toks[i .. i+k-1] = the kernel's 0-based [i-1,
+    * i-1+k)), distinct-doc frequency per literal gram, then the same
+    * gap-and-island window merge. Exposed as a CTE block so the
+    * profile oracle can aggregate over the same spans. */
+  private def repeatedSpansCtes(k: Int, minDf: Int): String =
+    s"""rtoks AS MATERIALIZED (SELECT doc_id AS id, list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0) AS ts FROM documents), """ +
+    s"""tk AS MATERIALIZED (SELECT id, ts, len(ts) AS n FROM rtoks WHERE len(ts) >= $k), """ +
+    s"""grams AS MATERIALIZED (SELECT id, i - 1 AS pos, array_to_string(ts[i:i+${k - 1}], ' ') AS gram FROM tk, unnest(generate_series(1, n - ${k - 1})) AS g(i)), """ +
+    s"""dupg AS MATERIALIZED (SELECT gram FROM (SELECT gram, count(DISTINCT id) AS df FROM grams GROUP BY 1) WHERE df >= $minDf), """ +
+    s"""hits AS MATERIALIZED (SELECT g.id, g.pos FROM grams g JOIN dupg USING (gram)), """ +
+    s"""isl AS (SELECT id, pos, CASE WHEN max(pos + $k) OVER (PARTITION BY id ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL OR pos > max(pos + $k) OVER (PARTITION BY id ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) THEN 1 ELSE 0 END AS ni FROM hits), """ +
+    s"""isl2 AS (SELECT id, pos, sum(ni) OVER (PARTITION BY id ORDER BY pos) AS island FROM isl)"""
+
+  private def repeatedSpansOracleSql(k: Int, minDf: Int): String =
+    s"""WITH ${repeatedSpansCtes(k, minDf)} SELECT id, min(pos) AS span_start, max(pos) + $k AS span_end, max(pos) + $k - min(pos) AS span_tokens FROM isl2 GROUP BY id, island"""
+
   /** Exact-Jaccard verification of a `cand(ia, ib)` candidate-pair CTE —
     * the tail every sketch oracle shares (mirrors
     * Dedup.verifyPairsExactJaccard over the hashed shingle universe).
@@ -108,6 +126,22 @@ object LlmQueries {
     Entry("q_dedup_exact",
       (s, d) => Dedup.exact(t(s, d, "documents"), "doc_id", "text"),
       Some("""SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS content_hash, min(doc_id) AS kept_id, count(*) AS dup_count FROM documents GROUP BY 1""")),
+
+    Entry("q_repeated_spans",
+      // substring-level dedup: maximal token spans whose 8-gram content
+      // recurs in >= 2 distinct documents (boilerplate/licence blocks) —
+      // grams join on literal text, the island merge is a window scan,
+      // so the oracle replays every step exactly
+      (s, d) => Dedup.repeatedSpans(t(s, d, "documents"), "doc_id", "text",
+        k = 8, minDf = 2),
+      Some(repeatedSpansOracleSql(k = 8, minDf = 2))),
+
+    Entry("q_dup_token_profile",
+      // per-doc duplicated-token fraction over the span set — the policy
+      // input for strip-vs-drop decisions
+      (s, d) => Dedup.duplicatedTokenProfile(t(s, d, "documents"),
+        "doc_id", "text", k = 8, minDf = 2),
+      Some(s"""WITH ${repeatedSpansCtes(8, 2)}, spans AS (SELECT id, min(pos) AS span_start, max(pos) + 8 AS span_end FROM isl2 GROUP BY id, island), agg AS (SELECT id, sum(span_end - span_start) AS dup_tokens FROM spans GROUP BY 1) SELECT t.id, t.n AS n_tokens, coalesce(a.dup_tokens, 0) AS dup_tokens, round(CAST(coalesce(a.dup_tokens, 0) AS DOUBLE) / t.n, 6) AS dup_fraction FROM tk t LEFT JOIN agg a USING (id)""")),
 
     Entry("q_dedup_exact_incremental",
       // ingest gate for the exact tier: new batch (doc_id >= 250) hashed

@@ -78,6 +78,32 @@ class DedupSimSpec extends SparkSpec {
     assert(e.getMessage.contains("bands=32"))
   }
 
+  test("repeatedSpans finds exactly the planted shared paragraph as one " +
+    "maximal span, and the profile fractions follow") {
+    // 13-token boilerplate shared by docs 1 and 2 at DIFFERENT positions;
+    // the rest of each doc is unique, so with k=4 the duplicated grams
+    // tile the paragraph and must merge into ONE maximal span per doc
+    val boiler = "all rights reserved contact the site administrator for " +
+      "takedown requests and licensing questions" // 13 tokens
+    val d1 = s"alpha beta gamma delta $boiler epsilon zeta"
+    val d2 = s"$boiler one two three four five six seven eight nine"
+    val d3 = "totally unrelated content with no repeated blocks anywhere " +
+      "in this corpus of documents at all thanks"
+    val docs = Seq((1L, d1), (2L, d2), (3L, d3)).toDF("doc_id", "text")
+    val spans = Dedup.repeatedSpans(docs, "doc_id", "text", k = 4, minDf = 2)
+      .select("id", "span_start", "span_end")
+      .as[(Long, Int, Int)].collect().toSet
+    // doc 1: boiler occupies tokens [4, 17); doc 2: [0, 13); doc 3: none
+    assert(spans == Set((1L, 4, 17), (2L, 0, 13)))
+    val prof = Dedup.duplicatedTokenProfile(docs, "doc_id", "text",
+        k = 4, minDf = 2)
+      .select("id", "n_tokens", "dup_tokens")
+      .as[(Long, Int, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(prof(1L) == ((19, 13L)) && prof(2L) == ((22, 13L)) &&
+      prof(3L) == ((16, 0L)))
+  }
+
   test("hot-band guard: star pairs preserve clone-class clustering and " +
     "leave normal buckets untouched") {
     val clone = "same boilerplate page text repeated across many mirrors " +
