@@ -252,6 +252,80 @@ object Dedup {
         (col("span_end") - col("span_start")).as("span_tokens"))
   }
 
+  /** The k-gram document-frequency relation (gram, df) — the persistable
+    * artifact an INCREMENTAL substring-dedup pipeline keeps between
+    * ingests (the [[bandedIndex]] pattern applied to the span tier). `df`
+    * counts DISTINCT documents. Sketch params ride as field metadata so
+    * a mismatched reuse fails fast instead of silently missing spans. */
+  def gramDfIndex(df: DataFrame, idCol: String, textCol: String,
+                  k: Int = 8): DataFrame = {
+    val meta = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong("graft.gramdf.k", k).build()
+    df.select(col(idCol).as("id"),
+        filter(split(lower(col(textCol)), "\\s+"),
+          t => length(t) > 0).as("toks"))
+      .where(size(col("toks")) >= k)
+      .select(col("id"), explode(
+        transform(sequence(lit(0), size(col("toks")) - k),
+          i => array_join(slice(col("toks"), i + 1, lit(k)), " "))).as("gram"))
+      .groupBy("gram").agg(count_distinct(col("id")).as("df"))
+      .withColumn("gram", col("gram").as("gram", meta))
+  }
+
+  /** Incremental [[repeatedSpans]]: spans of the NEW batch against the
+    * gram frequencies of (corpus ∪ batch), without re-scanning the
+    * corpus — `oldIndex` is a previously-built [[gramDfIndex]] read back
+    * from its saved table. A gram is duplicated when its corpus df plus
+    * its batch df reaches `minDf`, so a batch doc sharing a paragraph
+    * with one CORPUS doc is flagged even though neither side alone
+    * crosses the threshold. (Corpus docs whose grams only now cross the
+    * threshold are the previous ingests' responsibility — the gate runs
+    * per batch, the same contract as [[minhashLshPairsIncremental]].)
+    * Per-ingest cost rides the batch size plus one join against the
+    * index. Returns the batch's span rows; persist the refreshed index
+    * with [[gramDfIndex]] over the unioned corpus or by summing dfs. */
+  def repeatedSpansIncremental(newDocs: DataFrame, oldIndex: DataFrame,
+                               idCol: String, textCol: String,
+                               k: Int = 8, minDf: Int = 2): DataFrame = {
+    oldIndex.schema.fields.find(_.name == "gram").foreach { f =>
+      if (f.metadata.contains("graft.gramdf.k")) {
+        val ik = f.metadata.getLong("graft.gramdf.k")
+        require(ik == k, s"repeatedSpansIncremental: stored index was " +
+          s"built with k=$ik but this call uses k=$k — spans would be " +
+          "silently missed; rebuild the index or match the parameter")
+      }
+    }
+    val toks = newDocs.select(col(idCol).as("id"),
+        filter(split(lower(col(textCol)), "\\s+"),
+          t => length(t) > 0).as("toks"))
+      .where(size(col("toks")) >= k)
+    val grams = toks.select(col("id"), posexplode(
+        transform(sequence(lit(0), size(col("toks")) - k),
+          i => array_join(slice(col("toks"), i + 1, lit(k)), " "))))
+      .toDF("id", "pos", "gram")
+      .localCheckpoint(false)
+    val batchDf = grams.groupBy("gram")
+      .agg(count_distinct(col("id")).as("bdf"))
+    val dup = batchDf
+      .join(oldIndex.select(col("gram"), col("df").as("odf")),
+        Seq("gram"), "left")
+      .where(col("bdf") + coalesce(col("odf"), lit(0L)) >= minDf)
+      .select("gram")
+    val hits = grams.join(dup, "gram").select("id", "pos")
+    val w = Window.partitionBy("id").orderBy("pos")
+    hits
+      .withColumn("__prev_end", max(col("pos") + k)
+        .over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("__new", when(col("__prev_end").isNull ||
+        col("pos") > col("__prev_end"), 1).otherwise(0))
+      .withColumn("__isl", sum(col("__new")).over(w))
+      .groupBy("id", "__isl")
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + k).as("span_end"))
+      .select(col("id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start")).as("span_tokens"))
+  }
+
   /** Per-document duplicated-token profile over [[repeatedSpans]]:
     * (id, n_tokens, dup_tokens, dup_fraction) for every document large
     * enough to carry a k-gram — the decision input for span-stripping or

@@ -136,6 +136,20 @@ object LlmQueries {
         k = 8, minDf = 2),
       Some(repeatedSpansOracleSql(k = 8, minDf = 2))),
 
+    Entry("q_repeated_spans_incremental",
+      // ingest gate for the substring tier: the new batch (doc_id >= 250)
+      // is span-checked against the persisted gram-df index of the corpus
+      // (doc_id < 250) — a batch doc sharing a paragraph with ONE corpus
+      // doc is flagged even though neither side alone reaches minDf
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val oldIdx = Dedup.gramDfIndex(docs.where(col("doc_id") < 250),
+          "doc_id", "text", k = 8)
+        Dedup.repeatedSpansIncremental(docs.where(col("doc_id") >= 250),
+          oldIdx, "doc_id", "text", k = 8, minDf = 2)
+      },
+      Some(s"""WITH rtoks AS MATERIALIZED (SELECT doc_id AS id, list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0) AS ts FROM documents), tk AS MATERIALIZED (SELECT id, ts, len(ts) AS n FROM rtoks WHERE len(ts) >= 8), grams AS MATERIALIZED (SELECT id, i - 1 AS pos, array_to_string(ts[i:i+7], ' ') AS gram FROM tk, unnest(generate_series(1, n - 7)) AS g(i)), oldix AS MATERIALIZED (SELECT gram, count(DISTINCT id) AS odf FROM grams WHERE id < 250 GROUP BY 1), bnew AS MATERIALIZED (SELECT id, pos, gram FROM grams WHERE id >= 250), bdf AS MATERIALIZED (SELECT gram, count(DISTINCT id) AS bdf FROM bnew GROUP BY 1), dupg AS MATERIALIZED (SELECT b.gram FROM bdf b LEFT JOIN oldix o USING (gram) WHERE b.bdf + coalesce(o.odf, 0) >= 2), hits AS MATERIALIZED (SELECT b.id, b.pos FROM bnew b JOIN dupg USING (gram)), isl AS (SELECT id, pos, CASE WHEN max(pos + 8) OVER (PARTITION BY id ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL OR pos > max(pos + 8) OVER (PARTITION BY id ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) THEN 1 ELSE 0 END AS ni FROM hits), isl2 AS (SELECT id, pos, sum(ni) OVER (PARTITION BY id ORDER BY pos) AS island FROM isl) SELECT id, min(pos) AS span_start, max(pos) + 8 AS span_end, max(pos) + 8 - min(pos) AS span_tokens FROM isl2 GROUP BY id, island""")),
+
     Entry("q_dup_token_profile",
       // per-doc duplicated-token fraction over the span set — the policy
       // input for strip-vs-drop decisions

@@ -104,6 +104,37 @@ class DedupSimSpec extends SparkSpec {
       prof(3L) == ((16, 0L)))
   }
 
+  test("repeatedSpansIncremental flags a batch doc sharing a paragraph " +
+    "with ONE corpus doc, off a persisted index, and rejects k mismatch") {
+    val boiler = "all rights reserved contact the site administrator for " +
+      "takedown requests and licensing questions" // 13 tokens
+    val corpus = Seq(
+      (1L, s"alpha beta gamma delta $boiler epsilon zeta"),
+      (2L, "totally unrelated corpus content with no repeated blocks " +
+        "anywhere at all in here thanks")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, s"$boiler one two three four five six seven eight nine"),
+      (11L, "fresh unique batch document with nothing shared across any " +
+        "other text in the whole set")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_gramdf").toString
+    Dedup.gramDfIndex(corpus, "doc_id", "text", k = 4)
+      .write.parquet(s"$dir/idx")
+    val idx = spark.read.parquet(s"$dir/idx")
+    // neither side alone reaches minDf=2 for the boiler grams — only the
+    // corpus-df + batch-df sum crosses the threshold
+    val spans = Dedup.repeatedSpansIncremental(batch, idx,
+        "doc_id", "text", k = 4, minDf = 2)
+      .select("id", "span_start", "span_end")
+      .as[(Long, Int, Int)].collect().toSet
+    assert(spans == Set((10L, 0, 13)))
+    // a mismatched k must throw (params round-trip via field metadata)
+    val e = intercept[IllegalArgumentException] {
+      Dedup.repeatedSpansIncremental(batch, idx, "doc_id", "text",
+        k = 5, minDf = 2)
+    }
+    assert(e.getMessage.contains("k=4"))
+  }
+
   test("hot-band guard: star pairs preserve clone-class clustering and " +
     "leave normal buckets untouched") {
     val clone = "same boilerplate page text repeated across many mirrors " +
