@@ -34,7 +34,11 @@ object ScaleCheck {
     // drift profile
     "q_text_repetition", "q_domain_quota", "q_pipeline_herald",
     "q_asof_join", "q_kmv_distinct", "q_vocab_topk", "q_dist_shift",
-    "q_text_redact", "q_term_salience", "q_decontaminate")
+    "q_text_redact", "q_term_salience", "q_decontaminate",
+    // round-8 additions: the substring-dedup tier (batch + incremental)
+    // and the oracle-gated lake utilities
+    "q_repeated_spans", "q_dup_token_profile",
+    "q_repeated_spans_incremental", "q_lake_compact", "q_lake_bucketed")
 
   def main(args: Array[String]): Unit = {
     val src = "/root/testdata/sf0.1"
