@@ -99,7 +99,7 @@ object ResidualOracles {
     val raw = s"SELECT CAST(l_partkey % 500 AS VARCHAR) AS gene, least($one - 1e-6, greatest(1e-6, (l_discount + CAST(0.005 AS DOUBLE)) / CAST(0.12 AS DOUBLE))) AS v FROM lineitem"
     val cols = "gene, n_components, comp, a, b, weight, mean, log_lik, bic"
     s"""WITH ${betaMixtureResidualCtes(raw, claims(query), cols)} """ +
-    s"""SELECT c.gene, CASE WHEN k.pass THEN c.n_components ELSE CAST(-1 AS INTEGER) END AS n_components, c.comp, CASE WHEN k.pass AND abs(c.mean - c.a / (c.a + c.b)) < 2e-6 THEN c.a ELSE CAST(-1.0 AS DOUBLE) END AS a, CASE WHEN k.pass THEN c.b ELSE CAST(-1.0 AS DOUBLE) END AS b, CASE WHEN k.pass THEN c.weight ELSE CAST(-1.0 AS DOUBLE) END AS weight, CASE WHEN k.pass THEN c.mean ELSE CAST(-1.0 AS DOUBLE) END AS mean, CASE WHEN k.pass THEN c.log_lik ELSE CAST(-1.0 AS DOUBLE) END AS log_lik, CASE WHEN k.pass THEN c.bic ELSE CAST(-1.0 AS DOUBLE) END AS bic FROM cl c LEFT JOIN chk k USING (gene) """ +
+    s"""SELECT c.gene, CASE WHEN k.pass THEN c.n_components ELSE CAST(-1 AS INTEGER) END AS n_components, c.comp, CASE WHEN k.pass AND abs(c.mean - c.a / (c.a + c.b)) < 2e-6 * (CAST(1.0 AS DOUBLE) + CAST(1.0 AS DOUBLE) / (c.a + c.b)) THEN c.a ELSE CAST(-1.0 AS DOUBLE) END AS a, CASE WHEN k.pass THEN c.b ELSE CAST(-1.0 AS DOUBLE) END AS b, CASE WHEN k.pass THEN c.weight ELSE CAST(-1.0 AS DOUBLE) END AS weight, CASE WHEN k.pass THEN c.mean ELSE CAST(-1.0 AS DOUBLE) END AS mean, CASE WHEN k.pass THEN c.log_lik ELSE CAST(-1.0 AS DOUBLE) END AS log_lik, CASE WHEN k.pass THEN c.bic ELSE CAST(-1.0 AS DOUBLE) END AS bic FROM cl c LEFT JOIN chk k USING (gene) """ +
     s"""UNION ALL SELECT g.gene, CAST(-1 AS INTEGER), CAST(-1 AS INTEGER), CAST(-1.0 AS DOUBLE), CAST(-1.0 AS DOUBLE), CAST(-1.0 AS DOUBLE), CAST(-1.0 AS DOUBLE), CAST(-1.0 AS DOUBLE), CAST(-1.0 AS DOUBLE) FROM gn g LEFT JOIN clg c USING (gene) WHERE c.k IS NULL"""
   }
 
@@ -131,7 +131,7 @@ object ResidualOracles {
     // per-gene filter verdicts joined to the EM certificate
     s"""filt AS MATERIALIZED (SELECT g.gene, (o.slope < CAST(0.0 AS DOUBLE) AND o.r2 > CAST(0.1 AS DOUBLE) AND o.t < CAST(-3.0 AS DOUBLE)) AS necessary, (o.slope < CAST(0.0 AS DOUBLE) AND o.r2 > CAST(0.1 AS DOUBLE) AND o.t < CAST(-40.0 AS DOUBLE)) AS sufficient FROM gn g JOIN mxo3 o USING (gene)), """ +
     s"""chk2 AS MATERIALIZED (SELECT k.gene, (k.pass AND coalesce(f.necessary, false)) AS pass FROM chk k LEFT JOIN filt f USING (gene))""" +
-    s""" SELECT c.gene, CASE WHEN k.pass THEN c.n_components ELSE CAST(-1 AS INTEGER) END AS n_components, c.comp, CASE WHEN k.pass AND abs(c.mean - c.a / (c.a + c.b)) < 2e-6 THEN c.a ELSE CAST(-1.0 AS DOUBLE) END AS a, CASE WHEN k.pass THEN c.b ELSE CAST(-1.0 AS DOUBLE) END AS b, CASE WHEN k.pass THEN c.weight ELSE CAST(-1.0 AS DOUBLE) END AS weight, CASE WHEN k.pass THEN c.mean ELSE CAST(-1.0 AS DOUBLE) END AS mean, CASE WHEN k.pass THEN c.log_lik ELSE CAST(-1.0 AS DOUBLE) END AS log_lik, CASE WHEN k.pass THEN c.bic ELSE CAST(-1.0 AS DOUBLE) END AS bic, CASE WHEN k.pass AND abs(c.normal_mean - n.normal_mean) < 1e-9 THEN c.normal_mean ELSE CAST(-1.0 AS DOUBLE) END AS normal_mean, CASE WHEN k.pass AND abs(c.dm - (c.mean - c.normal_mean)) < 2e-6 THEN c.dm ELSE CAST(-1.0 AS DOUBLE) END AS dm, CASE WHEN k.pass THEN (CASE WHEN c.dm > CAST(0.1 AS DOUBLE) THEN 'hyper' WHEN c.dm < CAST(-0.1 AS DOUBLE) THEN 'hypo' ELSE 'neutral' END) ELSE 'poison' END AS state FROM cl c LEFT JOIN chk2 k USING (gene) LEFT JOIN norm n USING (gene) """ +
+    s""" SELECT c.gene, CASE WHEN k.pass THEN c.n_components ELSE CAST(-1 AS INTEGER) END AS n_components, c.comp, CASE WHEN k.pass AND abs(c.mean - c.a / (c.a + c.b)) < 2e-6 * (CAST(1.0 AS DOUBLE) + CAST(1.0 AS DOUBLE) / (c.a + c.b)) THEN c.a ELSE CAST(-1.0 AS DOUBLE) END AS a, CASE WHEN k.pass THEN c.b ELSE CAST(-1.0 AS DOUBLE) END AS b, CASE WHEN k.pass THEN c.weight ELSE CAST(-1.0 AS DOUBLE) END AS weight, CASE WHEN k.pass THEN c.mean ELSE CAST(-1.0 AS DOUBLE) END AS mean, CASE WHEN k.pass THEN c.log_lik ELSE CAST(-1.0 AS DOUBLE) END AS log_lik, CASE WHEN k.pass THEN c.bic ELSE CAST(-1.0 AS DOUBLE) END AS bic, CASE WHEN k.pass AND abs(c.normal_mean - n.normal_mean) < 1e-9 THEN c.normal_mean ELSE CAST(-1.0 AS DOUBLE) END AS normal_mean, CASE WHEN k.pass AND abs(c.dm - (c.mean - c.normal_mean)) < 2e-6 THEN c.dm ELSE CAST(-1.0 AS DOUBLE) END AS dm, CASE WHEN k.pass THEN (CASE WHEN c.dm > CAST(0.1 AS DOUBLE) THEN 'hyper' WHEN c.dm < CAST(-0.1 AS DOUBLE) THEN 'hypo' ELSE 'neutral' END) ELSE 'poison' END AS state FROM cl c LEFT JOIN chk2 k USING (gene) LEFT JOIN norm n USING (gene) """ +
     s"""UNION ALL SELECT f.gene, CAST(-1 AS INTEGER), CAST(-1 AS INTEGER), CAST(-1.0 AS DOUBLE), CAST(-1.0 AS DOUBLE), CAST(-1.0 AS DOUBLE), CAST(-1.0 AS DOUBLE), CAST(-1.0 AS DOUBLE), CAST(-1.0 AS DOUBLE), CAST(-1.0 AS DOUBLE), CAST(-1.0 AS DOUBLE), 'poison' FROM filt f LEFT JOIN clg c USING (gene) WHERE f.sufficient AND c.k IS NULL"""
   }
 
