@@ -36,6 +36,30 @@ object LlmQueries {
   private def repeatedSpansOracleSql(k: Int, minDf: Int): String =
     s"""WITH ${repeatedSpansCtes(k, minDf)} SELECT id, min(pos) AS span_start, max(pos) + $k AS span_end, max(pos) + $k - min(pos) AS span_tokens FROM isl2 GROUP BY id, island"""
 
+  /** DuckDB replay of Clustering.kmeansAssign: 1e-6-grid quantized
+    * vectors, md5-rank init, then `iters` unrolled assignment/update
+    * rounds. Distances are LEFT FOLDS over the dimension axis
+    * (list_reduce guarantees fold order — DuckDB's sum sequence then
+    * matches Spark's `aggregate` exactly, so even near-tie argmins agree
+    * bit for bit), and centroid updates are exact DECIMAL sums / exact
+    * counts — the ComBat-kernel recipe. Empty clusters keep their
+    * previous centroid via the LEFT JOIN coalesce. */
+  private def kmeansCtes(k: Int, iters: Int, seed: Long): String = {
+    def dist(v: String, cv: String) =
+      s"list_reduce(list_transform(list_zip($v, $cv), p -> (p[1] - p[2]) * (p[1] - p[2])), (acc, e) -> acc + e)"
+    val base =
+      s"""vq AS MATERIALIZED (SELECT vec_id AS id, list_transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1e6 + CAST(0.5 AS DOUBLE)) / 1e6) AS v FROM embeddings), """ +
+      s"""c0 AS MATERIALIZED (SELECT CAST(row_number() OVER (ORDER BY h, id) - 1 AS INTEGER) AS cluster, v AS cv FROM (SELECT id, v, md5(concat('km$seed:', CAST(id AS VARCHAR))) AS h FROM vq ORDER BY h, id LIMIT $k))"""
+    val its = (0 until iters).map { i =>
+      s"""a$i AS MATERIALIZED (SELECT id, v, cluster FROM (SELECT *, row_number() OVER (PARTITION BY id ORDER BY d, cluster) AS rn FROM (SELECT x.id, x.v, c.cluster, ${dist("x.v", "c.cv")} AS d FROM vq x, c$i c)) WHERE rn = 1), """ +
+      s"""u$i AS MATERIALIZED (SELECT cluster, i AS dim, CAST(sum(CAST(v[i] AS DECIMAL(24,6))) AS DOUBLE) / count(*) AS m FROM a$i, unnest(generate_series(1, len(v))) AS g(i) GROUP BY 1, 2), """ +
+      s"""c${i + 1} AS MATERIALIZED (SELECT p.cluster, CASE WHEN n.cv IS NULL THEN p.cv ELSE n.cv END AS cv FROM c$i p LEFT JOIN (SELECT cluster, list(m ORDER BY dim) AS cv FROM u$i GROUP BY 1) n USING (cluster))"""
+    }.mkString(", ")
+    val fin =
+      s"""fin AS (SELECT id, cluster, d FROM (SELECT *, row_number() OVER (PARTITION BY id ORDER BY d, cluster) AS rn FROM (SELECT x.id, x.v, c.cluster, ${dist("x.v", "c.cv")} AS d FROM vq x, c$iters c)) WHERE rn = 1)"""
+    s"$base, $its, $fin"
+  }
+
   /** Exact-Jaccard verification of a `cand(ia, ib)` candidate-pair CTE —
     * the tail every sketch oracle shares (mirrors
     * Dedup.verifyPairsExactJaccard over the hashed shingle universe).
@@ -252,6 +276,24 @@ object LlmQueries {
         val shuffleH = Sampling.hashFracSql("doc_id", 13L)
         s"""WITH RECURSIVE ${curateCtes(0.8)}, cur AS (${curateSelect(0.5, "en")}), tr AS (SELECT doc_id, n_tokens FROM cur WHERE ($splitCase) = 'train'), so AS (SELECT doc_id, n_tokens, CAST(sum(n_tokens) OVER (ORDER BY $shuffleH, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS BIGINT) AS start_offset FROM tr) SELECT doc_id, n_tokens, start_offset, CAST(floor(start_offset / 256.0) AS BIGINT) AS chunk_id FROM so"""
       }),
+
+    Entry("q_kmeans",
+      // deterministic k-means corpus clustering (mixture shaping):
+      // assignments + distance after 4 exact-replay rounds — the oracle
+      // unrolls the full fit (quantized grid, md5-rank init, exact
+      // decimal centroid means, fold-ordered distances)
+      (s, d) => graft.sim.Clustering.kmeansAssign(t(s, d, "embeddings"),
+          "vec_id", "embedding", k = 8, iters = 4, seed = 42L)
+        .select(col("id").as("vec_id"), col("cluster"), col("dist")),
+      Some(s"""WITH ${kmeansCtes(k = 8, iters = 4, seed = 42L)} SELECT id AS vec_id, cluster, ${OmicsQueries.rndSql("d", 6)} AS dist FROM fin""")),
+
+    Entry("q_cluster_profile",
+      // cluster occupancy shares — the rebalancing-policy input (compose
+      // with domain_quota on the cluster label to cap dominant clusters)
+      (s, d) => graft.sim.Clustering.clusterProfile(
+        graft.sim.Clustering.kmeansAssign(t(s, d, "embeddings"),
+          "vec_id", "embedding", k = 8, iters = 4, seed = 42L)),
+      Some(s"""WITH ${kmeansCtes(k = 8, iters = 4, seed = 42L)}, tot AS (SELECT CAST(count(*) AS DOUBLE) AS t FROM fin) SELECT cluster, count(*) AS size, ${OmicsQueries.rndSql("count(*) / (SELECT t FROM tot)", 6)} AS share FROM fin GROUP BY 1""")),
 
     Entry("q_ann_brute",
       // exact cosine top-k; queries broadcast, corpus streamed

@@ -250,6 +250,37 @@ class DedupSimSpec extends SparkSpec {
     assert(pairs.contains((1L, 2L)) && pairs.contains((1L, 3L)))
   }
 
+  test("kmeansAssign recovers two planted clusters, is deterministic, " +
+    "and the profile shares sum to 1") {
+    import graft.sim.Clustering
+    // two tight blobs far apart in 8-d; ids interleaved so the md5 init
+    // can pick seeds from either blob
+    val vecs = (0 until 40).map { i =>
+      val base = if (i % 2 == 0) 10.0f else -10.0f
+      val v = Array.tabulate(8)(d => base + 0.01f * ((i + d) % 5))
+      (i.toLong, v.toSeq)
+    }.toDF("vec_id", "embedding")
+    val out = Clustering.kmeansAssign(vecs, "vec_id", "embedding",
+        k = 2, iters = 4, seed = 42L)
+      .select("id", "cluster").as[(Long, Int)].collect()
+    val byBlob = out.groupBy(_._1 % 2).map { case (b, xs) =>
+      b -> xs.map(_._2).toSet
+    }
+    // each blob maps to exactly one cluster, and the clusters differ
+    assert(byBlob(0L).size == 1 && byBlob(1L).size == 1)
+    assert(byBlob(0L) != byBlob(1L))
+    // determinism: same seed, same assignment
+    val again = Clustering.kmeansAssign(vecs, "vec_id", "embedding",
+        k = 2, iters = 4, seed = 42L)
+      .select("id", "cluster").as[(Long, Int)].collect()
+    assert(out.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+    val prof = Clustering.clusterProfile(
+      Clustering.kmeansAssign(vecs, "vec_id", "embedding", k = 2,
+        iters = 4, seed = 42L))
+    val shares = prof.select("share").as[Double].collect()
+    assert(math.abs(shares.sum - 1.0) < 1e-9 && shares.forall(_ > 0))
+  }
+
   test("bruteForceTopK returns correct neighbors on a hand-checked fixture") {
     val vecs = Seq(
       (1L, Array(1.0f, 0.0f, 0.0f)),
