@@ -295,6 +295,22 @@ object LlmQueries {
           "vec_id", "embedding", k = 8, iters = 4, seed = 42L)),
       Some(s"""WITH ${kmeansCtes(k = 8, iters = 4, seed = 42L)}, tot AS (SELECT CAST(count(*) AS DOUBLE) AS t FROM fin) SELECT cluster, count(*) AS size, ${OmicsQueries.rndSql("count(*) / (SELECT t FROM tot)", 6)} AS share FROM fin GROUP BY 1""")),
 
+    Entry("q_cluster_balanced_sample",
+      // the mixture-shaping composition end to end: k-means clusters ->
+      // deterministic per-cluster quota (anti-domination control over
+      // SEMANTIC clusters, the analogue of the per-domain cap) — every
+      // stage replayed in one oracle
+      (s, d) => {
+        val assigns = graft.sim.Clustering.kmeansAssign(
+            t(s, d, "embeddings"), "vec_id", "embedding",
+            k = 8, iters = 4, seed = 42L)
+          .select(col("id"), col("cluster"))
+        graft.text.Sampling.domainQuota(assigns, "id", "cluster",
+            quota = 30, seed = 9L)
+          .select(col("id").as("vec_id"), col("cluster"), col("rn"))
+      },
+      Some(s"""WITH ${kmeansCtes(k = 8, iters = 4, seed = 42L)}, r AS (SELECT id, cluster, CAST(row_number() OVER (PARTITION BY cluster ORDER BY ${graft.text.Sampling.hashFracSql("id", 9L)}, id) AS INTEGER) AS rn FROM fin) SELECT id AS vec_id, cluster, rn FROM r WHERE rn <= 30""")),
+
     Entry("q_ann_brute",
       // exact cosine top-k; queries broadcast, corpus streamed
       (s, d) => {
