@@ -38,7 +38,8 @@ object ScaleCheck {
     // round-8 additions: the substring-dedup tier (batch + incremental)
     // and the oracle-gated lake utilities
     "q_repeated_spans", "q_dup_token_profile",
-    "q_repeated_spans_incremental", "q_lake_compact", "q_lake_bucketed")
+    "q_repeated_spans_incremental", "q_lake_compact", "q_lake_bucketed",
+    "q_kmeans", "q_cluster_balanced_sample")
 
   def main(args: Array[String]): Unit = {
     val src = "/root/testdata/sf0.1"
