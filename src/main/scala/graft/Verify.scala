@@ -24,6 +24,33 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // oracle_sql.json is written BEFORE the query loop: it depends only
+    // on the registry, and writing it last meant an external kill mid-run
+    // (driver wall-clock budget) lost the entire round's oracle map —
+    // every completed dump would then read as rows-only.
+    // JSON string escape: backslash, quote, and ALL control chars (<0x20)
+    // — a tab or CR in builder-authored SQL would otherwise make the
+    // driver's json.load fail and silently zero the round's correctness.
+    def q(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    // Residual oracles (the converged-kernel certificates) read the
+    // engine's own dumped parquet back via DuckDB to check a claimed
+    // fixed point — the dump directory is only known here, so the SQL
+    // carries a token that is substituted with the ABSOLUTE path at dump
+    // time (the comparator may run with a different working directory).
+    val outAbs = Paths.get(outDir).toAbsolutePath.toString
+    val json = SparkEntry.oracleSql
+      .map { case (k, v) =>
+        s"${q(k)}: ${q(v.replace("__VERIFY_OUT__", outAbs))}" }
+      .mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     // same per-query watchdog as Bench: one hung query degrades to one
     // missing dump (the driver records it as an error), not a stalled gate
     val timeoutMs =
@@ -55,29 +82,6 @@ object Verify {
         catch { case _: Throwable => () }
       }
     }
-    // JSON string escape: backslash, quote, and ALL control chars (<0x20)
-    // — a tab or CR in builder-authored SQL would otherwise make the
-    // driver's json.load fail and silently zero the round's correctness.
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
-    // Residual oracles (the converged-kernel certificates) read the
-    // engine's own dumped parquet back via DuckDB to check a claimed
-    // fixed point — the dump directory is only known here, so the SQL
-    // carries a token that is substituted with the ABSOLUTE path at dump
-    // time (the comparator may run with a different working directory).
-    val outAbs = Paths.get(outDir).toAbsolutePath.toString
-    val json = SparkEntry.oracleSql
-      .map { case (k, v) =>
-        s"${q(k)}: ${q(v.replace("__VERIFY_OUT__", outAbs))}" }
-      .mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }
 }
