@@ -353,6 +353,14 @@ object LlmQueries {
       },
       Some("""WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5), s AS (SELECT query_id, c.vec_id AS neighbor_id, list_sum(list_transform(list_zip(qe, c.embedding), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) / (sqrt(list_sum(list_transform(qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos FROM q, embeddings c WHERE c.vec_id <> query_id), r AS (SELECT query_id, neighbor_id, cos, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn FROM s) SELECT query_id, neighbor_id, CAST(rn AS INTEGER) AS rank, round(cos, 6) AS cos FROM r WHERE rn <= 3""")),
 
+    Entry("q_lm_score",
+      // CCNet-style self-perplexity: add-one bigram LM trained on the
+      // corpus scores each doc's mean transition log-prob — the quality
+      // threshold signal; exact integer counts until the final ln
+      (s, d) => graft.text.Text.lmScore(t(s, d, "documents"),
+        "doc_id", "text").withColumnRenamed("id", "doc_id"),
+      Some(s"""WITH ltoks AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0) AS ts FROM documents), lt2 AS (SELECT doc_id, ts, len(ts) AS n FROM ltoks WHERE len(ts) >= 2), bg AS MATERIALIZED (SELECT doc_id, ts[i] AS w1, ts[i + 1] AS w2 FROM lt2, unnest(generate_series(1, n - 1)) AS g(i)), uni AS MATERIALIZED (SELECT w1, count(*) AS c1 FROM bg GROUP BY 1), bi AS MATERIALIZED (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2), vv AS (SELECT count(*) AS v FROM uni) SELECT doc_id, count(*) AS n_bigrams, ${OmicsQueries.rndSql("sum(ln(CAST(c12 + 1 AS DOUBLE) / CAST(c1 + (SELECT v FROM vv) AS DOUBLE))) / count(*)", 6)} AS avg_logprob FROM bg JOIN bi USING (w1, w2) JOIN uni USING (w1) GROUP BY 1""")),
+
     Entry("q_text_quality",
       (s, d) => Text.qualityScore(t(s, d, "documents").select("doc_id", "text"), "text")
         .select(col("doc_id"), col("n_tokens"),

@@ -203,4 +203,46 @@ object Text {
       .select(col(idCol), col("term"), col("tf"), col("df"),
         col("rank"), col("salience"))
   }
+
+  /** Corpus SELF-perplexity score — the CCNet-style quality signal: train
+    * an add-one-smoothed bigram language model on the corpus itself and
+    * score each document by its mean bigram log-probability. Documents
+    * whose word transitions are unusual relative to the corpus (garbled
+    * text, wrong-language fragments, symbol soup) score far below the
+    * bulk; in the reference pipeline the score drives a keep threshold or
+    * a head/middle/tail bucket split.
+    *
+    * Everything is exact integer counting until the final ln: two
+    * count aggregates (unigram, bigram — the "training" pass, one shuffle
+    * each with map-side combine) and one join-back per document bigram
+    * (the "scoring" pass). Log-probs are ln((c12 + 1) / (c1 + V)) per
+    * bigram, averaged per doc; ln/avg ulp drift across engines is far
+    * inside the 1e-6 output rounding (the q_dist_shift precedent).
+    *
+    * @return (id, n_bigrams, avg_logprob) for every doc with >= 2 tokens */
+  def lmScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol).as("id"),
+        tokens(lower(col(textCol))).as("ts"))
+      .where(size(col("ts")) >= 2)
+    val bigrams = toks.select(col("id"), posexplode(
+        zip_with(slice(col("ts"), lit(1), size(col("ts")) - 1),
+          slice(col("ts"), lit(2), size(col("ts")) - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))))
+      .select(col("id"), col("col.w1").as("w1"), col("col.w2").as("w2"))
+      .localCheckpoint(false) // feeds the model counts AND the scoring pass
+    val uni = bigrams.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val bi = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    // vocabulary size for the smoothing denominator: distinct CONTEXT
+    // tokens (the model's own event space — exact and cheap)
+    val v = uni.count()
+    bigrams
+      .join(bi, Seq("w1", "w2"))
+      .join(uni, Seq("w1"))
+      .withColumn("__lp",
+        log((col("c12") + lit(1)).cast("double") /
+          (col("c1") + lit(v)).cast("double")))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(col("__lp")) / count(lit(1)), 6).as("avg_logprob"))
+  }
 }

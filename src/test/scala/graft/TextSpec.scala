@@ -40,4 +40,24 @@ class TextSpec extends SparkSpec {
     val row = all.where(col("doc_id") === 1 && col("term") === "alpha").head()
     assert(row.getAs[Double]("salience") == 2.0 * 3 / 1)
   }
+
+  test("lmScore ranks a garbled document far below corpus-typical text") {
+    import graft.text.Text
+    // a small corpus with repeated natural phrasing; doc 9 is symbol soup
+    // whose transitions never recur — add-one smoothing must leave it at
+    // the unseen-bigram floor while typical docs ride the trained counts
+    val natural = "the quick brown fox jumps over the lazy dog near the river"
+    val docs = ((1L to 8L).map(i => (i, s"$natural variant $i")) :+
+      (9L, "zq xv wk jj qq vx kz pp ww xx yy zz")).toDF("doc_id", "text")
+    val scores = Text.lmScore(docs, "doc_id", "text")
+      .select("id", "avg_logprob").as[(Long, Double)].collect().toMap
+    val garbled = scores(9L)
+    val typical = (1L to 8L).map(scores)
+    assert(typical.forall(_ > garbled + 1.0),
+      s"garbled=$garbled typical=${typical.mkString(",")}")
+    // n_bigrams is exact: tokens - 1 per doc
+    val nb = Text.lmScore(docs, "doc_id", "text")
+      .select("id", "n_bigrams").as[(Long, Long)].collect().toMap
+    assert(nb(9L) == 11L && nb(1L) == 13L)
+  }
 }
