@@ -345,6 +345,106 @@ object Dedup {
         round(col("dup_tokens").cast("double") / col("n_tokens"), 6))
   }
 
+  /** The ACTION half of substring dedup: remove every token covered by a
+    * [[repeatedSpans]] span and re-join the survivors — the cleaned
+    * corpus a boilerplate-stripping pass actually emits (detection alone
+    * never shrinks the training set). Reference analogue: the dedup
+    * utilities only FLAG duplicated mass rows; stripping is the
+    * LLM-pipeline extension of the same span machinery.
+    *
+    * Shape: one extra linear stage over the span pipeline — each
+    * duplicated-gram hit explodes to its k covered token positions
+    * (bounded fan-out k, de-overlapped by a distinct on (id, pos)), the
+    * token stream anti-joins that coverage set on (id, pos), and the
+    * survivors reassemble per doc with a sort_array over (pos, token)
+    * structs. Two hash exchanges on the doc id, no window over the whole
+    * corpus, no quadratic step. Docs shorter than k tokens carry no gram
+    * and pass through verbatim.
+    *
+    * Output: (id, n_tokens, dup_tokens, kept_tokens, clean_text). */
+  def stripRepeatedSpans(df: DataFrame, idCol: String, textCol: String,
+                         k: Int = 8, minDf: Int = 2): DataFrame = {
+    val toks = df.select(col(idCol).as("id"),
+        posexplode(filter(split(lower(col(textCol)), "\\s+"),
+          t => length(t) > 0)))
+      .toDF("id", "pos", "tok")
+    val covered = repeatedSpans(df, idCol, textCol, k, minDf)
+      .select(col("id"),
+        explode(sequence(col("span_start"), col("span_end") - 1)).as("pos"))
+    val kept = toks.join(covered, Seq("id", "pos"), "left_anti")
+      .groupBy("id")
+      .agg(count(lit(1)).as("kept_tokens"),
+        array_join(transform(
+          sort_array(collect_list(struct(col("pos"), col("tok")))),
+          e => e.getField("tok")), " ").as("clean_text"))
+    toks.groupBy("id").agg(count(lit(1)).as("n_tokens"))
+      .join(kept, Seq("id"), "left")
+      .select(col("id"), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("kept_tokens"), lit(0L)))
+          .as("dup_tokens"),
+        coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
+  /** CCNet-style paragraph/line dedup with GLOBAL keep-first semantics:
+    * the corpus is segmented, each segment is hashed, and every
+    * occurrence of a segment except the globally first (smallest
+    * (doc id, segment position)) is dropped; documents are reassembled
+    * from their surviving segments. This is the other substring-dedup
+    * policy next to [[stripRepeatedSpans]]: the df-threshold strip
+    * removes ALL copies of corpus-frequent spans, keep-first retains
+    * exactly one copy of every duplicated unit (the CCNet/ccnet-dedup
+    * contract for shared paragraphs).
+    *
+    * `segments` is any (id, seg_pos, segment) relation; use
+    * [[tokenWindowSegments]] to segment by fixed token windows (newline-
+    * free corpora) or split on a real separator upstream. Scale shape:
+    * one exchange on the segment hash (the keep-first window ranks
+    * occurrences per hash — skew note: a boilerplate segment with 10⁶
+    * occurrences lands its rank sort in one partition, but the sort key
+    * (id, seg_pos) is tiny and rank>1 rows are discarded immediately),
+    * then one exchange on the doc id to reassemble.
+    *
+    * Output: (id, n_segments, kept_segments, removed_segments,
+    * clean_text); a doc whose every segment appeared earlier comes back
+    * with empty clean_text rather than vanishing (the caller decides
+    * drop-vs-keep policy). */
+  def segmentDedupKeepFirst(segments: DataFrame): DataFrame = {
+    val w = Window.partitionBy("__h").orderBy(col("id"), col("seg_pos"))
+    val ranked = segments
+      .withColumn("__h", md5(col("segment")))
+      .withColumn("__rn", row_number().over(w))
+    ranked.groupBy("id")
+      .agg(count(lit(1)).as("n_segments"),
+        sum(when(col("__rn") === 1, 1L).otherwise(0L)).as("kept_segments"),
+        array_join(transform(sort_array(collect_list(
+            when(col("__rn") === 1,
+              struct(col("seg_pos"), col("segment"))))),
+          e => e.getField("segment")), " ").as("clean_text"))
+      .select(col("id"), col("n_segments"), col("kept_segments"),
+        (col("n_segments") - col("kept_segments")).as("removed_segments"),
+        col("clean_text"))
+  }
+
+  /** Segment a newline-free corpus into consecutive `segTokens`-token
+    * windows (last window may be short) — the segment relation
+    * [[segmentDedupKeepFirst]] consumes when no natural paragraph
+    * separator exists. Zero-shuffle: pure per-row array slicing. */
+  def tokenWindowSegments(df: DataFrame, idCol: String, textCol: String,
+                          segTokens: Int): DataFrame = {
+    require(segTokens >= 1, "segTokens must be positive")
+    df.select(col(idCol).as("id"),
+        filter(split(lower(col(textCol)), "\\s+"),
+          t => length(t) > 0).as("toks"))
+      .where(size(col("toks")) > 0)
+      .select(col("id"), posexplode(transform(
+        sequence(lit(0),
+          floor((size(col("toks")) - 1) / lit(segTokens)).cast("int")),
+        i => array_join(slice(col("toks"), i * segTokens + 1, lit(segTokens)),
+          " "))))
+      .toDF("id", "seg_pos", "segment")
+  }
+
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         k: Int = 3, threshold: Double = 0.8,
                         maxShingleDf: Long = 100): DataFrame = {

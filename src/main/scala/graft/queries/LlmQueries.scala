@@ -480,6 +480,70 @@ object LlmQueries {
       (s, d) => t(s, d, "documents").select(col("doc_id"),
         graft.catalyst.TextFunctions.nfcNormalize(col("text")).as("nfc"),
         lower(graft.catalyst.TextFunctions.stripAccents(col("text"))).as("folded")),
-      Some("""SELECT doc_id, nfc_normalize(text) AS nfc, lower(strip_accents(text)) AS folded FROM documents"""))
+      Some("""SELECT doc_id, nfc_normalize(text) AS nfc, lower(strip_accents(text)) AS folded FROM documents""")),
+
+    Entry("q_strip_spans",
+      // the ACTION half of substring dedup: remove every token the
+      // repeated-span detector covers and reassemble the cleaned text —
+      // the pass that actually shrinks the training set. Oracle replays
+      // span detection, coverage expansion, anti-join, reassembly.
+      (s, d) => Dedup.stripRepeatedSpans(t(s, d, "documents"),
+        "doc_id", "text", k = 8, minDf = 2),
+      Some(s"""WITH ${repeatedSpansCtes(8, 2)}, spans AS (SELECT id, min(pos) AS ss, max(pos) + 8 AS se FROM isl2 GROUP BY id, island), cov AS (SELECT DISTINCT id, i AS pos FROM spans, unnest(generate_series(ss, se - 1)) AS g(i)), alltok AS (SELECT id, i - 1 AS pos, ts[i] AS tok FROM (SELECT id, ts, len(ts) AS n FROM rtoks WHERE len(ts) > 0), unnest(generate_series(1, n)) AS g(i)), kept AS (SELECT a.id, a.pos, a.tok FROM alltok a LEFT JOIN cov ON cov.id = a.id AND cov.pos = a.pos WHERE cov.id IS NULL) SELECT t.id, t.cnt AS n_tokens, t.cnt - coalesce(k.kc, 0) AS dup_tokens, coalesce(k.kc, 0) AS kept_tokens, coalesce(k.ct, '') AS clean_text FROM (SELECT id, count(*) AS cnt FROM alltok GROUP BY 1) t LEFT JOIN (SELECT id, count(*) AS kc, string_agg(tok, ' ' ORDER BY pos) AS ct FROM kept GROUP BY 1) k USING (id)""")),
+
+    Entry("q_line_dedup",
+      // CCNet-style keep-first paragraph dedup: the corpus is segmented
+      // into 12-token windows, every later occurrence of a duplicated
+      // segment is dropped (exactly one copy survives, the globally
+      // first), docs reassembled from survivors — the other substring
+      // policy next to q_strip_spans' remove-ALL-copies threshold strip
+      (s, d) => Dedup.segmentDedupKeepFirst(
+        Dedup.tokenWindowSegments(t(s, d, "documents"), "doc_id", "text",
+          segTokens = 12)),
+      Some("""WITH rt AS (SELECT doc_id AS id, list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS ts FROM documents), t2 AS (SELECT id, ts, len(ts) AS n FROM rt WHERE len(ts) > 0), segs AS (SELECT id, i AS seg_pos, array_to_string(ts[i * 12 + 1 : i * 12 + 12], ' ') AS segment FROM t2, unnest(generate_series(0, (n - 1) // 12)) AS g(i)), r AS (SELECT id, seg_pos, segment, row_number() OVER (PARTITION BY segment ORDER BY id, seg_pos) AS rn FROM segs) SELECT id, count(*) AS n_segments, CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS kept_segments, CAST(count(*) - sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS removed_segments, coalesce(string_agg(CASE WHEN rn = 1 THEN segment END, ' ' ORDER BY seg_pos), '') AS clean_text FROM r GROUP BY 1""")),
+
+    Entry("q_semantic_dedup",
+      // SemDeDup: k-means cells bound the quadratic cosine scoring (the
+      // scale path next to the all-pairs q_dedup_embedding baseline);
+      // prune rule = "duplicate of the smallest earlier id in MY cluster
+      // with cos >= 0.4". Oracle replays the exact k-means fit and the
+      // within-cluster scoring term for term.
+      (s, d) => graft.sim.Clustering.semanticDedup(t(s, d, "embeddings"),
+          "vec_id", "embedding", threshold = 0.4, k = 8, iters = 4,
+          seed = 42L)
+        .select(col("id").as("vec_id"), col("cluster"), col("pruned"),
+          col("dup_of"), col("dup_cos")),
+      Some(s"""WITH ${kmeansCtes(k = 8, iters = 4, seed = 42L)}, av AS (SELECT f.id, f.cluster, e.embedding AS v FROM fin f JOIN embeddings e ON e.vec_id = f.id), p AS (SELECT a.id AS id_a, b.id AS id_b, list_sum(list_transform(list_zip(a.v, b.v), q -> CAST(q[1] AS DOUBLE) * CAST(q[2] AS DOUBLE))) / (sqrt(list_sum(list_transform(a.v, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * sqrt(list_sum(list_transform(b.v, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos FROM av a JOIN av b ON a.cluster = b.cluster AND a.id < b.id), dm AS (SELECT id_b AS id, min(id_a) AS dup_of FROM p WHERE cos >= 0.4 GROUP BY 1), dc AS (SELECT dm.id, dm.dup_of, round(p.cos, 6) AS dup_cos FROM dm JOIN p ON p.id_b = dm.id AND p.id_a = dm.dup_of) SELECT f.id AS vec_id, f.cluster, dc.dup_of IS NOT NULL AS pruned, dc.dup_of, dc.dup_cos FROM fin f LEFT JOIN dc ON dc.id = f.id""")),
+
+    Entry("q_chunk_windows",
+      // training-sequence construction for LONG documents: 32-token
+      // context windows advancing by 24 (8-token overlap); the map-only
+      // complement of q_pack (which concatenates short docs). The last
+      // chunk is the first that reaches the doc end — every token
+      // covered, no fully-redundant tail.
+      (s, d) => graft.text.Sampling.chunkWindows(t(s, d, "documents"),
+        "doc_id", "text", window = 32, stride = 24),
+      Some("""WITH rt AS (SELECT doc_id AS id, list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS ts FROM documents), t2 AS (SELECT id, ts, len(ts) AS n FROM rt WHERE len(ts) > 0), ch AS (SELECT id, CAST(i AS INTEGER) AS chunk_idx, CAST(i * 24 AS INTEGER) AS start_tok, ts[i * 24 + 1 : i * 24 + 32] AS chunk FROM t2, unnest(generate_series(0, (greatest(n - 32, 0) + 23) // 24)) AS g(i)) SELECT id, chunk_idx, start_tok, CAST(len(chunk) AS INTEGER) AS n_chunk_tokens, array_to_string(chunk, ' ') AS chunk_text FROM ch""")),
+
+    Entry("q_cms_heavy",
+      // count-min sketch (depth 4 x width 512, md5 row hashes): the
+      // mergeable heavy-hitter summary next to q_kmv_distinct's distinct
+      // sketch. The gate compares every token's point estimate against
+      // its true count (est >= true always; overshoot = collisions) —
+      // both sides replay the identical md5 bucket draws.
+      (s, d) => {
+        val toks = t(s, d, "documents").select(
+          explode(filter(split(lower(col("text")), "\\s+"),
+            x => length(x) > 0)).as("tok"))
+        val sketch = graft.stats.Sketches.cmsBuild(toks, "tok",
+          depth = 4, width = 512, seed = 7L)
+        val truec = toks.groupBy("tok").agg(count(lit(1)).as("true_count"))
+        truec.join(graft.stats.Sketches.cmsEstimate(sketch,
+            truec.select("tok"), "tok", depth = 4, width = 512, seed = 7L),
+          Seq("tok"))
+          .select(col("tok"), col("true_count"), col("cms_est"),
+            (col("cms_est") - col("true_count")).as("overcount"))
+      },
+      Some("""WITH occ AS (SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) AS tok FROM documents), cell AS (SELECT r, bucket, count(*) AS c FROM (SELECT g.r, CAST(concat('0x', substr(md5('cms7:' || CAST(g.r AS VARCHAR) || ':' || tok), 1, 15)) AS BIGINT) % 512 AS bucket FROM occ, unnest(generate_series(0, 3)) AS g(r)) GROUP BY 1, 2), tc AS (SELECT tok, count(*) AS true_count FROM occ GROUP BY 1), est AS (SELECT tok, min(c) AS cms_est FROM (SELECT t.tok, cell.c FROM (SELECT DISTINCT tok FROM occ) t, unnest(generate_series(0, 3)) AS g(r) JOIN cell ON cell.r = g.r AND cell.bucket = CAST(concat('0x', substr(md5('cms7:' || CAST(g.r AS VARCHAR) || ':' || t.tok), 1, 15)) AS BIGINT) % 512) GROUP BY 1) SELECT tok, true_count, cms_est, cms_est - true_count AS overcount FROM tc JOIN est USING (tok)"""))
   )
 }

@@ -91,4 +91,50 @@ object Clustering {
       .agg(count(lit(1)).as("size"))
       .withColumn("share", round(col("size") / lit(total), 6))
   }
+
+  /** SemDeDup-style semantic deduplication: k-means partitions the
+    * embedding space, then cosine near-duplicate pruning runs ONLY
+    * within each cluster — a vector keeps its place unless an
+    * earlier-id vector in the SAME cluster is within `threshold` cosine.
+    * This is the scale path next to the declared all-pairs exactness
+    * baseline (`Similarity.cosineNearDupPairs`): the quadratic scoring
+    * is confined to cluster cells, so corpus-level cost is Σ|cell|²
+    * instead of n² — with k sized so cells stay bounded (SemDeDup uses
+    * k that scales with n; an adversarially hot cell degrades gracefully to that
+    * cell's pairs only, and the [[graft.ops.Skew]] sub-salt pattern
+    * applies if one cell dominates).
+    *
+    * Deterministic contract (oracle-replayable end to end): the k-means
+    * fit is the exact-replay [[kmeansAssign]]; the pruning rule is
+    * "dup of the SMALLEST earlier id with cos ≥ threshold", so output
+    * is a pure function of the data — no dependence on join order.
+    *
+    * Shape: one equi-join of the assignment relation with itself on the
+    * cluster id (a.id < b.id), cosine scored by the native codegen
+    * expression, then a min aggregate on the later id. No broadcast of
+    * the corpus, no all-pairs exchange.
+    *
+    * Output: (id, cluster, pruned, dup_of, dup_cos) — dup_of/dup_cos
+    * NULL for survivors; dup_cos is the cosine to dup_of, rounded 6. */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+                    threshold: Double, k: Int = 8, iters: Int = 4,
+                    seed: Long = 42L): DataFrame = {
+    val assigns = kmeansAssign(df, idCol, vecCol, k, iters, seed)
+      .select(col("id"), col("cluster"))
+    val vecs = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val av = assigns.join(vecs, "id")
+    val dups = av.select(col("cluster"), col("id").as("id_a"), col("v").as("va"))
+      .join(av.select(col("cluster"), col("id").as("id_b"), col("v").as("vb")),
+        Seq("cluster"))
+      .where(col("id_a") < col("id_b"))
+      .withColumn("cos", Similarity.cosine(col("va"), col("vb")))
+      .where(col("cos") >= threshold)
+      .groupBy(col("id_b").as("id"))
+      .agg(min(struct(col("id_a"), col("cos"))).as("m"))
+      .select(col("id"), col("m.id_a").as("dup_of"),
+        round(col("m.cos"), 6).as("dup_cos"))
+    assigns.join(dups, Seq("id"), "left")
+      .select(col("id"), col("cluster"),
+        col("dup_of").isNotNull.as("pruned"), col("dup_of"), col("dup_cos"))
+  }
 }

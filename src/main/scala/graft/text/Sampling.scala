@@ -253,4 +253,41 @@ object Sampling {
       .orderBy(hashFrac(col(keyCol), seed), col(keyCol))
     df.withColumn("rn", row_number().over(w)).where(col("rn") <= quota)
   }
+
+  /** Sliding context-window chunking — the complement of
+    * [[packSequences]]: packing concatenates SHORT documents into
+    * fixed-budget training rows, chunking splits LONG documents into
+    * `window`-token pieces advancing by `stride` tokens (overlap =
+    * window − stride, the standard long-document pre-training layout).
+    * Chunk starts are 0, stride, 2·stride, …; the last chunk is the
+    * first one whose window reaches the end of the doc (it may be short,
+    * never empty), so every token lands in ≥ 1 chunk and no fully-
+    * redundant tail chunk is emitted.
+    *
+    * Zero-shuffle: pure per-row array arithmetic (tokenize once, slice
+    * per chunk index, posexplode) — at corpus scale this is a map-only
+    * stage that rides the input partitioning. Output: (id, chunk_idx,
+    * start_tok, n_chunk_tokens, chunk_text). */
+  def chunkWindows(df: DataFrame, idCol: String, textCol: String,
+                   window: Int, stride: Int): DataFrame = {
+    require(window >= 1, s"window must be positive: $window")
+    require(stride >= 1 && stride <= window,
+      s"stride must be in [1, window]: $stride")
+    val nChunks = // 1 + ceil(max(0, n - window) / stride); floor of the
+      // double division is exact for any 32-bit token count
+      lit(1) + floor((greatest(size(col("toks")) - window, lit(0)) +
+        lit(stride - 1)) / lit(stride)).cast("int")
+    df.select(col(idCol).as("id"),
+        filter(split(lower(col(textCol)), "\\s+"),
+          t => length(t) > 0).as("toks"))
+      .where(size(col("toks")) > 0)
+      .select(col("id"), size(col("toks")).as("n_tokens"),
+        posexplode(transform(sequence(lit(0), nChunks - 1),
+          i => struct((i * stride).as("start_tok"),
+            slice(col("toks"), i * stride + 1, lit(window)).as("chunk")))))
+      .select(col("id"), col("pos").as("chunk_idx"),
+        col("col.start_tok").as("start_tok"),
+        size(col("col.chunk")).as("n_chunk_tokens"),
+        array_join(col("col.chunk"), " ").as("chunk_text"))
+  }
 }

@@ -1,0 +1,147 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.dedup.Dedup
+import graft.text.Sampling
+import graft.stats.Sketches
+
+/** Specs for the round-8 corpus-surgery operators: span stripping,
+  * keep-first segment dedup, context-window chunking, count-min sketch,
+  * and SemDeDup. */
+class StripChunkSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val boiler = "all rights reserved contact us terms of service apply here"
+
+  test("stripRepeatedSpans removes shared boilerplate, keeps unique text") {
+    val docs = Seq(
+      (1L, s"alpha beta gamma $boiler delta"),
+      (2L, s"omega $boiler sigma tau"),
+      (3L, "totally unique words nothing shared at all in this one")
+    ).toDF("doc_id", "text")
+    val out = Dedup.stripRepeatedSpans(docs, "doc_id", "text", k = 8, minDf = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))).toMap
+    // the 10-token boilerplate is one maximal span in both hosts
+    assert(out(1L) == ((14L, 10L, 4L, "alpha beta gamma delta")))
+    assert(out(2L) == ((13L, 10L, 3L, "omega sigma tau")))
+    // untouched doc passes through verbatim (lowercased tokens rejoined)
+    assert(out(3L)._2 == 0L)
+    assert(out(3L)._4 == "totally unique words nothing shared at all in this one")
+  }
+
+  test("stripRepeatedSpans: doc that is ALL boilerplate -> empty clean_text; " +
+       "short docs carry no gram and survive") {
+    val docs = Seq(
+      (1L, boiler), (2L, boiler),
+      (3L, "tiny doc") // < k tokens: no gram, never stripped
+    ).toDF("doc_id", "text")
+    val out = Dedup.stripRepeatedSpans(docs, "doc_id", "text", k = 8, minDf = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(3), r.getString(4))).toMap
+    assert(out(1L) == ((10L, 0L, "")))
+    assert(out(2L) == ((10L, 0L, "")))
+    assert(out(3L) == ((2L, 2L, "tiny doc")))
+  }
+
+  test("tokenWindowSegments: fixed windows with a short tail") {
+    val docs = Seq((7L, "a b c d e f g")).toDF("doc_id", "text")
+    val segs = Dedup.tokenWindowSegments(docs, "doc_id", "text", segTokens = 3)
+      .orderBy("seg_pos").collect().map(r => (r.getInt(1), r.getString(2)))
+    assert(segs.toSeq == Seq((0, "a b c"), (1, "d e f"), (2, "g")))
+  }
+
+  test("segmentDedupKeepFirst: exactly one copy of a duplicated segment " +
+       "survives — the globally first by (id, seg_pos)") {
+    val segs = Seq(
+      (1L, 0, "shared paragraph"), (1L, 1, "doc one tail"),
+      (2L, 0, "doc two head"), (2L, 1, "shared paragraph"),
+      (3L, 0, "shared paragraph")
+    ).toDF("id", "seg_pos", "segment")
+    val out = Dedup.segmentDedupKeepFirst(segs)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))).toMap
+    assert(out(1L) == ((2L, 2L, 0L, "shared paragraph doc one tail")))
+    assert(out(2L) == ((2L, 1L, 1L, "doc two head")))
+    // every segment of doc 3 appeared earlier: present, empty clean_text
+    assert(out(3L) == ((1L, 0L, 1L, "")))
+  }
+
+  test("chunkWindows: short doc -> one chunk; long doc covers every token " +
+       "with stride-spaced starts and a final chunk reaching the end") {
+    val docs = Seq(
+      (1L, "a b c"),
+      (2L, (1 to 11).map(i => s"t$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val out = Sampling.chunkWindows(docs, "doc_id", "text",
+      window = 4, stride = 3)
+    val one = out.where(col("id") === 1).collect()
+    assert(one.length == 1)
+    assert(one(0).getString(4) == "a b c" && one(0).getInt(3) == 3)
+    val two = out.where(col("id") === 2).orderBy("chunk_idx")
+      .collect().map(r => (r.getInt(2), r.getString(4)))
+    // starts 0,3,6,9 — ceil((11-4)/3)=3 extra chunks; last is short
+    assert(two.map(_._1).toSeq == Seq(0, 3, 6, 9))
+    assert(two.last._2 == "t10 t11")
+    // coverage: chunk at start 9 reaches token 11; no chunk starts past it
+    val covered = two.flatMap { case (st, txt) =>
+      (st until st + txt.split(" ").length) }.toSet
+    assert(covered == (0 until 11).toSet)
+  }
+
+  test("chunkWindows: stride == window gives disjoint cover (no overlap)") {
+    val docs = Seq((1L, (1 to 10).map(i => s"w$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val chunks = Sampling.chunkWindows(docs, "doc_id", "text",
+      window = 4, stride = 4).orderBy("chunk_idx")
+      .collect().map(r => (r.getInt(2), r.getInt(3)))
+    assert(chunks.toSeq == Seq((0, 4), (4, 4), (8, 2)))
+  }
+
+  test("count-min sketch: est >= true for every token, and merging two " +
+       "half-corpus sketches equals the whole-corpus sketch") {
+    val toks = Seq.tabulate(500)(i => s"tok${i % 37}").toDF("tok")
+    val whole = Sketches.cmsBuild(toks, "tok", depth = 4, width = 64, seed = 7L)
+    val truec = toks.groupBy("tok").agg(count(lit(1)).as("true_count"))
+    val est = Sketches.cmsEstimate(whole, truec.select("tok"), "tok",
+      depth = 4, width = 64, seed = 7L)
+    val joined = truec.join(est, "tok").collect()
+    assert(joined.length == 37)
+    joined.foreach { r =>
+      assert(r.getLong(2) >= r.getLong(1),
+        s"cms under-estimated ${r.getString(0)}") }
+    // mergeability: build on two disjoint deterministic halves (split by
+    // token-length parity), merge, compare cell-wise with the whole build
+    val ah = Sketches.cmsBuild(toks.where(length(col("tok")) % 2 === 0),
+      "tok", 4, 64, 7L)
+    val bh = Sketches.cmsBuild(toks.where(length(col("tok")) % 2 === 1),
+      "tok", 4, 64, 7L)
+    val merged = Sketches.cmsMerge(ah, bh)
+    val diff = merged.join(whole.withColumnRenamed("c", "cw"),
+        Seq("r", "bucket"), "full")
+      .where(coalesce(col("c"), lit(-1L)) =!= coalesce(col("cw"), lit(-1L)))
+    assert(diff.count() == 0)
+  }
+
+  test("semanticDedup prunes a planted near-duplicate within its cluster " +
+       "and never prunes across clusters") {
+    val base = Array.fill(8)(0.0f)
+    def v(i: Int, eps: Float): Array[Float] = {
+      val a = base.clone(); a(i) = 1.0f; a((i + 1) % 8) = eps; a
+    }
+    val rows = Seq(
+      (10L, v(0, 0.0f)), (11L, v(0, 0.01f)), // near-dups of each other
+      (20L, v(4, 0.0f)), (21L, v(4, 0.02f)), // second clone pair
+      (30L, v(2, 0.9f)) // isolated direction
+    ).toDF("vec_id", "embedding")
+    val out = graft.sim.Clustering.semanticDedup(rows, "vec_id", "embedding",
+        threshold = 0.95, k = 3, iters = 2, seed = 1L)
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(2), if (r.isNullAt(3)) -1L else r.getLong(3))).toMap
+    assert(out(10L)._1 == false)
+    assert(out(11L) == ((true, 10L)))
+    assert(out(20L)._1 == false)
+    assert(out(21L) == ((true, 20L)))
+    assert(out(30L)._1 == false)
+  }
+}
