@@ -39,7 +39,12 @@ object ScaleCheck {
     // and the oracle-gated lake utilities
     "q_repeated_spans", "q_dup_token_profile",
     "q_repeated_spans_incremental", "q_lake_compact", "q_lake_bucketed",
-    "q_kmeans", "q_cluster_balanced_sample")
+    "q_kmeans", "q_cluster_balanced_sample",
+    // round-8 corpus-surgery additions: span strip + keep-first segment
+    // dedup (the two substring ACTIONS), cell-bounded SemDeDup, the
+    // map-only chunker, and the constant-size count-min build
+    "q_strip_spans", "q_line_dedup", "q_semantic_dedup",
+    "q_chunk_windows", "q_cms_heavy", "q_lm_score")
 
   def main(args: Array[String]): Unit = {
     val src = "/root/testdata/sf0.1"
