@@ -544,6 +544,52 @@ object LlmQueries {
           .select(col("tok"), col("true_count"), col("cms_est"),
             (col("cms_est") - col("true_count")).as("overcount"))
       },
-      Some("""WITH occ AS (SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) AS tok FROM documents), cell AS (SELECT r, bucket, count(*) AS c FROM (SELECT g.r, CAST(concat('0x', substr(md5('cms7:' || CAST(g.r AS VARCHAR) || ':' || tok), 1, 15)) AS BIGINT) % 512 AS bucket FROM occ, unnest(generate_series(0, 3)) AS g(r)) GROUP BY 1, 2), tc AS (SELECT tok, count(*) AS true_count FROM occ GROUP BY 1), est AS (SELECT tok, min(c) AS cms_est FROM (SELECT t.tok, cell.c FROM (SELECT DISTINCT tok FROM occ) t, unnest(generate_series(0, 3)) AS g(r) JOIN cell ON cell.r = g.r AND cell.bucket = CAST(concat('0x', substr(md5('cms7:' || CAST(g.r AS VARCHAR) || ':' || t.tok), 1, 15)) AS BIGINT) % 512) GROUP BY 1) SELECT tok, true_count, cms_est, cms_est - true_count AS overcount FROM tc JOIN est USING (tok)"""))
+      Some("""WITH occ AS (SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) AS tok FROM documents), cell AS (SELECT r, bucket, count(*) AS c FROM (SELECT g.r, CAST(concat('0x', substr(md5('cms7:' || CAST(g.r AS VARCHAR) || ':' || tok), 1, 15)) AS BIGINT) % 512 AS bucket FROM occ, unnest(generate_series(0, 3)) AS g(r)) GROUP BY 1, 2), tc AS (SELECT tok, count(*) AS true_count FROM occ GROUP BY 1), est AS (SELECT tok, min(c) AS cms_est FROM (SELECT t.tok, cell.c FROM (SELECT DISTINCT tok FROM occ) t, unnest(generate_series(0, 3)) AS g(r) JOIN cell ON cell.r = g.r AND cell.bucket = CAST(concat('0x', substr(md5('cms7:' || CAST(g.r AS VARCHAR) || ':' || t.tok), 1, 15)) AS BIGINT) % 512) GROUP BY 1) SELECT tok, true_count, cms_est, cms_est - true_count AS overcount FROM tc JOIN est USING (tok)""")),
+
+    Entry("q_novelty_score",
+      // content-novelty: fraction of a doc's 8-gram occurrences unique
+      // to it corpus-wide — the inverse of the repeated-span signal
+      // (low novelty = assembled from shared spans even if no single
+      // span crosses a strip threshold)
+      (s, d) => Text.noveltyScore(t(s, d, "documents"), "doc_id", "text",
+        k = 8),
+      Some("""WITH rt AS (SELECT doc_id AS id, list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS ts FROM documents), tk AS (SELECT id, ts, len(ts) AS n FROM rt WHERE len(ts) >= 8), g AS (SELECT id, array_to_string(ts[i:i+7], ' ') AS gram FROM tk, unnest(generate_series(1, n - 7)) AS gi(i)), gdf AS (SELECT gram, count(DISTINCT id) AS df FROM g GROUP BY 1) SELECT id, count(*) AS n_grams, CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS novel_grams, round(CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS novelty FROM g JOIN gdf USING (gram) GROUP BY 1""")),
+
+    Entry("q_bpe_merges",
+      // BPE vocabulary-training pair scan: within-token adjacent char
+      // pairs counted per OCCURRENCE, top 20 merge candidates with a
+      // lexicographic tie-break — the deterministic inner step of a BPE
+      // trainer (the loop is scan + re-segment, the EM fixed-point shape)
+      (s, d) => Text.bpeMergeStats(t(s, d, "documents"), "text", topK = 20),
+      Some("""WITH ot AS (SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) AS tk FROM documents), t2 AS (SELECT tk FROM ot WHERE len(tk) >= 2), p AS (SELECT substr(tk, i, 2) AS pair FROM t2, unnest(generate_series(1, len(tk) - 1)) AS g(i)), c AS (SELECT pair, count(*) AS pair_count FROM p GROUP BY 1), r AS (SELECT pair, pair_count, CAST(row_number() OVER (ORDER BY pair_count DESC, pair) AS INTEGER) AS rank FROM c) SELECT pair, pair_count, rank FROM r WHERE rank <= 20""")),
+
+    Entry("q_hash_embed",
+      // feature-hashing document embedding: md5-bucketed token counts →
+      // dense L2-normalized vector — the text→vector bridge for corpora
+      // without model embeddings; exact integers until the final
+      // normalize, so the whole vector replays in the oracle
+      (s, d) => Text.hashEmbed(t(s, d, "documents"), "doc_id", "text",
+        dim = 64, seed = 11L),
+      Some(s"""WITH ot AS (SELECT doc_id AS id, unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0)) AS tk FROM documents), b AS (SELECT id, CAST(concat('0x', substr(md5('he11:' || tk), 1, 15)) AS BIGINT) % 64 AS bucket, count(*) AS c FROM ot GROUP BY 1, 2), grid AS (SELECT i.id, gd.dim FROM (SELECT DISTINCT id FROM b) i, unnest(generate_series(0, 63)) AS gd(dim)), d AS (SELECT grid.id, list(CAST(coalesce(b.c, 0) AS DOUBLE) ORDER BY grid.dim) AS raw FROM grid LEFT JOIN b ON b.id = grid.id AND b.bucket = grid.dim GROUP BY 1), n AS (SELECT id, raw, sqrt(list_reduce(list_transform(raw, x -> x * x), (a, e) -> a + e)) AS nn FROM d) SELECT id, list_transform(raw, x -> ${OmicsQueries.rndSql("x / nn", 6)}) AS vec FROM n""")),
+
+    Entry("q_text_ann",
+      // end-to-end content similarity search with NO model embeddings:
+      // hash-embed the corpus, then exact cosine top-5 for three query
+      // docs (broadcast queries, corpus streamed; the SRP/IVF tiers are
+      // the scale path once vectors exist). The engine's cosine kernel
+      // narrows to float32 — the oracle replicates the narrowing with
+      // CAST(.. AS REAL) so every cosine matches bit for bit.
+      (s, d) => {
+        val emb = Text.hashEmbed(t(s, d, "documents"), "doc_id", "text",
+            dim = 64, seed = 11L)
+          .select(col("id").as("vec_id"), col("vec").as("embedding"))
+        Similarity.bruteForceTopK(emb, emb.where(col("vec_id") < 3),
+          "vec_id", "embedding", k = 5)
+      },
+      Some {
+        val he = s"""WITH ot AS (SELECT doc_id AS id, unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0)) AS tk FROM documents), b AS (SELECT id, CAST(concat('0x', substr(md5('he11:' || tk), 1, 15)) AS BIGINT) % 64 AS bucket, count(*) AS c FROM ot GROUP BY 1, 2), grid AS (SELECT i.id, gd.dim FROM (SELECT DISTINCT id FROM b) i, unnest(generate_series(0, 63)) AS gd(dim)), d AS (SELECT grid.id, list(CAST(coalesce(b.c, 0) AS DOUBLE) ORDER BY grid.dim) AS raw FROM grid LEFT JOIN b ON b.id = grid.id AND b.bucket = grid.dim GROUP BY 1), n AS (SELECT id, raw, sqrt(list_reduce(list_transform(raw, x -> x * x), (a, e) -> a + e)) AS nn FROM d), emb AS (SELECT id, list_transform(raw, x -> CAST(${OmicsQueries.rndSql("x / nn", 6)} AS REAL)) AS v FROM n)"""
+        val cos = "list_sum(list_transform(list_zip(q.v, c.v), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) / (sqrt(list_sum(list_transform(q.v, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * sqrt(list_sum(list_transform(c.v, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))"
+        s"""$he, q AS (SELECT id AS query_id, v FROM emb WHERE id < 3), s AS (SELECT query_id, c.id AS neighbor_id, $cos AS cos FROM q, emb c WHERE c.id <> q.query_id), r AS (SELECT query_id, neighbor_id, cos, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn FROM s) SELECT query_id, neighbor_id, CAST(rn AS INTEGER) AS rank, round(cos, 6) AS cos FROM r WHERE rn <= 5"""
+      })
   )
 }

@@ -245,4 +245,95 @@ object Text {
       .agg(count(lit(1)).as("n_bigrams"),
         round(sum(col("__lp")) / count(lit(1)), 6).as("avg_logprob"))
   }
+
+  /** Content-novelty score: the fraction of a document's k-gram
+    * occurrences whose gram appears in NO other document (corpus
+    * document-frequency 1) — the inverse signal of the repeated-span
+    * detector. High novelty = original content worth keeping; low
+    * novelty = the doc is largely assembled from corpus-shared spans
+    * even when no single span crosses a strip threshold.
+    *
+    * Shape: the same inverted gram index the span tier builds (one
+    * map-side-combined exchange on the gram), then one join-back and a
+    * per-doc aggregate — linear, no window, no quadratic step.
+    *
+    * @return (id, n_grams, novel_grams, novelty) for docs with >= k
+    *         tokens (shorter docs carry no k-gram). */
+  def noveltyScore(df: DataFrame, idCol: String, textCol: String,
+                   k: Int = 8): DataFrame = {
+    val grams = df.select(col(idCol).as("id"),
+        tokens(lower(col(textCol))).as("ts"))
+      .where(size(col("ts")) >= k)
+      .select(col("id"), explode(
+        transform(sequence(lit(0), size(col("ts")) - k),
+          i => array_join(slice(col("ts"), i + 1, lit(k)), " "))).as("gram"))
+      .localCheckpoint(false) // feeds the df count AND the join-back
+    val gdf = grams.groupBy("gram").agg(count_distinct(col("id")).as("df"))
+    grams.join(gdf, "gram")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("novel_grams"))
+      .withColumn("novelty",
+        round(col("novel_grams").cast("double") / col("n_grams"), 6))
+  }
+
+  /** BPE merge-candidate statistics: within-token adjacent character
+    * pairs counted over the corpus (each token OCCURRENCE contributes),
+    * ranked by count with a lexicographic tie-break — the pair-count
+    * scan that is one step of byte-pair-encoding vocabulary training.
+    * Deterministic and SQL-replayable (the merge LOOP itself is the
+    * same fixed-point shape as the EM kernels: each round is this scan
+    * plus a re-segmentation; the gate pins the scan).
+    *
+    * Shape: one bounded fan-out (token length − 1 pairs per token) into
+    * a map-side-combined count — the vocabulary of 2-grams of characters
+    * is tiny, so the exchange carries ≤ |charset|² partial rows per
+    * task. Output: (pair, pair_count, rank), top `topK` by count. */
+  def bpeMergeStats(df: DataFrame, textCol: String,
+                    topK: Int = 20): DataFrame = {
+    val toks = df.select(explode(tokens(lower(col(textCol)))).as("tok"))
+      .where(length(col("tok")) >= 2)
+    val pairs = toks.select(explode(
+        transform(sequence(lit(1), length(col("tok")) - 1),
+          i => col("tok").substr(i, lit(2)))).as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("pair_count"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("pair_count").desc, col("pair"))
+    pairs.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= topK)
+  }
+
+  /** Feature-hashing document embedding (the hashing trick): tokens hash
+    * into `dim` buckets via the shared md5 draw, bucket counts become a
+    * dense vector, L2-normalized — the text→vector bridge that lets the
+    * ANN/semantic-dedup tier run on corpora with no model embeddings.
+    * Exact integer counts until the final normalization, so the whole
+    * vector — and any cosine computed from it — is oracle-replayable.
+    *
+    * Shape: token explode → one (id, bucket) map-side-combined count →
+    * one per-doc dense-assembly aggregate. The vector never exceeds
+    * `dim` doubles; no vocabulary state anywhere.
+    *
+    * @return (id, vec ARRAY<DOUBLE> of length dim, unit L2 norm). */
+  def hashEmbed(df: DataFrame, idCol: String, textCol: String,
+                dim: Int = 64, seed: Long = 11L): DataFrame = {
+    require(dim >= 2, s"dim must be >= 2: $dim")
+    val counts = df.select(col(idCol).as("id"),
+        explode(tokens(lower(col(textCol)))).as("tok"))
+      .withColumn("bucket",
+        conv(substring(md5(concat(lit(s"he$seed:"), col("tok"))), 1, 15),
+          16, 10).cast("long") % dim)
+      .groupBy("id", "bucket").agg(count(lit(1)).as("c"))
+    counts.groupBy("id")
+      .agg(map_from_entries(collect_list(
+        struct(col("bucket"), col("c")))).as("m"))
+      .select(col("id"),
+        transform(sequence(lit(0), lit(dim - 1)),
+          i => coalesce(element_at(col("m"), i.cast("long")), lit(0L))
+            .cast("double")).as("raw"))
+      .withColumn("__n", sqrt(aggregate(col("raw"), lit(0.0),
+        (acc, x) => acc + x * x)))
+      .select(col("id"),
+        transform(col("raw"), x => round(x / col("__n"), 6)).as("vec"))
+  }
 }

@@ -123,6 +123,58 @@ class StripChunkSpec extends SparkSpec {
     assert(diff.count() == 0)
   }
 
+  test("noveltyScore: fully-unique doc scores 1, a full clone pair scores 0") {
+    val unique = (1 to 12).map(i => s"only$i").mkString(" ")
+    val cloned = (1 to 12).map(i => s"dup$i").mkString(" ")
+    val docs = Seq((1L, unique), (2L, cloned), (3L, cloned))
+      .toDF("doc_id", "text")
+    val out = graft.text.Text.noveltyScore(docs, "doc_id", "text", k = 8)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(out(1L) == 1.0)
+    assert(out(2L) == 0.0 && out(3L) == 0.0)
+  }
+
+  test("bpeMergeStats counts within-token char pairs per occurrence with " +
+       "deterministic tie-break") {
+    val docs = Seq((1L, "aab aab xy")).toDF("doc_id", "text")
+    // pairs: aab -> aa, ab (x2 occurrences); xy -> xy
+    val out = graft.text.Text.bpeMergeStats(docs, "text", topK = 10)
+      .orderBy("rank").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+    assert(out.toSeq == Seq(("aa", 2L, 1), ("ab", 2L, 2), ("xy", 1L, 3)))
+  }
+
+  test("hashEmbed: unit L2 norm, deterministic, equal text -> equal vector") {
+    val docs = Seq((1L, "spark rows fast table"), (2L, "spark rows fast table"),
+      (3L, "a completely different set of words here"))
+      .toDF("doc_id", "text")
+    val vecs = graft.text.Text.hashEmbed(docs, "doc_id", "text",
+        dim = 16, seed = 11L)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(vecs(1L) == vecs(2L))
+    assert(vecs(1L) != vecs(3L))
+    vecs.values.foreach { v =>
+      assert(math.abs(v.map(x => x * x).sum - 1.0) < 1e-4)
+      assert(v.length == 16)
+    }
+  }
+
+  test("hash-embed ANN: an exact text clone is its twin's top neighbor " +
+       "at cosine 1") {
+    val docs = Seq(
+      (0L, "alpha beta gamma delta"), (1L, "alpha beta gamma delta"),
+      (2L, "epsilon zeta eta theta"), (3L, "iota kappa lambda mu"))
+      .toDF("doc_id", "text")
+    val emb = graft.text.Text.hashEmbed(docs, "doc_id", "text",
+        dim = 32, seed = 11L)
+      .select(col("id").as("vec_id"), col("vec").as("embedding"))
+    val top = graft.sim.Similarity.bruteForceTopK(emb,
+        emb.where(col("vec_id") === 0), "vec_id", "embedding", k = 1)
+      .collect()
+    assert(top.length == 1)
+    assert(top(0).getLong(1) == 1L && top(0).getDouble(3) == 1.0)
+  }
+
   test("semanticDedup prunes a planted near-duplicate within its cluster " +
        "and never prunes across clusters") {
     val base = Array.fill(8)(0.0f)
