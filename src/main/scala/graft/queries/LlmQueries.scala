@@ -145,7 +145,70 @@ object LlmQueries {
     s"""WITH cs AS (SELECT vec_id, embedding AS ce, ${sig("embedding")} AS sig FROM embeddings), qs AS (SELECT vec_id, ce AS qe, sig FROM cs WHERE vec_id < 5), cb AS (SELECT vec_id, (sig >> (b * $bitsPerBand)) & $mask AS chunk, b FROM cs, unnest(generate_series(0, ${bands - 1})) AS g(b)), qb AS (SELECT vec_id, (sig >> (b * $bitsPerBand)) & $mask AS chunk, b FROM qs, unnest(generate_series(0, ${bands - 1})) AS g(b)), cand AS (SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id AS neighbor_id FROM qb JOIN cb ON qb.b = cb.b AND qb.chunk = cb.chunk AND qb.vec_id <> cb.vec_id), sc AS (SELECT cand.query_id, cand.neighbor_id, $cos AS cos FROM cand JOIN qs q ON q.vec_id = cand.query_id JOIN cs c ON c.vec_id = cand.neighbor_id), r AS (SELECT query_id, neighbor_id, cos, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn FROM sc) SELECT query_id, neighbor_id, CAST(rn AS INTEGER) AS rank, round(cos, 6) AS cos FROM r WHERE rn <= $k"""
   }
 
+  /** DuckDB replay of QualityModel.irlsFit: feature/label frame, then
+    * `iters` unrolled IRLS rounds — each is the grid-quantized per-row
+    * weight/working-response stage, nine exact-decimal weighted moment
+    * sums (recovered to double via the decimal string), and the Cramer
+    * 3×3 solve in the olsTwoCovariatesExact token order. Produces CTEs
+    * `f` (features) and `b1..b$iters` (coefficient rows). */
+  private[queries] def lrCtes(iters: Int): String = {
+    def gq(x: String) = s"floor(($x) * 1e6 + 0.5) / 1e6"
+    def dsum(x: String) = s"CAST(CAST(sum($x) AS VARCHAR) AS DOUBLE)"
+    val f =
+      """f AS MATERIALIZED (SELECT doc_id AS id, CASE WHEN lang = 'en' THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END AS y, least(CAST(len(ts) AS DOUBLE), 200.0) / 200.0 AS x1, """ +
+      gq("CAST(len(list_distinct(ts)) AS DOUBLE) / CAST(len(ts) AS DOUBLE)") +
+      """ AS x2 FROM (SELECT doc_id, lang, list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS ts FROM documents) WHERE len(ts) > 0), """ +
+      """b0x AS (SELECT CAST(0.0 AS DOUBLE) AS b0, CAST(0.0 AS DOUBLE) AS b1, CAST(0.0 AS DOUBLE) AS b2)"""
+    val its = (1 to iters).map { i =>
+      val prev = if (i == 1) "b0x" else s"b${i - 1}"
+      val w6 = "CAST(w AS DECIMAL(7,6))"
+      val u1 = "CAST(x1 AS DECIMAL(7,6))"
+      val u2 = "CAST(x2 AS DECIMAL(7,6))"
+      val zz = "CAST(z AS DECIMAL(14,6))"
+      s"""p$i AS (SELECT f.id, f.y, f.x1, f.x2, b.b0 + b.b1 * f.x1 + b.b2 * f.x2 AS eta FROM f, $prev b), """ +
+      s"""q$i AS (SELECT *, ${gq("least(greatest(1.0 / (1.0 + exp(-eta)), 1e-6), 0.999999)")} AS mu FROM p$i), """ +
+      s"""r$i AS (SELECT *, greatest(${gq("mu * (1.0 - mu)")}, 1e-6) AS w FROM q$i), """ +
+      s"""t$i AS (SELECT *, ${gq("eta + (y - mu) / w")} AS z FROM r$i), """ +
+      s"""m$i AS (SELECT ${dsum(w6)} AS sw, ${dsum(s"$w6 * $u1")} AS s1, ${dsum(s"$w6 * $u2")} AS s2, ${dsum(s"$w6 * $u1 * $u1")} AS s11, ${dsum(s"$w6 * $u2 * $u2")} AS s22, ${dsum(s"$w6 * $u1 * $u2")} AS s12, ${dsum(s"$w6 * $zz")} AS sy, ${dsum(s"$w6 * $u1 * $zz")} AS s1y, ${dsum(s"$w6 * $u2 * $zz")} AS s2y FROM t$i), """ +
+      s"""k$i AS (SELECT *, sw * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2) + s2 * (s1 * s12 - s11 * s2) AS det FROM m$i), """ +
+      s"""b$i AS (SELECT (sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y) + s2 * (s1y * s12 - s11 * s2y)) / det AS b0, (sw * (s1y * s22 - s12 * s2y) - sy * (s1 * s22 - s12 * s2) + s2 * (s1 * s2y - s1y * s2)) / det AS b1, (sw * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2) + sy * (s1 * s12 - s11 * s2)) / det AS b2 FROM k$i)"""
+    }.mkString(", ")
+    s"$f, $its"
+  }
+
   val entries: Seq[Entry] = Seq(
+
+    Entry("q_quality_lr_fit",
+      // trainable quality classifier: logistic y(lang=en) ~ 1 + length +
+      // distinct-ratio by DISTRIBUTED IRLS — per iteration one exact-
+      // decimal moment aggregate + a driver-side Cramer solve (driver
+      // state = 9 numbers at any corpus size). The oracle unrolls all 3
+      // rounds; grid quantization makes every weight cross-engine exact.
+      (s, d) => {
+        val f = graft.text.QualityModel.features(t(s, d, "documents"),
+          "doc_id", "text", "lang", "en").localCheckpoint(false)
+        val path = graft.text.QualityModel.irlsFit(f, iters = 3)
+        import s.implicits._
+        path.zipWithIndex
+          .map { case (c, i) => (i + 1, c.b0, c.b1, c.b2) }
+          .toDF("iter", "rb0", "rb1", "rb2")
+          .select(col("iter"), round(col("rb0"), 6).as("b0"),
+            round(col("rb1"), 6).as("b1"), round(col("rb2"), 6).as("b2"))
+      },
+      Some(s"""WITH ${lrCtes(3)} SELECT * FROM (SELECT CAST(1 AS INTEGER) AS iter, round(b0, 6) AS b0, round(b1, 6) AS b1, round(b2, 6) AS b2 FROM b1 UNION ALL SELECT CAST(2 AS INTEGER), round(b0, 6), round(b1, 6), round(b2, 6) FROM b2 UNION ALL SELECT CAST(3 AS INTEGER), round(b0, 6), round(b1, 6), round(b2, 6) FROM b3)""")),
+
+    Entry("q_quality_lr_score",
+      // the scoring pass under the 3-round fit: per-doc sigmoid score +
+      // hard prediction — one zero-shuffle scan once the 3 coefficients
+      // are known
+      (s, d) => {
+        val f = graft.text.QualityModel.features(t(s, d, "documents"),
+          "doc_id", "text", "lang", "en").localCheckpoint(false)
+        val b = graft.text.QualityModel.irlsFit(f, iters = 3).last
+        graft.text.QualityModel.score(f, b)
+      },
+      Some(s"""WITH ${lrCtes(3)} SELECT f.id, f.y, round(1.0 / (1.0 + exp(-(b.b0 + b.b1 * f.x1 + b.b2 * f.x2))), 6) AS score, 1.0 / (1.0 + exp(-(b.b0 + b.b1 * f.x1 + b.b2 * f.x2))) >= 0.5 AS pred FROM f, b3 b""")),
+
 
     Entry("q_dedup_exact",
       (s, d) => Dedup.exact(t(s, d, "documents"), "doc_id", "text"),

@@ -175,6 +175,34 @@ class StripChunkSpec extends SparkSpec {
     assert(top(0).getLong(1) == 1L && top(0).getDouble(3) == 1.0)
   }
 
+  test("logistic IRLS learns a separable length signal: long en docs " +
+       "score high, short de docs score low") {
+    // y = (lang == en); en docs are long (x1 high), de docs short
+    // en docs: long with all-distinct tokens; de docs: short and mostly a
+    // single repeated token (so BOTH features vary — a constant feature
+    // is collinear with the intercept and the system is singular)
+    val docs = (1 to 40).map { i =>
+      if (i % 2 == 0)
+        (i.toLong, (1 to (100 + i)).map(j => s"w${i}_$j").mkString(" "), "en")
+      else
+        (i.toLong, (Seq.fill(8 + i % 5)("rep") :+ s"tail$i").mkString(" "), "de")
+    }.toDF("doc_id", "text", "lang")
+    val f = graft.text.QualityModel.features(docs, "doc_id", "text",
+      "lang", "en").localCheckpoint(false)
+    val path = graft.text.QualityModel.irlsFit(f, iters = 3)
+    assert(path.last.b1 > 0, "length coefficient should be positive")
+    val scored = graft.text.QualityModel.score(f, path.last)
+      .collect().map(r => (r.getDouble(1), r.getDouble(2), r.getBoolean(3)))
+    // perfect separation on this data: every prediction matches the label
+    scored.foreach { case (y, score, pred) =>
+      assert(pred == (y == 1.0), s"misclassified y=$y score=$score")
+      assert(pred == (score >= 0.5))
+    }
+    // and the margin should widen across iterations (IRLS ascends the
+    // likelihood): iteration-3 coefficients dominate iteration-1's
+    assert(math.abs(path(2).b1) > math.abs(path(0).b1))
+  }
+
   test("semanticDedup prunes a planted near-duplicate within its cluster " +
        "and never prunes across clusters") {
     val base = Array.fill(8)(0.0f)
