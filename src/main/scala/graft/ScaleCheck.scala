@@ -45,7 +45,8 @@ object ScaleCheck {
     // map-only chunker, and the constant-size count-min build
     "q_strip_spans", "q_line_dedup", "q_semantic_dedup",
     "q_chunk_windows", "q_cms_heavy", "q_lm_score",
-    "q_novelty_score", "q_bpe_merges", "q_hash_embed", "q_text_ann")
+    "q_novelty_score", "q_bpe_merges", "q_hash_embed", "q_text_ann",
+    "q_quality_lr_fit", "q_quality_lr_score")
 
   def main(args: Array[String]): Unit = {
     val src = "/root/testdata/sf0.1"
