@@ -58,7 +58,8 @@ object PlanAudit {
       "q_pca_batch",  // single-row grand-mean broadcast-joined back
       "q_dist_shift", // single-row corpus-total broadcast-joined back
       "q_dedup_embedding", // exactness-baseline all-pairs by definition
-      "q_text_ann") // bruteForceTopK: broadcast-queries-vs-corpus BNLJ
+      "q_text_ann", // bruteForceTopK: broadcast-queries-vs-corpus BNLJ
+      "q_corpus_overlap") // two single-row sketch summaries cross-joined
     val shapes = scala.collection.mutable.LinkedHashMap[String, Shape]()
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => names.isEmpty || names(n) }

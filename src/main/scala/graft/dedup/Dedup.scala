@@ -445,6 +445,32 @@ object Dedup {
       .toDF("id", "seg_pos", "segment")
   }
 
+  /** Corpus snapshot diff: classify every document id across two corpus
+    * versions as added / removed / changed / unchanged by exact content
+    * hash — the audit step between pipeline runs (what did the refresh
+    * actually touch?) and the input to incremental re-processing (only
+    * added+changed docs re-enter the dedup/quality tiers).
+    *
+    * Raw-byte md5, deliberately NOT the normalized hash [[exact]] uses:
+    * a diff answers "did the stored content change", not "is it a
+    * near-duplicate". One full outer equi-join on the id — linear, and
+    * at lake scale it prunes to changed partitions first.
+    *
+    * Output: (id, old_hash, new_hash, status). */
+  def corpusDiff(oldDocs: DataFrame, newDocs: DataFrame,
+                 idCol: String, textCol: String): DataFrame = {
+    val oh = oldDocs.select(col(idCol).as("id"),
+      md5(col(textCol)).as("old_hash"))
+    val nh = newDocs.select(col(idCol).as("id"),
+      md5(col(textCol)).as("new_hash"))
+    oh.join(nh, Seq("id"), "full")
+      .withColumn("status",
+        when(col("old_hash").isNull, "added")
+          .when(col("new_hash").isNull, "removed")
+          .when(col("old_hash") =!= col("new_hash"), "changed")
+          .otherwise("unchanged"))
+  }
+
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         k: Int = 3, threshold: Double = 0.8,
                         maxShingleDf: Long = 100): DataFrame = {

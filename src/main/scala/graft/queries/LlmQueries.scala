@@ -178,6 +178,39 @@ object LlmQueries {
 
   val entries: Seq[Entry] = Seq(
 
+    Entry("q_corpus_diff",
+      // snapshot audit between pipeline runs: old = doc_id < 400, new =
+      // doc_id >= 100 with every 50th doc edited — classifies each id as
+      // added / removed / changed / unchanged by raw content hash (one
+      // full outer equi-join; incremental re-processing consumes
+      // added+changed only)
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val oldS = docs.where(col("doc_id") < 400).select("doc_id", "text")
+        val newS = docs.where(col("doc_id") >= 100)
+          .select(col("doc_id"),
+            when(col("doc_id") % 50 === 0, concat(col("text"), lit(" edited")))
+              .otherwise(col("text")).as("text"))
+        Dedup.corpusDiff(oldS, newS, "doc_id", "text")
+      },
+      Some("""WITH oh AS (SELECT doc_id AS id, md5(text) AS old_hash FROM documents WHERE doc_id < 400), nh AS (SELECT doc_id AS id, md5(CASE WHEN doc_id % 50 = 0 THEN text || ' edited' ELSE text END) AS new_hash FROM documents WHERE doc_id >= 100) SELECT id, old_hash, new_hash, CASE WHEN old_hash IS NULL THEN 'added' WHEN new_hash IS NULL THEN 'removed' WHEN old_hash <> new_hash THEN 'changed' ELSE 'unchanged' END AS status FROM oh FULL JOIN nh USING (id)""")),
+
+    Entry("q_corpus_overlap",
+      // cross-corpus contamination estimate from two fixed-size KMV
+      // sketches over the shared md5 5-shingle draw (corpus A = even ids,
+      // B = odd): est_jaccard from the k=256 smallest union draws,
+      // checked against the exact distinct-shingle Jaccard in the same
+      // row — the "is corpus B already in corpus A" question without
+      // pairwise document work
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        graft.stats.Sketches.corpusOverlapKmv(
+          docs.where(col("doc_id") % 2 === 0),
+          docs.where(col("doc_id") % 2 === 1),
+          "text", shingleK = 5, k = 256)
+      },
+      Some("""WITH tk0 AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS ts FROM documents), sh0 AS (SELECT doc_id, CASE WHEN len(ts) >= 5 THEN array_to_string(ts[i:i+4], ' ') ELSE array_to_string(ts, ' ') END AS s FROM tk0, unnest(generate_series(1, greatest(len(ts) - 4, 1))) AS g(i)), shh AS (SELECT DISTINCT doc_id, CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) AS h FROM sh0), ua AS (SELECT DISTINCT h FROM shh WHERE doc_id % 2 = 0), ub AS (SELECT DISTINCT h FROM shh WHERE doc_id % 2 = 1), uni AS (SELECT h, max(ia) AS ia, max(ib) AS ib FROM (SELECT h, 1 AS ia, 0 AS ib FROM ua UNION ALL SELECT h, 0 AS ia, 1 AS ib FROM ub) GROUP BY 1), tk AS (SELECT * FROM uni ORDER BY h LIMIT 256), tops AS (SELECT count(*) AS k_used, CAST(sum(ia * ib) AS BIGINT) AS inter_k FROM tk), tot AS (SELECT count(*) AS n_union, CAST(sum(ia) AS BIGINT) AS n_a, CAST(sum(ib) AS BIGINT) AS n_b, CAST(sum(ia * ib) AS BIGINT) AS n_inter FROM uni) SELECT k_used, n_a, n_b, n_union, n_inter, round(CAST(inter_k AS DOUBLE) / k_used, 6) AS est_jaccard, round(CAST(n_inter AS DOUBLE) / n_union, 6) AS exact_jaccard FROM tops, tot""")),
+
     Entry("q_quality_lr_fit",
       // trainable quality classifier: logistic y(lang=en) ~ 1 + length +
       // distinct-ratio by DISTRIBUTED IRLS — per iteration one exact-

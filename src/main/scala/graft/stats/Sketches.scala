@@ -64,4 +64,49 @@ object Sketches {
       .groupBy(col(itemCol))
       .agg(min(coalesce(col("c"), lit(0L))).as("cms_est"))
   }
+
+  /** Cross-corpus content-overlap estimate via the KMV (k-minimum-values)
+    * construction: the k smallest shingle-hash draws of A∪B form a
+    * uniform sample of the union, and the fraction of them present in
+    * BOTH corpora estimates the Jaccard overlap — "how much of corpus B
+    * is already in corpus A" answered from two mergeable fixed-size
+    * sketches, no pairwise document work. The md5 shingle draw is the
+    * shared deterministic family (decontaminate/minhash), so the
+    * ESTIMATE — not just the procedure — replays exactly in the oracle.
+    *
+    * Shape: per-side distinct hash sets (map-side combine), a flag-merge
+    * aggregate on the hash, then orderBy(h).limit(k) — Spark executes
+    * that as TakeOrderedAndProject (per-partition top-k, driver merge of
+    * k·P rows), never a global sort. The exact Jaccard over the full
+    * union rides the same relation for the gate's est-vs-exact check; a
+    * 100 TB caller drops it and keeps only the sketch pass.
+    *
+    * Output, one row: (k_used, n_a, n_b, n_union, n_inter, est_jaccard,
+    * exact_jaccard). */
+  def corpusOverlapKmv(a: DataFrame, b: DataFrame, textCol: String,
+                       shingleK: Int = 5, k: Int = 256): DataFrame = {
+    require(k >= 1, s"k must be positive: $k")
+    def hs(df: DataFrame) = df.select(explode(
+        graft.catalyst.ArrayFunctions.shingleHashes(col(textCol), shingleK))
+        .as("h"))
+      .distinct()
+    val uni = hs(a).select(col("h"), lit(1).as("ia"), lit(0).as("ib"))
+      .unionByName(hs(b).select(col("h"), lit(0).as("ia"), lit(1).as("ib")))
+      .groupBy("h").agg(max(col("ia")).as("ia"), max(col("ib")).as("ib"))
+      .localCheckpoint(false) // feeds the exact totals AND the top-k pass
+    val tot = uni.agg(count(lit(1)).as("n_union"),
+      sum(col("ia")).cast("long").as("n_a"),
+      sum(col("ib")).cast("long").as("n_b"),
+      sum(col("ia") * col("ib")).cast("long").as("n_inter"))
+    val top = uni.orderBy(col("h")).limit(k)
+      .agg(count(lit(1)).as("k_used"),
+        sum(col("ia") * col("ib")).cast("long").as("inter_k"))
+    top.crossJoin(tot) // two single-row frames — an intentional broadcast
+      .select(col("k_used"), col("n_a"), col("n_b"), col("n_union"),
+        col("n_inter"),
+        round(col("inter_k").cast("double") / col("k_used"), 6)
+          .as("est_jaccard"),
+        round(col("n_inter").cast("double") / col("n_union"), 6)
+          .as("exact_jaccard"))
+  }
 }

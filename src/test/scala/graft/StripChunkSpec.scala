@@ -175,6 +175,40 @@ class StripChunkSpec extends SparkSpec {
     assert(top(0).getLong(1) == 1L && top(0).getDouble(3) == 1.0)
   }
 
+  test("corpusDiff classifies added, removed, changed and unchanged ids") {
+    val oldS = Seq((1L, "keep me"), (2L, "drop me"), (3L, "mutate me"))
+      .toDF("doc_id", "text")
+    val newS = Seq((1L, "keep me"), (3L, "mutated!"), (4L, "brand new"))
+      .toDF("doc_id", "text")
+    val out = Dedup.corpusDiff(oldS, newS, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(out == Map(1L -> "unchanged", 2L -> "removed",
+      3L -> "changed", 4L -> "added"))
+  }
+
+  test("corpusOverlapKmv: identical corpora estimate 1.0, disjoint 0.0, " +
+       "and the estimate tracks the exact Jaccard") {
+    def corpus(prefix: String, n: Int) = (1 to n).map(i =>
+      (i.toLong, (1 to 9).map(j => s"$prefix${i}_$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val a = corpus("x", 40)
+    val same = Sketches.corpusOverlapKmv(a, a, "text", shingleK = 5, k = 64)
+      .collect()(0)
+    assert(same.getDouble(5) == 1.0 && same.getDouble(6) == 1.0)
+    val disj = Sketches.corpusOverlapKmv(a, corpus("y", 40), "text",
+      shingleK = 5, k = 64).collect()(0)
+    assert(disj.getDouble(5) == 0.0 && disj.getDouble(6) == 0.0)
+    // half-overlapping corpora: estimate within sampling error of exact
+    val b = corpus("x", 20).union(corpus("z", 20)
+      .select(col("doc_id") + 100, col("text")))
+    val half = Sketches.corpusOverlapKmv(a, b, "text", shingleK = 5, k = 64)
+      .collect()(0)
+    val (est, exact) = (half.getDouble(5), half.getDouble(6))
+    assert(est > 0.0 && est < 1.0)
+    assert(math.abs(est - exact) < 0.25,
+      s"KMV estimate $est too far from exact $exact")
+  }
+
   test("logistic IRLS learns a separable length signal: long en docs " +
        "score high, short de docs score low") {
     // y = (lang == en); en docs are long (x1 high), de docs short
