@@ -59,7 +59,9 @@ object PlanAudit {
       "q_dist_shift", // single-row corpus-total broadcast-joined back
       "q_dedup_embedding", // exactness-baseline all-pairs by definition
       "q_text_ann", // bruteForceTopK: broadcast-queries-vs-corpus BNLJ
-      "q_corpus_overlap") // two single-row sketch summaries cross-joined
+      "q_corpus_overlap", // two single-row sketch summaries cross-joined
+      "q_dsir_weights", // single-row corpus totals broadcast-joined back
+      "q_dsir_sample")  // same weights stage under the Gumbel top-k
     val shapes = scala.collection.mutable.LinkedHashMap[String, Shape]()
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => names.isEmpty || names(n) }

@@ -176,6 +176,21 @@ object LlmQueries {
     s"$f, $its"
   }
 
+  /** DuckDB replay of Text.dsirLogWeights over documents with target =
+    * lang 'en', dim 256, seed 17, alpha 1: the same md5 token→bucket
+    * draw, Laplace-smoothed bucket distributions, and per-doc
+    * c·lr(bucket) sums over pre-aggregated integer counts. */
+  private val dsirWeightsSql =
+    """WITH dot AS (SELECT doc_id AS id, lang, unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) AS tk FROM documents), """ +
+    """db AS MATERIALIZED (SELECT id, CAST(concat('0x', substr(md5('ds17:' || tk), 1, 15)) AS BIGINT) % 256 AS bucket, count(*) AS c FROM dot GROUP BY 1, 2), """ +
+    """rd AS (SELECT bucket, CAST(sum(c) AS BIGINT) AS cr FROM db GROUP BY 1), """ +
+    """td AS (SELECT CAST(concat('0x', substr(md5('ds17:' || tk), 1, 15)) AS BIGINT) % 256 AS bucket, count(*) AS ct FROM dot WHERE lang = 'en' GROUP BY 1), """ +
+    """dtot AS (SELECT (SELECT CAST(sum(cr) AS DOUBLE) FROM rd) AS rtot, (SELECT CAST(sum(ct) AS DOUBLE) FROM td) AS ttot), """ +
+    """lrt AS (SELECT rd.bucket, ln((CAST(coalesce(td.ct, 0) AS DOUBLE) + 1.0) / (dtot.ttot + 256.0)) - ln((CAST(rd.cr AS DOUBLE) + 1.0) / (dtot.rtot + 256.0)) AS lr FROM rd LEFT JOIN td USING (bucket), dtot)"""
+
+  private val dsirWeightsSelect =
+    s""" SELECT id, CAST(sum(c) AS BIGINT) AS n_tokens, ${OmicsQueries.rndSql("sum(CAST(c AS DOUBLE) * lr)", 6)} AS log_w FROM db JOIN lrt USING (bucket) GROUP BY 1"""
+
   val entries: Seq[Entry] = Seq(
 
     Entry("q_corpus_diff",
@@ -210,6 +225,33 @@ object LlmQueries {
           "text", shingleK = 5, k = 256)
       },
       Some("""WITH tk0 AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS ts FROM documents), sh0 AS (SELECT doc_id, CASE WHEN len(ts) >= 5 THEN array_to_string(ts[i:i+4], ' ') ELSE array_to_string(ts, ' ') END AS s FROM tk0, unnest(generate_series(1, greatest(len(ts) - 4, 1))) AS g(i)), shh AS (SELECT DISTINCT doc_id, CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) AS h FROM sh0), ua AS (SELECT DISTINCT h FROM shh WHERE doc_id % 2 = 0), ub AS (SELECT DISTINCT h FROM shh WHERE doc_id % 2 = 1), uni AS (SELECT h, max(ia) AS ia, max(ib) AS ib FROM (SELECT h, 1 AS ia, 0 AS ib FROM ua UNION ALL SELECT h, 0 AS ia, 1 AS ib FROM ub) GROUP BY 1), tk AS (SELECT * FROM uni ORDER BY h LIMIT 256), tops AS (SELECT count(*) AS k_used, CAST(sum(ia * ib) AS BIGINT) AS inter_k FROM tk), tot AS (SELECT count(*) AS n_union, CAST(sum(ia) AS BIGINT) AS n_a, CAST(sum(ib) AS BIGINT) AS n_b, CAST(sum(ia * ib) AS BIGINT) AS n_inter FROM uni) SELECT k_used, n_a, n_b, n_union, n_inter, round(CAST(inter_k AS DOUBLE) / k_used, 6) AS est_jaccard, round(CAST(n_inter AS DOUBLE) / n_union, 6) AS exact_jaccard FROM tops, tot""")),
+
+    Entry("q_dsir_weights",
+      // DSIR importance weights: target = the English slice, raw = the
+      // whole corpus; per-doc hashed-unigram log likelihood ratio under
+      // Laplace-smoothed target-vs-raw bucket distributions (dim=256,
+      // broadcast ratio table, corpus exchanged once on (id, bucket))
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        Text.dsirLogWeights(docs, docs.where(col("lang") === "en"),
+          "doc_id", "text", dim = 256, seed = 17L)
+      },
+      Some(dsirWeightsSql + dsirWeightsSelect)),
+
+    Entry("q_dsir_sample",
+      // the resampling step on those weights: Gumbel-top-k (weighted
+      // sampling w/o replacement in the log domain — exp(log_w) never
+      // materializes) over the ROUNDED weights stage, so the sort key
+      // is bit-identical in both engines; per-partition top-n, no
+      // global sort
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val w = Text.dsirLogWeights(docs, docs.where(col("lang") === "en"),
+          "doc_id", "text", dim = 256, seed = 17L)
+        graft.text.Sampling.gumbelTopK(w, "id", "log_w", n = 100,
+          seed = 23L)
+      },
+      Some(s"""$dsirWeightsSql, w AS ($dsirWeightsSelect) SELECT id, n_tokens, log_w FROM w ORDER BY ${graft.text.Sampling.gumbelKeySql("id", "log_w", 23L)} DESC, id LIMIT 100""")),
 
     Entry("q_quality_lr_fit",
       // trainable quality classifier: logistic y(lang=en) ~ 1 + length +

@@ -161,6 +161,36 @@ object Sampling {
   def esKeySql(keyExpr: String, weightExpr: String, seed: Long): String =
     s"ln(CAST(concat('0x', substr(md5('$seed:' || CAST($keyExpr AS VARCHAR)), 1, 13)) AS BIGINT) / 4503599627370496.0) / $weightExpr"
 
+  /** Weighted sampling WITHOUT replacement in the LOG-weight domain —
+    * the Gumbel-top-k trick: key = log_w − ln(−ln u) with u a
+    * deterministic md5 uniform, top n keys win; distributionally
+    * identical to [[weightedSample]] with w = exp(log_w) but never
+    * exponentiates, so importance log-weights spanning hundreds of nats
+    * (the DSIR regime) can't overflow. u is (raw60bits + 0.5)/2^52-style
+    * shifted so u ∈ (0,1) strictly — ln(0) can never surface. Same scale
+    * shape as weightedSample: per-partition top-n via
+    * TakeOrderedAndProject, no global sort. Ties (astronomically
+    * unlikely) break on the key column for determinism. */
+  def gumbelTopK(df: DataFrame, keyCol: String, logWeightCol: String,
+                 n: Int, seed: Long): DataFrame = {
+    require(n > 0, s"n must be positive: $n")
+    val u = (conv(substring(md5(concat(lit(s"gk$seed:"),
+        col(keyCol).cast("string"))), 1, 13), 16, 10)
+      .cast("double") + lit(0.5)) / lit(4503599627370496.0) // 2^52
+    df.withColumn("__gk", col(logWeightCol) - log(-log(u)))
+      .orderBy(col("__gk").desc, col(keyCol))
+      .limit(n)
+      .drop("__gk")
+  }
+
+  /** SQL twin of [[gumbelTopK]]'s sort key, for oracle construction.
+    * `logWeightExpr` must reproduce the engine's log-weight EXACTLY
+    * (e.g. the rounded output of a weights stage) or the top-k boundary
+    * becomes a float seam. */
+  def gumbelKeySql(keyExpr: String, logWeightExpr: String,
+                   seed: Long): String =
+    s"($logWeightExpr) - ln(-ln((CAST(concat('0x', substr(md5('gk$seed:' || CAST($keyExpr AS VARCHAR)), 1, 13)) AS BIGINT) + 0.5) / 4503599627370496.0))"
+
   /** Distributed exclusive prefix sum of `valueCol` (cast to long, null=0)
     * over the global `orderCols` order, appended as `outCol`.
     *

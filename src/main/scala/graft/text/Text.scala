@@ -336,4 +336,62 @@ object Text {
       .select(col("id"),
         transform(col("raw"), x => round(x / col("__n"), 6)).as("vec"))
   }
+
+  /** DSIR-style importance log-weight (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling" — public method):
+    * score every raw-corpus document by the log likelihood ratio of its
+    * hashed-unigram bag under the TARGET corpus distribution vs the RAW
+    * corpus distribution. High log_w = the document "looks like" the
+    * target domain; feed the weights to [[Sampling.gumbelTopK]] for the
+    * resampling step.
+    *
+    * Per md5 bucket b (the same deterministic token→bucket family as
+    * [[hashEmbed]], so the oracle replays it):
+    * lr(b) = ln((ct(b)+α)/(Tt+α·dim)) − ln((cr(b)+α)/(Tr+α·dim))
+    * (Laplace-smoothed target/raw bucket frequencies), and a document's
+    * log_w = Σ_tokens lr(bucket(token)) = Σ_buckets c(doc,b)·lr(b).
+    *
+    * Scale shape: both distributions are dim-row aggregates (map-side
+    * combined), the ratio table is ≤ dim rows and broadcast back onto
+    * the per-doc bucket counts — the corpus is exchanged once on
+    * (id, bucket) and never again; totals ride as single-row broadcast
+    * cross joins. Per-doc float work sums over ≤ dim pre-aggregated
+    * integer counts, not raw tokens, so the parity surface is small.
+    *
+    * Output: (id, n_tokens, log_w rounded 6) for docs with ≥ 1 token. */
+  def dsirLogWeights(raw: DataFrame, target: DataFrame, idCol: String,
+                     textCol: String, dim: Int = 256, seed: Long = 17L,
+                     alpha: Double = 1.0): DataFrame = {
+    require(dim >= 2, s"dim must be >= 2: $dim")
+    require(alpha > 0, s"alpha must be positive (smoothing): $alpha")
+    def bucket(c: Column) =
+      conv(substring(md5(concat(lit(s"ds$seed:"), c)), 1, 15), 16, 10)
+        .cast("long") % dim
+    val docBuckets = raw.select(col(idCol).as("id"),
+        explode(tokens(lower(col(textCol)))).as("tok"))
+      .select(col("id"), bucket(col("tok")).as("bucket"))
+      .groupBy("id", "bucket").agg(count(lit(1)).as("c"))
+      .localCheckpoint(false) // feeds the raw distribution AND the scoring
+    val rawDist = docBuckets.groupBy("bucket").agg(sum(col("c")).as("cr"))
+    val tgtDist = target.select(
+        explode(tokens(lower(col(textCol)))).as("tok"))
+      .select(bucket(col("tok")).as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("ct"))
+    val totals = rawDist.agg(sum(col("cr")).as("rtot"))
+      .crossJoin(tgtDist.agg(sum(col("ct")).as("ttot")))
+    // ratio over the raw-side bucket universe (a bucket no raw token hits
+    // can never appear in a document); ≤ dim rows, broadcast
+    val ratio = rawDist
+      .join(tgtDist, Seq("bucket"), "left")
+      .crossJoin(totals)
+      .select(col("bucket"),
+        (log((coalesce(col("ct"), lit(0L)).cast("double") + alpha) /
+             (col("ttot").cast("double") + alpha * dim)) -
+         log((col("cr").cast("double") + alpha) /
+             (col("rtot").cast("double") + alpha * dim))).as("lr"))
+    docBuckets.join(broadcast(ratio), Seq("bucket"))
+      .groupBy("id")
+      .agg(sum(col("c")).as("n_tokens"),
+        round(sum(col("c").cast("double") * col("lr")), 6).as("log_w"))
+  }
 }

@@ -86,6 +86,62 @@ class SamplingSpec extends SparkSpec {
     assert(s3 != s1.toSet)
   }
 
+  test("gumbelTopK: without replacement, deterministic, log-weight-biased, " +
+       "and safe at weights exp() would overflow") {
+    // log-weights spanning ±700 nats — exp() overflows/underflows a
+    // double, the exact regime the log-domain key exists for
+    val rows = (0 until 2000).map(i =>
+      (i.toLong, if (i < 200) 700.0 else -700.0)).toDF("id", "lw")
+    val s1 = Sampling.gumbelTopK(rows, "id", "lw", n = 300, seed = 5L)
+      .select("id").as[Long].collect().toSeq
+    assert(s1.size == 300 && s1.distinct.size == 300)
+    // a 1400-nat gap makes every heavy row beat every light row: the
+    // 200 heavy ids must all be in the sample
+    assert(s1.count(_ < 200) == 200)
+    // determinism under repartition
+    val s2 = Sampling.gumbelTopK(rows.repartition(13), "id", "lw",
+      n = 300, seed = 5L).select("id").as[Long].collect().toSeq
+    assert(s1.toSet == s2.toSet)
+    // moderate weights: agreement with weightedSample's ES draw is
+    // distributional, not pointwise (different uniforms) — check bias
+    val mod = (0 until 2000).map(i =>
+      (i.toLong, if (i < 200) math.log(10.0) else 0.0)).toDF("id", "lw")
+    val m1 = Sampling.gumbelTopK(mod, "id", "lw", n = 400, seed = 6L)
+      .select("id").as[Long].collect().toSeq
+    val nHeavy = m1.count(_ < 200)
+    assert(nHeavy > 120 && nHeavy < 200,
+      s"heavy rows not plausibly biased: $nHeavy of 200 drawn")
+  }
+
+  test("dsirLogWeights: target-like docs score above off-target docs, " +
+       "weights are repartition-invariant") {
+    import graft.text.Text
+    // raw corpus: half the docs speak the target vocabulary, half don't
+    val raw = (0 until 200).map { i =>
+      val words = if (i % 2 == 0) (0 until 20).map(j => s"tgt${j % 7}")
+                  else (0 until 20).map(j => s"oth${(i + j) % 90}")
+      (i.toLong, words.mkString(" "))
+    }.toDF("doc_id", "text")
+    val target = (0 until 50).map { i =>
+      (1000L + i, (0 until 20).map(j => s"tgt${(i + j) % 7}").mkString(" "))
+    }.toDF("doc_id", "text")
+    val w = Text.dsirLogWeights(raw, target, "doc_id", "text",
+      dim = 64, seed = 17L)
+    val byId = w.collect().map(r => r.getLong(0) ->
+      (r.getLong(1), r.getDouble(2))).toMap
+    assert(byId.size == 200 && byId.values.forall(_._1 == 20L))
+    val tgtScores = byId.filter(_._1 % 2 == 0).values.map(_._2)
+    val othScores = byId.filter(_._1 % 2 == 1).values.map(_._2)
+    assert(tgtScores.min > othScores.max,
+      s"target-like docs must dominate: min=${tgtScores.min} " +
+        s"vs max=${othScores.max}")
+    // invariant under physical layout
+    val w2 = Text.dsirLogWeights(raw.repartition(7), target.repartition(3),
+      "doc_id", "text", dim = 64, seed = 17L)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(byId.forall { case (id, (_, lw)) => w2(id) == lw })
+  }
+
   test("withRunningOffset equals the single-partition window reference") {
     val rnd = new scala.util.Random(1)
     val data = (0 until 1000).map(i => (rnd.nextInt(1000000), rnd.nextInt(100).toLong))
