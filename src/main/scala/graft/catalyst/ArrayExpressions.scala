@@ -211,6 +211,33 @@ case class CosineFExpr(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Codegen membership test against a pre-built Bloom filter
+  * (`org.apache.spark.util.sketch.BloomFilter`, the sketch Spark's own
+  * runtime row-level filters use). The filter travels as its serialized
+  * bytes inside the expression tree and deserializes ONCE per executor
+  * (transient lazy) — the generated code then calls a plain virtual
+  * method per row, keeping the surrounding scan/filter span in
+  * whole-stage codegen. This is the broadcast-side primitive for
+  * "probe a 10^8-key set without shipping the keys": the bitmap is
+  * ~1.2 bytes/key at 1% fpp vs 8+ bytes/key for the exact hash set. */
+case class BloomContainsExpr(child: Expression, bytes: Array[Byte])
+    extends UnaryExpression with Serializable {
+  @transient private lazy val bloom =
+    org.apache.spark.util.sketch.BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(bytes))
+  def test(h: Long): Boolean = bloom.mightContainLong(h)
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+  override def prettyName: String = "graft_bloom_contains"
+  protected override def nullSafeEval(h: Any): Any = test(h.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bloomExpr", this,
+      classOf[BloomContainsExpr].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.test($c)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): BloomContainsExpr =
+    copy(child = newChild)
+}
+
 /** Column-API face of the array kernels. Children are cast explicitly
   * (same technique as [[StatFunctions]]). */
 object ArrayFunctions {
@@ -232,4 +259,10 @@ object ArrayFunctions {
   def rollingHash(text: Column): Column = c(RollingHashExpr(e(text)))
   def dotF(a: Column, b: Column): Column = c(DotFExpr(floats(a), floats(b)))
   def cosineF(a: Column, b: Column): Column = c(CosineFExpr(floats(a), floats(b)))
+  def bloomContainsLong(h: Column,
+                        bloom: org.apache.spark.util.sketch.BloomFilter): Column = {
+    val baos = new java.io.ByteArrayOutputStream()
+    bloom.writeTo(baos)
+    c(BloomContainsExpr(Cast(e(h), LongType), baos.toByteArray))
+  }
 }

@@ -1105,4 +1105,46 @@ object Dedup {
       .select(col(idCol), coalesce(col("n_hits"), lit(0L)).as("n_hits"))
       .withColumn("contaminated", col("n_hits") > 0)
   }
+
+  /** The 100 TB-eval-set variant of [[decontaminate]], same output: when
+    * the eval k-gram universe outgrows a comfortable broadcast (10^8+
+    * hashes = GBs as an exact set), ship a Bloom filter instead
+    * (~1.2 bytes/key at 1% fpp, order-independent build so the bitmap is
+    * deterministic under any partitioning) and let the corpus side
+    * pre-filter its (id, hash) stream through the codegen membership
+    * test [[graft.catalyst.BloomContainsExpr]]. Only the surviving
+    * sliver — true hits plus ~fpp false positives — reaches the EXACT
+    * verify, a plain shuffle equi-join against the real eval-hash set
+    * (deliberately NOT broadcast: avoiding that broadcast is the point;
+    * the join's left side is candidate-sized, not corpus-sized). Bloom
+    * filters have no false negatives, so the verified output is
+    * bit-identical to [[decontaminate]]'s — the two share one oracle.
+    *
+    * The `expectedItems` count() action is one exact distinct aggregate
+    * over the EVAL side (small by definition); sizing the filter from it
+    * keeps the fpp honest instead of guessed. */
+  def decontaminateBloom(corpus: DataFrame, eval: DataFrame, idCol: String,
+                         textCol: String, k: Int = 5,
+                         fpp: Double = 0.01): DataFrame = {
+    require(fpp > 0 && fpp < 1, s"fpp out of (0,1): $fpp")
+    val evalHashes = eval
+      .select(explode(graft.catalyst.ArrayFunctions.shingleHashes(
+        col(textCol), k)).as("__h"))
+      .distinct()
+      .localCheckpoint(false) // feeds the bloom build AND the exact verify
+    val expectedItems = math.max(1L, evalHashes.count())
+    val bloom = evalHashes.stat.bloomFilter("__h", expectedItems, fpp)
+    val candidates = corpus
+      .select(col(idCol), explode(graft.catalyst.ArrayFunctions.shingleHashes(
+        col(textCol), k)).as("__h"))
+      .where(graft.catalyst.ArrayFunctions.bloomContainsLong(col("__h"), bloom))
+    val hits = candidates
+      .join(evalHashes, Seq("__h"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_hits"))
+    corpus.select(col(idCol))
+      .join(hits, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+      .withColumn("contaminated", col("n_hits") > 0)
+  }
 }

@@ -548,6 +548,20 @@ object LlmQueries {
       },
       Some("""WITH toks AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS ts FROM documents), sh0 AS (SELECT doc_id, CASE WHEN len(ts) >= 5 THEN array_to_string(ts[i:i+4], ' ') ELSE array_to_string(ts, ' ') END AS s FROM toks, unnest(generate_series(1, greatest(len(ts) - 4, 1))) AS g(i)), shh AS (SELECT DISTINCT doc_id, CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) AS h FROM sh0), ev AS (SELECT DISTINCT h FROM shh WHERE doc_id % 40 = 0), hits AS (SELECT shh.doc_id, count(*) AS n_hits FROM shh JOIN ev USING (h) GROUP BY 1) SELECT d.doc_id, coalesce(hits.n_hits, 0) AS n_hits, coalesce(hits.n_hits, 0) > 0 AS contaminated FROM documents d LEFT JOIN hits ON d.doc_id = hits.doc_id""")),
 
+    Entry("q_decontaminate_bloom",
+      // the big-eval-set scale path of q_decontaminate: Bloom-filter
+      // pre-pass (codegen membership test over the serialized bitmap)
+      // then exact shuffle-join verify of the surviving sliver — no
+      // false negatives, so the verified output is bit-identical to the
+      // broadcast-exact tier and the two share one oracle
+      (s, d) => {
+        val docs = t(s, d, "documents").select("doc_id", "text")
+        val eval = docs.where(col("doc_id") % 40 === 0)
+        Dedup.decontaminateBloom(docs, eval, "doc_id", "text", k = 5,
+          fpp = 0.01)
+      },
+      Some("""WITH toks AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS ts FROM documents), sh0 AS (SELECT doc_id, CASE WHEN len(ts) >= 5 THEN array_to_string(ts[i:i+4], ' ') ELSE array_to_string(ts, ' ') END AS s FROM toks, unnest(generate_series(1, greatest(len(ts) - 4, 1))) AS g(i)), shh AS (SELECT DISTINCT doc_id, CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) AS h FROM sh0), ev AS (SELECT DISTINCT h FROM shh WHERE doc_id % 40 = 0), hits AS (SELECT shh.doc_id, count(*) AS n_hits FROM shh JOIN ev USING (h) GROUP BY 1) SELECT d.doc_id, coalesce(hits.n_hits, 0) AS n_hits, coalesce(hits.n_hits, 0) > 0 AS contaminated FROM documents d LEFT JOIN hits ON d.doc_id = hits.doc_id""")),
+
     Entry("q_text_redact",
       // PII scrub (emails / SSNs / IPv4s / phones): sequential
       // count-then-replace regexp pipeline, zero shuffle; the oracle

@@ -101,6 +101,37 @@ class CatalystSpec extends SparkSpec {
     assert(msgs(ex).exists(_.contains("null array element")))
   }
 
+  test("bloom-contains expression: no false negatives, bounded false " +
+       "positives, both eval paths agree") {
+    import graft.catalyst.ArrayFunctions
+    val bloom = org.apache.spark.util.sketch.BloomFilter.create(1000, 0.01)
+    (0L until 1000L).foreach(i => bloom.putLong(i * 7L))
+    val probes = (0L until 4000L).toDF("h") // 1000 members + 3000 others
+    def run(codegen: Boolean): Map[Long, Boolean] = {
+      spark.conf.set("spark.sql.codegen.factoryMode",
+        if (codegen) "CODEGEN_ONLY" else "NO_CODEGEN")
+      spark.conf.set("spark.sql.codegen.wholeStage", codegen)
+      try probes.select(col("h"),
+          ArrayFunctions.bloomContainsLong(col("h"), bloom).as("in"))
+        .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+      finally {
+        spark.conf.unset("spark.sql.codegen.factoryMode")
+        spark.conf.unset("spark.sql.codegen.wholeStage")
+      }
+    }
+    val gen = run(codegen = true)
+    assert(gen == run(codegen = false))
+    // every inserted key answers true (no false negatives — the property
+    // the exact-verify design depends on)
+    (0L until 1000L).map(_ * 7L).filter(_ < 4000L)
+      .foreach(k => assert(gen(k), s"false negative at $k"))
+    // non-members answer true at ~fpp, not wholesale
+    val nonMembers = (0L until 4000L).filterNot(h => h % 7 == 0 && h / 7 < 1000)
+    val fp = nonMembers.count(gen)
+    assert(fp < nonMembers.size / 10,
+      s"implausible false-positive count: $fp of ${nonMembers.size}")
+  }
+
   test("unicode kernels: NFC composes, strip_accents drops marks, nulls pass") {
     import graft.catalyst.TextFunctions
     // "école" with a decomposed e+combining-acute must compose to the

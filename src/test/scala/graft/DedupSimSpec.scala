@@ -505,4 +505,30 @@ class DedupSimSpec extends SparkSpec {
     assert(pairs.forall { case (a, b) => a != b }, pairs.mkString(","))
     assert(pairs.toSet == Set((7L, 8L)))
   }
+
+  test("decontaminateBloom is bit-identical to the broadcast-exact tier") {
+    // corpus: 120 docs; eval = every 10th; plant partial contamination
+    // (doc i shares a 5-gram run with eval doc i-1 when i % 10 == 1)
+    val docs = (0 until 120).map { i =>
+      val base = (0 until 12).map(j => s"w${(i * 31 + j) % 997}")
+      val txt = if (i % 10 == 1)
+        ((0 until 12).map(j => s"w${((i - 1) * 31 + j) % 997}").take(6) ++
+          base.drop(6)).mkString(" ")
+      else base.mkString(" ")
+      (i.toLong, txt)
+    }.toDF("doc_id", "text")
+    val eval = docs.where(col("doc_id") % 10 === 0)
+    val exact = Dedup.decontaminate(docs, eval, "doc_id", "text", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+      .sortBy(_._1).toSeq
+    val bloom = Dedup.decontaminateBloom(docs, eval, "doc_id", "text",
+        k = 5, fpp = 0.01)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+      .sortBy(_._1).toSeq
+    assert(bloom == exact)
+    // the plant worked: eval docs self-contaminate, planted docs hit
+    assert(exact.filter(_._1 % 10 == 0).forall(_._3))
+    assert(exact.filter(r => r._1 % 10 == 1 && r._1 < 120).forall(_._3))
+    assert(exact.exists(!_._3))
+  }
 }
