@@ -44,20 +44,57 @@ object LlmQueries {
     * bit for bit), and centroid updates are exact DECIMAL sums / exact
     * counts — the ComBat-kernel recipe. Empty clusters keep their
     * previous centroid via the LEFT JOIN coalesce. */
-  private def kmeansCtes(k: Int, iters: Int, seed: Long): String = {
+  private def kmeansCtes(k: Int, iters: Int, seed: Long,
+                         pfx: String = "",
+                         vecExpr: String = "embedding"): String = {
     def dist(v: String, cv: String) =
       s"list_reduce(list_transform(list_zip($v, $cv), p -> (p[1] - p[2]) * (p[1] - p[2])), (acc, e) -> acc + e)"
     val base =
-      s"""vq AS MATERIALIZED (SELECT vec_id AS id, list_transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1e6 + CAST(0.5 AS DOUBLE)) / 1e6) AS v FROM embeddings), """ +
-      s"""c0 AS MATERIALIZED (SELECT CAST(row_number() OVER (ORDER BY h, id) - 1 AS INTEGER) AS cluster, v AS cv FROM (SELECT id, v, md5(concat('km$seed:', CAST(id AS VARCHAR))) AS h FROM vq ORDER BY h, id LIMIT $k))"""
+      s"""${pfx}vq AS MATERIALIZED (SELECT vec_id AS id, list_transform($vecExpr, x -> floor(CAST(x AS DOUBLE) * 1e6 + CAST(0.5 AS DOUBLE)) / 1e6) AS v FROM embeddings), """ +
+      s"""${pfx}c0 AS MATERIALIZED (SELECT CAST(row_number() OVER (ORDER BY h, id) - 1 AS INTEGER) AS cluster, v AS cv FROM (SELECT id, v, md5(concat('km$seed:', CAST(id AS VARCHAR))) AS h FROM ${pfx}vq ORDER BY h, id LIMIT $k))"""
     val its = (0 until iters).map { i =>
-      s"""a$i AS MATERIALIZED (SELECT id, v, cluster FROM (SELECT *, row_number() OVER (PARTITION BY id ORDER BY d, cluster) AS rn FROM (SELECT x.id, x.v, c.cluster, ${dist("x.v", "c.cv")} AS d FROM vq x, c$i c)) WHERE rn = 1), """ +
-      s"""u$i AS MATERIALIZED (SELECT cluster, i AS dim, CAST(sum(CAST(v[i] AS DECIMAL(24,6))) AS DOUBLE) / count(*) AS m FROM a$i, unnest(generate_series(1, len(v))) AS g(i) GROUP BY 1, 2), """ +
-      s"""c${i + 1} AS MATERIALIZED (SELECT p.cluster, CASE WHEN n.cv IS NULL THEN p.cv ELSE n.cv END AS cv FROM c$i p LEFT JOIN (SELECT cluster, list(m ORDER BY dim) AS cv FROM u$i GROUP BY 1) n USING (cluster))"""
+      s"""${pfx}a$i AS MATERIALIZED (SELECT id, v, cluster FROM (SELECT *, row_number() OVER (PARTITION BY id ORDER BY d, cluster) AS rn FROM (SELECT x.id, x.v, c.cluster, ${dist("x.v", "c.cv")} AS d FROM ${pfx}vq x, ${pfx}c$i c)) WHERE rn = 1), """ +
+      s"""${pfx}u$i AS MATERIALIZED (SELECT cluster, i AS dim, CAST(sum(CAST(v[i] AS DECIMAL(24,6))) AS DOUBLE) / count(*) AS m FROM ${pfx}a$i, unnest(generate_series(1, len(v))) AS g(i) GROUP BY 1, 2), """ +
+      s"""${pfx}c${i + 1} AS MATERIALIZED (SELECT p.cluster, CASE WHEN n.cv IS NULL THEN p.cv ELSE n.cv END AS cv FROM ${pfx}c$i p LEFT JOIN (SELECT cluster, list(m ORDER BY dim) AS cv FROM ${pfx}u$i GROUP BY 1) n USING (cluster))"""
     }.mkString(", ")
     val fin =
-      s"""fin AS (SELECT id, cluster, d FROM (SELECT *, row_number() OVER (PARTITION BY id ORDER BY d, cluster) AS rn FROM (SELECT x.id, x.v, c.cluster, ${dist("x.v", "c.cv")} AS d FROM vq x, c$iters c)) WHERE rn = 1)"""
+      s"""${pfx}fin AS (SELECT id, cluster, d FROM (SELECT *, row_number() OVER (PARTITION BY id ORDER BY d, cluster) AS rn FROM (SELECT x.id, x.v, c.cluster, ${dist("x.v", "c.cv")} AS d FROM ${pfx}vq x, ${pfx}c$iters c)) WHERE rn = 1)"""
     s"$base, $its, $fin"
+  }
+
+  /** DuckDB replay of Pq.pqTopK: per-subspace exact-replay k-means
+    * codebooks (the [[kmeansCtes]] machinery over vector slices, seed+s
+    * per subspace), corpus encoding = each subspace's `fin` assignment,
+    * then ADC scoring — per-subspace left-fold dots against the joined
+    * codebook rows, summed in subspace order, normalized by ‖q‖·‖x̂‖ —
+    * exactly the engine's float operation sequence. */
+  private def pqOracleSql(topK: Int, m: Int, ksub: Int, iters: Int,
+                          seed: Long, dim: Int, nQueries: Int): String = {
+    val d = dim / m
+    val blocks = (0 until m).map { s =>
+      kmeansCtes(ksub, iters, seed + s, s"s$s",
+        s"embedding[${s * d + 1}:${(s + 1) * d}]")
+    }.mkString(", ")
+    val encJoins = (1 until m).map(s => s"JOIN s${s}fin f$s USING (id)")
+      .mkString(" ")
+    val encCols = (0 until m).map(s => s"f$s.cluster AS c$s").mkString(", ")
+    val cbJoins = (0 until m)
+      .map(s => s"JOIN s${s}c$iters cb$s ON cb$s.cluster = e.c$s")
+      .mkString(" ")
+    def fold(listExpr: String) =
+      s"list_reduce($listExpr, (acc, e) -> acc + e)"
+    val adot = (0 until m).map { s =>
+      fold(s"list_transform(list_zip(q.qv[${s * d + 1}:${(s + 1) * d}], cb$s.cv), p -> p[1] * p[2])")
+    }.mkString(" + ")
+    val xn2 = (0 until m)
+      .map(s => fold(s"list_transform(cb$s.cv, x -> x * x)"))
+      .mkString(" + ")
+    s"""WITH $blocks, """ +
+    s"""pqq AS (SELECT vec_id AS query_id, list_transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1e6 + CAST(0.5 AS DOUBLE)) / 1e6) AS qv FROM embeddings WHERE vec_id < $nQueries), """ +
+    s"""enc AS (SELECT f0.id, $encCols FROM s0fin f0 $encJoins), """ +
+    s"""sc AS (SELECT q.query_id, e.id AS neighbor_id, ($adot) / (sqrt(${fold("list_transform(q.qv, x -> x * x)")}) * sqrt($xn2)) AS ac FROM pqq q, enc e $cbJoins WHERE e.id <> q.query_id), """ +
+    s"""pr AS (SELECT query_id, neighbor_id, ac, row_number() OVER (PARTITION BY query_id ORDER BY ac DESC, neighbor_id) AS rn FROM sc) """ +
+    s"""SELECT query_id, neighbor_id, CAST(rn AS INTEGER) AS rank, ${OmicsQueries.rndSql("ac", 6)} AS adc_cos FROM pr WHERE rn <= $topK"""
   }
 
   /** Exact-Jaccard verification of a `cand(ia, ib)` candidate-pair CTE —
@@ -490,6 +527,21 @@ object LlmQueries {
           "vec_id", "embedding", k = 3, nCells = 16, nProbe = 16)
       },
       Some("""WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5), s AS (SELECT query_id, c.vec_id AS neighbor_id, list_sum(list_transform(list_zip(qe, c.embedding), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) / (sqrt(list_sum(list_transform(qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos FROM q, embeddings c WHERE c.vec_id <> query_id), r AS (SELECT query_id, neighbor_id, cos, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn FROM s) SELECT query_id, neighbor_id, CAST(rn AS INTEGER) AS rank, round(cos, 6) AS cos FROM r WHERE rn <= 3""")),
+
+    Entry("q_ann_pq",
+      // product-quantization ADC search: per-subspace exact-replay
+      // codebooks, corpus stored as m=4 codes (16x compression at
+      // dim=64/ksub=8), queries score via per-subspace table lookups;
+      // the oracle replays codebook fit, encoding, and ADC term for
+      // term, so the full top-k hash-matches, not just recall
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        graft.sim.Pq.pqTopK(emb, emb.where(col("vec_id") < 5),
+          "vec_id", "embedding", k = 3, m = 4, ksub = 8, iters = 2,
+          seed = 42L)
+      },
+      Some(pqOracleSql(topK = 3, m = 4, ksub = 8, iters = 2, seed = 42L,
+        dim = 64, nQueries = 5))),
 
     Entry("q_lm_score",
       // CCNet-style self-perplexity: add-one bigram LM trained on the

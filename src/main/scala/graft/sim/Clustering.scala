@@ -27,17 +27,29 @@ import org.apache.spark.sql.functions._
   * localCheckpointed once and re-read per iteration. */
 object Clustering {
 
-  /** @return (id, cluster, dist) — squared-euclidean distance to the
-    *         winning centroid after exactly `iters` assignment/update
-    *         rounds, rounded to 6 decimals. */
-  def kmeansAssign(df: DataFrame, idCol: String, vecCol: String,
-                   k: Int = 8, iters: Int = 4, seed: Long = 42L): DataFrame = {
-    require(k >= 1 && iters >= 1, "k and iters must be positive")
-    val grid = (c: Column) =>
-      floor(c.cast("double") * lit(1e6) + lit(0.5)) / lit(1e6)
-    val vecs = df.select(col(idCol).as("id"),
-        transform(col(vecCol), x => grid(x)).as("v"))
-      .localCheckpoint(false)
+  /** 1e-6-grid quantization — the once-per-pipeline rounding that makes
+    * every downstream centroid/distance replayable cross-engine. */
+  private[sim] def grid(c: Column): Column =
+    floor(c.cast("double") * lit(1e6) + lit(0.5)) / lit(1e6)
+
+  /** (min squared-distance, winning cluster) struct over a plan-time
+    * centroid literal; the array_min tie-breaks on the smaller id. */
+  private[sim] def assignCols(v: Column,
+                              cs: Array[Array[Double]]): Column =
+    array_min(array(
+      cs.zipWithIndex.map { case (cv, j) =>
+        struct(
+          aggregate(zip_with(v, lit(cv), (x, y) => (x - y) * (x - y)),
+            lit(0.0), (acc, d) => acc + d).as("d"),
+          lit(j).as("c"))
+      }: _*))
+
+  /** Exactly `iters` Lloyd rounds over an (id, v) frame of GRIDDED
+    * vectors; returns the k centroids. Deterministic and cross-engine
+    * exact (see object scaladoc); shared by [[kmeansAssign]] and the
+    * per-subspace product-quantization codebook fits ([[Pq]]). */
+  private[sim] def lloydFit(vecs: DataFrame, k: Int, iters: Int,
+                            seed: Long): Array[Array[Double]] = {
     // deterministic init: k smallest md5(seed:id), cluster = hash rank
     var centroids: Array[Array[Double]] = vecs
       .select(col("id"), col("v"),
@@ -46,19 +58,11 @@ object Clustering {
       .select("v").collect()
       .map(_.getSeq[Double](0).toArray)
     require(centroids.length == k,
-      s"kmeansAssign: need at least k=$k input rows")
-
-    def assignCols(cs: Array[Array[Double]]): Column = array_min(array(
-      cs.zipWithIndex.map { case (cv, j) =>
-        struct(
-          aggregate(zip_with(col("v"), lit(cv), (x, y) => (x - y) * (x - y)),
-            lit(0.0), (acc, d) => acc + d).as("d"),
-          lit(j).as("c"))
-      }: _*))
-
+      s"lloydFit: need at least k=$k input rows")
     var i = 0
     while (i < iters) {
-      val assigned = vecs.withColumn("__m", assignCols(centroids))
+      val assigned = vecs
+        .withColumn("__m", assignCols(col("v"), centroids))
         .select(col("id"), col("v"), col("__m").getField("c").as("cluster"))
       // exact per-(cluster, dim) mean: grid values cast to DECIMAL are
       // exact, the decimal sum is order-independent, and sum/count is one
@@ -77,7 +81,20 @@ object Clustering {
       centroids = Array.tabulate(k)(j => updated.getOrElse(j, centroids(j)))
       i += 1
     }
-    vecs.withColumn("__m", assignCols(centroids))
+    centroids
+  }
+
+  /** @return (id, cluster, dist) — squared-euclidean distance to the
+    *         winning centroid after exactly `iters` assignment/update
+    *         rounds, rounded to 6 decimals. */
+  def kmeansAssign(df: DataFrame, idCol: String, vecCol: String,
+                   k: Int = 8, iters: Int = 4, seed: Long = 42L): DataFrame = {
+    require(k >= 1 && iters >= 1, "k and iters must be positive")
+    val vecs = df.select(col(idCol).as("id"),
+        transform(col(vecCol), x => grid(x)).as("v"))
+      .localCheckpoint(false)
+    val centroids = lloydFit(vecs, k, iters, seed)
+    vecs.withColumn("__m", assignCols(col("v"), centroids))
       .select(col("id"), col("__m").getField("c").as("cluster"),
         round(col("__m").getField("d"), 6).as("dist"))
   }

@@ -506,6 +506,38 @@ class DedupSimSpec extends SparkSpec {
     assert(pairs.toSet == Set((7L, 8L)))
   }
 
+  test("pqTopK: codes recover planted structure, determinism under " +
+       "repartition, ADC ranks near-duplicates first") {
+    import graft.sim.Pq
+    // three tight blobs in 16-d; queries sit on blob centers
+    val vecs = (0 until 60).map { i =>
+      val blob = i % 3
+      val v = Array.tabulate(16)(d =>
+        (if (d / 6 == blob) 5.0f else 0.1f) + 0.01f * ((i + d) % 4))
+      (i.toLong, v.toSeq)
+    }.toDF("vec_id", "embedding")
+    val queries = vecs.where(col("vec_id") < 3)
+    val out = Pq.pqTopK(vecs, queries, "vec_id", "embedding", k = 5,
+        m = 4, ksub = 4, iters = 2, seed = 42L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getDouble(3)))
+    assert(out.length == 15) // 3 queries x top-5
+    // every neighbor of query q (blob q%3) is from the same blob: the
+    // 4-subspace codebooks easily separate blobs 5.0 apart
+    out.foreach { case (q, n, _, _) =>
+      assert(n % 3 == q % 3, s"query $q got cross-blob neighbor $n") }
+    // adc_cos is a cosine-like score in [-1, 1.0001]
+    assert(out.forall(r => r._4 >= -1.0001 && r._4 <= 1.0001))
+    // determinism under physical layout
+    val again = Pq.pqTopK(vecs.repartition(7), queries.repartition(2),
+        "vec_id", "embedding", k = 5, m = 4, ksub = 4, iters = 2,
+        seed = 42L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getDouble(3)))
+    assert(out.sortBy(r => (r._1, r._3)).toSeq ==
+      again.sortBy(r => (r._1, r._3)).toSeq)
+  }
+
   test("decontaminateBloom is bit-identical to the broadcast-exact tier") {
     // corpus: 120 docs; eval = every 10th; plant partial contamination
     // (doc i shares a 5-gram run with eval doc i-1 when i % 10 == 1)
