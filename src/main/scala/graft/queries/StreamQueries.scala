@@ -55,6 +55,16 @@ object StreamQueries {
         .select("user_id", "event_type", "event_id"),
       Some("""SELECT user_id, event_type, event_id FROM (SELECT user_id, event_type, event_id, row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn FROM events) WHERE rn = 1""")),
 
+    Entry("q_stream_hist_dedup",
+      // the EXACT streamingExactDedup function run in batch mode
+      // (flatMapGroupsWithState executes on batch Datasets with empty
+      // state), which by construction equals a single-batch drain: per-doc
+      // keep/dup_of under keep-min-id per content hash. Cross-batch
+      // history state is exercised in StreamingSpec.
+      (s, d) => graft.streaming.Events.streamingExactDedup(
+        t(s, d, "documents"), "doc_id", "text").toDF(),
+      Some("""SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS content_hash, doc_id = min(doc_id) OVER (PARTITION BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))) AS kept, min(doc_id) OVER (PARTITION BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))) AS dup_of FROM documents""")),
+
     Entry("q_stream_enrich",
       // stream-static broadcast enrichment (events joined to the nation
       // dim by a derived key) rolled up per dim row; the same function

@@ -109,6 +109,51 @@ object Events {
       }
       .start()
 
+  final case class SeenHash(keptId: Long)
+  final case class DedupDecision(doc_id: Long, content_hash: String,
+                                 kept: Boolean, dup_of: Long)
+
+  /** Streaming exact-dedup against ALL history — the streaming twin of
+    * the batch ingest gate (`Dedup.exactIncremental`, which anti-joins a
+    * persisted hash index): documents arrive as a stream, and a doc is
+    * kept iff its normalized content hash was never seen in any earlier
+    * micro-batch nor earlier (smaller id) in its own batch. The keeper's
+    * id is the state — one tiny record per DISTINCT content hash, keyed
+    * by the hash, so the only exchange is the groupByKey on the hash and
+    * the state store IS the persisted index (RocksDB-backed at scale,
+    * see the backend test; changelog checkpointing keeps recovery
+    * incremental). Same keep-min-id semantics as `Dedup.exact`, so a
+    * single-batch drain reproduces the batch result exactly.
+    *
+    * Output per input doc (Append): (doc_id, content_hash, kept,
+    * dup_of) — dup_of is the keeper (itself when kept). */
+  def streamingExactDedup(docs: DataFrame, idCol: String,
+                          textCol: String): Dataset[DedupDecision] = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    docs.select(col(idCol).cast("long").as("doc_id"),
+        md5(graft.text.Text.normalized(col(textCol))).as("content_hash"))
+      .as[(Long, String)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout()) {
+        (hash: String, it: Iterator[(Long, String)],
+         state: GroupState[SeenHash]) =>
+          // a batch's occupants of one hash: smallest id is the batch
+          // keeper; bounded by the batch, not the corpus
+          val ids = it.map(_._1).toArray.sorted
+          state.getOption match {
+            case Some(seen) =>
+              ids.iterator.map(id => DedupDecision(id, hash, kept = false,
+                dup_of = seen.keptId))
+            case None =>
+              val keeper = ids.head
+              state.update(SeenHash(keeper))
+              ids.iterator.map(id => DedupDecision(id, hash,
+                kept = id == keeper, dup_of = keeper))
+          }
+      }
+  }
+
   final case class UserState(n: Long, total: Double, lastTsMicros: Long)
   final case class UserUpdate(user_id: Long, n_events: Long, total_value: Double,
                               last_ts: Long)

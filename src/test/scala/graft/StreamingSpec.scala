@@ -153,6 +153,58 @@ class StreamingSpec extends SparkSpec {
         "watermark did not advance across batches")
   }
 
+  test("streamingExactDedup: history state dedups across micro-batches, " +
+       "min-id keeper within a batch") {
+    import spark.implicits._
+    // batch 0: ids 1(A) 2(B) 3(A); batch 1: 4(A dup-of-history) 5(C)
+    // 6(C within-batch dup) — one file per trigger
+    val staging = java.nio.file.Files.createTempDirectory("graft_dedup_stg")
+    val src = java.nio.file.Files.createTempDirectory("graft_dedup_src")
+    Seq((1L, "alpha text"), (2L, "beta text"), (3L, "alpha text"))
+      .toDF("doc_id", "text").coalesce(1)
+      .write.parquet(s"$staging/b0")
+    Seq((4L, "alpha text"), (5L, "gamma text"), (6L, "gamma text"))
+      .toDF("doc_id", "text").coalesce(1)
+      .write.parquet(s"$staging/b1")
+    (0 to 1).foreach { i =>
+      val f = new java.io.File(s"$staging/b$i").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = src.resolve(f"b$i%02d.parquet")
+      java.nio.file.Files.copy(f.toPath, dst)
+      // the file source batches in modification-time order; copies land
+      // with identical mtimes, so pin them a minute apart
+      dst.toFile.setLastModified(1700000000000L + i * 60000L)
+    }
+    val schema = spark.read.parquet(s"$staging/b0").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(src.toString)
+    val q = Events.streamingExactDedup(stream, "doc_id", "text")
+      .writeStream.format("memory").queryName("t_hist_dedup")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val out = spark.table("t_hist_dedup")
+      .collect().map(r => r.getLong(0) -> (r.getBoolean(2), r.getLong(3)))
+      .toMap
+    assert(out.size == 6)
+    assert(out(1L) == (true, 1L) && out(2L) == (true, 2L))
+    assert(out(3L) == (false, 1L)) // within-batch dup of the min id
+    assert(out(4L) == (false, 1L)) // cross-batch dup via history state
+    assert(out(5L) == (true, 5L) && out(6L) == (false, 5L))
+    // single-batch drain == the batch keep-min semantics of Dedup.exact
+    val allOnce = Events.streamingExactDedup(
+      spark.readStream.schema(schema).parquet(src.toString),
+      "doc_id", "text")
+    val q2 = allOnce.writeStream.format("memory").queryName("t_hist_once")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination(120000)
+    val keepers = spark.table("t_hist_once").where(col("kept"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(keepers == Set(1L, 2L, 5L))
+  }
+
   test("stateful aggregate runs on the RocksDB state store backend") {
     // HDFSBackedStateStore keeps state on the executor heap — fine for
     // tests, a memory ceiling at real scale. The deployment-grade backend
