@@ -46,7 +46,13 @@ object ScaleCheck {
     "q_strip_spans", "q_line_dedup", "q_semantic_dedup",
     "q_chunk_windows", "q_cms_heavy", "q_lm_score",
     "q_novelty_score", "q_bpe_merges", "q_hash_embed", "q_text_ann",
-    "q_quality_lr_fit", "q_quality_lr_score")
+    "q_quality_lr_fit", "q_quality_lr_score",
+    // this session's additions: snapshot diff + KMV overlap, DSIR
+    // weights + Gumbel resample, the Bloom decontamination scale path,
+    // PQ/ADC search, and the streaming-history dedup batch twin
+    "q_corpus_diff", "q_corpus_overlap", "q_dsir_weights",
+    "q_dsir_sample", "q_decontaminate_bloom", "q_ann_pq",
+    "q_stream_hist_dedup")
 
   def main(args: Array[String]): Unit = {
     val src = "/root/testdata/sf0.1"
