@@ -55,10 +55,20 @@ object Pq {
     val d = dim / m
     def sub(v: org.apache.spark.sql.Column, s: Int) =
       slice(v, s * d + 1, d)
-    val codebooks: IndexedSeq[Array[Array[Double]]] = (0 until m).map { s =>
-      Clustering.lloydFit(
-        corpusV.select(col("neighbor_id").as("id"), sub(col("v"), s).as("v")),
-        ksub, iters, seed + s)
+    // the m fits are independent chains of tiny jobs (init collect +
+    // iters update collects each); run them concurrently so the
+    // operator's wall clock is one fit's job-launch latency, not m of
+    // them — Spark's scheduler interleaves the stages across the cluster
+    val codebooks: IndexedSeq[Array[Array[Double]]] = {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      Await.result(Future.sequence((0 until m).map { s =>
+        Future(Clustering.lloydFit(
+          corpusV.select(col("neighbor_id").as("id"),
+            sub(col("v"), s).as("v")),
+          ksub, iters, seed + s))
+      }), Duration.Inf)
     }
     // ‖centroid‖² per (subspace, code): left fold over dims, the same
     // order the oracle's list_reduce uses, so ‖x̂‖ replays exactly
