@@ -10,7 +10,42 @@ import Q.{Entry, t, r6}
   * correctness gate. */
 object StatQueries {
 
+  /** DuckDB replay of Profile.profile over lineitem: one UNION ALL arm
+    * per column from the same (name, kind) spec the fixture is known to
+    * carry. Numeric/timestamp ranges as doubles (timestamps via
+    * epoch_us/1e6 — the exact micros-division Spark's cast performs),
+    * string ranges binary-collated, each family NULL in the other's
+    * columns, so no engine number formatting surfaces. */
+  private val lineitemProfileSql: String = {
+    val cols = Seq(
+      "l_orderkey" -> "num", "l_partkey" -> "num", "l_suppkey" -> "num",
+      "l_linenumber" -> "num", "l_quantity" -> "num",
+      "l_extendedprice" -> "num", "l_discount" -> "num", "l_tax" -> "num",
+      "l_returnflag" -> "str", "l_linestatus" -> "str",
+      "l_shipdate" -> "ts")
+    cols.map { case (c, kind) =>
+      val (minN, maxN, minS, maxS) = kind match {
+        case "num" => (s"CAST(min($c) AS DOUBLE)",
+          s"CAST(max($c) AS DOUBLE)",
+          "CAST(NULL AS VARCHAR)", "CAST(NULL AS VARCHAR)")
+        case "ts" => (s"epoch_us(min($c)) / 1000000.0",
+          s"epoch_us(max($c)) / 1000000.0",
+          "CAST(NULL AS VARCHAR)", "CAST(NULL AS VARCHAR)")
+        case _ => ("CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)",
+          s"min($c)", s"max($c)")
+      }
+      s"SELECT '$c' AS col_name, count(*) AS n, count(*) - count($c) AS n_null, CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct, $minN AS min_num, $maxN AS max_num, $minS AS min_str, $maxS AS max_str FROM lineitem"
+    }.mkString(" UNION ALL ")
+  }
+
   val entries: Seq[Entry] = Seq(
+
+    Entry("q_table_profile",
+      // snapshot validation profile: one melted scan of the table, one
+      // aggregate per column — row count, null count, exact cardinality,
+      // typed ranges (see Profile scaladoc for the 100 TB HLL swap)
+      (s, d) => graft.stats.Profile.profile(t(s, d, "lineitem")),
+      Some(lineitemProfileSql)),
 
     Entry("q1_agg",
       (s, d) => t(s, d, "lineitem")

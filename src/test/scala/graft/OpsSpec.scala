@@ -367,4 +367,29 @@ class OpsSpec extends SparkSpec {
     assert(Stats.zscoreOutliers(const, Seq("grp"), "v")
       .where(col("is_outlier")).count() == 0)
   }
+
+  test("Profile.profile: counts, nulls, cardinality and typed ranges " +
+       "per column in one pass") {
+    val df = Seq(
+      (1L, Some(2.5), Some("b")),
+      (2L, None, Some("a")),
+      (3L, Some(7.5), None),
+      (4L, Some(2.5), Some("a"))
+    ).toDF("id", "x", "s")
+    val p = graft.stats.Profile.profile(df)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(p.size == 3)
+    val idr = p("id")
+    assert(idr.getLong(1) == 4 && idr.getLong(2) == 0 &&
+      idr.getLong(3) == 4 && idr.getDouble(4) == 1.0 &&
+      idr.getDouble(5) == 4.0 && idr.isNullAt(6))
+    val xr = p("x")
+    assert(xr.getLong(1) == 4 && xr.getLong(2) == 1 &&
+      xr.getLong(3) == 2 && xr.getDouble(4) == 2.5 &&
+      xr.getDouble(5) == 7.5)
+    val sr = p("s")
+    assert(sr.getLong(1) == 4 && sr.getLong(2) == 1 &&
+      sr.getLong(3) == 2 && sr.isNullAt(4) &&
+      sr.getString(6) == "a" && sr.getString(7) == "b")
+  }
 }
