@@ -228,7 +228,60 @@ object LlmQueries {
   private val dsirWeightsSelect =
     s""" SELECT id, CAST(sum(c) AS BIGINT) AS n_tokens, ${OmicsQueries.rndSql("sum(CAST(c AS DOUBLE) * lr)", 6)} AS log_w FROM db JOIN lrt USING (bucket) GROUP BY 1"""
 
+  /** DuckDB replay of Pq.ivfPqTopK: coarse k-means (prefix cc, seed) +
+    * per-subspace codebooks (seed+1+s), nProbe cell routing per query
+    * (row_number over (d, cluster) — the argmin tie-break), candidate
+    * equi-join on the cell, then the same ADC scoring as
+    * [[pqOracleSql]]. */
+  private def ivfPqOracleSql(topK: Int, nCells: Int, nProbe: Int, m: Int,
+                             ksub: Int, iters: Int, seed: Long, dim: Int,
+                             nQueries: Int): String = {
+    val d = dim / m
+    val blocks = (kmeansCtes(nCells, iters, seed, "cc", "embedding") +:
+      (0 until m).map { s =>
+        kmeansCtes(ksub, iters, seed + 1 + s, s"s$s",
+          s"embedding[${s * d + 1}:${(s + 1) * d}]")
+      }).mkString(", ")
+    val encJoins = (1 until m).map(s => s"JOIN s${s}fin f$s USING (id)")
+      .mkString(" ")
+    val encCols = (0 until m).map(s => s"f$s.cluster AS c$s").mkString(", ")
+    val cbJoins = (0 until m)
+      .map(s => s"JOIN s${s}c$iters cb$s ON cb$s.cluster = e.c$s")
+      .mkString(" ")
+    def fold(listExpr: String) =
+      s"list_reduce($listExpr, (acc, e) -> acc + e)"
+    val adot = (0 until m).map { s =>
+      fold(s"list_transform(list_zip(q.qv[${s * d + 1}:${(s + 1) * d}], cb$s.cv), p -> p[1] * p[2])")
+    }.mkString(" + ")
+    val xn2 = (0 until m)
+      .map(s => fold(s"list_transform(cb$s.cv, x -> x * x)"))
+      .mkString(" + ")
+    s"""WITH $blocks, """ +
+    s"""pqq AS (SELECT vec_id AS query_id, list_transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1e6 + CAST(0.5 AS DOUBLE)) / 1e6) AS qv FROM embeddings WHERE vec_id < $nQueries), """ +
+    s"""pd AS (SELECT q.query_id, c.cluster, ${fold("list_transform(list_zip(q.qv, c.cv), p -> (p[1] - p[2]) * (p[1] - p[2]))")} AS d FROM pqq q, ccc$iters c), """ +
+    s"""pb AS (SELECT query_id, cluster FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY d, cluster) AS rn FROM pd) WHERE rn <= $nProbe), """ +
+    s"""enc AS (SELECT f0.id, ccf.cluster AS cell, $encCols FROM s0fin f0 $encJoins JOIN ccfin ccf USING (id)), """ +
+    s"""sc AS (SELECT q.query_id, e.id AS neighbor_id, ($adot) / (sqrt(${fold("list_transform(q.qv, x -> x * x)")}) * sqrt($xn2)) AS ac FROM pqq q JOIN pb ON pb.query_id = q.query_id JOIN enc e ON e.cell = pb.cluster $cbJoins WHERE e.id <> q.query_id), """ +
+    s"""pr AS (SELECT query_id, neighbor_id, ac, row_number() OVER (PARTITION BY query_id ORDER BY ac DESC, neighbor_id) AS rn FROM sc) """ +
+    s"""SELECT query_id, neighbor_id, CAST(rn AS INTEGER) AS rank, ${OmicsQueries.rndSql("ac", 6)} AS adc_cos FROM pr WHERE rn <= $topK"""
+  }
+
   val entries: Seq[Entry] = Seq(
+
+    Entry("q_ann_ivfpq",
+      // the full production ANN stack: coarse k-means routing (nProbe=2
+      // of 8 cells — a genuinely partial probe) over PQ codes scored by
+      // ADC; candidate generation is a broadcast equi-join on the cell
+      // id, and the oracle replays routing, codebooks, encoding and
+      // scoring exactly
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        graft.sim.Pq.ivfPqTopK(emb, emb.where(col("vec_id") < 5),
+          "vec_id", "embedding", k = 3, nCells = 8, nProbe = 2, m = 4,
+          ksub = 8, iters = 2, seed = 42L)
+      },
+      Some(ivfPqOracleSql(topK = 3, nCells = 8, nProbe = 2, m = 4,
+        ksub = 8, iters = 2, seed = 42L, dim = 64, nQueries = 5))),
 
     Entry("q_corpus_diff",
       // snapshot audit between pipeline runs: old = doc_id < 400, new =

@@ -1,6 +1,6 @@
 package graft.sim
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -18,87 +18,95 @@ import org.apache.spark.sql.functions._
   * Cross-engine exactness discipline (same as [[Clustering]]): inputs
   * quantize to the 1e-6 grid, the per-subspace codebooks are the
   * exact-replay [[Clustering.lloydFit]] (decimal sums / exact counts,
-  * md5-rank init, fixed iterations, seed + s per subspace), and every
-  * float reduction is a fixed-order left fold — so the DuckDB oracle
-  * replays codebook fit, encoding, and ADC scoring term for term and
-  * the gate hash-compares the full top-k, not just recall.
+  * md5-rank init, fixed iterations), and every float reduction is a
+  * fixed-order left fold — so the DuckDB oracle replays codebook fit,
+  * encoding, and ADC scoring term for term and the gate hash-compares
+  * the full top-k, not just recall.
   *
-  * Scale shape: the codebook fit is iters+1 passes of zero-shuffle
-  * assignment plus a (ksub·dim)-row aggregate per subspace (driver holds
-  * only the m·ksub·(dim/m) centroid matrix); encoding is ONE zero-
-  * shuffle projection over the corpus (plan-time centroid literals,
-  * whole-stage codegen); scoring is a broadcast of the query table —
-  * each query carrying its m ADC arrays — against the streamed CODE
-  * table (the corpus reads m ints per row, not dim floats), then a
-  * per-query top-k window. At 100 TB the code table is the thing you
-  * persist: 100× smaller than the embeddings, re-scored without ever
-  * re-reading them. Compose with the IVF cell routing
-  * ([[Similarity.ivfTopK]]) to prune the scan *and* shrink the bytes.
+  * Scale shape: codebook fits are iters+1 passes of zero-shuffle
+  * assignment plus a (ksub·dim)-row aggregate per subspace, run
+  * CONCURRENTLY (independent job chains; driver holds only the
+  * m·ksub·(dim/m) centroid matrix); encoding is ONE zero-shuffle
+  * projection (plan-time centroid literals, whole-stage codegen);
+  * scoring broadcasts the query table — each query carrying its m ADC
+  * arrays — against the streamed CODE table (m ints per row, never the
+  * floats). At 100 TB the code table is the thing you persist: 100×
+  * smaller than the embeddings, re-scored without re-reading them.
+  * [[ivfPqTopK]] composes the coarse cell routing on top so a query
+  * touches nProbe/nCells of the codes — scan pruning AND byte
+  * shrinkage, the standard big-corpus layout (corpus written
+  * partitioned by cell).
   */
 object Pq {
 
-  /** Fit per-subspace codebooks, encode the corpus, ADC-score the query
-    * set, return exact top-k per query BY THE PQ APPROXIMATE SCORE.
-    *
-    * @return (query_id, neighbor_id, rank, adc_cos) — adc_cos is the
-    *         approximate cosine dot(q, x̂)/(‖q‖·‖x̂‖) with x̂ the PQ
-    *         reconstruction, rounded 6. */
-  def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-             vecCol: String, k: Int, m: Int = 4, ksub: Int = 8,
-             iters: Int = 2, seed: Long = 42L): DataFrame = {
-    require(m >= 1 && ksub >= 2 && iters >= 1, "bad PQ parameters")
+  /** (gridded corpus as (neighbor_id, v), dim, subspace width). */
+  private def prep(corpus: DataFrame, idCol: String, vecCol: String,
+                   m: Int): (DataFrame, Int, Int) = {
     val corpusV = corpus.select(col(idCol).as("neighbor_id"),
         transform(col(vecCol), x => Clustering.grid(x)).as("v"))
-      .localCheckpoint(false) // feeds m codebook fits + the encode pass
+      .localCheckpoint(false) // feeds the fits + the encode pass
     val dim = corpusV.select(size(col("v"))).head().getInt(0)
     require(dim % m == 0, s"m=$m must divide dim=$dim")
-    val d = dim / m
-    def sub(v: org.apache.spark.sql.Column, s: Int) =
-      slice(v, s * d + 1, d)
-    // the m fits are independent chains of tiny jobs (init collect +
-    // iters update collects each); run them concurrently so the
-    // operator's wall clock is one fit's job-launch latency, not m of
-    // them — Spark's scheduler interleaves the stages across the cluster
-    val codebooks: IndexedSeq[Array[Array[Double]]] = {
-      import scala.concurrent.{Await, Future}
-      import scala.concurrent.duration.Duration
-      import scala.concurrent.ExecutionContext.Implicits.global
-      Await.result(Future.sequence((0 until m).map { s =>
-        Future(Clustering.lloydFit(
-          corpusV.select(col("neighbor_id").as("id"),
-            sub(col("v"), s).as("v")),
-          ksub, iters, seed + s))
-      }), Duration.Inf)
-    }
-    // ‖centroid‖² per (subspace, code): left fold over dims, the same
-    // order the oracle's list_reduce uses, so ‖x̂‖ replays exactly
-    val cnorm2: IndexedSeq[Array[Double]] =
-      codebooks.map(_.map(_.foldLeft(0.0)((a, x) => a + x * x)))
-    // encode: m plan-time-literal argmins, one zero-shuffle pass
-    val encoded = (0 until m).foldLeft(corpusV) { (df, s) =>
+    (corpusV, dim, dim / m)
+  }
+
+  private def sub(v: Column, s: Int, d: Int): Column = slice(v, s * d + 1, d)
+
+  /** The m per-subspace Lloyd fits, run concurrently — independent
+    * chains of tiny jobs the scheduler interleaves, so wall clock is one
+    * fit's job-launch latency, not m of them. Subspace s seeds at
+    * seedBase + s. */
+  private def fitCodebooks(corpusV: DataFrame, m: Int, d: Int, ksub: Int,
+                           iters: Int,
+                           seedBase: Long): IndexedSeq[Array[Array[Double]]] = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    Await.result(Future.sequence((0 until m).map { s =>
+      Future(Clustering.lloydFit(
+        corpusV.select(col("neighbor_id").as("id"), sub(col("v"), s, d).as("v")),
+        ksub, iters, seedBase + s))
+    }), Duration.Inf)
+  }
+
+  /** Corpus → m code columns (__c0..__c{m-1}) in one zero-shuffle pass;
+    * keeps every non-vector column, drops the floats. */
+  private def encode(corpusV: DataFrame, cbs: IndexedSeq[Array[Array[Double]]],
+                     d: Int): DataFrame =
+    cbs.indices.foldLeft(corpusV) { (df, s) =>
       df.withColumn(s"__c$s",
-        Clustering.assignCols(sub(col("v"), s), codebooks(s)).getField("c"))
+        Clustering.assignCols(sub(col("v"), s, d), cbs(s)).getField("c"))
     }.drop("v")
-    // query side: the ADC dot table per subspace (ksub entries), plus ‖q‖
-    val qPrep = (0 until m).foldLeft(
+
+  /** Query side: gridded vector kept as qv, plus the ADC dot table per
+    * subspace (__t0..) and ‖q‖ (__qn). */
+  private def adcPrep(queries: DataFrame, idCol: String, vecCol: String,
+                      cbs: IndexedSeq[Array[Array[Double]]],
+                      d: Int): DataFrame =
+    cbs.indices.foldLeft(
       queries.select(col(idCol).as("query_id"),
         transform(col(vecCol), x => Clustering.grid(x)).as("qv"))) {
       (df, s) =>
-        df.withColumn(s"__t$s", array(codebooks(s).map(cv =>
-          aggregate(zip_with(sub(col("qv"), s), lit(cv), (x, y) => x * y),
+        df.withColumn(s"__t$s", array(cbs(s).map(cv =>
+          aggregate(zip_with(sub(col("qv"), s, d), lit(cv), (x, y) => x * y),
             lit(0.0), (acc, p) => acc + p)): _*))
     }.withColumn("__qn",
       sqrt(aggregate(col("qv"), lit(0.0), (acc, x) => acc + x * x)))
-      .drop("qv")
-    // score every code row per query: m lookups + adds (broadcast query
-    // table vs streamed codes — the PQ scan; IVF routing would prune it)
-    val adot = (0 until m).map(s =>
+
+  /** ADC score every (code row × query) pair already joined in `paired`,
+    * keep top-k per query: m lookups + adds per row. */
+  private def adcTopK(paired: DataFrame, cbs: IndexedSeq[Array[Array[Double]]],
+                      k: Int): DataFrame = {
+    // ‖centroid‖² per (subspace, code): left fold over dims, the same
+    // order the oracle's list_reduce uses, so ‖x̂‖ replays exactly
+    val cnorm2 = cbs.map(_.map(_.foldLeft(0.0)((a, x) => a + x * x)))
+    val adot = cbs.indices.map(s =>
         element_at(col(s"__t$s"), col(s"__c$s") + 1))
       .reduceLeft(_ + _)
-    val xn2 = (0 until m).map(s =>
+    val xn2 = cbs.indices.map(s =>
         element_at(lit(cnorm2(s)), col(s"__c$s") + 1))
       .reduceLeft(_ + _)
-    val scored = encoded.crossJoin(broadcast(qPrep))
+    val scored = paired
       .where(col("query_id") =!= col("neighbor_id"))
       .withColumn("__ac", adot / (col("__qn") * sqrt(xn2)))
     val w = Window.partitionBy("query_id")
@@ -107,5 +115,65 @@ object Pq {
       .where(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank"),
         round(col("__ac"), 6).as("adc_cos"))
+  }
+
+  /** Fit per-subspace codebooks, encode the corpus, ADC-score the query
+    * set against EVERY code row, return exact top-k per query BY THE PQ
+    * APPROXIMATE SCORE.
+    *
+    * @return (query_id, neighbor_id, rank, adc_cos) — adc_cos is the
+    *         approximate cosine dot(q, x̂)/(‖q‖·‖x̂‖) with x̂ the PQ
+    *         reconstruction, rounded 6. */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+             vecCol: String, k: Int, m: Int = 4, ksub: Int = 8,
+             iters: Int = 2, seed: Long = 42L): DataFrame = {
+    require(m >= 1 && ksub >= 2 && iters >= 1, "bad PQ parameters")
+    val (corpusV, _, d) = prep(corpus, idCol, vecCol, m)
+    val cbs = fitCodebooks(corpusV, m, d, ksub, iters, seed)
+    val qPrep = adcPrep(queries, idCol, vecCol, cbs, d).drop("qv")
+    adcTopK(encode(corpusV, cbs, d).crossJoin(broadcast(qPrep)), cbs, k)
+  }
+
+  /** IVF-PQ: the coarse quantizer routes, the codes score. A k-means
+    * coarse quantizer (exact-replay, seeded at `seed`) partitions the
+    * corpus into `nCells` cells; each query probes only its `nProbe`
+    * nearest cells and the candidates score by ADC over the PQ codes
+    * (subspace codebooks seeded at seed+1+s). The candidate join is a
+    * broadcast EQUI-join on the cell id — no cross product anywhere —
+    * and at lake scale the code table is written partitioned by cell so
+    * a probe reads nProbe/nCells of it. Plain PQ on raw vectors (no
+    * residual encoding) — the standard memory/recall middle ground.
+    *
+    * Probe ranking ties break on the smaller cell id (same as the
+    * assignment argmin), so the oracle replays routing exactly. */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                vecCol: String, k: Int, nCells: Int = 8, nProbe: Int = 2,
+                m: Int = 4, ksub: Int = 8, iters: Int = 2,
+                seed: Long = 42L): DataFrame = {
+    require(nCells >= 1 && nProbe >= 1 && nProbe <= nCells,
+      "bad IVF parameters")
+    require(m >= 1 && ksub >= 2 && iters >= 1, "bad PQ parameters")
+    val (corpusV, _, d) = prep(corpus, idCol, vecCol, m)
+    val coarse = Clustering.lloydFit(
+      corpusV.select(col("neighbor_id").as("id"), col("v")),
+      nCells, iters, seed)
+    val cbs = fitCodebooks(corpusV, m, d, ksub, iters, seed + 1)
+    val assigned = encode(corpusV.withColumn("__cell",
+      Clustering.assignCols(col("v"), coarse).getField("c")), cbs, d)
+    // nProbe nearest cells per query: sort the (distance, cell) structs —
+    // lexicographic struct order IS (d asc, cell asc), the argmin's
+    // tie-break — then explode the leading nProbe cell ids
+    val probeCells = transform(
+      slice(array_sort(array(coarse.zipWithIndex.map { case (cv, j) =>
+        struct(
+          aggregate(zip_with(col("qv"), lit(cv), (x, y) => (x - y) * (x - y)),
+            lit(0.0), (acc, p) => acc + p).as("d"),
+          lit(j).as("c"))
+      }: _*)), 1, nProbe),
+      e => e.getField("c"))
+    val qPrep = adcPrep(queries, idCol, vecCol, cbs, d)
+      .withColumn("__cell", explode(probeCells))
+      .drop("qv")
+    adcTopK(assigned.join(broadcast(qPrep), Seq("__cell")), cbs, k)
   }
 }

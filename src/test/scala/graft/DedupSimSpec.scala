@@ -538,6 +538,36 @@ class DedupSimSpec extends SparkSpec {
       again.sortBy(r => (r._1, r._3)).toSeq)
   }
 
+  test("ivfPqTopK: full probe equals plain PQ, partial probe routes " +
+       "within the query's blob") {
+    import graft.sim.Pq
+    val vecs = (0 until 60).map { i =>
+      val blob = i % 3
+      val v = Array.tabulate(16)(d =>
+        (if (d / 6 == blob) 5.0f else 0.1f) + 0.01f * ((i + d) % 4))
+      (i.toLong, v.toSeq)
+    }.toDF("vec_id", "embedding")
+    val queries = vecs.where(col("vec_id") < 3)
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(2)) -> r.getLong(1))
+        .toMap
+    // probing every cell makes routing a no-op: IVF-PQ == plain PQ
+    // (identical codebooks need identical seeds: ivfPq shifts subspace
+    // seeds by +1, so compare against pqTopK seeded to match)
+    val full = Pq.ivfPqTopK(vecs, queries, "vec_id", "embedding", k = 5,
+      nCells = 6, nProbe = 6, m = 4, ksub = 4, iters = 2, seed = 42L)
+    val plain = Pq.pqTopK(vecs, queries, "vec_id", "embedding", k = 5,
+      m = 4, ksub = 4, iters = 2, seed = 43L)
+    assert(norm(full) == norm(plain))
+    // partial probe: every neighbor still comes from the query's blob
+    val part = Pq.ivfPqTopK(vecs, queries, "vec_id", "embedding", k = 5,
+      nCells = 6, nProbe = 2, m = 4, ksub = 4, iters = 2, seed = 42L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(part.nonEmpty)
+    part.foreach { case (q, n) =>
+      assert(n % 3 == q % 3, s"query $q got cross-blob neighbor $n") }
+  }
+
   test("decontaminateBloom is bit-identical to the broadcast-exact tier") {
     // corpus: 120 docs; eval = every 10th; plant partial contamination
     // (doc i shares a 5-gram run with eval doc i-1 when i % 10 == 1)
