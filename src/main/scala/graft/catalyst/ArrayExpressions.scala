@@ -107,6 +107,23 @@ object ArrayKernels {
     s
   }
 
+  /** Exact intersection size of two long-hash sets — same two-pointer
+    * merge as [[jaccardLongs]] but returning the raw count, the
+    * numerator an asymmetric CONTAINMENT score divides by one side's
+    * size (|A∩B|/|A|). */
+  def interLongs(a: ArrayData, b: ArrayData): Long = {
+    val x = checkNoNulls(a, "graft_inter_longs").toLongArray()
+    val y = checkNoNulls(b, "graft_inter_longs").toLongArray()
+    java.util.Arrays.sort(x); java.util.Arrays.sort(y)
+    var i = 0; var j = 0; var inter = 0L
+    while (i < x.length && j < y.length) {
+      if (x(i) == y(j)) { inter += 1; i += 1; j += 1 }
+      else if (x(i) < y(j)) i += 1
+      else j += 1
+    }
+    inter
+  }
+
   /** cosine(a,b) = dot(a,b) / (sqrt(dot(a,a)) * sqrt(dot(b,b))) computed
     * in ONE pass over ONE pair of primitive copies. Each accumulator adds
     * the same terms in the same left-to-right order as three separate
@@ -136,6 +153,18 @@ case class JaccardLongsExpr(left: Expression, right: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, (a, b) => s"graft.catalyst.ArrayKernels.jaccardLongs($a, $b)")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): JaccardLongsExpr =
+    copy(left = l, right = r)
+}
+
+case class InterLongsExpr(left: Expression, right: Expression)
+    extends BinaryExpression with Serializable {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_inter_longs"
+  protected override def nullSafeEval(a: Any, b: Any): Any =
+    ArrayKernels.interLongs(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.catalyst.ArrayKernels.interLongs($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): InterLongsExpr =
     copy(left = l, right = r)
 }
 
@@ -250,6 +279,8 @@ object ArrayFunctions {
 
   def jaccardLongs(a: Column, b: Column): Column =
     c(JaccardLongsExpr(longs(a), longs(b)))
+  def interLongs(a: Column, b: Column): Column =
+    c(InterLongsExpr(longs(a), longs(b)))
   def shingleHashes(text: Column, k: Int): Column =
     c(ShingleHashesExpr(e(text), k))
   def minhashSig(text: Column, k: Int, numHashes: Int): Column =

@@ -76,6 +76,63 @@ object Dedup {
         "first_in_batch")
   }
 
+  /** Asymmetric CONTAINMENT near-dup pairs: |sh(A) ∩ sh(B)| / |sh(A)| ≥
+    * threshold — "document A is (mostly) contained in document B", the
+    * relation Jaccard dedup structurally misses (a paragraph quoted
+    * inside a much longer page has high containment but near-zero
+    * Jaccard, so LSH banding never candidates it). This is the
+    * scraped-corpus nesting detector: quotes, mirrored articles inside
+    * portals, README blobs inside aggregator dumps.
+    *
+    * Same df-pruned shingle-hash universe and candidate rule as
+    * [[ngramJaccardPairs]] (pairs sharing ≥ 1 shingle with document
+    * frequency ≤ maxShingleDf; pruning is part of the declared
+    * semantics, replayed by the oracle) — but pairs are ORDERED, since
+    * containment is directional, and verification divides the exact
+    * intersection (native [[graft.catalyst.InterLongsExpr]] kernel) by
+    * the PROBE side's set size. Scale shape mirrors the Jaccard tier:
+    * one posting exchange, candidate pairs bounded by df² per shingle,
+    * verify fanned wide on the pair key. The probe-side prefix filter
+    * (keep only A's |A|−⌈t·|A|⌉+1 rarest shingles as candidate seeds —
+    * lossless for the A-side denominator) applies unchanged at scale;
+    * omitted here because the df cut already bounds the gate corpora.
+    *
+    * Output: (id_a, id_b, containment) with sh(id_a) the contained
+    * side, rounded 6. */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+                       k: Int = 3, threshold: Double = 0.9,
+                       maxShingleDf: Long = 100): DataFrame = {
+    val sh = df.select(col(idCol).as("id"),
+      explode(graft.catalyst.ArrayFunctions.shingleHashes(col(textCol), k)).as("h"))
+    val posting = sh.groupBy("h")
+      .agg(sort_array(collect_set(col("id"))).as("ids"))
+      .where(size(col("ids")) <= maxShingleDf)
+      .localCheckpoint(false) // feeds candidates AND the per-doc sets
+    val docSets = posting
+      .select(explode(col("ids")).as("id"), col("h"))
+      .groupBy("id")
+      .agg(sort_array(collect_list(col("h"))).as("shs"))
+      .localCheckpoint(false)
+    // ordered pairs within each pruned posting list (x ≠ y, both
+    // directions — containment is not symmetric)
+    val candidates = posting
+      .select(explode(col("ids")).as("id_a"), col("ids"))
+      .select(col("id_a"), explode(col("ids")).as("id_b"))
+      .where(col("id_a") =!= col("id_b"))
+      .repartition(df.sparkSession.sparkContext.defaultParallelism,
+        col("id_a"), col("id_b"))
+      .dropDuplicates()
+    candidates
+      .join(docSets.select(col("id").as("id_a"), col("shs").as("sh_a")), "id_a")
+      .join(docSets.select(col("id").as("id_b"), col("shs").as("sh_b")), "id_b")
+      .withColumn("containment",
+        graft.catalyst.ArrayFunctions.interLongs(col("sh_a"), col("sh_b"))
+          .cast("double") / size(col("sh_a")))
+      .where(col("containment") >= threshold)
+      .select(col("id_a"), col("id_b"),
+        round(col("containment"), 6).as("containment"))
+  }
+
   /** Word k-shingles of a document as a distinct array column.
     *
     * Declarative form — kept as the semantic definition (it is what the

@@ -437,6 +437,14 @@ object LlmQueries {
         k = 3, threshold = 0.8, maxShingleDf = 100),
       Some(s"""WITH $shingleCte, pr AS (SELECT doc_id, h FROM (SELECT doc_id, h, count(*) OVER (PARTITION BY h) AS df FROM shh) WHERE df <= 100), sz AS (SELECT doc_id, count(*) AS n FROM pr GROUP BY 1), it AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS inter FROM pr a JOIN pr b ON a.h = b.h AND a.doc_id < b.doc_id GROUP BY 1, 2) SELECT ia AS id_a, ib AS id_b, round(CAST(inter AS DOUBLE) / (x.n + y.n - inter), 6) AS jaccard FROM it JOIN sz x ON ia = x.doc_id JOIN sz y ON ib = y.doc_id WHERE CAST(inter AS DOUBLE) / (x.n + y.n - inter) >= 0.8""")),
 
+    Entry("q_containment_pairs",
+      // directional nesting detector: |A∩B|/|A| over the same df-pruned
+      // shingle universe as the Jaccard tier — catches a doc quoted
+      // inside a longer one, which Jaccard/LSH structurally miss
+      (s, d) => Dedup.containmentPairs(t(s, d, "documents"), "doc_id",
+        "text", k = 3, threshold = 0.9, maxShingleDf = 100),
+      Some(s"""WITH $shingleCte, pr AS (SELECT doc_id, h FROM (SELECT doc_id, h, count(*) OVER (PARTITION BY h) AS df FROM shh) WHERE df <= 100), sz AS (SELECT doc_id, count(*) AS n FROM pr GROUP BY 1), it AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS inter FROM pr a JOIN pr b ON a.h = b.h AND a.doc_id <> b.doc_id GROUP BY 1, 2) SELECT ia AS id_a, ib AS id_b, round(CAST(inter AS DOUBLE) / x.n, 6) AS containment FROM it JOIN sz x ON ia = x.doc_id WHERE CAST(inter AS DOUBLE) / x.n >= 0.9""")),
+
     Entry("q_minhash_lsh",
       // oracle mirrors the md5-derived family AND the 16×8 banding, so the
       // hash-compare is deterministic for any data (no S-curve recall bet)

@@ -506,6 +506,27 @@ class DedupSimSpec extends SparkSpec {
     assert(pairs.toSet == Set((7L, 8L)))
   }
 
+  test("containmentPairs is directional: the quoted doc is contained, " +
+       "the container is not") {
+    val quote = (0 until 10).map(i => s"q$i").mkString(" ")
+    val filler = (0 until 40).map(i => s"f$i").mkString(" ")
+    val docs = Seq(
+      (1L, quote),                 // the quoted paragraph
+      (2L, s"$filler $quote"),     // a long page containing it
+      (3L, (0 until 30).map(i => s"z$i").mkString(" ")) // unrelated
+    ).toDF("doc_id", "text")
+    val out = Dedup.containmentPairs(docs, "doc_id", "text", k = 3,
+        threshold = 0.9, maxShingleDf = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // 1 ⊂ 2 at containment 1.0; the reverse direction is far below 0.9;
+    // doc 3 shares nothing
+    assert(out.toSeq == Seq((1L, 2L, 1.0)))
+    // jaccard would have missed it: |∩|/|∪| = 8/49 ≈ 0.16
+    val jac = Dedup.ngramJaccardPairs(docs, "doc_id", "text", k = 3,
+      threshold = 0.8, maxShingleDf = 100).count()
+    assert(jac == 0)
+  }
+
   test("pqTopK: codes recover planted structure, determinism under " +
        "repartition, ADC ranks near-duplicates first") {
     import graft.sim.Pq
