@@ -675,6 +675,21 @@ object LlmQueries {
       },
       Some("""WITH toks AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS ts FROM documents), sh0 AS (SELECT doc_id, CASE WHEN len(ts) >= 5 THEN array_to_string(ts[i:i+4], ' ') ELSE array_to_string(ts, ' ') END AS s FROM toks, unnest(generate_series(1, greatest(len(ts) - 4, 1))) AS g(i)), shh AS (SELECT DISTINCT doc_id, CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) AS h FROM sh0), ev AS (SELECT DISTINCT h FROM shh WHERE doc_id % 40 = 0), hits AS (SELECT shh.doc_id, count(*) AS n_hits FROM shh JOIN ev USING (h) GROUP BY 1) SELECT d.doc_id, coalesce(hits.n_hits, 0) AS n_hits, coalesce(hits.n_hits, 0) > 0 AS contaminated FROM documents d LEFT JOIN hits ON d.doc_id = hits.doc_id""")),
 
+    Entry("q_strip_markup",
+      // crawl extraction: planted html/script/comment/entity wrapper
+      // around each doc, stripped by the staged RE2-subset regex
+      // pipeline (script/style content first so it can't leak into the
+      // text); n_tags counts the tag stage's own removals
+      (s, d) => {
+        val wrapped = t(s, d, "documents").select(col("doc_id"),
+          concat(lit("<html><body class=\"x\">"), col("text"),
+            lit(" <!-- footer --> <script>var x = 1 < 2;</script>&nbsp;</body></html>"))
+            .as("text"))
+        Text.stripMarkup(wrapped, "text")
+          .select("doc_id", "n_tags", "clean_text")
+      },
+      Some("""WITH w AS (SELECT doc_id, '<html><body class="x">' || text || ' <!-- footer --> <script>var x = 1 < 2;</script>&nbsp;</body></html>' AS text FROM documents), s2 AS (SELECT doc_id, regexp_replace(regexp_replace(text, '(?is)<(?:script|style)[^>]*>.*?</(?:script|style)>', ' ', 'g'), '(?s)<!--.*?-->', ' ', 'g') AS t FROM w) SELECT doc_id, CAST(len(regexp_extract_all(t, '</?[A-Za-z][^>]*>')) AS INTEGER) AS n_tags, trim(regexp_replace(regexp_replace(regexp_replace(t, '</?[A-Za-z][^>]*>', ' ', 'g'), '&[A-Za-z]+;|&#[0-9]+;', ' ', 'g'), '\s+', ' ', 'g')) AS clean_text FROM s2""")),
+
     Entry("q_text_redact",
       // PII scrub (emails / SSNs / IPv4s / phones): sequential
       // count-then-replace regexp pipeline, zero shuffle; the oracle

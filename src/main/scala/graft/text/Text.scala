@@ -175,6 +175,36 @@ object Text {
           .withColumn("redacted", regexp_replace(col("redacted"), re, tok))
     }
 
+  /** Markup-strip regex stages, in application order. Restricted to the
+    * RE2-compatible subset (no backreferences/lookaround) so the DuckDB
+    * oracle replays them verbatim; non-greedy and inline (?is) flags are
+    * in both engines' dialects. */
+  val ScriptStyleRe = "(?is)<(?:script|style)[^>]*>.*?</(?:script|style)>"
+  val CommentRe = "(?s)<!--.*?-->"
+  val TagRe = "</?[A-Za-z][^>]*>"
+  val EntityRe = "&[A-Za-z]+;|&#[0-9]+;"
+
+  /** Strip HTML/markup boilerplate from scraped documents — the
+    * extraction step between raw crawl and every text-quality tier:
+    * script/style blocks and comments go first (their CONTENT must not
+    * leak into the text), then tags, then entities, then whitespace
+    * collapse. Pure codegen'd regexp pipeline, zero shuffle, one pass —
+    * same shape as [[redactPii]]. `n_tags` counts the tags the tag stage
+    * actually removed (measured on its own input, after the block
+    * stages), the usual markup-density quality signal.
+    *
+    * Output: input columns + (n_tags, clean_text). */
+  def stripMarkup(df: DataFrame, textCol: String): DataFrame = {
+    val s1 = regexp_replace(col(textCol), ScriptStyleRe, " ")
+    val s2 = regexp_replace(s1, CommentRe, " ")
+    df.withColumn("n_tags",
+        size(regexp_extract_all(s2, lit(TagRe), lit(0))))
+      .withColumn("clean_text",
+        trim(regexp_replace(
+          regexp_replace(regexp_replace(s2, TagRe, " "), EntityRe, " "),
+          "\\s+", " ")))
+  }
+
   /** Per-document salient terms: tf × (N/df) ranked top-k per document —
     * the no-transcendentals cousin of TF-IDF (the ratio N/df IS the raw
     * inverse document frequency; skipping the log keeps every score one

@@ -60,4 +60,23 @@ class TextSpec extends SparkSpec {
       .select("id", "n_bigrams").as[(Long, Long)].collect().toMap
     assert(nb(9L) == 11L && nb(1L) == 13L)
   }
+
+  test("stripMarkup drops script content, comments, tags and entities " +
+       "but keeps the text") {
+    val docs = Seq(
+      (1L, "<html><HEAD><style>body { color: red }</style></HEAD>" +
+        "<body id=\"m\">Hello <b>world</b><!-- hidden note -->" +
+        "<script>if (1 < 2) alert('x');</script> bye&nbsp;now</body></html>"),
+      (2L, "plain text, no markup at all")
+    ).toDF("doc_id", "text")
+    val out = Text.stripMarkup(docs, "text")
+      .select("doc_id", "n_tags", "clean_text")
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getString(2)))
+      .toMap
+    // script/style CONTENT and the comment are gone; entities dropped;
+    // tag count = html HEAD /HEAD body b /b /body /html = 8
+    assert(out(1L) == (8, "Hello world bye now"),
+      s"got ${out(1L)}")
+    assert(out(2L) == (0, "plain text, no markup at all"))
+  }
 }
