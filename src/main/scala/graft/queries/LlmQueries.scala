@@ -661,6 +661,66 @@ object LlmQueries {
       },
       Some("""WITH toks AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS ts FROM documents), sh0 AS (SELECT doc_id, CASE WHEN len(ts) >= 5 THEN array_to_string(ts[i:i+4], ' ') ELSE array_to_string(ts, ' ') END AS s FROM toks, unnest(generate_series(1, greatest(len(ts) - 4, 1))) AS g(i)), shh AS (SELECT DISTINCT doc_id, CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) AS h FROM sh0), ev AS (SELECT DISTINCT h FROM shh WHERE doc_id % 40 = 0), hits AS (SELECT shh.doc_id, count(*) AS n_hits FROM shh JOIN ev USING (h) GROUP BY 1) SELECT d.doc_id, coalesce(hits.n_hits, 0) AS n_hits, coalesce(hits.n_hits, 0) > 0 AS contaminated FROM documents d LEFT JOIN hits ON d.doc_id = hits.doc_id""")),
 
+    Entry("q_decontaminate_fuzzy",
+      // fuzzy benchmark decontamination (the GPT-3/PaLM-style NEAR-dup
+      // variant of q_decontaminate): corpus docs that are minhash-LSH
+      // near-duplicates of any eval doc, via the incremental probe
+      // against the eval set's persisted banded index — only the corpus
+      // batch is sketched. Every corpus doc is emitted with its eval
+      // match count and best jaccard.
+      (s, d) => {
+        val docs = t(s, d, "documents").select("doc_id", "text")
+        val eval = docs.where(col("doc_id") % 40 === 0)
+        val corpus = docs.where(col("doc_id") % 40 =!= 0)
+        val evalIdx = Dedup.bandedIndex(eval, "doc_id", "text",
+          k = 3, numHashes = 128, bands = 16)
+        val pairs = Dedup.minhashLshPairsIncremental(eval, corpus, evalIdx,
+          "doc_id", "text", k = 3, threshold = 0.8)
+        // keep only eval↔corpus pairs (the probe also yields
+        // corpus↔corpus); sides are disjoint so the fixture's eval
+        // predicate identifies them
+        val hits = pairs
+          .where((col("id_a") % 40 === 0) =!= (col("id_b") % 40 === 0))
+          .withColumn("cid", when(col("id_a") % 40 === 0, col("id_b"))
+            .otherwise(col("id_a")))
+          .groupBy("cid")
+          .agg(count(lit(1)).as("n_eval_matches"),
+            max(col("jaccard")).as("best_jaccard"))
+        corpus.select(col("doc_id"))
+          .join(hits, corpus("doc_id") === hits("cid"), "left")
+          .select(col("doc_id"),
+            coalesce(col("n_eval_matches"), lit(0L)).as("n_eval_matches"),
+            col("best_jaccard"),
+            (coalesce(col("n_eval_matches"), lit(0L)) > 0)
+              .as("near_contaminated"))
+      },
+      Some(s"""WITH $shingleCte, $minhashCandCtes, $verifyCtes, prs AS (${verifySelect(0.8)}) SELECT d.doc_id, CAST(coalesce(h.n, 0) AS BIGINT) AS n_eval_matches, h.best_jaccard, coalesce(h.n, 0) > 0 AS near_contaminated FROM (SELECT doc_id FROM documents WHERE doc_id % 40 <> 0) d LEFT JOIN (SELECT CASE WHEN id_a % 40 = 0 THEN id_b ELSE id_a END AS cid, count(*) AS n, max(jaccard) AS best_jaccard FROM prs WHERE (id_a % 40 = 0) <> (id_b % 40 = 0) GROUP BY 1) h ON d.doc_id = h.cid""")),
+
+    Entry("q_split_leakage",
+      // split-leakage auditor: near-dup pairs that CROSS the train/test
+      // assignment — the check that catches test questions leaking into
+      // training via duplicates the split hash cannot see
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val sp = graft.text.Sampling.splitAssign(docs, "doc_id", 31L,
+          Seq(("train", 0.9), ("test", 0.1)))
+          .select(col("doc_id"), col("split"))
+        val pairs = Dedup.minhashLshPairs(docs.select("doc_id", "text"),
+          "doc_id", "text", k = 3, threshold = 0.8)
+        pairs
+          .join(sp.select(col("doc_id").as("id_a"),
+            col("split").as("split_a")), "id_a")
+          .join(sp.select(col("doc_id").as("id_b"),
+            col("split").as("split_b")), "id_b")
+          .where(col("split_a") =!= col("split_b"))
+          .select("id_a", "id_b", "jaccard", "split_a", "split_b")
+      },
+      Some {
+        val splitCase = graft.text.Sampling.splitAssignSql("doc_id", 31L,
+          Seq(("train", 0.9), ("test", 0.1)))
+        s"""WITH $shingleCte, $minhashCandCtes, $verifyCtes, prs AS (${verifySelect(0.8)}), sp AS (SELECT doc_id, $splitCase AS split FROM documents) SELECT p.id_a, p.id_b, p.jaccard, a.split AS split_a, b.split AS split_b FROM prs p JOIN sp a ON p.id_a = a.doc_id JOIN sp b ON p.id_b = b.doc_id WHERE a.split <> b.split"""
+      }),
+
     Entry("q_decontaminate_bloom",
       // the big-eval-set scale path of q_decontaminate: Bloom-filter
       // pre-pass (codegen membership test over the serialized bitmap)
