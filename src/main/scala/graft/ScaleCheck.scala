@@ -52,7 +52,9 @@ object ScaleCheck {
     // PQ/ADC search, and the streaming-history dedup batch twin
     "q_corpus_diff", "q_corpus_overlap", "q_dsir_weights",
     "q_dsir_sample", "q_decontaminate_bloom", "q_ann_pq",
-    "q_stream_hist_dedup")
+    "q_stream_hist_dedup",
+    "q_ann_ivfpq", "q_table_profile", "q_containment_pairs",
+    "q_strip_markup", "q_decontaminate_fuzzy", "q_split_leakage")
 
   def main(args: Array[String]): Unit = {
     val src = "/root/testdata/sf0.1"
