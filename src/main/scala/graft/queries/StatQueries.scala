@@ -38,7 +38,57 @@ object StatQueries {
     }.mkString(" UNION ALL ")
   }
 
+  /** DuckDB replay of Profile.profileKmv over lineitem (optionally
+    * filtered): per-column exact stats + the KMV sketch as
+    * DISTINCT-hash ORDER BY h LIMIT k, with the same (k−1)·2^60/kth
+    * estimate and Spark-style rounding. */
+  private def lineitemProfileKmvSql(k: Int, where: String = ""): String = {
+    val cols = Seq(
+      "l_orderkey" -> "num", "l_partkey" -> "num", "l_suppkey" -> "num",
+      "l_linenumber" -> "num", "l_quantity" -> "num",
+      "l_extendedprice" -> "num", "l_discount" -> "num", "l_tax" -> "num",
+      "l_returnflag" -> "str", "l_linestatus" -> "str",
+      "l_shipdate" -> "ts")
+    val src = if (where.isEmpty) "lineitem" else s"(SELECT * FROM lineitem WHERE $where)"
+    val arms = cols.map { case (c, kind) =>
+      val (minN, maxN, minS, maxS) = kind match {
+        case "num" => (s"CAST(min($c) AS DOUBLE)",
+          s"CAST(max($c) AS DOUBLE)",
+          "CAST(NULL AS VARCHAR)", "CAST(NULL AS VARCHAR)")
+        case "ts" => (s"epoch_us(min($c)) / 1000000.0",
+          s"epoch_us(max($c)) / 1000000.0",
+          "CAST(NULL AS VARCHAR)", "CAST(NULL AS VARCHAR)")
+        case _ => ("CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)",
+          s"min($c)", s"max($c)")
+      }
+      s"""SELECT b.*, m.kmv, m.n_mins, CASE WHEN m.n_mins < $k THEN CAST(m.n_mins AS DOUBLE) ELSE ${OmicsQueries.rndSql(s"${(k - 1).toDouble} * 1152921504606846976.0 / m.kth", 2)} END AS est_distinct FROM (SELECT '$c' AS col_name, count(*) AS n, count(*) - count($c) AS n_null, $minN AS min_num, $maxN AS max_num, $minS AS min_str, $maxS AS max_str FROM $src) b, (SELECT list(h ORDER BY h) AS kmv, CAST(count(*) AS INTEGER) AS n_mins, max(h) AS kth FROM (SELECT DISTINCT CAST(concat('0x', substr(md5('pf:' || CAST($c AS VARCHAR)), 1, 15)) AS BIGINT) AS h FROM $src WHERE $c IS NOT NULL ORDER BY h LIMIT $k)) m"""
+    }
+    arms.mkString(" UNION ALL ")
+  }
+
   val entries: Seq[Entry] = Seq(
+
+    Entry("q_profile_kmv",
+      // the mergeable profile: bounded native KMV sketch aggregate
+      // (k longs of buffer, map-side combine) in place of the exact
+      // distinct count; the oracle replays sketch and estimate exactly
+      (s, d) => graft.stats.Profile.profileKmv(t(s, d, "lineitem"), k = 64),
+      Some(lineitemProfileKmvSql(64))),
+
+    Entry("q_profile_kmv_merge",
+      // mergeability AT THE GATE: profile two disjoint halves
+      // separately, roll them up with mergeKmvProfiles — the oracle is
+      // the WHOLE-table profile, so the hash compare proves
+      // merge(profile(a), profile(b)) == profile(a ∪ b) exactly
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+        val pa = graft.stats.Profile.profileKmv(
+          li.where(col("l_orderkey") % 2 === 0), k = 64)
+        val pb = graft.stats.Profile.profileKmv(
+          li.where(col("l_orderkey") % 2 =!= 0), k = 64)
+        graft.stats.Profile.mergeKmvProfiles(pa.unionByName(pb), k = 64)
+      },
+      Some(lineitemProfileKmvSql(64))),
 
     Entry("q_table_profile",
       // snapshot validation profile: one melted scan of the table, one

@@ -30,9 +30,9 @@ object Profile {
     case _ => false
   }
 
-  /** @return one row per column: (col_name, n, n_null, n_distinct,
-    *         min_num, max_num, min_str, max_str). */
-  def profile(df: DataFrame): DataFrame = {
+  /** The melted (col_name, num, str, repr, is_null) relation both
+    * profilers aggregate — one generated projection, one scan. */
+  private def melted(df: DataFrame): DataFrame = {
     val entries = df.schema.fields.map { f =>
       val c = col(f.name)
       // NTZ included: parquet isAdjustedToUTC=false surfaces as
@@ -56,12 +56,78 @@ object Profile {
     df.select(explode(array(entries: _*)).as("e"))
       .select(col("e.col_name"), col("e.num"), col("e.str"),
         col("e.repr"), col("e.is_null"))
+  }
+
+  /** @return one row per column: (col_name, n, n_null, n_distinct,
+    *         min_num, max_num, min_str, max_str). */
+  def profile(df: DataFrame): DataFrame =
+    melted(df)
       .groupBy("col_name")
       .agg(count(lit(1)).as("n"),
         sum(col("is_null").cast("long")).as("n_null"),
-        // 100 TB: approx_count_distinct(col("repr")) here
+        // 100 TB: approx_count_distinct(col("repr")) here — or use
+        // [[profileKmv]], whose sketch is bounded AND mergeable
         countDistinct(col("repr")).as("n_distinct"),
         min(col("num")).as("min_num"), max(col("num")).as("max_num"),
         min(col("str")).as("min_str"), max(col("str")).as("max_str"))
+
+  private val Two60 = 1152921504606846976.0 // the 60-bit draw's range
+
+  private def withEstimate(grouped: DataFrame, k: Int): DataFrame =
+    grouped
+      .withColumn("n_mins", size(col("kmv")))
+      .withColumn("est_distinct",
+        when(col("n_mins") < k, col("n_mins").cast("double"))
+          .otherwise(round(lit((k - 1).toDouble) * lit(Two60) /
+            element_at(col("kmv"), col("n_mins")), 2)))
+
+  /** The MERGEABLE profile: exact n/n_null/ranges plus a bounded KMV
+    * sketch ([[graft.catalyst.KmvSketchAgg]] — ≤ k longs of buffer,
+    * map-side partial combine) in place of the exact distinct count.
+    * Every output component is order-independent and mergeable, so
+    * profiles of corpus slices ROLL UP: [[mergeKmvProfiles]] of the
+    * slice profiles is EXACTLY the whole-table profile — the
+    * incremental-snapshot shape (profile the daily delta, merge into
+    * the running profile; never rescan the lake).
+    *
+    * The sketch hashes the value's string form with the shared md5
+    * 60-bit draw. Caveat: cross-engine estimate parity needs
+    * repr-parity of the hashed strings (integers, strings, dates,
+    * 2-decimal doubles and sub-1e7 magnitudes are safe; exotic float
+    * magnitudes format differently across engines — the COUNT parity
+    * of [[profile]]'s exact path does not have this caveat).
+    *
+    * @return one row per column: (col_name, n, n_null, min_num,
+    *         max_num, min_str, max_str, kmv, n_mins, est_distinct). */
+  def profileKmv(df: DataFrame, k: Int = 64): DataFrame = {
+    val h = conv(substring(md5(concat(lit("pf:"), col("repr"))), 1, 15),
+      16, 10).cast("long")
+    withEstimate(
+      melted(df)
+        .groupBy("col_name")
+        .agg(count(lit(1)).as("n"),
+          sum(col("is_null").cast("long")).as("n_null"),
+          min(col("num")).as("min_num"), max(col("num")).as("max_num"),
+          min(col("str")).as("min_str"), max(col("str")).as("max_str"),
+          graft.catalyst.SketchFunctions.kmvSketch(h, k).as("kmv")),
+      k)
   }
+
+  /** Roll up per-slice [[profileKmv]] outputs into the union's profile —
+    * bit-identical to profiling the union directly: counts sum, ranges
+    * re-min/max (nulls ignored, so a column numeric in no slice stays
+    * null), and the sketch union re-takes the k smallest distinct
+    * hashes, which IS the union's KMV sketch. */
+  def mergeKmvProfiles(profiles: DataFrame, k: Int = 64): DataFrame =
+    withEstimate(
+      profiles
+        .groupBy("col_name")
+        .agg(sum(col("n")).as("n"), sum(col("n_null")).as("n_null"),
+          min(col("min_num")).as("min_num"),
+          max(col("max_num")).as("max_num"),
+          min(col("min_str")).as("min_str"),
+          max(col("max_str")).as("max_str"),
+          slice(array_sort(array_distinct(flatten(
+            collect_list(col("kmv"))))), 1, k).as("kmv")),
+      k)
 }

@@ -132,6 +132,30 @@ class CatalystSpec extends SparkSpec {
       s"implausible false-positive count: $fp of ${nonMembers.size}")
   }
 
+  test("KmvSketchAgg keeps the k smallest distinct hashes under any " +
+       "partitioning, ignores nulls, and matches brute force") {
+    import graft.catalyst.SketchFunctions
+    val vals: Seq[java.lang.Long] =
+      (0 until 5000).map(i => java.lang.Long.valueOf((i * 2654435761L) % 1000003L)) :+
+        (null: java.lang.Long)
+    val df = vals.toDF("h")
+    val brute = vals.filter(_ != null).map(_.longValue).distinct
+      .sorted.take(64)
+    def sketch(parts: Int): Seq[Long] =
+      df.repartition(parts)
+        .agg(SketchFunctions.kmvSketch(col("h"), 64).as("kmv"))
+        .collect()(0).getSeq[Long](0)
+    // partial-aggregate path (many partitions) == single partition ==
+    // brute force, proving merge correctness and order independence
+    assert(sketch(1) == brute)
+    assert(sketch(17) == brute)
+    // under-full group: fewer distinct values than k returns them all
+    val small = (0 until 10).map(i => (i % 3).toLong).toDF("h")
+      .agg(SketchFunctions.kmvSketch(col("h"), 64))
+      .collect()(0).getSeq[Long](0)
+    assert(small == Seq(0L, 1L, 2L))
+  }
+
   test("unicode kernels: NFC composes, strip_accents drops marks, nulls pass") {
     import graft.catalyst.TextFunctions
     // "école" with a decomposed e+combining-acute must compose to the
