@@ -127,11 +127,41 @@ object Relational {
   }
 
   /** Top-k rows per group under an explicit ordering (wcModules.py:167-198
-    * rank-partners idiom; gizmos.py:510-516 top-diameter). */
+    * rank-partners idiom; gizmos.py:510-516 top-diameter). Window form —
+    * shuffles every row of the group; [[topKPerGroupAgg]] is the
+    * bounded-buffer production path. */
   def topKPerGroup(df: DataFrame, keys: Seq[String], order: Seq[Column], k: Int): DataFrame = {
     val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
     df.withColumn("__rn", row_number().over(w))
       .where(col("__rn") <= k).withColumnRenamed("__rn", "rank_in_group")
+  }
+
+  /** Bounded-buffer top-k per group: Spark's `CollectTopK` aggregate (a
+    * BoundedPriorityQueue of ≤ k elements, map-side partial combine)
+    * instead of a window — each task ships at most k rows per group to
+    * the exchange, where `row_number()` ships EVERY row and sorts whole
+    * group partitions. The 100 TB shape for "3 best per customer" over
+    * billions of rows with millions of groups.
+    *
+    * `sortKey` defines rank order ASCENDING and must be a total order
+    * (include a tiebreak column; encode a descending numeric key by
+    * negation). Output = input columns + rank_in_group, identical to
+    * [[topKPerGroup]] under the equivalent window ordering. */
+  def topKPerGroupAgg(df: DataFrame, keys: Seq[String], sortKey: Column,
+                      k: Int): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge.{column => c, expression => e}
+    val payload = struct(df.columns.map(col): _*)
+    val child = e(struct(sortKey.as("o"), payload.as("row")))
+    // reverse = true keeps the SMALLEST k under the struct ordering
+    // (Spark uses the same flag orientation in its RankLimit pushdown)
+    val top = c(org.apache.spark.sql.catalyst.expressions.aggregate
+      .GraftAggBridge.collectTopK(child, k, reverse = true)
+      .toAggregateExpression())
+    df.groupBy(keys.map(col): _*)
+      .agg(top.as("__top"))
+      .select(posexplode(sort_array(col("__top"))).as(Seq("__i", "__e")))
+      .select((col("__e.row.*") +: Seq((col("__i") + 1).cast("int")
+        .as("rank_in_group"))): _*)
   }
 
   /** melt / wide→long unpivot (pd.melt, pathMassTransitions.py:166-180).

@@ -126,6 +126,18 @@ object StatQueries {
           col("rank_in_group")),
       Some("""SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS INTEGER) AS rank_in_group FROM (SELECT o_custkey, o_orderkey, o_totalprice, row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders) WHERE rn <= 3""")),
 
+    Entry("q_topk_per_group_agg",
+      // the bounded-buffer twin of q_topk_per_group: CollectTopK ships
+      // at most k rows per group per task instead of windowing every
+      // row; same oracle — identical output is the contract
+      (s, d) => Relational.topKPerGroupAgg(t(s, d, "orders"),
+          Seq("o_custkey"),
+          struct((-col("o_totalprice")).as("p"), col("o_orderkey").as("t")),
+          3)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          col("rank_in_group")),
+      Some("""SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS INTEGER) AS rank_in_group FROM (SELECT o_custkey, o_orderkey, o_totalprice, row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders) WHERE rn <= 3""")),
+
     Entry("q_distinct_subset",
       // order-deterministic drop_duplicates(keep='first') (gizmos.py:509-516)
       // via the struct-min aggregate (map-side combine; ships one candidate
@@ -356,18 +368,22 @@ object StatQueries {
       // (union the min-sets, re-take k smallest), the 100 TB shape for
       // per-partition profiles that roll up
       (s, d) => {
-        import org.apache.spark.sql.expressions.Window
         val k = 64
         val two60 = 1152921504606846976.0 // 2^60, the draw's range
+        // native bounded sketch aggregate (KmvSketchAgg): ≤ k longs of
+        // buffer, map-side combine — replaces the round-7 window form,
+        // which shuffled EVERY distinct hash to its group before
+        // discarding all but k. Output identical (k smallest distinct
+        // hashes), so the oracle is unchanged.
         val ev = Q.events(s, d).select(col("event_type"), col("user_id"))
           .distinct()
           .withColumn("h", conv(substring(md5(concat(lit("kmv:"),
             col("user_id").cast("string"))), 1, 15), 16, 10).cast("long"))
-        val w = Window.partitionBy("event_type").orderBy("h")
-        ev.withColumn("rn", row_number().over(w))
-          .where(col("rn") <= k)
-          .groupBy("event_type")
-          .agg(count(lit(1)).as("n_mins"), max(col("h")).as("kth"))
+        ev.groupBy("event_type")
+          .agg(graft.catalyst.SketchFunctions.kmvSketch(col("h"), k).as("kmv"))
+          .select(col("event_type"),
+            size(col("kmv")).cast("long").as("n_mins"),
+            element_at(col("kmv"), size(col("kmv"))).as("kth"))
           .withColumn("est_distinct",
             when(col("n_mins") < k, col("n_mins").cast("double"))
               .otherwise(round(lit((k - 1).toDouble) * lit(two60) / col("kth"), 2)))

@@ -368,6 +368,24 @@ class OpsSpec extends SparkSpec {
       .where(col("is_outlier")).count() == 0)
   }
 
+  test("topKPerGroupAgg equals the window form on random data with ties") {
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 3000).map { i =>
+      (rnd.nextInt(40).toLong, i.toLong, rnd.nextInt(25).toDouble)
+    }.toDF("g", "id", "v").repartition(9)
+    val win = Relational.topKPerGroup(rows, Seq("g"),
+        Seq(col("v").desc, col("id")), 4)
+      .select("g", "id", "v", "rank_in_group")
+      .collect().map(_.toSeq).toSet
+    val agg = Relational.topKPerGroupAgg(rows, Seq("g"),
+        struct((-col("v")).as("o"), col("id").as("t")), 4)
+      .select("g", "id", "v", "rank_in_group")
+      .collect().map(_.toSeq).toSet
+    assert(agg == win)
+    // the tie-heavy ordering (25 distinct v over 3000 rows) makes any
+    // non-total sortKey nondeterministic — equality proves the tiebreak
+  }
+
   test("Profile.profile: counts, nulls, cardinality and typed ranges " +
        "per column in one pass") {
     val df = Seq(
