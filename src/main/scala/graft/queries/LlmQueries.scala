@@ -604,6 +604,30 @@ object LlmQueries {
       Some(pqOracleSql(topK = 3, m = 4, ksub = 8, iters = 2, seed = 42L,
         dim = 64, nQueries = 5))),
 
+    Entry("q_embedding_drift",
+      // first-order embedding-distribution monitor: cosine + L2 between
+      // the even-id and odd-id slices' exact mean embeddings (decimal
+      // per-dim sums on the 1e-6 grid; fixed-order folds) — four
+      // single-row frames cross-joined at the end
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        Similarity.embeddingDrift(emb.where(col("vec_id") % 2 === 0),
+          emb.where(col("vec_id") % 2 === 1), "embedding")
+      },
+      Some {
+        def slice(pred: String, tag: String) =
+          s"""v$tag AS (SELECT list_transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1e6 + CAST(0.5 AS DOUBLE)) / 1e6) AS v FROM embeddings WHERE $pred), """ +
+          s"""m$tag AS (SELECT i AS dim, CAST(sum(CAST(v[i] AS DECIMAL(24,6))) AS DOUBLE) / count(*) AS m FROM v$tag, unnest(generate_series(1, len(v))) AS g(i) GROUP BY 1), """ +
+          s"""w$tag AS (SELECT list(m ORDER BY dim) AS mv FROM m$tag), """ +
+          s"""n$tag AS (SELECT count(*) AS n_$tag FROM v$tag)"""
+        def fold(l: String) = s"list_reduce($l, (acc, e) -> acc + e)"
+        val dotAB = fold("list_transform(list_zip(wa.mv, wb.mv), p -> p[1] * p[2])")
+        val nA = fold("list_transform(wa.mv, x -> x * x)")
+        val nB = fold("list_transform(wb.mv, x -> x * x)")
+        val l2 = fold("list_transform(list_zip(wa.mv, wb.mv), p -> (p[1] - p[2]) * (p[1] - p[2]))")
+        s"""WITH ${slice("vec_id % 2 = 0", "a")}, ${slice("vec_id % 2 = 1", "b")} SELECT n_a, n_b, ${OmicsQueries.rndSql(s"($dotAB) / (sqrt($nA) * sqrt($nB))", 6)} AS drift_cos, ${OmicsQueries.rndSql(s"sqrt($l2)", 6)} AS l2_dist FROM wa, wb, na, nb"""
+      }),
+
     Entry("q_lm_score",
       // CCNet-style self-perplexity: add-one bigram LM trained on the
       // corpus scores each doc's mean transition log-prob — the quality
@@ -734,6 +758,18 @@ object LlmQueries {
           fpp = 0.01)
       },
       Some("""WITH toks AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS ts FROM documents), sh0 AS (SELECT doc_id, CASE WHEN len(ts) >= 5 THEN array_to_string(ts[i:i+4], ' ') ELSE array_to_string(ts, ' ') END AS s FROM toks, unnest(generate_series(1, greatest(len(ts) - 4, 1))) AS g(i)), shh AS (SELECT DISTINCT doc_id, CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) AS h FROM sh0), ev AS (SELECT DISTINCT h FROM shh WHERE doc_id % 40 = 0), hits AS (SELECT shh.doc_id, count(*) AS n_hits FROM shh JOIN ev USING (h) GROUP BY 1) SELECT d.doc_id, coalesce(hits.n_hits, 0) AS n_hits, coalesce(hits.n_hits, 0) > 0 AS contaminated FROM documents d LEFT JOIN hits ON d.doc_id = hits.doc_id""")),
+
+    Entry("q_vocab_coverage",
+      // tokenizer-vocab coverage: the English slice's distinct tokens
+      // stand in for the vocab; per-doc OOV rate flags wrong-language /
+      // junk docs before they reach tokenization
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val vocab = docs.where(col("lang") === "en")
+          .select(explode(Text.tokens(lower(col("text")))).as("token"))
+        Text.vocabCoverage(docs, "doc_id", "text", vocab)
+      },
+      Some(s"""WITH vt AS (SELECT DISTINCT unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0)) AS token FROM documents WHERE lang = 'en'), dt AS (SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0)) AS token FROM documents) SELECT doc_id AS id, count(*) AS n_tokens, CAST(sum(CASE WHEN vt.token IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS oov_tokens, ${OmicsQueries.rndSql("CAST(sum(CASE WHEN vt.token IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*)", 6)} AS oov_rate FROM dt LEFT JOIN vt USING (token) GROUP BY 1""")),
 
     Entry("q_strip_markup",
       // crawl extraction: planted html/script/comment/entity wrapper

@@ -16,13 +16,15 @@ object StatQueries {
     * epoch_us/1e6 — the exact micros-division Spark's cast performs),
     * string ranges binary-collated, each family NULL in the other's
     * columns, so no engine number formatting surfaces. */
-  private val lineitemProfileSql: String = {
-    val cols = Seq(
-      "l_orderkey" -> "num", "l_partkey" -> "num", "l_suppkey" -> "num",
-      "l_linenumber" -> "num", "l_quantity" -> "num",
-      "l_extendedprice" -> "num", "l_discount" -> "num", "l_tax" -> "num",
-      "l_returnflag" -> "str", "l_linestatus" -> "str",
-      "l_shipdate" -> "ts")
+  private val lineitemCols = Seq(
+    "l_orderkey" -> "num", "l_partkey" -> "num", "l_suppkey" -> "num",
+    "l_linenumber" -> "num", "l_quantity" -> "num",
+    "l_extendedprice" -> "num", "l_discount" -> "num", "l_tax" -> "num",
+    "l_returnflag" -> "str", "l_linestatus" -> "str",
+    "l_shipdate" -> "ts")
+
+  private def profileSqlFor(cols: Seq[(String, String)],
+                            src: String): String =
     cols.map { case (c, kind) =>
       val (minN, maxN, minS, maxS) = kind match {
         case "num" => (s"CAST(min($c) AS DOUBLE)",
@@ -34,9 +36,23 @@ object StatQueries {
         case _ => ("CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)",
           s"min($c)", s"max($c)")
       }
-      s"SELECT '$c' AS col_name, count(*) AS n, count(*) - count($c) AS n_null, CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct, $minN AS min_num, $maxN AS max_num, $minS AS min_str, $maxS AS max_str FROM lineitem"
+      s"SELECT '$c' AS col_name, count(*) AS n, count(*) - count($c) AS n_null, CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct, $minN AS min_num, $maxN AS max_num, $minS AS min_str, $maxS AS max_str FROM $src"
     }.mkString(" UNION ALL ")
-  }
+
+  private val lineitemProfileSql: String =
+    profileSqlFor(lineitemCols, "lineitem")
+
+  /** The q_profile_drift "current snapshot": l_tax dropped, l_flag
+    * added, l_quantity nulled on every 10th order, l_extendedprice
+    * shifted ×1.1 — one planted mutation per drift class. */
+  private val driftCurSrc =
+    "(SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, " +
+    "CASE WHEN l_orderkey % 10 = 0 THEN NULL ELSE l_quantity END AS l_quantity, " +
+    "l_extendedprice * CAST(1.1 AS DOUBLE) AS l_extendedprice, " +
+    "l_discount, l_returnflag, l_linestatus, l_shipdate, " +
+    "l_orderkey % 2 AS l_flag FROM lineitem)"
+  private val driftCurCols = lineitemCols.filterNot(_._1 == "l_tax") :+
+    ("l_flag" -> "num")
 
   /** DuckDB replay of Profile.profileKmv over lineitem (optionally
     * filtered): per-column exact stats + the KMV sketch as
@@ -89,6 +105,25 @@ object StatQueries {
         graft.stats.Profile.mergeKmvProfiles(pa.unionByName(pb), k = 64)
       },
       Some(lineitemProfileKmvSql(64))),
+
+    Entry("q_profile_drift",
+      // before/after snapshot diff: one planted mutation per drift
+      // class (column removed, column added, null-rate jump, numeric
+      // range shift); the diff joins two profile outputs, so it is
+      // profile-sized, never data-sized
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+        val cur = li.select(col("l_orderkey"), col("l_partkey"),
+          col("l_suppkey"), col("l_linenumber"),
+          when(col("l_orderkey") % 10 === 0, lit(null))
+            .otherwise(col("l_quantity")).as("l_quantity"),
+          (col("l_extendedprice") * lit(1.1)).as("l_extendedprice"),
+          col("l_discount"), col("l_returnflag"), col("l_linestatus"),
+          col("l_shipdate"), (col("l_orderkey") % 2).as("l_flag"))
+        graft.stats.Profile.drift(graft.stats.Profile.profile(li),
+          graft.stats.Profile.profile(cur))
+      },
+      Some(s"""WITH bp AS (${profileSqlFor(lineitemCols, "lineitem")}), cp AS (${profileSqlFor(driftCurCols, driftCurSrc)}) SELECT col_name, CASE WHEN bp.n IS NULL THEN 'added' WHEN cp.n IS NULL THEN 'removed' ELSE 'kept' END AS status, cp.n - bp.n AS n_delta, cp.n_null - bp.n_null AS null_delta, cp.n_distinct - bp.n_distinct AS distinct_delta, ${OmicsQueries.rndSql("cp.min_num - bp.min_num", 6)} AS min_num_delta, ${OmicsQueries.rndSql("cp.max_num - bp.max_num", 6)} AS max_num_delta, CASE WHEN bp.n IS NOT NULL AND cp.n IS NOT NULL THEN coalesce(cp.min_str <> bp.min_str, false) OR coalesce(cp.max_str <> bp.max_str, false) END AS str_range_changed FROM bp FULL JOIN cp USING (col_name)""")),
 
     Entry("q_table_profile",
       // snapshot validation profile: one melted scan of the table, one

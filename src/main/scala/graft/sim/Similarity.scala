@@ -32,6 +32,45 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     graft.catalyst.ArrayFunctions.cosineF(a, b)
 
+  /** Embedding-distribution drift between two vector corpora (snapshot
+    * refresh, new-source onboarding): cosine and L2 distance between
+    * the slices' MEAN embeddings — the cheap first-order "did the
+    * embedding distribution move" monitor (cosine near 1 and small L2 =
+    * stable centroid; compose with [[graft.sim.Clustering]] occupancy
+    * profiles for shape-level drift).
+    *
+    * Exactness discipline: vectors quantize to the 1e-6 grid and the
+    * per-dimension means are exact decimal sums / exact counts (the
+    * [[Clustering]] recipe, order-independent), assembled into one
+    * dim-sorted array per slice; the final cosine/L2 are fixed-order
+    * left folds over those two arrays — so the DuckDB oracle replays
+    * the drift numbers bit for bit. Each slice does one explode + one
+    * (dim)-row aggregate; the cross join at the end is four single-row
+    * frames. */
+  def embeddingDrift(a: DataFrame, b: DataFrame, vecCol: String): DataFrame = {
+    def meanVec(df: DataFrame, out: String) = df
+      .select(transform(col(vecCol), x => Clustering.grid(x)).as("v"))
+      .select(posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy("dim")
+      .agg((sum(col("x").cast("decimal(24,6)")).cast("double") /
+        count(lit(1))).as("m"))
+      .agg(transform(sort_array(collect_list(struct(col("dim"), col("m")))),
+        e => e.getField("m")).as(out))
+    val fold = (va: Column, vb: Column) =>
+      aggregate(zip_with(va, vb, (x, y) => x * y), lit(0.0), (acc, p) => acc + p)
+    val na = a.agg(count(lit(1)).as("n_a"))
+    val nb = b.agg(count(lit(1)).as("n_b"))
+    meanVec(a, "ma").crossJoin(meanVec(b, "mb"))
+      .crossJoin(na).crossJoin(nb)
+      .select(col("n_a"), col("n_b"),
+        round(fold(col("ma"), col("mb")) /
+          (sqrt(fold(col("ma"), col("ma"))) * sqrt(fold(col("mb"), col("mb")))),
+          6).as("drift_cos"),
+        round(sqrt(aggregate(
+          zip_with(col("ma"), col("mb"), (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, p) => acc + p)), 6).as("l2_dist"))
+  }
+
   /** Exact top-k cosine neighbors for each query vector.
     *
     * `queries` is expected to be small (it is broadcast); the corpus streams

@@ -113,6 +113,40 @@ object Profile {
       k)
   }
 
+  /** Schema/distribution drift between two [[profile]] outputs (the
+    * before/after of a pipeline change or snapshot refresh): classifies
+    * every column as added / removed / kept and, for kept columns,
+    * reports the count/null/cardinality deltas, numeric range shifts,
+    * and whether the string range moved. One full outer join on the
+    * column name — profile-sized, not data-sized, so diffing two 100 TB
+    * snapshots costs two profile scans plus this epsilon. */
+  def drift(base: DataFrame, cur: DataFrame): DataFrame = {
+    def side(p: DataFrame, tag: String) = p.select(
+      col("col_name"), col("n").as(s"${tag}_n"),
+      col("n_null").as(s"${tag}_null"),
+      col("n_distinct").as(s"${tag}_distinct"),
+      col("min_num").as(s"${tag}_min_num"),
+      col("max_num").as(s"${tag}_max_num"),
+      col("min_str").as(s"${tag}_min_str"),
+      col("max_str").as(s"${tag}_max_str"))
+    val j = side(base, "b").join(side(cur, "c"), Seq("col_name"), "full")
+    val kept = col("b_n").isNotNull && col("c_n").isNotNull
+    j.select(col("col_name"),
+      when(col("b_n").isNull, "added")
+        .when(col("c_n").isNull, "removed").otherwise("kept").as("status"),
+      when(kept, col("c_n") - col("b_n")).as("n_delta"),
+      when(kept, col("c_null") - col("b_null")).as("null_delta"),
+      when(kept, col("c_distinct") - col("b_distinct")).as("distinct_delta"),
+      when(kept, round(col("c_min_num") - col("b_min_num"), 6))
+        .as("min_num_delta"),
+      when(kept, round(col("c_max_num") - col("b_max_num"), 6))
+        .as("max_num_delta"),
+      when(kept,
+        coalesce(col("c_min_str") =!= col("b_min_str"), lit(false)) ||
+          coalesce(col("c_max_str") =!= col("b_max_str"), lit(false)))
+        .as("str_range_changed"))
+  }
+
   /** Roll up per-slice [[profileKmv]] outputs into the union's profile —
     * bit-identical to profiling the union directly: counts sum, ranges
     * re-min/max (nulls ignored, so a column numeric in no slice stays

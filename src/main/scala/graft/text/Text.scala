@@ -367,6 +367,31 @@ object Text {
         transform(col("raw"), x => round(x / col("__n"), 6)).as("vec"))
   }
 
+  /** Per-document vocabulary coverage against a reference token set —
+    * the "how much of this doc will the tokenizer/embedding vocab
+    * actually recognize" signal (high OOV rate = wrong language, heavy
+    * markup residue, or binary junk). The vocab is a one-column
+    * relation, broadcast (vocabulary-sized, not corpus-sized); the
+    * corpus streams through one exploded left join and one per-doc
+    * aggregate — no corpus shuffle beyond the doc-id combine.
+    *
+    * Output: (id, n_tokens, oov_tokens, oov_rate rounded 6) for docs
+    * with ≥ 1 token. */
+  def vocabCoverage(df: DataFrame, idCol: String, textCol: String,
+                    vocab: DataFrame): DataFrame = {
+    val vtok = vocab.columns.head
+    val toks = df.select(col(idCol).as("id"),
+      explode(tokens(lower(col(textCol)))).as("token"))
+    toks
+      .join(broadcast(vocab.select(col(vtok).as("token")).distinct()
+        .withColumn("__v", lit(1))), Seq("token"), "left")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("__v").isNull, 1L).otherwise(0L)).as("oov_tokens"))
+      .withColumn("oov_rate",
+        round(col("oov_tokens").cast("double") / col("n_tokens"), 6))
+  }
+
   /** DSIR-style importance log-weight (Xie et al. 2023, "Data Selection
     * for Language Models via Importance Resampling" — public method):
     * score every raw-corpus document by the log likelihood ratio of its
