@@ -54,7 +54,9 @@ object ScaleCheck {
     "q_dsir_sample", "q_decontaminate_bloom", "q_ann_pq",
     "q_stream_hist_dedup",
     "q_ann_ivfpq", "q_table_profile", "q_containment_pairs",
-    "q_strip_markup", "q_decontaminate_fuzzy", "q_split_leakage")
+    "q_strip_markup", "q_decontaminate_fuzzy", "q_split_leakage",
+    "q_profile_kmv", "q_profile_kmv_merge", "q_topk_per_group_agg",
+    "q_profile_drift", "q_vocab_coverage", "q_embedding_drift")
 
   def main(args: Array[String]): Unit = {
     val src = "/root/testdata/sf0.1"
