@@ -174,7 +174,14 @@ object GraftExtensions {
           DotFExpr(ac(es(0), FloatType), ac(es(1), FloatType)) }),
       ("graft_cosine_f", "float-vector cosine similarity",
         (es: Seq[Expression]) => { nArgs(es, 2, "graft_cosine_f")
-          CosineFExpr(ac(es(0), FloatType), ac(es(1), FloatType)) }))
+          CosineFExpr(ac(es(0), FloatType), ac(es(1), FloatType)) }),
+      ("graft_inter_longs", "exact intersection size of two BIGINT-array sets",
+        (es: Seq[Expression]) => { nArgs(es, 2, "graft_inter_longs")
+          InterLongsExpr(ac(es(0), LT), ac(es(1), LT)) }),
+      ("graft_kmv_sketch", "k smallest distinct BIGINT hashes (aggregate)",
+        (es: Seq[Expression]) => { nArgs(es, 2, "graft_kmv_sketch")
+          KmvSketchAgg(Cast(es(0), LT), litInt(es(1), "k"))
+            .toAggregateExpression() }))
   }
 
   /** Register the graft_* SQL functions on an already-running session

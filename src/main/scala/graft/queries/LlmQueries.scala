@@ -46,11 +46,13 @@ object LlmQueries {
     * previous centroid via the LEFT JOIN coalesce. */
   private def kmeansCtes(k: Int, iters: Int, seed: Long,
                          pfx: String = "",
-                         vecExpr: String = "embedding"): String = {
+                         vecExpr: String = "embedding",
+                         where: String = ""): String = {
+    val srcW = if (where.isEmpty) "" else s" WHERE $where"
     def dist(v: String, cv: String) =
       s"list_reduce(list_transform(list_zip($v, $cv), p -> (p[1] - p[2]) * (p[1] - p[2])), (acc, e) -> acc + e)"
     val base =
-      s"""${pfx}vq AS MATERIALIZED (SELECT vec_id AS id, list_transform($vecExpr, x -> floor(CAST(x AS DOUBLE) * 1e6 + CAST(0.5 AS DOUBLE)) / 1e6) AS v FROM embeddings), """ +
+      s"""${pfx}vq AS MATERIALIZED (SELECT vec_id AS id, list_transform($vecExpr, x -> floor(CAST(x AS DOUBLE) * 1e6 + CAST(0.5 AS DOUBLE)) / 1e6) AS v FROM embeddings$srcW), """ +
       s"""${pfx}c0 AS MATERIALIZED (SELECT CAST(row_number() OVER (ORDER BY h, id) - 1 AS INTEGER) AS cluster, v AS cv FROM (SELECT id, v, md5(concat('km$seed:', CAST(id AS VARCHAR))) AS h FROM ${pfx}vq ORDER BY h, id LIMIT $k))"""
     val its = (0 until iters).map { i =>
       s"""${pfx}a$i AS MATERIALIZED (SELECT id, v, cluster FROM (SELECT *, row_number() OVER (PARTITION BY id ORDER BY d, cluster) AS rn FROM (SELECT x.id, x.v, c.cluster, ${dist("x.v", "c.cv")} AS d FROM ${pfx}vq x, ${pfx}c$i c)) WHERE rn = 1), """ +
@@ -513,6 +515,36 @@ object LlmQueries {
         s"""WITH RECURSIVE ${curateCtes(0.8)}, cur AS (${curateSelect(0.5, "en")}), tr AS (SELECT doc_id, n_tokens FROM cur WHERE ($splitCase) = 'train'), so AS (SELECT doc_id, n_tokens, CAST(sum(n_tokens) OVER (ORDER BY $shuffleH, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS BIGINT) AS start_offset FROM tr) SELECT doc_id, n_tokens, start_offset, CAST(floor(start_offset / 256.0) AS BIGINT) AS chunk_id FROM so"""
       }),
 
+    Entry("q_kmeans_increment",
+      // incremental centroid maintenance: fit on the first 400 vectors,
+      // then move each centroid to the exact weighted mean of (persisted
+      // centroid × persisted count) and the new batch's members — the
+      // mini-batch update whose per-ingest cost rides the batch; the
+      // oracle replays fit, persisted counts, assignment, and the
+      // weighted-mean arithmetic term for term
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val old = emb.where(col("vec_id") < 400)
+        val cents = graft.sim.Clustering.kmeansFit(old, "vec_id",
+          "embedding", k = 8, iters = 2, seed = 42L)
+        val byC = graft.sim.Clustering
+          .kmeansAssignWith(old, "vec_id", "embedding", cents)
+          .groupBy("cluster").count().collect()
+          .map(r => r.getInt(0) -> r.getLong(1)).toMap
+        graft.sim.Clustering.kmeansIncrement(
+          emb.where(col("vec_id") >= 400), "vec_id", "embedding",
+          cents, Array.tabulate(8)(j => byC.getOrElse(j, 0L)))
+      },
+      Some(s"""WITH ${kmeansCtes(8, 2, 42L, "ic", "embedding", "vec_id < 400")}, """ +
+        s"""pc AS (SELECT cluster, count(*) AS n_prev FROM icfin GROUP BY 1), """ +
+        s"""pcf AS (SELECT c.cluster, c.cv, coalesce(pc.n_prev, 0) AS n_prev FROM icc2 c LEFT JOIN pc USING (cluster)), """ +
+        s"""nvv AS (SELECT vec_id AS id, list_transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1e6 + CAST(0.5 AS DOUBLE)) / 1e6) AS v FROM embeddings WHERE vec_id >= 400), """ +
+        s"""nas AS (SELECT id, v, cluster FROM (SELECT *, row_number() OVER (PARTITION BY id ORDER BY d, cluster) AS rn FROM (SELECT x.id, x.v, c.cluster, list_reduce(list_transform(list_zip(x.v, c.cv), p -> (p[1] - p[2]) * (p[1] - p[2])), (acc, e) -> acc + e) AS d FROM nvv x, icc2 c)) WHERE rn = 1), """ +
+        s"""nsum AS (SELECT cluster, i AS dim, CAST(sum(CAST(v[i] AS DECIMAL(24,6))) AS DOUBLE) AS s, count(*) AS nn FROM nas, unnest(generate_series(1, len(v))) AS g(i) GROUP BY 1, 2), """ +
+        s"""um AS (SELECT n.cluster, n.dim, (CAST(p.n_prev AS DOUBLE) * p.cv[n.dim] + n.s) / CAST(p.n_prev + n.nn AS DOUBLE) AS m, n.nn FROM nsum n JOIN pcf p USING (cluster)), """ +
+        s"""uv AS (SELECT cluster, max(nn) AS n_new, list(m ORDER BY dim) AS cv2 FROM um GROUP BY 1) """ +
+        s"""SELECT p.cluster, CAST(p.n_prev AS BIGINT) AS n_prev, CAST(coalesce(uv.n_new, 0) AS BIGINT) AS n_new, CAST(p.n_prev + coalesce(uv.n_new, 0) AS BIGINT) AS n_total, list_transform(coalesce(uv.cv2, p.cv), x -> ${OmicsQueries.rndSql("x", 6)}) AS centroid FROM pcf p LEFT JOIN uv USING (cluster)""")),
+
     Entry("q_kmeans",
       // deterministic k-means corpus clustering (mixture shaping):
       // assignments + distance after 4 exact-replay rounds — the oracle
@@ -635,6 +667,29 @@ object LlmQueries {
       (s, d) => graft.text.Text.lmScore(t(s, d, "documents"),
         "doc_id", "text").withColumnRenamed("id", "doc_id"),
       Some(s"""WITH ltoks AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0) AS ts FROM documents), lt2 AS (SELECT doc_id, ts, len(ts) AS n FROM ltoks WHERE len(ts) >= 2), bg AS MATERIALIZED (SELECT doc_id, ts[i] AS w1, ts[i + 1] AS w2 FROM lt2, unnest(generate_series(1, n - 1)) AS g(i)), uni AS MATERIALIZED (SELECT w1, count(*) AS c1 FROM bg GROUP BY 1), bi AS MATERIALIZED (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2), vv AS (SELECT count(*) AS v FROM uni) SELECT doc_id, count(*) AS n_bigrams, ${OmicsQueries.rndSql("sum(ln(CAST(c12 + 1 AS DOUBLE) / CAST(c1 + (SELECT v FROM vv) AS DOUBLE))) / count(*)", 6)} AS avg_logprob FROM bg JOIN bi USING (w1, w2) JOIN uni USING (w1) GROUP BY 1""")),
+
+    Entry("q_source_report",
+      // per-source corpus health rollup — the dashboard a curation run
+      // publishes per ingestion source: volume, exact-dup rate, mean
+      // quality (decimal-sum mean of the rounded per-doc score, so the
+      // aggregate replays exactly), mean length, English share
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        Text.qualityScore(docs, "text")
+          .withColumn("__ch", md5(Text.normalized(col("text"))))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            r6(Q.sumDec6(col("quality")) / count(lit(1)))
+              .as("mean_quality"),
+            r6(sum(col("n_tokens")).cast("double") / count(lit(1)))
+              .as("mean_tokens"),
+            countDistinct(col("__ch")).as("distinct_contents"),
+            sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_en"))
+          .withColumn("dup_rate",
+            r6((col("n_docs") - col("distinct_contents")).cast("double") /
+              col("n_docs")))
+      },
+      Some("""WITH t AS (SELECT doc_id, source, lang, text, list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS toks FROM documents), f AS (SELECT doc_id, source, lang, text, CAST(len(text) AS INTEGER) AS n_chars, CAST(len(toks) AS INTEGER) AS n_tokens, CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS INTEGER) AS n_punct, CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, x -> list_contains(['the','a','an','and','or','of','to','in','is','it','for','on','with','as','at','by','from','that','this'], lower(x)))) AS DOUBLE) / len(toks) ELSE CAST(0.0 AS DOUBLE) END AS stopword_ratio, CASE WHEN len(toks) > 0 THEN CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) ELSE CAST(0.0 AS DOUBLE) END AS uniq_token_ratio FROM t), g AS (SELECT doc_id, source, lang, text, n_tokens, CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / n_chars ELSE CAST(0.0 AS DOUBLE) END AS punct_ratio, stopword_ratio, uniq_token_ratio FROM f), q AS (SELECT source, lang, n_tokens, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS ch, round(least(CAST(1.0 AS DOUBLE), n_tokens / CAST(100.0 AS DOUBLE)) * 0.4 + (CAST(1.0 AS DOUBLE) - least(CAST(1.0 AS DOUBLE), punct_ratio * 5.0)) * 0.2 + least(CAST(1.0 AS DOUBLE), stopword_ratio * 5.0) * 0.2 + uniq_token_ratio * 0.2, 6) AS quality FROM g), a AS (SELECT source, count(*) AS n_docs, round(CAST(sum(CAST(quality AS DECIMAL(24,6))) AS DOUBLE) / count(*), 6) AS mean_quality, round(CAST(sum(n_tokens) AS DOUBLE) / count(*), 6) AS mean_tokens, CAST(count(DISTINCT ch) AS BIGINT) AS distinct_contents, CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en FROM q GROUP BY 1) SELECT source, n_docs, mean_quality, mean_tokens, distinct_contents, n_en, round(CAST(n_docs - distinct_contents AS DOUBLE) / n_docs, 6) AS dup_rate FROM a""")),
 
     Entry("q_text_quality",
       (s, d) => Text.qualityScore(t(s, d, "documents").select("doc_id", "text"), "text")

@@ -99,6 +99,82 @@ object Clustering {
         round(col("__m").getField("d"), 6).as("dist"))
   }
 
+  /** Public fit face of [[lloydFit]]: grid + checkpoint + fit, returning
+    * the centroid matrix (driver state: k×dim doubles) — what an
+    * incremental pipeline persists between runs next to the per-cluster
+    * counts. */
+  def kmeansFit(df: DataFrame, idCol: String, vecCol: String, k: Int,
+                iters: Int, seed: Long): Array[Array[Double]] = {
+    val vecs = df.select(col(idCol).as("id"),
+        transform(col(vecCol), x => grid(x)).as("v"))
+      .localCheckpoint(false)
+    lloydFit(vecs, k, iters, seed)
+  }
+
+  /** Assignment against an EXPLICIT centroid matrix (no fit): the read
+    * side of the persisted-centroid workflow. Same output contract as
+    * [[kmeansAssign]]. */
+  def kmeansAssignWith(df: DataFrame, idCol: String, vecCol: String,
+                       centroids: Array[Array[Double]]): DataFrame =
+    df.select(col(idCol).as("id"),
+        transform(col(vecCol), x => grid(x)).as("v"))
+      .withColumn("__m", assignCols(col("v"), centroids))
+      .select(col("id"), col("__m").getField("c").as("cluster"),
+        round(col("__m").getField("d"), 6).as("dist"))
+
+  /** Incremental centroid maintenance (mini-batch k-means update): assign
+    * a NEW batch to the persisted centroids and move each centroid to the
+    * exact weighted mean of (old centroid × old count) and the batch's
+    * members — per-ingest cost rides the batch, never the corpus, the
+    * same contract as the incremental dedup/profile tiers. One
+    * zero-shuffle assignment pass (plan-time centroid literals) plus a
+    * (k·dim)-row aggregate; the k-row centroid table broadcasts back.
+    * Exact arithmetic throughout (decimal batch sums; the weighted-mean
+    * division has identical operands in any engine), so the update
+    * replays in the oracle.
+    *
+    * @param centroids persisted centroid matrix (1e-6-grid domain)
+    * @param counts    persisted per-cluster member counts
+    * @return one row per cluster: (cluster, n_prev, n_new, n_total,
+    *         centroid rounded 6); clusters the batch never touches keep
+    *         their centroid verbatim. */
+  def kmeansIncrement(newBatch: DataFrame, idCol: String, vecCol: String,
+                      centroids: Array[Array[Double]],
+                      counts: Array[Long]): DataFrame = {
+    require(centroids.length == counts.length,
+      "centroids and counts must align")
+    val spark = newBatch.sparkSession
+    import spark.implicits._
+    val vecs = newBatch.select(col(idCol).as("id"),
+      transform(col(vecCol), x => grid(x)).as("v"))
+    val assigned = vecs.withColumn("cluster",
+      assignCols(col("v"), centroids).getField("c"))
+    val sums = assigned
+      .select(col("cluster"), posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy("cluster", "dim")
+      .agg(sum(col("x").cast("decimal(24,6)")).cast("double").as("s"),
+        count(lit(1)).as("nn"))
+    val cent = centroids.zipWithIndex
+      .map { case (cv, j) => (j, cv.toSeq, counts(j)) }
+      .toSeq.toDF("cluster", "cv", "n_prev")
+    val upd = sums
+      .join(broadcast(cent), Seq("cluster"))
+      .withColumn("m",
+        (col("n_prev").cast("double") * element_at(col("cv"), col("dim") + 1)
+          + col("s")) / (col("n_prev") + col("nn")).cast("double"))
+      .groupBy("cluster")
+      .agg(sort_array(collect_list(struct(col("dim"), col("m")))).as("dm"),
+        max(col("nn")).as("n_new"))
+      .select(col("cluster"), col("n_new"),
+        transform(col("dm"), e => e.getField("m")).as("cv2"))
+    cent.join(upd, Seq("cluster"), "left")
+      .select(col("cluster"), col("n_prev"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"),
+        (col("n_prev") + coalesce(col("n_new"), lit(0L))).as("n_total"),
+        transform(coalesce(col("cv2"), col("cv")), x => round(x, 6))
+          .as("centroid"))
+  }
+
   /** Cluster occupancy profile: size and share per cluster — the input
     * to a rebalancing policy (compose with `Sampling.domainQuota` on the
     * cluster label to cap over-represented clusters). */

@@ -190,6 +190,12 @@ class CatalystSpec extends SparkSpec {
         "graft_rolling_hash('a b c') AS rh").head()
     assert(math.abs(r.getDouble(0) - 0.5) < 1e-15)
     assert(math.abs(r.getDouble(1) - 1.0) < 1e-12)
+    val r2 = spark.sql(
+      "SELECT graft_inter_longs(array(1L,2L,3L), array(2L,3L,4L)) AS i, " +
+        "graft_kmv_sketch(h, 3) AS kmv " +
+        "FROM (SELECT explode(array(9L,5L,7L,5L,1L)) AS h)").head()
+    assert(r2.getLong(0) == 2L)
+    assert(r2.getSeq[Long](1) == Seq(1L, 5L, 7L))
     assert(r.getInt(2) == 2)   // "a b c", "b c d"
     assert(r.getInt(3) == 32)
     assert(r.getLong(4) == graft.dedup.Dedup.simhashSigKernel("a b c d", 3))

@@ -281,6 +281,27 @@ class DedupSimSpec extends SparkSpec {
     assert(math.abs(shares.sum - 1.0) < 1e-9 && shares.forall(_ > 0))
   }
 
+  test("kmeansIncrement moves touched centroids to the exact weighted " +
+       "mean and leaves untouched clusters verbatim") {
+    import graft.sim.Clustering
+    // persisted state: two centroids far apart, 10 members each
+    val cents = Array(Array(0.0, 0.0), Array(100.0, 100.0))
+    val counts = Array(10L, 10L)
+    // batch: 5 vectors at (2, 2) — all join cluster 0
+    val batch = (0 until 5).map(i => (i.toLong, Seq(2.0f, 2.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Clustering.kmeansIncrement(batch, "vec_id", "embedding",
+        cents, counts)
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getSeq[Double](4)))
+      .toMap
+    // cluster 0: (10*0 + 5*2)/15 = 2/3 per dim
+    assert(out(0)._1 == 10L && out(0)._2 == 5L && out(0)._3 == 15L)
+    assert(out(0)._4.forall(x => math.abs(x - 0.666667) < 1e-9))
+    // cluster 1 untouched: counts unchanged, centroid verbatim
+    assert(out(1) == ((10L, 0L, 10L, Seq(100.0, 100.0))))
+  }
+
   test("bruteForceTopK returns correct neighbors on a hand-checked fixture") {
     val vecs = Seq(
       (1L, Array(1.0f, 0.0f, 0.0f)),
