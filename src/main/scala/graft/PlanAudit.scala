@@ -63,7 +63,8 @@ object PlanAudit {
       "q_dsir_weights", // single-row corpus totals broadcast-joined back
       "q_dsir_sample",  // same weights stage under the Gumbel top-k
       "q_ann_pq", // ADC scan: broadcast query/ADC tables vs streamed codes
-      "q_embedding_drift") // four single-row mean/count frames cross-joined
+      "q_embedding_drift", // four single-row mean/count frames cross-joined
+      "q_dedup_tier_agreement") // three single-row pair counts cross-joined
     val shapes = scala.collection.mutable.LinkedHashMap[String, Shape]()
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => names.isEmpty || names(n) }

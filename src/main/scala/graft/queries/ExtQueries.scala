@@ -21,7 +21,7 @@ object ExtQueries {
     val its = (1 to iters).map { i =>
       s"m$i AS MATERIALIZED (SELECT cov.gi AS gene, sum(cov.s * v${i - 1}.w) AS w FROM cov JOIN v${i - 1} ON cov.gj = v${i - 1}.gene GROUP BY 1), v$i AS MATERIALIZED (SELECT gene, w / (SELECT sqrt(sum(w * w)) FROM m$i) AS w FROM m$i)"
     }.mkString(", ")
-    s"""WITH $fixed, $its, scores AS MATERIALIZED (SELECT x.sample, sum(x.x * v$iters.w) AS pc1 FROM x JOIN v$iters ON x.gene = v$iters.gene GROUP BY 1), sb AS (SELECT CAST(s_suppkey AS VARCHAR) AS sample, CAST(s_nationkey % 2 AS VARCHAR) AS batch FROM supplier), sc AS MATERIALIZED (SELECT s.pc1, sb.batch FROM scores s JOIN sb USING (sample)), bb AS (SELECT batch, CAST(count(*) AS DOUBLE) AS nb, avg(pc1) AS mb, sum(pc1 * pc1) AS sq FROM sc GROUP BY 1), gg AS (SELECT count(*) AS n, avg(pc1) AS gm FROM sc), pr AS (SELECT sum(nb * (mb - gg.gm) * (mb - gg.gm)) AS ssb, sum(sq - nb * mb * mb) AS ssw, count(*) AS k, first(gg.n) AS n FROM bb, gg) SELECT CAST(n AS BIGINT) AS n_samples, CAST(k AS BIGINT) AS n_batches, CAST(round(CAST(CAST((ssb / (k - 1)) / (ssw / (n - k)) AS VARCHAR) AS DECIMAL(38,12)), 6) AS DOUBLE) AS f_stat FROM pr"""
+    s"""WITH $fixed, $its, scores AS MATERIALIZED (SELECT x.sample, sum(x.x * v$iters.w) AS pc1 FROM x JOIN v$iters ON x.gene = v$iters.gene GROUP BY 1), sb AS (SELECT CAST(s_suppkey AS VARCHAR) AS sample, CAST(s_nationkey % 2 AS VARCHAR) AS batch FROM supplier), sc AS MATERIALIZED (SELECT s.pc1, sb.batch FROM scores s JOIN sb USING (sample)), bb AS (SELECT batch, CAST(count(*) AS DOUBLE) AS nb, avg(pc1) AS mb, sum(pc1 * pc1) AS sq FROM sc GROUP BY 1), gg AS (SELECT count(*) AS n, avg(pc1) AS gm FROM sc), pr AS (SELECT sum(nb * (mb - gg.gm) * (mb - gg.gm)) AS ssb, sum(sq - nb * mb * mb) AS ssw, count(*) AS k, first(gg.n) AS n FROM bb, gg) SELECT CAST(n AS BIGINT) AS n_samples, CAST(k AS BIGINT) AS n_batches, CAST(round(CAST(CAST((ssb / (k - 1)) / (ssw / (n - k)) AS VARCHAR) AS DECIMAL(38,18)), 6) AS DOUBLE) AS f_stat FROM pr"""
   }
 
   val entries: Seq[Entry] = Seq(
@@ -99,7 +99,7 @@ object ExtQueries {
       // the fake decoder is a closed-form byte histogram (exact integer
       // sums per lane, one double division, float cast), so DuckDB can
       // replay it from the hex dump of the UTF-8 bytes lane by lane
-      Some("""WITH h AS (SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n FROM documents), bytes AS (SELECT doc_id, (i - 1) % 8 AS j, CAST(concat('0x', substr(hx, 2 * i - 1, 2)) AS BIGINT) AS byte FROM h, unnest(generate_series(1, n)) AS g(i) WHERE n > 0), feats AS (SELECT b.doc_id, b.j, CAST(CAST(sum(b.byte) / 255.0 / greatest(h.n // 8, 1) AS FLOAT) AS DOUBLE) AS f FROM bytes b JOIN h ON b.doc_id = h.doc_id GROUP BY b.doc_id, b.j, h.n), agg AS (SELECT doc_id, sum(f) AS fs FROM feats GROUP BY 1) SELECT h.doc_id AS media_id, CAST(h.n AS BIGINT) AS n_bytes, CASE WHEN h.n > 0 THEN CAST(round(CAST(CAST(a.fs AS VARCHAR) AS DECIMAL(38,12)), 4) AS DOUBLE) END AS feat_sum FROM h LEFT JOIN agg a ON h.doc_id = a.doc_id""")),
+      Some("""WITH h AS (SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n FROM documents), bytes AS (SELECT doc_id, (i - 1) % 8 AS j, CAST(concat('0x', substr(hx, 2 * i - 1, 2)) AS BIGINT) AS byte FROM h, unnest(generate_series(1, n)) AS g(i) WHERE n > 0), feats AS (SELECT b.doc_id, b.j, CAST(CAST(sum(b.byte) / 255.0 / greatest(h.n // 8, 1) AS FLOAT) AS DOUBLE) AS f FROM bytes b JOIN h ON b.doc_id = h.doc_id GROUP BY b.doc_id, b.j, h.n), agg AS (SELECT doc_id, sum(f) AS fs FROM feats GROUP BY 1) SELECT h.doc_id AS media_id, CAST(h.n AS BIGINT) AS n_bytes, CASE WHEN h.n > 0 THEN CAST(round(CAST(CAST(a.fs AS VARCHAR) AS DECIMAL(38,18)), 4) AS DOUBLE) END AS feat_sum FROM h LEFT JOIN agg a ON h.doc_id = a.doc_id""")),
 
     Entry("q_pca_batch",
       // PCA batch check: PC1 of the sample matrix, one-way ANOVA vs batch.
@@ -178,6 +178,6 @@ object ExtQueries {
           .agg(count(lit(1)).as("n_cust"),
             r6(Q.sumDec(col("c_acctbal")) / count(lit(1))).as("avg_bal"))
       },
-      Some("""SELECT n_name, count(*) AS n_cust, CAST(round(CAST(CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS VARCHAR) AS DECIMAL(38,12)), 6) AS DOUBLE) AS avg_bal FROM customer JOIN nation ON c_nationkey = n_nationkey GROUP BY 1"""))
+      Some("""SELECT n_name, count(*) AS n_cust, CAST(round(CAST(CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS VARCHAR) AS DECIMAL(38,18)), 6) AS DOUBLE) AS avg_bal FROM customer JOIN nation ON c_nationkey = n_nationkey GROUP BY 1"""))
   )
 }

@@ -472,6 +472,31 @@ object LlmQueries {
       },
       Some(s"""SELECT * FROM (${minhashLshSql(0.8)}) WHERE id_a >= 250 OR id_b >= 250""")),
 
+    Entry("q_dedup_tier_agreement",
+      // tier self-evaluation: the LSH pair set (full-universe verify)
+      // vs the df-pruned inverted-index pair set at the same threshold,
+      // as a pair-set Jaccard — the report a pipeline publishes when
+      // tuning bands/threshold (the two tiers declare slightly
+      // different universes, so agreement < 1 is signal, not a bug)
+      (s, d) => {
+        val docs = t(s, d, "documents").select("doc_id", "text")
+        val lsh = Dedup.minhashLshPairs(docs, "doc_id", "text",
+          k = 3, threshold = 0.8).select("id_a", "id_b")
+        val ngr = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+          k = 3, threshold = 0.8, maxShingleDf = 100)
+          .select("id_a", "id_b")
+        val nb = ngr.join(lsh, Seq("id_a", "id_b"))
+          .agg(count(lit(1)).as("n_both"))
+        ngr.agg(count(lit(1)).as("n_ngram"))
+          .crossJoin(lsh.agg(count(lit(1)).as("n_lsh")))
+          .crossJoin(nb)
+          .select(col("n_ngram"), col("n_lsh"), col("n_both"),
+            r6(col("n_both").cast("double") /
+              (col("n_ngram") + col("n_lsh") - col("n_both")))
+              .as("agreement"))
+      },
+      Some(s"""WITH $shingleCte, $minhashCandCtes, $verifyCtes, lshp AS (${verifySelect(0.8)}), npr AS (SELECT doc_id, h FROM (SELECT doc_id, h, count(*) OVER (PARTITION BY h) AS df FROM shh) WHERE df <= 100), nsz AS (SELECT doc_id, count(*) AS n FROM npr GROUP BY 1), nit AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS inter FROM npr a JOIN npr b ON a.h = b.h AND a.doc_id < b.doc_id GROUP BY 1, 2), ngr AS (SELECT ia AS id_a, ib AS id_b FROM nit JOIN nsz x ON ia = x.doc_id JOIN nsz y ON ib = y.doc_id WHERE CAST(inter AS DOUBLE) / (x.n + y.n - inter) >= 0.8), cb AS (SELECT CAST(count(*) AS BIGINT) AS n_both FROM ngr JOIN (SELECT id_a, id_b FROM lshp) l USING (id_a, id_b)), cn AS (SELECT CAST(count(*) AS BIGINT) AS n_ngram FROM ngr), cl AS (SELECT CAST(count(*) AS BIGINT) AS n_lsh FROM lshp) SELECT n_ngram, n_lsh, n_both, ${OmicsQueries.rndSql("CAST(n_both AS DOUBLE) / (n_ngram + n_lsh - n_both)", 6)} AS agreement FROM cn, cl, cb""")),
+
     Entry("q_simhash_pairs",
       // sketch over the same 3-shingle features the Jaccard verifier uses;
       // maxHamming 14 <= bands-1 puts the operator in its deterministic
@@ -901,7 +926,7 @@ object LlmQueries {
             r6(sum(col("p") * log(col("p") / col("q")))).as("kl_vs_corpus"),
             count(lit(1)).as("n_langs"))
       },
-      Some("""WITH sl AS (SELECT source, lang, count(*) AS n_sl FROM documents GROUP BY 1, 2), s AS (SELECT source, sum(n_sl) AS n_s FROM sl GROUP BY 1), l AS (SELECT lang, count(*) AS n_l FROM documents GROUP BY 1), t AS (SELECT count(*) AS n_tot FROM documents), j AS (SELECT sl.source, CAST(sl.n_sl AS DOUBLE) / s.n_s AS p, CAST(l.n_l AS DOUBLE) / t.n_tot AS q FROM sl JOIN s USING (source) JOIN l USING (lang), t) SELECT source, CAST(round(CAST(CAST(-sum(p * ln(p)) AS VARCHAR) AS DECIMAL(38,12)), 6) AS DOUBLE) AS entropy, CAST(round(CAST(CAST(sum(p * ln(p / q)) AS VARCHAR) AS DECIMAL(38,12)), 6) AS DOUBLE) AS kl_vs_corpus, count(*) AS n_langs FROM j GROUP BY 1""")),
+      Some("""WITH sl AS (SELECT source, lang, count(*) AS n_sl FROM documents GROUP BY 1, 2), s AS (SELECT source, sum(n_sl) AS n_s FROM sl GROUP BY 1), l AS (SELECT lang, count(*) AS n_l FROM documents GROUP BY 1), t AS (SELECT count(*) AS n_tot FROM documents), j AS (SELECT sl.source, CAST(sl.n_sl AS DOUBLE) / s.n_s AS p, CAST(l.n_l AS DOUBLE) / t.n_tot AS q FROM sl JOIN s USING (source) JOIN l USING (lang), t) SELECT source, CAST(round(CAST(CAST(-sum(p * ln(p)) AS VARCHAR) AS DECIMAL(38,18)), 6) AS DOUBLE) AS entropy, CAST(round(CAST(CAST(sum(p * ln(p / q)) AS VARCHAR) AS DECIMAL(38,18)), 6) AS DOUBLE) AS kl_vs_corpus, count(*) AS n_langs FROM j GROUP BY 1""")),
 
     Entry("q_text_normalize",
       // Unicode canonicalization pass (NFC + accent strip + casefold) via

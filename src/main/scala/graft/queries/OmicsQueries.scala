@@ -206,7 +206,7 @@ object OmicsQueries {
       // distances over shared samples, top-5 by (round(dist,6), donor) —
       // the same tie-safe ordering the engine uses — then the donor mean.
       // round mimics use the documented decimal-cast form (Q.scala).
-      Some("""WITH cells AS (SELECT user_id AS entity, event_type AS sample, CASE WHEN event_type = 'error' AND user_id % 5 = 0 THEN NULL ELSE CAST(round(CAST(CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS VARCHAR) AS DECIMAL(38,12)), 6) AS DOUBLE) END AS v FROM events GROUP BY 1, 2), rowok AS (SELECT entity FROM cells GROUP BY 1 HAVING CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*) <= 0.2), colok AS (SELECT sample FROM cells GROUP BY 1 HAVING CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*) <= 0.2), kept AS (SELECT c.entity, c.sample, c.v FROM cells c JOIN rowok USING (entity) JOIN colok USING (sample)), miss AS (SELECT entity, sample FROM kept WHERE v IS NULL), pres AS (SELECT entity, sample, v FROM kept WHERE v IS NOT NULL), needy AS (SELECT DISTINCT entity FROM miss), dst AS (SELECT a.entity AS needy, b.entity AS donor, sqrt(avg((a.v - b.v) * (a.v - b.v))) AS dist FROM pres a JOIN needy n ON a.entity = n.entity JOIN pres b ON a.sample = b.sample AND a.entity <> b.entity GROUP BY 1, 2 HAVING count(*) >= 2), cand AS (SELECT m.entity, m.sample, d.donor, round(CAST(CAST(d.dist AS VARCHAR) AS DECIMAL(38,12)), 6) AS rdist, p.v AS dv FROM miss m JOIN dst d ON m.entity = d.needy JOIN pres p ON p.entity = d.donor AND p.sample = m.sample), sel AS (SELECT entity, sample, dv, row_number() OVER (PARTITION BY entity, sample ORDER BY rdist, donor) AS rn FROM cand), fill AS (SELECT entity, sample, CAST(round(CAST(CAST(avg(dv) AS VARCHAR) AS DECIMAL(38,12)), 6) AS DOUBLE) AS imputed FROM sel WHERE rn <= 5 GROUP BY 1, 2) SELECT k.entity, k.sample, k.v AS value, CASE WHEN k.v IS NOT NULL THEN k.v ELSE f.imputed END AS value_imputed FROM kept k LEFT JOIN fill f ON k.entity = f.entity AND k.sample = f.sample""")),
+      Some("""WITH cells AS (SELECT user_id AS entity, event_type AS sample, CASE WHEN event_type = 'error' AND user_id % 5 = 0 THEN NULL ELSE CAST(round(CAST(CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS VARCHAR) AS DECIMAL(38,18)), 6) AS DOUBLE) END AS v FROM events GROUP BY 1, 2), rowok AS (SELECT entity FROM cells GROUP BY 1 HAVING CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*) <= 0.2), colok AS (SELECT sample FROM cells GROUP BY 1 HAVING CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*) <= 0.2), kept AS (SELECT c.entity, c.sample, c.v FROM cells c JOIN rowok USING (entity) JOIN colok USING (sample)), miss AS (SELECT entity, sample FROM kept WHERE v IS NULL), pres AS (SELECT entity, sample, v FROM kept WHERE v IS NOT NULL), needy AS (SELECT DISTINCT entity FROM miss), dst AS (SELECT a.entity AS needy, b.entity AS donor, sqrt(avg((a.v - b.v) * (a.v - b.v))) AS dist FROM pres a JOIN needy n ON a.entity = n.entity JOIN pres b ON a.sample = b.sample AND a.entity <> b.entity GROUP BY 1, 2 HAVING count(*) >= 2), cand AS (SELECT m.entity, m.sample, d.donor, round(CAST(CAST(d.dist AS VARCHAR) AS DECIMAL(38,18)), 6) AS rdist, p.v AS dv FROM miss m JOIN dst d ON m.entity = d.needy JOIN pres p ON p.entity = d.donor AND p.sample = m.sample), sel AS (SELECT entity, sample, dv, row_number() OVER (PARTITION BY entity, sample ORDER BY rdist, donor) AS rn FROM cand), fill AS (SELECT entity, sample, CAST(round(CAST(CAST(avg(dv) AS VARCHAR) AS DECIMAL(38,18)), 6) AS DOUBLE) AS imputed FROM sel WHERE rn <= 5 GROUP BY 1, 2) SELECT k.entity, k.sample, k.v AS value, CASE WHEN k.v IS NOT NULL THEN k.v ELSE f.imputed END AS value_imputed FROM kept k LEFT JOIN fill f ON k.entity = f.entity AND k.sample = f.sample""")),
 
     Entry("q_knn_distances",
       // the SQL-expressible half of KNN imputation: needy->donor distances
@@ -215,7 +215,7 @@ object OmicsQueries {
           knnCells(s, d).toDF("entity", "sample", "value"))
         .select(col("needy"), col("donor"), round(col("dist"), 6).as("dist"),
           col("shared")),
-      Some("""WITH cells AS (SELECT user_id, event_type, CASE WHEN event_type = 'error' AND user_id % 5 = 0 THEN NULL ELSE CAST(round(CAST(CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS VARCHAR) AS DECIMAL(38,12)), 6) AS DOUBLE) END AS v FROM events GROUP BY 1, 2), needy AS (SELECT DISTINCT user_id AS ne FROM cells WHERE v IS NULL), pres AS (SELECT user_id, event_type, v FROM cells WHERE v IS NOT NULL) SELECT a.user_id AS needy, b.user_id AS donor, CAST(round(CAST(CAST(sqrt(avg((a.v - b.v) * (a.v - b.v))) AS VARCHAR) AS DECIMAL(38,12)), 6) AS DOUBLE) AS dist, count(*) AS shared FROM pres a JOIN needy ON a.user_id = needy.ne JOIN pres b ON a.event_type = b.event_type AND a.user_id <> b.user_id GROUP BY 1, 2 HAVING count(*) >= 2""")),
+      Some("""WITH cells AS (SELECT user_id, event_type, CASE WHEN event_type = 'error' AND user_id % 5 = 0 THEN NULL ELSE CAST(round(CAST(CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS VARCHAR) AS DECIMAL(38,18)), 6) AS DOUBLE) END AS v FROM events GROUP BY 1, 2), needy AS (SELECT DISTINCT user_id AS ne FROM cells WHERE v IS NULL), pres AS (SELECT user_id, event_type, v FROM cells WHERE v IS NOT NULL) SELECT a.user_id AS needy, b.user_id AS donor, CAST(round(CAST(CAST(sqrt(avg((a.v - b.v) * (a.v - b.v))) AS VARCHAR) AS DECIMAL(38,18)), 6) AS DOUBLE) AS dist, count(*) AS shared FROM pres a JOIN needy ON a.user_id = needy.ne JOIN pres b ON a.event_type = b.event_type AND a.user_id <> b.user_id GROUP BY 1, 2 HAVING count(*) >= 2""")),
 
     Entry("q_combat_moments",
       // the SQL-expressible front half of ComBat: per-gene standardization
@@ -291,7 +291,7 @@ object OmicsQueries {
     def ll(name: String, coef: String, eta: String) =
       s"""$name AS MATERIALIZED (SELECT region, sum(lgamma(y + CAST(10.0 AS DOUBLE)) - lgamma(CAST(10.0 AS DOUBLE)) - lgamma(y + CAST(1.0 AS DOUBLE)) + CAST(10.0 AS DOUBLE) * ln(CAST(10.0 AS DOUBLE) / (CAST(10.0 AS DOUBLE) + mu)) + y * ln(mu / (CAST(10.0 AS DOUBLE) + mu))) AS ll FROM (SELECT d.region, d.y, least(greatest(exp(greatest($eta, CAST(-19.0 AS DOUBLE))), 1e-8), 1e12) AS mu FROM d JOIN $coef c USING (region)) GROUP BY 1)"""
     def r(x: String, dec: Int) =
-      s"CAST(round(CAST(CAST($x AS VARCHAR) AS DECIMAL(38,12)), $dec) AS DOUBLE)"
+      s"CAST(round(CAST(CAST($x AS VARCHAR) AS DECIMAL(38,18)), $dec) AS DOUBLE)"
     s"""WITH $d, $its, ${ll("llf", s"cf$iters", etaF)}, ${ll("lln", s"cn$iters", etaN)} SELECT c.region, cf0.n AS n, ${r("c.b0", 6)} AS intercept, ${r("c.b1", 6)} AS log_fc, ${r("greatest(CAST(0.0 AS DOUBLE), 2.0 * (llf.ll - lln.ll))", 4)} AS lrt_stat FROM cf$iters c JOIN cf0 USING (region) JOIN llf USING (region) JOIN lln USING (region)"""
   }
 
@@ -307,8 +307,17 @@ object OmicsQueries {
     * kernel line for line; ln(1-v) vs the kernel's log1p(-v) and the
     * engines' exp/ln/lgamma differ only at ulp scale, which the final
     * rounding absorbs (EM is contractive). */
+  /** Spark-style rounding in DuckDB: Spark's `round(double, d)` rounds
+    * HALF_UP on `BigDecimal.valueOf(x)` = the SHORTEST decimal repr, so
+    * the oracle goes double → VARCHAR (DuckDB prints the same shortest
+    * repr) → DECIMAL → round. The intermediate scale must preserve the
+    * repr EXACTLY: scale 12 truncated `…49999999999997`-shaped reprs to
+    * `…5000`, flipping the 6-decimal result one ulp away from Spark's
+    * (first observed on a q_kmeans_increment centroid at sf0.1). A
+    * ≤17-significant-digit repr of any |x| < 10^20 is exact at scale 18
+    * (the KMV estimate, worst case ~7·10^19, still fits 38-18). */
   private[queries] def rndSql(x: String, dec: Int): String =
-    s"CAST(round(CAST(CAST($x AS VARCHAR) AS DECIMAL(38,12)), $dec) AS DOUBLE)"
+    s"CAST(round(CAST(CAST($x AS VARCHAR) AS DECIMAL(38,18)), $dec) AS DOUBLE)"
 
   /** The EM-unroll CTE chain (raw → hist → gn → ch → ia → s0 → e1/s1 …
     * e`iters`/s`iters`) over a caller-supplied `raw` subquery producing
@@ -362,7 +371,7 @@ object OmicsQueries {
     * argmin (d, ca, cb), and the membership remap. MATERIALIZED CTEs keep
     * the chain linear. */
   private def hclustOracleSql(steps: Int, h: Double): String = {
-    val cells = """cells AS MATERIALIZED (SELECT l_returnflag AS gene, CAST(l_partkey % 20 AS VARCHAR) AS probe, CAST(l_suppkey AS VARCHAR) AS sample, CAST(round(CAST(CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS VARCHAR) AS DECIMAL(38,12)), 6) AS DOUBLE) AS value FROM lineitem GROUP BY 1, 2, 3)"""
+    val cells = """cells AS MATERIALIZED (SELECT l_returnflag AS gene, CAST(l_partkey % 20 AS VARCHAR) AS probe, CAST(l_suppkey AS VARCHAR) AS sample, CAST(round(CAST(CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS VARCHAR) AS DECIMAL(38,18)), 6) AS DOUBLE) AS value FROM lineitem GROUP BY 1, 2, 3)"""
     val pairs = """pr AS MATERIALIZED (SELECT DISTINCT gene, probe FROM cells), pg AS MATERIALIZED (SELECT a.gene, a.probe AS pa, b.probe AS pb FROM pr a JOIN pr b ON a.gene = b.gene AND a.probe < b.probe), pp AS MATERIALIZED (SELECT a.gene, a.probe AS pa, b.probe AS pb, CAST(count(*) AS DOUBLE) AS n, CAST(sum(CAST(a.value AS DECIMAL(19,6))) AS DOUBLE) AS sx, CAST(sum(CAST(b.value AS DECIMAL(19,6))) AS DOUBLE) AS sy, CAST(sum(CAST(a.value AS DECIMAL(19,6)) * CAST(b.value AS DECIMAL(19,6))) AS DOUBLE) AS sxy, CAST(sum(CAST(a.value AS DECIMAL(19,6)) * CAST(a.value AS DECIMAL(19,6))) AS DOUBLE) AS sxx, CAST(sum(CAST(b.value AS DECIMAL(19,6)) * CAST(b.value AS DECIMAL(19,6))) AS DOUBLE) AS syy FROM cells a JOIN cells b ON a.gene = b.gene AND a.sample = b.sample AND a.probe < b.probe GROUP BY 1, 2, 3), pd AS MATERIALIZED (SELECT g.gene, g.pa, g.pb, CASE WHEN pp.n IS NULL OR pp.n < 2 THEN 1.0 WHEN (pp.n * pp.sxx - pp.sx * pp.sx) <= 0 OR (pp.n * pp.syy - pp.sy * pp.sy) <= 0 THEN 1.0 ELSE 1.0 - (pp.n * pp.sxy - pp.sx * pp.sy) / sqrt((pp.n * pp.sxx - pp.sx * pp.sx) * (pp.n * pp.syy - pp.sy * pp.sy)) END AS d FROM pg g LEFT JOIN pp ON g.gene = pp.gene AND g.pa = pp.pa AND g.pb = pp.pb), s0 AS MATERIALIZED (SELECT gene, probe, probe AS cid FROM pr)"""
     val its = (1 to steps).map { k =>
       s"""d$k AS MATERIALIZED (SELECT pd.gene, CASE WHEN a.cid < b.cid THEN a.cid ELSE b.cid END AS ca, CASE WHEN a.cid < b.cid THEN b.cid ELSE a.cid END AS cb, max(pd.d) AS d FROM pd JOIN s${k - 1} a ON pd.gene = a.gene AND pd.pa = a.probe JOIN s${k - 1} b ON pd.gene = b.gene AND pd.pb = b.probe WHERE a.cid <> b.cid GROUP BY 1, 2, 3), b$k AS MATERIALIZED (SELECT gene, ca, cb FROM (SELECT gene, ca, cb, d, row_number() OVER (PARTITION BY gene ORDER BY d, ca, cb) AS rn FROM d$k) WHERE rn = 1 AND d <= $h), s$k AS MATERIALIZED (SELECT s.gene, s.probe, CASE WHEN b.cb IS NOT NULL AND s.cid = b.cb THEN b.ca ELSE s.cid END AS cid FROM s${k - 1} s LEFT JOIN b$k b ON s.gene = b.gene)"""

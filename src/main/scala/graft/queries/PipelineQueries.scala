@@ -55,7 +55,7 @@ object PipelineQueries {
           .where(col("mass_id") =!= col("partner_id"))
           .select("mass_id", "transition", "partner_id")
       },
-      Some("""WITH tr AS (SELECT * FROM (VALUES ('t_plus10', 10.0), ('t_plus25_5', 25.5), ('t_minus0_7', -0.7)) t(transition, tmass)), tg AS (SELECT p_partkey AS mass_id, transition, p_retailprice + CAST(tmass AS DOUBLE) AS target FROM part CROSS JOIN tr) SELECT mass_id, transition, p.p_partkey AS partner_id FROM tg JOIN part p ON round(CAST(CAST(tg.target AS VARCHAR) AS DECIMAL(38,12)), 1) = round(CAST(CAST(p.p_retailprice AS VARCHAR) AS DECIMAL(38,12)), 1) AND tg.mass_id <> p.p_partkey""")),
+      Some("""WITH tr AS (SELECT * FROM (VALUES ('t_plus10', 10.0), ('t_plus25_5', 25.5), ('t_minus0_7', -0.7)) t(transition, tmass)), tg AS (SELECT p_partkey AS mass_id, transition, p_retailprice + CAST(tmass AS DOUBLE) AS target FROM part CROSS JOIN tr) SELECT mass_id, transition, p.p_partkey AS partner_id FROM tg JOIN part p ON round(CAST(CAST(tg.target AS VARCHAR) AS DECIMAL(38,18)), 1) = round(CAST(CAST(p.p_retailprice AS VARCHAR) AS DECIMAL(38,18)), 1) AND tg.mass_id <> p.p_partkey""")),
 
     Entry("q_pipeline_corromics",
       // corrMultiomics.py:158-225: MAD filter → align on shared sample axis

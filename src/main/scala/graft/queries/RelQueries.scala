@@ -279,7 +279,7 @@ object RelQueries {
         r6(lit(1.0) / (lit(1.0) + exp(-col("l_discount") * 10))).as("logistic"),
         concat(lit("MM"), col("l_linenumber").cast("string")).as("ghost"),
         r6(col("l_extendedprice") / when(col("l_quantity") =!= 0, col("l_quantity"))).as("unit_price")),
-      Some("""SELECT l_orderkey, l_linenumber, round(abs(l_discount - 0.05),6) AS adist, round(sqrt(l_quantity),6) AS sq, round(log10(l_extendedprice),6) AS lg, round(CAST(1.0 AS DOUBLE)/(CAST(1.0 AS DOUBLE) + exp(-l_discount * 10)),6) AS logistic, concat('MM', CAST(l_linenumber AS VARCHAR)) AS ghost, CAST(round(CAST(CAST(l_extendedprice / nullif(l_quantity, 0) AS VARCHAR) AS DECIMAL(38,12)), 6) AS DOUBLE) AS unit_price FROM lineitem""")),
+      Some("""SELECT l_orderkey, l_linenumber, round(abs(l_discount - 0.05),6) AS adist, round(sqrt(l_quantity),6) AS sq, round(log10(l_extendedprice),6) AS lg, round(CAST(1.0 AS DOUBLE)/(CAST(1.0 AS DOUBLE) + exp(-l_discount * 10)),6) AS logistic, concat('MM', CAST(l_linenumber AS VARCHAR)) AS ghost, CAST(round(CAST(CAST(l_extendedprice / nullif(l_quantity, 0) AS VARCHAR) AS DECIMAL(38,18)), 6) AS DOUBLE) AS unit_price FROM lineitem""")),
 
     Entry("q_reaction_split",
       // '>>' reaction split + paren strip (gizmos.py:175-190)

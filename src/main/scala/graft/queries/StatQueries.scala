@@ -423,7 +423,7 @@ object StatQueries {
             when(col("n_mins") < k, col("n_mins").cast("double"))
               .otherwise(round(lit((k - 1).toDouble) * lit(two60) / col("kth"), 2)))
       },
-      Some("""WITH u AS (SELECT DISTINCT event_type, user_id FROM events), h AS (SELECT event_type, CAST(concat('0x', substr(md5('kmv:' || CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h FROM u), r AS (SELECT event_type, h, row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn FROM h), m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_mins, max(h) AS kth FROM r WHERE rn <= 64 GROUP BY 1) SELECT event_type, n_mins, kth, CASE WHEN n_mins < 64 THEN CAST(n_mins AS DOUBLE) ELSE CAST(round(CAST(CAST(63.0 * 1152921504606846976.0 / kth AS VARCHAR) AS DECIMAL(38,12)), 2) AS DOUBLE) END AS est_distinct FROM m""")),
+      Some("""WITH u AS (SELECT DISTINCT event_type, user_id FROM events), h AS (SELECT event_type, CAST(concat('0x', substr(md5('kmv:' || CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h FROM u), r AS (SELECT event_type, h, row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn FROM h), m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_mins, max(h) AS kth FROM r WHERE rn <= 64 GROUP BY 1) SELECT event_type, n_mins, kth, CASE WHEN n_mins < 64 THEN CAST(n_mins AS DOUBLE) ELSE CAST(round(CAST(CAST(63.0 * 1152921504606846976.0 / kth AS VARCHAR) AS DECIMAL(38,18)), 2) AS DOUBLE) END AS est_distinct FROM m""")),
 
     Entry("q_json_extract",
       // semi-structured extraction from the events props JSON column:
