@@ -685,6 +685,32 @@ object LlmQueries {
         s"""WITH ${slice("vec_id % 2 = 0", "a")}, ${slice("vec_id % 2 = 1", "b")} SELECT n_a, n_b, ${OmicsQueries.rndSql(s"($dotAB) / (sqrt($nA) * sqrt($nB))", 6)} AS drift_cos, ${OmicsQueries.rndSql(s"sqrt($l2)", 6)} AS l2_dist FROM wa, wb, na, nb"""
       }),
 
+    Entry("q_pq_encode",
+      // the persisted PQ artifact itself: every vector as m=4 subspace
+      // codes from codebooks fitted on the first 400 vectors — new rows
+      // (vec_id >= 400) encode against the SAME persisted codebooks,
+      // the incremental-indexing contract; oracle replays fit + argmin
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val cbs = graft.sim.Pq.pqFit(emb.where(col("vec_id") < 400),
+          "vec_id", "embedding", m = 4, ksub = 8, iters = 2, seed = 42L)
+        graft.sim.Pq.pqEncode(emb, "vec_id", "embedding", cbs)
+          .withColumnRenamed("id", "vec_id")
+      },
+      Some {
+        val d = 16
+        val blocks = (0 until 4).map { s =>
+          kmeansCtes(8, 2, 42L + s, s"s$s",
+            s"embedding[${s * d + 1}:${(s + 1) * d}]", "vec_id < 400")
+        }.mkString(", ")
+        // assign EVERY vector (not just the fit slice) to each fitted
+        // subspace codebook — the same argmin/tie-break as the fin CTE
+        val asn = (0 until 4).map { s =>
+          s"""e$s AS (SELECT id, cluster FROM (SELECT *, row_number() OVER (PARTITION BY id ORDER BY d, cluster) AS rn FROM (SELECT x.vec_id AS id, c.cluster, list_reduce(list_transform(list_zip(list_transform(x.embedding[${s * d + 1}:${(s + 1) * d}], v -> floor(CAST(v AS DOUBLE) * 1e6 + CAST(0.5 AS DOUBLE)) / 1e6), c.cv), p -> (p[1] - p[2]) * (p[1] - p[2])), (acc, e) -> acc + e) AS d FROM embeddings x, s${s}c2 c)) WHERE rn = 1)"""
+        }.mkString(", ")
+        s"""WITH $blocks, $asn SELECT e0.id AS vec_id, [e0.cluster, e1.cluster, e2.cluster, e3.cluster] AS codes FROM e0 JOIN e1 USING (id) JOIN e2 USING (id) JOIN e3 USING (id)"""
+      }),
+
     Entry("q_lm_score",
       // CCNet-style self-perplexity: add-one bigram LM trained on the
       // corpus scores each doc's mean transition log-prob — the quality

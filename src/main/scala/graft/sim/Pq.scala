@@ -117,6 +117,32 @@ object Pq {
         round(col("__ac"), 6).as("adc_cos"))
   }
 
+  /** Public fit face for the persisted-codebook workflow: returns the m
+    * per-subspace codebooks (driver state: m·ksub·(dim/m) doubles — what
+    * an indexing pipeline stores next to the encoded corpus). */
+  def pqFit(corpus: DataFrame, idCol: String, vecCol: String, m: Int = 4,
+            ksub: Int = 8, iters: Int = 2,
+            seed: Long = 42L): IndexedSeq[Array[Array[Double]]] = {
+    require(m >= 1 && ksub >= 2 && iters >= 1, "bad PQ parameters")
+    val (corpusV, _, d) = prep(corpus, idCol, vecCol, m)
+    fitCodebooks(corpusV, m, d, ksub, iters, seed)
+  }
+
+  /** Encode a (possibly NEW) batch against persisted codebooks — one
+    * zero-shuffle projection, the incremental-indexing shape (per-ingest
+    * cost rides the batch; the persisted code table grows by append).
+    * Output: (id, codes ARRAY<INT> of length m). */
+  def pqEncode(df: DataFrame, idCol: String, vecCol: String,
+               cbs: IndexedSeq[Array[Array[Double]]]): DataFrame = {
+    require(cbs.nonEmpty, "empty codebooks")
+    val d = cbs.head.head.length
+    val v = transform(col(vecCol), x => Clustering.grid(x))
+    df.select(col(idCol).as("id"),
+      array(cbs.indices.map(s =>
+        Clustering.assignCols(slice(v, s * d + 1, d), cbs(s))
+          .getField("c")): _*).as("codes"))
+  }
+
   /** Fit per-subspace codebooks, encode the corpus, ADC-score the query
     * set against EVERY code row, return exact top-k per query BY THE PQ
     * APPROXIMATE SCORE.

@@ -580,6 +580,27 @@ class DedupSimSpec extends SparkSpec {
       again.sortBy(r => (r._1, r._3)).toSeq)
   }
 
+  test("pqEncode: codes bounded by ksub, deterministic, and a new batch " +
+       "encodes identically against persisted codebooks") {
+    import graft.sim.Pq
+    val vecs = (0 until 80).map { i =>
+      (i.toLong, Array.tabulate(8)(d => ((i * 7 + d) % 11).toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+    val cbs = Pq.pqFit(vecs.where(col("vec_id") < 60), "vec_id",
+      "embedding", m = 2, ksub = 4, iters = 2, seed = 9L)
+    assert(cbs.length == 2 && cbs.forall(_.length == 4))
+    val all = Pq.pqEncode(vecs, "vec_id", "embedding", cbs)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(all.size == 80)
+    assert(all.values.forall(c => c.length == 2 && c.forall(x => x >= 0 && x < 4)))
+    // encoding is per-row: the "new batch" slice encodes identically
+    // whether encoded alone or with the corpus
+    val newOnly = Pq.pqEncode(vecs.where(col("vec_id") >= 60).repartition(5),
+        "vec_id", "embedding", cbs)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(newOnly == all.filter(_._1 >= 60))
+  }
+
   test("ivfPqTopK: full probe equals plain PQ, partial probe routes " +
        "within the query's blob") {
     import graft.sim.Pq
