@@ -57,7 +57,8 @@ object ScaleCheck {
     "q_strip_markup", "q_decontaminate_fuzzy", "q_split_leakage",
     "q_profile_kmv", "q_profile_kmv_merge", "q_topk_per_group_agg",
     "q_profile_drift", "q_vocab_coverage", "q_embedding_drift",
-    "q_kmeans_increment", "q_source_report", "q_dedup_tier_agreement")
+    "q_kmeans_increment", "q_source_report", "q_dedup_tier_agreement",
+    "q_pq_encode")
 
   def main(args: Array[String]): Unit = {
     val src = "/root/testdata/sf0.1"
