@@ -64,7 +64,8 @@ object PlanAudit {
       "q_dsir_sample",  // same weights stage under the Gumbel top-k
       "q_ann_pq", // ADC scan: broadcast query/ADC tables vs streamed codes
       "q_embedding_drift", // four single-row mean/count frames cross-joined
-      "q_dedup_tier_agreement") // three single-row pair counts cross-joined
+      "q_dedup_tier_agreement", // three single-row pair counts cross-joined
+      "q_hard_negatives") // broadcast-queries-vs-corpus scoring + all-pairs exclude
     val shapes = scala.collection.mutable.LinkedHashMap[String, Shape]()
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => names.isEmpty || names(n) }

@@ -1189,7 +1189,13 @@ object Dedup {
         col(textCol), k)).as("__h"))
       .distinct()
       .localCheckpoint(false) // feeds the bloom build AND the exact verify
-    val expectedItems = math.max(1L, evalHashes.count())
+    val expectedItems = evalHashes.count()
+    // an EMPTY eval set contaminates nothing — and Spark's
+    // stat.bloomFilter NPEs on an empty frame (null aggregate buffer),
+    // so short-circuit before building the filter
+    if (expectedItems == 0L)
+      return corpus.select(col(idCol), lit(0L).as("n_hits"),
+        lit(false).as("contaminated"))
     val bloom = evalHashes.stat.bloomFilter("__h", expectedItems, fpp)
     val candidates = corpus
       .select(col(idCol), explode(graft.catalyst.ArrayFunctions.shingleHashes(

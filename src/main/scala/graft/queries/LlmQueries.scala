@@ -620,6 +620,20 @@ object LlmQueries {
         "vec_id", "embedding", threshold = 0.4),
       Some("""WITH p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, list_sum(list_transform(list_zip(a.embedding, b.embedding), q -> CAST(q[1] AS DOUBLE) * CAST(q[2] AS DOUBLE))) / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id) SELECT id_a, id_b, round(cos, 6) AS cos FROM p WHERE cos >= 0.4""")),
 
+    Entry("q_hard_negatives",
+      // contrastive-training negatives: per query, top-3 most-similar
+      // vectors AFTER excluding the verified near-dup pair set (random
+      // negatives are too easy, duplicates would be false negatives);
+      // the exclusion is one anti-join on the pair key
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val dups = Similarity.cosineNearDupPairs(emb, "vec_id",
+          "embedding", threshold = 0.4).select("id_a", "id_b")
+        Similarity.hardNegatives(emb, emb.where(col("vec_id") < 5),
+          "vec_id", "embedding", dups, k = 3)
+      },
+      Some("""WITH dup AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id WHERE list_sum(list_transform(list_zip(a.embedding, b.embedding), q -> CAST(q[1] AS DOUBLE) * CAST(q[2] AS DOUBLE))) / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) >= 0.4), sym AS (SELECT id_a AS query_id, id_b AS neighbor_id FROM dup UNION ALL SELECT id_b, id_a FROM dup), q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5), s AS (SELECT query_id, c.vec_id AS neighbor_id, list_sum(list_transform(list_zip(qe, c.embedding), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) / (sqrt(list_sum(list_transform(qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos FROM q, embeddings c WHERE c.vec_id <> query_id), f AS (SELECT s.* FROM s LEFT JOIN sym ON s.query_id = sym.query_id AND s.neighbor_id = sym.neighbor_id WHERE sym.query_id IS NULL), r AS (SELECT query_id, neighbor_id, cos, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn FROM f) SELECT query_id, neighbor_id, CAST(rn AS INTEGER) AS rank, round(cos, 6) AS cos FROM r WHERE rn <= 3""")),
+
     Entry("q_ann_lsh",
       // SRP-LSH approximate top-k: precision 1 (exact re-score), recall < 1
       // by design — but the seeded hyperplanes are BUILD-TIME constants, so

@@ -32,6 +32,37 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     graft.catalyst.ArrayFunctions.cosineF(a, b)
 
+  /** Hard-negative mining for embedding/retrieval training data: for
+    * each query, the top-k most-similar corpus vectors AFTER excluding a
+    * caller-supplied positive/near-dup pair set — the closest things
+    * that are NOT the same content, which is exactly what contrastive
+    * training wants as negatives (random negatives are too easy; actual
+    * duplicates would be false negatives). `exclude` is any (id_a, id_b)
+    * relation — typically the verified near-dup pairs from the dedup
+    * tier — treated symmetrically. Scale shape: the scoring join is the
+    * ANN tier's (broadcast queries vs streamed corpus here; swap in the
+    * IVF/PQ routed scorer at corpus scale), and the exclusion is one
+    * left-anti join on the (query, neighbor) pair key — candidate-sized,
+    * not corpus-sized. */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, idCol: String,
+                    vecCol: String, exclude: DataFrame,
+                    k: Int): DataFrame = {
+    val scored = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+      .crossJoin(broadcast(queries.select(col(idCol).as("query_id"),
+        col(vecCol).as("__qv"))))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosine(col("__qv"), col("__cv")))
+    val sym = exclude.select(col("id_a").as("query_id"), col("id_b").as("neighbor_id"))
+      .unionByName(exclude.select(col("id_b").as("query_id"), col("id_a").as("neighbor_id")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.join(sym, Seq("query_id", "neighbor_id"), "left_anti")
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("cos"), 6).as("cos"))
+  }
+
   /** Embedding-distribution drift between two vector corpora (snapshot
     * refresh, new-source onboarding): cosine and L2 distance between
     * the slices' MEAN embeddings — the cheap first-order "did the

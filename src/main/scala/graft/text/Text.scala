@@ -432,8 +432,11 @@ object Text {
         explode(tokens(lower(col(textCol)))).as("tok"))
       .select(bucket(col("tok")).as("bucket"))
       .groupBy("bucket").agg(count(lit(1)).as("ct"))
-    val totals = rawDist.agg(sum(col("cr")).as("rtot"))
-      .crossJoin(tgtDist.agg(sum(col("ct")).as("ttot")))
+    // coalesce: an EMPTY target corpus must degrade to the all-alpha
+    // (uniform) target distribution, not to null weights (sum over an
+    // empty frame is null)
+    val totals = rawDist.agg(coalesce(sum(col("cr")), lit(0L)).as("rtot"))
+      .crossJoin(tgtDist.agg(coalesce(sum(col("ct")), lit(0L)).as("ttot")))
     // ratio over the raw-side bucket universe (a bucket no raw token hits
     // can never appear in a document); ≤ dim rows, broadcast
     val ratio = rawDist

@@ -580,6 +580,26 @@ class DedupSimSpec extends SparkSpec {
       again.sortBy(r => (r._1, r._3)).toSeq)
   }
 
+  test("edge cases: empty eval set decontaminates nothing; empty batch " +
+       "leaves incremental k-means state verbatim") {
+    import graft.sim.Clustering
+    val docs = Seq((1L, "a b c d e f"), (2L, "g h i j k l"))
+      .toDF("doc_id", "text")
+    val out = Dedup.decontaminateBloom(docs, docs.where(lit(false)),
+        "doc_id", "text", k = 5)
+      .collect().map(r => (r.getLong(1), r.getBoolean(2)))
+    assert(out.length == 2 && out.forall(_ == ((0L, false))))
+    val cents = Array(Array(1.0, 2.0), Array(3.0, 4.0))
+    val noop = Clustering.kmeansIncrement(
+        Seq((1L, Seq(0.0f, 0.0f))).toDF("vec_id", "embedding")
+          .where(lit(false)),
+        "vec_id", "embedding", cents, Array(5L, 7L))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getSeq[Double](4))).sortBy(_._1).toSeq
+    assert(noop == Seq((0, 5L, 0L, 5L, Seq(1.0, 2.0)),
+      (1, 7L, 0L, 7L, Seq(3.0, 4.0))))
+  }
+
   test("pqEncode: codes bounded by ksub, deterministic, and a new batch " +
        "encodes identically against persisted codebooks") {
     import graft.sim.Pq

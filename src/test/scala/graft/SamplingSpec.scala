@@ -142,6 +142,21 @@ class SamplingSpec extends SparkSpec {
     assert(byId.forall { case (id, (_, lw)) => w2(id) == lw })
   }
 
+  test("edge cases: empty DSIR target degrades to uniform, gumbelTopK " +
+       "with n > rows returns everything") {
+    import graft.text.Text
+    val raw = Seq((1L, "a b c"), (2L, "d e f")).toDF("doc_id", "text")
+    val empty = raw.where(lit(false))
+    val w = Text.dsirLogWeights(raw, empty, "doc_id", "text",
+        dim = 16, seed = 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // no nulls, finite weights: target collapses to the all-alpha prior
+    assert(w.length == 2 && w.forall(r => !r._3.isNaN && !r._3.isInfinite))
+    val small = Seq((1L, 0.5), (2L, -0.5)).toDF("id", "lw")
+    assert(Sampling.gumbelTopK(small, "id", "lw", n = 10, seed = 2L)
+      .count() == 2)
+  }
+
   test("withRunningOffset equals the single-partition window reference") {
     val rnd = new scala.util.Random(1)
     val data = (0 until 1000).map(i => (rnd.nextInt(1000000), rnd.nextInt(100).toLong))
