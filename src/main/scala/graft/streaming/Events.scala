@@ -154,6 +154,54 @@ object Events {
       }
   }
 
+  /** End-to-end STREAMING ingest curation: documents arrive as a stream
+    * and flow through (1) the zero-shuffle quality/language gate,
+    * (2) exact-dedup against ALL history ([[streamingExactDedup]]'s
+    * state store = the persisted hash index), (3) an idempotent
+    * partitioned parquet lake sink — the continuous-ingestion twin of
+    * the batch `pipelines.Curate` flow. Near-dup tiers run as the
+    * periodic BATCH compaction over the landed lake (their banded
+    * indexes are incremental too: `Dedup.minhashLshPairsIncremental`),
+    * which is the standard lambda split: per-document decisions stream,
+    * cross-document candidate generation batches.
+    *
+    * Returns the started query; read the lake with
+    * `spark.read.parquet(dir)` (batch id is a partition column). */
+  def streamingCurate(docs: DataFrame, idCol: String, textCol: String,
+                      minQuality: Double, lang: String, dir: String,
+                      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val gated = graft.text.Text.qualityScore(docs, textCol)
+      .where(col("quality") >= minQuality)
+    val langGated = graft.text.Text.langId(gated, textCol)
+      .where(col("pred_lang") === lang)
+      .select(col(idCol), col(textCol), col("quality"), col("pred_lang"))
+    // keep only history-new content; carry the doc payload through the
+    // stateful operator by joining the decision back is not possible on
+    // a stream — so the dedup keys on (id, hash) and the payload rides
+    // inside the state function's input via a composite tuple
+    val hashed = langGated.withColumn("content_hash",
+      md5(graft.text.Text.normalized(col(textCol))))
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val kept = hashed.select(col(idCol).cast("long").as("doc_id"),
+        col("content_hash"), col(textCol).cast("string").as("text"),
+        col("quality").cast("double"), col("pred_lang"))
+      .as[(Long, String, String, Double, String)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout()) {
+        (hash: String, it: Iterator[(Long, String, String, Double, String)],
+         state: GroupState[SeenHash]) =>
+          val rows = it.toArray.sortBy(_._1)
+          if (state.exists) Iterator.empty
+          else {
+            state.update(SeenHash(rows.head._1))
+            Iterator.single(rows.head) // min-id keeper, payload intact
+          }
+      }
+      .toDF("doc_id", "content_hash", "text", "quality", "pred_lang")
+    writeParquetIdempotent(kept, dir, checkpoint)
+  }
+
   final case class UserState(n: Long, total: Double, lastTsMicros: Long)
   final case class UserUpdate(user_id: Long, n_events: Long, total_value: Double,
                               last_ts: Long)

@@ -205,6 +205,46 @@ class StreamingSpec extends SparkSpec {
     assert(keepers == Set(1L, 2L, 5L))
   }
 
+  test("streamingCurate: quality + language gate, history dedup, " +
+       "idempotent lake landing across micro-batches") {
+    import spark.implicits._
+    val goodEn = "the quick brown fox jumps over the lazy dog and it " +
+      "runs on with many more words in this long and fine sentence " +
+      "that goes on for a while with the usual glue words of english"
+    val goodEn2 = "this is another long and entirely different document " +
+      "with the usual english glue words and it keeps going for a while " +
+      "so that the quality score is clearly above the modest threshold"
+    val german = "der schnelle braune fuchs springt und der hund ist " +
+      "nicht schnell der und die das mit von ist nicht ein eine"
+    val staging = java.nio.file.Files.createTempDirectory("graft_cur_stg")
+    val src = java.nio.file.Files.createTempDirectory("graft_cur_src")
+    Seq((1L, goodEn), (2L, "zzz"), (3L, german))
+      .toDF("doc_id", "text").coalesce(1).write.parquet(s"$staging/b0")
+    Seq((4L, goodEn), (5L, goodEn2))
+      .toDF("doc_id", "text").coalesce(1).write.parquet(s"$staging/b1")
+    (0 to 1).foreach { i =>
+      val f = new java.io.File(s"$staging/b$i").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = src.resolve(f"b$i%02d.parquet")
+      java.nio.file.Files.copy(f.toPath, dst)
+      dst.toFile.setLastModified(1700000000000L + i * 60000L)
+    }
+    val schema = spark.read.parquet(s"$staging/b0").schema
+    val lake = java.nio.file.Files.createTempDirectory("graft_cur_lake")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_cur_ckpt")
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(src.toString)
+    val q = Events.streamingCurate(stream, "doc_id", "text",
+      minQuality = 0.3, lang = "en", dir = lake.toString,
+      checkpoint = ckpt.toString)
+    q.awaitTermination(120000)
+    // 1 kept (good en, first); 2 fails quality; 3 fails language;
+    // 4 is a history dup of 1; 5 kept
+    val landed = spark.read.parquet(lake.toString)
+      .select("doc_id").as[Long].collect().toSet
+    assert(landed == Set(1L, 5L), s"landed $landed")
+  }
+
   test("stateful aggregate runs on the RocksDB state store backend") {
     // HDFSBackedStateStore keeps state on the executor heap — fine for
     // tests, a memory ceiling at real scale. The deployment-grade backend
