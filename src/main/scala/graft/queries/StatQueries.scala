@@ -125,6 +125,15 @@ object StatQueries {
       },
       Some(s"""WITH bp AS (${profileSqlFor(lineitemCols, "lineitem")}), cp AS (${profileSqlFor(driftCurCols, driftCurSrc)}) SELECT col_name, CASE WHEN bp.n IS NULL THEN 'added' WHEN cp.n IS NULL THEN 'removed' ELSE 'kept' END AS status, cp.n - bp.n AS n_delta, cp.n_null - bp.n_null AS null_delta, cp.n_distinct - bp.n_distinct AS distinct_delta, ${OmicsQueries.rndSql("cp.min_num - bp.min_num", 6)} AS min_num_delta, ${OmicsQueries.rndSql("cp.max_num - bp.max_num", 6)} AS max_num_delta, CASE WHEN bp.n IS NOT NULL AND cp.n IS NOT NULL THEN coalesce(cp.min_str <> bp.min_str, false) OR coalesce(cp.max_str <> bp.max_str, false) END AS str_range_changed FROM bp FULL JOIN cp USING (col_name)""")),
 
+    Entry("q_quantile_normalize",
+      // Bolstad quantile normalization: per-sample rank window,
+      // cross-sample decimal-mean reference per rank, join back —
+      // samples = linenumbers, units = orders, values = prices
+      (s, d) => Stats.quantileNormalize(
+        t(s, d, "lineitem").where(col("l_partkey") % 100 === 0),
+        "l_linenumber", "l_orderkey", "l_extendedprice"),
+      Some(s"""WITH rr AS (SELECT l_linenumber, l_orderkey, l_extendedprice, row_number() OVER (PARTITION BY l_linenumber ORDER BY l_extendedprice, l_orderkey) AS rank FROM lineitem WHERE l_partkey % 100 = 0), rf AS (SELECT rank, CAST(sum(CAST(l_extendedprice AS DECIMAL(24,6))) AS DOUBLE) / count(*) AS nref FROM rr GROUP BY 1) SELECT rr.l_linenumber, rr.l_orderkey, rr.l_extendedprice, rr.rank, ${OmicsQueries.rndSql("rf.nref", 6)} AS normalized FROM rr JOIN rf USING (rank)""")),
+
     Entry("q_table_profile",
       // snapshot validation profile: one melted scan of the table, one
       // aggregate per column — row count, null count, exact cardinality,

@@ -200,6 +200,38 @@ object Stats {
       .groupBy(groupCols.map(col): _*)
       .agg(exp(avg(log(col(x)))).as("geo_mean"), count(lit(1)).as("n_pos"))
 
+  /** Quantile normalization (Bolstad et al. 2003, the preprocessCore
+    * `normalize.quantiles` standard omics preprocessing next to TMM and
+    * ComBat): force every sample's value distribution onto the common
+    * reference — the cross-sample mean of the r-th smallest values.
+    * Long-form input (unit, sample, value); classic QN assumes equal
+    * counts per sample, and with ragged samples this implementation
+    * averages whatever samples HAVE a value at rank r (documented
+    * deviation). Ties rank deterministically by (value, unit) — the
+    * "first" tie policy, not preprocessCore's rank-average — so the
+    * output is a pure function of the data and the oracle replays it.
+    *
+    * Shape: one rank window partitioned by sample (a partition holds one
+    * sample's units — the matrix's tall axis stays distributed ACROSS
+    * samples; if one sample outgrows a partition, range-split within it
+    * per the as-of join escape hatch), one (rank)-row decimal-mean
+    * aggregate, then a broadcast-or-shuffle join back on the rank.
+    *
+    * @return input rows + (rank, normalized rounded 6). */
+  def quantileNormalize(df: DataFrame, sampleCol: String, unitCol: String,
+                        valueCol: String): DataFrame = {
+    val w = Window.partitionBy(sampleCol).orderBy(col(valueCol), col(unitCol))
+    val ranked = df.select(col(sampleCol), col(unitCol), col(valueCol))
+      .withColumn("rank", row_number().over(w))
+      .localCheckpoint(false) // feeds the reference AND the join-back
+    val ref = ranked.groupBy("rank")
+      .agg((sum(col(valueCol).cast("decimal(24,6)")).cast("double") /
+        count(lit(1))).as("__ref"))
+    ranked.join(ref, Seq("rank"))
+      .select(col(sampleCol), col(unitCol), col(valueCol), col("rank"),
+        round(col("__ref"), 6).as("normalized"))
+  }
+
   /** Per-group simple OLS y ~ x via moment aggregates — slope, intercept,
     * R², t statistic of the slope and its two-sided p
     * (MethylMix_ModelGeneExpression, MethylMix.R:187-209: keep genes with

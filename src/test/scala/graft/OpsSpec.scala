@@ -368,6 +368,29 @@ class OpsSpec extends SparkSpec {
       .where(col("is_outlier")).count() == 0)
   }
 
+  test("quantileNormalize: equal-count samples end with IDENTICAL value " +
+       "multisets (the defining QN property)") {
+    val rnd = new scala.util.Random(11)
+    val rows = for (s <- 0 until 4; u <- 0 until 50)
+      yield (s.toLong, u.toLong, rnd.nextInt(1000) / 4.0)
+    val out = Stats.quantileNormalize(rows.toDF("sample", "unit", "v"),
+      "sample", "unit", "v")
+    val bySample = out.select("sample", "normalized")
+      .as[(Long, Double)].collect().groupBy(_._1)
+      .map { case (s, xs) => s -> xs.map(_._2).sorted.toSeq }
+    assert(bySample.size == 4)
+    assert(bySample.values.toSet.size == 1,
+      "normalized distributions must be identical across samples")
+    // monotone within sample: bigger raw value never maps below a
+    // smaller one
+    val mono = out.select("sample", "v", "normalized")
+      .as[(Long, Double, Double)].collect().groupBy(_._1)
+    mono.values.foreach { xs =>
+      val sorted = xs.sortBy(_._2)
+      assert(sorted.map(_._3).sliding(2).forall(p => p(0) <= p(1)))
+    }
+  }
+
   test("topKPerGroupAgg equals the window form on random data with ties") {
     val rnd = new scala.util.Random(7)
     val rows = (0 until 3000).map { i =>
