@@ -177,6 +177,47 @@ class PropertySpec extends SparkSpec {
       s"df-pruning never fired across the generated cases")
   }
 
+  test("containmentPairs equals brute-force directional containment") {
+    val words = Vector("aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh")
+    val gen = for {
+      n <- Gen.choose(8, 20)
+      docs <- Gen.listOfN(n,
+        Gen.choose(4, 14).flatMap(len =>
+          Gen.listOfN(len, Gen.oneOf(words)).map(_.mkString(" "))))
+      t <- Gen.oneOf(0.5, 0.8, 1.0)
+      maxDf <- Gen.oneOf(4L, 8L, 100L)
+    } yield (docs, t, maxDf)
+    forAllN(8, gen) { case (docs, t, maxDf) =>
+      val corpus = docs.zipWithIndex.map { case (d, i) => (i.toLong, d) }
+        .toDF("doc_id", "text")
+      val fast = graft.dedup.Dedup
+        .containmentPairs(corpus, "doc_id", "text", k = 2, threshold = t,
+          maxShingleDf = maxDf)
+        .select("id_a", "id_b", "containment")
+        .as[(Long, Long, Double)].collect().toSet
+      def shingles(s: String): Set[String] = {
+        val toks = s.split("\\s+").filter(_.nonEmpty)
+        if (toks.length >= 2) toks.sliding(2).map(_.mkString(" ")).toSet
+        else Set(toks.mkString(" "))
+      }
+      val sets = docs.zipWithIndex.map { case (d, i) => i.toLong -> shingles(d) }.toMap
+      val dfCount = sets.values.flatten.groupBy(identity).map { case (s, o) => s -> o.size }
+      val pruned = sets.map { case (i, ss) => i -> ss.filter(dfCount(_) <= maxDf) }
+      val naive = (for {
+        a <- pruned.keys; b <- pruned.keys
+        if a != b && pruned(a).nonEmpty
+        inter = (pruned(a) intersect pruned(b)).size
+        // candidate rule: share >= 1 pruned shingle (directional pairs)
+        if inter > 0
+        c = inter.toDouble / pruned(a).size
+        if c >= t
+        cr = BigDecimal(c.toString)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      } yield (a, b, cr)).toSet
+      assert(fast == naive)
+    }
+  }
+
   test("melt/pivot round trip preserves cell values") {
     val gen = Gen.listOfN(12, Gen.zip(Gen.choose(0.0, 100.0), Gen.choose(0.0, 100.0)))
     forAllN(5, gen) { cells =>
