@@ -125,6 +125,14 @@ object StatQueries {
       },
       Some(s"""WITH bp AS (${profileSqlFor(lineitemCols, "lineitem")}), cp AS (${profileSqlFor(driftCurCols, driftCurSrc)}) SELECT col_name, CASE WHEN bp.n IS NULL THEN 'added' WHEN cp.n IS NULL THEN 'removed' ELSE 'kept' END AS status, cp.n - bp.n AS n_delta, cp.n_null - bp.n_null AS null_delta, cp.n_distinct - bp.n_distinct AS distinct_delta, ${OmicsQueries.rndSql("cp.min_num - bp.min_num", 6)} AS min_num_delta, ${OmicsQueries.rndSql("cp.max_num - bp.max_num", 6)} AS max_num_delta, CASE WHEN bp.n IS NOT NULL AND cp.n IS NOT NULL THEN coalesce(cp.min_str <> bp.min_str, false) OR coalesce(cp.max_str <> bp.max_str, false) END AS str_range_changed FROM bp FULL JOIN cp USING (col_name)""")),
 
+    Entry("q_winsorized_mean",
+      // robust group mean: clamp into the [0.05, 0.95] percentile band
+      // first (exact percentile == DuckDB quantile_cont interpolation),
+      // decimal-mean after — the outlier-resistant location estimate
+      (s, d) => Stats.winsorizedMean(t(s, d, "lineitem"),
+        Seq("l_returnflag"), "l_extendedprice", p = 0.05),
+      Some("""WITH b AS (SELECT l_returnflag, CAST(quantile_cont(l_extendedprice, 0.05) AS DOUBLE) AS lo, CAST(quantile_cont(l_extendedprice, 0.95) AS DOUBLE) AS hi FROM lineitem GROUP BY 1) SELECT l.l_returnflag, round(CAST(sum(CAST(least(b.hi, greatest(b.lo, l.l_extendedprice)) AS DECIMAL(24,6))) AS DOUBLE) / count(*), 6) AS wins_mean, count(*) AS n FROM lineitem l JOIN b USING (l_returnflag) GROUP BY 1""")),
+
     Entry("q_quantile_normalize",
       // Bolstad quantile normalization: per-sample rank window,
       // cross-sample decimal-mean reference per rank, join back —

@@ -200,6 +200,30 @@ object Stats {
       .groupBy(groupCols.map(col): _*)
       .agg(exp(avg(log(col(x)))).as("geo_mean"), count(lit(1)).as("n_pos"))
 
+  /** Winsorized mean per group: values clamped into the [p, 1-p]
+    * percentile band before averaging — the robust location estimate
+    * expression pipelines use where a plain mean is outlier-dominated
+    * (one bad array cell otherwise drags a gene's summary). Two
+    * aggregates: group percentiles (exact `percentile`, interpolation
+    * identical to DuckDB's quantile_cont), broadcast back, then a
+    * decimal-mean of the clamped values.
+    *
+    * @return (group cols, wins_mean rounded 6, n). */
+  def winsorizedMean(df: DataFrame, groupCols: Seq[String],
+                     valueCol: String, p: Double = 0.05): DataFrame = {
+    require(p >= 0 && p < 0.5, s"p out of [0, 0.5): $p")
+    val bounds = df.groupBy(groupCols.map(col): _*)
+      .agg(expr(s"percentile($valueCol, $p)").as("__lo"),
+        expr(s"percentile($valueCol, ${1 - p})").as("__hi"))
+    df.join(broadcast(bounds), groupCols)
+      .withColumn("__w",
+        least(col("__hi"), greatest(col("__lo"), col(valueCol))))
+      .groupBy(groupCols.map(col): _*)
+      .agg(round(sum(col("__w").cast("decimal(24,6)")).cast("double") /
+        count(lit(1)), 6).as("wins_mean"),
+        count(lit(1)).as("n"))
+  }
+
   /** Quantile normalization (Bolstad et al. 2003, the preprocessCore
     * `normalize.quantiles` standard omics preprocessing next to TMM and
     * ComBat): force every sample's value distribution onto the common

@@ -368,6 +368,17 @@ class OpsSpec extends SparkSpec {
       .where(col("is_outlier")).count() == 0)
   }
 
+  test("winsorizedMean shrugs off a planted outlier the plain mean eats") {
+    val rows = ((0 until 99).map(i => ("g", i.toLong, 10.0 + (i % 5))) :+
+      (("g", 99L, 1e9))).toDF("grp", "id", "v")
+    val w = Stats.winsorizedMean(rows, Seq("grp"), "v", p = 0.05)
+      .collect()(0)
+    assert(w.getLong(2) == 100L)
+    // plain mean ~1e7; winsorized stays near the data's center
+    assert(w.getDouble(1) > 10.0 && w.getDouble(1) < 15.0,
+      s"winsorized mean ${w.getDouble(1)} not robust")
+  }
+
   test("quantileNormalize: equal-count samples end with IDENTICAL value " +
        "multisets (the defining QN property)") {
     val rnd = new scala.util.Random(11)
