@@ -58,7 +58,8 @@ object ScaleCheck {
     "q_profile_kmv", "q_profile_kmv_merge", "q_topk_per_group_agg",
     "q_profile_drift", "q_vocab_coverage", "q_embedding_drift",
     "q_kmeans_increment", "q_source_report", "q_dedup_tier_agreement",
-    "q_pq_encode", "q_hard_negatives", "q_quantile_normalize")
+    "q_pq_encode", "q_hard_negatives", "q_quantile_normalize",
+    "q_winsorized_mean")
 
   def main(args: Array[String]): Unit = {
     val src = "/root/testdata/sf0.1"
