@@ -98,6 +98,18 @@ object Multimodal {
       .toDF("media_id", "frame_ordinal", "frame_bytes")
   }
 
+  /** Exact dedup of binary media by raw content hash, per modality —
+    * the first pass of any multimodal corpus build (identical images
+    * re-crawled under different URLs collapse here before any decode
+    * cost is paid). Same keep-min-id/groupBy shape as the text tier's
+    * `Dedup.exact`; perceptual near-dup (pHash etc.) plugs in behind
+    * the [[MediaDecoder]] boundary as a feature-space pass. */
+  def dedupBinary(media: DataFrame): DataFrame =
+    media.withColumn("content_hash", md5(col("content")))
+      .groupBy("modality", "content_hash")
+      .agg(min(col("media_id")).as("kept_id"),
+        count(lit(1)).as("dup_count"))
+
   /** Wrap arbitrary keyed binary data into the canonical media schema. */
   def asMedia(df: DataFrame, idCol: String, contentCol: String,
               modality: String): DataFrame =

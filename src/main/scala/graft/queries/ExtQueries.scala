@@ -101,6 +101,17 @@ object ExtQueries {
       // replay it from the hex dump of the UTF-8 bytes lane by lane
       Some("""WITH h AS (SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n FROM documents), bytes AS (SELECT doc_id, (i - 1) % 8 AS j, CAST(concat('0x', substr(hx, 2 * i - 1, 2)) AS BIGINT) AS byte FROM h, unnest(generate_series(1, n)) AS g(i) WHERE n > 0), feats AS (SELECT b.doc_id, b.j, CAST(CAST(sum(b.byte) / 255.0 / greatest(h.n // 8, 1) AS FLOAT) AS DOUBLE) AS f FROM bytes b JOIN h ON b.doc_id = h.doc_id GROUP BY b.doc_id, b.j, h.n), agg AS (SELECT doc_id, sum(f) AS fs FROM feats GROUP BY 1) SELECT h.doc_id AS media_id, CAST(h.n AS BIGINT) AS n_bytes, CASE WHEN h.n > 0 THEN CAST(round(CAST(CAST(a.fs AS VARCHAR) AS DECIMAL(38,18)), 4) AS DOUBLE) END AS feat_sum FROM h LEFT JOIN agg a ON h.doc_id = a.doc_id""")),
 
+    Entry("q_multimodal_dedup",
+      // binary-content exact dedup per modality — the pre-decode first
+      // pass of a multimodal corpus build; md5 over the raw bytes is
+      // identical in both engines
+      (s, d) => Multimodal.dedupBinary(Multimodal.asMedia(
+        t(s, d, "documents").withColumn("content", col("text").cast("binary")),
+        "doc_id", "content", "image")),
+      // DuckDB 1.0's md5 takes VARCHAR only; hashing the string hashes
+      // the same UTF-8 bytes the engine's binary-cast content carries
+      Some("""SELECT 'image' AS modality, md5(text) AS content_hash, min(doc_id) AS kept_id, count(*) AS dup_count FROM documents GROUP BY 2""")),
+
     Entry("q_pca_batch",
       // PCA batch check: PC1 of the sample matrix, one-way ANOVA vs batch.
       // The kernel is now a closed-form function of the data (Gramian
