@@ -42,7 +42,14 @@ object MethylMixPipeline {
       cancer.join(broadcast(functional), Seq("gene"), "left_semi"),
       "gene", "met").toDF()
     val normals = normalMet.groupBy("gene")
-      .agg(avg(col("met")).as("normal_mean"))
+      // exact decimal mean, NOT avg(double): a double avg is float-sum
+      // order-dependent, and DuckDB's parallel aggregation order varies
+      // run to run — one gene's normal_mean sat exactly on the 6-decimal
+      // rounding boundary (0.4796875) and flipped between sweeps.
+      // DECIMAL(38,18) represents these <=17-sig-digit met doubles
+      // exactly, so the sum is order-independent in both engines.
+      .agg((sum(col("met").cast("decimal(38,18)")).cast("double") /
+        count(lit(1))).as("normal_mean"))
     BetaMixture.dmValues(fits, normals, dmThreshold)
   }
 
@@ -68,7 +75,14 @@ object MethylMixPipeline {
       cancer.join(broadcast(functional), Seq("gene"), "left_semi"),
       "gene", "met", k = k, iters = iters)
     val normals = normalMet.groupBy("gene")
-      .agg(avg(col("met")).as("normal_mean"))
+      // exact decimal mean, NOT avg(double): a double avg is float-sum
+      // order-dependent, and DuckDB's parallel aggregation order varies
+      // run to run — one gene's normal_mean sat exactly on the 6-decimal
+      // rounding boundary (0.4796875) and flipped between sweeps.
+      // DECIMAL(38,18) represents these <=17-sig-digit met doubles
+      // exactly, so the sum is order-independent in both engines.
+      .agg((sum(col("met").cast("decimal(38,18)")).cast("double") /
+        count(lit(1))).as("normal_mean"))
     BetaMixture.dmValues(fits, normals, dmThreshold)
   }
 }

@@ -258,7 +258,7 @@ object PipelineQueries {
       "mxg AS MATERIALIZED (SELECT l_partkey % 200 AS g, l_suppkey AS sk, (CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*) + CAST(0.005 AS DOUBLE)) / CAST(0.12 AS DOUBLE) AS met FROM lineitem GROUP BY 1, 2), " +
       "mxc AS MATERIALIZED (SELECT concat('g', CAST(g AS VARCHAR)) AS gene, g, sk, met, CASE WHEN g % 2 = 0 THEN CAST(2.0 AS DOUBLE) - met * CAST(3.0 AS DOUBLE) + CAST(sk % 7 AS DOUBLE) * CAST(0.001 AS DOUBLE) ELSE CAST(sk % 13 AS DOUBLE) * CAST(0.05 AS DOUBLE) END AS ge FROM mxg), " +
       "cancer AS MATERIALIZED (SELECT gene, met, ge FROM mxc WHERE sk % 4 <> 0), " +
-      "normals AS MATERIALIZED (SELECT gene, avg(met) AS normal_mean FROM mxc WHERE sk % 4 = 0 GROUP BY 1), " +
+      "normals AS MATERIALIZED (SELECT gene, CAST(sum(CAST(met AS DECIMAL(38,18))) AS DOUBLE) / count(*) AS normal_mean FROM mxc WHERE sk % 4 = 0 GROUP BY 1), " +
       "mxo AS MATERIALIZED (SELECT gene, CAST(count(*) AS DOUBLE) AS n, avg(met) AS xbar, avg(ge) AS ybar, sum(met * met) AS sxx0, sum(met * ge) AS sxy0, sum(ge * ge) AS syy0 FROM cancer GROUP BY 1), " +
       "mxo2 AS MATERIALIZED (SELECT gene, n, sxx0 - n * xbar * xbar AS sxx, sxy0 - n * xbar * ybar AS sxy, syy0 - n * ybar * ybar AS syy FROM mxo), " +
       "mxo3 AS MATERIALIZED (SELECT gene, sxy / sxx AS slope, sxy * sxy / (sxx * syy) AS r2, (sxy / sxx) / sqrt(((syy - (sxy / sxx) * sxy) / (n - 2)) / sxx) AS t FROM mxo2), " +
