@@ -78,6 +78,14 @@ object ArrayKernels {
   def simhashSig(t: UTF8String, k: Int): Long =
     graft.dedup.Dedup.simhashSigKernel(if (t == null) null else t.toString, k)
 
+  /** Positional word-k-gram 60-bit md5 hashes (lowercased; delegates to
+    * [[graft.dedup.Dedup.tokenGramHashesKernel]]) — element i hashes
+    * tokens [i, i+k). The substring-dedup tier posexplodes this so its
+    * exchanges carry longs, never the gram text. */
+  def tokenGramHashes(t: UTF8String, k: Int): ArrayData =
+    new GenericArrayData(graft.dedup.Dedup.tokenGramHashesKernel(
+      if (t == null) null else t.toString, k))
+
   /** Order-sensitive 64-bit rolling (polynomial) hash over the UTF-8
     * bytes: h = h*1000003 + byte, wrapping mod 2^64, FNV offset basis as
     * seed — bit-identical to the former `String`-typed UDF in
@@ -204,6 +212,19 @@ case class SimhashSigExpr(child: Expression, k: Int)
     copy(child = newChild)
 }
 
+case class TokenGramHashesExpr(child: Expression, k: Int)
+    extends UnaryExpression with Serializable {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_token_gram_hashes"
+  protected override def nullSafeEval(t: Any): Any =
+    ArrayKernels.tokenGramHashes(t.asInstanceOf[UTF8String], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.catalyst.ArrayKernels.tokenGramHashes($c, $k)")
+  override protected def withNewChildInternal(newChild: Expression): TokenGramHashesExpr =
+    copy(child = newChild)
+}
+
 case class RollingHashExpr(child: Expression)
     extends UnaryExpression with Serializable {
   override def dataType: DataType = LongType
@@ -240,23 +261,59 @@ case class CosineFExpr(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** JVM-wide deserialized-Bloom-filter cache. The expression instance is
+  * serialized into every TASK's codegen references array, so a
+  * `transient lazy` field on the expression re-deserializes the bitmap
+  * per task — at the advertised 10^8-key (~120 MB) scale that is a
+  * per-task allocation storm. Keying the deserialization by a content
+  * digest makes it once per EXECUTOR regardless of task count. Bounded:
+  * an app holds a handful of distinct filters; evict wholesale if it
+  * ever grows past the cap (refill costs one deserialize). */
+private[catalyst] object BloomFilterCache {
+  private val MaxEntries = 16
+  private val cache = new java.util.concurrent.ConcurrentHashMap[
+    String, org.apache.spark.util.sketch.BloomFilter]()
+  def get(digest: String,
+          bytes: Array[Byte]): org.apache.spark.util.sketch.BloomFilter = {
+    if (cache.size > MaxEntries) cache.clear()
+    cache.computeIfAbsent(digest, _ =>
+      org.apache.spark.util.sketch.BloomFilter.readFrom(
+        new java.io.ByteArrayInputStream(bytes)))
+  }
+}
+
 /** Codegen membership test against a pre-built Bloom filter
   * (`org.apache.spark.util.sketch.BloomFilter`, the sketch Spark's own
   * runtime row-level filters use). The filter travels as its serialized
-  * bytes inside the expression tree and deserializes ONCE per executor
-  * (transient lazy) — the generated code then calls a plain virtual
-  * method per row, keeping the surrounding scan/filter span in
-  * whole-stage codegen. This is the broadcast-side primitive for
-  * "probe a 10^8-key set without shipping the keys": the bitmap is
-  * ~1.2 bytes/key at 1% fpp vs 8+ bytes/key for the exact hash set. */
+  * bytes inside the expression tree and deserializes once per executor
+  * via [[BloomFilterCache]] (digest computed once on the driver) — the
+  * generated code then calls a plain virtual method per row, keeping
+  * the surrounding scan/filter span in whole-stage codegen. This is the
+  * broadcast-side primitive for "probe a 10^8-key set without shipping
+  * the keys": the bitmap is ~1.2 bytes/key at 1% fpp vs 8+ bytes/key
+  * for the exact hash set. Equality is by bitmap CONTENT (an
+  * Array[Byte] case field would compare by reference and defeat
+  * expression dedup/canonicalization). */
 case class BloomContainsExpr(child: Expression, bytes: Array[Byte])
     extends UnaryExpression with Serializable {
-  @transient private lazy val bloom =
-    org.apache.spark.util.sketch.BloomFilter.readFrom(
-      new java.io.ByteArrayInputStream(bytes))
+  // driver-side digest, serialized with the expression; tasks share the
+  // per-executor deserialized filter through it
+  private val digest: String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    java.util.Base64.getEncoder.encodeToString(md.digest(bytes)) +
+      ":" + bytes.length
+  }
+  @transient private lazy val bloom = BloomFilterCache.get(digest, bytes)
   def test(h: Long): Boolean = bloom.mightContainLong(h)
   override def dataType: DataType = org.apache.spark.sql.types.BooleanType
   override def prettyName: String = "graft_bloom_contains"
+  override def equals(other: Any): Boolean = other match {
+    case b: BloomContainsExpr =>
+      child == b.child && java.util.Arrays.equals(bytes, b.bytes)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * child.hashCode() + java.util.Arrays.hashCode(bytes)
   protected override def nullSafeEval(h: Any): Any = test(h.asInstanceOf[Long])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("bloomExpr", this,
@@ -287,6 +344,8 @@ object ArrayFunctions {
     c(MinhashSigExpr(e(text), k, numHashes))
   def simhashSig(text: Column, k: Int): Column =
     c(SimhashSigExpr(e(text), k))
+  def tokenGramHashes(text: Column, k: Int): Column =
+    c(TokenGramHashesExpr(e(text), k))
   def rollingHash(text: Column): Column = c(RollingHashExpr(e(text)))
   def dotF(a: Column, b: Column): Column = c(DotFExpr(floats(a), floats(b)))
   def cosineF(a: Column, b: Column): Column = c(CosineFExpr(floats(a), floats(b)))

@@ -175,6 +175,42 @@ object Dedup {
     out.toArray(new Array[String](0))
   }
 
+  /** POSITIONAL word-k-gram 60-bit md5-prefix hashes of `text`
+    * (lowercased in the kernel): element i is the hash of tokens
+    * [i, i+k) joined by single spaces — the gram stream
+    * [[repeatedSpans]] and friends dedupe on. One compiled pass:
+    * tokenize once, build each gram string locally, digest, emit the
+    * LONG — the multi-word gram text never leaves the kernel, so the
+    * downstream df-count/join-back exchanges carry 8-byte keys instead
+    * of ~8-word strings (the round-8 q_repeated_spans plan shipped the
+    * strings and was 20× DuckDB). Same replay guarantee as
+    * [[shingleHashes]]: a 60-bit collision collapses two grams
+    * identically in the engine and in the DuckDB oracle (both take the
+    * same md5 prefix of the same gram text). Docs with fewer than k
+    * tokens yield an empty array (no whole-doc fallback — span
+    * semantics, not set semantics). */
+  def tokenGramHashesKernel(text: String, k: Int): Array[Long] = {
+    if (text == null) return Array.emptyLongArray
+    val toks = wsPattern.split(text.toLowerCase(java.util.Locale.ROOT))
+      .filter(_.nonEmpty)
+    if (toks.length < k) return Array.emptyLongArray
+    val out = new Array[Long](toks.length - k + 1)
+    val sb = new java.lang.StringBuilder()
+    var i = 0
+    while (i <= toks.length - k) {
+      sb.setLength(0)
+      var j = 0
+      while (j < k) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      out(i) = java.lang.Long.parseLong(md5hex(sb.toString).substring(0, 15), 16)
+      i += 1
+    }
+    out
+  }
+
   /** Distinct word k-shingles of `text` as SORTED 60-bit md5-prefix
     * hashes — the declared Jaccard universe of the exact-verify operators
     * below. Hashing the shingle space: the inverted-index shuffle carries
@@ -272,24 +308,25 @@ object Dedup {
     *     hits into MAXIMAL spans — one hash exchange on the doc id, one
     *     in-partition sort, no quadratic step anywhere.
     *
-    * Every step is deterministic and SQL-expressible (grams join on their
-    * literal text, not a hash), so the DuckDB oracle replays it exactly.
+    * Every step is deterministic and SQL-expressible: grams join on
+    * their 60-bit md5 hash, and the oracle takes the SAME md5 prefix of
+    * the SAME gram text, so a collision collapses two grams identically
+    * in both engines — replay is exact by construction.
     *
     * Output: (id, span_start, span_end, span_tokens) — token positions,
     * 0-based, end exclusive; spans never overlap and are maximal. */
   def repeatedSpans(df: DataFrame, idCol: String, textCol: String,
                     k: Int = 8, minDf: Int = 2): DataFrame = {
-    val toks = df.select(col(idCol).as("id"),
-        filter(split(lower(col(textCol)), "\\s+"),
-          t => length(t) > 0).as("toks"))
-      .where(size(col("toks")) >= k)
-    val grams = toks.select(col("id"), posexplode(
-        transform(sequence(lit(0), size(col("toks")) - k),
-          i => array_join(slice(col("toks"), i + 1, lit(k)), " "))))
+    // grams as 60-bit md5 LONGS from one compiled kernel pass
+    // ([[tokenGramHashesKernel]]): the df-count exchange and the
+    // position join-back carry 8-byte keys — the literal ~k-word gram
+    // text never goes on the wire (at corpus scale the string-keyed
+    // exchange was ~8× the corpus in bytes). No checkpoint: recomputing
+    // the kernel scan for the two consumers is cheaper than
+    // materializing the gram relation (the spread() lesson).
+    val grams = df.select(col(idCol).as("id"), posexplode(
+        graft.catalyst.ArrayFunctions.tokenGramHashes(col(textCol), k)))
       .toDF("id", "pos", "gram")
-      // the gram relation feeds both the df count and the position
-      // join-back — barrier so tokenization/gram assembly runs once
-      .localCheckpoint(false)
     val dup = grams.groupBy("gram")
       .agg(count_distinct(col("id")).as("df"))
       .where(col("df") >= minDf)
@@ -318,13 +355,11 @@ object Dedup {
                   k: Int = 8): DataFrame = {
     val meta = new org.apache.spark.sql.types.MetadataBuilder()
       .putLong("graft.gramdf.k", k).build()
-    df.select(col(idCol).as("id"),
-        filter(split(lower(col(textCol)), "\\s+"),
-          t => length(t) > 0).as("toks"))
-      .where(size(col("toks")) >= k)
-      .select(col("id"), explode(
-        transform(sequence(lit(0), size(col("toks")) - k),
-          i => array_join(slice(col("toks"), i + 1, lit(k)), " "))).as("gram"))
+    // persisted keys are the 60-bit gram hashes (8 bytes/entry instead
+    // of the ~k-word text) — same keyspace the span queries join on
+    df.select(col(idCol).as("id"), explode(
+        graft.catalyst.ArrayFunctions.tokenGramHashes(col(textCol), k))
+        .as("gram"))
       .groupBy("gram").agg(count_distinct(col("id")).as("df"))
       .withColumn("gram", col("gram").as("gram", meta))
   }
@@ -352,15 +387,9 @@ object Dedup {
           "silently missed; rebuild the index or match the parameter")
       }
     }
-    val toks = newDocs.select(col(idCol).as("id"),
-        filter(split(lower(col(textCol)), "\\s+"),
-          t => length(t) > 0).as("toks"))
-      .where(size(col("toks")) >= k)
-    val grams = toks.select(col("id"), posexplode(
-        transform(sequence(lit(0), size(col("toks")) - k),
-          i => array_join(slice(col("toks"), i + 1, lit(k)), " "))))
+    val grams = newDocs.select(col(idCol).as("id"), posexplode(
+        graft.catalyst.ArrayFunctions.tokenGramHashes(col(textCol), k)))
       .toDF("id", "pos", "gram")
-      .localCheckpoint(false)
     val batchDf = grams.groupBy("gram")
       .agg(count_distinct(col("id")).as("bdf"))
     val dup = batchDf

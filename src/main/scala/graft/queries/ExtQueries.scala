@@ -45,7 +45,7 @@ object ExtQueries {
           .groupBy("struct_id", "root", "iteration")
           .agg(r6(min(col("mass"))).as("mass"))
       },
-      Some("""WITH seeds AS (SELECT concat('S', CAST(p_partkey AS VARCHAR)) AS struct_id, concat('S', CAST(p_partkey AS VARCHAR)) AS root, 0 AS iteration, p_retailprice AS mass FROM part), obs AS (SELECT DISTINCT round(p_retailprice, 1) AS k FROM part), rules AS (SELECT * FROM (VALUES ('r_plus10', 10.0), ('r_minus25', -25.5)) r(rule_id, delta)), g1 AS (SELECT concat('VM_', substr(md5(concat(root, ':', rule_id, ':', CAST(round(mass + CAST(delta AS DOUBLE), 4) AS VARCHAR))), 1, 7)) AS struct_id, root, 1 AS iteration, mass + CAST(delta AS DOUBLE) AS mass FROM seeds CROSS JOIN rules WHERE mass + CAST(delta AS DOUBLE) > 0 AND round(mass + CAST(delta AS DOUBLE), 1) IN (SELECT k FROM obs)), g1d AS (SELECT struct_id, root, iteration, min(mass) AS mass FROM g1 WHERE struct_id NOT IN (SELECT struct_id FROM seeds) GROUP BY 1, 2, 3), g2 AS (SELECT concat('VM_', substr(md5(concat(root, ':', rule_id, ':', CAST(round(mass + CAST(delta AS DOUBLE), 4) AS VARCHAR))), 1, 7)) AS struct_id, root, 2 AS iteration, mass + CAST(delta AS DOUBLE) AS mass FROM g1d CROSS JOIN rules WHERE mass + CAST(delta AS DOUBLE) > 0 AND round(mass + CAST(delta AS DOUBLE), 1) IN (SELECT k FROM obs)), g2d AS (SELECT struct_id, root, iteration, min(mass) AS mass FROM g2 WHERE struct_id NOT IN (SELECT struct_id FROM seeds UNION ALL SELECT struct_id FROM g1d) GROUP BY 1, 2, 3) SELECT struct_id, root, iteration, round(min(mass), 6) AS mass FROM (SELECT * FROM seeds UNION ALL SELECT * FROM g1d UNION ALL SELECT * FROM g2d) GROUP BY 1, 2, 3""")),
+      Some("""WITH seeds AS (SELECT concat('S', CAST(p_partkey AS VARCHAR)) AS struct_id, concat('S', CAST(p_partkey AS VARCHAR)) AS root, 0 AS iteration, p_retailprice AS mass FROM part), obs AS (SELECT DISTINCT round(p_retailprice, 1) AS k FROM part), rules AS (SELECT * FROM (VALUES ('r_plus10', 10.0), ('r_minus25', -25.5)) r(rule_id, delta)), g1 AS (SELECT concat('VM_', substr(md5(concat(root, ':', rule_id, ':', CAST(round(mass + CAST(delta AS DOUBLE), 4) AS VARCHAR))), 1, 7)) AS struct_id, root, 1 AS iteration, mass + CAST(delta AS DOUBLE) AS mass FROM seeds CROSS JOIN rules WHERE mass + CAST(delta AS DOUBLE) > 0 AND round(mass + CAST(delta AS DOUBLE), 1) IN (SELECT k FROM obs)), g1d AS (SELECT struct_id, root, iteration, min(mass) AS mass FROM g1 WHERE struct_id NOT IN (SELECT struct_id FROM seeds) GROUP BY 1, 2, 3), g2 AS (SELECT concat('VM_', substr(md5(concat(root, ':', rule_id, ':', CAST(round(mass + CAST(delta AS DOUBLE), 4) AS VARCHAR))), 1, 7)) AS struct_id, root, 2 AS iteration, mass + CAST(delta AS DOUBLE) AS mass FROM g1d CROSS JOIN rules WHERE mass + CAST(delta AS DOUBLE) > 0 AND round(mass + CAST(delta AS DOUBLE), 1) IN (SELECT k FROM obs)), g2d AS (SELECT struct_id, root, iteration, min(mass) AS mass FROM g2 WHERE struct_id NOT IN (SELECT struct_id FROM seeds UNION ALL SELECT struct_id FROM g1d) GROUP BY 1, 2, 3) SELECT struct_id, root, iteration, CAST(round(CAST(CAST(min(mass) AS VARCHAR) AS DECIMAL(38,18)), 6) AS DOUBLE) AS mass FROM (SELECT * FROM seeds UNION ALL SELECT * FROM g1d UNION ALL SELECT * FROM g2d) GROUP BY 1, 2, 3""")),
 
     Entry("q_pipeline_herald_table",
       // the same reaction loop on the FIXTURE-DRIVEN backend (SURVEY
@@ -83,7 +83,7 @@ object ExtQueries {
           .groupBy("struct_id", "root", "iteration")
           .agg(r6(min(col("mass"))).as("mass"))
       },
-      Some("""WITH seeds AS (SELECT concat('S', CAST(p_partkey AS VARCHAR)) AS struct_id, concat('S', CAST(p_partkey AS VARCHAR)) AS root, 0 AS iteration, p_retailprice AS mass FROM part), obs AS (SELECT DISTINCT round(p_retailprice, 1) AS k FROM part), k0 AS (SELECT DISTINCT round(p_retailprice, 1) AS k FROM part), ku AS (SELECT DISTINCT k FROM (SELECT k FROM k0 UNION ALL SELECT round(k + 10.0, 1) FROM k0 UNION ALL SELECT round(k + 18.0, 1) FROM k0 UNION ALL SELECT round(k - 25.5, 1) FROM k0)), ptab AS (SELECT k AS sub_mass_key, rule_id, concat('P', CAST(round(k + delta, 4) AS VARCHAR)) AS product_id, k + delta AS product_mass FROM ku CROSS JOIN (VALUES ('r_plus10', CAST(10.0 AS DOUBLE)), ('r_plus10', CAST(18.0 AS DOUBLE)), ('r_minus25', CAST(-25.5 AS DOUBLE))) r(rule_id, delta)), g1 AS (SELECT p.product_id AS struct_id, s.root, 1 AS iteration, p.product_mass AS mass FROM seeds s JOIN ptab p ON round(s.mass, 1) = p.sub_mass_key WHERE p.product_mass > 0 AND round(p.product_mass, 1) IN (SELECT k FROM obs)), g1d AS (SELECT struct_id, root, iteration, min(mass) AS mass FROM g1 WHERE struct_id NOT IN (SELECT struct_id FROM seeds) GROUP BY 1, 2, 3), g2 AS (SELECT p.product_id AS struct_id, f.root, 2 AS iteration, p.product_mass AS mass FROM g1d f JOIN ptab p ON round(f.mass, 1) = p.sub_mass_key WHERE p.product_mass > 0 AND round(p.product_mass, 1) IN (SELECT k FROM obs)), g2d AS (SELECT struct_id, root, iteration, min(mass) AS mass FROM g2 WHERE struct_id NOT IN (SELECT struct_id FROM seeds UNION ALL SELECT struct_id FROM g1d) GROUP BY 1, 2, 3) SELECT struct_id, root, iteration, round(min(mass), 6) AS mass FROM (SELECT * FROM seeds UNION ALL SELECT * FROM g1d UNION ALL SELECT * FROM g2d) GROUP BY 1, 2, 3""")),
+      Some("""WITH seeds AS (SELECT concat('S', CAST(p_partkey AS VARCHAR)) AS struct_id, concat('S', CAST(p_partkey AS VARCHAR)) AS root, 0 AS iteration, p_retailprice AS mass FROM part), obs AS (SELECT DISTINCT round(p_retailprice, 1) AS k FROM part), k0 AS (SELECT DISTINCT round(p_retailprice, 1) AS k FROM part), ku AS (SELECT DISTINCT k FROM (SELECT k FROM k0 UNION ALL SELECT round(k + 10.0, 1) FROM k0 UNION ALL SELECT round(k + 18.0, 1) FROM k0 UNION ALL SELECT round(k - 25.5, 1) FROM k0)), ptab AS (SELECT k AS sub_mass_key, rule_id, concat('P', CAST(round(k + delta, 4) AS VARCHAR)) AS product_id, k + delta AS product_mass FROM ku CROSS JOIN (VALUES ('r_plus10', CAST(10.0 AS DOUBLE)), ('r_plus10', CAST(18.0 AS DOUBLE)), ('r_minus25', CAST(-25.5 AS DOUBLE))) r(rule_id, delta)), g1 AS (SELECT p.product_id AS struct_id, s.root, 1 AS iteration, p.product_mass AS mass FROM seeds s JOIN ptab p ON round(s.mass, 1) = p.sub_mass_key WHERE p.product_mass > 0 AND round(p.product_mass, 1) IN (SELECT k FROM obs)), g1d AS (SELECT struct_id, root, iteration, min(mass) AS mass FROM g1 WHERE struct_id NOT IN (SELECT struct_id FROM seeds) GROUP BY 1, 2, 3), g2 AS (SELECT p.product_id AS struct_id, f.root, 2 AS iteration, p.product_mass AS mass FROM g1d f JOIN ptab p ON round(f.mass, 1) = p.sub_mass_key WHERE p.product_mass > 0 AND round(p.product_mass, 1) IN (SELECT k FROM obs)), g2d AS (SELECT struct_id, root, iteration, min(mass) AS mass FROM g2 WHERE struct_id NOT IN (SELECT struct_id FROM seeds UNION ALL SELECT struct_id FROM g1d) GROUP BY 1, 2, 3) SELECT struct_id, root, iteration, CAST(round(CAST(CAST(min(mass) AS VARCHAR) AS DECIMAL(38,18)), 6) AS DOUBLE) AS mass FROM (SELECT * FROM seeds UNION ALL SELECT * FROM g1d UNION ALL SELECT * FROM g2d) GROUP BY 1, 2, 3""")),
 
     Entry("q_multimodal_features",
       // binary-column feature extraction behind the MediaDecoder boundary

@@ -21,20 +21,22 @@ object LlmQueries {
   /** DuckDB replay of Dedup.repeatedSpans: lowercase whitespace tokens,
     * positional word k-grams (list slice is 1-based INCLUSIVE in DuckDB,
     * so gram i covers toks[i .. i+k-1] = the kernel's 0-based [i-1,
-    * i-1+k)), distinct-doc frequency per literal gram, then the same
-    * gap-and-island window merge. Exposed as a CTE block so the
-    * profile oracle can aggregate over the same spans. */
+    * i-1+k)), distinct-doc frequency per 60-bit md5 gram hash (the
+    * SAME prefix the engine's tokenGramHashes kernel takes, so
+    * collisions collapse identically), then the same gap-and-island
+    * window merge. Exposed as a CTE block so the profile oracle can
+    * aggregate over the same spans. */
   private def repeatedSpansCtes(k: Int, minDf: Int): String =
     s"""rtoks AS MATERIALIZED (SELECT doc_id AS id, list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0) AS ts FROM documents), """ +
     s"""tk AS MATERIALIZED (SELECT id, ts, len(ts) AS n FROM rtoks WHERE len(ts) >= $k), """ +
-    s"""grams AS MATERIALIZED (SELECT id, i - 1 AS pos, array_to_string(ts[i:i+${k - 1}], ' ') AS gram FROM tk, unnest(generate_series(1, n - ${k - 1})) AS g(i)), """ +
+    s"""grams AS MATERIALIZED (SELECT id, i - 1 AS pos, CAST(concat('0x', substr(md5(array_to_string(ts[i:i+${k - 1}], ' ')), 1, 15)) AS BIGINT) AS gram FROM tk, unnest(generate_series(1, n - ${k - 1})) AS g(i)), """ +
     s"""dupg AS MATERIALIZED (SELECT gram FROM (SELECT gram, count(DISTINCT id) AS df FROM grams GROUP BY 1) WHERE df >= $minDf), """ +
     s"""hits AS MATERIALIZED (SELECT g.id, g.pos FROM grams g JOIN dupg USING (gram)), """ +
     s"""isl AS (SELECT id, pos, CASE WHEN max(pos + $k) OVER (PARTITION BY id ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL OR pos > max(pos + $k) OVER (PARTITION BY id ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) THEN 1 ELSE 0 END AS ni FROM hits), """ +
     s"""isl2 AS (SELECT id, pos, sum(ni) OVER (PARTITION BY id ORDER BY pos) AS island FROM isl)"""
 
   private def repeatedSpansOracleSql(k: Int, minDf: Int): String =
-    s"""WITH ${repeatedSpansCtes(k, minDf)} SELECT id, min(pos) AS span_start, max(pos) + $k AS span_end, max(pos) + $k - min(pos) AS span_tokens FROM isl2 GROUP BY id, island"""
+    s"""WITH ${repeatedSpansCtes(k, minDf)} SELECT id, CAST(min(pos) AS INTEGER) AS span_start, CAST(max(pos) + $k AS INTEGER) AS span_end, CAST(max(pos) + $k - min(pos) AS INTEGER) AS span_tokens FROM isl2 GROUP BY id, island"""
 
   /** DuckDB replay of Clustering.kmeansAssign: 1e-6-grid quantized
     * vectors, md5-rank init, then `iters` unrolled assignment/update
@@ -107,7 +109,7 @@ object LlmQueries {
   private val verifyCtes =
     """sz AS (SELECT doc_id, count(*) AS n FROM shh GROUP BY 1), it AS (SELECT c.ia, c.ib, count(*) AS inter FROM cand c JOIN shh a ON a.doc_id = c.ia JOIN shh b ON b.doc_id = c.ib AND b.h = a.h GROUP BY 1, 2)"""
   private def verifySelect(threshold: Double) =
-    s"""SELECT ia AS id_a, ib AS id_b, round(CAST(inter AS DOUBLE) / (x.n + y.n - inter), 6) AS jaccard FROM it JOIN sz x ON ia = x.doc_id JOIN sz y ON ib = y.doc_id WHERE CAST(inter AS DOUBLE) / (x.n + y.n - inter) >= $threshold"""
+    s"""SELECT ia AS id_a, ib AS id_b, CAST(round(CAST(CAST(CAST(inter AS DOUBLE) / (x.n + y.n - inter) AS VARCHAR) AS DECIMAL(38,18)), 6) AS DOUBLE) AS jaccard FROM it JOIN sz x ON ia = x.doc_id JOIN sz y ON ib = y.doc_id WHERE CAST(inter AS DOUBLE) / (x.n + y.n - inter) >= $threshold"""
   private def verifyTailSql(threshold: Double) =
     s"$verifyCtes ${verifySelect(threshold)}"
 
@@ -149,7 +151,7 @@ object LlmQueries {
     * closing SELECT, split so composite oracles (q_pipeline_traindata) can
     * wrap the SELECT as one more CTE. */
   private[queries] def curateCtes(threshold: Double): String =
-    s"""$shingleCte, $minhashCandCtes, $verifyCtes, pairs AS (${verifySelect(threshold)}), $componentCtes, clustered AS (SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id, CAST(coalesce(cs.n, 1) AS BIGINT) AS cluster_size FROM documents d LEFT JOIN comp c ON d.doc_id = c.id LEFT JOIN cs ON c.cluster_id = cs.cluster_id WHERE d.doc_id = coalesce(c.cluster_id, d.doc_id)), qt AS (SELECT doc_id, text, list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0) AS toks FROM documents), qf AS (SELECT doc_id, CAST(len(text) AS INTEGER) AS n_chars, CAST(len(toks) AS INTEGER) AS n_tokens, CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS INTEGER) AS n_punct, CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, x -> list_contains(['the','a','an','and','or','of','to','in','is','it','for','on','with','as','at','by','from','that','this'], lower(x)))) AS DOUBLE) / len(toks) ELSE CAST(0.0 AS DOUBLE) END AS stopword_ratio, CASE WHEN len(toks) > 0 THEN CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) ELSE CAST(0.0 AS DOUBLE) END AS uniq_token_ratio FROM qt), qg AS (SELECT doc_id, n_tokens, CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / n_chars ELSE CAST(0.0 AS DOUBLE) END AS punct_ratio, stopword_ratio, uniq_token_ratio FROM qf), qq AS (SELECT doc_id, n_tokens, round(least(CAST(1.0 AS DOUBLE), n_tokens / CAST(100.0 AS DOUBLE)) * 0.4 + (CAST(1.0 AS DOUBLE) - least(CAST(1.0 AS DOUBLE), punct_ratio * 5.0)) * 0.2 + least(CAST(1.0 AS DOUBLE), stopword_ratio * 5.0) * 0.2 + uniq_token_ratio * 0.2, 6) AS quality FROM qg), lt AS (SELECT doc_id, list_distinct(list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0)) AS dt FROM documents), lh AS (SELECT doc_id, CAST(len(list_intersect(dt, ['der','die','das','und','ist','nicht','ein','mit','zu','ich'])) AS INTEGER) AS hde, CAST(len(list_intersect(dt, ['the','and','of','to','is','in','that','it','for','was'])) AS INTEGER) AS hen, CAST(len(list_intersect(dt, ['el','la','los','las','es','un','una','por','para','como'])) AS INTEGER) AS hes, CAST(len(list_intersect(dt, ['le','la','les','et','est','un','une','que','pour','dans'])) AS INTEGER) AS hfr FROM lt), lp AS (SELECT doc_id, CASE WHEN hde >= hen AND hde >= hes AND hde >= hfr THEN 'de' WHEN hen >= hes AND hen >= hfr THEN 'en' WHEN hes >= hfr THEN 'es' ELSE 'fr' END AS pred_lang FROM lh)"""
+    s"""$shingleCte, $minhashCandCtes, $verifyCtes, pairs AS (${verifySelect(threshold)}), $componentCtes, clustered AS (SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id, CAST(coalesce(cs.n, 1) AS BIGINT) AS cluster_size FROM documents d LEFT JOIN comp c ON d.doc_id = c.id LEFT JOIN cs ON c.cluster_id = cs.cluster_id WHERE d.doc_id = coalesce(c.cluster_id, d.doc_id)), qt AS (SELECT doc_id, text, list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0) AS toks FROM documents), qf AS (SELECT doc_id, CAST(len(text) AS INTEGER) AS n_chars, CAST(len(toks) AS INTEGER) AS n_tokens, CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS INTEGER) AS n_punct, CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, x -> list_contains(['the','a','an','and','or','of','to','in','is','it','for','on','with','as','at','by','from','that','this'], lower(x)))) AS DOUBLE) / len(toks) ELSE CAST(0.0 AS DOUBLE) END AS stopword_ratio, CASE WHEN len(toks) > 0 THEN CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) ELSE CAST(0.0 AS DOUBLE) END AS uniq_token_ratio FROM qt), qg AS (SELECT doc_id, n_tokens, CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / n_chars ELSE CAST(0.0 AS DOUBLE) END AS punct_ratio, stopword_ratio, uniq_token_ratio FROM qf), qq AS (SELECT doc_id, n_tokens, CAST(round(CAST(CAST(least(CAST(1.0 AS DOUBLE), n_tokens / CAST(100.0 AS DOUBLE)) * 0.4 + (CAST(1.0 AS DOUBLE) - least(CAST(1.0 AS DOUBLE), punct_ratio * 5.0)) * 0.2 + least(CAST(1.0 AS DOUBLE), stopword_ratio * 5.0) * 0.2 + uniq_token_ratio * 0.2 AS VARCHAR) AS DECIMAL(38,18)), 6) AS DOUBLE) AS quality FROM qg), lt AS (SELECT doc_id, list_distinct(list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0)) AS dt FROM documents), lh AS (SELECT doc_id, CAST(len(list_intersect(dt, ['der','die','das','und','ist','nicht','ein','mit','zu','ich'])) AS INTEGER) AS hde, CAST(len(list_intersect(dt, ['the','and','of','to','is','in','that','it','for','was'])) AS INTEGER) AS hen, CAST(len(list_intersect(dt, ['el','la','los','las','es','un','una','por','para','como'])) AS INTEGER) AS hes, CAST(len(list_intersect(dt, ['le','la','les','et','est','un','une','que','pour','dans'])) AS INTEGER) AS hfr FROM lt), lp AS (SELECT doc_id, CASE WHEN hde >= hen AND hde >= hes AND hde >= hfr THEN 'de' WHEN hen >= hes AND hen >= hfr THEN 'en' WHEN hes >= hfr THEN 'es' ELSE 'fr' END AS pred_lang FROM lh)"""
 
   private[queries] def curateSelect(minQuality: Double, lang: String): String =
     s"""SELECT cl.doc_id, cl.cluster_id, cl.cluster_size, qq.n_tokens, qq.quality, lp.pred_lang FROM clustered cl JOIN qq ON cl.doc_id = qq.doc_id JOIN lp ON cl.doc_id = lp.doc_id WHERE qq.quality >= $minQuality AND lp.pred_lang = '$lang'"""
@@ -181,7 +183,7 @@ object LlmQueries {
         s"(CASE WHEN ${proj(v, p)} >= 0 THEN CAST(${1L << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
       }.mkString(" + ")
     val cos = "list_sum(list_transform(list_zip(q.qe, c.ce), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) / (sqrt(list_sum(list_transform(q.qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * sqrt(list_sum(list_transform(c.ce, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))"
-    s"""WITH cs AS (SELECT vec_id, embedding AS ce, ${sig("embedding")} AS sig FROM embeddings), qs AS (SELECT vec_id, ce AS qe, sig FROM cs WHERE vec_id < 5), cb AS (SELECT vec_id, (sig >> (b * $bitsPerBand)) & $mask AS chunk, b FROM cs, unnest(generate_series(0, ${bands - 1})) AS g(b)), qb AS (SELECT vec_id, (sig >> (b * $bitsPerBand)) & $mask AS chunk, b FROM qs, unnest(generate_series(0, ${bands - 1})) AS g(b)), cand AS (SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id AS neighbor_id FROM qb JOIN cb ON qb.b = cb.b AND qb.chunk = cb.chunk AND qb.vec_id <> cb.vec_id), sc AS (SELECT cand.query_id, cand.neighbor_id, $cos AS cos FROM cand JOIN qs q ON q.vec_id = cand.query_id JOIN cs c ON c.vec_id = cand.neighbor_id), r AS (SELECT query_id, neighbor_id, cos, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn FROM sc) SELECT query_id, neighbor_id, CAST(rn AS INTEGER) AS rank, round(cos, 6) AS cos FROM r WHERE rn <= $k"""
+    s"""WITH cs AS (SELECT vec_id, embedding AS ce, ${sig("embedding")} AS sig FROM embeddings), qs AS (SELECT vec_id, ce AS qe, sig FROM cs WHERE vec_id < 5), cb AS (SELECT vec_id, (sig >> (b * $bitsPerBand)) & $mask AS chunk, b FROM cs, unnest(generate_series(0, ${bands - 1})) AS g(b)), qb AS (SELECT vec_id, (sig >> (b * $bitsPerBand)) & $mask AS chunk, b FROM qs, unnest(generate_series(0, ${bands - 1})) AS g(b)), cand AS (SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id AS neighbor_id FROM qb JOIN cb ON qb.b = cb.b AND qb.chunk = cb.chunk AND qb.vec_id <> cb.vec_id), sc AS (SELECT cand.query_id, cand.neighbor_id, $cos AS cos FROM cand JOIN qs q ON q.vec_id = cand.query_id JOIN cs c ON c.vec_id = cand.neighbor_id), r AS (SELECT query_id, neighbor_id, cos, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn FROM sc) SELECT query_id, neighbor_id, CAST(rn AS INTEGER) AS rank, CAST(round(CAST(CAST(cos AS VARCHAR) AS DECIMAL(38,18)), 6) AS DOUBLE) AS cos FROM r WHERE rn <= $k"""
   }
 
   /** DuckDB replay of QualityModel.irlsFit: feature/label frame, then
@@ -316,7 +318,7 @@ object LlmQueries {
           docs.where(col("doc_id") % 2 === 1),
           "text", shingleK = 5, k = 256)
       },
-      Some("""WITH tk0 AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS ts FROM documents), sh0 AS (SELECT doc_id, CASE WHEN len(ts) >= 5 THEN array_to_string(ts[i:i+4], ' ') ELSE array_to_string(ts, ' ') END AS s FROM tk0, unnest(generate_series(1, greatest(len(ts) - 4, 1))) AS g(i)), shh AS (SELECT DISTINCT doc_id, CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) AS h FROM sh0), ua AS (SELECT DISTINCT h FROM shh WHERE doc_id % 2 = 0), ub AS (SELECT DISTINCT h FROM shh WHERE doc_id % 2 = 1), uni AS (SELECT h, max(ia) AS ia, max(ib) AS ib FROM (SELECT h, 1 AS ia, 0 AS ib FROM ua UNION ALL SELECT h, 0 AS ia, 1 AS ib FROM ub) GROUP BY 1), tk AS (SELECT * FROM uni ORDER BY h LIMIT 256), tops AS (SELECT count(*) AS k_used, CAST(sum(ia * ib) AS BIGINT) AS inter_k FROM tk), tot AS (SELECT count(*) AS n_union, CAST(sum(ia) AS BIGINT) AS n_a, CAST(sum(ib) AS BIGINT) AS n_b, CAST(sum(ia * ib) AS BIGINT) AS n_inter FROM uni) SELECT k_used, n_a, n_b, n_union, n_inter, round(CAST(inter_k AS DOUBLE) / k_used, 6) AS est_jaccard, round(CAST(n_inter AS DOUBLE) / n_union, 6) AS exact_jaccard FROM tops, tot""")),
+      Some("""WITH tk0 AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS ts FROM documents), sh0 AS (SELECT doc_id, CASE WHEN len(ts) >= 5 THEN array_to_string(ts[i:i+4], ' ') ELSE array_to_string(ts, ' ') END AS s FROM tk0, unnest(generate_series(1, greatest(len(ts) - 4, 1))) AS g(i)), shh AS (SELECT DISTINCT doc_id, CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) AS h FROM sh0), ua AS (SELECT DISTINCT h FROM shh WHERE doc_id % 2 = 0), ub AS (SELECT DISTINCT h FROM shh WHERE doc_id % 2 = 1), uni AS (SELECT h, max(ia) AS ia, max(ib) AS ib FROM (SELECT h, 1 AS ia, 0 AS ib FROM ua UNION ALL SELECT h, 0 AS ia, 1 AS ib FROM ub) GROUP BY 1), tk AS (SELECT * FROM uni ORDER BY h LIMIT 256), tops AS (SELECT count(*) AS k_used, CAST(sum(ia * ib) AS BIGINT) AS inter_k FROM tk), tot AS (SELECT count(*) AS n_union, CAST(sum(ia) AS BIGINT) AS n_a, CAST(sum(ib) AS BIGINT) AS n_b, CAST(sum(ia * ib) AS BIGINT) AS n_inter FROM uni) SELECT k_used, n_a, n_b, n_union, n_inter, CAST(round(CAST(CAST(CAST(inter_k AS DOUBLE) / k_used AS VARCHAR) AS DECIMAL(38,18)), 6) AS DOUBLE) AS est_jaccard, CAST(round(CAST(CAST(CAST(n_inter AS DOUBLE) / n_union AS VARCHAR) AS DECIMAL(38,18)), 6) AS DOUBLE) AS exact_jaccard FROM tops, tot""")),
 
     Entry("q_dsir_weights",
       // DSIR importance weights: target = the English slice, raw = the
@@ -362,7 +364,7 @@ object LlmQueries {
           .select(col("iter"), round(col("rb0"), 6).as("b0"),
             round(col("rb1"), 6).as("b1"), round(col("rb2"), 6).as("b2"))
       },
-      Some(s"""WITH ${lrCtes(3)} SELECT * FROM (SELECT CAST(1 AS INTEGER) AS iter, round(b0, 6) AS b0, round(b1, 6) AS b1, round(b2, 6) AS b2 FROM b1 UNION ALL SELECT CAST(2 AS INTEGER), round(b0, 6), round(b1, 6), round(b2, 6) FROM b2 UNION ALL SELECT CAST(3 AS INTEGER), round(b0, 6), round(b1, 6), round(b2, 6) FROM b3)""")),
+      Some(s"""WITH ${lrCtes(3)} SELECT * FROM (SELECT CAST(1 AS INTEGER) AS iter, CAST(round(CAST(CAST(b0 AS VARCHAR) AS DECIMAL(38,18)), 6) AS DOUBLE) AS b0, CAST(round(CAST(CAST(b1 AS VARCHAR) AS DECIMAL(38,18)), 6) AS DOUBLE) AS b1, CAST(round(CAST(CAST(b2 AS VARCHAR) AS DECIMAL(38,18)), 6) AS DOUBLE) AS b2 FROM b1 UNION ALL SELECT CAST(2 AS INTEGER), CAST(round(CAST(CAST(b0 AS VARCHAR) AS DECIMAL(38,18)), 6) AS DOUBLE), CAST(round(CAST(CAST(b1 AS VARCHAR) AS DECIMAL(38,18)), 6) AS DOUBLE), CAST(round(CAST(CAST(b2 AS VARCHAR) AS DECIMAL(38,18)), 6) AS DOUBLE) FROM b2 UNION ALL SELECT CAST(3 AS INTEGER), CAST(round(CAST(CAST(b0 AS VARCHAR) AS DECIMAL(38,18)), 6) AS DOUBLE), CAST(round(CAST(CAST(b1 AS VARCHAR) AS DECIMAL(38,18)), 6) AS DOUBLE), CAST(round(CAST(CAST(b2 AS VARCHAR) AS DECIMAL(38,18)), 6) AS DOUBLE) FROM b3)""")),
 
     Entry("q_quality_lr_score",
       // the scoring pass under the 3-round fit: per-doc sigmoid score +
@@ -374,7 +376,7 @@ object LlmQueries {
         val b = graft.text.QualityModel.irlsFit(f, iters = 3).last
         graft.text.QualityModel.score(f, b)
       },
-      Some(s"""WITH ${lrCtes(3)} SELECT f.id, f.y, round(1.0 / (1.0 + exp(-(b.b0 + b.b1 * f.x1 + b.b2 * f.x2))), 6) AS score, 1.0 / (1.0 + exp(-(b.b0 + b.b1 * f.x1 + b.b2 * f.x2))) >= 0.5 AS pred FROM f, b3 b""")),
+      Some(s"""WITH ${lrCtes(3)} SELECT f.id, f.y, CAST(round(CAST(CAST(1.0 / (1.0 + exp(-(b.b0 + b.b1 * f.x1 + b.b2 * f.x2))) AS VARCHAR) AS DECIMAL(38,18)), 6) AS DOUBLE) AS score, 1.0 / (1.0 + exp(-(b.b0 + b.b1 * f.x1 + b.b2 * f.x2))) >= 0.5 AS pred FROM f, b3 b""")),
 
 
     Entry("q_dedup_exact",
@@ -402,14 +404,18 @@ object LlmQueries {
         Dedup.repeatedSpansIncremental(docs.where(col("doc_id") >= 250),
           oldIdx, "doc_id", "text", k = 8, minDf = 2)
       },
-      Some(s"""WITH rtoks AS MATERIALIZED (SELECT doc_id AS id, list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0) AS ts FROM documents), tk AS MATERIALIZED (SELECT id, ts, len(ts) AS n FROM rtoks WHERE len(ts) >= 8), grams AS MATERIALIZED (SELECT id, i - 1 AS pos, array_to_string(ts[i:i+7], ' ') AS gram FROM tk, unnest(generate_series(1, n - 7)) AS g(i)), oldix AS MATERIALIZED (SELECT gram, count(DISTINCT id) AS odf FROM grams WHERE id < 250 GROUP BY 1), bnew AS MATERIALIZED (SELECT id, pos, gram FROM grams WHERE id >= 250), bdf AS MATERIALIZED (SELECT gram, count(DISTINCT id) AS bdf FROM bnew GROUP BY 1), dupg AS MATERIALIZED (SELECT b.gram FROM bdf b LEFT JOIN oldix o USING (gram) WHERE b.bdf + coalesce(o.odf, 0) >= 2), hits AS MATERIALIZED (SELECT b.id, b.pos FROM bnew b JOIN dupg USING (gram)), isl AS (SELECT id, pos, CASE WHEN max(pos + 8) OVER (PARTITION BY id ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL OR pos > max(pos + 8) OVER (PARTITION BY id ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) THEN 1 ELSE 0 END AS ni FROM hits), isl2 AS (SELECT id, pos, sum(ni) OVER (PARTITION BY id ORDER BY pos) AS island FROM isl) SELECT id, min(pos) AS span_start, max(pos) + 8 AS span_end, max(pos) + 8 - min(pos) AS span_tokens FROM isl2 GROUP BY id, island""")),
+      Some(s"""WITH rtoks AS MATERIALIZED (SELECT doc_id AS id, list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0) AS ts FROM documents), tk AS MATERIALIZED (SELECT id, ts, len(ts) AS n FROM rtoks WHERE len(ts) >= 8), grams AS MATERIALIZED (SELECT id, i - 1 AS pos, CAST(concat('0x', substr(md5(array_to_string(ts[i:i+7], ' ')), 1, 15)) AS BIGINT) AS gram FROM tk, unnest(generate_series(1, n - 7)) AS g(i)), oldix AS MATERIALIZED (SELECT gram, count(DISTINCT id) AS odf FROM grams WHERE id < 250 GROUP BY 1), bnew AS MATERIALIZED (SELECT id, pos, gram FROM grams WHERE id >= 250), bdf AS MATERIALIZED (SELECT gram, count(DISTINCT id) AS bdf FROM bnew GROUP BY 1), dupg AS MATERIALIZED (SELECT b.gram FROM bdf b LEFT JOIN oldix o USING (gram) WHERE b.bdf + coalesce(o.odf, 0) >= 2), hits AS MATERIALIZED (SELECT b.id, b.pos FROM bnew b JOIN dupg USING (gram)), isl AS (SELECT id, pos, CASE WHEN max(pos + 8) OVER (PARTITION BY id ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL OR pos > max(pos + 8) OVER (PARTITION BY id ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) THEN 1 ELSE 0 END AS ni FROM hits), isl2 AS (SELECT id, pos, sum(ni) OVER (PARTITION BY id ORDER BY pos) AS island FROM isl) SELECT id, CAST(min(pos) AS INTEGER) AS span_start, CAST(max(pos) + 8 AS INTEGER) AS span_end, CAST(max(pos) + 8 - min(pos) AS INTEGER) AS span_tokens FROM isl2 GROUP BY id, island""")),
 
     Entry("q_dup_token_profile",
       // per-doc duplicated-token fraction over the span set — the policy
       // input for strip-vs-drop decisions
       (s, d) => Dedup.duplicatedTokenProfile(t(s, d, "documents"),
         "doc_id", "text", k = 8, minDf = 2),
-      Some(s"""WITH ${repeatedSpansCtes(8, 2)}, spans AS (SELECT id, min(pos) AS span_start, max(pos) + 8 AS span_end FROM isl2 GROUP BY id, island), agg AS (SELECT id, sum(span_end - span_start) AS dup_tokens FROM spans GROUP BY 1) SELECT t.id, t.n AS n_tokens, coalesce(a.dup_tokens, 0) AS dup_tokens, round(CAST(coalesce(a.dup_tokens, 0) AS DOUBLE) / t.n, 6) AS dup_fraction FROM tk t LEFT JOIN agg a USING (id)""")),
+      // the oracle casts to Spark's exact widths: dup_tokens would
+      // otherwise be an untyped DuckDB HUGEINT (sum over BIGINT) and n
+      // a BIGINT where Spark's size() is INT — content-identical values
+      // that still diverge under the driver's dtype-sensitive hash
+      Some(s"""WITH ${repeatedSpansCtes(8, 2)}, spans AS (SELECT id, min(pos) AS span_start, max(pos) + 8 AS span_end FROM isl2 GROUP BY id, island), agg AS (SELECT id, sum(span_end - span_start) AS dup_tokens FROM spans GROUP BY 1) SELECT t.id, CAST(t.n AS INTEGER) AS n_tokens, CAST(coalesce(a.dup_tokens, 0) AS BIGINT) AS dup_tokens, ${OmicsQueries.rndSql("CAST(coalesce(a.dup_tokens, 0) AS DOUBLE) / t.n", 6)} AS dup_fraction FROM tk t LEFT JOIN agg a USING (id)""")),
 
     Entry("q_dedup_exact_incremental",
       // ingest gate for the exact tier: new batch (doc_id >= 250) hashed
@@ -437,7 +443,7 @@ object LlmQueries {
       // the declared semantics, so the oracle applies the same cut
       (s, d) => Dedup.ngramJaccardPairs(t(s, d, "documents"), "doc_id", "text",
         k = 3, threshold = 0.8, maxShingleDf = 100),
-      Some(s"""WITH $shingleCte, pr AS (SELECT doc_id, h FROM (SELECT doc_id, h, count(*) OVER (PARTITION BY h) AS df FROM shh) WHERE df <= 100), sz AS (SELECT doc_id, count(*) AS n FROM pr GROUP BY 1), it AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS inter FROM pr a JOIN pr b ON a.h = b.h AND a.doc_id < b.doc_id GROUP BY 1, 2) SELECT ia AS id_a, ib AS id_b, round(CAST(inter AS DOUBLE) / (x.n + y.n - inter), 6) AS jaccard FROM it JOIN sz x ON ia = x.doc_id JOIN sz y ON ib = y.doc_id WHERE CAST(inter AS DOUBLE) / (x.n + y.n - inter) >= 0.8""")),
+      Some(s"""WITH $shingleCte, pr AS (SELECT doc_id, h FROM (SELECT doc_id, h, count(*) OVER (PARTITION BY h) AS df FROM shh) WHERE df <= 100), sz AS (SELECT doc_id, count(*) AS n FROM pr GROUP BY 1), it AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS inter FROM pr a JOIN pr b ON a.h = b.h AND a.doc_id < b.doc_id GROUP BY 1, 2) SELECT ia AS id_a, ib AS id_b, CAST(round(CAST(CAST(CAST(inter AS DOUBLE) / (x.n + y.n - inter) AS VARCHAR) AS DECIMAL(38,18)), 6) AS DOUBLE) AS jaccard FROM it JOIN sz x ON ia = x.doc_id JOIN sz y ON ib = y.doc_id WHERE CAST(inter AS DOUBLE) / (x.n + y.n - inter) >= 0.8""")),
 
     Entry("q_containment_pairs",
       // directional nesting detector: |A∩B|/|A| over the same df-pruned
@@ -445,7 +451,7 @@ object LlmQueries {
       // inside a longer one, which Jaccard/LSH structurally miss
       (s, d) => Dedup.containmentPairs(t(s, d, "documents"), "doc_id",
         "text", k = 3, threshold = 0.9, maxShingleDf = 100),
-      Some(s"""WITH $shingleCte, pr AS (SELECT doc_id, h FROM (SELECT doc_id, h, count(*) OVER (PARTITION BY h) AS df FROM shh) WHERE df <= 100), sz AS (SELECT doc_id, count(*) AS n FROM pr GROUP BY 1), it AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS inter FROM pr a JOIN pr b ON a.h = b.h AND a.doc_id <> b.doc_id GROUP BY 1, 2) SELECT ia AS id_a, ib AS id_b, round(CAST(inter AS DOUBLE) / x.n, 6) AS containment FROM it JOIN sz x ON ia = x.doc_id WHERE CAST(inter AS DOUBLE) / x.n >= 0.9""")),
+      Some(s"""WITH $shingleCte, pr AS (SELECT doc_id, h FROM (SELECT doc_id, h, count(*) OVER (PARTITION BY h) AS df FROM shh) WHERE df <= 100), sz AS (SELECT doc_id, count(*) AS n FROM pr GROUP BY 1), it AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS inter FROM pr a JOIN pr b ON a.h = b.h AND a.doc_id <> b.doc_id GROUP BY 1, 2) SELECT ia AS id_a, ib AS id_b, CAST(round(CAST(CAST(CAST(inter AS DOUBLE) / x.n AS VARCHAR) AS DECIMAL(38,18)), 6) AS DOUBLE) AS containment FROM it JOIN sz x ON ia = x.doc_id WHERE CAST(inter AS DOUBLE) / x.n >= 0.9""")),
 
     Entry("q_minhash_lsh",
       // oracle mirrors the md5-derived family AND the 16×8 banding, so the
@@ -559,6 +565,9 @@ object LlmQueries {
         graft.sim.Clustering.kmeansIncrement(
           emb.where(col("vec_id") >= 400), "vec_id", "embedding",
           cents, Array.tabulate(8)(j => byC.getOrElse(j, 0L)))
+          // gate surface: the rounded centroid serializes to exact
+          // integer micro-units (driver's pandas sort can't take arrays)
+          .withColumn("centroid", Q.csvMicros(col("centroid")))
       },
       Some(s"""WITH ${kmeansCtes(8, 2, 42L, "ic", "embedding", "vec_id < 400")}, """ +
         s"""pc AS (SELECT cluster, count(*) AS n_prev FROM icfin GROUP BY 1), """ +
@@ -568,7 +577,7 @@ object LlmQueries {
         s"""nsum AS (SELECT cluster, i AS dim, CAST(sum(CAST(v[i] AS DECIMAL(24,6))) AS DOUBLE) AS s, count(*) AS nn FROM nas, unnest(generate_series(1, len(v))) AS g(i) GROUP BY 1, 2), """ +
         s"""um AS (SELECT n.cluster, n.dim, (CAST(p.n_prev AS DOUBLE) * p.cv[n.dim] + n.s) / CAST(p.n_prev + n.nn AS DOUBLE) AS m, n.nn FROM nsum n JOIN pcf p USING (cluster)), """ +
         s"""uv AS (SELECT cluster, max(nn) AS n_new, list(m ORDER BY dim) AS cv2 FROM um GROUP BY 1) """ +
-        s"""SELECT p.cluster, CAST(p.n_prev AS BIGINT) AS n_prev, CAST(coalesce(uv.n_new, 0) AS BIGINT) AS n_new, CAST(p.n_prev + coalesce(uv.n_new, 0) AS BIGINT) AS n_total, list_transform(coalesce(uv.cv2, p.cv), x -> ${OmicsQueries.rndSql("x", 6)}) AS centroid FROM pcf p LEFT JOIN uv USING (cluster)""")),
+        s"""SELECT p.cluster, CAST(p.n_prev AS BIGINT) AS n_prev, CAST(coalesce(uv.n_new, 0) AS BIGINT) AS n_new, CAST(p.n_prev + coalesce(uv.n_new, 0) AS BIGINT) AS n_total, ${Q.csvMicrosSql(s"list_transform(coalesce(uv.cv2, p.cv), x -> ${OmicsQueries.rndSql("x", 6)})")} AS centroid FROM pcf p LEFT JOIN uv USING (cluster)""")),
 
     Entry("q_kmeans",
       // deterministic k-means corpus clustering (mixture shaping):
@@ -611,14 +620,14 @@ object LlmQueries {
         Similarity.bruteForceTopK(emb, emb.where(col("vec_id") < 5),
           "vec_id", "embedding", k = 3)
       },
-      Some("""WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5), s AS (SELECT query_id, c.vec_id AS neighbor_id, list_sum(list_transform(list_zip(qe, c.embedding), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) / (sqrt(list_sum(list_transform(qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos FROM q, embeddings c WHERE c.vec_id <> query_id), r AS (SELECT query_id, neighbor_id, cos, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn FROM s) SELECT query_id, neighbor_id, CAST(rn AS INTEGER) AS rank, round(cos, 6) AS cos FROM r WHERE rn <= 3""")),
+      Some("""WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5), s AS (SELECT query_id, c.vec_id AS neighbor_id, list_sum(list_transform(list_zip(qe, c.embedding), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) / (sqrt(list_sum(list_transform(qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos FROM q, embeddings c WHERE c.vec_id <> query_id), r AS (SELECT query_id, neighbor_id, cos, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn FROM s) SELECT query_id, neighbor_id, CAST(rn AS INTEGER) AS rank, CAST(round(CAST(CAST(cos AS VARCHAR) AS DECIMAL(38,18)), 6) AS DOUBLE) AS cos FROM r WHERE rn <= 3""")),
 
     Entry("q_dedup_embedding",
       // embedding-cosine near-dup pairs (exactness baseline; the SRP-LSH
       // banding in Similarity.lshTopK is the 100 TB path)
       (s, d) => Similarity.cosineNearDupPairs(t(s, d, "embeddings"),
         "vec_id", "embedding", threshold = 0.4),
-      Some("""WITH p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, list_sum(list_transform(list_zip(a.embedding, b.embedding), q -> CAST(q[1] AS DOUBLE) * CAST(q[2] AS DOUBLE))) / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id) SELECT id_a, id_b, round(cos, 6) AS cos FROM p WHERE cos >= 0.4""")),
+      Some("""WITH p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, list_sum(list_transform(list_zip(a.embedding, b.embedding), q -> CAST(q[1] AS DOUBLE) * CAST(q[2] AS DOUBLE))) / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id) SELECT id_a, id_b, CAST(round(CAST(CAST(cos AS VARCHAR) AS DECIMAL(38,18)), 6) AS DOUBLE) AS cos FROM p WHERE cos >= 0.4""")),
 
     Entry("q_hard_negatives",
       // contrastive-training negatives: per query, top-3 most-similar
@@ -632,7 +641,7 @@ object LlmQueries {
         Similarity.hardNegatives(emb, emb.where(col("vec_id") < 5),
           "vec_id", "embedding", dups, k = 3)
       },
-      Some("""WITH dup AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id WHERE list_sum(list_transform(list_zip(a.embedding, b.embedding), q -> CAST(q[1] AS DOUBLE) * CAST(q[2] AS DOUBLE))) / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) >= 0.4), sym AS (SELECT id_a AS query_id, id_b AS neighbor_id FROM dup UNION ALL SELECT id_b, id_a FROM dup), q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5), s AS (SELECT query_id, c.vec_id AS neighbor_id, list_sum(list_transform(list_zip(qe, c.embedding), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) / (sqrt(list_sum(list_transform(qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos FROM q, embeddings c WHERE c.vec_id <> query_id), f AS (SELECT s.* FROM s LEFT JOIN sym ON s.query_id = sym.query_id AND s.neighbor_id = sym.neighbor_id WHERE sym.query_id IS NULL), r AS (SELECT query_id, neighbor_id, cos, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn FROM f) SELECT query_id, neighbor_id, CAST(rn AS INTEGER) AS rank, round(cos, 6) AS cos FROM r WHERE rn <= 3""")),
+      Some("""WITH dup AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id WHERE list_sum(list_transform(list_zip(a.embedding, b.embedding), q -> CAST(q[1] AS DOUBLE) * CAST(q[2] AS DOUBLE))) / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) >= 0.4), sym AS (SELECT id_a AS query_id, id_b AS neighbor_id FROM dup UNION ALL SELECT id_b, id_a FROM dup), q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5), s AS (SELECT query_id, c.vec_id AS neighbor_id, list_sum(list_transform(list_zip(qe, c.embedding), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) / (sqrt(list_sum(list_transform(qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos FROM q, embeddings c WHERE c.vec_id <> query_id), f AS (SELECT s.* FROM s LEFT JOIN sym ON s.query_id = sym.query_id AND s.neighbor_id = sym.neighbor_id WHERE sym.query_id IS NULL), r AS (SELECT query_id, neighbor_id, cos, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn FROM f) SELECT query_id, neighbor_id, CAST(rn AS INTEGER) AS rank, CAST(round(CAST(CAST(cos AS VARCHAR) AS DECIMAL(38,18)), 6) AS DOUBLE) AS cos FROM r WHERE rn <= 3""")),
 
     Entry("q_ann_lsh",
       // SRP-LSH approximate top-k: precision 1 (exact re-score), recall < 1
@@ -658,7 +667,7 @@ object LlmQueries {
         Similarity.ivfTopK(emb, emb.where(col("vec_id") < 5),
           "vec_id", "embedding", k = 3, nCells = 16, nProbe = 16)
       },
-      Some("""WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5), s AS (SELECT query_id, c.vec_id AS neighbor_id, list_sum(list_transform(list_zip(qe, c.embedding), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) / (sqrt(list_sum(list_transform(qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos FROM q, embeddings c WHERE c.vec_id <> query_id), r AS (SELECT query_id, neighbor_id, cos, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn FROM s) SELECT query_id, neighbor_id, CAST(rn AS INTEGER) AS rank, round(cos, 6) AS cos FROM r WHERE rn <= 3""")),
+      Some("""WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5), s AS (SELECT query_id, c.vec_id AS neighbor_id, list_sum(list_transform(list_zip(qe, c.embedding), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) / (sqrt(list_sum(list_transform(qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos FROM q, embeddings c WHERE c.vec_id <> query_id), r AS (SELECT query_id, neighbor_id, cos, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn FROM s) SELECT query_id, neighbor_id, CAST(rn AS INTEGER) AS rank, CAST(round(CAST(CAST(cos AS VARCHAR) AS DECIMAL(38,18)), 6) AS DOUBLE) AS cos FROM r WHERE rn <= 3""")),
 
     Entry("q_ann_pq",
       // product-quantization ADC search: per-subspace exact-replay
@@ -710,6 +719,9 @@ object LlmQueries {
           "vec_id", "embedding", m = 4, ksub = 8, iters = 2, seed = 42L)
         graft.sim.Pq.pqEncode(emb, "vec_id", "embedding", cbs)
           .withColumnRenamed("id", "vec_id")
+          // gate surface: codes ARRAY<INT> -> canonical string (the
+          // driver's pandas sort can't take array cells)
+          .withColumn("codes", Q.csvInts(col("codes")))
       },
       Some {
         val d = 16
@@ -722,7 +734,7 @@ object LlmQueries {
         val asn = (0 until 4).map { s =>
           s"""e$s AS (SELECT id, cluster FROM (SELECT *, row_number() OVER (PARTITION BY id ORDER BY d, cluster) AS rn FROM (SELECT x.vec_id AS id, c.cluster, list_reduce(list_transform(list_zip(list_transform(x.embedding[${s * d + 1}:${(s + 1) * d}], v -> floor(CAST(v AS DOUBLE) * 1e6 + CAST(0.5 AS DOUBLE)) / 1e6), c.cv), p -> (p[1] - p[2]) * (p[1] - p[2])), (acc, e) -> acc + e) AS d FROM embeddings x, s${s}c2 c)) WHERE rn = 1)"""
         }.mkString(", ")
-        s"""WITH $blocks, $asn SELECT e0.id AS vec_id, [e0.cluster, e1.cluster, e2.cluster, e3.cluster] AS codes FROM e0 JOIN e1 USING (id) JOIN e2 USING (id) JOIN e3 USING (id)"""
+        s"""WITH $blocks, $asn SELECT e0.id AS vec_id, ${Q.csvIntsSql("[e0.cluster, e1.cluster, e2.cluster, e3.cluster]")} AS codes FROM e0 JOIN e1 USING (id) JOIN e2 USING (id) JOIN e3 USING (id)"""
       }),
 
     Entry("q_lm_score",
@@ -754,7 +766,7 @@ object LlmQueries {
             r6((col("n_docs") - col("distinct_contents")).cast("double") /
               col("n_docs")))
       },
-      Some("""WITH t AS (SELECT doc_id, source, lang, text, list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS toks FROM documents), f AS (SELECT doc_id, source, lang, text, CAST(len(text) AS INTEGER) AS n_chars, CAST(len(toks) AS INTEGER) AS n_tokens, CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS INTEGER) AS n_punct, CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, x -> list_contains(['the','a','an','and','or','of','to','in','is','it','for','on','with','as','at','by','from','that','this'], lower(x)))) AS DOUBLE) / len(toks) ELSE CAST(0.0 AS DOUBLE) END AS stopword_ratio, CASE WHEN len(toks) > 0 THEN CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) ELSE CAST(0.0 AS DOUBLE) END AS uniq_token_ratio FROM t), g AS (SELECT doc_id, source, lang, text, n_tokens, CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / n_chars ELSE CAST(0.0 AS DOUBLE) END AS punct_ratio, stopword_ratio, uniq_token_ratio FROM f), q AS (SELECT source, lang, n_tokens, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS ch, round(least(CAST(1.0 AS DOUBLE), n_tokens / CAST(100.0 AS DOUBLE)) * 0.4 + (CAST(1.0 AS DOUBLE) - least(CAST(1.0 AS DOUBLE), punct_ratio * 5.0)) * 0.2 + least(CAST(1.0 AS DOUBLE), stopword_ratio * 5.0) * 0.2 + uniq_token_ratio * 0.2, 6) AS quality FROM g), a AS (SELECT source, count(*) AS n_docs, round(CAST(sum(CAST(quality AS DECIMAL(24,6))) AS DOUBLE) / count(*), 6) AS mean_quality, round(CAST(sum(n_tokens) AS DOUBLE) / count(*), 6) AS mean_tokens, CAST(count(DISTINCT ch) AS BIGINT) AS distinct_contents, CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en FROM q GROUP BY 1) SELECT source, n_docs, mean_quality, mean_tokens, distinct_contents, n_en, round(CAST(n_docs - distinct_contents AS DOUBLE) / n_docs, 6) AS dup_rate FROM a""")),
+      Some("""WITH t AS (SELECT doc_id, source, lang, text, list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS toks FROM documents), f AS (SELECT doc_id, source, lang, text, CAST(len(text) AS INTEGER) AS n_chars, CAST(len(toks) AS INTEGER) AS n_tokens, CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS INTEGER) AS n_punct, CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, x -> list_contains(['the','a','an','and','or','of','to','in','is','it','for','on','with','as','at','by','from','that','this'], lower(x)))) AS DOUBLE) / len(toks) ELSE CAST(0.0 AS DOUBLE) END AS stopword_ratio, CASE WHEN len(toks) > 0 THEN CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) ELSE CAST(0.0 AS DOUBLE) END AS uniq_token_ratio FROM t), g AS (SELECT doc_id, source, lang, text, n_tokens, CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / n_chars ELSE CAST(0.0 AS DOUBLE) END AS punct_ratio, stopword_ratio, uniq_token_ratio FROM f), q AS (SELECT source, lang, n_tokens, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS ch, CAST(round(CAST(CAST(least(CAST(1.0 AS DOUBLE), n_tokens / CAST(100.0 AS DOUBLE)) * 0.4 + (CAST(1.0 AS DOUBLE) - least(CAST(1.0 AS DOUBLE), punct_ratio * 5.0)) * 0.2 + least(CAST(1.0 AS DOUBLE), stopword_ratio * 5.0) * 0.2 + uniq_token_ratio * 0.2 AS VARCHAR) AS DECIMAL(38,18)), 6) AS DOUBLE) AS quality FROM g), a AS (SELECT source, count(*) AS n_docs, CAST(round(CAST(CAST(CAST(sum(CAST(quality AS DECIMAL(24,6))) AS DOUBLE) / count(*) AS VARCHAR) AS DECIMAL(38,18)), 6) AS DOUBLE) AS mean_quality, CAST(round(CAST(CAST(CAST(sum(n_tokens) AS DOUBLE) / count(*) AS VARCHAR) AS DECIMAL(38,18)), 6) AS DOUBLE) AS mean_tokens, CAST(count(DISTINCT ch) AS BIGINT) AS distinct_contents, CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en FROM q GROUP BY 1) SELECT source, n_docs, mean_quality, mean_tokens, distinct_contents, n_en, CAST(round(CAST(CAST(CAST(n_docs - distinct_contents AS DOUBLE) / n_docs AS VARCHAR) AS DECIMAL(38,18)), 6) AS DOUBLE) AS dup_rate FROM a""")),
 
     Entry("q_text_quality",
       (s, d) => Text.qualityScore(t(s, d, "documents").select("doc_id", "text"), "text")
@@ -764,12 +776,12 @@ object LlmQueries {
           r6(col("stopword_ratio")).as("stopword_ratio"),
           r6(col("uniq_token_ratio")).as("uniq_token_ratio"),
           col("quality")),
-      Some("""WITH t AS (SELECT doc_id, text, list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS toks FROM documents), f AS (SELECT doc_id, CAST(len(text) AS INTEGER) AS n_chars, CAST(len(toks) AS INTEGER) AS n_tokens, CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS INTEGER) AS n_punct, CASE WHEN len(toks) > 0 THEN CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE) / len(toks) ELSE CAST(0.0 AS DOUBLE) END AS avg_token_len, CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, x -> list_contains(['the','a','an','and','or','of','to','in','is','it','for','on','with','as','at','by','from','that','this'], lower(x)))) AS DOUBLE) / len(toks) ELSE CAST(0.0 AS DOUBLE) END AS stopword_ratio, CASE WHEN len(toks) > 0 THEN CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) ELSE CAST(0.0 AS DOUBLE) END AS uniq_token_ratio FROM t), g AS (SELECT doc_id, n_tokens, CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / n_chars ELSE CAST(0.0 AS DOUBLE) END AS punct_ratio, avg_token_len, stopword_ratio, uniq_token_ratio FROM f) SELECT doc_id, n_tokens, round(punct_ratio, 6) AS punct_ratio, round(avg_token_len, 6) AS avg_token_len, round(stopword_ratio, 6) AS stopword_ratio, round(uniq_token_ratio, 6) AS uniq_token_ratio, round(least(CAST(1.0 AS DOUBLE), n_tokens / CAST(100.0 AS DOUBLE)) * 0.4 + (CAST(1.0 AS DOUBLE) - least(CAST(1.0 AS DOUBLE), punct_ratio * 5.0)) * 0.2 + least(CAST(1.0 AS DOUBLE), stopword_ratio * 5.0) * 0.2 + uniq_token_ratio * 0.2, 6) AS quality FROM g""")),
+      Some("""WITH t AS (SELECT doc_id, text, list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS toks FROM documents), f AS (SELECT doc_id, CAST(len(text) AS INTEGER) AS n_chars, CAST(len(toks) AS INTEGER) AS n_tokens, CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS INTEGER) AS n_punct, CASE WHEN len(toks) > 0 THEN CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE) / len(toks) ELSE CAST(0.0 AS DOUBLE) END AS avg_token_len, CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, x -> list_contains(['the','a','an','and','or','of','to','in','is','it','for','on','with','as','at','by','from','that','this'], lower(x)))) AS DOUBLE) / len(toks) ELSE CAST(0.0 AS DOUBLE) END AS stopword_ratio, CASE WHEN len(toks) > 0 THEN CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) ELSE CAST(0.0 AS DOUBLE) END AS uniq_token_ratio FROM t), g AS (SELECT doc_id, n_tokens, CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / n_chars ELSE CAST(0.0 AS DOUBLE) END AS punct_ratio, avg_token_len, stopword_ratio, uniq_token_ratio FROM f) SELECT doc_id, n_tokens, CAST(round(CAST(CAST(punct_ratio AS VARCHAR) AS DECIMAL(38,18)), 6) AS DOUBLE) AS punct_ratio, CAST(round(CAST(CAST(avg_token_len AS VARCHAR) AS DECIMAL(38,18)), 6) AS DOUBLE) AS avg_token_len, CAST(round(CAST(CAST(stopword_ratio AS VARCHAR) AS DECIMAL(38,18)), 6) AS DOUBLE) AS stopword_ratio, CAST(round(CAST(CAST(uniq_token_ratio AS VARCHAR) AS DECIMAL(38,18)), 6) AS DOUBLE) AS uniq_token_ratio, CAST(round(CAST(CAST(least(CAST(1.0 AS DOUBLE), n_tokens / CAST(100.0 AS DOUBLE)) * 0.4 + (CAST(1.0 AS DOUBLE) - least(CAST(1.0 AS DOUBLE), punct_ratio * 5.0)) * 0.2 + least(CAST(1.0 AS DOUBLE), stopword_ratio * 5.0) * 0.2 + uniq_token_ratio * 0.2 AS VARCHAR) AS DECIMAL(38,18)), 6) AS DOUBLE) AS quality FROM g""")),
 
     Entry("q_lang_id",
       (s, d) => Text.langId(t(s, d, "documents").select("doc_id", "lang", "text"), "text")
         .select("doc_id", "lang", "pred_lang", "pred_hits"),
-      Some("""WITH t AS (SELECT doc_id, lang, list_distinct(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) AS dt FROM documents), h AS (SELECT doc_id, lang, CAST(len(list_intersect(dt, ['der','die','das','und','ist','nicht','ein','mit','zu','ich'])) AS INTEGER) AS hde, CAST(len(list_intersect(dt, ['the','and','of','to','is','in','that','it','for','was'])) AS INTEGER) AS hen, CAST(len(list_intersect(dt, ['el','la','los','las','es','un','una','por','para','como'])) AS INTEGER) AS hes, CAST(len(list_intersect(dt, ['le','la','les','et','est','un','une','que','pour','dans'])) AS INTEGER) AS hfr FROM t) SELECT doc_id, lang, CASE WHEN hde >= hen AND hde >= hes AND hde >= hfr THEN 'de' WHEN hen >= hes AND hen >= hfr THEN 'en' WHEN hes >= hfr THEN 'es' ELSE 'fr' END AS pred_lang, greatest(hde, hen, hes, hfr) AS pred_hits FROM h""")),
+      Some("""WITH t AS (SELECT doc_id, lang, list_distinct(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) AS dt FROM documents), h AS (SELECT doc_id, lang, CAST(len(list_intersect(dt, ['der','die','das','und','ist','nicht','ein','mit','zu','ich'])) AS INTEGER) AS hde, CAST(len(list_intersect(dt, ['the','and','of','to','is','in','that','it','for','was'])) AS INTEGER) AS hen, CAST(len(list_intersect(dt, ['el','la','los','las','es','un','una','por','para','como'])) AS INTEGER) AS hes, CAST(len(list_intersect(dt, ['le','la','les','et','est','un','une','que','pour','dans'])) AS INTEGER) AS hfr FROM t) SELECT doc_id, lang, CASE WHEN hde >= hen AND hde >= hes AND hde >= hfr THEN 'de' WHEN hen >= hes AND hen >= hfr THEN 'en' WHEN hes >= hfr THEN 'es' ELSE 'fr' END AS pred_lang, CAST(greatest(hde, hen, hes, hfr) AS INTEGER) AS pred_hits FROM h""")),
 
     Entry("q_token_count",
       (s, d) => t(s, d, "documents").select(col("doc_id"),
@@ -1009,7 +1021,7 @@ object LlmQueries {
           seed = 42L)
         .select(col("id").as("vec_id"), col("cluster"), col("pruned"),
           col("dup_of"), col("dup_cos")),
-      Some(s"""WITH ${kmeansCtes(k = 8, iters = 4, seed = 42L)}, av AS (SELECT f.id, f.cluster, e.embedding AS v FROM fin f JOIN embeddings e ON e.vec_id = f.id), p AS (SELECT a.id AS id_a, b.id AS id_b, list_sum(list_transform(list_zip(a.v, b.v), q -> CAST(q[1] AS DOUBLE) * CAST(q[2] AS DOUBLE))) / (sqrt(list_sum(list_transform(a.v, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * sqrt(list_sum(list_transform(b.v, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos FROM av a JOIN av b ON a.cluster = b.cluster AND a.id < b.id), dm AS (SELECT id_b AS id, min(id_a) AS dup_of FROM p WHERE cos >= 0.4 GROUP BY 1), dc AS (SELECT dm.id, dm.dup_of, round(p.cos, 6) AS dup_cos FROM dm JOIN p ON p.id_b = dm.id AND p.id_a = dm.dup_of) SELECT f.id AS vec_id, f.cluster, dc.dup_of IS NOT NULL AS pruned, dc.dup_of, dc.dup_cos FROM fin f LEFT JOIN dc ON dc.id = f.id""")),
+      Some(s"""WITH ${kmeansCtes(k = 8, iters = 4, seed = 42L)}, av AS (SELECT f.id, f.cluster, e.embedding AS v FROM fin f JOIN embeddings e ON e.vec_id = f.id), p AS (SELECT a.id AS id_a, b.id AS id_b, list_sum(list_transform(list_zip(a.v, b.v), q -> CAST(q[1] AS DOUBLE) * CAST(q[2] AS DOUBLE))) / (sqrt(list_sum(list_transform(a.v, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * sqrt(list_sum(list_transform(b.v, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos FROM av a JOIN av b ON a.cluster = b.cluster AND a.id < b.id), dm AS (SELECT id_b AS id, min(id_a) AS dup_of FROM p WHERE cos >= 0.4 GROUP BY 1), dc AS (SELECT dm.id, dm.dup_of, CAST(round(CAST(CAST(p.cos AS VARCHAR) AS DECIMAL(38,18)), 6) AS DOUBLE) AS dup_cos FROM dm JOIN p ON p.id_b = dm.id AND p.id_a = dm.dup_of) SELECT f.id AS vec_id, f.cluster, dc.dup_of IS NOT NULL AS pruned, dc.dup_of, dc.dup_cos FROM fin f LEFT JOIN dc ON dc.id = f.id""")),
 
     Entry("q_chunk_windows",
       // training-sequence construction for LONG documents: 32-token
@@ -1049,7 +1061,7 @@ object LlmQueries {
       // span crosses a strip threshold)
       (s, d) => Text.noveltyScore(t(s, d, "documents"), "doc_id", "text",
         k = 8),
-      Some("""WITH rt AS (SELECT doc_id AS id, list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS ts FROM documents), tk AS (SELECT id, ts, len(ts) AS n FROM rt WHERE len(ts) >= 8), g AS (SELECT id, array_to_string(ts[i:i+7], ' ') AS gram FROM tk, unnest(generate_series(1, n - 7)) AS gi(i)), gdf AS (SELECT gram, count(DISTINCT id) AS df FROM g GROUP BY 1) SELECT id, count(*) AS n_grams, CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS novel_grams, round(CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS novelty FROM g JOIN gdf USING (gram) GROUP BY 1""")),
+      Some("""WITH rt AS (SELECT doc_id AS id, list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS ts FROM documents), tk AS (SELECT id, ts, len(ts) AS n FROM rt WHERE len(ts) >= 8), g AS (SELECT id, array_to_string(ts[i:i+7], ' ') AS gram FROM tk, unnest(generate_series(1, n - 7)) AS gi(i)), gdf AS (SELECT gram, count(DISTINCT id) AS df FROM g GROUP BY 1) SELECT id, count(*) AS n_grams, CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS novel_grams, CAST(round(CAST(CAST(CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS VARCHAR) AS DECIMAL(38,18)), 6) AS DOUBLE) AS novelty FROM g JOIN gdf USING (gram) GROUP BY 1""")),
 
     Entry("q_bpe_merges",
       // BPE vocabulary-training pair scan: within-token adjacent char
@@ -1064,9 +1076,12 @@ object LlmQueries {
       // dense L2-normalized vector — the text→vector bridge for corpora
       // without model embeddings; exact integers until the final
       // normalize, so the whole vector replays in the oracle
+      // gate surface: the L2-normalized vector serializes to exact
+      // integer micro-units (driver's pandas sort can't take arrays)
       (s, d) => Text.hashEmbed(t(s, d, "documents"), "doc_id", "text",
-        dim = 64, seed = 11L),
-      Some(s"""WITH ot AS (SELECT doc_id AS id, unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0)) AS tk FROM documents), b AS (SELECT id, CAST(concat('0x', substr(md5('he11:' || tk), 1, 15)) AS BIGINT) % 64 AS bucket, count(*) AS c FROM ot GROUP BY 1, 2), grid AS (SELECT i.id, gd.dim FROM (SELECT DISTINCT id FROM b) i, unnest(generate_series(0, 63)) AS gd(dim)), d AS (SELECT grid.id, list(CAST(coalesce(b.c, 0) AS DOUBLE) ORDER BY grid.dim) AS raw FROM grid LEFT JOIN b ON b.id = grid.id AND b.bucket = grid.dim GROUP BY 1), n AS (SELECT id, raw, sqrt(list_reduce(list_transform(raw, x -> x * x), (a, e) -> a + e)) AS nn FROM d) SELECT id, list_transform(raw, x -> ${OmicsQueries.rndSql("x / nn", 6)}) AS vec FROM n""")),
+        dim = 64, seed = 11L)
+        .withColumn("vec", Q.csvMicros(col("vec"))),
+      Some(s"""WITH ot AS (SELECT doc_id AS id, unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0)) AS tk FROM documents), b AS (SELECT id, CAST(concat('0x', substr(md5('he11:' || tk), 1, 15)) AS BIGINT) % 64 AS bucket, count(*) AS c FROM ot GROUP BY 1, 2), grid AS (SELECT i.id, gd.dim FROM (SELECT DISTINCT id FROM b) i, unnest(generate_series(0, 63)) AS gd(dim)), d AS (SELECT grid.id, list(CAST(coalesce(b.c, 0) AS DOUBLE) ORDER BY grid.dim) AS raw FROM grid LEFT JOIN b ON b.id = grid.id AND b.bucket = grid.dim GROUP BY 1), n AS (SELECT id, raw, sqrt(list_reduce(list_transform(raw, x -> x * x), (a, e) -> a + e)) AS nn FROM d) SELECT id, ${Q.csvMicrosSql(s"list_transform(raw, x -> ${OmicsQueries.rndSql("x / nn", 6)})")} AS vec FROM n""")),
 
     Entry("q_text_ann",
       // end-to-end content similarity search with NO model embeddings:
@@ -1085,7 +1100,7 @@ object LlmQueries {
       Some {
         val he = s"""WITH ot AS (SELECT doc_id AS id, unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0)) AS tk FROM documents), b AS (SELECT id, CAST(concat('0x', substr(md5('he11:' || tk), 1, 15)) AS BIGINT) % 64 AS bucket, count(*) AS c FROM ot GROUP BY 1, 2), grid AS (SELECT i.id, gd.dim FROM (SELECT DISTINCT id FROM b) i, unnest(generate_series(0, 63)) AS gd(dim)), d AS (SELECT grid.id, list(CAST(coalesce(b.c, 0) AS DOUBLE) ORDER BY grid.dim) AS raw FROM grid LEFT JOIN b ON b.id = grid.id AND b.bucket = grid.dim GROUP BY 1), n AS (SELECT id, raw, sqrt(list_reduce(list_transform(raw, x -> x * x), (a, e) -> a + e)) AS nn FROM d), emb AS (SELECT id, list_transform(raw, x -> CAST(${OmicsQueries.rndSql("x / nn", 6)} AS REAL)) AS v FROM n)"""
         val cos = "list_sum(list_transform(list_zip(q.v, c.v), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) / (sqrt(list_sum(list_transform(q.v, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * sqrt(list_sum(list_transform(c.v, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))"
-        s"""$he, q AS (SELECT id AS query_id, v FROM emb WHERE id < 3), s AS (SELECT query_id, c.id AS neighbor_id, $cos AS cos FROM q, emb c WHERE c.id <> q.query_id), r AS (SELECT query_id, neighbor_id, cos, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn FROM s) SELECT query_id, neighbor_id, CAST(rn AS INTEGER) AS rank, round(cos, 6) AS cos FROM r WHERE rn <= 5"""
+        s"""$he, q AS (SELECT id AS query_id, v FROM emb WHERE id < 3), s AS (SELECT query_id, c.id AS neighbor_id, $cos AS cos FROM q, emb c WHERE c.id <> q.query_id), r AS (SELECT query_id, neighbor_id, cos, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn FROM s) SELECT query_id, neighbor_id, CAST(rn AS INTEGER) AS rank, CAST(round(CAST(CAST(cos AS VARCHAR) AS DECIMAL(38,18)), 6) AS DOUBLE) AS cos FROM r WHERE rn <= 5"""
       })
   )
 }

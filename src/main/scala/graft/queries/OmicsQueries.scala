@@ -165,7 +165,7 @@ object OmicsQueries {
           Q.r6(col("b0")).as("b0"), Q.r6(col("b1")).as("b1"),
           Q.r6(col("b2")).as("b2"), Q.r6(col("t_slope")).as("t_slope"),
           Q.r6(col("r2")).as("r2")),
-      Some("""WITH g AS (SELECT l_returnflag, CAST(count(*) AS DOUBLE) AS n, CAST(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS s1, CAST(CAST(sum(CAST(l_discount AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS s2, CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sy, CAST(CAST(sum(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS s11, CAST(CAST(sum(CAST(l_discount AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS s22, CAST(CAST(sum(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS s12, CAST(CAST(sum(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS s1y, CAST(CAST(sum(CAST(l_discount AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS s2y, CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS syy FROM lineitem WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL AND l_discount IS NOT NULL GROUP BY 1), k AS (SELECT *, n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2) + s2 * (s1 * s12 - s11 * s2) AS det FROM g), c AS (SELECT l_returnflag, n, sy, s1y, s2y, syy, det, (sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y) + s2 * (s1y * s12 - s11 * s2y)) / nullif(det, 0) AS b0, (n * (s1y * s22 - s12 * s2y) - sy * (s1 * s22 - s12 * s2) + s2 * (s1 * s2y - s1y * s2)) / nullif(det, 0) AS b1, (n * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2) + sy * (s1 * s12 - s11 * s2)) / nullif(det, 0) AS b2, n * s22 - s2 * s2 AS c11 FROM k), f AS (SELECT l_returnflag, n, b0, b1, b2, greatest(syy - b0 * sy - b1 * s1y - b2 * s2y, 0.0) AS rss, syy - sy * sy / n AS tss, det, c11 FROM c) SELECT l_returnflag, CAST(n AS BIGINT) AS n, round(b0, 6) AS b0, round(b1, 6) AS b1, round(b2, 6) AS b2, round(b1 / nullif(sqrt(rss / (n - 3) * c11 / nullif(det, 0)), 0), 6) AS t_slope, round(1.0 - rss / (CASE WHEN tss > 0 THEN tss END), 6) AS r2 FROM f""")),
+      Some("""WITH g AS (SELECT l_returnflag, CAST(count(*) AS DOUBLE) AS n, CAST(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS s1, CAST(CAST(sum(CAST(l_discount AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS s2, CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sy, CAST(CAST(sum(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS s11, CAST(CAST(sum(CAST(l_discount AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS s22, CAST(CAST(sum(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS s12, CAST(CAST(sum(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS s1y, CAST(CAST(sum(CAST(l_discount AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS s2y, CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS syy FROM lineitem WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL AND l_discount IS NOT NULL GROUP BY 1), k AS (SELECT *, n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2) + s2 * (s1 * s12 - s11 * s2) AS det FROM g), c AS (SELECT l_returnflag, n, sy, s1y, s2y, syy, det, (sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y) + s2 * (s1y * s12 - s11 * s2y)) / nullif(det, 0) AS b0, (n * (s1y * s22 - s12 * s2y) - sy * (s1 * s22 - s12 * s2) + s2 * (s1 * s2y - s1y * s2)) / nullif(det, 0) AS b1, (n * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2) + sy * (s1 * s12 - s11 * s2)) / nullif(det, 0) AS b2, n * s22 - s2 * s2 AS c11 FROM k), f AS (SELECT l_returnflag, n, b0, b1, b2, greatest(syy - b0 * sy - b1 * s1y - b2 * s2y, 0.0) AS rss, syy - sy * sy / n AS tss, det, c11 FROM c) SELECT l_returnflag, CAST(n AS BIGINT) AS n, CAST(round(CAST(CAST(b0 AS VARCHAR) AS DECIMAL(38,18)), 6) AS DOUBLE) AS b0, CAST(round(CAST(CAST(b1 AS VARCHAR) AS DECIMAL(38,18)), 6) AS DOUBLE) AS b1, CAST(round(CAST(CAST(b2 AS VARCHAR) AS DECIMAL(38,18)), 6) AS DOUBLE) AS b2, CAST(round(CAST(CAST(b1 / nullif(sqrt(rss / (n - 3) * c11 / nullif(det, 0)), 0) AS VARCHAR) AS DECIMAL(38,18)), 6) AS DOUBLE) AS t_slope, CAST(round(CAST(CAST(1.0 - rss / (CASE WHEN tss > 0 THEN tss END) AS VARCHAR) AS DECIMAL(38,18)), 6) AS DOUBLE) AS r2 FROM f""")),
 
     Entry("q_combat",
       // ComBat EB batch adjustment on a long-form slice; batch is a pure
@@ -225,7 +225,7 @@ object OmicsQueries {
             concat(lit("b"), (col("sample") % 3).cast("string")))))
         .select(col("gene"), col("batch"), round(col("gamma_hat"), 6).as("gamma_hat"),
           round(col("delta2_hat"), 6).as("delta2_hat"), col("n")),
-      Some("""WITH d AS (SELECT CAST(l_partkey % 50 AS VARCHAR) AS gene, l_orderkey * 10 + l_linenumber AS sample, l_extendedprice AS value, concat('b', CAST((l_orderkey * 10 + l_linenumber) % 3 AS VARCHAR)) AS batch FROM lineitem), g AS (SELECT gene, avg(value) AS alpha, stddev_samp(value) AS sigma FROM d GROUP BY 1), z AS (SELECT d.gene, d.batch, (d.value - g.alpha) / CASE WHEN g.sigma > 0 THEN g.sigma END AS z FROM d JOIN g USING (gene)) SELECT gene, batch, round(avg(z), 6) AS gamma_hat, round(var_samp(z), 6) AS delta2_hat, count(*) AS n FROM z GROUP BY 1, 2""")),
+      Some("""WITH d AS (SELECT CAST(l_partkey % 50 AS VARCHAR) AS gene, l_orderkey * 10 + l_linenumber AS sample, l_extendedprice AS value, concat('b', CAST((l_orderkey * 10 + l_linenumber) % 3 AS VARCHAR)) AS batch FROM lineitem), g AS (SELECT gene, avg(value) AS alpha, stddev_samp(value) AS sigma FROM d GROUP BY 1), z AS (SELECT d.gene, d.batch, (d.value - g.alpha) / CASE WHEN g.sigma > 0 THEN g.sigma END AS z FROM d JOIN g USING (gene)) SELECT gene, batch, CAST(round(CAST(CAST(avg(z) AS VARCHAR) AS DECIMAL(38,18)), 6) AS DOUBLE) AS gamma_hat, CAST(round(CAST(CAST(var_samp(z) AS VARCHAR) AS DECIMAL(38,18)), 6) AS DOUBLE) AS delta2_hat, count(*) AS n FROM z GROUP BY 1, 2""")),
 
     Entry("q_hclust_probes",
       // per-gene probe clustering (1-cor complete linkage, cutree). Cell

@@ -34,7 +34,7 @@ object PipelineQueries {
             col("struct_id"), col("adduct"), r6(col("mm")).as("mm"),
             col("monoisotopic_mass"))
       },
-      Some("""WITH masses AS (SELECT concat('m', CAST(l_orderkey*10 + l_linenumber AS VARCHAR)) AS ms_name, l_extendedprice / nullif(l_quantity, 0) AS mz FROM lineitem), add AS (SELECT * FROM (VALUES ('M+0', 1.0, 0.0), ('M+10', 1.0, 10.0), ('2M', 2.0, 0.0)) a(adduct, mult, mass)), wm AS (SELECT ms_name, adduct, (mz - CAST(mass AS DOUBLE)) / CAST(mult AS DOUBLE) AS mm FROM masses CROSS JOIN add), j AS (SELECT ms_name, adduct, mm, p_partkey AS struct_id, p_retailprice AS monoisotopic_mass FROM wm JOIN part ON p_retailprice >= mm - mm*500/1e6 AND p_retailprice <= mm + mm*500/1e6 WHERE mm > 0 AND p_retailprice > 0), dd AS (SELECT *, row_number() OVER (PARTITION BY ms_name, struct_id ORDER BY adduct, mm) AS rn FROM j) SELECT ms_name, struct_id, adduct, round(mm, 6) AS mm, monoisotopic_mass FROM dd WHERE rn = 1""")),
+      Some("""WITH masses AS (SELECT concat('m', CAST(l_orderkey*10 + l_linenumber AS VARCHAR)) AS ms_name, l_extendedprice / nullif(l_quantity, 0) AS mz FROM lineitem), add AS (SELECT * FROM (VALUES ('M+0', 1.0, 0.0), ('M+10', 1.0, 10.0), ('2M', 2.0, 0.0)) a(adduct, mult, mass)), wm AS (SELECT ms_name, adduct, (mz - CAST(mass AS DOUBLE)) / CAST(mult AS DOUBLE) AS mm FROM masses CROSS JOIN add), j AS (SELECT ms_name, adduct, mm, p_partkey AS struct_id, p_retailprice AS monoisotopic_mass FROM wm JOIN part ON p_retailprice >= mm - mm*500/1e6 AND p_retailprice <= mm + mm*500/1e6 WHERE mm > 0 AND p_retailprice > 0), dd AS (SELECT *, row_number() OVER (PARTITION BY ms_name, struct_id ORDER BY adduct, mm) AS rn FROM j) SELECT ms_name, struct_id, adduct, CAST(round(CAST(CAST(mm AS VARCHAR) AS DECIMAL(38,18)), 6) AS DOUBLE) AS mm, monoisotopic_mass FROM dd WHERE rn = 1""")),
 
     Entry("q_pipeline_transitions",
       // pathMassTransitions.py:203-224 get_transitions reshaped Spark-first:
@@ -70,7 +70,7 @@ object PipelineQueries {
           .where(abs(col("r")) >= 0.9 && col("n") >= 5)
           .select(col("l_partkey"), r6(col("r")).as("r"), col("n"))
       },
-      Some("""WITH m AS (SELECT l_partkey AS pk, quantile_cont(l_quantity, 0.5) AS med FROM lineitem GROUP BY 1), madok AS (SELECT l.l_partkey FROM lineitem l JOIN m ON l.l_partkey = m.pk GROUP BY 1 HAVING quantile_cont(abs(l.l_quantity - m.med), 0.5) > 0) SELECT l_partkey, round(corr(l_quantity, l_extendedprice), 6) AS r, count(CASE WHEN l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL THEN 1 END) AS n FROM lineitem WHERE l_partkey IN (SELECT l_partkey FROM madok) GROUP BY 1 HAVING abs(corr(l_quantity, l_extendedprice)) >= 0.9 AND count(CASE WHEN l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL THEN 1 END) >= 5""")),
+      Some("""WITH m AS (SELECT l_partkey AS pk, quantile_cont(l_quantity, 0.5) AS med FROM lineitem GROUP BY 1), madok AS (SELECT l.l_partkey FROM lineitem l JOIN m ON l.l_partkey = m.pk GROUP BY 1 HAVING quantile_cont(abs(l.l_quantity - m.med), 0.5) > 0) SELECT l_partkey, CAST(round(CAST(CAST(corr(l_quantity, l_extendedprice) AS VARCHAR) AS DECIMAL(38,18)), 6) AS DOUBLE) AS r, count(CASE WHEN l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL THEN 1 END) AS n FROM lineitem WHERE l_partkey IN (SELECT l_partkey FROM madok) GROUP BY 1 HAVING abs(corr(l_quantity, l_extendedprice)) >= 0.9 AND count(CASE WHEN l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL THEN 1 END) >= 5""")),
 
     Entry("q_pipeline_wcmodules",
       // wcModules.py:96-216 end-to-end: correlation edge list → mutual rank
@@ -96,7 +96,7 @@ object PipelineQueries {
           .select(lbl(col("a")).as("a"), lbl(col("b")).as("b"),
             r6(col("weight")).as("weight"))
       },
-      Some("""WITH e0 AS (SELECT l_partkey * 2 AS a, l_suppkey * 2 + 1 AS b, CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS r FROM lineitem GROUP BY l_partkey, l_suppkey), edges AS (SELECT a, b, r FROM e0 UNION ALL SELECT b, a, r FROM e0), ranked AS (SELECT a, b, row_number() OVER (PARTITION BY a ORDER BY r DESC, b) AS rk FROM edges), p AS (SELECT x.a, x.b, x.rk AS rab, y.rk AS rba FROM ranked x JOIN ranked y ON x.a = y.b AND x.b = y.a WHERE x.a < x.b AND exp((CAST(1.0 AS DOUBLE) - sqrt(x.rk * y.rk)) / 25.0) >= 0.8) SELECT concat(CASE WHEN a % 2 = 0 THEN 'p' ELSE 's' END, CAST(a // 2 AS VARCHAR)) AS a, concat(CASE WHEN b % 2 = 0 THEN 'p' ELSE 's' END, CAST(b // 2 AS VARCHAR)) AS b, round(exp((CAST(1.0 AS DOUBLE) - sqrt(rab * rba)) / 25.0), 6) AS weight FROM p""")),
+      Some("""WITH e0 AS (SELECT l_partkey * 2 AS a, l_suppkey * 2 + 1 AS b, CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS r FROM lineitem GROUP BY l_partkey, l_suppkey), edges AS (SELECT a, b, r FROM e0 UNION ALL SELECT b, a, r FROM e0), ranked AS (SELECT a, b, row_number() OVER (PARTITION BY a ORDER BY r DESC, b) AS rk FROM edges), p AS (SELECT x.a, x.b, x.rk AS rab, y.rk AS rba FROM ranked x JOIN ranked y ON x.a = y.b AND x.b = y.a WHERE x.a < x.b AND exp((CAST(1.0 AS DOUBLE) - sqrt(x.rk * y.rk)) / 25.0) >= 0.8) SELECT concat(CASE WHEN a % 2 = 0 THEN 'p' ELSE 's' END, CAST(a // 2 AS VARCHAR)) AS a, concat(CASE WHEN b % 2 = 0 THEN 'p' ELSE 's' END, CAST(b // 2 AS VARCHAR)) AS b, CAST(round(CAST(CAST(exp((CAST(1.0 AS DOUBLE) - sqrt(rab * rba)) / 25.0) AS VARCHAR) AS DECIMAL(38,18)), 6) AS DOUBLE) AS weight FROM p""")),
 
     Entry("q_pipeline_enzyme",
       // gizmos.load_enzyme_input (:654-745) + heraldPathways.py:274-281:
@@ -149,7 +149,7 @@ object PipelineQueries {
             concat(lit("g"), col("prod_gkey").cast("string")).as("product_gene"),
             col("product_corr"))
       },
-      Some("""WITH ann AS (SELECT concat('g', CAST(p_partkey AS VARCHAR)) AS gene, t AS pfam FROM part, unnest(string_split(concat_ws(';', p_brand, p_type), ';')) AS u(t) WHERE len(trim(t)) > 0), rules AS (SELECT * FROM (VALUES ('PROMO','r1','substrate','strict'), ('ECONOMY','r1','product','strict'), ('STANDARD','r2','substrate','medium'), ('LARGE','r2','product','medium'), ('SMALL','r3','substrate','loose')) r(pfam, reaction_id, role, level) WHERE level IN ('strict','medium')), corrs AS (SELECT concat('s', CAST(l_suppkey AS VARCHAR)) AS ms_name, concat('g', CAST(l_partkey AS VARCHAR)) AS gene, round(corr(l_quantity, l_extendedprice), 6) AS correlation FROM lineitem GROUP BY 1, 2 HAVING abs(corr(l_quantity, l_extendedprice)) >= 0.5 AND count(CASE WHEN l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL THEN 1 END) >= 3), annotated AS (SELECT a.gene, r.reaction_id, r.role, c.ms_name, c.correlation FROM ann a JOIN rules r USING (pfam) JOIN corrs c USING (gene)), sub AS (SELECT DISTINCT reaction_id, ms_name, gene AS substrate_gene, correlation AS substrate_corr FROM annotated WHERE role = 'substrate'), prod AS (SELECT DISTINCT reaction_id, ms_name, gene AS product_gene, correlation AS product_corr FROM annotated WHERE role = 'product') SELECT reaction_id, ms_name, substrate_gene, substrate_corr, product_gene, product_corr FROM sub FULL JOIN prod USING (reaction_id, ms_name)""")),
+      Some("""WITH ann AS (SELECT concat('g', CAST(p_partkey AS VARCHAR)) AS gene, t AS pfam FROM part, unnest(string_split(concat_ws(';', p_brand, p_type), ';')) AS u(t) WHERE len(trim(t)) > 0), rules AS (SELECT * FROM (VALUES ('PROMO','r1','substrate','strict'), ('ECONOMY','r1','product','strict'), ('STANDARD','r2','substrate','medium'), ('LARGE','r2','product','medium'), ('SMALL','r3','substrate','loose')) r(pfam, reaction_id, role, level) WHERE level IN ('strict','medium')), corrs AS (SELECT concat('s', CAST(l_suppkey AS VARCHAR)) AS ms_name, concat('g', CAST(l_partkey AS VARCHAR)) AS gene, CAST(round(CAST(CAST(corr(l_quantity, l_extendedprice) AS VARCHAR) AS DECIMAL(38,18)), 6) AS DOUBLE) AS correlation FROM lineitem GROUP BY 1, 2 HAVING abs(corr(l_quantity, l_extendedprice)) >= 0.5 AND count(CASE WHEN l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL THEN 1 END) >= 3), annotated AS (SELECT a.gene, r.reaction_id, r.role, c.ms_name, c.correlation FROM ann a JOIN rules r USING (pfam) JOIN corrs c USING (gene)), sub AS (SELECT DISTINCT reaction_id, ms_name, gene AS substrate_gene, correlation AS substrate_corr FROM annotated WHERE role = 'substrate'), prod AS (SELECT DISTINCT reaction_id, ms_name, gene AS product_gene, correlation AS product_corr FROM annotated WHERE role = 'product') SELECT reaction_id, ms_name, substrate_gene, substrate_corr, product_gene, product_corr FROM sub FULL JOIN prod USING (reaction_id, ms_name)""")),
 
     Entry("q_pipeline_methylmix",
       // MethylMix.R:101-150 composed end to end: per-gene lm FILTER
@@ -217,7 +217,7 @@ object PipelineQueries {
           .agg(r6(corr(col("o_totalprice"), col("perm_price"))).as("null_corr"),
             count(lit(1)).as("n"))
       },
-      Some("""WITH orig AS (SELECT o_orderpriority, o_orderkey, o_totalprice, row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_orderkey) AS slot FROM orders), perm AS (SELECT o_orderpriority, o_totalprice AS perm_price, row_number() OVER (PARTITION BY o_orderpriority ORDER BY md5(concat('seed42:', CAST(o_orderkey AS VARCHAR))), o_orderkey) AS slot FROM orders) SELECT o.o_orderpriority, round(corr(o.o_totalprice, p.perm_price), 6) AS null_corr, count(*) AS n FROM orig o JOIN perm p ON o.o_orderpriority = p.o_orderpriority AND o.slot = p.slot GROUP BY 1"""))
+      Some("""WITH orig AS (SELECT o_orderpriority, o_orderkey, o_totalprice, row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_orderkey) AS slot FROM orders), perm AS (SELECT o_orderpriority, o_totalprice AS perm_price, row_number() OVER (PARTITION BY o_orderpriority ORDER BY md5(concat('seed42:', CAST(o_orderkey AS VARCHAR))), o_orderkey) AS slot FROM orders) SELECT o.o_orderpriority, CAST(round(CAST(CAST(corr(o.o_totalprice, p.perm_price) AS VARCHAR) AS DECIMAL(38,18)), 6) AS DOUBLE) AS null_corr, count(*) AS n FROM orig o JOIN perm p ON o.o_orderpriority = p.o_orderpriority AND o.slot = p.slot GROUP BY 1"""))
   )
 
   /** Shared MethylMix fixture over lineitem: 200 genes × suppkey samples,

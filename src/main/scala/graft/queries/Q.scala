@@ -60,6 +60,33 @@ object Q {
   /** Exact order-independent sum of a 2-decimal money column, as double. */
   def sumDec(c: Column): Column = sum(c.cast("decimal(18,2)")).cast("double")
 
+  /** Canonical string form of an integer array — the driver's pandas
+    * gate cannot sort rows on numpy-array cells (its `sort_values`
+    * raises "unhashable type"), so every REGISTERED query serializes
+    * array outputs at the query surface; the library APIs stay
+    * array-typed. DuckDB twin:
+    * `array_to_string(list_transform(c, x -> CAST(x AS VARCHAR)), ',')`. */
+  def csvInts(c: Column): Column =
+    array_join(transform(c, x => x.cast("string")), ",")
+
+  /** Canonical string form of a 6-decimal-rounded double array: each
+    * element scaled to exact integer micro-units (round(x*1e6) as LONG)
+    * before joining — integer serialization sidesteps every cross-engine
+    * float-repr seam (scientific notation under 1e-4, negative zero).
+    * DuckDB twin: `array_to_string(list_transform(c, x ->
+    * CAST(CAST(round(x * 1000000) AS BIGINT) AS VARCHAR)), ',')`. */
+  def csvMicros(c: Column): Column =
+    array_join(transform(c,
+      x => round(x * lit(1e6)).cast("long").cast("string")), ",")
+
+  /** DuckDB-side twin of [[csvInts]]. */
+  def csvIntsSql(c: String): String =
+    s"array_to_string(list_transform($c, x -> CAST(x AS VARCHAR)), ',')"
+
+  /** DuckDB-side twin of [[csvMicros]]. */
+  def csvMicrosSql(c: String): String =
+    s"array_to_string(list_transform($c, x -> CAST(CAST(round(x * 1000000) AS BIGINT) AS VARCHAR)), ',')"
+
   /** Exact sum at 6 decimals (for arbitrary-precision doubles). */
   def sumDec6(c: Column): Column = sum(c.cast("decimal(24,6)")).cast("double")
 

@@ -87,9 +87,14 @@ object StatQueries {
     Entry("q_profile_kmv",
       // the mergeable profile: bounded native KMV sketch aggregate
       // (k longs of buffer, map-side combine) in place of the exact
-      // distinct count; the oracle replays sketch and estimate exactly
-      (s, d) => graft.stats.Profile.profileKmv(t(s, d, "lineitem"), k = 64),
-      Some(lineitemProfileKmvSql(64))),
+      // distinct count; the oracle replays sketch and estimate exactly.
+      // The sketch serializes to a canonical string at the gate surface
+      // (the driver's pandas sort cannot handle array cells); the
+      // library API keeps the mergeable ARRAY<BIGINT> form.
+      (s, d) => graft.stats.Profile.profileKmv(t(s, d, "lineitem"), k = 64)
+        .withColumn("kmv", Q.csvInts(col("kmv"))),
+      Some(s"SELECT * REPLACE (${Q.csvIntsSql("kmv")} AS kmv) " +
+        s"FROM (${lineitemProfileKmvSql(64)})")),
 
     Entry("q_profile_kmv_merge",
       // mergeability AT THE GATE: profile two disjoint halves
@@ -103,8 +108,10 @@ object StatQueries {
         val pb = graft.stats.Profile.profileKmv(
           li.where(col("l_orderkey") % 2 =!= 0), k = 64)
         graft.stats.Profile.mergeKmvProfiles(pa.unionByName(pb), k = 64)
+          .withColumn("kmv", Q.csvInts(col("kmv")))
       },
-      Some(lineitemProfileKmvSql(64))),
+      Some(s"SELECT * REPLACE (${Q.csvIntsSql("kmv")} AS kmv) " +
+        s"FROM (${lineitemProfileKmvSql(64)})")),
 
     Entry("q_profile_drift",
       // before/after snapshot diff: one planted mutation per drift
@@ -131,7 +138,7 @@ object StatQueries {
       // decimal-mean after — the outlier-resistant location estimate
       (s, d) => Stats.winsorizedMean(t(s, d, "lineitem"),
         Seq("l_returnflag"), "l_extendedprice", p = 0.05),
-      Some("""WITH b AS (SELECT l_returnflag, CAST(quantile_cont(l_extendedprice, 0.05) AS DOUBLE) AS lo, CAST(quantile_cont(l_extendedprice, 0.95) AS DOUBLE) AS hi FROM lineitem GROUP BY 1) SELECT l.l_returnflag, round(CAST(sum(CAST(least(b.hi, greatest(b.lo, l.l_extendedprice)) AS DECIMAL(24,6))) AS DOUBLE) / count(*), 6) AS wins_mean, count(*) AS n FROM lineitem l JOIN b USING (l_returnflag) GROUP BY 1""")),
+      Some("""WITH b AS (SELECT l_returnflag, CAST(quantile_cont(l_extendedprice, 0.05) AS DOUBLE) AS lo, CAST(quantile_cont(l_extendedprice, 0.95) AS DOUBLE) AS hi FROM lineitem GROUP BY 1) SELECT l.l_returnflag, CAST(round(CAST(CAST(CAST(sum(CAST(least(b.hi, greatest(b.lo, l.l_extendedprice)) AS DECIMAL(24,6))) AS DOUBLE) / count(*) AS VARCHAR) AS DECIMAL(38,18)), 6) AS DOUBLE) AS wins_mean, count(*) AS n FROM lineitem l JOIN b USING (l_returnflag) GROUP BY 1""")),
 
     Entry("q_quantile_normalize",
       // Bolstad quantile normalization: per-sample rank window,
@@ -158,7 +165,7 @@ object StatQueries {
           (Q.sumDec(col("l_discount")) / count(lit(1))).as("avg_disc0"),
           count(lit(1)).as("count_order"))
         .withColumn("avg_disc", r6(col("avg_disc0"))).drop("avg_disc0"),
-      Some("""SELECT l_returnflag, l_linestatus, CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price, count(*) AS count_order, round(CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_disc FROM lineitem GROUP BY 1, 2""")),
+      Some("""SELECT l_returnflag, l_linestatus, CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price, count(*) AS count_order, CAST(round(CAST(CAST(CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS VARCHAR) AS DECIMAL(38,18)), 6) AS DOUBLE) AS avg_disc FROM lineitem GROUP BY 1, 2""")),
 
     Entry("q_group_count",
       (s, d) => t(s, d, "orders").groupBy("o_orderpriority").count(),
@@ -233,7 +240,7 @@ object StatQueries {
       (s, d) => t(s, d, "customer").groupBy("c_nationkey")
         .agg(r6(Q.sumDec(col("c_acctbal")) / count(lit(1))).as("mean_acctbal"),
           count(lit(1)).as("n")),
-      Some("""SELECT c_nationkey, round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS mean_acctbal, count(*) AS n FROM customer GROUP BY 1""")),
+      Some("""SELECT c_nationkey, CAST(round(CAST(CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS VARCHAR) AS DECIMAL(38,18)), 6) AS DOUBLE) AS mean_acctbal, count(*) AS n FROM customer GROUP BY 1""")),
 
     Entry("q_quantiles",
       (s, d) => t(s, d, "lineitem").groupBy("l_returnflag")
@@ -272,7 +279,7 @@ object StatQueries {
       (s, d) => Stats.partialCorr(t(s, d, "lineitem"), Seq("l_returnflag"),
           "l_quantity", "l_extendedprice", "l_discount")
         .select(col("l_returnflag"), r6(col("pcor")).as("pcor"), col("n")),
-      Some("""SELECT l_returnflag, round((corr(l_quantity, l_extendedprice) - corr(l_quantity, l_discount) * corr(l_extendedprice, l_discount)) / nullif(sqrt((CAST(1.0 AS DOUBLE) - corr(l_quantity, l_discount)*corr(l_quantity, l_discount)) * (CAST(1.0 AS DOUBLE) - corr(l_extendedprice, l_discount)*corr(l_extendedprice, l_discount))), 0), 6) AS pcor, count(*) AS n FROM lineitem GROUP BY 1""")),
+      Some("""SELECT l_returnflag, CAST(round(CAST(CAST((corr(l_quantity, l_extendedprice) - corr(l_quantity, l_discount) * corr(l_extendedprice, l_discount)) / nullif(sqrt((CAST(1.0 AS DOUBLE) - corr(l_quantity, l_discount)*corr(l_quantity, l_discount)) * (CAST(1.0 AS DOUBLE) - corr(l_extendedprice, l_discount)*corr(l_extendedprice, l_discount))), 0) AS VARCHAR) AS DECIMAL(38,18)), 6) AS DOUBLE) AS pcor, count(*) AS n FROM lineitem GROUP BY 1""")),
 
     Entry("q_spearman",
       (s, d) => Stats.spearman(t(s, d, "lineitem"), Seq("l_returnflag"),
@@ -338,7 +345,7 @@ object StatQueries {
           Seq("l_returnflag"), "l_extendedprice", "label")
         .select(col("l_returnflag"), r6(col("auc")).as("auc"),
           col("n_pos"), col("n_neg")),
-      Some("""WITH r AS (SELECT l_returnflag AS g, CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END AS label, rank() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) + (count(*) OVER (PARTITION BY l_returnflag, l_extendedprice) - 1)/2.0 AS rk FROM lineitem) SELECT g AS l_returnflag, round((sum(CASE WHEN label = 1 THEN rk END) - sum(CASE WHEN label = 1 THEN 1.0 ELSE 0.0 END) * (sum(CASE WHEN label = 1 THEN 1.0 ELSE 0.0 END) + 1) / 2) / nullif(sum(CASE WHEN label = 1 THEN 1.0 ELSE 0.0 END) * sum(CASE WHEN label = 0 THEN 1.0 ELSE 0.0 END), 0), 6) AS auc, CAST(sum(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos, CAST(sum(CASE WHEN label = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_neg FROM r GROUP BY 1""")),
+      Some("""WITH r AS (SELECT l_returnflag AS g, CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END AS label, rank() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) + (count(*) OVER (PARTITION BY l_returnflag, l_extendedprice) - 1)/2.0 AS rk FROM lineitem) SELECT g AS l_returnflag, CAST(round(CAST(CAST((sum(CASE WHEN label = 1 THEN rk END) - sum(CASE WHEN label = 1 THEN 1.0 ELSE 0.0 END) * (sum(CASE WHEN label = 1 THEN 1.0 ELSE 0.0 END) + 1) / 2) / nullif(sum(CASE WHEN label = 1 THEN 1.0 ELSE 0.0 END) * sum(CASE WHEN label = 0 THEN 1.0 ELSE 0.0 END), 0) AS VARCHAR) AS DECIMAL(38,18)), 6) AS DOUBLE) AS auc, CAST(sum(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos, CAST(sum(CASE WHEN label = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_neg FROM r GROUP BY 1""")),
 
     Entry("q_ids_collision_checked",
       // full gizmos.py:330-336 semantics: seeded VM_ ids with collision

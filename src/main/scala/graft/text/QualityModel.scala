@@ -79,6 +79,11 @@ object QualityModel {
           s(col("w") * col("u1") * col("zz")).as("s1y"),
           s(col("w") * col("u2") * col("zz")).as("s2y"))
         .collect()(0)
+      // an empty (or fully filtered) training frame sums to NULL —
+      // raise a clear error instead of the opaque NPE getDouble throws
+      require(!m.isNullAt(0),
+        "irlsFit: empty training set (no rows survived the feature " +
+          "projection) — cannot fit a quality classifier")
       val Seq(sw, s1, s2, s11, s22, s12, sy, s1y, s2y) =
         (0 until 9).map(m.getDouble)
       // Cramer expansions in the olsTwoCovariatesExact token order (the
@@ -91,7 +96,14 @@ object QualityModel {
         sy * (s1 * s22 - s12 * s2) + s2 * (s1 * s2y - s1y * s2)
       val det2 = sw * (s11 * s2y - s1y * s12) -
         s1 * (s1 * s2y - s1y * s2) + sy * (s1 * s12 - s11 * s2)
-      require(math.abs(det) > 0, "singular IRLS system")
+      // reject near-singular systems relative to the moment magnitudes,
+      // not just exact zero — a determinant at rounding-noise scale
+      // would silently emit garbage coefficients
+      val detScale = math.max(math.abs(sw * s11 * s22), 1e-300)
+      require(math.abs(det) > 1e-12 * detScale,
+        s"irlsFit: (near-)singular IRLS system (|det|=${math.abs(det)} " +
+          s"vs moment scale $detScale) — features are collinear or " +
+          "degenerate")
       b = Coeffs(det0 / det, det1 / det, det2 / det)
       path += b
       it += 1

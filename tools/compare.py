@@ -1,46 +1,86 @@
 #!/usr/bin/env python3
-"""Local mirror of the driver's correctness gate.
+"""Local mirror of the driver's correctness gate — GATE-FAITHFUL.
 
-Usage: python3 tools/compare.py <sfDir> <verifyOutDir>
+Usage: python3 tools/compare.py <sfDir> <verifyOutDir> [--times PATH]
 
-For every query dir under verifyOutDir: read the Spark parquet result, run
-the DuckDB oracle SQL from oracle_sql.json against views over sfDir's
-tables, sort columns by name and rows by all columns, and compare values
-exactly. Prints one line per query plus a summary.
+For every query dir under verifyOutDir: read the Spark parquet result
+(pandas/pyarrow — the driver's read path), run the DuckDB oracle SQL from
+oracle_sql.json against views over sfDir's tables (fetched as a pandas
+frame, the driver's oracle path), then compare the way the driver does:
+
+  1. columns sorted by name; schema = sorted column-name equality;
+  2. rows sorted with pandas `sort_values` over ALL columns — an
+     array-typed cell raises TypeError here exactly like the driver's
+     gate (recorded as SORT_ERR / a failure, never silently tolerated);
+  3. values compared by per-cell REPR (dtype-sensitive: int64 500 vs
+     float64 500.0 is a MISMATCH, mirroring the driver's hash), floats
+     compared bitwise-or-both-NaN only when both sides are floats.
+
+Round-8 lesson: the old mirror sorted by stringified tuples and coerced
+int/float, so it passed array outputs and width drift the driver gate
+failed. This version is strictly at-least-as-strict: mirror-green must
+imply gate-green.
 """
 import sys, os, json, math
 import duckdb
+import pandas as pd
+import numpy as np
 
-def canon(rows, cols):
-    # sort columns by name, then rows by the stringified tuple
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = []
-    for r in rows:
-        out.append(tuple(r[i] for i in order))
-    def key(t):
-        return tuple('\0N' if v is None else (repr(v) if not isinstance(v, float)
-                     else f"{v:.10g}") for v in t)
-    return sorted(out, key=key), [cols[i] for i in order]
 
-def eq(a, b):
-    if a is None and b is None:
-        return True
-    if isinstance(a, float) and isinstance(b, float):
-        if math.isnan(a) and math.isnan(b):
-            return True
-        return a == b
-    # decimal vs float etc.
+def cell_key(v):
+    """Driver-equivalent canonical repr of one cell (dtype-sensitive).
+    All missing-value flavors (None / NaN / NaT / pd.NA) canonicalize to
+    one NULL token: the driver gate passes a Spark NULL against a DuckDB
+    NaN in object columns (q_profile_drift, green in r08), and in float64
+    columns pandas erases the distinction anyway."""
+    if v is None:
+        return '\0NULL'
+    if isinstance(v, float):
+        if math.isnan(v):
+            return '\0NULL'
+        return repr(v)
+    if isinstance(v, np.floating):
+        x = float(v)
+        return '\0NULL' if math.isnan(x) else repr(x)
+    if isinstance(v, np.integer):
+        return repr(int(v))
+    if isinstance(v, np.bool_):
+        return repr(bool(v))
+    if isinstance(v, (np.ndarray, list, tuple)):
+        # arrays are un-sortable at the gate; if we ever get here the
+        # sort already failed, but keep a deterministic repr anyway
+        return 'ARR[' + ','.join(cell_key(x) for x in v) + ']'
     try:
-        if isinstance(a, (int, float)) and isinstance(b, (int, float)):
-            return float(a) == float(b)
-    except Exception:
+        if pd.isna(v):
+            return '\0NULL'
+    except (TypeError, ValueError):
         pass
-    return a == b
+    return type(v).__name__ + ':' + repr(v)
+
+
+def canon_df(df):
+    """Sort columns by name, then rows pandas-style over all columns.
+    Raises (like the driver) on unsortable cell types."""
+    cols = sorted(df.columns)
+    out = df[cols]
+    if len(cols) and len(out):
+        out = out.sort_values(by=cols, kind='mergesort')
+    return out.reset_index(drop=True), cols
+
+
+def frame_mismatch(a, b):
+    """First differing (row, col, spark_repr, duck_repr) or None."""
+    for c in a.columns:
+        av, bv = a[c].tolist(), b[c].tolist()
+        for i, (x, y) in enumerate(zip(av, bv)):
+            kx, ky = cell_key(x), cell_key(y)
+            if kx != ky:
+                return (i, c, kx, ky)
+    return None
+
 
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
-    # optional: --times PATH records per-query DuckDB oracle seconds (the
-    # baseline side of the engine-vs-DuckDB aggregate in SCALING.md)
     times_path = None
     if '--times' in sys.argv:
         times_path = sys.argv[sys.argv.index('--times') + 1]
@@ -49,11 +89,12 @@ def main():
     for f in os.listdir(sf_dir):
         if f.endswith('.parquet'):
             name = f[:-8]
-            # driver tables are single files; Spark-written tables (e.g. the
-            # ScaleCheck sfx10 set) are directories of part files
+            # driver tables are single files; Spark-written tables (e.g.
+            # the ScaleCheck sfx10 set) are directories of part files
             path = os.path.join(sf_dir, f)
             src = f"{path}/*.parquet" if os.path.isdir(path) else path
-            con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{src}')")
+            con.execute(
+                f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{src}')")
     oracle = json.load(open(os.path.join(out_dir, 'oracle_sql.json')))
     results = {}
     for q in sorted(os.listdir(out_dir)):
@@ -61,54 +102,65 @@ def main():
         if not os.path.isdir(qdir):
             continue
         try:
-            sp = con.execute(f"SELECT * FROM read_parquet('{qdir}/*.parquet')")
-            sp_cols = [d[0] for d in sp.description]
-            sp_rows = sp.fetchall()
+            sp = pd.read_parquet(qdir)
         except Exception as e:
-            results[q] = f'SPARK_READ_ERR {e}'
+            results[q] = f'SPARK_READ_ERR {str(e)[:200]}'
             continue
         if q not in oracle:
-            results[q] = f'ROWS_ONLY rows={len(sp_rows)}'
+            results[q] = f'ROWS_ONLY rows={len(sp)}'
             continue
         try:
             import time
             t0 = time.monotonic()
-            du = con.execute(oracle[q])
-            du_cols = [d[0] for d in du.description]
-            du_rows = du.fetchall()
+            du = con.execute(oracle[q]).df()
             times[q] = round(time.monotonic() - t0, 3)
         except Exception as e:
             results[q] = f'ORACLE_ERR {str(e)[:200]}'
             continue
-        if sorted(sp_cols) != sorted(du_cols):
-            results[q] = f'SCHEMA_MISMATCH spark={sorted(sp_cols)} duck={sorted(du_cols)}'
+        if sorted(sp.columns) != sorted(du.columns):
+            results[q] = (f'SCHEMA_MISMATCH spark={sorted(sp.columns)} '
+                          f'duck={sorted(du.columns)}')
             continue
-        if len(sp_rows) != len(du_rows):
-            results[q] = f'ROWCOUNT_MISMATCH spark={len(sp_rows)} duck={len(du_rows)}'
+        if len(sp) != len(du):
+            results[q] = f'ROWCOUNT_MISMATCH spark={len(sp)} duck={len(du)}'
             continue
-        a, cols = canon(sp_rows, sp_cols)
-        b, _ = canon(du_rows, du_cols)
-        bad = None
-        for i, (ra, rb) in enumerate(zip(a, b)):
-            if not all(eq(x, y) for x, y in zip(ra, rb)):
-                bad = (i, ra, rb)
-                break
+        try:
+            a, cols = canon_df(sp)
+        except Exception as e:
+            results[q] = f'SORT_ERR spark-side {str(e)[:160]}'
+            continue
+        try:
+            b, _ = canon_df(du)
+        except Exception as e:
+            results[q] = f'SORT_ERR oracle-side {str(e)[:160]}'
+            continue
+        bad = frame_mismatch(a, b)
         if bad:
-            results[q] = f'VALUE_MISMATCH at sorted-row {bad[0]} cols={cols}\n  spark={bad[1]}\n  duck ={bad[2]}'
+            results[q] = (f'VALUE_MISMATCH row {bad[0]} col {bad[1]}:'
+                          f' spark={bad[2]} duck={bad[3]}')
         else:
-            results[q] = f'OK rows={len(sp_rows)}'
+            # value-equal; surface dtype drift (e.g. int32 vs int64) as a
+            # warning — same numeric kind passes the gate today, but the
+            # drift is the seam class that bit q_dup_token_profile
+            warn = [c for c in cols
+                    if str(a[c].dtype) != str(b[c].dtype)]
+            suffix = f' DTYPE_WARN {warn}' if warn else ''
+            results[q] = f'OK rows={len(sp)}{suffix}'
     n_ok = sum(1 for v in results.values() if v.startswith('OK'))
     n_ro = sum(1 for v in results.values() if v.startswith('ROWS_ONLY'))
     for q, v in sorted(results.items()):
-        flag = 'PASS' if v.startswith('OK') else ('INFO' if v.startswith('ROWS_ONLY') else 'FAIL')
+        flag = ('PASS' if v.startswith('OK')
+                else ('INFO' if v.startswith('ROWS_ONLY') else 'FAIL'))
         print(f'[{flag}] {q}: {v}')
-    print(f'\n{n_ok} OK, {n_ro} rows-only, {len(results)-n_ok-n_ro} failing, of {len(results)}')
+    print(f'\n{n_ok} OK, {n_ro} rows-only, '
+          f'{len(results)-n_ok-n_ro} failing, of {len(results)}')
     if times_path:
         with open(times_path, 'w') as fh:
             json.dump({'total_oracle_sec': round(sum(times.values()), 1),
                        'queries': times}, fh, indent=1)
         print(f'oracle timings -> {times_path} '
               f'(total {sum(times.values()):.1f} s over {len(times)} oracles)')
+
 
 if __name__ == '__main__':
     main()
