@@ -91,11 +91,10 @@ object Dedup {
     * containment is directional, and verification divides the exact
     * intersection (native [[graft.catalyst.InterLongsExpr]] kernel) by
     * the PROBE side's set size. Scale shape mirrors the Jaccard tier:
-    * one posting exchange, candidate pairs bounded by df² per shingle,
-    * verify fanned wide on the pair key. The probe-side prefix filter
-    * (keep only A's |A|−⌈t·|A|⌉+1 rarest shingles as candidate seeds —
-    * lossless for the A-side denominator) applies unchanged at scale;
-    * omitted here because the df cut already bounds the gate corpora.
+    * one posting exchange, then PREFIX-SEEDED candidates — only A's
+    * |A|−⌈t·|A|⌉+1 rarest shingles seed pairs (lossless for the A-side
+    * denominator, see inline proof), joined against the full pruned
+    * posting lists — and the verify fans wide on the pair key.
     *
     * Output: (id_a, id_b, containment) with sh(id_a) the contained
     * side, rounded 6. */
@@ -108,15 +107,32 @@ object Dedup {
       .agg(sort_array(collect_set(col("id"))).as("ids"))
       .where(size(col("ids")) <= maxShingleDf)
       .localCheckpoint(false) // feeds candidates AND the per-doc sets
+    // per-doc sets in GLOBAL RARITY order (df asc, hash asc) — the same
+    // ordering the Jaccard tier uses, so the A-side prefix below prunes
+    // maximally; the verify kernel sorts locally, order-insensitive
     val docSets = posting
-      .select(explode(col("ids")).as("id"), col("h"))
+      .select(explode(col("ids")).as("id"),
+        struct(size(col("ids")).as("df"), col("h").as("s")).as("e"))
       .groupBy("id")
-      .agg(sort_array(collect_list(col("h"))).as("shs"))
+      .agg(sort_array(collect_list(col("e"))).as("es"))
+      .select(col("id"), transform(col("es"), e => e.getField("s")).as("shs"))
       .localCheckpoint(false)
-    // ordered pairs within each pruned posting list (x ≠ y, both
-    // directions — containment is not symmetric)
-    val candidates = posting
-      .select(explode(col("ids")).as("id_a"), col("ids"))
+    // All-Pairs prefix filter, CONTAINED-side only: containment
+    // |A∩B|/|A| >= t needs |A∩B| >= ceil(t·|A|), so if NONE of A's
+    // |A| − ⌈t·|A|⌉ + 1 rarest shingles occurs in B then
+    // |A∩B| <= ⌈t|A|⌉ − 1 and the pair can never qualify — lossless.
+    // B carries no such bound (its size is not in the denominator), so
+    // the prefix seeds join the FULL pruned posting lists. This replaces
+    // the round-8 plan's posting-list self-explode (every ordered pair
+    // in every list, both directions) with prefix-seeded candidates —
+    // at t=0.9 the prefix is ~1/10th of each doc's shingles.
+    val prefix = docSets.select(col("id").as("id_a"),
+      explode(slice(col("shs"), lit(1),
+        (size(col("shs")) -
+          ceil(size(col("shs")) * lit(threshold) - lit(1e-9)) + 1)
+          .cast("int"))).as("h"))
+    val candidates = prefix
+      .join(posting, "h")
       .select(col("id_a"), explode(col("ids")).as("id_b"))
       .where(col("id_a") =!= col("id_b"))
       .repartition(df.sparkSession.sparkContext.defaultParallelism,
@@ -723,13 +739,27 @@ object Dedup {
                       k: Int = 3, threshold: Double = 0.8,
                       numHashes: Int = 128, bands: Int = 16,
                       hotBucketThreshold: Int = 4096): DataFrame = {
+    // the index is materialized ONCE (id/band/sig rows — a fraction of
+    // the corpus; spills to disk if needed) and shared by the stats
+    // aggregate, both self-join sides, and the hot arm. Without the
+    // checkpoint, per-consumer column pruning makes each copy's
+    // exchange DIFFERENT, exchange reuse fails, and the minhash sketch
+    // kernel runs once per consumer (observed 3× in the plan).
     val banded = bandedIndex(df, idCol, textCol, k, numHashes, bands)
-    // bucket stats ride a window over the index's OWN (band, band_sig)
-    // partitioning — no extra exchange, one in-partition sort
-    val w = Window.partitionBy(col("band"), col("band_sig"))
-    val marked = banded.withColumn("__n", count(lit(1)).over(w))
-      .withColumn("__rep", min(col("id")).over(w))
-    val cool = marked.where(col("__n") <= hotBucketThreshold)
+      .localCheckpoint(false)
+    // HOT-ONLY bucket stats: a map-side-combined aggregate replaces the
+    // round-8 per-row window (whose SORT was a ~0.5-1 s fixed cost on
+    // every banded query), filtered to buckets over the threshold. That
+    // relation is tiny by nature (mega-buckets are rare boilerplate
+    // clone classes; on every gate fixture it is EMPTY), so it
+    // broadcast-joins back and the cool path pays a null-check per row.
+    val hotStats = banded.groupBy("band", "band_sig")
+      .agg(count(lit(1)).as("__n"), min(col("id")).as("__rep"))
+      .where(col("__n") > hotBucketThreshold)
+    val marked = banded.join(broadcast(hotStats),
+      Seq("band", "band_sig"), "left")
+    val cool = marked.where(col("__n").isNull)
+      .select("id", "band", "band_sig")
     val candNormal = cool.as("x").join(cool.as("y"),
         col("x.band") === col("y.band") &&
           col("x.band_sig") === col("y.band_sig") &&
@@ -737,7 +767,7 @@ object Dedup {
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
     // hot buckets: linear star to the representative, not a clique
     val candHot = marked
-      .where(col("__n") > hotBucketThreshold && col("id") =!= col("__rep"))
+      .where(col("__n").isNotNull && col("id") =!= col("__rep"))
       .select(col("__rep").as("id_a"), col("id").as("id_b"))
     // per-band duplicate pairs are deduped inside the verify's pair-key
     // exchange — no separate distinct shuffle
@@ -810,12 +840,21 @@ object Dedup {
     // new doc" contract while probing a single unioned frame
     val all = oldIndex.withColumn("__new", lit(0))
       .unionByName(newIdx.withColumn("__new", lit(1)))
-    val w = Window.partitionBy(col("band"), col("band_sig"))
-    val marked = all.withColumn("__n", count(lit(1)).over(w))
-      .withColumn("__rep", min(col("id")).over(w))
-      .withColumn("__repNew",
-        max(when(col("id") === col("__rep"), col("__new"))).over(w))
-    val cool = marked.where(col("__n") <= hotBucketThreshold)
+      .localCheckpoint(false) // shared by stats + join sides, see above
+    // hot-only bucket stats via aggregate + broadcast back (no per-row
+    // window sort — see minhashLshPairs); min over (id, __new) structs
+    // recovers the representative AND whether it is a new doc in one agg
+    val hotStats = all.groupBy("band", "band_sig")
+      .agg(count(lit(1)).as("__n"),
+        min(struct(col("id"), col("__new"))).as("__m"))
+      .where(col("__n") > hotBucketThreshold)
+      .select(col("band"), col("band_sig"), col("__n"),
+        col("__m").getField("id").as("__rep"),
+        col("__m").getField("__new").as("__repNew"))
+    val marked = all.join(broadcast(hotStats),
+      Seq("band", "band_sig"), "left")
+    val cool = marked.where(col("__n").isNull)
+      .select("id", "band", "band_sig", "__new")
     // probe only from the new side: every emitted pair touches a new doc
     val candidates = cool.where(col("__new") === 1).as("x").join(cool.as("y"),
         col("x.band") === col("y.band") &&
@@ -828,7 +867,7 @@ object Dedup {
     // bucket's old members pair with it too (those pairs touch a new doc
     // and carry the old↔new connectivity the full join would have found).
     val candHot = marked
-      .where(col("__n") > hotBucketThreshold && col("id") =!= col("__rep") &&
+      .where(col("__n").isNotNull && col("id") =!= col("__rep") &&
         (col("__new") === 1 || col("__repNew") === 1))
       .select(col("__rep").as("id_a"), col("id").as("id_b"))
     verifyPairsExactJaccard(oldDocs.unionByName(newDocs),
@@ -926,8 +965,11 @@ object Dedup {
           b => call_function("shiftright", col("simhash"), b * bitsPerBand)
             .bitwiseAND(lit(mask)))))
       .toDF("id", "simhash", "band", "chunk")
-      // materialization barrier on the join keys — see minhashLshPairs
+      // materialized once, shared by stats + join sides (see
+      // minhashLshPairs: per-consumer pruning otherwise defeats
+      // exchange reuse and the sketch kernel runs once per consumer)
       .repartition(col("band"), col("chunk"))
+      .localCheckpoint(false)
     // hot-chunk guard (see minhashLshPairs — the clone-class shape is the
     // same here: identical docs share every chunk): buckets above the
     // threshold emit a star to the min-id representative, with the same
@@ -935,17 +977,24 @@ object Dedup {
     // exactness contract (candidates == {hamming <= maxHamming} when
     // maxHamming <= bands-1) holds verbatim whenever no bucket exceeds
     // the threshold — all gate fixtures.
-    val w = Window.partitionBy(col("band"), col("chunk"))
-    val marked = banded.withColumn("__n", count(lit(1)).over(w))
-      .withColumn("__rep", min(struct(col("id"), col("simhash"))).over(w))
-    val cool = marked.where(col("__n") <= hotBucketThreshold)
+    // hot-only bucket stats via aggregate + broadcast back (no per-row
+    // window sort — see minhashLshPairs); the struct-min carries the
+    // representative's sketch for the star's hamming cut
+    val hotStats = banded.groupBy("band", "chunk")
+      .agg(count(lit(1)).as("__n"),
+        min(struct(col("id"), col("simhash"))).as("__rep"))
+      .where(col("__n") > hotBucketThreshold)
+    val marked = banded.join(broadcast(hotStats),
+      Seq("band", "chunk"), "left")
+    val cool = marked.where(col("__n").isNull)
+      .select("id", "simhash", "band", "chunk")
     val candidates = cool.as("x").join(cool.as("y"),
         col("x.band") === col("y.band") && col("x.chunk") === col("y.chunk") &&
           col("x.id") < col("y.id") &&
           bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))) <= maxHamming)
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
       .unionByName(marked
-        .where(col("__n") > hotBucketThreshold &&
+        .where(col("__n").isNotNull &&
           col("id") =!= col("__rep").getField("id") &&
           bit_count(col("simhash")
             .bitwiseXOR(col("__rep").getField("simhash"))) <= maxHamming)

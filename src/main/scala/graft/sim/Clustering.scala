@@ -84,6 +84,74 @@ object Clustering {
     centroids
   }
 
+  /** GROUPED Lloyd fit: exactly `iters` rounds over a (g, id, v) frame
+    * holding `groups` independent vector populations (g ∈ [0, groups)),
+    * each seeded at seedBase + g — bit-identical to running [[lloydFit]]
+    * once per group, but in ONE job per stage instead of one per group
+    * per stage. This is the product-quantization codebook-fit shape: m
+    * subspace fits are m tiny driver actions each under the sequential
+    * version (the round-8 q_ann_ivfpq plan ran ~15 jobs for 5 fits —
+    * a fixed job-launch floor, not a data cost), here collapsed to
+    * 1 init job + 1 job per iteration.
+    *
+    * Exactness: per-group init ranks md5("km{seeds(g)}:id") with a
+    * row_number window (≡ the single fit's orderBy-limit), and the
+    * update aggregates the SAME exact-decimal sums per (g, cluster,
+    * dim) — grouping by g changes job count, not any group's operands.
+    * The assignment is a when-chain over per-group plan-time centroid
+    * literals, so each row evaluates exactly its own group's argmin.
+    * Groups may carry different vector widths (IVF-PQ fuses the
+    * full-width coarse quantizer in as its last group, each under its
+    * own seed from `seeds`). */
+  private[sim] def lloydFitMulti(vecs: DataFrame, k: Int, iters: Int,
+                                 seeds: IndexedSeq[Long]): IndexedSeq[Array[Array[Double]]] = {
+    import org.apache.spark.sql.expressions.Window
+    val groups = seeds.length
+    val w = Window.partitionBy(col("g")).orderBy(col("h"), col("id"))
+    val seedStr = element_at(lit(seeds.map(_.toString).toArray),
+      col("g") + 1)
+    val initRows = vecs
+      .select(col("g"), col("id"), col("v"),
+        md5(concat(lit("km"), seedStr, lit(":"),
+          col("id").cast("string"))).as("h"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k)
+      .select("g", "rn", "v").collect()
+    val cents = Array.ofDim[Array[Double]](groups, k)
+    initRows.foreach { r =>
+      cents(r.getInt(0))(r.getInt(1) - 1) = r.getSeq[Double](2).toArray
+    }
+    (0 until groups).foreach { g =>
+      require(!cents(g).contains(null),
+        s"lloydFitMulti: group $g has fewer than k=$k input rows")
+    }
+    var i = 0
+    while (i < iters) {
+      val assign = (1 until groups).foldLeft(
+        when(col("g") === 0, assignCols(col("v"), cents(0)))) { (acc, g) =>
+        acc.when(col("g") === g, assignCols(col("v"), cents(g)))
+      }
+      val updated = vecs
+        .withColumn("cluster", assign.getField("c"))
+        .select(col("g"), col("cluster"),
+          posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy("g", "cluster", "dim")
+        .agg((sum(col("x").cast("decimal(24,6)")).cast("double") /
+          count(lit(1))).as("m"))
+        .collect()
+        .groupBy(r => (r.getInt(0), r.getInt(1)))
+        .map { case (key, rows) =>
+          key -> rows.sortBy(_.getInt(2)).map(_.getDouble(3)).toArray
+        }
+      (0 until groups).foreach { g =>
+        cents(g) = Array.tabulate(k)(j =>
+          updated.getOrElse((g, j), cents(g)(j)))
+      }
+      i += 1
+    }
+    (0 until groups).map(cents(_))
+  }
+
   /** @return (id, cluster, dist) — squared-euclidean distance to the
     *         winning centroid after exactly `iters` assignment/update
     *         rounds, rounded to 6 decimals. */

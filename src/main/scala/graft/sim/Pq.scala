@@ -52,21 +52,23 @@ object Pq {
 
   private def sub(v: Column, s: Int, d: Int): Column = slice(v, s * d + 1, d)
 
-  /** The m per-subspace Lloyd fits, run concurrently — independent
-    * chains of tiny jobs the scheduler interleaves, so wall clock is one
-    * fit's job-launch latency, not m of them. Subspace s seeds at
-    * seedBase + s. */
+  /** The m per-subspace Lloyd fits in ONE batched job chain
+    * ([[Clustering.lloydFitMulti]]): the corpus explodes once into
+    * (subspace, id, slice) rows and every fit stage — init ranking and
+    * each iteration's exact-decimal update — runs as a single job over
+    * all m subspaces, instead of m concurrent chains of tiny driver
+    * actions (the round-8 q_ann_ivfpq floor: ~15 jobs for 5 fits).
+    * Subspace s seeds at seedBase + s; per-subspace arithmetic is
+    * bit-identical to the sequential fits, so the oracles replay
+    * unchanged. */
   private def fitCodebooks(corpusV: DataFrame, m: Int, d: Int, ksub: Int,
                            iters: Int,
                            seedBase: Long): IndexedSeq[Array[Array[Double]]] = {
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.duration.Duration
-    import scala.concurrent.ExecutionContext.Implicits.global
-    Await.result(Future.sequence((0 until m).map { s =>
-      Future(Clustering.lloydFit(
-        corpusV.select(col("neighbor_id").as("id"), sub(col("v"), s, d).as("v")),
-        ksub, iters, seedBase + s))
-    }), Duration.Inf)
+    val exploded = corpusV.select(col("neighbor_id").as("id"),
+        posexplode(array((0 until m).map(s => sub(col("v"), s, d)): _*)))
+      .toDF("id", "g", "v")
+    Clustering.lloydFitMulti(exploded, ksub, iters,
+      (0 until m).map(seedBase + _))
   }
 
   /** Corpus → m code columns (__c0..__c{m-1}) in one zero-shuffle pass;
@@ -180,10 +182,24 @@ object Pq {
       "bad IVF parameters")
     require(m >= 1 && ksub >= 2 && iters >= 1, "bad PQ parameters")
     val (corpusV, _, d) = prep(corpus, idCol, vecCol, m)
-    val coarse = Clustering.lloydFit(
-      corpusV.select(col("neighbor_id").as("id"), col("v")),
-      nCells, iters, seed)
-    val cbs = fitCodebooks(corpusV, m, d, ksub, iters, seed + 1)
+    // coarse quantizer and the batched subspace-codebook fit are
+    // independent job chains over the same checkpointed corpus — run
+    // them concurrently. (Fusing the full-width coarse fit INTO the
+    // batched fit as one more group was measured slower: the combined
+    // when-chain's 64-dim centroid literals inflate each iteration's
+    // generated code and the serial Janino compile outweighs the two
+    // saved driver actions.)
+    val (coarse, cbs) = {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val fCoarse = Future(Clustering.lloydFit(
+        corpusV.select(col("neighbor_id").as("id"), col("v")),
+        nCells, iters, seed))
+      val fCbs = Future(fitCodebooks(corpusV, m, d, ksub, iters, seed + 1))
+      (Await.result(fCoarse, Duration.Inf),
+        Await.result(fCbs, Duration.Inf))
+    }
     val assigned = encode(corpusV.withColumn("__cell",
       Clustering.assignCols(col("v"), coarse).getField("c")), cbs, d)
     // nProbe nearest cells per query: sort the (distance, cell) structs —
