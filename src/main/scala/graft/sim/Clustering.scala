@@ -48,7 +48,7 @@ object Clustering {
     * vectors; returns the k centroids. Deterministic and cross-engine
     * exact (see object scaladoc); shared by [[kmeansAssign]] and the
     * per-subspace product-quantization codebook fits ([[Pq]]). */
-  private[sim] def lloydFit(vecs: DataFrame, k: Int, iters: Int,
+  private[graft] def lloydFit(vecs: DataFrame, k: Int, iters: Int,
                             seed: Long): Array[Array[Double]] = {
     // deterministic init: k smallest md5(seed:id), cluster = hash rank
     var centroids: Array[Array[Double]] = vecs
@@ -103,7 +103,7 @@ object Clustering {
     * Groups may carry different vector widths (IVF-PQ fuses the
     * full-width coarse quantizer in as its last group, each under its
     * own seed from `seeds`). */
-  private[sim] def lloydFitMulti(vecs: DataFrame, k: Int, iters: Int,
+  private[graft] def lloydFitMulti(vecs: DataFrame, k: Int, iters: Int,
                                  seeds: IndexedSeq[Long]): IndexedSeq[Array[Array[Double]]] = {
     import org.apache.spark.sql.expressions.Window
     val groups = seeds.length

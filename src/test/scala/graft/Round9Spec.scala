@@ -1,0 +1,145 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.dedup.Dedup
+import graft.sim.Clustering
+
+/** Adversarial coverage for the round-9 rework: the positional gram-hash
+  * kernel behind the substring-dedup tier, the grouped Lloyd fit behind
+  * the PQ codebooks, and the content-equality/caching contract of
+  * BloomContainsExpr. */
+class Round9Spec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- tokenGramHashesKernel ------------------------------------------
+
+  private def literalGramHashes(text: String, k: Int): Array[Long] = {
+    // independent reference: tokenize, build each literal gram, md5 it
+    // through the JDK directly (not the kernel's digest path)
+    val toks = text.toLowerCase(java.util.Locale.ROOT)
+      .split("\\s+").filter(_.nonEmpty)
+    if (toks.length < k) return Array.emptyLongArray
+    (0 to toks.length - k).map { i =>
+      val gram = toks.slice(i, i + k).mkString(" ")
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(gram.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    }.toArray
+  }
+
+  test("tokenGramHashesKernel == per-gram md5 reference, incl. edges") {
+    val cases = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "  leading and   irregular \t whitespace  here now ok",
+      "UPPER Case MiXeD tokens SHOULD lowercase first ok",
+      "exactly four tokens here",      // == k
+      "only three tokens",             // < k -> empty
+      "", "   ",                       // no tokens -> empty
+      "a b c d e f g h i j k l m n")
+    for (t <- cases) {
+      val got = Dedup.tokenGramHashesKernel(t, 4)
+      val want = literalGramHashes(t, 4)
+      assert(got.toSeq == want.toSeq, s"mismatch for <$t>")
+    }
+    assert(Dedup.tokenGramHashesKernel(null, 4).isEmpty)
+  }
+
+  test("repeated spans and token profile are invariant to text CASE " +
+    "(kernel lowercases like the oracle)") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq((1L, base), (2L, base.toUpperCase),
+      (3L, "unrelated words entirely distinct from the shared paragraph ok"))
+      .toDF("doc_id", "text")
+    val spans = Dedup.repeatedSpans(docs, "doc_id", "text", k = 4, minDf = 2)
+      .orderBy("id").collect()
+    // both casings of the shared text produce one full-cover span each
+    assert(spans.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    assert(spans.forall(r => r.getInt(1) == 0 && r.getInt(2) == 10))
+  }
+
+  test("gram-hash keyspace: gramDfIndex joins repeatedSpansIncremental " +
+    "across separately-built sides") {
+    val shared = "one two three four five six seven eight nine ten"
+    val corpus = Seq((10L, shared),
+      (11L, "totally different corpus document with other words here")).toDF("doc_id", "text")
+    val batch = Seq((300L, s"prefix words then $shared trailing bits"))
+      .toDF("doc_id", "text")
+    val idx = Dedup.gramDfIndex(corpus, "doc_id", "text", k = 4)
+    val spans = Dedup.repeatedSpansIncremental(batch, idx,
+      "doc_id", "text", k = 4, minDf = 2).collect()
+    // the batch doc shares the 10-token paragraph with ONE corpus doc:
+    // neither side alone reaches minDf, the summed df does
+    assert(spans.length == 1)
+    val r = spans.head
+    assert(r.getInt(1) == 3 && r.getInt(2) == 13) // tokens 3..12 covered
+  }
+
+  // ---- lloydFitMulti ---------------------------------------------------
+
+  test("lloydFitMulti is bit-identical to m independent lloydFit runs") {
+    val emb = spark.read.parquet(s"$sf001/embeddings.parquet")
+    val vecs = emb.select(col("vec_id").as("id"),
+      expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1e6 + 0.5d) / 1e6 AS DOUBLE))").as("v"))
+    val d = 16
+    val m = 4
+    val seedBase = 91L
+    val exploded = vecs.select(col("id"),
+        posexplode(array((0 until m).map(s =>
+          slice(col("v"), s * d + 1, d)): _*)))
+      .toDF("id", "g", "v")
+    val multi = Clustering.lloydFitMulti(exploded, k = 5, iters = 2,
+      (0 until m).map(seedBase + _))
+    (0 until m).foreach { s =>
+      val single = Clustering.lloydFit(
+        vecs.select(col("id"), slice(col("v"), s * d + 1, d).as("v")),
+        k = 5, iters = 2, seedBase + s)
+      assert(multi(s).length == single.length)
+      multi(s).zip(single).zipWithIndex.foreach { case ((a, b), j) =>
+        assert(a.toSeq == b.toSeq,
+          s"subspace $s centroid $j differs from the sequential fit")
+      }
+    }
+  }
+
+  test("lloydFitMulti supports mixed vector widths across groups") {
+    val vecs = Seq(
+      (0, 1L, Seq(0.0, 0.0)), (0, 2L, Seq(1.0, 1.0)), (0, 3L, Seq(9.0, 9.0)),
+      (1, 1L, Seq(0.0, 0.0, 0.0)), (1, 2L, Seq(5.0, 5.0, 5.0)),
+      (1, 3L, Seq(5.2, 5.0, 5.0))).toDF("g", "id", "v")
+    val fits = Clustering.lloydFitMulti(vecs, k = 2, iters = 2, IndexedSeq(7L, 8L))
+    assert(fits(0).forall(_.length == 2) && fits(1).forall(_.length == 3))
+  }
+
+  test("lloydFitMulti rejects a group with fewer than k rows") {
+    val vecs = Seq((0, 1L, Seq(0.0)), (0, 2L, Seq(1.0)),
+      (1, 1L, Seq(0.0))).toDF("g", "id", "v")
+    val e = intercept[IllegalArgumentException] {
+      Clustering.lloydFitMulti(vecs, k = 2, iters = 1, IndexedSeq(7L, 8L))
+    }
+    assert(e.getMessage.contains("group 1"))
+  }
+
+  // ---- BloomContainsExpr content equality ------------------------------
+
+  test("BloomContainsExpr compares by bitmap content, not reference") {
+    import org.apache.spark.util.sketch.BloomFilter
+    def bytesOf(keys: Seq[Long]): Array[Byte] = {
+      val bf = BloomFilter.create(1000, 0.01)
+      keys.foreach(bf.putLong)
+      val baos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(baos)
+      baos.toByteArray
+    }
+    val child = org.apache.spark.sql.catalyst.expressions.Literal(1L)
+    val a = graft.catalyst.BloomContainsExpr(child, bytesOf(Seq(1L, 2L)))
+    val b = graft.catalyst.BloomContainsExpr(child,
+      bytesOf(Seq(1L, 2L)).clone())
+    val c = graft.catalyst.BloomContainsExpr(child, bytesOf(Seq(3L)))
+    assert(a == b && a.hashCode == b.hashCode) // equal content, new array
+    assert(a != c)
+    assert(a.semanticEquals(b) && !a.semanticEquals(c))
+    // the per-executor cache hands BOTH equal expressions one filter
+    assert(a.test(1L) && b.test(1L) && !c.test(1L))
+  }
+}
