@@ -212,6 +212,69 @@ case class SimhashSigExpr(child: Expression, k: Int)
     copy(child = newChild)
 }
 
+/** Compiled k-means assignment argmin: squared-euclidean distance from
+  * a gridded double vector to each row of a plan-carried centroid
+  * matrix, returning struct(d: min distance, c: winning centroid index,
+  * ties to the smaller index). Replaces the declarative
+  * `array_min(array(struct(aggregate(zip_with(...)), j)))` form, whose
+  * per-row cost was k zip_with ARRAY ALLOCATIONS (k=8, dim=64 → eight
+  * 64-double allocations per row per iteration); here one bulk copy of
+  * the input and a fused multiply-add loop. Arithmetic is bit-identical:
+  * per centroid a left fold of (x−y)² in element order, argmin keeping
+  * the first minimum. Centroid equality is by CONTENT (deep), not array
+  * reference, so canonicalization/dedup work. */
+case class KmeansArgminExpr(child: Expression, cents: Array[Array[Double]])
+    extends UnaryExpression with Serializable {
+  require(cents.nonEmpty, "empty centroid matrix")
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(
+    Seq(org.apache.spark.sql.types.StructField("d", DoubleType, nullable = false),
+      org.apache.spark.sql.types.StructField("c",
+        org.apache.spark.sql.types.IntegerType, nullable = false)))
+  override def prettyName: String = "graft_kmeans_argmin"
+  def assign(a: ArrayData): org.apache.spark.sql.catalyst.InternalRow = {
+    val v = a.toDoubleArray()
+    var bestD = Double.PositiveInfinity
+    var bestC = -1
+    var j = 0
+    while (j < cents.length) {
+      val cv = cents(j)
+      if (cv.length != v.length) throw new IllegalArgumentException(
+        s"graft_kmeans_argmin: vector dim ${v.length} != centroid dim " +
+          s"${cv.length} at centroid $j")
+      var acc = 0.0
+      var i = 0
+      while (i < cv.length) {
+        val diff = v(i) - cv(i)
+        acc += diff * diff
+        i += 1
+      }
+      if (acc < bestD) { bestD = acc; bestC = j }
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](bestD, bestC))
+  }
+  protected override def nullSafeEval(a: Any): Any =
+    assign(a.asInstanceOf[ArrayData])
+  override def equals(other: Any): Boolean = other match {
+    case k: KmeansArgminExpr =>
+      child == k.child &&
+        cents.length == k.cents.length &&
+        cents.indices.forall(i =>
+          java.util.Arrays.equals(cents(i), k.cents(i)))
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * child.hashCode() + cents.map(java.util.Arrays.hashCode).toSeq.hashCode()
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("argminExpr", this,
+      classOf[KmeansArgminExpr].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.assign($c)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): KmeansArgminExpr =
+    copy(child = newChild)
+}
+
 case class TokenGramHashesExpr(child: Expression, k: Int)
     extends UnaryExpression with Serializable {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -346,6 +409,8 @@ object ArrayFunctions {
     c(SimhashSigExpr(e(text), k))
   def tokenGramHashes(text: Column, k: Int): Column =
     c(TokenGramHashesExpr(e(text), k))
+  def kmeansArgmin(v: Column, cents: Array[Array[Double]]): Column =
+    c(KmeansArgminExpr(Cast(e(v), ArrayType(DoubleType)), cents))
   def rollingHash(text: Column): Column = c(RollingHashExpr(e(text)))
   def dotF(a: Column, b: Column): Column = c(DotFExpr(floats(a), floats(b)))
   def cosineF(a: Column, b: Column): Column = c(CosineFExpr(floats(a), floats(b)))

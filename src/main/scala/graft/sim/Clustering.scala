@@ -32,17 +32,16 @@ object Clustering {
   private[sim] def grid(c: Column): Column =
     floor(c.cast("double") * lit(1e6) + lit(0.5)) / lit(1e6)
 
-  /** (min squared-distance, winning cluster) struct over a plan-time
-    * centroid literal; the array_min tie-breaks on the smaller id. */
+  /** (min squared-distance, winning cluster) struct over a plan-carried
+    * centroid matrix; ties break on the smaller id. Compiled kernel
+    * ([[graft.catalyst.KmeansArgminExpr]]) — the former declarative
+    * `array_min(array(struct(aggregate(zip_with(...)))))` allocated k
+    * zipped arrays PER ROW per iteration; the kernel is one bulk copy +
+    * a fused loop with bit-identical fold order, so every oracle
+    * replays unchanged. */
   private[sim] def assignCols(v: Column,
                               cs: Array[Array[Double]]): Column =
-    array_min(array(
-      cs.zipWithIndex.map { case (cv, j) =>
-        struct(
-          aggregate(zip_with(v, lit(cv), (x, y) => (x - y) * (x - y)),
-            lit(0.0), (acc, d) => acc + d).as("d"),
-          lit(j).as("c"))
-      }: _*))
+    graft.catalyst.ArrayFunctions.kmeansArgmin(v, cs)
 
   /** Exactly `iters` Lloyd rounds over an (id, v) frame of GRIDDED
     * vectors; returns the k centroids. Deterministic and cross-engine
