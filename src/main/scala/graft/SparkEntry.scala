@@ -12,7 +12,7 @@ object SparkEntry {
   private val all: Seq[Q.Entry] =
     RelQueries.entries ++ StatQueries.entries ++ LlmQueries.entries ++
       StreamQueries.entries ++ PipelineQueries.entries ++ OmicsQueries.entries ++
-      ExtQueries.entries ++ SampleQueries.entries
+      ExtQueries.entries ++ SampleQueries.entries ++ IoQueries.entries
 
   require(all.map(_.name).distinct.size == all.size, "duplicate query names")
 

@@ -1,0 +1,97 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructType}
+import graft.io.Io
+import Q.{Entry, t}
+
+/** §2.1 ingestion shapes upgraded from test-only to REAL gate rows.
+  *
+  * Each query is a deterministic self-contained round trip: materialize
+  * a fixture table through the Io reader/writer under test into a fresh
+  * temp directory, read it back with the operator, and let the DuckDB
+  * oracle state what the result must equal in terms of the ORIGINAL
+  * parquet table — so the hash compare proves the ingestion path is
+  * lossless, not merely that it runs. Only INT/VARCHAR columns ride the
+  * text round trips (float formatting would be an engine-repr seam, and
+  * the reference's CSV/TSV ingestion shapes are key/name-like columns
+  * anyway). Temp dirs are per-invocation (UUID) so concurrent gate/bench
+  * runs never collide; the written fixtures are row-order independent
+  * because the gate sorts. */
+object IoQueries {
+
+  private def tmpDir(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft_io_$tag").toString
+
+  private val nationSql =
+    "SELECT n_nationkey, n_name, n_regionkey FROM nation"
+
+  val entries: Seq[Entry] = Seq(
+
+    Entry("q_io_csv_noheader",
+      // headerless CSV with caller-supplied names (pandas names=[...]):
+      // nation -> headerless CSV -> csvNoHeader must reproduce it
+      (s, d) => {
+        val dir = tmpDir("nohdr")
+        t(s, d, "nation").write.mode("overwrite")
+          .option("header", "false").csv(dir)
+        Io.csvNoHeader(s, dir, Seq("n_nationkey", "n_name", "n_regionkey"))
+      },
+      Some(nationSql)),
+
+    Entry("q_io_tsv_comments",
+      // TSV with '#' comment lines (chem_prop.tsv shape): the file is
+      // assembled BY HAND with comments interleaved between data rows,
+      // so the comment-skip path is genuinely exercised
+      (s, d) => {
+        val rows = t(s, d, "nation")
+          .orderBy("n_nationkey").collect() // 25 rows, driver-safe
+        val lines = Seq("# generated fixture", "# second comment line",
+          "n_nationkey\tn_name\tn_regionkey") ++
+          rows.zipWithIndex.flatMap { case (r, i) =>
+            val row = s"${r.get(0)}\t${r.get(1)}\t${r.get(2)}"
+            if (i % 7 == 3) Seq(s"# interleaved comment $i", row)
+            else Seq(row)
+          }
+        val f = java.nio.file.Path.of(tmpDir("tsv"), "nation.tsv")
+        java.nio.file.Files.write(f,
+          String.join("\n", lines: _*).getBytes("UTF-8"))
+        Io.tsvWithComments(s, f.toString)
+      },
+      Some(nationSql)),
+
+    Entry("q_io_csv_schema",
+      // SQL->CSV export then the dtype-forcing scan (explicit schema,
+      // NO inference — the only scale-sane default) reads it back
+      (s, d) => {
+        val dir = tmpDir("schema")
+        Io.exportCsv(t(s, d, "nation"), dir)
+        Io.csvWithSchema(s, dir, StructType(Seq(
+          StructField("n_nationkey", IntegerType),
+          StructField("n_name", StringType),
+          StructField("n_regionkey", IntegerType))))
+      },
+      Some(nationSql)),
+
+    Entry("q_io_append",
+      // the append sink contract (to_sql(if_exists="append") / header-
+      // once CSV append, re-expressed as parquet append): two appends of
+      // region must read back as exactly the doubled relation
+      (s, d) => {
+        val dir = tmpDir("append") + "/regions"
+        val region = t(s, d, "region")
+        Io.appendParquet(region, dir)
+        Io.appendParquet(region, dir)
+        s.read.parquet(dir)
+      },
+      Some("SELECT * FROM region UNION ALL SELECT * FROM region")),
+
+    Entry("q_io_stride",
+      // TCGA-style stride-select (every 4th column from offset 1, plus
+      // the kept key column) — lineitem's column order is fixed by the
+      // fixture, so the oracle can name the strided columns directly
+      (s, d) => Io.strideSelect(t(s, d, "lineitem"),
+        keep = Seq("l_orderkey"), stride = 4, offset = 1),
+      Some("SELECT l_orderkey, l_partkey, l_extendedprice, l_linestatus " +
+        "FROM lineitem")))
+}
