@@ -20,6 +20,13 @@ run / fork := true
 Test / unmanagedJars ++=
   (file(sys.props("user.home")) / ".cache" / "coursier" ** "duckdb_jdbc-*.jar")
     .get().take(1).map(Attributed.blank(_))
+// ... and on the run classpath too: q_io_jdbc gates the JDBC-source
+// path end-to-end (file database + in-database SQL), so Verify/Bench
+// need the driver as well. Same glob; an empty cache simply yields no
+// jar and the query raises a clear "driver absent" error.
+Compile / unmanagedJars ++=
+  (file(sys.props("user.home")) / ".cache" / "coursier" ** "duckdb_jdbc-*.jar")
+    .get().take(1).map(Attributed.blank(_))
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

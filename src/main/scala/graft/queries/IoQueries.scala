@@ -86,6 +86,39 @@ object IoQueries {
       },
       Some("SELECT * FROM region UNION ALL SELECT * FROM region")),
 
+    Entry("q_io_jdbc",
+      // the reference's SQLite-with-SQL first touch, gated live: build a
+      // file database from the fixture parquet, run the LEFT JOIN +
+      // WHERE INSIDE the database via the derived-table JDBC scan, and
+      // oracle the same SQL over the parquet views — equality proves the
+      // in-database execution path end to end. DuckDB-over-JDBC is the
+      // embedded stand-in for sqlite-jdbc (same file-database,
+      // in-process-driver shape); the driver jar rides the run classpath
+      // from the image's artifact cache (see build.sbt).
+      (s, d) => {
+        require(
+          try { Class.forName("org.duckdb.DuckDBDriver"); true }
+          catch { case _: Throwable => false },
+          "q_io_jdbc: duckdb_jdbc driver not on the run classpath")
+        val dbPath = java.nio.file.Files
+          .createTempDirectory("graft_io_jdbc").resolve("fix.duckdb").toString
+        val url = s"jdbc:duckdb:$dbPath"
+        val conn = java.sql.DriverManager.getConnection(url)
+        try {
+          val st = conn.createStatement()
+          st.execute(s"CREATE TABLE nation AS SELECT * FROM read_parquet('$d/nation.parquet')")
+          st.execute(s"CREATE TABLE region AS SELECT * FROM read_parquet('$d/region.parquet')")
+          st.close()
+        } finally conn.close()
+        Io.readJdbc(s, url,
+          "SELECT n.n_nationkey, n.n_name, r.r_name AS region_name " +
+            "FROM nation n LEFT JOIN region r " +
+            "ON n.n_regionkey = r.r_regionkey WHERE n.n_nationkey < 20")
+      },
+      Some("SELECT CAST(n.n_nationkey AS BIGINT) AS n_nationkey, n.n_name, r.r_name AS region_name " +
+        "FROM nation n LEFT JOIN region r " +
+        "ON n.n_regionkey = r.r_regionkey WHERE n.n_nationkey < 20")),
+
     Entry("q_io_stride",
       // TCGA-style stride-select (every 4th column from offset 1, plus
       // the kept key column) — lineitem's column order is fixed by the
