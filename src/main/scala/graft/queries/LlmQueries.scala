@@ -1061,7 +1061,7 @@ object LlmQueries {
       // span crosses a strip threshold)
       (s, d) => Text.noveltyScore(t(s, d, "documents"), "doc_id", "text",
         k = 8),
-      Some("""WITH rt AS (SELECT doc_id AS id, list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS ts FROM documents), tk AS (SELECT id, ts, len(ts) AS n FROM rt WHERE len(ts) >= 8), g AS (SELECT id, array_to_string(ts[i:i+7], ' ') AS gram FROM tk, unnest(generate_series(1, n - 7)) AS gi(i)), gdf AS (SELECT gram, count(DISTINCT id) AS df FROM g GROUP BY 1) SELECT id, count(*) AS n_grams, CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS novel_grams, CAST(round(CAST(CAST(CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS VARCHAR) AS DECIMAL(38,18)), 6) AS DOUBLE) AS novelty FROM g JOIN gdf USING (gram) GROUP BY 1""")),
+      Some("""WITH rt AS (SELECT doc_id AS id, list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS ts FROM documents), tk AS (SELECT id, ts, len(ts) AS n FROM rt WHERE len(ts) >= 8), g AS (SELECT id, CAST(concat('0x', substr(md5(array_to_string(ts[i:i+7], ' ')), 1, 15)) AS BIGINT) AS gram FROM tk, unnest(generate_series(1, n - 7)) AS gi(i)), gdf AS (SELECT gram, count(DISTINCT id) AS df FROM g GROUP BY 1) SELECT id, count(*) AS n_grams, CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS novel_grams, CAST(round(CAST(CAST(CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS VARCHAR) AS DECIMAL(38,18)), 6) AS DOUBLE) AS novelty FROM g JOIN gdf USING (gram) GROUP BY 1""")),
 
     Entry("q_bpe_merges",
       // BPE vocabulary-training pair scan: within-token adjacent char

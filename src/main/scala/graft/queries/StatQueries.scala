@@ -147,7 +147,7 @@ object StatQueries {
       (s, d) => Stats.quantileNormalize(
         t(s, d, "lineitem").where(col("l_partkey") % 100 === 0),
         "l_linenumber", "l_orderkey", "l_extendedprice"),
-      Some(s"""WITH rr AS (SELECT l_linenumber, l_orderkey, l_extendedprice, row_number() OVER (PARTITION BY l_linenumber ORDER BY l_extendedprice, l_orderkey) AS rank FROM lineitem WHERE l_partkey % 100 = 0), rf AS (SELECT rank, CAST(sum(CAST(l_extendedprice AS DECIMAL(24,6))) AS DOUBLE) / count(*) AS nref FROM rr GROUP BY 1) SELECT rr.l_linenumber, rr.l_orderkey, rr.l_extendedprice, rr.rank, ${OmicsQueries.rndSql("rf.nref", 6)} AS normalized FROM rr JOIN rf USING (rank)""")),
+      Some(s"""WITH rr AS (SELECT l_linenumber, l_orderkey, l_extendedprice, row_number() OVER (PARTITION BY l_linenumber ORDER BY l_extendedprice, l_orderkey) AS rank FROM lineitem WHERE l_partkey % 100 = 0), rf AS (SELECT rank, CAST(sum(CAST(l_extendedprice AS DECIMAL(24,6))) AS DOUBLE) / count(*) AS nref FROM rr GROUP BY 1) SELECT rr.l_linenumber, rr.l_orderkey, rr.l_extendedprice, CAST(rr.rank AS INTEGER) AS rank, ${OmicsQueries.rndSql("rf.nref", 6)} AS normalized FROM rr JOIN rf USING (rank)""")),
 
     Entry("q_table_profile",
       // snapshot validation profile: one melted scan of the table, one

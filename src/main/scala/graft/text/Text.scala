@@ -291,13 +291,18 @@ object Text {
     *         tokens (shorter docs carry no k-gram). */
   def noveltyScore(df: DataFrame, idCol: String, textCol: String,
                    k: Int = 8): DataFrame = {
-    val grams = df.select(col(idCol).as("id"),
-        tokens(lower(col(textCol))).as("ts"))
-      .where(size(col("ts")) >= k)
-      .select(col("id"), explode(
-        transform(sequence(lit(0), size(col("ts")) - k),
-          i => array_join(slice(col("ts"), i + 1, lit(k)), " "))).as("gram"))
-      .localCheckpoint(false) // feeds the df count AND the join-back
+    // grams as 60-bit md5 LONGS from the compiled span-tier kernel
+    // (Dedup.tokenGramHashesKernel via TokenGramHashesExpr): the gram
+    // exchange carries 8-byte keys, never the ~k-word text — the same
+    // re-plan that took repeatedSpans from ratio 6.2 to 2.2 at 10×; the
+    // oracle takes the SAME md5 prefix of the SAME gram text, so
+    // collisions collapse identically in both engines
+    // no checkpoint: recomputing the gram kernel for the two consumers
+    // is cheaper than materializing the corpus-sized gram relation
+    // (the repeatedSpans lesson)
+    val grams = df.select(col(idCol).as("id"), explode(
+        graft.catalyst.ArrayFunctions.tokenGramHashes(col(textCol), k))
+        .as("gram"))
     val gdf = grams.groupBy("gram").agg(count_distinct(col("id")).as("df"))
     grams.join(gdf, "gram")
       .groupBy("id")
