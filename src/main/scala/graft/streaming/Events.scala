@@ -202,6 +202,67 @@ object Events {
     writeParquetIdempotent(kept, dir, checkpoint)
   }
 
+  /** Streaming NEAR-DUP ingest — the lambda split COLLAPSED into the
+    * stream: each micro-batch (1) sketches ONLY its own documents,
+    * (2) emits every near-dup pair touching the batch by probing the
+    * persisted banded index ([[graft.dedup.Dedup.minhashLshPairsIncremental]]
+    * against the lake, so per-batch cost rides the batch), and
+    * (3) appends its documents to the lake and its band rows to the
+    * index, each under an idempotent `batch=<id>` partition. Because
+    * banding is per-document, the union of the per-batch pair logs over
+    * a drained stream is EXACTLY `Dedup.minhashLshPairs` of the whole
+    * corpus — a pair is emitted once, in the batch where its later
+    * member arrives (proven stream ≡ batch in StreamingSpec).
+    *
+    * Replay safety: history reads filter `batch < id`, so a batch
+    * replayed after a failure never sees its own half-written output as
+    * "history" — the same reason the writes are partition overwrites.
+    *
+    * Runs with Trigger.AvailableNow (drain-what-is-there-and-stop): the
+    * modern shape for an incremental ingest job that a scheduler invokes
+    * per interval; a continuous deployment re-invokes it.
+    *
+    * Layout: `lakeDir` (idCol, textCol), `indexDir` (id, band,
+    * band_sig — sketch params ride the band_sig field metadata, so a
+    * parameter-mismatched resume FAILS before silently missing pairs),
+    * `pairsDir` (id_a, id_b, jaccard), each `batch=`-partitioned. */
+  def streamingNearDup(docs: DataFrame, idCol: String, textCol: String,
+                       lakeDir: String, indexDir: String, pairsDir: String,
+                       checkpoint: String, k: Int = 3,
+                       threshold: Double = 0.8, numHashes: Int = 128,
+                       bands: Int = 16, hotBucketThreshold: Int = 4096)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.dedup.Dedup
+    def hasBatches(dir: String): Boolean = {
+      val fs = new java.io.File(dir).listFiles()
+      fs != null && fs.exists(_.getName.startsWith("batch="))
+    }
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val spark = batch.sparkSession
+        val cols = batch.select(col(idCol), col(textCol))
+        val history = if (hasBatches(lakeDir))
+          spark.read.parquet(lakeDir).where(col("batch") < id)
+            .select(col(idCol), col(textCol))
+        else cols.limit(0)
+        val oldIdx = if (hasBatches(indexDir))
+          spark.read.parquet(indexDir).where(col("batch") < id)
+            .select("id", "band", "band_sig")
+        else Dedup.bandedIndex(cols.limit(0), idCol, textCol,
+          k, numHashes, bands)
+        val pairs = Dedup.minhashLshPairsIncremental(history, cols, oldIdx,
+          idCol, textCol, k, threshold, numHashes, bands,
+          hotBucketThreshold)
+        pairs.write.mode("overwrite").parquet(s"$pairsDir/batch=$id")
+        Dedup.bandedIndex(cols, idCol, textCol, k, numHashes, bands)
+          .write.mode("overwrite").parquet(s"$indexDir/batch=$id")
+        cols.write.mode("overwrite").parquet(s"$lakeDir/batch=$id")
+      }
+      .start()
+  }
+
   final case class UserState(n: Long, total: Double, lastTsMicros: Long)
   final case class UserUpdate(user_id: Long, n_events: Long, total_value: Double,
                               last_ts: Long)

@@ -298,4 +298,56 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.select("user_id", "event_type").distinct().count() == nKeys)
     assert(streamed.count() == nKeys)
   }
+
+  test("streamingNearDup: per-batch incremental LSH over the persisted " +
+       "index reassembles the exact batch pair set") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog and runs " +
+      "far away while birds sing in the tall green trees near the " +
+      "quiet river bank under a bright blue sky with soft white clouds"
+    val other = "completely different text about spark catalyst " +
+      "optimizer rules and distributed shuffle partitioning strategies " +
+      "for very large analytical clusters running columnar scans today"
+    // batch 0: 1 and its near-dup 2, plus unrelated 3;
+    // batch 1: 4 near-dups 1 (cross-batch pair!), 5 near-dups 3
+    val b0 = Seq((1L, base), (2L, base.replace("quiet", "loud")), (3L, other))
+    val b1 = Seq((4L, base.replace("bright", "pale")),
+      (5L, other.replace("today", "nightly")))
+    val staging = java.nio.file.Files.createTempDirectory("graft_nd_stg")
+    val src = java.nio.file.Files.createTempDirectory("graft_nd_src")
+    b0.toDF("doc_id", "text").coalesce(1).write.parquet(s"$staging/b0")
+    b1.toDF("doc_id", "text").coalesce(1).write.parquet(s"$staging/b1")
+    (0 to 1).foreach { i =>
+      val f = new java.io.File(s"$staging/b$i").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = src.resolve(f"b$i%02d.parquet")
+      java.nio.file.Files.copy(f.toPath, dst)
+      dst.toFile.setLastModified(1700000000000L + i * 60000L)
+    }
+    val schema = spark.read.parquet(s"$staging/b0").schema
+    val lake = java.nio.file.Files.createTempDirectory("graft_nd_lake").toString
+    val idx = java.nio.file.Files.createTempDirectory("graft_nd_idx").toString
+    val prs = java.nio.file.Files.createTempDirectory("graft_nd_prs").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_nd_ck").toString
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(src.toString)
+    val q = Events.streamingNearDup(stream, "doc_id", "text",
+      lake, idx, prs, ckpt, k = 3, threshold = 0.5)
+    q.awaitTermination(120000)
+    val streamed = spark.read.parquet(prs)
+      .select("id_a", "id_b", "jaccard")
+      .collect().map(_.toSeq).toSet
+    val batch = graft.dedup.Dedup.minhashLshPairs(
+        (b0 ++ b1).toDF("doc_id", "text"), "doc_id", "text",
+        k = 3, threshold = 0.5)
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch, s"streamed=$streamed batch=$batch")
+    assert(streamed.nonEmpty)
+    // the cross-batch pair (1,4) only exists because batch 1 probed the
+    // PERSISTED index + lake; assert it explicitly
+    assert(streamed.exists(r => r(0) == 1L && r(1) == 4L))
+    // the lake and index carry both batches
+    assert(spark.read.parquet(lake).count() == 5)
+    assert(spark.read.parquet(idx).select("id").distinct().count() == 5)
+  }
 }
