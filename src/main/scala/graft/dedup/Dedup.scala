@@ -380,6 +380,21 @@ object Dedup {
       .withColumn("gram", col("gram").as("gram", meta))
   }
 
+  /** Roll up per-slice [[gramDfIndex]] outputs into the union's index by
+    * SUMMING dfs — exact when the slices partition the corpus by
+    * document (each doc contributes its distinct grams to exactly one
+    * slice), which is precisely the ingest-batch shape; the k metadata
+    * is re-attached so the mismatch guard keeps firing on reuse. This is
+    * the refresh step an incremental substring-dedup pipeline runs after
+    * each batch instead of rescanning the corpus. */
+  def mergeGramDfIndexes(indexes: DataFrame): DataFrame = {
+    val meta = indexes.schema.fields.find(_.name == "gram")
+      .map(_.metadata)
+      .getOrElse(org.apache.spark.sql.types.Metadata.empty)
+    indexes.groupBy("gram").agg(sum(col("df")).as("df"))
+      .withColumn("gram", col("gram").as("gram", meta))
+  }
+
   /** Incremental [[repeatedSpans]]: spans of the NEW batch against the
     * gram frequencies of (corpus ∪ batch), without re-scanning the
     * corpus — `oldIndex` is a previously-built [[gramDfIndex]] read back

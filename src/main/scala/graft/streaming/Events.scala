@@ -263,6 +263,71 @@ object Events {
       .start()
   }
 
+  /** Streaming SUBSTRING-DEDUP ingest gate: the span tier's incremental
+    * contract run per micro-batch — each batch's token spans are checked
+    * against the merged gram-df index of ALL earlier batches
+    * ([[graft.dedup.Dedup.repeatedSpansIncremental]]: a batch doc
+    * sharing a paragraph with ONE earlier doc is flagged even though
+    * neither side alone reaches minDf), then the batch's own
+    * [[graft.dedup.Dedup.gramDfIndex]] lands under its `batch=<id>`
+    * partition; the running index is the df-SUM rollup
+    * ([[graft.dedup.Dedup.mergeGramDfIndexes]] — exact because ingest
+    * batches partition the corpus by document). Same idempotency and
+    * replay-safety shape as [[streamingNearDup]].
+    *
+    * Emits per batch: (id, span_start, span_end, span_tokens) under
+    * `spansDir/batch=<id>`. Per the incremental contract, a span is
+    * charged to the batch whose arrival crossed the threshold — earlier
+    * batches' docs are their own ingests' responsibility. */
+  def streamingSpanIngest(docs: DataFrame, idCol: String, textCol: String,
+                          indexDir: String, spansDir: String,
+                          checkpoint: String, k: Int = 8, minDf: Int = 2)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.dedup.Dedup
+    def hasBatches(dir: String): Boolean = {
+      val fs = new java.io.File(dir).listFiles()
+      fs != null && fs.exists(_.getName.startsWith("batch="))
+    }
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val spark = batch.sparkSession
+        val cols = batch.select(col(idCol), col(textCol))
+        val oldIdx = if (hasBatches(indexDir))
+          Dedup.mergeGramDfIndexes(
+            spark.read.parquet(indexDir).where(col("batch") < id)
+              .select("gram", "df"))
+        else Dedup.gramDfIndex(cols.limit(0), idCol, textCol, k)
+        Dedup.repeatedSpansIncremental(cols, oldIdx, idCol, textCol,
+            k, minDf)
+          .write.mode("overwrite").parquet(s"$spansDir/batch=$id")
+        Dedup.gramDfIndex(cols, idCol, textCol, k)
+          .write.mode("overwrite").parquet(s"$indexDir/batch=$id")
+      }
+      .start()
+  }
+
+  /** Streaming MERGEABLE PROFILE: profile each micro-batch with the
+    * bounded KMV sketch ([[graft.stats.Profile.profileKmv]]) and land it
+    * under its `batch=<id>` partition; the running whole-corpus profile
+    * is [[graft.stats.Profile.mergeKmvProfiles]] over the landed slices
+    * — BIT-IDENTICAL to profiling the union directly (counts sum, ranges
+    * re-min/max, the sketch union re-takes the k smallest hashes), so a
+    * snapshot validator never rescans the lake. Proven
+    * stream-merge ≡ whole-corpus in StreamingSpec. */
+  def streamingProfile(docs: DataFrame, profileDir: String,
+                       checkpoint: String, k: Int = 64)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        graft.stats.Profile.profileKmv(batch, k)
+          .write.mode("overwrite").parquet(s"$profileDir/batch=$id")
+      }
+      .start()
+
   final case class UserState(n: Long, total: Double, lastTsMicros: Long)
   final case class UserUpdate(user_id: Long, n_events: Long, total_value: Double,
                               last_ts: Long)

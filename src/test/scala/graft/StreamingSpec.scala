@@ -350,4 +350,87 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(lake).count() == 5)
     assert(spark.read.parquet(idx).select("id").distinct().count() == 5)
   }
+
+  test("streamingSpanIngest: cross-batch shared paragraph flagged via " +
+       "the merged gram-df index") {
+    import spark.implicits._
+    val shared = "one two three four five six seven eight nine ten " +
+      "eleven twelve"
+    val b0 = Seq(
+      (1L, s"intro words then $shared and a tail here"),
+      (2L, "totally unrelated first batch document with distinct words"))
+    // batch doc 3 shares the paragraph with ONLY doc 1 — neither side
+    // alone reaches minDf=2; the merged index must flag it
+    val b1 = Seq((3L, s"different prefix $shared trailing material now"))
+    val staging = java.nio.file.Files.createTempDirectory("graft_sp_stg")
+    val src = java.nio.file.Files.createTempDirectory("graft_sp_src")
+    b0.toDF("doc_id", "text").coalesce(1).write.parquet(s"$staging/b0")
+    b1.toDF("doc_id", "text").coalesce(1).write.parquet(s"$staging/b1")
+    (0 to 1).foreach { i =>
+      val f = new java.io.File(s"$staging/b$i").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = src.resolve(f"b$i%02d.parquet")
+      java.nio.file.Files.copy(f.toPath, dst)
+      dst.toFile.setLastModified(1700000000000L + i * 60000L)
+    }
+    val schema = spark.read.parquet(s"$staging/b0").schema
+    val idx = java.nio.file.Files.createTempDirectory("graft_sp_idx").toString
+    val spans = java.nio.file.Files.createTempDirectory("graft_sp_sp").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_sp_ck").toString
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(src.toString)
+    val q = Events.streamingSpanIngest(stream, "doc_id", "text",
+      idx, spans, ckpt, k = 4, minDf = 2)
+    q.awaitTermination(120000)
+    val out = spark.read.parquet(spans)
+      .select("id", "span_start", "span_end").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    // batch 0 has no duplicated grams at all; batch 1's doc 3 carries
+    // the shared 12-token run at positions 2..13 (end exclusive 14)
+    assert(out == Set((3L, 2, 14)), s"got $out")
+    // the merged running index equals a fresh index over the union
+    val merged = graft.dedup.Dedup.mergeGramDfIndexes(
+        spark.read.parquet(idx).select("gram", "df"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val direct = graft.dedup.Dedup.gramDfIndex(
+        (b0 ++ b1).toDF("doc_id", "text"), "doc_id", "text", k = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(merged == direct)
+  }
+
+  test("streamingProfile: merged per-batch KMV profiles equal the " +
+       "whole-corpus profile bit for bit") {
+    val staging = java.nio.file.Files.createTempDirectory("graft_pf_stg")
+    val src = java.nio.file.Files.createTempDirectory("graft_pf_src")
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+      .select("doc_id", "source", "lang", "n_chars")
+    docs.where(col("doc_id") % 2 === 0).coalesce(1)
+      .write.parquet(s"$staging/b0")
+    docs.where(col("doc_id") % 2 =!= 0).coalesce(1)
+      .write.parquet(s"$staging/b1")
+    (0 to 1).foreach { i =>
+      val f = new java.io.File(s"$staging/b$i").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = src.resolve(f"b$i%02d.parquet")
+      java.nio.file.Files.copy(f.toPath, dst)
+      dst.toFile.setLastModified(1700000000000L + i * 60000L)
+    }
+    val schema = spark.read.parquet(s"$staging/b0").schema
+    val prof = java.nio.file.Files.createTempDirectory("graft_pf_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_pf_ck").toString
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(src.toString)
+    val q = Events.streamingProfile(stream, prof, ckpt, k = 32)
+    q.awaitTermination(120000)
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select("col_name", "n", "n_null", "min_num", "max_num",
+        "min_str", "max_str", "kmv", "n_mins", "est_distinct")
+      .collect().map(_.toSeq).toSet
+    val merged = canon(graft.stats.Profile.mergeKmvProfiles(
+      spark.read.parquet(prof)
+        .select("col_name", "n", "n_null", "min_num", "max_num",
+          "min_str", "max_str", "kmv"), k = 32))
+    val whole = canon(graft.stats.Profile.profileKmv(docs, k = 32))
+    assert(merged == whole)
+  }
 }
