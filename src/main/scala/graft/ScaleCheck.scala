@@ -59,6 +59,7 @@ object ScaleCheck {
     "q_profile_drift", "q_vocab_coverage", "q_embedding_drift",
     "q_kmeans_increment", "q_source_report", "q_dedup_tier_agreement",
     "q_pq_encode", "q_hard_negatives", "q_quantile_normalize",
+    "q_dedup_clusters_incremental",
     "q_winsorized_mean", "q_multimodal_dedup")
 
   def main(args: Array[String]): Unit = {

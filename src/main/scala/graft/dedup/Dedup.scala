@@ -1047,6 +1047,28 @@ object Dedup {
     * throws rather than returning silently-partial clusters.
     * `driverMaxPairs = 0` forces the distributed path (used by tests and
     * callers that know the graph is huge). */
+  /** Incremental [[duplicateClusters]]: fold a NEW batch's pair
+    * evidence into an EXISTING (id, cluster_id) assignment without
+    * re-deriving the old pair graph — each old assignment row becomes a
+    * star edge (id — cluster_id), which preserves the old components'
+    * connectivity exactly, and the new pairs bridge/extend them. Because
+    * the canonical label is the component MINIMUM (order-independent),
+    * the result is BIT-IDENTICAL to clustering the union of all pairs
+    * from scratch — the q_dedup_clusters_incremental gate proves
+    * incremental(clusters(P_old), P_new) ≡ clusters(P_old ∪ P_new) by
+    * hash-comparing against the full-recompute oracle. Per-ingest cost:
+    * the state is assignment-sized (nodes of the old pair graph, not the
+    * corpus) plus the new pairs; composes with
+    * [[minhashLshPairsIncremental]]'s batch pair stream and the
+    * [[graft.streaming.Events.streamingNearDup]] pair log. */
+  def duplicateClustersIncremental(assignments: DataFrame,
+                                   newPairs: DataFrame, maxRounds: Int = 50,
+                                   driverMaxPairs: Int = 1000000): DataFrame =
+    duplicateClusters(
+      assignments.select(col("id").as("id_a"), col("cluster_id").as("id_b"))
+        .unionByName(newPairs.select(col("id_a"), col("id_b"))),
+      maxRounds, driverMaxPairs)
+
   def duplicateClusters(pairs: DataFrame, maxRounds: Int = 50,
                         driverMaxPairs: Int = 1000000): DataFrame = {
     val idType = pairs.schema("id_a").dataType

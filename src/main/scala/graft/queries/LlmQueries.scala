@@ -524,6 +524,29 @@ object LlmQueries {
       },
       Some(dedupClustersSql(0.8))),
 
+    Entry("q_dedup_clusters_incremental",
+      // incremental component maintenance AT THE GATE: cluster the old
+      // corpus (doc_id < 250), fold in ONLY the new batch's pair
+      // evidence (incremental LSH probe of the persisted banded index),
+      // and hash-compare against the FULL-corpus recompute — proving
+      // incremental(clusters(P_old), P_new) == clusters(P_old ∪ P_new)
+      // exactly (star edges preserve old connectivity; min-label is
+      // order-independent)
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val old = docs.where(col("doc_id") < 250)
+        val oldPairs = Dedup.minhashLshPairs(old, "doc_id", "text",
+          k = 3, threshold = 0.8, numHashes = 128, bands = 16)
+        val oldAssign = Dedup.duplicateClusters(oldPairs)
+        val oldIdx = Dedup.bandedIndex(old, "doc_id", "text",
+          k = 3, numHashes = 128, bands = 16)
+        val newPairs = Dedup.minhashLshPairsIncremental(old,
+          docs.where(col("doc_id") >= 250), oldIdx, "doc_id", "text",
+          k = 3, threshold = 0.8, numHashes = 128, bands = 16)
+        Dedup.duplicateClustersIncremental(oldAssign, newPairs)
+      },
+      Some(s"""WITH RECURSIVE $shingleCte, $minhashCandCtes, $verifyCtes, pairs AS (${verifySelect(0.8)}), $componentCtes SELECT id, cluster_id FROM comp""")),
+
     Entry("q_pipeline_curate",
       // end-to-end corpus curation: near-dup clustering keeps one
       // representative per duplicate group, then quality + language gates

@@ -142,4 +142,30 @@ class Round9Spec extends SparkSpec {
     // the per-executor cache hands BOTH equal expressions one filter
     assert(a.test(1L) && b.test(1L) && !c.test(1L))
   }
+
+  // ---- duplicateClustersIncremental ------------------------------------
+
+  test("duplicateClustersIncremental: a new pair BRIDGES two old " +
+    "components and the result equals the full recompute") {
+    import spark.implicits._
+    val oldPairs = Seq((1L, 2L), (3L, 4L)).toDF("id_a", "id_b")
+    val oldAssign = Dedup.duplicateClusters(oldPairs)
+    assert(oldAssign.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+      Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L))
+    // (2,3) bridges the two old components; (5,6) is a brand-new one
+    val newPairs = Seq((2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val inc = Dedup.duplicateClustersIncremental(oldAssign, newPairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val full = Dedup.duplicateClusters(
+        oldPairs.unionByName(newPairs))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(inc == full)
+    assert(inc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      5L -> 5L, 6L -> 5L))
+    // same equivalence on the distributed label-propagation path
+    val incDist = Dedup.duplicateClustersIncremental(oldAssign, newPairs,
+        driverMaxPairs = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(incDist == full)
+  }
 }
