@@ -59,6 +59,7 @@ object PlanAudit {
       "q_dist_shift", // single-row corpus-total broadcast-joined back
       "q_dedup_embedding", // exactness-baseline all-pairs by definition
       "q_text_ann", // bruteForceTopK: broadcast-queries-vs-corpus BNLJ
+      "q_multimodal_ann", // same bruteForceTopK shape over decoder features
       "q_corpus_overlap", // two single-row sketch summaries cross-joined
       "q_dsir_weights", // single-row corpus totals broadcast-joined back
       "q_dsir_sample",  // same weights stage under the Gumbel top-k

@@ -112,6 +112,29 @@ object ExtQueries {
       // the same UTF-8 bytes the engine's binary-cast content carries
       Some("""SELECT 'image' AS modality, md5(text) AS content_hash, min(doc_id) AS kept_id, count(*) AS dup_count FROM documents GROUP BY 2""")),
 
+    Entry("q_multimodal_ann",
+      // media similarity search end to end: decoder features (the
+      // deterministic byte-histogram fake; a real codec drops in behind
+      // MediaDecoder) -> exact cosine top-3 for three probe items,
+      // probes broadcast, corpus streamed — the "find images like this
+      // one" plumbing over the same ANN kernel the text tier uses. The
+      // oracle replays the feature extraction lane by lane from the hex
+      // dump, then the cosine folds in lane order: the feature values
+      // are float-narrowed BEFORE the fold in both engines, so every
+      // cosine matches bit for bit.
+      (s, d) => {
+        val media = Multimodal.asMedia(
+          t(s, d, "documents").withColumn("content", col("text").cast("binary")),
+          "doc_id", "content", "image")
+        val feats = Multimodal.extractFeatures(media,
+            new Multimodal.HashFeatureDecoder(8))
+          .where(col("features").isNotNull)
+          .select(col("media_id"), col("features"))
+        graft.sim.Similarity.bruteForceTopK(feats,
+          feats.where(col("media_id") < 3), "media_id", "features", k = 3)
+      },
+      Some("""WITH h AS (SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n FROM documents), bytes AS (SELECT doc_id, (i - 1) % 8 AS j, CAST(concat('0x', substr(hx, 2 * i - 1, 2)) AS BIGINT) AS byte FROM h, unnest(generate_series(1, n)) AS g(i) WHERE n > 0), feats AS (SELECT b.doc_id, b.j, CAST(CAST(sum(b.byte) / 255.0 / greatest(h.n // 8, 1) AS FLOAT) AS DOUBLE) AS f FROM bytes b JOIN h ON b.doc_id = h.doc_id GROUP BY b.doc_id, b.j, h.n), vec AS (SELECT doc_id, list(f ORDER BY j) AS v FROM feats GROUP BY 1), s AS (SELECT q.doc_id AS query_id, c.doc_id AS neighbor_id, list_reduce(list_transform(list_zip(q.v, c.v), p -> p[1] * p[2]), (a, e) -> a + e) / (sqrt(list_reduce(list_transform(q.v, x -> x * x), (a, e) -> a + e)) * sqrt(list_reduce(list_transform(c.v, x -> x * x), (a, e) -> a + e))) AS cos FROM (SELECT * FROM vec WHERE doc_id < 3) q JOIN vec c ON c.doc_id <> q.doc_id), r AS (SELECT query_id, neighbor_id, cos, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn FROM s) SELECT query_id, neighbor_id, CAST(rn AS INTEGER) AS rank, CAST(round(CAST(CAST(cos AS VARCHAR) AS DECIMAL(38,18)), 6) AS DOUBLE) AS cos FROM r WHERE rn <= 3""")),
+
     Entry("q_pca_batch",
       // PCA batch check: PC1 of the sample matrix, one-way ANOVA vs batch.
       // The kernel is now a closed-form function of the data (Gramian
