@@ -1124,6 +1124,65 @@ object LlmQueries {
         val he = s"""WITH ot AS (SELECT doc_id AS id, unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0)) AS tk FROM documents), b AS (SELECT id, CAST(concat('0x', substr(md5('he11:' || tk), 1, 15)) AS BIGINT) % 64 AS bucket, count(*) AS c FROM ot GROUP BY 1, 2), grid AS (SELECT i.id, gd.dim FROM (SELECT DISTINCT id FROM b) i, unnest(generate_series(0, 63)) AS gd(dim)), d AS (SELECT grid.id, list(CAST(coalesce(b.c, 0) AS DOUBLE) ORDER BY grid.dim) AS raw FROM grid LEFT JOIN b ON b.id = grid.id AND b.bucket = grid.dim GROUP BY 1), n AS (SELECT id, raw, sqrt(list_reduce(list_transform(raw, x -> x * x), (a, e) -> a + e)) AS nn FROM d), emb AS (SELECT id, list_transform(raw, x -> CAST(${OmicsQueries.rndSql("x / nn", 6)} AS REAL)) AS v FROM n)"""
         val cos = "list_sum(list_transform(list_zip(q.v, c.v), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) / (sqrt(list_sum(list_transform(q.v, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * sqrt(list_sum(list_transform(c.v, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))"
         s"""$he, q AS (SELECT id AS query_id, v FROM emb WHERE id < 3), s AS (SELECT query_id, c.id AS neighbor_id, $cos AS cos FROM q, emb c WHERE c.id <> q.query_id), r AS (SELECT query_id, neighbor_id, cos, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn FROM s) SELECT query_id, neighbor_id, CAST(rn AS INTEGER) AS rank, CAST(round(CAST(CAST(cos AS VARCHAR) AS DECIMAL(38,18)), 6) AS DOUBLE) AS cos FROM r WHERE rn <= 5"""
+      }),
+
+    Entry("q_rand_project",
+      // Johnson-Lindenstrauss compression: 64-float embeddings → 16 dense
+      // lanes through a seeded Gaussian plane matrix (the SRP plane stream)
+      // scaled by 1/sqrt(16) — the cheap pre-ANN narrowing. The oracle
+      // regenerates the planes from the same RNG stream and replays each
+      // lane as an explicitly parenthesized left fold, so all 16 doubles
+      // match bit for bit; the gate serializes to exact micro-units
+      (s, d) => Similarity.randomProject(t(s, d, "embeddings"), "vec_id",
+        "embedding", inDim = 64, outDim = 16, seed = 5L)
+        .withColumn("proj", Q.csvMicros(col("proj"))),
+      Some {
+        val planes = Similarity.srpPlanes(64, 16, 5L)
+        val scale = 1.0 / math.sqrt(16.0)
+        def lane(p: Array[Double]): String = {
+          val fold = p.zipWithIndex.foldLeft("CAST(0.0 AS DOUBLE)") {
+            case (acc, (w, i)) =>
+              s"($acc + CAST(embedding[${i + 1}] AS DOUBLE) * $w)"
+          }
+          OmicsQueries.rndSql(s"($fold) * $scale", 6)
+        }
+        val list = planes.map(lane).mkString("[", ", ", "]")
+        s"""SELECT vec_id AS id, ${Q.csvMicrosSql(list)} AS proj FROM embeddings"""
+      }),
+
+    Entry("q_gopher_rules",
+      // Gopher/MassiveText document-quality rule report: word-count
+      // bounds, mean-word-length band, symbol-to-word ratio, bullet- and
+      // ellipsis-line ratios, alphabetic-word fraction, required-stopword
+      // hits, and the conjunction `pass`. The fixture text is a flat word
+      // stream, so the query first structures it deterministically
+      // (doc_id-mod cases add bullet lines, ellipsis endings, '#' tags —
+      // literal replace/concat, replayed verbatim in the oracle) so every
+      // rule fires on a real subset. Zero shuffle: one codegen projection
+      (s, d) => {
+        val nl = lit("\n")
+        val structured = t(s, d, "documents").withColumn("stext",
+          when(col("doc_id") % 3 === 1,
+            concat(lit("- "),
+              replace(col("text"), lit(" the "), concat(nl, lit("- the "))),
+              nl, lit("...")))
+          .when(col("doc_id") % 3 === 2,
+            concat(col("text"), nl, lit("# trailing … line ..."), nl,
+              lit("## tag")))
+          .otherwise(col("text")))
+        Text.gopherRules(structured.select("doc_id", "stext"),
+          "doc_id", "stext", minWords = 10, maxWords = 100000,
+          requiredStopwords = Seq("the", "a", "and", "of", "value", "table"))
+      },
+      Some {
+        val r = (x: String) => OmicsQueries.rndSql(x, 6)
+        val ratio = (num: String, den: String) =>
+          s"CASE WHEN $den > 0 THEN ${r(s"CAST($num AS DOUBLE) / $den")} ELSE CAST(0.0 AS DOUBLE) END"
+        s"""WITH sd AS (SELECT doc_id, CASE WHEN doc_id % 3 = 1 THEN '- ' || replace(text, ' the ', chr(10) || '- the ') || chr(10) || '...' WHEN doc_id % 3 = 2 THEN text || chr(10) || '# trailing … line ...' || chr(10) || '## tag' ELSE text END AS stext FROM documents), """ +
+        s"""tok AS (SELECT doc_id, list_filter(string_split_regex(stext, '\\s+'), x -> len(x) > 0) AS toks, list_filter(string_split_regex(stext, '\\n'), l -> len(trim(l)) > 0) AS lns FROM sd), """ +
+        s"""m AS (SELECT doc_id, CAST(len(toks) AS INTEGER) AS n_words, CAST(list_sum(list_transform(toks, x -> len(x))) AS BIGINT) AS chars, CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS INTEGER) AS alpha, CAST(len(list_filter(toks, x -> starts_with(x, '#') OR contains(x, '…') OR contains(x, '...'))) AS INTEGER) AS symb, CAST(len(lns) AS INTEGER) AS n_lines, CAST(len(list_filter(lns, l -> regexp_matches(trim(l), '^[-*•]'))) AS INTEGER) AS bullet, CAST(len(list_filter(lns, l -> regexp_matches(trim(l), '(\\.\\.\\.|…)$$'))) AS INTEGER) AS ellip, CAST(len(list_intersect(list_distinct(list_transform(toks, x -> lower(x))), ['the','a','and','of','value','table'])) AS INTEGER) AS stopword_hits FROM tok), """ +
+        s"""v AS (SELECT doc_id, n_words, n_lines, stopword_hits, ${ratio("chars", "n_words")} AS mean_word_len, ${ratio("symb", "n_words")} AS symbol_ratio, ${ratio("bullet", "n_lines")} AS bullet_ratio, ${ratio("ellip", "n_lines")} AS ellipsis_ratio, ${ratio("alpha", "n_words")} AS alpha_ratio FROM m) """ +
+        s"""SELECT doc_id, n_words, n_lines, stopword_hits, mean_word_len, symbol_ratio, bullet_ratio, ellipsis_ratio, alpha_ratio, (n_words >= 10 AND n_words <= 100000) AS ok_word_count, (mean_word_len >= 3.0 AND mean_word_len <= 10.0) AS ok_mean_len, (symbol_ratio <= 0.1) AS ok_symbol, (bullet_ratio <= 0.9) AS ok_bullet, (ellipsis_ratio <= 0.3) AS ok_ellipsis, (alpha_ratio >= 0.8) AS ok_alpha, (stopword_hits >= 2) AS ok_stopwords, (n_words >= 10 AND n_words <= 100000 AND mean_word_len >= 3.0 AND mean_word_len <= 10.0 AND symbol_ratio <= 0.1 AND bullet_ratio <= 0.9 AND ellipsis_ratio <= 0.3 AND alpha_ratio >= 0.8 AND stopword_hits >= 2) AS pass FROM v"""
       })
   )
 }

@@ -279,6 +279,32 @@ object Similarity {
     Array.fill(nBits, dim)(rng.nextGaussian())
   }
 
+  /** Johnson-Lindenstrauss random projection: compress `vecCol` (inDim
+    * floats) to `outDim` dense doubles with a seeded Gaussian plane matrix
+    * scaled by 1/sqrt(outDim), so pairwise distances are preserved in
+    * expectation — the standard cheap embedding compression before an ANN
+    * index or a near-dup pass at 100 TB (a 4× narrower vector is 4× less
+    * shuffle in every downstream stage).
+    *
+    * The planes are BUILD-TIME constants ([[srpPlanes]], same stream the
+    * SRP-LSH tier uses) inlined into the plan — one codegen projection
+    * pass, zero shuffle. Each output lane is a left-fold sum in dimension
+    * order and is rounded at 6 decimals, so a SQL oracle replays every
+    * lane bit for bit (the q_ann_lsh recipe minus the sign). */
+  def randomProject(df: DataFrame, idCol: String, vecCol: String,
+                    inDim: Int, outDim: Int, seed: Long = 5L): DataFrame = {
+    require(outDim >= 1 && outDim <= inDim,
+      s"outDim must be in [1, $inDim]: $outDim")
+    val planes = srpPlanes(inDim, outDim, seed)
+    val scale = 1.0 / math.sqrt(outDim.toDouble)
+    val lanes = planes.map { p =>
+      round(aggregate(
+        zip_with(col(vecCol), lit(p), (x, w) => x.cast("double") * w),
+        lit(0.0), (acc, v) => acc + v) * scale, 6)
+    }
+    df.select(col(idCol).as("id"), array(lanes.toIndexedSeq: _*).as("proj"))
+  }
+
   def srpSignature(vec: Column, dim: Int, nBits: Int = 16, seed: Long = 7L): Column = {
     val planes = srpPlanes(dim, nBits, seed)
     val bits = planes.zipWithIndex.map { case (p, i) =>

@@ -151,6 +151,71 @@ object Text {
           .otherwise(0.0))
   }
 
+  /** Gopher-style document-quality rule report (Rae et al. 2021 §A1.1, the
+    * MassiveText filter): per-document word-count bounds, mean word length
+    * band, symbol-to-word ratio, bullet-/ellipsis-line ratios, alphabetic
+    * word fraction, and the ≥2-required-stopwords test, each emitted as its
+    * own boolean next to the measured value, plus the conjunction `pass`.
+    * Thresholds are parameters (defaults = the published ones, except the
+    * word-count floor which callers tune to their corpus).
+    *
+    * Scale shape: row-local regexp/split arithmetic only — one projection
+    * over the scan, zero shuffle, whole-stage codegen; the 100 TB cost is
+    * the read itself. All counts are exact integers and every emitted ratio
+    * is one IEEE division of two integers rounded at 6, so a SQL oracle
+    * replays the report bit-for-bit. */
+  def gopherRules(df: DataFrame, idCol: String, textCol: String,
+                  minWords: Int = 5, maxWords: Int = 10000000,
+                  minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+                  maxSymbolRatio: Double = 0.1, maxBulletRatio: Double = 0.9,
+                  maxEllipsisRatio: Double = 0.3, minAlphaRatio: Double = 0.8,
+                  requiredStopwords: Seq[String] = GopherStopwords,
+                  minStopwordHits: Int = 2): DataFrame = {
+    val t = col(textCol)
+    val toks = tokens(t)
+    val lines = filter(split(t, "\n"), l => length(trim(l)) > 0)
+    val ratio = (num: Column, den: Column) =>
+      when(den > 0, round(num.cast("double") / den, 6)).otherwise(lit(0.0))
+    df.select(col(idCol), toks.as("__toks"), lines.as("__lines"))
+      .select(col(idCol),
+        size(col("__toks")).as("n_words"),
+        aggregate(col("__toks"), lit(0L), (acc, x) => acc + length(x))
+          .as("__chars"),
+        size(filter(col("__toks"), x => x.rlike("[A-Za-z]"))).as("__alpha"),
+        size(filter(col("__toks"), x => x.startsWith("#") || x.contains("…") || x.contains("...")))
+          .as("__symbol"),
+        size(col("__lines")).as("n_lines"),
+        size(filter(col("__lines"), l => trim(l).rlike("^[-*•]")))
+          .as("__bullet"),
+        size(filter(col("__lines"), l => trim(l).rlike("(\\.\\.\\.|…)$")))
+          .as("__ellipsis"),
+        size(array_intersect(array_distinct(transform(col("__toks"), lower _)),
+          lit(requiredStopwords.toArray))).as("stopword_hits"))
+      .withColumn("mean_word_len", ratio(col("__chars"), col("n_words")))
+      .withColumn("symbol_ratio", ratio(col("__symbol"), col("n_words")))
+      .withColumn("bullet_ratio", ratio(col("__bullet"), col("n_lines")))
+      .withColumn("ellipsis_ratio", ratio(col("__ellipsis"), col("n_lines")))
+      .withColumn("alpha_ratio", ratio(col("__alpha"), col("n_words")))
+      .withColumn("ok_word_count",
+        col("n_words") >= minWords && col("n_words") <= maxWords)
+      .withColumn("ok_mean_len",
+        col("mean_word_len") >= minMeanLen && col("mean_word_len") <= maxMeanLen)
+      .withColumn("ok_symbol", col("symbol_ratio") <= maxSymbolRatio)
+      .withColumn("ok_bullet", col("bullet_ratio") <= maxBulletRatio)
+      .withColumn("ok_ellipsis", col("ellipsis_ratio") <= maxEllipsisRatio)
+      .withColumn("ok_alpha", col("alpha_ratio") >= minAlphaRatio)
+      .withColumn("ok_stopwords", col("stopword_hits") >= minStopwordHits)
+      .withColumn("pass",
+        col("ok_word_count") && col("ok_mean_len") && col("ok_symbol") &&
+          col("ok_bullet") && col("ok_ellipsis") && col("ok_alpha") &&
+          col("ok_stopwords"))
+      .drop("__chars", "__alpha", "__symbol", "__bullet", "__ellipsis")
+  }
+
+  /** The Gopher "must contain two of" stopword list. */
+  val GopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
   /** PII redaction patterns, in application order. Sequential: each stage
     * runs on the previous stage's output, so an already-redacted span can't
     * double-match (an all-digit email local part would otherwise also match

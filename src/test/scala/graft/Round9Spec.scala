@@ -168,4 +168,78 @@ class Round9Spec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(incDist == full)
   }
+
+  // ---- randomProject ----------------------------------------------------
+
+  test("randomProject: lanes match a driver-side matrix multiply and " +
+    "pairwise distances are JL-preserved in aggregate") {
+    import graft.sim.Similarity
+    val rng = new scala.util.Random(99)
+    val rows = (0 until 40).map(i =>
+      (i.toLong, Array.fill(64)(rng.nextGaussian().toFloat)))
+    val df = rows.toDF("vec_id", "embedding")
+    val out = Similarity.randomProject(df, "vec_id", "embedding",
+        inDim = 64, outDim = 16, seed = 5L)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    // reference: plain matrix multiply in driver code, same fold order
+    val planes = Similarity.srpPlanes(64, 16, 5L)
+    val scale = 1.0 / math.sqrt(16.0)
+    rows.foreach { case (id, v) =>
+      val expect = planes.map { p =>
+        var acc = 0.0
+        var i = 0
+        while (i < 64) { acc += v(i).toDouble * p(i); i += 1 }
+        BigDecimal.valueOf(acc * scale)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+      assert(java.util.Arrays.equals(out(id), expect), s"lane drift id=$id")
+    }
+    // JL property: mean squared-distance ratio near 1 (loose band — 16
+    // lanes on 40 points is noisy but unbiased)
+    def d2(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val ratios = for {
+      (i, vi) <- rows; (j, vj) <- rows if i < j
+    } yield d2(out(i), out(j)) /
+      d2(vi.map(_.toDouble), vj.map(_.toDouble))
+    val mean = ratios.sum / ratios.size
+    assert(mean > 0.8 && mean < 1.2, s"JL distortion off: $mean")
+  }
+
+  // ---- gopherRules --------------------------------------------------------
+
+  test("gopherRules: every measured value and boolean matches a " +
+    "hand-computed report on a crafted document") {
+    import graft.text.Text
+    val doc = "- bullet one\n- bullet two\nthe plain line has " +
+      "words and…\nclosing line ..."
+    // tokens: -,bullet,one,-,bullet,two,the,plain,line,has,words,and…,
+    //         closing,line,... = 15 words, 4 non-empty lines
+    val df = Seq((1L, doc)).toDF("id", "text")
+    val r = Text.gopherRules(df, "id", "text", minWords = 5,
+      requiredStopwords = Seq("the", "and", "line"), minStopwordHits = 2)
+      .collect()(0)
+    def f(n: String) = r.getAs[Any](n)
+    assert(f("n_words") == 15 && f("n_lines") == 4)
+    // chars = 1+6+3+1+6+3+3+5+4+3+5+4+7+4+3 = 58; mean = 58/15
+    assert(f("mean_word_len") ==
+      BigDecimal(58.0 / 15).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble)
+    // symbol tokens: 'and…' (contains …) and '...' → 2/15
+    assert(f("symbol_ratio") == math.rint(2.0 / 15 * 1e6) / 1e6 ||
+      f("symbol_ratio") == BigDecimal(2.0 / 15)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // bullet lines: 2 of 4; ellipsis-ending lines: 'words and…' + '...'
+    assert(f("bullet_ratio") == 0.5 && f("ellipsis_ratio") == 0.5)
+    // alpha words: all but '-','-','...' → 12/15 = 0.8
+    assert(f("alpha_ratio") == 0.8)
+    // stopword hits: the, and (in 'and…'? no — token is 'and…'), line
+    // tokens lowercased exact-match: 'the' and 'line' hit, 'and…' ≠ 'and'
+    assert(f("stopword_hits") == 2 && f("ok_stopwords") == true)
+    assert(f("ok_word_count") == true && f("ok_mean_len") == true)
+    assert(f("ok_symbol") == false) // 2/15 ≈ 0.133 > 0.1
+    assert(f("ok_bullet") == true && f("ok_ellipsis") == false)
+    assert(f("ok_alpha") == true) // 0.8 >= 0.8 boundary
+    assert(f("pass") == false)
+  }
 }
