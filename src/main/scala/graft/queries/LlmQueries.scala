@@ -217,6 +217,36 @@ object LlmQueries {
     s"$f, $its"
   }
 
+  /** DuckDB replay of Similarity.mmrSelect on embeddings (probe vec_id=0,
+    * corpus = the rest): the greedy loop unrolled to depth k. Stage i
+    * re-scores every unpicked row as λ·rel − (1−λ)·max_j cos(v, p_j.v)
+    * with the SAME double literals the engine multiplies by (the 1−λ
+    * spelling below is the Scala-computed double, e.g.
+    * 0.30000000000000004 — not 0.3), and picks the (score desc, id)
+    * argmax; the fused-cosine kernel's fold is the proven list_sum
+    * replay. */
+  private def mmrOracleSql(k: Int, lambda: Double): String = {
+    def cos(a: String, b: String) =
+      s"list_sum(list_transform(list_zip($a, $b), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) / (sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * sqrt(list_sum(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))"
+    val om = 1.0 - lambda
+    val stages = (1 to k).map { i =>
+      if (i == 1)
+        s"p1 AS (SELECT id, v, rel, score FROM (SELECT id, v, rel, $lambda * rel - $om * CAST(0.0 AS DOUBLE) AS score FROM rel) ORDER BY score DESC, id LIMIT 1)"
+      else {
+        val prevs = (1 until i).map(j => s"p$j")
+        val pens = prevs.map(p => cos("r.v", s"$p.v"))
+        val pen =
+          if (pens.size == 1) pens.head else s"greatest(${pens.mkString(", ")})"
+        val excl = prevs.map(p => s"r.id <> $p.id").mkString(" AND ")
+        s"p$i AS (SELECT id, v, rel, score FROM (SELECT r.id, r.v, r.rel, $lambda * r.rel - $om * ($pen) AS score FROM rel r, ${prevs.mkString(", ")} WHERE $excl) ORDER BY score DESC, id LIMIT 1)"
+      }
+    }.mkString(", ")
+    val out = (1 to k)
+      .map(i => s"SELECT CAST($i AS INTEGER) AS rank, id, rel, score FROM p$i")
+      .mkString(" UNION ALL ")
+    s"""WITH e AS (SELECT vec_id AS id, embedding AS v FROM embeddings), rel AS MATERIALIZED (SELECT e.id, e.v, ${cos("e.v", "q.v")} AS rel FROM e, (SELECT v FROM e WHERE id = 0) q WHERE e.id <> 0), $stages SELECT rank, id, ${OmicsQueries.rndSql("rel", 6)} AS rel, ${OmicsQueries.rndSql("score", 6)} AS score FROM ($out)"""
+  }
+
   /** DuckDB replay of Text.dsirLogWeights over documents with target =
     * lang 'en', dim 256, seed 17, alpha 1: the same md5 token→bucket
     * draw, Laplace-smoothed bucket distributions, and per-doc
@@ -1125,6 +1155,24 @@ object LlmQueries {
         val cos = "list_sum(list_transform(list_zip(q.v, c.v), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) / (sqrt(list_sum(list_transform(q.v, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * sqrt(list_sum(list_transform(c.v, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))"
         s"""$he, q AS (SELECT id AS query_id, v FROM emb WHERE id < 3), s AS (SELECT query_id, c.id AS neighbor_id, $cos AS cos FROM q, emb c WHERE c.id <> q.query_id), r AS (SELECT query_id, neighbor_id, cos, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn FROM s) SELECT query_id, neighbor_id, CAST(rn AS INTEGER) AS rank, CAST(round(CAST(CAST(cos AS VARCHAR) AS DECIMAL(38,18)), 6) AS DOUBLE) AS cos FROM r WHERE rn <= 5"""
       }),
+
+    Entry("q_mmr_select",
+      // Maximal-Marginal-Relevance selection: greedy diverse top-5 around
+      // probe vec_id=0 — pick what's relevant but NOT a near-dup of
+      // earlier picks (the diversity-aware data-selection step). The
+      // oracle unrolls the greedy loop to depth 5 (the drivernet
+      // pattern): each stage re-scores the remainder with the exact
+      // engine arithmetic (fused-cosine replay, the same λ/1−λ double
+      // literals) and takes the same (score desc, id) argmax
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val qv = emb.where(col("vec_id") === 0)
+          .select(col("embedding").cast("array<float>"))
+          .collect()(0).getSeq[Float](0).toArray
+        Similarity.mmrSelect(emb.where(col("vec_id") =!= 0), "vec_id",
+          "embedding", qv, k = 5, lambda = 0.7)
+      },
+      Some(mmrOracleSql(k = 5, lambda = 0.7))),
 
     Entry("q_rand_project",
       // Johnson-Lindenstrauss compression: 64-float embeddings → 16 dense

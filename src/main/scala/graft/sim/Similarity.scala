@@ -279,6 +279,62 @@ object Similarity {
     Array.fill(nBits, dim)(rng.nextGaussian())
   }
 
+  /** Maximal-Marginal-Relevance diverse top-k selection: greedily pick the
+    * candidate maximizing `lambda·cos(v, query) − (1−lambda)·max_{s∈S}
+    * cos(v, s)` — the standard diversity-aware data-selection step (pick
+    * relevant examples that are NOT near-duplicates of what's already
+    * picked). Ties break by id ascending, so the selection is fully
+    * deterministic and a SQL oracle can replay the greedy loop unrolled.
+    *
+    * Scale shape: relevance is computed once into a checkpointed narrow
+    * relation (one corpus pass); each of the k rounds is a zero-shuffle
+    * projection — the selected set rides into the plan as a broadcast-sized
+    * literal array (k vectors, bounded) and the argmax is a top-1
+    * TakeOrdered, never a global sort. k driver-side rows total are
+    * collected (the picks themselves — the DriverNet greedy contract). */
+  def mmrSelect(corpus: DataFrame, idCol: String, vecCol: String,
+                queryVec: Array[Float], k: Int,
+                lambda: Double = 0.7): DataFrame = {
+    require(k >= 1, s"k must be positive: $k")
+    require(lambda >= 0.0 && lambda <= 1.0, s"lambda in [0,1]: $lambda")
+    val spark = corpus.sparkSession
+    val rel = corpus.select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<float>").as("v"))
+      .withColumn("rel", cosine(col("v"), typedLit(queryVec.toSeq)))
+      .localCheckpoint()
+    var picks = Vector.empty[(Int, Long, Double, Double)]
+    var pickIds = Vector.empty[Long]
+    var pickVecs = Vector.empty[Seq[Float]]
+    var done = false
+    for (i <- 1 to k if !done) {
+      val remaining =
+        if (pickIds.isEmpty) rel else rel.where(!col("id").isin(pickIds: _*))
+      val pen =
+        if (pickVecs.isEmpty) lit(0.0)
+        else array_max(transform(typedLit(pickVecs),
+          sv => cosine(col("v"), sv)))
+      val top = remaining
+        .withColumn("pen", pen)
+        .withColumn("score",
+          lit(lambda) * col("rel") - lit(1.0 - lambda) * col("pen"))
+        .orderBy(col("score").desc, col("id").asc)
+        .limit(1)
+        .select(col("id"), col("v"), col("rel"), col("score"))
+        .collect()
+      if (top.isEmpty) done = true
+      else {
+        val r = top(0)
+        picks :+= ((i, r.getLong(0), r.getDouble(2), r.getDouble(3)))
+        pickIds :+= r.getLong(0)
+        pickVecs :+= r.getSeq[Float](1)
+      }
+    }
+    import spark.implicits._
+    picks.toDF("rank", "id", "rel", "score")
+      .select(col("rank"), col("id"),
+        round(col("rel"), 6).as("rel"), round(col("score"), 6).as("score"))
+  }
+
   /** Johnson-Lindenstrauss random projection: compress `vecCol` (inDim
     * floats) to `outDim` dense doubles with a seeded Gaussian plane matrix
     * scaled by 1/sqrt(outDim), so pairwise distances are preserved in

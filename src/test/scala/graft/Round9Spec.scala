@@ -169,6 +169,54 @@ class Round9Spec extends SparkSpec {
     assert(incDist == full)
   }
 
+  // ---- mmrSelect ----------------------------------------------------------
+
+  test("mmrSelect: matches a driver-side greedy MMR replay and skips the " +
+    "near-clone a plain top-k would take") {
+    import graft.sim.Similarity
+    val rng = new scala.util.Random(7)
+    def unit(v: Array[Float]): Array[Float] = {
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat
+      v.map(_ / n)
+    }
+    val q = unit(Array.fill(8)(rng.nextGaussian().toFloat))
+    // id 1 = almost q; id 2 = a near-clone of id 1; id 3.. random
+    val eps = () => Array.fill(8)(rng.nextGaussian().toFloat * 0.01f)
+    val v1 = unit(q.zip(eps()).map { case (a, b) => a + b })
+    val v2 = unit(v1.zip(eps()).map { case (a, b) => a + b })
+    val rows = Seq(1L -> v1, 2L -> v2) ++
+      (3L to 12L).map(_ -> unit(Array.fill(8)(rng.nextGaussian().toFloat)))
+    val df = rows.toDF("vec_id", "embedding")
+    val got = Similarity.mmrSelect(df, "vec_id", "embedding", q,
+      k = 4, lambda = 0.5).collect()
+      .map(r => (r.getInt(0), r.getLong(1)))
+    // driver-side greedy replay (double arithmetic, same tie-break)
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble; i += 1
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    var sel = Vector.empty[Long]
+    (1 to 4).foreach { _ =>
+      val best = rows.filterNot { case (id, _) => sel.contains(id) }
+        .map { case (id, v) =>
+          val pen =
+            if (sel.isEmpty) 0.0
+            else sel.map(s => cos(v, rows.find(_._1 == s).get._2)).max
+          (id, 0.5 * cos(v, q) - 0.5 * pen)
+        }
+        .minBy { case (id, s) => (-s, id) }
+      sel :+= best._1
+    }
+    assert(got.map(_._2).toVector == sel)
+    // diversity: 1 picked first; its clone 2 must NOT be pick #2
+    assert(got.head._2 == 1L && got(1)._2 != 2L)
+  }
+
   // ---- randomProject ----------------------------------------------------
 
   test("randomProject: lanes match a driver-side matrix multiply and " +
