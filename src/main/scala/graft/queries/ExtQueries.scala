@@ -212,6 +212,37 @@ object ExtQueries {
           .agg(count(lit(1)).as("n_cust"),
             r6(Q.sumDec(col("c_acctbal")) / count(lit(1))).as("avg_bal"))
       },
-      Some("""SELECT n_name, count(*) AS n_cust, CAST(round(CAST(CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS VARCHAR) AS DECIMAL(38,18)), 6) AS DOUBLE) AS avg_bal FROM customer JOIN nation ON c_nationkey = n_nationkey GROUP BY 1"""))
+      Some("""SELECT n_name, count(*) AS n_cust, CAST(round(CAST(CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS VARCHAR) AS DECIMAL(38,18)), 6) AS DOUBLE) AS avg_bal FROM customer JOIN nation ON c_nationkey = n_nationkey GROUP BY 1""")),
+
+    Entry("q_graph_pagerank",
+      // exact-integer PageRank (3 iterations, d=0.85) over the bipartite
+      // user↔event-type interaction graph — graph centrality as a
+      // data-selection weight. Rank mass lives in BIGINT units of 1e-12
+      // with floor divisions at every step, so the fixpoint math is
+      // order-independent and the oracle replays it with `//` — no
+      // double-sum nondeterminism anywhere
+      (s, d) => {
+        val pe = Q.events(s, d)
+          .select(concat(lit("u:"), col("user_id").cast("string")).as("u"),
+            concat(lit("e:"), col("event_type")).as("e"))
+          .distinct()
+        val edges = pe.select(col("u").as("src"), col("e").as("dst"))
+          .unionByName(pe.select(col("e").as("src"), col("u").as("dst")))
+        graft.graph.Graph.pageRank(edges, "src", "dst", iters = 3)
+      },
+      Some {
+        val u = graft.graph.Graph.RankUnit
+        def it(i: Int): String =
+          s"""c$i AS (SELECT e.dst, sum(r.r // o.deg) AS inflow FROM ed e JOIN r${i - 1} r ON r.node = e.src JOIN odeg o ON o.src = e.src GROUP BY 1), """ +
+          s"""r$i AS MATERIALIZED (SELECT nd.node, (SELECT tele FROM cst) + CAST((85 * coalesce(c.inflow, 0)) // 100 AS BIGINT) AS r FROM nd LEFT JOIN c$i c ON c.dst = nd.node)"""
+        val its = (1 to 3).map(it).mkString(", ")
+        s"""WITH pe AS (SELECT DISTINCT 'u:' || CAST(user_id AS VARCHAR) AS u, 'e:' || event_type AS e FROM events), """ +
+        s"""ed AS MATERIALIZED (SELECT u AS src, e AS dst FROM pe UNION ALL SELECT e, u FROM pe), """ +
+        s"""nd AS MATERIALIZED (SELECT DISTINCT x AS node FROM (SELECT src AS x FROM ed UNION ALL SELECT dst FROM ed)), """ +
+        s"""cst AS (SELECT ($u // count(*)) AS r0, (($u // count(*)) * 15) // 100 AS tele FROM nd), """ +
+        s"""odeg AS (SELECT src, count(*) AS deg FROM ed GROUP BY 1), """ +
+        s"""r0 AS (SELECT node, (SELECT r0 FROM cst) AS r FROM nd), $its """ +
+        s"""SELECT node, CAST(r AS BIGINT) AS rank_units, ${OmicsQueries.rndSql(s"CAST(r AS DOUBLE) / $u.0", 6)} AS rank FROM r3"""
+      })
   )
 }

@@ -169,6 +169,36 @@ class Round9Spec extends SparkSpec {
     assert(incDist == full)
   }
 
+  // ---- pageRank -----------------------------------------------------------
+
+  test("pageRank: matches a driver-side integer replay and ranks the " +
+    "hub of a star graph first") {
+    import graft.graph.Graph
+    // star: everyone links to h; h links back to a only
+    val edges = Seq(("a", "h"), ("b", "h"), ("c", "h"), ("d", "h"),
+      ("h", "a")).toDF("src", "dst")
+    val got = Graph.pageRank(edges, "src", "dst", iters = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // driver replay, same floor arithmetic
+    val nodes = Seq("a", "b", "c", "d", "h")
+    val n = nodes.size
+    val adj = Seq("a" -> "h", "b" -> "h", "c" -> "h", "d" -> "h", "h" -> "a")
+    val outdeg = adj.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    val r0 = Graph.RankUnit / n
+    val tele = r0 * 15L / 100L
+    var rank = nodes.map(_ -> r0).toMap
+    (1 to 3).foreach { _ =>
+      val inflow = adj.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map { case (s, _) => rank(s) / outdeg(s) }.sum
+      }
+      rank = nodes.map(x => x -> (tele + 85L * inflow.getOrElse(x, 0L) / 100L))
+        .toMap
+    }
+    assert(got == rank)
+    assert(got("h") > got("a") && got("a") > got("b")) // hub > its target > leaves
+    assert(got("b") == got("c") && got("c") == got("d"))
+  }
+
   // ---- mmrSelect ----------------------------------------------------------
 
   test("mmrSelect: matches a driver-side greedy MMR replay and skips the " +
