@@ -60,7 +60,12 @@ object ScaleCheck {
     "q_kmeans_increment", "q_source_report", "q_dedup_tier_agreement",
     "q_pq_encode", "q_hard_negatives", "q_quantile_normalize",
     "q_dedup_clusters_incremental",
-    "q_winsorized_mean", "q_multimodal_dedup")
+    "q_winsorized_mean", "q_multimodal_dedup",
+    // round-9 additions: the Gopher rule report and JL projection
+    // (zero-shuffle projections — expect ~linear), MMR (k bounded
+    // argmax passes), and integer PageRank (edge-key exchanges only)
+    "q_gopher_rules", "q_rand_project", "q_mmr_select",
+    "q_graph_pagerank")
 
   def main(args: Array[String]): Unit = {
     val src = "/root/testdata/sf0.1"
