@@ -32,11 +32,12 @@ object Graph {
     * shuffles only the node-sized rank relation (join on src, re-group on
     * dst) — 2 node/edge-key exchanges per step, no corpus-wide state, no
     * driver materialization beyond the single node count. Lineage is
-    * truncated per step (localCheckpoint) so `iters` stays O(1) plan
-    * depth. */
+    * truncated every `checkpointInterval` steps, so short runs execute as
+    * ONE multi-level job (no per-step materialization tax) while long
+    * runs keep O(interval) plan depth. */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
                iters: Int = 3, dampNum: Long = 85L,
-               dampDen: Long = 100L): DataFrame = {
+               dampDen: Long = 100L, checkpointInterval: Int = 5): DataFrame = {
     require(iters >= 1, s"iters must be positive: $iters")
     require(dampNum >= 0 && dampNum <= dampDen,
       s"damping must be in [0,1]: $dampNum/$dampDen")
@@ -52,7 +53,7 @@ object Graph {
     val teleport = r0 * (dampDen - dampNum) / dampDen
     val outdeg = e.groupBy("src").agg(count(lit(1)).as("deg"))
     var ranks = nodes.withColumn("r", lit(r0))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val inflow = e.join(ranks, e("src") === ranks("node"))
         .join(outdeg, "src")
         .select(col("dst"), expr("r div deg").as("c"))
@@ -63,7 +64,8 @@ object Graph {
           (lit(teleport) +
             expr(s"(${dampNum}L * coalesce(inflow, 0L)) div ${dampDen}L"))
             .as("r"))
-        .localCheckpoint()
+      if (i % checkpointInterval == 0 && i < iters)
+        ranks = ranks.localCheckpoint()
     }
     ranks.select(col("node"), col("r").as("rank_units"),
       round(col("r").cast("double") / RankUnit.toDouble, 6).as("rank"))

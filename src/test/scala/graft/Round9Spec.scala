@@ -197,6 +197,14 @@ class Round9Spec extends SparkSpec {
     assert(got == rank)
     assert(got("h") > got("a") && got("a") > got("b")) // hub > its target > leaves
     assert(got("b") == got("c") && got("c") == got("d"))
+    // checkpoint cadence is an execution detail, never a result change
+    val chk = Graph.pageRank(edges, "src", "dst", iters = 6,
+      checkpointInterval = 2).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val noChk = Graph.pageRank(edges, "src", "dst", iters = 6,
+      checkpointInterval = 100).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(chk == noChk)
   }
 
   // ---- mmrSelect ----------------------------------------------------------
