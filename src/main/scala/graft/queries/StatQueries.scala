@@ -84,6 +84,16 @@ object StatQueries {
 
   val entries: Seq[Entry] = Seq(
 
+    Entry("q_group_kmv",
+      // per-group approximate distinct (distinct users per event type)
+      // via the bounded KMV aggregate — sketch-sized exchange partials
+      // where exact distinct would shuffle the whole key set; sketch AND
+      // estimate replayed exactly (md5 60-bit draws, (k−1)·2⁶⁰/kth)
+      (s, d) => graft.stats.Sketches.groupKmvDistinct(
+        Q.events(s, d), "event_type", "user_id", k = 64, seed = 3L)
+        .withColumn("kmv", Q.csvInts(col("kmv"))),
+      Some(s"""WITH dh AS (SELECT DISTINCT event_type, CAST(concat('0x', substr(md5('gk3:' || CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h FROM events WHERE user_id IS NOT NULL), rk AS (SELECT event_type, h, row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn FROM dh), km AS (SELECT event_type, list(h ORDER BY h) AS kmv, CAST(count(*) AS INTEGER) AS n_mins, max(h) AS kth FROM rk WHERE rn <= 64 GROUP BY 1), ne AS (SELECT event_type, count(*) AS n_rows FROM events WHERE user_id IS NOT NULL GROUP BY 1) SELECT ne.event_type, ne.n_rows, ${Q.csvIntsSql("km.kmv")} AS kmv, km.n_mins, CASE WHEN km.n_mins < 64 THEN CAST(km.n_mins AS DOUBLE) ELSE ${OmicsQueries.rndSql("63.0 * 1152921504606846976.0 / km.kth", 2)} END AS est_distinct FROM ne JOIN km USING (event_type)""")),
+
     Entry("q_profile_kmv",
       // the mergeable profile: bounded native KMV sketch aggregate
       // (k longs of buffer, map-side combine) in place of the exact

@@ -65,6 +65,38 @@ object Sketches {
       .agg(min(coalesce(col("c"), lit(0L))).as("cms_est"))
   }
 
+  /** Per-group approximate distinct count via the KMV construction — the
+    * "distinct users per segment / distinct docs per domain" primitive
+    * where an exact per-group distinct would shuffle the full key set.
+    * Each group's state is ≤ k longs ([[graft.catalyst.KmvSketchAgg]],
+    * map-side partial combine), so the exchange carries sketch-sized
+    * partials regardless of group cardinality; the sketches are also
+    * MERGEABLE across corpus slices (re-take the k smallest of the union
+    * — same contract as Profile.mergeKmvProfiles).
+    *
+    * Estimate: n_mins if the group has < k distinct hashes (exact), else
+    * (k−1)·2⁶⁰ / kth-smallest, rounded at 2. Hashing is the shared
+    * seeded md5 60-bit draw over the value's string form, so a SQL
+    * oracle replays sketch and estimate exactly.
+    *
+    * @return (groupCol, n_rows, kmv ARRAY<BIGINT>, n_mins, est_distinct) */
+  def groupKmvDistinct(df: DataFrame, groupCol: String, valueCol: String,
+                       k: Int = 64, seed: Long = 3L): DataFrame = {
+    require(k >= 2, s"k must be >= 2: $k")
+    val two60 = 1152921504606846976.0 // 2^60, the hash draw's range
+    val h = conv(substring(md5(concat(lit(s"gk$seed:"),
+      col(valueCol).cast("string"))), 1, 15), 16, 10).cast("long")
+    df.where(col(valueCol).isNotNull)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_rows"),
+        graft.catalyst.SketchFunctions.kmvSketch(h, k).as("kmv"))
+      .withColumn("n_mins", size(col("kmv")))
+      .withColumn("est_distinct",
+        when(col("n_mins") < k, col("n_mins").cast("double"))
+          .otherwise(round(lit((k - 1).toDouble) * lit(two60) /
+            element_at(col("kmv"), col("n_mins")), 2)))
+  }
+
   /** Cross-corpus content-overlap estimate via the KMV (k-minimum-values)
     * construction: the k smallest shingle-hash draws of A∪B form a
     * uniform sample of the union, and the fraction of them present in

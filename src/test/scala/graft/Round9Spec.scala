@@ -169,6 +169,39 @@ class Round9Spec extends SparkSpec {
     assert(incDist == full)
   }
 
+  // ---- groupKmvDistinct -----------------------------------------------------
+
+  test("groupKmvDistinct: exact below k, within the KMV error band above " +
+    "k, and slice-mergeable") {
+    import graft.stats.Sketches
+    val rows =
+      (1 to 2000).map(i => ("big", s"u$i")) ++ // 2000 distinct, each twice
+        (1 to 2000).map(i => ("big", s"u$i")) ++
+        (1 to 30).map(i => ("small", s"v$i")) // 30 distinct < k
+    val df = rows.toDF("grp", "uid")
+    val got = Sketches.groupKmvDistinct(df, "grp", "uid", k = 64)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getSeq[Long](2), r.getInt(3), r.getDouble(4))).toMap
+    val (bn, bk, bm, be) = got("big")
+    val (sn, _, sm, se) = got("small")
+    assert(bn == 4000L && sn == 30L)
+    assert(sm == 30 && se == 30.0) // below k: exact
+    assert(bm == 64 && bk.length == 64)
+    assert(be > 1400 && be < 2600, s"KMV estimate off: $be") // ±~4σ
+    // mergeability: k smallest of the union of slice sketches = sketch
+    // of the union (the mergeKmvProfiles contract, checked raw here)
+    val sliceA = Sketches.groupKmvDistinct(
+      df.where(length(col("uid")) % 2 === 0), "grp", "uid", k = 64)
+    val sliceB = Sketches.groupKmvDistinct(
+      df.where(length(col("uid")) % 2 =!= 0), "grp", "uid", k = 64)
+    val merged = sliceA.unionByName(sliceB)
+      .select(col("grp"), explode(col("kmv")).as("h"))
+      .groupBy("grp").agg(slice(array_sort(collect_set(col("h"))), 1, 64)
+        .as("kmv"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(merged("big") == bk)
+  }
+
   // ---- pageRank -----------------------------------------------------------
 
   test("pageRank: matches a driver-side integer replay and ranks the " +
