@@ -1156,6 +1156,29 @@ object LlmQueries {
         s"""$he, q AS (SELECT id AS query_id, v FROM emb WHERE id < 3), s AS (SELECT query_id, c.id AS neighbor_id, $cos AS cos FROM q, emb c WHERE c.id <> q.query_id), r AS (SELECT query_id, neighbor_id, cos, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn FROM s) SELECT query_id, neighbor_id, CAST(rn AS INTEGER) AS rank, CAST(round(CAST(CAST(cos AS VARCHAR) AS DECIMAL(38,18)), 6) AS DOUBLE) AS cos FROM r WHERE rn <= 5"""
       }),
 
+    Entry("q_bm25_topk",
+      // BM25 corpus mining against a seed term bag — top-20 most relevant
+      // documents. idf is 1e-6-grid-quantized straight after the ln (libm
+      // ulp guard) and each per-term score floors to integer micro-units
+      // before the per-doc sum, so the BIGINT score is shuffle-order
+      // independent and the oracle replays sketch arithmetic exactly
+      (s, d) => Text.bm25TopK(t(s, d, "documents"), "doc_id", "text",
+        terms = Seq("table", "merge", "stream"), topK = 20),
+      Some {
+        val (k1, b) = (1.2, 0.75)
+        val k1p1 = k1 + 1.0
+        val omb = 1.0 - b
+        s"""WITH tk AS (SELECT doc_id AS id, list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0) AS ts FROM documents), """ +
+        s"""dlr AS (SELECT id, CAST(len(ts) AS INTEGER) AS dl, ts FROM tk), """ +
+        s"""st AS (SELECT count(*) AS n, CAST(sum(CAST(len(ts) AS DECIMAL(24,6))) AS DOUBLE) / count(*) AS avgdl FROM tk), """ +
+        s"""tf AS (SELECT id, dl, tok, count(*) AS tf FROM (SELECT d.id, d.dl, unnest(d.ts) AS tok FROM dlr d) WHERE tok IN ('table', 'merge', 'stream') GROUP BY 1, 2, 3), """ +
+        s"""dfc AS (SELECT tok, count(DISTINCT id) AS df FROM tf GROUP BY 1), """ +
+        s"""idf AS (SELECT tok, floor(ln(1.0 + (CAST((SELECT n FROM st) AS DOUBLE) - df + 0.5) / (df + 0.5)) * 1e6 + 0.5) / 1e6 AS idf FROM dfc), """ +
+        s"""tu AS (SELECT t.id, t.dl, CAST(floor(i.idf * (t.tf * $k1p1 / (t.tf + $k1 * ($omb + $b * t.dl / (SELECT avgdl FROM st)))) * 1e6 + 0.5) AS BIGINT) AS u FROM tf t JOIN idf i USING (tok)), """ +
+        s"""sc AS (SELECT id, dl, CAST(sum(u) AS BIGINT) AS score_units FROM tu GROUP BY 1, 2) """ +
+        s"""SELECT id, dl, score_units, ${OmicsQueries.rndSql("CAST(score_units AS DOUBLE) / 1e6", 6)} AS score FROM sc ORDER BY score_units DESC, id LIMIT 20"""
+      }),
+
     Entry("q_mmr_select",
       // Maximal-Marginal-Relevance selection: greedy diverse top-5 around
       // probe vec_id=0 — pick what's relevant but NOT a near-dup of

@@ -151,6 +151,60 @@ object Text {
           .otherwise(0.0))
   }
 
+  /** BM25 retrieval scoring of the corpus against a bag of query terms —
+    * the "mine documents relevant to X" curation primitive (seed-document
+    * expansion, domain mining). Okapi BM25 with the Lucene idf
+    * (ln(1 + (N−df+0.5)/(df+0.5))):
+    * score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)).
+    *
+    * Determinism contract: idf is quantized to the 1e-6 grid right after
+    * the transcendental (the IRLS recipe — ln's last ulp is libm-specific)
+    * and every per-term score is floored to exact integer MICRO-UNITS
+    * before the per-document sum, so the sum is BIGINT — order-independent
+    * under any shuffle, and a SQL oracle replays it bit for bit. avgdl is
+    * an exact decimal mean.
+    *
+    * Scale shape: terms are a broadcast-sized list; the corpus pass
+    * explodes ONLY matching tokens (the `isin` prunes before the
+    * per-doc combine), df/N/avgdl are one tiny aggregate each, and the
+    * final rank is a top-k TakeOrdered on (score_units desc, id) — no
+    * global sort, no corpus-wide shuffle beyond the doc-id combine.
+    *
+    * @return top-k rows (id, dl, score_units BIGINT, score double) */
+  def bm25TopK(df: DataFrame, idCol: String, textCol: String,
+               terms: Seq[String], topK: Int = 20, k1: Double = 1.2,
+               b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "bm25TopK: empty term list")
+    val grid = (c: Column) => floor(c * 1e6 + 0.5) / 1e6
+    val lowered = terms.map(_.toLowerCase(java.util.Locale.ROOT)).distinct
+    val toksed = df.select(col(idCol).as("id"),
+        tokens(lower(col(textCol))).as("ts"))
+      .withColumn("dl", size(col("ts")))
+    val stats = toksed.agg(count(lit(1)).as("n_docs"),
+        (sum(col("dl").cast("decimal(24,6)")).cast("double") /
+          count(lit(1))).as("avgdl"))
+      .collect()(0)
+    val nDocs = stats.getLong(0)
+    val avgdl = stats.getDouble(1)
+    val tf = toksed
+      .select(col("id"), col("dl"), explode(col("ts")).as("tok"))
+      .where(col("tok").isin(lowered: _*))
+      .groupBy("id", "dl", "tok").agg(count(lit(1)).as("tf"))
+    val idf = tf.groupBy("tok").agg(countDistinct(col("id")).as("df"))
+      .withColumn("idf", grid(log(lit(1.0) +
+        (lit(nDocs.toDouble) - col("df") + 0.5) / (col("df") + 0.5))))
+    tf.join(broadcast(idf.select("tok", "idf")), "tok")
+      .withColumn("term_units",
+        floor(col("idf") * (col("tf") * (k1 + 1.0) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) +
+            lit(b) * col("dl") / avgdl))) * 1e6 + 0.5).cast("long"))
+      .groupBy("id", "dl").agg(sum(col("term_units")).as("score_units"))
+      .orderBy(col("score_units").desc, col("id").asc)
+      .limit(topK)
+      .withColumn("score",
+        round(col("score_units").cast("double") / 1e6, 6))
+  }
+
   /** Gopher-style document-quality rule report (Rae et al. 2021 §A1.1, the
     * MassiveText filter): per-document word-count bounds, mean word length
     * band, symbol-to-word ratio, bullet-/ellipsis-line ratios, alphabetic

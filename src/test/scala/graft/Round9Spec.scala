@@ -169,6 +169,51 @@ class Round9Spec extends SparkSpec {
     assert(incDist == full)
   }
 
+  // ---- bm25TopK -------------------------------------------------------------
+
+  test("bm25TopK: matches a driver-side formula replay and prefers " +
+    "term-dense short documents") {
+    import graft.text.Text
+    val docs = Seq(
+      (1L, "spark table merge table"), // 2×table 1×merge, dl 4
+      (2L, "table"), // 1×table, dl 1 (short → high per-term weight)
+      (3L, "stream stream stream other words here padding out length"),
+      (4L, "nothing relevant at all in this one"),
+      (5L, "merge table stream")).toDF("doc_id", "text")
+    val got = Text.bm25TopK(docs, "doc_id", "text",
+      terms = Seq("table", "merge", "stream"), topK = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toList
+    // driver replay
+    val toks = Map(1L -> Seq("spark", "table", "merge", "table"),
+      2L -> Seq("table"),
+      3L -> Seq("stream", "stream", "stream", "other", "words", "here",
+        "padding", "out", "length"),
+      4L -> Seq("nothing", "relevant", "at", "all", "in", "this", "one"),
+      5L -> Seq("merge", "table", "stream"))
+    val n = toks.size.toDouble
+    val avgdl = toks.values.map(_.size).sum.toDouble / toks.size
+    def grid(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val terms = Seq("table", "merge", "stream")
+    val dfm = terms.map(t =>
+      t -> toks.values.count(_.contains(t)).toDouble).toMap
+    val idf = terms.map(t =>
+      t -> grid(math.log(1.0 + (n - dfm(t) + 0.5) / (dfm(t) + 0.5)))).toMap
+    val expect = toks.map { case (id, ts) =>
+      val dl = ts.size.toDouble
+      val units = terms.map { t =>
+        val tf = ts.count(_ == t).toDouble
+        if (tf == 0) 0L
+        else math.floor(idf(t) * (tf * 2.2 /
+          (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))) * 1e6 + 0.5).toLong
+      }.sum
+      id -> units
+    }.filter(_._2 > 0).toList.sortBy { case (id, u) => (-u, id) }
+    assert(got == expect)
+    // the zero-match doc is absent; the term-dense docs lead
+    assert(!got.exists(_._1 == 4L))
+    assert(got.head._1 == 5L || got.head._1 == 1L)
+  }
+
   // ---- groupKmvDistinct -----------------------------------------------------
 
   test("groupKmvDistinct: exact below k, within the KMV error band above " +
