@@ -284,6 +284,48 @@ object Sampling {
     df.withColumn("rn", row_number().over(w)).where(col("rn") <= quota)
   }
 
+  /** Temperature-scaled mixture weights over a domain/source/language
+    * column — the standard multilingual-corpus rebalancer: raw shares
+    * p_i are flattened to w_i ∝ p_i^alpha (alpha < 1 upweights the tail,
+    * alpha = 1 is proportional, alpha = 0 is uniform), and an integer
+    * token/doc `budget` is apportioned by exact integer division of the
+    * quantized weights.
+    *
+    * Determinism contract: p_i = n_i/N is one double division of exact
+    * longs; pow's last ulp is libm-specific so p^alpha quantizes to the
+    * 1e-6 grid immediately (the ln/IRLS recipe); weights and quotas then
+    * live in exact integer micro-units (the normalizing sum is a BIGINT
+    * window total, order-independent), so a SQL oracle replays every
+    * row bit for bit.
+    *
+    * Scale shape: one per-domain count aggregate (map-side combined)
+    * over the corpus; everything after is arithmetic over the
+    * domain-cardinality relation — a single-task window at worst.
+    *
+    * @return (domainCol, n, p, w, quota): share, normalized temperature
+    *         weight (rounded 6), and the integer budget slice */
+  def mixtureTemperature(df: DataFrame, domainCol: String, alpha: Double,
+                         budget: Long): DataFrame = {
+    require(alpha >= 0.0 && alpha <= 1.0, s"alpha in [0,1]: $alpha")
+    require(budget > 0, s"budget must be positive: $budget")
+    val counts = df.groupBy(col(domainCol)).agg(count(lit(1)).as("n"))
+    val all = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1))
+      .rowsBetween(Long.MinValue, Long.MaxValue)
+    counts
+      .withColumn("__total", sum(col("n")).over(all))
+      .withColumn("p",
+        col("n").cast("double") / col("__total").cast("double"))
+      .withColumn("__qu",
+        floor(pow(col("p"), lit(alpha)) * 1e6 + 0.5).cast("long"))
+      .withColumn("__qsum", sum(col("__qu")).over(all))
+      .select(col(domainCol), col("n"),
+        round(col("p"), 6).as("p"),
+        round(col("__qu").cast("double") / col("__qsum").cast("double"), 6)
+          .as("w"),
+        expr(s"(${budget}L * __qu) div __qsum").as("quota"))
+  }
+
   /** Sliding context-window chunking — the complement of
     * [[packSequences]]: packing concatenates SHORT documents into
     * fixed-budget training rows, chunking splits LONG documents into

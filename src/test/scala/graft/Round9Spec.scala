@@ -169,6 +169,31 @@ class Round9Spec extends SparkSpec {
     assert(incDist == full)
   }
 
+  // ---- mixtureTemperature ---------------------------------------------------
+
+  test("mixtureTemperature: alpha=1 is proportional, alpha=0 is uniform, " +
+    "alpha<1 upweights the tail") {
+    import graft.text.Sampling
+    val df = (Seq.fill(80)("big") ++ Seq.fill(15)("mid") ++ Seq.fill(5)("tiny"))
+      .zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("id", "dom")
+    def run(alpha: Double) = Sampling
+      .mixtureTemperature(df, "dom", alpha, budget = 1000000L)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4))).toMap
+    val prop = run(1.0)
+    assert(prop("big")._2 == 0.8 && prop("big")._3 == 0.8)
+    assert(prop("big")._4 == 800000L && prop("tiny")._4 == 50000L)
+    val unif = run(0.0)
+    assert(unif.values.map(_._3).toSet.size == 1) // equal weights
+    assert(unif("tiny")._4 == 1000000L / 3)
+    val flat = run(0.7)
+    assert(flat("tiny")._3 > flat("tiny")._2) // tail upweighted
+    assert(flat("big")._3 < flat("big")._2) // head flattened
+    // quotas sum to ≤ budget (floor division) and within one unit each
+    assert(flat.values.map(_._4).sum <= 1000000L &&
+      flat.values.map(_._4).sum > 1000000L - 3)
+  }
+
   // ---- bm25TopK -------------------------------------------------------------
 
   test("bm25TopK: matches a driver-side formula replay and prefers " +
