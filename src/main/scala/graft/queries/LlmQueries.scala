@@ -642,6 +642,16 @@ object LlmQueries {
         .select(col("id").as("vec_id"), col("cluster"), col("dist")),
       Some(s"""WITH ${kmeansCtes(k = 8, iters = 4, seed = 42L)} SELECT id AS vec_id, cluster, ${OmicsQueries.rndSql("d", 6)} AS dist FROM fin""")),
 
+    Entry("q_embedding_outliers",
+      // distance-to-own-centroid outlier report over the k-means fit:
+      // vectors ≥ 1.5σ above their cluster's mean distance — the junk /
+      // out-of-distribution detector. Distances are grid-exact, moments
+      // are exact decimal sums, so the z-scores replay bit for bit
+      (s, d) => graft.sim.Clustering.clusterOutliers(
+        t(s, d, "embeddings"), "vec_id", "embedding",
+        k = 8, iters = 4, seed = 42L, zThreshold = 1.5),
+      Some(s"""WITH ${kmeansCtes(k = 8, iters = 4, seed = 42L)}, ad AS (SELECT id, cluster, ${OmicsQueries.rndSql("d", 6)} AS dist FROM fin), m AS (SELECT cluster, count(*) AS n, CAST(sum(CAST(dist AS DECIMAL(13,6))) AS DOUBLE) AS s1, CAST(sum(CAST(dist AS DECIMAL(13,6)) * CAST(dist AS DECIMAL(13,6))) AS DOUBLE) AS s2 FROM ad GROUP BY 1), st AS (SELECT cluster, mu, sqrt(var) AS sd FROM (SELECT cluster, n, s1 / CAST(n AS DOUBLE) AS mu, (s2 - CAST(n AS DOUBLE) * (s1 / CAST(n AS DOUBLE)) * (s1 / CAST(n AS DOUBLE))) / (CAST(n AS DOUBLE) - 1.0) AS var FROM m) WHERE n > 1 AND var > 0) SELECT ad.id, ad.cluster, ad.dist, ${OmicsQueries.rndSql("(ad.dist - st.mu) / st.sd", 6)} AS z FROM ad JOIN st USING (cluster) WHERE (ad.dist - st.mu) / st.sd >= 1.5""")),
+
     Entry("q_cluster_profile",
       // cluster occupancy shares — the rebalancing-policy input (compose
       // with domain_quota on the cluster label to cap dominant clusters)

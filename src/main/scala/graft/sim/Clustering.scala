@@ -189,6 +189,44 @@ object Clustering {
       .select(col("id"), col("__m").getField("c").as("cluster"),
         round(col("__m").getField("d"), 6).as("dist"))
 
+  /** Embedding-outlier report: cluster the corpus, then flag vectors
+    * whose distance to their own centroid is ≥ `zThreshold` standard
+    * deviations above the cluster's mean distance — the cheap "this
+    * embedding is junk / mislabeled / out-of-distribution" detector that
+    * runs before any manual corpus triage.
+    *
+    * Exactness: distances come out of [[kmeansAssign]] already on the
+    * 1e-6 grid, so the per-cluster moment sums are exact DECIMAL
+    * arithmetic (order-independent) recovered to double once; the
+    * z-score is then a fixed IEEE sequence — the whole report
+    * hash-gates. Clusters with < 2 members (sd undefined) emit nothing.
+    *
+    * Scale shape: one assignment pass + one k-row moment aggregate
+    * broadcast back onto the assignment — no extra corpus shuffle. */
+  def clusterOutliers(df: DataFrame, idCol: String, vecCol: String,
+                      k: Int = 8, iters: Int = 4, seed: Long = 42L,
+                      zThreshold: Double = 2.0): DataFrame = {
+    val a = kmeansAssign(df, idCol, vecCol, k, iters, seed)
+      .localCheckpoint(false)
+    val d6 = col("dist").cast("decimal(13,6)")
+    val moms = a.groupBy("cluster").agg(
+      count(lit(1)).as("n"),
+      sum(d6).cast("double").as("s1"),
+      sum(d6 * d6).cast("double").as("s2"))
+    val nD = col("n").cast("double")
+    val stats = moms
+      .withColumn("mu", col("s1") / nD)
+      .withColumn("var",
+        (col("s2") - nD * col("mu") * col("mu")) / (nD - 1.0))
+      .where(col("n") > 1 && col("var") > 0)
+      .select(col("cluster"), col("mu"), sqrt(col("var")).as("sd"))
+    a.join(broadcast(stats), "cluster")
+      .withColumn("z", (col("dist") - col("mu")) / col("sd"))
+      .where(col("z") >= zThreshold)
+      .select(col("id"), col("cluster"), col("dist"),
+        round(col("z"), 6).as("z"))
+  }
+
   /** Incremental centroid maintenance (mini-batch k-means update): assign
     * a NEW batch to the persisted centroids and move each centroid to the
     * exact weighted mean of (old centroid × old count) and the batch's

@@ -169,6 +169,30 @@ class Round9Spec extends SparkSpec {
     assert(incDist == full)
   }
 
+  // ---- clusterOutliers --------------------------------------------------------
+
+  test("clusterOutliers flags a planted far point and nothing from the " +
+    "tight blobs") {
+    val rng = new scala.util.Random(3)
+    def near(cx: Double): Array[Float] =
+      Array.tabulate(8)(i =>
+        (cx + (if (i == 0) 0.0 else rng.nextGaussian() * 0.05)).toFloat)
+    // two tight blobs at 0 and 10, plus one point flung off blob A
+    val rows = (1L to 20L).map(_ -> near(0.0)) ++
+      (21L to 40L).map(_ -> near(10.0)) :+
+      (99L -> Array.tabulate(8)(i => if (i == 1) 4.0f else 0.0f))
+    val df = rows.toDF("vec_id", "embedding")
+    val out = Clustering.clusterOutliers(df, "vec_id", "embedding",
+      k = 2, iters = 3, seed = 1L, zThreshold = 2.0)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    // the planted point is flagged, with a z far above any natural
+    // blob-scatter point that clears 2σ
+    assert(out.contains(99L), s"planted outlier missing: $out")
+    val natural = out - 99L
+    assert(natural.values.forall(_ < out(99L) / 2),
+      s"planted z should dominate: $out")
+  }
+
   // ---- mixtureTemperature ---------------------------------------------------
 
   test("mixtureTemperature: alpha=1 is proportional, alpha=0 is uniform, " +
