@@ -1166,6 +1166,21 @@ object LlmQueries {
         s"""$he, q AS (SELECT id AS query_id, v FROM emb WHERE id < 3), s AS (SELECT query_id, c.id AS neighbor_id, $cos AS cos FROM q, emb c WHERE c.id <> q.query_id), r AS (SELECT query_id, neighbor_id, cos, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn FROM s) SELECT query_id, neighbor_id, CAST(rn AS INTEGER) AS rank, CAST(round(CAST(CAST(cos AS VARCHAR) AS DECIMAL(38,18)), 6) AS DOUBLE) AS cos FROM r WHERE rn <= 5"""
       }),
 
+    Entry("q_zipf_fit",
+      // corpus-health Zipf fit: OLS of ln(freq) on ln(rank) over the top
+      // 200 terms — slope near −1 is natural language; drift means
+      // template/synthetic flooding. Both logs grid-quantize after the
+      // transcendental and the OLS moments are exact decimal sums, so
+      // the single row replays bit for bit
+      (s, d) => Text.zipfFit(t(s, d, "documents"), "text", topN = 200),
+      Some {
+        def g(x: String) = s"CAST(floor(ln($x) * 1e6 + 0.5) / 1e6 AS DECIMAL(13,6))"
+        val slope = "(CAST(n_terms AS DOUBLE) * sxy - sx * sy) / (CAST(n_terms AS DOUBLE) * sxx - sx * sx)"
+        val intercept = s"(sy - ($slope) * sx) / CAST(n_terms AS DOUBLE)"
+        val r2 = "((CAST(n_terms AS DOUBLE) * sxy - sx * sy) * (CAST(n_terms AS DOUBLE) * sxy - sx * sy)) / ((CAST(n_terms AS DOUBLE) * sxx - sx * sx) * (CAST(n_terms AS DOUBLE) * syy - sy * sy))"
+        s"""WITH tc AS (SELECT tok, count(*) AS freq FROM (SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0)) AS tok FROM documents) GROUP BY 1), top AS (SELECT tok, freq FROM tc ORDER BY freq DESC, tok LIMIT 200), rk AS (SELECT freq, row_number() OVER (ORDER BY freq DESC, tok) AS r FROM top), xy AS (SELECT ${g("CAST(r AS DOUBLE)")} AS x, ${g("CAST(freq AS DOUBLE)")} AS y FROM rk), m AS (SELECT count(*) AS n_terms, CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy, CAST(sum(x * y) AS DOUBLE) AS sxy, CAST(sum(x * x) AS DOUBLE) AS sxx, CAST(sum(y * y) AS DOUBLE) AS syy FROM xy) SELECT n_terms, ${OmicsQueries.rndSql(slope, 6)} AS slope, ${OmicsQueries.rndSql(intercept, 6)} AS intercept, ${OmicsQueries.rndSql(r2, 6)} AS r2 FROM m"""
+      }),
+
     Entry("q_bm25_topk",
       // BM25 corpus mining against a seed term bag — top-20 most relevant
       // documents. idf is 1e-6-grid-quantized straight after the ln (libm

@@ -151,6 +151,58 @@ object Text {
           .otherwise(0.0))
   }
 
+  /** Zipf's-law fit over the corpus term-frequency distribution: OLS of
+    * ln(freq) on ln(rank) for the top-N terms — natural language sits
+    * near slope −1, so a corpus whose slope drifts (template spam,
+    * boilerplate floods, synthetic fill) fails the health check before
+    * any document-level filter sees it.
+    *
+    * Determinism: both logs quantize to the 1e-6 grid right after the
+    * transcendental, the OLS moment sums are exact DECIMAL arithmetic
+    * over those grid values (order-independent), and slope/intercept/R²
+    * are then fixed IEEE sequences — the single output row hash-gates.
+    *
+    * Scale shape: one term-count aggregate (map-side combined), a top-N
+    * TakeOrdered (N terms, broadcast-sized), and a single-task moment
+    * pass over N rows. The corpus is touched once.
+    *
+    * @return one row: (n_terms, slope, intercept, r2), rounded at 6 */
+  def zipfFit(df: DataFrame, textCol: String, topN: Int = 200): DataFrame = {
+    require(topN >= 3, s"topN must be >= 3: $topN")
+    val grid = (c: Column) => floor(c * 1e6 + 0.5) / 1e6
+    val freqs = df.select(explode(tokens(lower(col(textCol)))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("tok").asc)
+      .limit(topN)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("freq").desc, col("tok").asc)
+    val xy = freqs
+      .withColumn("r", row_number().over(w))
+      .select(
+        grid(log(col("r").cast("double"))).cast("decimal(13,6)").as("x"),
+        grid(log(col("freq").cast("double"))).cast("decimal(13,6)").as("y"))
+    xy.agg(count(lit(1)).as("n_terms"),
+        sum(col("x")).cast("double").as("sx"),
+        sum(col("y")).cast("double").as("sy"),
+        sum(col("x") * col("y")).cast("double").as("sxy"),
+        sum(col("x") * col("x")).cast("double").as("sxx"),
+        sum(col("y") * col("y")).cast("double").as("syy"))
+      .withColumn("nd", col("n_terms").cast("double"))
+      .withColumn("slope",
+        (col("nd") * col("sxy") - col("sx") * col("sy")) /
+          (col("nd") * col("sxx") - col("sx") * col("sx")))
+      .withColumn("intercept",
+        (col("sy") - col("slope") * col("sx")) / col("nd"))
+      .withColumn("r2",
+        ((col("nd") * col("sxy") - col("sx") * col("sy")) *
+          (col("nd") * col("sxy") - col("sx") * col("sy"))) /
+          ((col("nd") * col("sxx") - col("sx") * col("sx")) *
+            (col("nd") * col("syy") - col("sy") * col("sy"))))
+      .select(col("n_terms"), round(col("slope"), 6).as("slope"),
+        round(col("intercept"), 6).as("intercept"),
+        round(col("r2"), 6).as("r2"))
+  }
+
   /** BM25 retrieval scoring of the corpus against a bag of query terms —
     * the "mine documents relevant to X" curation primitive (seed-document
     * expansion, domain mining). Okapi BM25 with the Lucene idf

@@ -169,6 +169,21 @@ class Round9Spec extends SparkSpec {
     assert(incDist == full)
   }
 
+  // ---- zipfFit ----------------------------------------------------------------
+
+  test("zipfFit recovers the slope of an exact power-law corpus") {
+    import graft.text.Text
+    // term t_r appears floor(1000 / r) times -> ln f = ln 1000 - ln r,
+    // slope exactly -1 on the log-log grid, R^2 ~ 1
+    val words = (1 to 50).flatMap(r => Seq.fill(1000 / r)(f"w$r%03d"))
+    val df = Seq(words.mkString(" ")).toDF("text")
+    val row = Text.zipfFit(df, "text", topN = 50).collect()(0)
+    assert(row.getLong(0) == 50L)
+    val slope = row.getDouble(1)
+    assert(slope > -1.05 && slope < -0.95, s"slope off: $slope")
+    assert(row.getDouble(3) > 0.99, s"r2 off: ${row.getDouble(3)}")
+  }
+
   // ---- clusterOutliers --------------------------------------------------------
 
   test("clusterOutliers flags a planted far point and nothing from the " +
