@@ -65,7 +65,12 @@ object ScaleCheck {
     // (zero-shuffle projections — expect ~linear), MMR (k bounded
     // argmax passes), and integer PageRank (edge-key exchanges only)
     "q_gopher_rules", "q_rand_project", "q_mmr_select",
-    "q_graph_pagerank")
+    "q_graph_pagerank",
+    // round-9 second batch: sketch-sized group distinct, term-pruned
+    // BM25, domain-cardinality mixture math, moment-broadcast outliers,
+    // and the top-N Zipf health fit
+    "q_group_kmv", "q_bm25_topk", "q_mixture_temperature",
+    "q_embedding_outliers", "q_zipf_fit")
 
   def main(args: Array[String]): Unit = {
     val src = "/root/testdata/sf0.1"

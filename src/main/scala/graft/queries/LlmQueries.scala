@@ -1270,15 +1270,65 @@ object LlmQueries {
           "doc_id", "stext", minWords = 10, maxWords = 100000,
           requiredStopwords = Seq("the", "a", "and", "of", "value", "table"))
       },
+      Some(s"""WITH gsrc AS (SELECT doc_id, CASE WHEN doc_id % 3 = 1 THEN '- ' || replace(text, ' the ', chr(10) || '- the ') || chr(10) || '...' WHEN doc_id % 3 = 2 THEN text || chr(10) || '# trailing … line ...' || chr(10) || '## tag' ELSE text END AS stext FROM documents), $gopherCtes SELECT doc_id, n_words, n_lines, stopword_hits, mean_word_len, symbol_ratio, bullet_ratio, ellipsis_ratio, alpha_ratio, (n_words >= 10 AND n_words <= 100000) AS ok_word_count, (mean_word_len >= 3.0 AND mean_word_len <= 10.0) AS ok_mean_len, (symbol_ratio <= 0.1) AS ok_symbol, (bullet_ratio <= 0.9) AS ok_bullet, (ellipsis_ratio <= 0.3) AS ok_ellipsis, (alpha_ratio >= 0.8) AS ok_alpha, (stopword_hits >= 2) AS ok_stopwords, ($gopherPassSql) AS pass FROM gv""")),
+
+    Entry("q_pipeline_quality_mix",
+      // composition: Gopher rule gate -> exact-dedup keep-first ->
+      // temperature-quota mixture pick — the end-to-end "filter, dedup,
+      // rebalance" curation skeleton with every stage an already-gated
+      // operator; the oracle replays the whole chain as one CTE stack
+      (s, d) => {
+        import graft.text.Sampling
+        val docs = t(s, d, "documents")
+        val g = Text.gopherRules(docs, "doc_id", "text", minWords = 10,
+          requiredStopwords = Seq("the", "a", "and", "of", "value", "table"))
+        val passed = docs.join(g.where(col("pass")).select("doc_id"), "doc_id")
+        val kept = Dedup.exact(passed, "doc_id", "text")
+          .select(col("kept_id").as("doc_id"))
+        val corpus = passed.join(kept, "doc_id").select("doc_id", "source")
+        val quotas = Sampling.mixtureTemperature(corpus, "source",
+          alpha = 0.7, budget = 150L).select(col("source"), col("quota"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("source"))
+          .orderBy(Sampling.hashFrac(col("doc_id"), 7L), col("doc_id"))
+        corpus.withColumn("rn", row_number().over(w))
+          .join(broadcast(quotas), "source")
+          .where(col("rn") <= col("quota"))
+          .select(col("doc_id"), col("source"), col("rn"), col("quota"))
+      },
       Some {
-        val r = (x: String) => OmicsQueries.rndSql(x, 6)
-        val ratio = (num: String, den: String) =>
-          s"CASE WHEN $den > 0 THEN ${r(s"CAST($num AS DOUBLE) / $den")} ELSE CAST(0.0 AS DOUBLE) END"
-        s"""WITH sd AS (SELECT doc_id, CASE WHEN doc_id % 3 = 1 THEN '- ' || replace(text, ' the ', chr(10) || '- the ') || chr(10) || '...' WHEN doc_id % 3 = 2 THEN text || chr(10) || '# trailing … line ...' || chr(10) || '## tag' ELSE text END AS stext FROM documents), """ +
-        s"""tok AS (SELECT doc_id, list_filter(string_split_regex(stext, '\\s+'), x -> len(x) > 0) AS toks, list_filter(string_split_regex(stext, '\\n'), l -> len(trim(l)) > 0) AS lns FROM sd), """ +
-        s"""m AS (SELECT doc_id, CAST(len(toks) AS INTEGER) AS n_words, CAST(list_sum(list_transform(toks, x -> len(x))) AS BIGINT) AS chars, CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS INTEGER) AS alpha, CAST(len(list_filter(toks, x -> starts_with(x, '#') OR contains(x, '…') OR contains(x, '...'))) AS INTEGER) AS symb, CAST(len(lns) AS INTEGER) AS n_lines, CAST(len(list_filter(lns, l -> regexp_matches(trim(l), '^[-*•]'))) AS INTEGER) AS bullet, CAST(len(list_filter(lns, l -> regexp_matches(trim(l), '(\\.\\.\\.|…)$$'))) AS INTEGER) AS ellip, CAST(len(list_intersect(list_distinct(list_transform(toks, x -> lower(x))), ['the','a','and','of','value','table'])) AS INTEGER) AS stopword_hits FROM tok), """ +
-        s"""v AS (SELECT doc_id, n_words, n_lines, stopword_hits, ${ratio("chars", "n_words")} AS mean_word_len, ${ratio("symb", "n_words")} AS symbol_ratio, ${ratio("bullet", "n_lines")} AS bullet_ratio, ${ratio("ellip", "n_lines")} AS ellipsis_ratio, ${ratio("alpha", "n_words")} AS alpha_ratio FROM m) """ +
-        s"""SELECT doc_id, n_words, n_lines, stopword_hits, mean_word_len, symbol_ratio, bullet_ratio, ellipsis_ratio, alpha_ratio, (n_words >= 10 AND n_words <= 100000) AS ok_word_count, (mean_word_len >= 3.0 AND mean_word_len <= 10.0) AS ok_mean_len, (symbol_ratio <= 0.1) AS ok_symbol, (bullet_ratio <= 0.9) AS ok_bullet, (ellipsis_ratio <= 0.3) AS ok_ellipsis, (alpha_ratio >= 0.8) AS ok_alpha, (stopword_hits >= 2) AS ok_stopwords, (n_words >= 10 AND n_words <= 100000 AND mean_word_len >= 3.0 AND mean_word_len <= 10.0 AND symbol_ratio <= 0.1 AND bullet_ratio <= 0.9 AND ellipsis_ratio <= 0.3 AND alpha_ratio >= 0.8 AND stopword_hits >= 2) AS pass FROM v"""
+        val h7 = graft.text.Sampling.hashFracSql("doc_id", 7L)
+        s"""WITH gsrc AS (SELECT doc_id, text AS stext FROM documents), $gopherCtes, """ +
+        s"""gp AS (SELECT doc_id FROM gv WHERE $gopherPassSql), """ +
+        s"""pd AS (SELECT d.doc_id, d.source, d.text FROM documents d JOIN gp USING (doc_id)), """ +
+        s"""kh AS (SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS ch, min(doc_id) AS kept FROM pd GROUP BY 1), """ +
+        s"""cp AS (SELECT p.doc_id, p.source FROM pd p JOIN kh ON p.doc_id = kh.kept), """ +
+        s"""cc AS (SELECT source, count(*) AS n FROM cp GROUP BY 1), """ +
+        s"""qq AS (SELECT source, CAST(floor(pow(CAST(n AS DOUBLE) / CAST((SELECT sum(n) FROM cc) AS DOUBLE), 0.7) * 1e6 + 0.5) AS BIGINT) AS qu FROM cc), """ +
+        s"""qt AS (SELECT source, CAST((150 * qu) // (SELECT sum(qu) FROM qq) AS BIGINT) AS quota FROM qq), """ +
+        s"""rr AS (SELECT doc_id, source, CAST(row_number() OVER (PARTITION BY source ORDER BY $h7, doc_id) AS INTEGER) AS rn FROM cp) """ +
+        s"""SELECT rr.doc_id, rr.source, rr.rn, qt.quota FROM rr JOIN qt USING (source) WHERE rr.rn <= qt.quota"""
       })
   )
+
+  /** Shared Gopher-report CTE block: expects a `gsrc(doc_id, stext)` CTE
+    * upstream and exposes `gv(doc_id, n_words, n_lines, stopword_hits,
+    * mean_word_len, symbol_ratio, bullet_ratio, ellipsis_ratio,
+    * alpha_ratio)` — the exact Text.gopherRules measured values. */
+  private lazy val gopherCtes: String = {
+    val r = (x: String) => OmicsQueries.rndSql(x, 6)
+    val ratio = (num: String, den: String) =>
+      s"CASE WHEN $den > 0 THEN ${r(s"CAST($num AS DOUBLE) / $den")} ELSE CAST(0.0 AS DOUBLE) END"
+    s"""gtok AS (SELECT doc_id, list_filter(string_split_regex(stext, '\\s+'), x -> len(x) > 0) AS toks, list_filter(string_split_regex(stext, '\\n'), l -> len(trim(l)) > 0) AS lns FROM gsrc), """ +
+    s"""gm AS (SELECT doc_id, CAST(len(toks) AS INTEGER) AS n_words, CAST(list_sum(list_transform(toks, x -> len(x))) AS BIGINT) AS chars, CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS INTEGER) AS alpha, CAST(len(list_filter(toks, x -> starts_with(x, '#') OR contains(x, '…') OR contains(x, '...'))) AS INTEGER) AS symb, CAST(len(lns) AS INTEGER) AS n_lines, CAST(len(list_filter(lns, l -> regexp_matches(trim(l), '^[-*•]'))) AS INTEGER) AS bullet, CAST(len(list_filter(lns, l -> regexp_matches(trim(l), '(\\.\\.\\.|…)$$'))) AS INTEGER) AS ellip, CAST(len(list_intersect(list_distinct(list_transform(toks, x -> lower(x))), ['the','a','and','of','value','table'])) AS INTEGER) AS stopword_hits FROM gtok), """ +
+    s"""gv AS (SELECT doc_id, n_words, n_lines, stopword_hits, ${ratio("chars", "n_words")} AS mean_word_len, ${ratio("symb", "n_words")} AS symbol_ratio, ${ratio("bullet", "n_lines")} AS bullet_ratio, ${ratio("ellip", "n_lines")} AS ellipsis_ratio, ${ratio("alpha", "n_words")} AS alpha_ratio FROM gm)"""
+  }
+
+  /** The Gopher conjunction over `gv` columns (the engine's thresholds in
+    * q_gopher_rules / q_pipeline_quality_mix). */
+  private lazy val gopherPassSql: String =
+    "n_words >= 10 AND n_words <= 100000 AND mean_word_len >= 3.0 AND " +
+    "mean_word_len <= 10.0 AND symbol_ratio <= 0.1 AND " +
+    "bullet_ratio <= 0.9 AND ellipsis_ratio <= 0.3 AND " +
+    "alpha_ratio >= 0.8 AND stopword_hits >= 2"
 }
