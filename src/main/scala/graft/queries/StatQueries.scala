@@ -94,6 +94,26 @@ object StatQueries {
         .withColumn("kmv", Q.csvInts(col("kmv"))),
       Some(s"""WITH dh AS (SELECT DISTINCT event_type, CAST(concat('0x', substr(md5('gk3:' || CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h FROM events WHERE user_id IS NOT NULL), rk AS (SELECT event_type, h, row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn FROM dh), km AS (SELECT event_type, list(h ORDER BY h) AS kmv, CAST(count(*) AS INTEGER) AS n_mins, max(h) AS kth FROM rk WHERE rn <= 64 GROUP BY 1), ne AS (SELECT event_type, count(*) AS n_rows FROM events WHERE user_id IS NOT NULL GROUP BY 1) SELECT ne.event_type, ne.n_rows, ${Q.csvIntsSql("km.kmv")} AS kmv, km.n_mins, CASE WHEN km.n_mins < 64 THEN CAST(km.n_mins AS DOUBLE) ELSE ${OmicsQueries.rndSql("63.0 * 1152921504606846976.0 / km.kth", 2)} END AS est_distinct FROM ne JOIN km USING (event_type)""")),
 
+    Entry("q_group_kmv_merge",
+      // mergeability AT THE GATE: sketch two disjoint user-id halves
+      // separately, roll up with mergeGroupKmv — the oracle is the
+      // WHOLE-corpus sketch, so the hash compare proves
+      // merge(sketch(a), sketch(b)) == sketch(a ∪ b) exactly
+      (s, d) => {
+        val ev = Q.events(s, d)
+        val a = graft.stats.Sketches.groupKmvDistinct(
+          ev.where(col("user_id") % 2 === 0), "event_type", "user_id",
+          k = 64, seed = 3L)
+        val b = graft.stats.Sketches.groupKmvDistinct(
+          ev.where(col("user_id") % 2 =!= 0), "event_type", "user_id",
+          k = 64, seed = 3L)
+        graft.stats.Sketches.mergeGroupKmv(
+          a.select("event_type", "n_rows", "kmv")
+            .unionByName(b.select("event_type", "n_rows", "kmv")), k = 64)
+          .withColumn("kmv", Q.csvInts(col("kmv")))
+      },
+      Some(s"""WITH dh AS (SELECT DISTINCT event_type, CAST(concat('0x', substr(md5('gk3:' || CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h FROM events WHERE user_id IS NOT NULL), rk AS (SELECT event_type, h, row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn FROM dh), km AS (SELECT event_type, list(h ORDER BY h) AS kmv, CAST(count(*) AS INTEGER) AS n_mins, max(h) AS kth FROM rk WHERE rn <= 64 GROUP BY 1), ne AS (SELECT event_type, count(*) AS n_rows FROM events WHERE user_id IS NOT NULL GROUP BY 1) SELECT ne.event_type, ne.n_rows, ${Q.csvIntsSql("km.kmv")} AS kmv, km.n_mins, CASE WHEN km.n_mins < 64 THEN CAST(km.n_mins AS DOUBLE) ELSE ${OmicsQueries.rndSql("63.0 * 1152921504606846976.0 / km.kth", 2)} END AS est_distinct FROM ne JOIN km USING (event_type)""")),
+
     Entry("q_profile_kmv",
       // the mergeable profile: bounded native KMV sketch aggregate
       // (k longs of buffer, map-side combine) in place of the exact

@@ -83,18 +83,40 @@ object Sketches {
   def groupKmvDistinct(df: DataFrame, groupCol: String, valueCol: String,
                        k: Int = 64, seed: Long = 3L): DataFrame = {
     require(k >= 2, s"k must be >= 2: $k")
-    val two60 = 1152921504606846976.0 // 2^60, the hash draw's range
     val h = conv(substring(md5(concat(lit(s"gk$seed:"),
       col(valueCol).cast("string"))), 1, 15), 16, 10).cast("long")
     df.where(col(valueCol).isNotNull)
       .groupBy(col(groupCol))
       .agg(count(lit(1)).as("n_rows"),
         graft.catalyst.SketchFunctions.kmvSketch(h, k).as("kmv"))
-      .withColumn("n_mins", size(col("kmv")))
+      .transform(withKmvEstimate(k))
+  }
+
+  /** Append (n_mins, est_distinct) derived from a `kmv` sketch column —
+    * shared by the direct and merged group-KMV faces so both report the
+    * identical estimate arithmetic. */
+  private def withKmvEstimate(k: Int)(df: DataFrame): DataFrame = {
+    val two60 = 1152921504606846976.0
+    df.withColumn("n_mins", size(col("kmv")))
       .withColumn("est_distinct",
         when(col("n_mins") < k, col("n_mins").cast("double"))
           .otherwise(round(lit((k - 1).toDouble) * lit(two60) /
             element_at(col("kmv"), col("n_mins")), 2)))
+  }
+
+  /** Roll up per-slice [[groupKmvDistinct]] outputs into the union's
+    * relation — bit-identical to running groupKmvDistinct over the union
+    * directly: row counts sum, and the k smallest distinct hashes of the
+    * unioned sketches ARE the union's KMV sketch (same contract as
+    * Profile.mergeKmvProfiles). The first column is taken as the group
+    * key. State per group stays ≤ slices·k longs inside the aggregate. */
+  def mergeGroupKmv(slices: DataFrame, k: Int = 64): DataFrame = {
+    val g = slices.columns(0)
+    slices.groupBy(col(g))
+      .agg(sum(col("n_rows")).as("n_rows"),
+        slice(array_sort(array_distinct(flatten(collect_list(col("kmv"))))),
+          1, k).as("kmv"))
+      .transform(withKmvEstimate(k))
   }
 
   /** Cross-corpus content-overlap estimate via the KMV (k-minimum-values)

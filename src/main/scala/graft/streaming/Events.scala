@@ -328,6 +328,27 @@ object Events {
       }
       .start()
 
+  /** Streaming per-group cardinality monitoring: each micro-batch lands
+    * its own [[graft.stats.Sketches.groupKmvDistinct]] relation under
+    * `outDir/batch=<id>` (idempotent overwrite per batch id — replay-safe);
+    * the running per-group estimate is `Sketches.mergeGroupKmv` over the
+    * landed slices — sketch-sized state, never a re-scan of history. The
+    * batch face and the merge are both oracle-gated (q_group_kmv), and
+    * StreamingSpec proves merge-of-batches ≡ whole-corpus bit for bit. */
+  def streamingGroupKmv(rows: DataFrame, groupCol: String, valueCol: String,
+                        outDir: String, checkpoint: String, k: Int = 64,
+                        seed: Long = 3L)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    rows.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        graft.stats.Sketches
+          .groupKmvDistinct(batch, groupCol, valueCol, k, seed)
+          .write.mode("overwrite").parquet(s"$outDir/batch=$id")
+      }
+      .start()
+
   final case class UserState(n: Long, total: Double, lastTsMicros: Long)
   final case class UserUpdate(user_id: Long, n_events: Long, total_value: Double,
                               last_ts: Long)

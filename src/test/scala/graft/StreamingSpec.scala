@@ -433,4 +433,39 @@ class StreamingSpec extends SparkSpec {
     val whole = canon(graft.stats.Profile.profileKmv(docs, k = 32))
     assert(merged == whole)
   }
+
+  test("streamingGroupKmv: merged per-batch group sketches equal the " +
+       "whole-corpus groupKmvDistinct bit for bit") {
+    val staging = java.nio.file.Files.createTempDirectory("graft_gk_stg")
+    val src = java.nio.file.Files.createTempDirectory("graft_gk_src")
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+      .select("doc_id", "source")
+    docs.where(col("doc_id") % 2 === 0).coalesce(1)
+      .write.parquet(s"$staging/b0")
+    docs.where(col("doc_id") % 2 =!= 0).coalesce(1)
+      .write.parquet(s"$staging/b1")
+    (0 to 1).foreach { i =>
+      val f = new java.io.File(s"$staging/b$i").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = src.resolve(f"b$i%02d.parquet")
+      java.nio.file.Files.copy(f.toPath, dst)
+      dst.toFile.setLastModified(1700000000000L + i * 60000L)
+    }
+    val schema = spark.read.parquet(s"$staging/b0").schema
+    val out = java.nio.file.Files.createTempDirectory("graft_gk_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_gk_ck").toString
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(src.toString)
+    val q = Events.streamingGroupKmv(stream, "source", "doc_id",
+      out, ckpt, k = 16)
+    q.awaitTermination(120000)
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select("source", "n_rows", "kmv", "n_mins", "est_distinct")
+      .collect().map(_.toSeq).toSet
+    val merged = canon(graft.stats.Sketches.mergeGroupKmv(
+      spark.read.parquet(out).select("source", "n_rows", "kmv"), k = 16))
+    val whole = canon(graft.stats.Sketches.groupKmvDistinct(
+      docs, "source", "doc_id", k = 16))
+    assert(merged == whole)
+  }
 }
