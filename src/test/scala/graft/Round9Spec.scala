@@ -169,6 +169,45 @@ class Round9Spec extends SparkSpec {
     assert(incDist == full)
   }
 
+  // ---- round-9 operator edges ---------------------------------------------
+
+  test("round-9 operators: degenerate inputs behave, never throw") {
+    import graft.text.{Sampling, Text}
+    import graft.sim.Similarity
+    // gopherRules: empty and whitespace-only text → zero counts, pass=false
+    val g = Text.gopherRules(
+      Seq((1L, ""), (2L, "   \n  \n")).toDF("id", "text"), "id", "text")
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[Int]("n_words"), r.getAs[Boolean]("pass"))).toMap
+    assert(g(1L) == ((0, false)) && g(2L) == ((0, false)))
+    // mmrSelect: k larger than the corpus stops early, no crash
+    val two = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)))
+      .toDF("vec_id", "embedding")
+    val m = Similarity.mmrSelect(two, "vec_id", "embedding",
+      Array(1.0f, 0.0f), k = 10, lambda = 0.5)
+    assert(m.count() == 2)
+    // mixtureTemperature: a single domain takes the whole budget
+    val one = Sampling.mixtureTemperature(
+      Seq((1L, "only"), (2L, "only")).toDF("id", "dom"), "dom",
+      alpha = 0.7, budget = 99L).collect()(0)
+    assert(one.getDouble(3) == 1.0 && one.getLong(4) == 99L)
+    // pageRank: a self-loop node and an isolated edge coexist; mass
+    // stays positive everywhere and the totals are reproducible
+    val pr = graft.graph.Graph.pageRank(
+      Seq(("a", "a"), ("b", "c")).toDF("s", "d"), "s", "d", iters = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(pr.size == 3 && pr.values.forall(_ > 0))
+    assert(pr("a") > pr("c")) // self-loop retains mass; c only receives
+    // bm25TopK: terms absent from the corpus → empty result, no crash
+    val b = Text.bm25TopK(Seq((1L, "alpha beta")).toDF("doc_id", "text"),
+      "doc_id", "text", terms = Seq("zzz"), topK = 5)
+    assert(b.count() == 0)
+    // groupKmvDistinct: all-null value column → empty relation
+    val k = graft.stats.Sketches.groupKmvDistinct(
+      Seq(("g", Option.empty[String])).toDF("grp", "v"), "grp", "v", k = 8)
+    assert(k.count() == 0)
+  }
+
   // ---- zipfFit ----------------------------------------------------------------
 
   test("zipfFit recovers the slope of an exact power-law corpus") {
