@@ -233,16 +233,56 @@ object ExtQueries {
       Some {
         val u = graft.graph.Graph.RankUnit
         def it(i: Int): String =
-          s"""c$i AS (SELECT e.dst, sum(r.r // o.deg) AS inflow FROM ed e JOIN r${i - 1} r ON r.node = e.src JOIN odeg o ON o.src = e.src GROUP BY 1), """ +
-          s"""r$i AS MATERIALIZED (SELECT nd.node, (SELECT tele FROM cst) + CAST((85 * coalesce(c.inflow, 0)) // 100 AS BIGINT) AS r FROM nd LEFT JOIN c$i c ON c.dst = nd.node)"""
+          pagerankItSql(i)
         val its = (1 to 3).map(it).mkString(", ")
-        s"""WITH pe AS (SELECT DISTINCT 'u:' || CAST(user_id AS VARCHAR) AS u, 'e:' || event_type AS e FROM events), """ +
-        s"""ed AS MATERIALIZED (SELECT u AS src, e AS dst FROM pe UNION ALL SELECT e, u FROM pe), """ +
-        s"""nd AS MATERIALIZED (SELECT DISTINCT x AS node FROM (SELECT src AS x FROM ed UNION ALL SELECT dst FROM ed)), """ +
+        s"""WITH $pagerankGraphCtes, """ +
         s"""cst AS (SELECT ($u // count(*)) AS r0, (($u // count(*)) * 15) // 100 AS tele FROM nd), """ +
         s"""odeg AS (SELECT src, count(*) AS deg FROM ed GROUP BY 1), """ +
         s"""r0 AS (SELECT node, (SELECT r0 FROM cst) AS r FROM nd), $its """ +
         s"""SELECT node, CAST(r AS BIGINT) AS rank_units, ${OmicsQueries.rndSql(s"CAST(r AS DOUBLE) / $u.0", 6)} AS rank FROM r3"""
+      }),
+
+    Entry("q_graph_ppr",
+      // personalized PageRank: teleport mass only on two seed event-type
+      // nodes — ranks measure proximity to the seeds (the graph-side
+      // seed-expansion primitive; pair with q_bm25_topk's term-side
+      // mining). Same exact-BIGINT fixpoint, replayed with `//`
+      (s, d) => {
+        val pe = Q.events(s, d)
+          .select(concat(lit("u:"), col("user_id").cast("string")).as("u"),
+            concat(lit("e:"), col("event_type")).as("e"))
+          .distinct()
+        val edges = pe.select(col("u").as("src"), col("e").as("dst"))
+          .unionByName(pe.select(col("e").as("src"), col("u").as("dst")))
+        graft.graph.Graph.personalizedPageRank(edges, "src", "dst",
+          seeds = Seq("e:click", "e:purchase"), iters = 3)
+      },
+      Some {
+        val u = graft.graph.Graph.RankUnit
+        val r0 = u / 2
+        val tele = r0 * 15L / 100L
+        val seedCase = "node IN ('e:click', 'e:purchase')"
+        def it(i: Int): String =
+          s"""c$i AS (SELECT e.dst, sum(r.r // o.deg) AS inflow FROM ed e JOIN p${i - 1} r ON r.node = e.src JOIN odeg o ON o.src = e.src GROUP BY 1), """ +
+          s"""p$i AS MATERIALIZED (SELECT nd.node, (CASE WHEN $seedCase THEN ${tele} ELSE 0 END) + CAST((85 * coalesce(c.inflow, 0)) // 100 AS BIGINT) AS r FROM nd LEFT JOIN c$i c ON c.dst = nd.node)"""
+        val its = (1 to 3).map(it).mkString(", ")
+        s"""WITH $pagerankGraphCtes, """ +
+        s"""odeg AS (SELECT src, count(*) AS deg FROM ed GROUP BY 1), """ +
+        s"""p0 AS (SELECT node, CASE WHEN $seedCase THEN ${r0} ELSE 0 END AS r FROM nd), $its """ +
+        s"""SELECT node, CAST(r AS BIGINT) AS rank_units, ${OmicsQueries.rndSql(s"CAST(r AS DOUBLE) / $u.0", 6)} AS rank FROM p3"""
       })
   )
+
+  /** Shared bipartite user↔event-type graph CTEs for the PageRank gates:
+    * exposes `ed(src, dst)` and `nd(node)`. */
+  private lazy val pagerankGraphCtes: String =
+    """pe AS (SELECT DISTINCT 'u:' || CAST(user_id AS VARCHAR) AS u, 'e:' || event_type AS e FROM events), """ +
+    """ed AS MATERIALIZED (SELECT u AS src, e AS dst FROM pe UNION ALL SELECT e, u FROM pe), """ +
+    """nd AS MATERIALIZED (SELECT DISTINCT x AS node FROM (SELECT src AS x FROM ed UNION ALL SELECT dst FROM ed))"""
+
+  /** One uniform-teleport PageRank iteration (q_graph_pagerank). */
+  private def pagerankItSql(i: Int): String =
+    s"""c$i AS (SELECT e.dst, sum(r.r // o.deg) AS inflow FROM ed e JOIN r${i - 1} r ON r.node = e.src JOIN odeg o ON o.src = e.src GROUP BY 1), """ +
+    s"""r$i AS MATERIALIZED (SELECT nd.node, (SELECT tele FROM cst) + CAST((85 * coalesce(c.inflow, 0)) // 100 AS BIGINT) AS r FROM nd LEFT JOIN c$i c ON c.dst = nd.node)"""
+
 }

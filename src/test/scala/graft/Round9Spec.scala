@@ -388,6 +388,39 @@ class Round9Spec extends SparkSpec {
     assert(chk == noChk)
   }
 
+  // ---- personalizedPageRank -------------------------------------------------
+
+  test("personalizedPageRank: mass stays in the seed neighborhood and " +
+    "unreachable nodes drain to zero") {
+    import graft.graph.Graph
+    // a -> b -> c chain plus an unreachable island d -> e
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("d", "e"),
+      ("e", "d")).toDF("s", "t")
+    val got = Graph.personalizedPageRank(edges, "s", "t",
+      seeds = Seq("a"), iters = 4).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // driver replay with the same floor arithmetic
+    val nodes = Seq("a", "b", "c", "d", "e")
+    val adj = Seq("a" -> "b", "b" -> "c", "c" -> "a", "d" -> "e", "e" -> "d")
+    val outdeg = adj.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    val r0 = Graph.RankUnit / 1
+    val tele = r0 * 15L / 100L
+    var rank = nodes.map(x => x -> (if (x == "a") r0 else 0L)).toMap
+    (1 to 4).foreach { _ =>
+      val inflow = adj.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map { case (s, _) => rank(s) / outdeg(s) }.sum
+      }
+      rank = nodes.map(x => x ->
+        ((if (x == "a") tele else 0L) +
+          85L * inflow.getOrElse(x, 0L) / 100L)).toMap
+    }
+    assert(got == rank)
+    // all mass lives in the seed's component (a pulse travels the cycle,
+    // so per-node order is phase-dependent — the component split is not)
+    assert(Seq("a", "b", "c").map(got).sum > 0)
+    assert(got("d") == 0L && got("e") == 0L) // island drains
+  }
+
   // ---- mmrSelect ----------------------------------------------------------
 
   test("mmrSelect: matches a driver-side greedy MMR replay and skips the " +
