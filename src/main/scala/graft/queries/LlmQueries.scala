@@ -1166,6 +1166,15 @@ object LlmQueries {
         s"""$he, q AS (SELECT id AS query_id, v FROM emb WHERE id < 3), s AS (SELECT query_id, c.id AS neighbor_id, $cos AS cos FROM q, emb c WHERE c.id <> q.query_id), r AS (SELECT query_id, neighbor_id, cos, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn FROM s) SELECT query_id, neighbor_id, CAST(rn AS INTEGER) AS rank, CAST(round(CAST(CAST(cos AS VARCHAR) AS DECIMAL(38,18)), 6) AS DOUBLE) AS cos FROM r WHERE rn <= 5"""
       }),
 
+    Entry("q_kn_bigrams",
+      // Kneser-Ney smoothed bigram table (top 50): the LM-training counts
+      // a perplexity filter is built from — exact integer count/
+      // continuation/type aggregates, one fixed IEEE p_kn expression per
+      // row, no double sums anywhere, fully hash-gated
+      (s, d) => Text.knSmoothedBigrams(t(s, d, "documents"), "text",
+        topK = 50, discount = 0.75),
+      Some(s"""WITH tk AS (SELECT list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0) AS ts FROM documents), bg AS (SELECT ts[i] AS w1, ts[i + 1] AS w2 FROM tk, unnest(generate_series(1, len(ts) - 1)) AS g(i) WHERE len(ts) >= 2), pc AS (SELECT w1, w2, count(*) AS c FROM bg GROUP BY 1, 2), lt AS (SELECT w1, CAST(sum(c) AS BIGINT) AS cw1, count(*) AS n1_left FROM pc GROUP BY 1), rt AS (SELECT w2, count(*) AS n1_right FROM pc GROUP BY 1), tt AS (SELECT count(*) AS t FROM pc) SELECT p.w1, p.w2, p.c, l.cw1, l.n1_left, r.n1_right, ${OmicsQueries.rndSql("(p.c - 0.75) / l.cw1 + 0.75 * l.n1_left / l.cw1 * (r.n1_right / CAST((SELECT t FROM tt) AS DOUBLE))", 6)} AS p_kn FROM pc p JOIN lt l USING (w1) JOIN rt r USING (w2) ORDER BY p.c DESC, p.w1, p.w2 LIMIT 50""")),
+
     Entry("q_zipf_fit",
       // corpus-health Zipf fit: OLS of ln(freq) on ln(rank) over the top
       // 200 terms — slope near −1 is natural language; drift means

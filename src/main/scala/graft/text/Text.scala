@@ -151,6 +151,50 @@ object Text {
           .otherwise(0.0))
   }
 
+  /** Kneser-Ney smoothed bigram table — the LM-training counts primitive
+    * (the interpolated-KN tables a perplexity filter or a cheap LM is
+    * built from): per observed bigram,
+    * `p_kn = (c−D)/c(w1) + D·N1+(w1,·)/c(w1) · N1+(·,w2)/T`, with
+    * c the bigram count, c(w1) the left-context total, N1+ the distinct
+    * continuation counts, T the number of distinct bigram types, and
+    * D the absolute discount. Top `topK` bigrams by (count desc, w1, w2).
+    *
+    * Every quantity is an exact integer aggregate; p_kn is then one fixed
+    * IEEE expression per row (no double sums anywhere), so the table
+    * hash-gates. Bigrams never cross document boundaries.
+    *
+    * Scale shape: one bigram explode (linear fan-out) + map-side-combined
+    * counts; the context/continuation tables are vocabulary-sized joins;
+    * T is a single collected scalar (bounded driver state). */
+  def knSmoothedBigrams(df: DataFrame, textCol: String, topK: Int = 50,
+                        discount: Double = 0.75): DataFrame = {
+    require(topK >= 1, s"topK must be positive: $topK")
+    require(discount > 0.0 && discount < 1.0, s"discount in (0,1): $discount")
+    val toks = tokens(lower(col(textCol)))
+    val pairs = df.select(toks.as("ts"))
+      .where(size(col("ts")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(ts) - 1), " +
+          "i -> struct(element_at(ts, i) AS w1, element_at(ts, i + 1) AS w2))"))
+        .as("bg"))
+      .select(col("bg.w1"), col("bg.w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c"))
+      .localCheckpoint(false)
+    val types = pairs.count() // T: distinct bigram types, driver scalar
+    val left = pairs.groupBy("w1")
+      .agg(sum(col("c")).as("cw1"), count(lit(1)).as("n1_left"))
+    val right = pairs.groupBy("w2").agg(count(lit(1)).as("n1_right"))
+    pairs.join(left, "w1").join(right, "w2")
+      .withColumn("p_kn", round(
+        (col("c") - lit(discount)) / col("cw1") +
+          lit(discount) * col("n1_left") / col("cw1") *
+            (col("n1_right") / lit(types.toDouble)), 6))
+      .orderBy(col("c").desc, col("w1").asc, col("w2").asc)
+      .limit(topK)
+      .select(col("w1"), col("w2"), col("c"), col("cw1"),
+        col("n1_left"), col("n1_right"), col("p_kn"))
+  }
+
   /** Zipf's-law fit over the corpus term-frequency distribution: OLS of
     * ln(freq) on ln(rank) for the top-N terms — natural language sits
     * near slope −1, so a corpus whose slope drifts (template spam,

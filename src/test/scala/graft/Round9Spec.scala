@@ -169,6 +169,37 @@ class Round9Spec extends SparkSpec {
     assert(incDist == full)
   }
 
+  // ---- knSmoothedBigrams ------------------------------------------------------
+
+  test("knSmoothedBigrams matches hand-computed KN arithmetic and sums " +
+    "per-context probabilities to one") {
+    import graft.text.Text
+    // corpus: 'a b' x3, 'a c' x1, 'b c' x2 (no cross-doc bigrams)
+    val df = Seq("a b", "a b", "a b", "a c", "b c", "b c")
+      .toDF("text")
+    val rows = Text.knSmoothedBigrams(df, "text", topK = 10)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getDouble(6))).toMap
+    // pairs: (a,b)=3 (a,c)=1 (b,c)=2; cw1: a=4, b=2; n1_left: a=2, b=1;
+    // n1_right: b=1, c=2; T=3
+    assert(rows(("a", "b")) == ((3L, 4L, 2L, 1L,
+      BigDecimal((3 - 0.75) / 4 + 0.75 * 2 / 4 * (1 / 3.0))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+    assert(rows(("b", "c"))._1 == 2L && rows(("b", "c"))._2 == 2L)
+    // KN interpolation conserves mass: sum over observed w2 of p_kn(w2|w1)
+    // plus the unobserved-mass remainder lambda(w1)*(1 - sum of observed
+    // continuation probs) equals 1 for every context
+    Seq("a", "b").foreach { w1 =>
+      val obs = rows.collect { case ((`w1`, w2), v) => (w2, v) }
+      val cw1 = obs.head._2._2.toDouble
+      val lam = 0.75 * obs.head._2._3 / cw1
+      val contSum = obs.map(_._2._4).sum / 3.0
+      val total = obs.map(_._2._5).sum + lam * (1.0 - contSum)
+      assert(math.abs(total - 1.0) < 1e-5, s"mass off for $w1: $total")
+    }
+  }
+
   // ---- round-9 operator edges ---------------------------------------------
 
   test("round-9 operators: degenerate inputs behave, never throw") {
