@@ -1166,6 +1166,16 @@ object LlmQueries {
         s"""$he, q AS (SELECT id AS query_id, v FROM emb WHERE id < 3), s AS (SELECT query_id, c.id AS neighbor_id, $cos AS cos FROM q, emb c WHERE c.id <> q.query_id), r AS (SELECT query_id, neighbor_id, cos, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn FROM s) SELECT query_id, neighbor_id, CAST(rn AS INTEGER) AS rank, CAST(round(CAST(CAST(cos AS VARCHAR) AS DECIMAL(38,18)), 6) AS DOUBLE) AS cos FROM r WHERE rn <= 5"""
       }),
 
+    Entry("q_embed_int8",
+      // symmetric int8 embedding quantization (absmax/127 per vector) —
+      // the 4x storage/shuffle compression for an embedding lake; codes
+      // and scales replay bit for bit (away-from-zero rounding spelled
+      // as shared floor arithmetic). Zero shuffle
+      (s, d) => Similarity.quantizeInt8(t(s, d, "embeddings"), "vec_id",
+        "embedding")
+        .withColumn("q", Q.csvInts(col("q"))),
+      Some(s"""WITH e AS (SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), m AS (SELECT id, v, list_aggregate(list_transform(v, x -> abs(x)), 'max') AS ma FROM e), sq AS (SELECT id, v, CASE WHEN ma = 0 THEN CAST(0.0 AS DOUBLE) ELSE ma / 127.0 END AS s FROM m) SELECT id, ${OmicsQueries.rndSql("s", 6)} AS scale, ${Q.csvIntsSql("list_transform(v, x -> CAST(CASE WHEN s = 0 THEN 0 WHEN x >= 0 THEN floor(x / s + 0.5) ELSE -floor(-x / s + 0.5) END AS BIGINT))")} AS q FROM sq""")),
+
     Entry("q_kn_bigrams",
       // Kneser-Ney smoothed bigram table (top 50): the LM-training counts
       // a perplexity filter is built from — exact integer count/

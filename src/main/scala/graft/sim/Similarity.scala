@@ -335,6 +335,31 @@ object Similarity {
         round(col("rel"), 6).as("rel"), round(col("score"), 6).as("score"))
   }
 
+  /** Symmetric int8 quantization of an embedding column: per-vector
+    * absmax scaling (`scale = max|x|/127`, `q = round(x/scale)` toward
+    * away-from-zero) — the standard 4× storage/shuffle compression for a
+    * 100 TB embedding lake, decoded as `q·scale` wherever approximate
+    * cosines suffice. Zero vectors quantize to all-zeros with scale 0.
+    *
+    * Determinism: absmax and the division are fixed IEEE sequences over
+    * the exact float→double values, and the away-from-zero rounding is
+    * spelled as floor arithmetic both engines share — the codes replay
+    * bit for bit. Zero shuffle: one codegen projection.
+    *
+    * @return (id, scale rounded 6, q ARRAY<BIGINT> of codes in [−127,127]) */
+  def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val v = transform(col(vecCol), x => x.cast("double"))
+    val ma = array_max(transform(v, x => abs(x)))
+    val s = when(ma === 0.0, lit(0.0)).otherwise(ma / 127.0)
+    df.select(col(idCol).as("id"), v.as("__v"), s.as("__s"))
+      .select(col("id"), round(col("__s"), 6).as("scale"),
+        transform(col("__v"), x =>
+          when(col("__s") === 0.0, lit(0L))
+            .when(x >= 0, floor(x / col("__s") + 0.5).cast("long"))
+            .otherwise(-floor(-x / col("__s") + 0.5).cast("long")))
+          .as("q"))
+  }
+
   /** Johnson-Lindenstrauss random projection: compress `vecCol` (inDim
     * floats) to `outDim` dense doubles with a seeded Gaussian plane matrix
     * scaled by 1/sqrt(outDim), so pairwise distances are preserved in

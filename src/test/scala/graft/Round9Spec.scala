@@ -169,6 +169,32 @@ class Round9Spec extends SparkSpec {
     assert(incDist == full)
   }
 
+  // ---- quantizeInt8 ------------------------------------------------------------
+
+  test("quantizeInt8: codes stay in [-127,127], absmax maps to ±127, " +
+    "dequantization error is bounded by scale/2, zero vector is safe") {
+    import graft.sim.Similarity
+    val rng = new scala.util.Random(11)
+    val rows = (1L to 30L).map(_ -> Array.fill(16)(rng.nextGaussian().toFloat)) :+
+      (99L -> Array.fill(16)(0.0f))
+    val df = rows.toDF("vec_id", "embedding")
+    val got = Similarity.quantizeInt8(df, "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getSeq[Long](2).toArray)).toMap
+    rows.foreach { case (id, v) =>
+      val (scale, q) = got(id)
+      assert(q.forall(c => c >= -127 && c <= 127), s"code range id=$id")
+      if (id == 99L) assert(scale == 0.0 && q.forall(_ == 0L))
+      else {
+        assert(q.exists(c => math.abs(c) == 127), s"absmax lane id=$id")
+        v.zip(q).foreach { case (x, c) =>
+          assert(math.abs(x.toDouble - c * scale) <= scale / 2 + 1e-9,
+            s"dequant error id=$id")
+        }
+      }
+    }
+  }
+
   // ---- knSmoothedBigrams ------------------------------------------------------
 
   test("knSmoothedBigrams matches hand-computed KN arithmetic and sums " +
