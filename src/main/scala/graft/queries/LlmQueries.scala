@@ -1176,6 +1176,26 @@ object LlmQueries {
         .withColumn("q", Q.csvInts(col("q"))),
       Some(s"""WITH e AS (SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), m AS (SELECT id, v, list_aggregate(list_transform(v, x -> abs(x)), 'max') AS ma FROM e), sq AS (SELECT id, v, CASE WHEN ma = 0 THEN CAST(0.0 AS DOUBLE) ELSE ma / 127.0 END AS s FROM m) SELECT id, ${OmicsQueries.rndSql("s", 6)} AS scale, ${Q.csvIntsSql("list_transform(v, x -> CAST(CASE WHEN s = 0 THEN 0 WHEN x >= 0 THEN floor(x / s + 0.5) ELSE -floor(-x / s + 0.5) END AS BIGINT))")} AS q FROM sq""")),
 
+    Entry("q_ann_int8",
+      // similarity search OVER THE COMPRESSED LAKE: quantize to int8,
+      // dequantize (codes × rounded scale), exact cosine top-5 — proves
+      // the 4x-compressed embeddings remain queryable end to end; the
+      // float32 narrowing inside the scoring kernel is replicated with
+      // CAST(.. AS REAL) so every cosine matches bit for bit
+      (s, d) => {
+        val deq = Similarity.quantizeInt8(t(s, d, "embeddings"), "vec_id",
+            "embedding")
+          .select(col("id").as("vec_id"),
+            expr("transform(q, c -> c * scale)").as("embedding"))
+        Similarity.bruteForceTopK(deq, deq.where(col("vec_id") < 3),
+          "vec_id", "embedding", k = 5)
+      },
+      Some {
+        val dq = s"""WITH e AS (SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), m AS (SELECT id, v, list_aggregate(list_transform(v, x -> abs(x)), 'max') AS ma FROM e), sq AS (SELECT id, v, CASE WHEN ma = 0 THEN CAST(0.0 AS DOUBLE) ELSE ma / 127.0 END AS s FROM m), dq AS (SELECT id, ${OmicsQueries.rndSql("s", 6)} AS sc, list_transform(v, x -> CAST(CASE WHEN s = 0 THEN 0 WHEN x >= 0 THEN floor(x / s + 0.5) ELSE -floor(-x / s + 0.5) END AS BIGINT)) AS qc FROM sq), emb AS (SELECT id, list_transform(qc, c -> CAST(CAST(c AS DOUBLE) * sc AS REAL)) AS v FROM dq)"""
+        val cos = "list_sum(list_transform(list_zip(q.v, c.v), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) / (sqrt(list_sum(list_transform(q.v, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * sqrt(list_sum(list_transform(c.v, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))"
+        s"""$dq, qv AS (SELECT id AS query_id, v FROM emb WHERE id < 3), sc2 AS (SELECT query_id, c.id AS neighbor_id, $cos AS cos FROM qv q, emb c WHERE c.id <> q.query_id), r AS (SELECT query_id, neighbor_id, cos, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn FROM sc2) SELECT query_id, neighbor_id, CAST(rn AS INTEGER) AS rank, CAST(round(CAST(CAST(cos AS VARCHAR) AS DECIMAL(38,18)), 6) AS DOUBLE) AS cos FROM r WHERE rn <= 5"""
+      }),
+
     Entry("q_kn_bigrams",
       // Kneser-Ney smoothed bigram table (top 50): the LM-training counts
       // a perplexity filter is built from — exact integer count/

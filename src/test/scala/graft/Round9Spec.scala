@@ -195,6 +195,29 @@ class Round9Spec extends SparkSpec {
     }
   }
 
+  // ---- int8 ANN recall ----------------------------------------------------------
+
+  test("int8-dequantized top-k agrees with exact top-k on well-separated " +
+    "vectors (quantization preserves the neighborhood)") {
+    import graft.sim.Similarity
+    val rng = new scala.util.Random(17)
+    val rows = (0L to 40L).map(_ -> Array.fill(32)(rng.nextGaussian().toFloat))
+      .toList
+    val df = rows.toDF("vec_id", "embedding")
+    val exact = Similarity.bruteForceTopK(df, df.where(col("vec_id") < 3),
+      "vec_id", "embedding", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val deq = Similarity.quantizeInt8(df, "vec_id", "embedding")
+      .select(col("id").as("vec_id"),
+        expr("transform(q, c -> c * scale)").as("embedding"))
+    val approx = Similarity.bruteForceTopK(deq,
+      deq.where(col("vec_id") < 3), "vec_id", "embedding", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // recall@5 ≥ 0.8 on random gaussians (int8 absmax is ~0.4% error)
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.8, s"int8 recall too low: $recall")
+  }
+
   // ---- knSmoothedBigrams ------------------------------------------------------
 
   test("knSmoothedBigrams matches hand-computed KN arithmetic and sums " +
