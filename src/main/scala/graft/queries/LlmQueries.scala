@@ -1166,6 +1166,26 @@ object LlmQueries {
         s"""$he, q AS (SELECT id AS query_id, v FROM emb WHERE id < 3), s AS (SELECT query_id, c.id AS neighbor_id, $cos AS cos FROM q, emb c WHERE c.id <> q.query_id), r AS (SELECT query_id, neighbor_id, cos, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn FROM s) SELECT query_id, neighbor_id, CAST(rn AS INTEGER) AS rank, CAST(round(CAST(CAST(cos AS VARCHAR) AS DECIMAL(38,18)), 6) AS DOUBLE) AS cos FROM r WHERE rn <= 5"""
       }),
 
+    Entry("q_curriculum_budget",
+      // token-budget curriculum head: the best-quality documents up to a
+      // 20k-token budget — quality-desc global order via the distributed
+      // two-pass prefix sum (range exchange + per-partition offsets, no
+      // single-task window), keep rows whose running offset is under
+      // budget. The quality key is the rounded 6-decimal score, so the
+      // total order and every offset replay exactly
+      (s, d) => {
+        val q = Text.qualityScore(
+            t(s, d, "documents").select("doc_id", "text"), "text")
+          .select(col("doc_id"), col("n_tokens"), col("quality"))
+          .withColumn("__negq", -col("quality"))
+        graft.text.Sampling.withRunningOffset(q, Seq("__negq", "doc_id"),
+          col("n_tokens"), "start_offset")
+          .where(col("start_offset") < 20000L)
+          .select(col("doc_id"), col("n_tokens"), col("quality"),
+            col("start_offset"))
+      },
+      Some("""WITH t AS (SELECT doc_id, text, list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS toks FROM documents), f AS (SELECT doc_id, CAST(len(text) AS INTEGER) AS n_chars, CAST(len(toks) AS INTEGER) AS n_tokens, CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS INTEGER) AS n_punct, CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, x -> list_contains(['the','a','an','and','or','of','to','in','is','it','for','on','with','as','at','by','from','that','this'], lower(x)))) AS DOUBLE) / len(toks) ELSE CAST(0.0 AS DOUBLE) END AS stopword_ratio, CASE WHEN len(toks) > 0 THEN CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) ELSE CAST(0.0 AS DOUBLE) END AS uniq_token_ratio FROM t), g AS (SELECT doc_id, n_tokens, CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / n_chars ELSE CAST(0.0 AS DOUBLE) END AS punct_ratio, stopword_ratio, uniq_token_ratio FROM f), qq AS (SELECT doc_id, n_tokens, CAST(round(CAST(CAST(least(CAST(1.0 AS DOUBLE), n_tokens / CAST(100.0 AS DOUBLE)) * 0.4 + (CAST(1.0 AS DOUBLE) - least(CAST(1.0 AS DOUBLE), punct_ratio * 5.0)) * 0.2 + least(CAST(1.0 AS DOUBLE), stopword_ratio * 5.0) * 0.2 + uniq_token_ratio * 0.2 AS VARCHAR) AS DECIMAL(38,18)), 6) AS DOUBLE) AS quality FROM g), so AS (SELECT doc_id, n_tokens, quality, CAST(sum(n_tokens) OVER (ORDER BY quality DESC, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS BIGINT) AS start_offset FROM qq) SELECT doc_id, n_tokens, quality, start_offset FROM so WHERE start_offset < 20000""")),
+
     Entry("q_embed_int8",
       // symmetric int8 embedding quantization (absmax/127 per vector) —
       // the 4x storage/shuffle compression for an embedding lake; codes
