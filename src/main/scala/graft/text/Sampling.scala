@@ -209,11 +209,20 @@ object Sampling {
     val p = if (numPartitions > 0) numPartitions
             else spark.sessionState.conf.numShufflePartitions
     val oc = orderCols.map(col)
-    // lazy localCheckpoint: the frame is consumed twice (partition sums,
-    // then the offset pass) — materialize once, reuse blocks, and pin the
-    // partitioning so both passes see identical partition ids.
-    val prepared = df
+    // Materialize the input BEFORE the range exchange: RangePartitioner's
+    // key-sampling pass evaluates the upstream plan per-row WITHOUT
+    // whole-stage codegen, and the exchange then evaluates it again — an
+    // expensive upstream (regex/array-heavy scoring) measured ~17× its
+    // codegen cost through that path (50 s vs 3 s at 500k docs). One
+    // narrow checkpoint makes both passes block reads.
+    val narrow = df
       .withColumn("__v", coalesce(valueCol.cast("long"), lit(0L)))
+      .localCheckpoint(false)
+    // second checkpoint: the range-partitioned frame is consumed twice
+    // (partition sums, then the offset pass) — materialize once, reuse
+    // blocks, and pin the partitioning so both passes see identical
+    // partition ids.
+    val prepared = narrow
       .repartitionByRange(p, oc: _*)
       .sortWithinPartitions(oc: _*)
       .localCheckpoint(false)
