@@ -52,7 +52,7 @@ object PlanAudit {
     // prune adds one single-row broadcast BNLJ to every plan using it.
     val intentionalCross = Set("q_cross_join", "q_pipeline_massquery",
       "q_pipeline_transitions", "q_pipeline_herald", "q_drivernet_greedy",
-      "q_drivernet_permutation", "q_ann_brute",
+      "q_drivernet_permutation", "q_ann_brute", "q_ann_int8",
       "q_ppm_join",   // single-row structure min/max range prune
       "q_tmm_factor", // single-row percentile cutoff broadcast-joined back
       "q_pca_batch",  // single-row grand-mean broadcast-joined back
