@@ -71,6 +71,184 @@ object TextKernels {
     }
     new GenericInternalRow(Array[Any](n, topCount(2), topCount(3), distinctCount(5)))
   }
+
+  /** One-pass per-document quality statistics — the integer inputs of
+    * Text.qualityFeatures, computed in a single linear scan. The
+    * declarative form pays Spark's higher-order-function CodegenFallback
+    * (filter/aggregate/transform are interpreted per row — measured ~17×
+    * the codegen cost on a 500k-doc materialization); this kernel is a
+    * plain static-path call inside the whole-stage span.
+    *
+    * Bit-parity contract with the declarative pipeline (property-tested):
+    * chars/token lengths are CODE POINTS (Spark `length`), punct counts
+    * code points outside [A-Za-z0-9] and Java-regex `\s` (the
+    * `[^A-Za-z0-9\s]` match count), tokens are `\s+` splits with empties
+    * dropped, the stopword test lowercases through UTF8String.toLowerCase
+    * (Spark `lower`), distinct is raw-token value equality. */
+  def qualityStats(t: UTF8String,
+                   stopwords: java.util.HashSet[String]): InternalRow = {
+    val s = t.toString
+    var punct = 0
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      val alnum = (cp >= 'A' && cp <= 'Z') || (cp >= 'a' && cp <= 'z') ||
+        (cp >= '0' && cp <= '9')
+      val ws = cp == ' ' || cp == '\t' || cp == '\n' || cp == 0x0B ||
+        cp == '\f' || cp == '\r'
+      if (!alnum && !ws) punct += 1
+      i += Character.charCount(cp)
+    }
+    val toks = wsPattern.split(s).filter(_.nonEmpty)
+    var sumLen = 0L
+    var hits = 0
+    val uniq = new java.util.HashSet[String]()
+    var j = 0
+    while (j < toks.length) {
+      val tok = toks(j)
+      sumLen += tok.codePointCount(0, tok.length)
+      val low = UTF8String.fromString(tok).toLowerCase.toString
+      if (stopwords.contains(low)) hits += 1
+      uniq.add(tok)
+      j += 1
+    }
+    new GenericInternalRow(Array[Any](t.numChars(), toks.length, punct,
+      sumLen, hits, uniq.size))
+  }
+
+  private val nlPattern = java.util.regex.Pattern.compile("\n")
+
+  /** Spark `trim` semantics: strip ' ' (0x20) from both ends only. */
+  private def sparkTrim(s: String): String = {
+    var a = 0
+    var b = s.length
+    while (a < b && s.charAt(a) == ' ') a += 1
+    while (b > a && s.charAt(b - 1) == ' ') b -= 1
+    s.substring(a, b)
+  }
+
+  /** One-pass Gopher-rule statistics (see [[GopherStatsExpr]]). */
+  def gopherStats(t: UTF8String,
+                  stopwords: java.util.HashSet[String]): InternalRow = {
+    val s = t.toString
+    val toks = wsPattern.split(s).filter(_.nonEmpty)
+    var chars = 0L
+    var alpha = 0
+    var symbol = 0
+    val matched = new java.util.HashSet[String]()
+    var j = 0
+    while (j < toks.length) {
+      val tok = toks(j)
+      chars += tok.codePointCount(0, tok.length)
+      var hasLetter = false
+      var i = 0
+      while (!hasLetter && i < tok.length) {
+        val c = tok.charAt(i)
+        if ((c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z')) hasLetter = true
+        i += 1
+      }
+      if (hasLetter) alpha += 1
+      if (tok.startsWith("#") || tok.contains("…") || tok.contains("..."))
+        symbol += 1
+      val low = UTF8String.fromString(tok).toLowerCase.toString
+      if (stopwords.contains(low)) matched.add(low)
+      j += 1
+    }
+    var nLines = 0
+    var bullet = 0
+    var ellipsis = 0
+    val lines = nlPattern.split(s, -1)
+    var k = 0
+    while (k < lines.length) {
+      val tl = sparkTrim(lines(k))
+      if (tl.nonEmpty) {
+        nLines += 1
+        val c0 = tl.charAt(0)
+        if (c0 == '-' || c0 == '*' || c0 == '•') bullet += 1
+        if (tl.endsWith("...") || tl.endsWith("…")) ellipsis += 1
+      }
+      k += 1
+    }
+    new GenericInternalRow(Array[Any](toks.length, chars, alpha, symbol,
+      nLines, bullet, ellipsis, matched.size))
+  }
+}
+
+/** Struct-returning codegen expression over [[TextKernels.gopherStats]] —
+  * the integer inputs of Text.gopherRules in one linear pass (same HOF-
+  * fallback motivation as [[QualityStatsExpr]]). Bit-parity contract
+  * (property-tested): words are `\s+` splits (empties dropped), lines are
+  * `\n` splits whose Spark-`trim` (space-stripped) form is non-empty,
+  * word predicates are contains-letter / starts-with-'#' / contains '…'
+  * or '...', line predicates test the trimmed first char ∈ {-,*,•} and
+  * trimmed suffix '...' or '…', and stopword hits count DISTINCT lowered
+  * words present in the list (array_intersect semantics). */
+case class GopherStatsExpr(child: Expression, stopwords: Seq[String])
+    extends UnaryExpression with Serializable {
+  override def dataType: DataType = GopherStatsExpr.schema
+  override def prettyName: String = "graft_gopher_stats"
+  @transient private lazy val set: java.util.HashSet[String] = {
+    val h = new java.util.HashSet[String]()
+    stopwords.foreach(h.add)
+    h
+  }
+  def kernel(t: UTF8String): InternalRow = TextKernels.gopherStats(t, set)
+  protected override def nullSafeEval(t: Any): Any =
+    kernel(t.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("gopherStats", this)
+    defineCodeGen(ctx, ev, c => s"$ref.kernel($c)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): GopherStatsExpr =
+    copy(child = newChild)
+}
+
+object GopherStatsExpr {
+  val schema: StructType = StructType(Seq(
+    StructField("n_words", IntegerType, nullable = false),
+    StructField("chars", org.apache.spark.sql.types.LongType,
+      nullable = false),
+    StructField("alpha", IntegerType, nullable = false),
+    StructField("symbol", IntegerType, nullable = false),
+    StructField("n_lines", IntegerType, nullable = false),
+    StructField("bullet", IntegerType, nullable = false),
+    StructField("ellipsis", IntegerType, nullable = false),
+    StructField("stopword_hits", IntegerType, nullable = false)))
+}
+
+/** Struct-returning codegen expression over [[TextKernels.qualityStats]];
+  * the stopword list rides the expression (content equality via the case
+  * class) and is materialized into a HashSet once per (de)serialized
+  * instance. */
+case class QualityStatsExpr(child: Expression, stopwords: Seq[String])
+    extends UnaryExpression with Serializable {
+  override def dataType: DataType = QualityStatsExpr.schema
+  override def prettyName: String = "graft_quality_stats"
+  @transient private lazy val set: java.util.HashSet[String] = {
+    val h = new java.util.HashSet[String]()
+    stopwords.foreach(h.add)
+    h
+  }
+  def kernel(t: UTF8String): InternalRow = TextKernels.qualityStats(t, set)
+  protected override def nullSafeEval(t: Any): Any =
+    kernel(t.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("qualityStats", this)
+    defineCodeGen(ctx, ev, c => s"$ref.kernel($c)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): QualityStatsExpr =
+    copy(child = newChild)
+}
+
+object QualityStatsExpr {
+  val schema: StructType = StructType(Seq(
+    StructField("n_chars", IntegerType, nullable = false),
+    StructField("n_tokens", IntegerType, nullable = false),
+    StructField("n_punct", IntegerType, nullable = false),
+    StructField("sum_tok_len", org.apache.spark.sql.types.LongType,
+      nullable = false),
+    StructField("stopword_hits", IntegerType, nullable = false),
+    StructField("uniq_tokens", IntegerType, nullable = false)))
 }
 
 /** Struct-returning codegen expression over [[TextKernels.repetitionStats]]:
@@ -148,6 +326,12 @@ case class StripAccentsExpr(child: Expression)
 object TextFunctions {
   def repetitionStats(text: Column): Column =
     GraftColumnBridge.column(RepetitionStatsExpr(GraftColumnBridge.expression(text)))
+  def qualityStats(text: Column, stopwords: Seq[String]): Column =
+    GraftColumnBridge.column(
+      QualityStatsExpr(GraftColumnBridge.expression(text), stopwords))
+  def gopherStats(text: Column, stopwords: Seq[String]): Column =
+    GraftColumnBridge.column(
+      GopherStatsExpr(GraftColumnBridge.expression(text), stopwords))
   def nfcNormalize(text: Column): Column =
     GraftColumnBridge.column(NfcNormalizeExpr(GraftColumnBridge.expression(text)))
   def stripAccents(text: Column): Column =

@@ -22,30 +22,40 @@ object Text {
     size(regexp_extract_all(text, lit("[A-Za-z0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
 
   /** Per-document quality features: length, token stats, punctuation and
-    * stopword ratios — the standard pre-training quality heuristics. */
+    * stopword ratios — the standard pre-training quality heuristics.
+    *
+    * The integer inputs come from ONE linear-pass native kernel
+    * ([[graft.catalyst.QualityStatsExpr]]) instead of the higher-order
+    * filter/aggregate/transform pipeline: HOFs are CodegenFallback in
+    * Spark, and the interpreted per-row cost measured ~17× the codegen
+    * cost on a 500k-doc materialization — on a 100 TB curation pass the
+    * scoring projection IS the job. The kernel is bit-parity
+    * property-tested against the declarative form (TextSpec); every
+    * downstream ratio keeps the original expression shape, so all
+    * consuming oracles are unchanged. */
   def qualityFeatures(df: DataFrame, textCol: String,
                       stopwords: Seq[String] = DefaultStopwords): DataFrame = {
-    val t = col(textCol)
-    val toks = tokens(t)
-    val sw = lit(stopwords.toArray)
-    df.withColumn("n_chars", length(t))
-      .withColumn("n_tokens", size(toks))
-      .withColumn("n_punct", size(regexp_extract_all(t, lit("[^A-Za-z0-9\\s]"), lit(0))))
+    df.withColumn("__qs",
+        graft.catalyst.TextFunctions.qualityStats(col(textCol), stopwords))
+      .withColumn("n_chars", col("__qs.n_chars"))
+      .withColumn("n_tokens", col("__qs.n_tokens"))
+      .withColumn("n_punct", col("__qs.n_punct"))
       .withColumn("punct_ratio",
         when(col("n_chars") > 0, col("n_punct").cast("double") / col("n_chars"))
           .otherwise(0.0))
       .withColumn("avg_token_len",
         when(col("n_tokens") > 0,
-          aggregate(toks, lit(0L), (acc, x) => acc + length(x)).cast("double") /
-            col("n_tokens")).otherwise(0.0))
+          col("__qs.sum_tok_len").cast("double") / col("n_tokens"))
+          .otherwise(0.0))
       .withColumn("stopword_ratio",
         when(col("n_tokens") > 0,
-          size(filter(toks, x => array_contains(sw, lower(x)))).cast("double") /
-            col("n_tokens")).otherwise(0.0))
+          col("__qs.stopword_hits").cast("double") / col("n_tokens"))
+          .otherwise(0.0))
       .withColumn("uniq_token_ratio",
         when(col("n_tokens") > 0,
-          size(array_distinct(toks)).cast("double") / col("n_tokens"))
+          col("__qs.uniq_tokens").cast("double") / col("n_tokens"))
           .otherwise(0.0))
+      .drop("__qs")
   }
 
   /** Composite quality score in [0,1]: favors mid-length documents with
@@ -321,26 +331,23 @@ object Text {
                   maxEllipsisRatio: Double = 0.3, minAlphaRatio: Double = 0.8,
                   requiredStopwords: Seq[String] = GopherStopwords,
                   minStopwordHits: Int = 2): DataFrame = {
-    val t = col(textCol)
-    val toks = tokens(t)
-    val lines = filter(split(t, "\n"), l => length(trim(l)) > 0)
+    // integer inputs from ONE linear-pass native kernel (GopherStatsExpr)
+    // — same HOF-fallback motivation and bit-parity contract as
+    // qualityFeatures; every downstream ratio/threshold keeps its shape
     val ratio = (num: Column, den: Column) =>
       when(den > 0, round(num.cast("double") / den, 6)).otherwise(lit(0.0))
-    df.select(col(idCol), toks.as("__toks"), lines.as("__lines"))
+    df.select(col(idCol),
+        graft.catalyst.TextFunctions
+          .gopherStats(col(textCol), requiredStopwords).as("__gs"))
       .select(col(idCol),
-        size(col("__toks")).as("n_words"),
-        aggregate(col("__toks"), lit(0L), (acc, x) => acc + length(x))
-          .as("__chars"),
-        size(filter(col("__toks"), x => x.rlike("[A-Za-z]"))).as("__alpha"),
-        size(filter(col("__toks"), x => x.startsWith("#") || x.contains("…") || x.contains("...")))
-          .as("__symbol"),
-        size(col("__lines")).as("n_lines"),
-        size(filter(col("__lines"), l => trim(l).rlike("^[-*•]")))
-          .as("__bullet"),
-        size(filter(col("__lines"), l => trim(l).rlike("(\\.\\.\\.|…)$")))
-          .as("__ellipsis"),
-        size(array_intersect(array_distinct(transform(col("__toks"), lower _)),
-          lit(requiredStopwords.toArray))).as("stopword_hits"))
+        col("__gs.n_words").as("n_words"),
+        col("__gs.chars").as("__chars"),
+        col("__gs.alpha").as("__alpha"),
+        col("__gs.symbol").as("__symbol"),
+        col("__gs.n_lines").as("n_lines"),
+        col("__gs.bullet").as("__bullet"),
+        col("__gs.ellipsis").as("__ellipsis"),
+        col("__gs.stopword_hits").as("stopword_hits"))
       .withColumn("mean_word_len", ratio(col("__chars"), col("n_words")))
       .withColumn("symbol_ratio", ratio(col("__symbol"), col("n_words")))
       .withColumn("bullet_ratio", ratio(col("__bullet"), col("n_lines")))

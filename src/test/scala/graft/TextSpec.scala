@@ -79,4 +79,97 @@ class TextSpec extends SparkSpec {
       s"got ${out(1L)}")
     assert(out(2L) == (0, "plain text, no markup at all"))
   }
+
+  test("qualityStats kernel is bit-identical to the declarative " +
+       "higher-order-function pipeline on adversarial strings") {
+    import org.apache.spark.sql.functions._
+    val sw = Text.DefaultStopwords
+    val rng = new scala.util.Random(41)
+    val alphabet =
+      "ab the of THE Of… ! #tag 3.14 \t\n  ñé 𝄞clef x-y a,b ... züA"
+        .split(' ').toIndexedSeq
+    val crafted = Seq("", " ", "\t\n", "the THE tHe", "…", "𝄞 𝄞 𝄞",
+      "a  bc", "one", "-", "ñ é ü")
+    val random = (1 to 200).map { _ =>
+      (0 until rng.nextInt(40))
+        .map(_ => alphabet(rng.nextInt(alphabet.size)))
+        .mkString(" ")
+    }
+    val df = (crafted ++ random).zipWithIndex
+      .map { case (s, i) => (i.toLong, s) }.toDF("id", "text")
+    // the pre-kernel declarative pipeline, verbatim
+    val t = col("text")
+    val toks = Text.tokens(t)
+    val swl = lit(sw.toArray)
+    val declarative = df
+      .withColumn("n_chars", length(t))
+      .withColumn("n_tokens", size(toks))
+      .withColumn("n_punct",
+        size(regexp_extract_all(t, lit("[^A-Za-z0-9\\s]"), lit(0))))
+      .withColumn("punct_ratio",
+        when(col("n_chars") > 0, col("n_punct").cast("double") / col("n_chars"))
+          .otherwise(0.0))
+      .withColumn("avg_token_len",
+        when(col("n_tokens") > 0,
+          aggregate(toks, lit(0L), (acc, x) => acc + length(x)).cast("double") /
+            col("n_tokens")).otherwise(0.0))
+      .withColumn("stopword_ratio",
+        when(col("n_tokens") > 0,
+          size(filter(toks, x => array_contains(swl, lower(x)))).cast("double") /
+            col("n_tokens")).otherwise(0.0))
+      .withColumn("uniq_token_ratio",
+        when(col("n_tokens") > 0,
+          size(array_distinct(toks)).cast("double") / col("n_tokens"))
+          .otherwise(0.0))
+    val cols = Seq("id", "n_chars", "n_tokens", "n_punct", "punct_ratio",
+      "avg_token_len", "stopword_ratio", "uniq_token_ratio")
+    val want = declarative.select(cols.map(col): _*)
+      .collect().map(_.toSeq).toSet
+    val got = Text.qualityFeatures(df, "text", sw)
+      .select(cols.map(col): _*).collect().map(_.toSeq).toSet
+    assert(got == want)
+  }
+
+  test("gopherStats kernel is bit-identical to the declarative " +
+       "higher-order-function pipeline on adversarial strings") {
+    import org.apache.spark.sql.functions._
+    val sw = Seq("the", "a", "and", "of", "value", "table")
+    val rng = new scala.util.Random(43)
+    val words = "the a - * • #x and… ... x... THE of \t ñ 𝄞 -lead value"
+      .split(' ').toIndexedSeq
+    val crafted = Seq("", "\n", " \n ", "- bullet\n* b2\n• b3", "end...",
+      "end…\n...", "\tindент\nline", "only  spaces   here")
+    val random = (1 to 200).map { _ =>
+      (0 until rng.nextInt(30)).map { _ =>
+        val w = words(rng.nextInt(words.size))
+        if (rng.nextInt(6) == 0) w + "\n" else w + " "
+      }.mkString
+    }
+    val df = (crafted ++ random).zipWithIndex
+      .map { case (s, i) => (i.toLong, s) }.toDF("id", "text")
+    val t = col("text")
+    val toks = Text.tokens(t)
+    val lines = filter(split(t, "\n"), l => length(trim(l)) > 0)
+    val want = df.select(col("id"),
+        size(toks).as("n_words"),
+        aggregate(toks, lit(0L), (acc, x) => acc + length(x)).as("chars"),
+        size(filter(toks, x => x.rlike("[A-Za-z]"))).as("alpha"),
+        size(filter(toks, x =>
+          x.startsWith("#") || x.contains("…") || x.contains("...")))
+          .as("symbol"),
+        size(lines).as("n_lines"),
+        size(filter(lines, l => trim(l).rlike("^[-*•]"))).as("bullet"),
+        size(filter(lines, l => trim(l).rlike("(\\.\\.\\.|…)$")))
+          .as("ellipsis"),
+        size(array_intersect(array_distinct(transform(toks, lower _)),
+          lit(sw.toArray))).as("stopword_hits"))
+      .collect().map(_.toSeq).toSet
+    val got = df.select(col("id"),
+        graft.catalyst.TextFunctions.gopherStats(t, sw).as("g"))
+      .select(col("id"), col("g.n_words"), col("g.chars"), col("g.alpha"),
+        col("g.symbol"), col("g.n_lines"), col("g.bullet"),
+        col("g.ellipsis"), col("g.stopword_hits"))
+      .collect().map(_.toSeq).toSet
+    assert(got == want)
+  }
 }
