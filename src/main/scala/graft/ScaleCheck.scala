@@ -71,7 +71,12 @@ object ScaleCheck {
     // and the top-N Zipf health fit
     "q_group_kmv", "q_bm25_topk", "q_mixture_temperature",
     "q_embedding_outliers", "q_zipf_fit", "q_pipeline_quality_mix",
-    "q_group_kmv_merge", "q_graph_ppr", "q_kn_bigrams", "q_embed_int8", "q_ann_int8", "q_curriculum_budget")
+    "q_group_kmv_merge", "q_graph_ppr", "q_kn_bigrams", "q_embed_int8",
+    "q_ann_int8", "q_curriculum_budget",
+    // round-9 third batch: the winnow-thinned fingerprint tier (a
+    // denser-than-LSH, sparser-than-gram substring index — expect the
+    // posting shuffle to dominate and stay sublinear)
+    "q_winnow_fingerprints", "q_winnow_pairs")
 
   def main(args: Array[String]): Unit = {
     val src = "/root/testdata/sf0.1"

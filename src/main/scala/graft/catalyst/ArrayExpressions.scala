@@ -86,6 +86,13 @@ object ArrayKernels {
     new GenericArrayData(graft.dedup.Dedup.tokenGramHashesKernel(
       if (t == null) null else t.toString, k))
 
+  /** Winnowing-selected fingerprint hashes (sorted distinct window
+    * minima of the positional gram-hash stream; delegates to
+    * [[graft.dedup.Dedup.winnowHashesKernel]]). */
+  def winnowHashes(t: UTF8String, k: Int, w: Int): ArrayData =
+    new GenericArrayData(graft.dedup.Dedup.winnowHashesKernel(
+      if (t == null) null else t.toString, k, w))
+
   /** Order-sensitive 64-bit rolling (polynomial) hash over the UTF-8
     * bytes: h = h*1000003 + byte, wrapping mod 2^64, FNV offset basis as
     * seed — bit-identical to the former `String`-typed UDF in
@@ -288,6 +295,19 @@ case class TokenGramHashesExpr(child: Expression, k: Int)
     copy(child = newChild)
 }
 
+case class WinnowHashesExpr(child: Expression, k: Int, w: Int)
+    extends UnaryExpression with Serializable {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_winnow_hashes"
+  protected override def nullSafeEval(t: Any): Any =
+    ArrayKernels.winnowHashes(t.asInstanceOf[UTF8String], k, w)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.catalyst.ArrayKernels.winnowHashes($c, $k, $w)")
+  override protected def withNewChildInternal(newChild: Expression): WinnowHashesExpr =
+    copy(child = newChild)
+}
+
 case class RollingHashExpr(child: Expression)
     extends UnaryExpression with Serializable {
   override def dataType: DataType = LongType
@@ -409,6 +429,8 @@ object ArrayFunctions {
     c(SimhashSigExpr(e(text), k))
   def tokenGramHashes(text: Column, k: Int): Column =
     c(TokenGramHashesExpr(e(text), k))
+  def winnowHashes(text: Column, k: Int, w: Int): Column =
+    c(WinnowHashesExpr(e(text), k, w))
   def kmeansArgmin(v: Column, cents: Array[Array[Double]]): Column =
     c(KmeansArgminExpr(Cast(e(v), ArrayType(DoubleType)), cents))
   def rollingHash(text: Column): Column = c(RollingHashExpr(e(text)))

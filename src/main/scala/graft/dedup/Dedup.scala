@@ -227,6 +227,94 @@ object Dedup {
     out
   }
 
+  /** Winnowing (MOSS) fingerprint selection over the positional k-gram
+    * hash stream: slide a window of `w` consecutive gram hashes and keep
+    * the window MINIMUM — the classic guarantee that any shared run of
+    * at least w+k-1 tokens contributes at least one shared fingerprint,
+    * while only ~2/(w+1) of the grams survive (the density bound from
+    * the winnowing paper, Schleimer/Wilkerson/Aiken SIGMOD'03). Returns
+    * the selected hashes as a SORTED DISTINCT long array (position is
+    * irrelevant once selected — the pair tier intersects VALUE sets, and
+    * sorted-distinct makes the array a canonical per-doc fingerprint
+    * set). Docs shorter than w+k-1 tokens collapse to one window over
+    * whatever grams exist (the standard short-doc degeneration: their
+    * single minimum is still comparable); docs under k tokens yield an
+    * empty array, matching [[tokenGramHashesKernel]].
+    *
+    * O(n·w) scan — w is a small constant (4–8) so the deque-based O(n)
+    * variant buys nothing at these widths; the whole selection runs
+    * inside one codegen projection ([[graft.catalyst.WinnowHashesExpr]]),
+    * so only the ~2/(w+1)-dense fingerprint stream ever reaches an
+    * exchange. The min-of-window is pure VALUE selection (no tie-break
+    * dependence): the DuckDB oracle replays it as `list_aggregate(slice,
+    * 'min')` over the same md5-prefix hashes, bit for bit. */
+  def winnowHashesKernel(text: String, k: Int, w: Int): Array[Long] = {
+    val grams = tokenGramHashesKernel(text, k)
+    if (grams.length == 0) return Array.emptyLongArray
+    val ww = math.min(w, grams.length) // short docs: one window over all
+    val nWin = grams.length - ww + 1
+    val sel = new java.util.TreeSet[java.lang.Long]()
+    var i = 0
+    while (i < nWin) {
+      var m = grams(i)
+      var j = i + 1
+      while (j < i + ww) {
+        if (grams(j) < m) m = grams(j)
+        j += 1
+      }
+      sel.add(m)
+      i += 1
+    }
+    val out = new Array[Long](sel.size)
+    val it = sel.iterator()
+    var p = 0
+    while (it.hasNext) { out(p) = it.next(); p += 1 }
+    out
+  }
+
+  /** Per-document winnowing fingerprints, exploded to (id, fp) rows —
+    * the substring-robust dedup key set (each fp witnesses some k-gram
+    * that was minimal in a w-window; see [[winnowHashesKernel]]). */
+  def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
+                         k: Int = 4, window: Int = 4): DataFrame = {
+    require(k >= 1, s"k must be positive: $k")
+    require(window >= 1, s"window must be positive: $window")
+    df.select(col(idCol).as("id"),
+      explode(graft.catalyst.ArrayFunctions.winnowHashes(col(textCol), k,
+        window)).as("fp"))
+  }
+
+  /** Candidate near-dup pairs by shared winnowing fingerprints: docs
+    * sharing at least `minShared` selected hashes, with boilerplate
+    * fingerprints (document frequency above `maxFpDf`) dropped before
+    * pair generation — the MOSS pipeline's plagiarism-pair step as a
+    * corpus-scale operator. Compared to the full-gram tiers the
+    * inverted index is ~2/(w+1) the size for the same substring-match
+    * guarantee (any shared window+k-1-token run still collides).
+    *
+    * Scale shape: one fingerprint explode (winnow-thinned), ONE shuffle
+    * for the df-capped posting lists, pairs exploded inside each
+    * posting (ids sorted so id_a < id_b by construction), then a
+    * map-side-combined pair count — no all-pairs stage anywhere; the
+    * df cap bounds the per-posting fan-out at maxFpDf². */
+  def winnowPairs(df: DataFrame, idCol: String, textCol: String,
+                  k: Int = 4, window: Int = 4, minShared: Int = 2,
+                  maxFpDf: Long = 100): DataFrame = {
+    require(minShared >= 1, s"minShared must be positive: $minShared")
+    require(maxFpDf >= 2, s"maxFpDf must be at least 2: $maxFpDf")
+    val fps = winnowFingerprints(df, idCol, textCol, k, window)
+    val posting = fps.groupBy("fp")
+      .agg(sort_array(collect_set(col("id"))).as("ids"))
+      .where(size(col("ids")).between(2, maxFpDf))
+    posting
+      .select(posexplode(col("ids")).as(Seq("i", "id_a")), col("ids"))
+      .select(col("id_a"),
+        explode(slice(col("ids"), col("i") + lit(2), size(col("ids"))))
+          .as("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("shared"))
+      .where(col("shared") >= minShared)
+  }
+
   /** Distinct word k-shingles of `text` as SORTED 60-bit md5-prefix
     * hashes — the declared Jaccard universe of the exact-verify operators
     * below. Hashing the shingle space: the inverted-index shuffle carries

@@ -35,6 +35,21 @@ object LlmQueries {
     s"""isl AS (SELECT id, pos, CASE WHEN max(pos + $k) OVER (PARTITION BY id ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL OR pos > max(pos + $k) OVER (PARTITION BY id ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) THEN 1 ELSE 0 END AS ni FROM hits), """ +
     s"""isl2 AS (SELECT id, pos, sum(ni) OVER (PARTITION BY id ORDER BY pos) AS island FROM isl)"""
 
+  /** DuckDB replay of Dedup.winnowHashesKernel: the same positional
+    * gram-hash stream as [[repeatedSpansCtes]], gathered into one
+    * position-ordered list per doc, then each width-w window's MINIMUM
+    * selected via `list_aggregate(slice, 'min')` — pure value selection,
+    * so no tie-break semantics to mirror. Docs with fewer grams than w
+    * degrade to a single window over everything (`greatest(..., 1)`
+    * windows, `least(w, len)` width), exactly the kernel's short-doc
+    * path. `fps` is the DISTINCT (id, fp) relation both faces build on. */
+  private def winnowCtes(k: Int, w: Int): String =
+    s"""rtoks AS MATERIALIZED (SELECT doc_id AS id, list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0) AS ts FROM documents), """ +
+    s"""tk AS MATERIALIZED (SELECT id, ts, len(ts) AS n FROM rtoks WHERE len(ts) >= $k), """ +
+    s"""grams AS MATERIALIZED (SELECT id, i, CAST(concat('0x', substr(md5(array_to_string(ts[i:i+${k - 1}], ' ')), 1, 15)) AS BIGINT) AS gram FROM tk, unnest(generate_series(1, n - ${k - 1})) AS g(i)), """ +
+    s"""gl AS MATERIALIZED (SELECT id, list(gram ORDER BY i) AS g FROM grams GROUP BY 1), """ +
+    s"""fps AS MATERIALIZED (SELECT DISTINCT id, list_aggregate(g[wi : wi + least($w, len(g)) - 1], 'min') AS fp FROM gl, unnest(generate_series(1, greatest(len(g) - $w + 1, 1))) AS wv(wi))"""
+
   private def repeatedSpansOracleSql(k: Int, minDf: Int): String =
     s"""WITH ${repeatedSpansCtes(k, minDf)} SELECT id, CAST(min(pos) AS INTEGER) AS span_start, CAST(max(pos) + $k AS INTEGER) AS span_end, CAST(max(pos) + $k - min(pos) AS INTEGER) AS span_tokens FROM isl2 GROUP BY id, island"""
 
@@ -467,6 +482,34 @@ object LlmQueries {
         .groupBy("fp").agg(min(col("doc_id")).as("kept_id"),
           count(lit(1)).as("dup_count")),
       Some("""SELECT md5(array_to_string(list_sort(list_distinct(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0))), ' ')) AS fp, min(doc_id) AS kept_id, count(*) AS dup_count FROM documents GROUP BY 1""")),
+
+    Entry("q_winnow_fingerprints",
+      // winnowing (MOSS) fingerprint sets: per doc, the sorted distinct
+      // window-minima of the 4-gram hash stream (window 4) — the
+      // ~2/(w+1)-dense substring-robust dedup keys. Docs under k tokens
+      // have no grams and are excluded on both sides. One codegen
+      // projection, zero shuffle
+      (s, d) => {
+        val arr = graft.catalyst.ArrayFunctions
+          .winnowHashes(col("text"), 4, 4)
+        t(s, d, "documents")
+          .select(col("doc_id"), arr.as("arr"))
+          .where(size(col("arr")) > 0)
+          .select(col("doc_id"), size(col("arr")).as("n_fps"),
+            Q.csvInts(col("arr")).as("fps"))
+      },
+      Some(s"""WITH ${winnowCtes(k = 4, w = 4)} SELECT id AS doc_id, CAST(count(*) AS INTEGER) AS n_fps, array_to_string(list_transform(list_sort(list(DISTINCT fp)), x -> CAST(x AS VARCHAR)), ',') AS fps FROM fps GROUP BY 1""")),
+
+    Entry("q_winnow_pairs",
+      // the MOSS pair step at corpus scale: docs sharing >= 2 winnowing
+      // fingerprints, boilerplate fingerprints (df > 100) dropped before
+      // pair generation — any shared run of w+k-1 = 7 tokens still
+      // guarantees a shared fingerprint (the winnowing bound), at ~40%
+      // of the full-gram tier's index size. One posting shuffle + a
+      // map-side-combined pair count; no all-pairs stage
+      (s, d) => Dedup.winnowPairs(t(s, d, "documents"), "doc_id", "text",
+        k = 4, window = 4, minShared = 2, maxFpDf = 100),
+      Some(s"""WITH ${winnowCtes(k = 4, w = 4)}, pdf AS (SELECT fp, count(*) AS df FROM fps GROUP BY 1), ok AS (SELECT fp FROM pdf WHERE df BETWEEN 2 AND 100) SELECT a.id AS id_a, b.id AS id_b, count(*) AS shared FROM fps a JOIN fps b USING (fp) JOIN ok USING (fp) WHERE a.id < b.id GROUP BY 1, 2 HAVING count(*) >= 2""")),
 
     Entry("q_ngram_jaccard",
       // inverted-index + df-pruned exact Jaccard pairs; pruning is part of

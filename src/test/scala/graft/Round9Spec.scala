@@ -622,4 +622,71 @@ class Round9Spec extends SparkSpec {
     assert(f("ok_alpha") == true) // 0.8 >= 0.8 boundary
     assert(f("pass") == false)
   }
+
+  // ---- winnowing fingerprints -----------------------------------------
+
+  private def bruteWinnow(text: String, k: Int, w: Int): Array[Long] = {
+    // independent reference: gram hashes via the (already reference-
+    // verified) literal path, then explicit window minima
+    val g = literalGramHashes(text, k)
+    if (g.isEmpty) return Array.emptyLongArray
+    val ww = math.min(w, g.length)
+    (0 to g.length - ww).map(i => g.slice(i, i + ww).min)
+      .distinct.sorted.toArray
+  }
+
+  test("winnowHashesKernel == brute window-min reference, incl. edges") {
+    val cases = Seq(
+      "the quick brown fox jumps over the lazy dog and more words here",
+      "exactly four tokens here",          // one gram -> one fingerprint
+      "five little tokens right here",     // 2 grams < w -> single window
+      "only three tokens", "", "   ",      // < k -> empty
+      "a b c d e f g h i j k l m n o p q r s t u v w x y z",
+      "rep rep rep rep rep rep rep rep")   // identical grams collapse
+    for (t <- cases) {
+      val got = Dedup.winnowHashesKernel(t, 4, 4)
+      val want = bruteWinnow(t, 4, 4)
+      assert(got.toSeq == want.toSeq, s"mismatch for <$t>")
+      assert(got.toSeq == got.toSeq.distinct.sorted, s"not canonical <$t>")
+    }
+    assert(Dedup.winnowHashesKernel(null, 4, 4).isEmpty)
+  }
+
+  test("winnowing guarantee: a shared w+k-1-token run yields a shared " +
+    "fingerprint and winnowPairs reports the pair") {
+    // 7 shared tokens (w+k-1 = 4+4-1) buried in otherwise unrelated text
+    val run = "lorem ipsum dolor sit amet consectetur adipiscing"
+    val docs = Seq(
+      (1L, s"completely different opening words first $run tail one here"),
+      (2L, s"$run and then some entirely other continuation words after"),
+      (3L, "no overlap with anything else at all in this document text"))
+      .toDF("doc_id", "text")
+    val fps = Dedup.winnowFingerprints(docs, "doc_id", "text", k = 4,
+      window = 4)
+    val f1 = fps.where(col("id") === 1).select("fp").as[Long].collect().toSet
+    val f2 = fps.where(col("id") === 2).select("fp").as[Long].collect().toSet
+    assert((f1 & f2).nonEmpty, "guarantee violated: no shared fingerprint")
+    val pairs = Dedup.winnowPairs(docs, "doc_id", "text", k = 4,
+      window = 4, minShared = 1, maxFpDf = 100).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
+  }
+
+  test("winnowPairs drops boilerplate fingerprints above maxFpDf and " +
+    "thins the index vs the full gram stream") {
+    val boiler = "standard footer text appears in every single document here"
+    val docs = (1L to 6L).map(i =>
+      (i, s"unique lead token$i body$i filler$i words$i then $boiler"))
+      .toDF("doc_id", "text")
+    // every pair shares only the boilerplate run; capping df at 3 (< 6
+    // docs) must remove those fingerprints entirely -> no pairs
+    val pairs = Dedup.winnowPairs(docs, "doc_id", "text", k = 4,
+      window = 4, minShared = 1, maxFpDf = 3)
+    assert(pairs.count() == 0)
+    // density: selected fingerprints are a strict subset of the grams
+    val text = ("alpha beta gamma delta epsilon zeta eta theta iota " +
+      "kappa lambda mu nu xi omicron pi rho sigma tau upsilon")
+    val nG = Dedup.tokenGramHashesKernel(text, 4).length
+    val nF = Dedup.winnowHashesKernel(text, 4, 4).length
+    assert(nF < nG && nF >= nG / 4)
+  }
 }
