@@ -76,7 +76,12 @@ object ScaleCheck {
     // round-9 third batch: the winnow-thinned fingerprint tier (a
     // denser-than-LSH, sparser-than-gram substring index — expect the
     // posting shuffle to dominate and stay sublinear)
-    "q_winnow_fingerprints", "q_winnow_pairs")
+    "q_winnow_fingerprints", "q_winnow_pairs",
+    // round-9 fourth batch: per-source chrome strip (df exchange +
+    // broadcast decisions), zero-shuffle span corruption, the
+    // candidate-bounded edit verify, and the bins-rows calibration
+    "q_boilerplate_strip", "q_span_corrupt", "q_edit_verify",
+    "q_quality_calibration")
 
   def main(args: Array[String]): Unit = {
     val src = "/root/testdata/sf0.1"

@@ -631,6 +631,109 @@ object Dedup {
         col("clean_text"))
   }
 
+  /** Edit-distance exact-verify tier over CANDIDATE pairs — the last
+    * stage of the classic two-phase near-dup pipeline (cheap recall
+    * tier generates candidates: [[winnowPairs]], [[minhashLshPairs]],
+    * SimHash; this verifies precisely). For every (id_a, id_b) pair the
+    * texts are joined in and the Levenshtein distance computed with the
+    * engine-native codegen expression; the duplicate gate is exact
+    * integer arithmetic — dup iff dist·100 ≤ max_len·(100−simPct) — so
+    * no float boundary can disagree with the SQL oracle.
+    *
+    * Scale shape: cost is bounded by the CANDIDATE set, never the
+    * corpus (two hash joins of pairs against docs, then a per-row DP).
+    * The per-pair DP is O(len_a·len_b) chars — the tier is meant for
+    * paragraph/segment-sized units or LSH-thinned doc pairs, not for
+    * brute-forcing a corpus (that would be the all-pairs shape every
+    * other tier here exists to avoid). Parity caveat: Spark's
+    * levenshtein counts CHARACTERS while DuckDB's counts BYTES — equal
+    * on ASCII (this fixture, verified), divergent on multi-byte UTF-8;
+    * a multilingual oracle would need a byte-level recode first.
+    *
+    * @param pairs any (id_a, id_b) relation
+    * @return (id_a, id_b, edit_dist, max_len, is_dup) */
+  def editVerifyPairs(docs: DataFrame, idCol: String, textCol: String,
+                      pairs: DataFrame, simPct: Int = 80): DataFrame = {
+    require(simPct >= 1 && simPct <= 100, s"simPct in [1,100]: $simPct")
+    val a = docs.select(col(idCol).as("id_a"), col(textCol).as("__ta"))
+    val b = docs.select(col(idCol).as("id_b"), col(textCol).as("__tb"))
+    pairs.select("id_a", "id_b").join(a, "id_a").join(b, "id_b")
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("__ta"), col("__tb")).as("edit_dist"),
+        greatest(length(col("__ta")), length(col("__tb"))).as("max_len"))
+      .withColumn("is_dup",
+        col("edit_dist") * 100 <= col("max_len") * (100 - simPct))
+  }
+
+  /** Per-SOURCE boilerplate segment strip (the CCNet/RefinedWeb cleaning
+    * pass): within each source, a segment whose document frequency
+    * reaches `minDf` docs AND `maxDfPct` percent of the source's docs is
+    * boilerplate (navigation chrome, footers, cookie banners — content
+    * that repeats across a site but is unique to it), and every copy is
+    * removed from every doc of that source. Differs from
+    * [[segmentDedupKeepFirst]] (global, keeps one copy) and from the
+    * span strip (global gram threshold): the ratio is per-source, which
+    * is how real pipelines separate site chrome from legitimately
+    * popular content.
+    *
+    * The ratio gate is exact integer arithmetic (`df*100 >= src_docs *
+    * maxDfPct`) — no float boundary to disagree with the SQL oracle.
+    * Segments travel the df exchange as 60-bit md5-prefix longs, never
+    * strings; the boilerplate decision relation (rare by construction —
+    * only segments crossing the ratio) is broadcast back, so the corpus
+    * is exchanged once for the df count and once for doc reassembly.
+    *
+    * Output: (id, source, n_segments, removed_segments, kept_segments,
+    * clean_text); a fully-boilerplate doc comes back with empty
+    * clean_text rather than vanishing. */
+  def boilerplateStrip(df: DataFrame, idCol: String, textCol: String,
+                       sourceCol: String, segTokens: Int = 3,
+                       minDf: Long = 2, maxDfPct: Int = 8): DataFrame = {
+    require(segTokens >= 1, s"segTokens must be positive: $segTokens")
+    require(minDf >= 2, s"minDf below 2 strips unique content: $minDf")
+    require(maxDfPct >= 1 && maxDfPct <= 100, s"maxDfPct in [1,100]: $maxDfPct")
+    val segs = df.select(col(idCol).as("id"), col(sourceCol).as("source"),
+        filter(split(lower(col(textCol)), "\\s+"),
+          t => length(t) > 0).as("toks"))
+      .where(size(col("toks")) > 0)
+      .select(col("id"), col("source"), posexplode(transform(
+        sequence(lit(0),
+          floor((size(col("toks")) - 1) / lit(segTokens)).cast("int")),
+        i => array_join(slice(col("toks"), i * segTokens + 1, lit(segTokens)),
+          " "))))
+      .toDF("id", "source", "seg_pos", "segment")
+      .withColumn("h",
+        conv(substring(md5(col("segment")), 1, 15), 16, 10).cast("long"))
+    // per-source doc counts come from the RAW table (a doc with >= 1
+    // token produces >= 1 segment, so the denominators agree) — one
+    // narrow map-side-combined aggregate instead of re-counting the
+    // exploded segment relation; the result is domain-cardinality small
+    // and broadcast into the ratio gate
+    val srcDocs = df
+      .where(size(filter(split(lower(col(textCol)), "\\s+"),
+        t => length(t) > 0)) > 0)
+      .groupBy(col(sourceCol).as("source"))
+      .agg(count(lit(1)).as("src_docs"))
+    val boiler = segs.groupBy("source", "h")
+      .agg(countDistinct(col("id")).as("df"))
+      .join(broadcast(srcDocs), "source")
+      .where(col("df") >= minDf &&
+        col("df") * 100 >= col("src_docs") * maxDfPct)
+      .select(col("source"), col("h"), lit(true).as("is_boiler"))
+    segs.join(broadcast(boiler), Seq("source", "h"), "left")
+      .groupBy("id", "source")
+      .agg(count(lit(1)).as("n_segments"),
+        sum(when(col("is_boiler"), 1L).otherwise(0L)).as("removed_segments"),
+        array_join(transform(sort_array(collect_list(
+            when(col("is_boiler").isNull,
+              struct(col("seg_pos"), col("segment"))))),
+          e => e.getField("segment")), " ").as("clean_text"))
+      .select(col("id"), col("source"), col("n_segments"),
+        col("removed_segments"),
+        (col("n_segments") - col("removed_segments")).as("kept_segments"),
+        col("clean_text"))
+  }
+
   /** Segment a newline-free corpus into consecutive `segTokens`-token
     * windows (last window may be short) — the segment relation
     * [[segmentDedupKeepFirst]] consumes when no natural paragraph

@@ -424,6 +424,22 @@ object LlmQueries {
       Some(s"""WITH ${lrCtes(3)} SELECT f.id, f.y, CAST(round(CAST(CAST(1.0 / (1.0 + exp(-(b.b0 + b.b1 * f.x1 + b.b2 * f.x2))) AS VARCHAR) AS DECIMAL(38,18)), 6) AS DOUBLE) AS score, 1.0 / (1.0 + exp(-(b.b0 + b.b1 * f.x1 + b.b2 * f.x2))) >= 0.5 AS pred FROM f, b3 b""")),
 
 
+    Entry("q_quality_calibration",
+      // reliability report over the trained classifier: 10 equal-width
+      // probability bins, per-bin size / mean score / empirical positive
+      // rate / |gap|, plus the ECE — the "does 0.8 mean 80%?" ML-ops
+      // check. Everything integer-exact after one grid quantization of
+      // the score (ECE's numerator is a BIGINT), so the oracle replays
+      // every value bit for bit
+      (s, d) => {
+        val f = graft.text.QualityModel.features(t(s, d, "documents"),
+          "doc_id", "text", "lang", "en").localCheckpoint(false)
+        val b = graft.text.QualityModel.irlsFit(f, iters = 3).last
+        graft.text.QualityModel.calibrationReport(
+          graft.text.QualityModel.score(f, b), "score", "y", bins = 10)
+      },
+      Some(s"""WITH ${lrCtes(3)}, sc AS (SELECT f.y, CAST(round(CAST(CAST(1.0 / (1.0 + exp(-(b.b0 + b.b1 * f.x1 + b.b2 * f.x2))) AS VARCHAR) AS DECIMAL(38,18)), 6) AS DOUBLE) AS score FROM f, b3 b), uu AS (SELECT CAST(floor(score * 1000000 + 0.5) AS BIGINT) AS u, CAST(y AS BIGINT) AS y FROM sc), pb AS (SELECT CAST(least(u // 100000, 9) AS INTEGER) AS bin, count(*) AS n, CAST(sum(u) AS BIGINT) AS sum_micro, CAST(sum(y) AS BIGINT) AS positives FROM uu GROUP BY 1), pb2 AS (SELECT bin, n, sum_micro, positives, abs(sum_micro - positives * 1000000) AS dev FROM pb), tt AS (SELECT CAST(sum(n) AS BIGINT) AS tot_n, CAST(sum(dev) AS BIGINT) AS tot_dev FROM pb2) SELECT bin, n, sum_micro, positives, ${OmicsQueries.rndSql("CAST(sum_micro AS DOUBLE) / (n * 1000000)", 6)} AS avg_score, ${OmicsQueries.rndSql("CAST(positives AS DOUBLE) / n", 6)} AS pos_rate, ${OmicsQueries.rndSql("CAST(dev AS DOUBLE) / (n * 1000000)", 6)} AS gap, ${OmicsQueries.rndSql("CAST(tot_dev AS DOUBLE) / (tot_n * 1000000)", 6)} AS ece FROM pb2, tt""")),
+
     Entry("q_dedup_exact",
       (s, d) => Dedup.exact(t(s, d, "documents"), "doc_id", "text"),
       Some("""SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS content_hash, min(doc_id) AS kept_id, count(*) AS dup_count FROM documents GROUP BY 1""")),
@@ -1116,6 +1132,30 @@ object LlmQueries {
           segTokens = 12)),
       Some("""WITH rt AS (SELECT doc_id AS id, list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS ts FROM documents), t2 AS (SELECT id, ts, len(ts) AS n FROM rt WHERE len(ts) > 0), segs AS (SELECT id, i AS seg_pos, array_to_string(ts[i * 12 + 1 : i * 12 + 12], ' ') AS segment FROM t2, unnest(generate_series(0, (n - 1) // 12)) AS g(i)), r AS (SELECT id, seg_pos, segment, row_number() OVER (PARTITION BY segment ORDER BY id, seg_pos) AS rn FROM segs) SELECT id, count(*) AS n_segments, CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS kept_segments, CAST(count(*) - sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS removed_segments, coalesce(string_agg(CASE WHEN rn = 1 THEN segment END, ' ' ORDER BY seg_pos), '') AS clean_text FROM r GROUP BY 1""")),
 
+    Entry("q_edit_verify",
+      // the two-phase near-dup pipeline end to end: winnowing
+      // fingerprints generate candidates (recall tier, minShared=1),
+      // Levenshtein verifies each pair exactly (precision tier) — dup
+      // iff dist*100 <= max_len*40, pure integer gate. Cost bounded by
+      // the candidate set; the DP runs as the engines' native kernels
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val cands = Dedup.winnowPairs(docs, "doc_id", "text", k = 4,
+          window = 4, minShared = 1, maxFpDf = 100)
+        Dedup.editVerifyPairs(docs, "doc_id", "text", cands, simPct = 60)
+      },
+      Some(s"""WITH ${winnowCtes(k = 4, w = 4)}, pdf AS (SELECT fp, count(*) AS df FROM fps GROUP BY 1), ok AS (SELECT fp FROM pdf WHERE df BETWEEN 2 AND 100), cand AS (SELECT a.id AS id_a, b.id AS id_b FROM fps a JOIN fps b USING (fp) JOIN ok USING (fp) WHERE a.id < b.id GROUP BY 1, 2) SELECT c.id_a, c.id_b, CAST(levenshtein(da.text, db.text) AS INTEGER) AS edit_dist, CAST(greatest(len(da.text), len(db.text)) AS INTEGER) AS max_len, (levenshtein(da.text, db.text) * 100 <= greatest(len(da.text), len(db.text)) * 40) AS is_dup FROM cand c JOIN documents da ON da.doc_id = c.id_a JOIN documents db ON db.doc_id = c.id_b""")),
+
+    Entry("q_boilerplate_strip",
+      // per-SOURCE boilerplate removal (CCNet/RefinedWeb chrome pass):
+      // 3-token segments appearing in >= 2 docs AND >= 8% of a source's
+      // docs are site chrome — every copy removed from that source. The
+      // ratio gate is exact integer arithmetic (df*100 >= docs*8), the
+      // df exchange carries 60-bit hashes, the decision set is broadcast
+      (s, d) => Dedup.boilerplateStrip(t(s, d, "documents"), "doc_id",
+        "text", "source", segTokens = 3, minDf = 2, maxDfPct = 8),
+      Some("""WITH rt AS (SELECT doc_id AS id, source, list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS ts FROM documents), t2 AS (SELECT id, source, ts, len(ts) AS n FROM rt WHERE len(ts) > 0), segs AS (SELECT id, source, i AS seg_pos, array_to_string(ts[i * 3 + 1 : i * 3 + 3], ' ') AS segment FROM t2, unnest(generate_series(0, (n - 1) // 3)) AS g(i)), sd AS (SELECT source, count(DISTINCT id) AS src_docs FROM segs GROUP BY 1), dfr AS (SELECT source, segment, count(DISTINCT id) AS df FROM segs GROUP BY 1, 2), boiler AS (SELECT source, segment FROM dfr JOIN sd USING (source) WHERE df >= 2 AND df * 100 >= src_docs * 8) SELECT s.id, s.source AS source, count(*) AS n_segments, CAST(sum(CASE WHEN b.segment IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS removed_segments, CAST(count(*) - sum(CASE WHEN b.segment IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS kept_segments, coalesce(string_agg(CASE WHEN b.segment IS NULL THEN s.segment END, ' ' ORDER BY s.seg_pos), '') AS clean_text FROM segs s LEFT JOIN boiler b ON b.source = s.source AND b.segment = s.segment GROUP BY 1, 2""")),
+
     Entry("q_semantic_dedup",
       // SemDeDup: k-means cells bound the quadratic cosine scoring (the
       // scale path next to the all-pairs q_dedup_embedding baseline);
@@ -1138,6 +1178,16 @@ object LlmQueries {
       (s, d) => graft.text.Sampling.chunkWindows(t(s, d, "documents"),
         "doc_id", "text", window = 32, stride = 24),
       Some("""WITH rt AS (SELECT doc_id AS id, list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS ts FROM documents), t2 AS (SELECT id, ts, len(ts) AS n FROM rt WHERE len(ts) > 0), ch AS (SELECT id, CAST(i AS INTEGER) AS chunk_idx, CAST(i * 24 AS INTEGER) AS start_tok, ts[i * 24 + 1 : i * 24 + 32] AS chunk FROM t2, unnest(generate_series(0, (greatest(n - 32, 0) + 23) // 24)) AS g(i)) SELECT id, chunk_idx, start_tok, CAST(len(chunk) AS INTEGER) AS n_chunk_tokens, array_to_string(chunk, ' ') AS chunk_text FROM ch""")),
+
+    Entry("q_span_corrupt",
+      // T5-style denoising pairs: 3-token spans masked at 15% by an
+      // md5-derived draw (pure function of seed/doc/bucket — re-runs
+      // regenerate identical pairs), input gets <extra_id_K> sentinels
+      // in doc order, target lists sentinel + hidden tokens. One
+      // zero-shuffle projection; the mask draw replays exactly in SQL
+      (s, d) => graft.text.Sampling.spanCorrupt(t(s, d, "documents"),
+        "doc_id", "text", spanTokens = 3, maskPct = 15, seed = 7L),
+      Some("""WITH rt AS (SELECT doc_id AS id, list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS ts FROM documents), t2 AS (SELECT id, ts, len(ts) AS n FROM rt WHERE len(ts) > 0), bs AS (SELECT id, n, i AS b, array_to_string(ts[i * 3 + 1 : i * 3 + 3], ' ') AS seg, least(3, n - i * 3) AS seglen, (CAST(concat('0x', substr(md5(concat('sc7:', CAST(id AS VARCHAR), '_', CAST(i AS VARCHAR))), 1, 15)) AS BIGINT) % 100 < 15) AS m FROM t2, unnest(generate_series(0, (n - 1) // 3)) AS g(i)), mr AS (SELECT id, n, b, seg, seglen, m, sum(CASE WHEN m THEN 1 ELSE 0 END) OVER (PARTITION BY id ORDER BY b) - 1 AS k FROM bs) SELECT id, CAST(n AS INTEGER) AS n_tokens, CAST(coalesce(sum(CASE WHEN m THEN seglen END), 0) AS BIGINT) AS n_masked, string_agg(CASE WHEN m THEN concat('<extra_id_', CAST(k AS VARCHAR), '>') ELSE seg END, ' ' ORDER BY b) AS input_text, coalesce(string_agg(CASE WHEN m THEN concat('<extra_id_', CAST(k AS VARCHAR), '> ', seg) END, ' ' ORDER BY b), '') AS target_text FROM mr GROUP BY id, n""")),
 
     Entry("q_cms_heavy",
       // count-min sketch (depth 4 x width 512, md5 row hashes): the

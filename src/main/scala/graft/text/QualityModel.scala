@@ -119,4 +119,51 @@ object QualityModel {
       round(lit(1.0) / (lit(1.0) + exp(-eta)), 6).as("score"),
       (lit(1.0) / (lit(1.0) + exp(-eta)) >= 0.5).as("pred"))
   }
+
+  /** Reliability / calibration report over a scored frame — the ML-ops
+    * check behind every learned quality filter: does a 0.8 score mean
+    * 80% of such docs are actually positive? Scores land in `bins`
+    * equal-width probability bins; each bin reports its size, mean
+    * score, empirical positive rate, and |gap|; every row also carries
+    * the expected calibration error ECE = Σ_b (n_b/N)·|gap_b|.
+    *
+    * Determinism contract: the score is converted ONCE to exact integer
+    * micro-units u = floor(s·10⁶ + 0.5) (the grid recipe — s is already
+    * on the 1e-6 grid, so this is lossless); binning is integer
+    * division of u, every aggregate (Σu, Σy, Σ|u − 10⁶y... per bin
+    * |Σu − 10⁶·pos|) is a BIGINT, and each reported double is ONE
+    * division of exact integers + round(.,6) — no order-dependent float
+    * sum anywhere, so a SQL oracle replays bit for bit. In particular
+    * ECE's numerator Σ_b |Σu_b − 10⁶·pos_b| is itself an exact BIGINT.
+    *
+    * Scale shape: one map-side-combined aggregate to `bins` rows, then
+    * a single-task window over those rows. */
+  def calibrationReport(scored: DataFrame, scoreCol: String,
+                        labelCol: String, bins: Int = 10): DataFrame = {
+    require(bins >= 2 && 1000000 % bins == 0,
+      s"bins must divide 1e6 for exact integer binning: $bins")
+    val width = 1000000L / bins
+    val u = floor(col(scoreCol) * 1e6 + 0.5).cast("long")
+    val perBin = scored
+      .select(least(floor(u / lit(width)), lit(bins - 1L)).cast("int")
+          .as("bin"),
+        u.as("u"), col(labelCol).cast("long").as("y"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), sum(col("u")).as("sum_micro"),
+        sum(col("y")).as("positives"))
+      .withColumn("dev", abs(col("sum_micro") - col("positives") * 1000000L))
+    val all = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1)).rowsBetween(Long.MinValue, Long.MaxValue)
+    perBin
+      .withColumn("tot_n", sum(col("n")).over(all))
+      .withColumn("tot_dev", sum(col("dev")).over(all))
+      .select(col("bin"), col("n"), col("sum_micro"), col("positives"),
+        round(col("sum_micro").cast("double") /
+          (col("n") * 1000000L), 6).as("avg_score"),
+        round(col("positives").cast("double") / col("n"), 6).as("pos_rate"),
+        round(col("dev").cast("double") /
+          (col("n") * 1000000L), 6).as("gap"),
+        round(col("tot_dev").cast("double") /
+          (col("tot_n") * 1000000L), 6).as("ece"))
+  }
 }

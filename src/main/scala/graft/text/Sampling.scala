@@ -371,4 +371,54 @@ object Sampling {
         size(col("col.chunk")).as("n_chunk_tokens"),
         array_join(col("col.chunk"), " ").as("chunk_text"))
   }
+
+  /** Deterministic T5-style span corruption — the denoising-objective
+    * training-pair generator: the token stream is cut into fixed
+    * `spanTokens` buckets, each bucket is masked iff its md5-derived
+    * draw (a pure function of seed, doc id, and bucket index — NOT
+    * `rand()`, so a re-run or a new executor count regenerates the
+    * identical pairs) lands under `maskPct` percent, masked buckets are
+    * replaced in the input by `<extra_id_K>` sentinels numbered in
+    * document order, and the target lists each sentinel followed by the
+    * tokens it hides.
+    *
+    * Entirely per-row higher-order-function arithmetic — zero shuffle,
+    * zero state; the whole corpus maps in one projection. The mask draw
+    * (`md5 prefix as 60-bit int % 100`) replays bit-for-bit in SQL, so
+    * the generated pairs are oracle-checkable.
+    *
+    * @return (id, n_tokens, n_masked, input_text, target_text); docs
+    *         with no masked bucket keep target_text = "". */
+  def spanCorrupt(df: DataFrame, idCol: String, textCol: String,
+                  spanTokens: Int = 3, maskPct: Int = 15,
+                  seed: Long = 7L): DataFrame = {
+    require(spanTokens >= 1, s"spanTokens must be positive: $spanTokens")
+    require(maskPct >= 1 && maskPct <= 99, s"maskPct in [1,99]: $maskPct")
+    val masked = (b: Column) =>
+      conv(substring(md5(concat(lit(s"sc$seed:"), col("id").cast("string"),
+        lit("_"), b.cast("string"))), 1, 15), 16, 10).cast("long") %
+        100 < maskPct
+    val span = (b: Column) =>
+      array_join(slice(col("toks"), b * spanTokens + 1, lit(spanTokens)), " ")
+    df.select(col(idCol).as("id"),
+        filter(split(col(textCol), "\\s+"), t => length(t) > 0).as("toks"))
+      .where(size(col("toks")) > 0)
+      .withColumn("n", size(col("toks")))
+      .withColumn("mb", filter(
+        sequence(lit(0), floor((col("n") - 1) / lit(spanTokens)).cast("int")),
+        b => masked(b)))
+      .select(col("id"), col("n").as("n_tokens"),
+        aggregate(transform(col("mb"),
+            b => least(lit(spanTokens), col("n") - b * spanTokens)
+              .cast("long")),
+          lit(0L), (acc, x) => acc + x).as("n_masked"),
+        array_join(transform(
+          sequence(lit(0), floor((col("n") - 1) / lit(spanTokens)).cast("int")),
+          b => when(masked(b), concat(lit("<extra_id_"),
+              (array_position(col("mb"), b) - 1).cast("string"), lit(">")))
+            .otherwise(span(b))), " ").as("input_text"),
+        array_join(transform(col("mb"), (b, i) =>
+          concat(lit("<extra_id_"), i.cast("string"), lit("> "), span(b))),
+          " ").as("target_text"))
+  }
 }

@@ -689,4 +689,146 @@ class Round9Spec extends SparkSpec {
     val nF = Dedup.winnowHashesKernel(text, 4, 4).length
     assert(nF < nG && nF >= nG / 4)
   }
+
+  // ---- per-source boilerplate strip ------------------------------------
+
+  test("boilerplateStrip removes per-source chrome above the ratio, " +
+    "keeps it below, and keeps other sources intact") {
+    val foot = "foot bar baz" // one aligned 3-token segment
+    val srcA = (1L to 4L).map(i => (i, s"ua$i ub$i uc$i $foot", "a"))
+    // source b: trailer in 2 of 10 docs = 20% < the 50% gate
+    val srcB = (11L to 20L).map(i =>
+      (i, if (i <= 12L) s"va$i vb$i vc$i $foot" else s"va$i vb$i vc$i", "b"))
+    val docs = (srcA ++ srcB).toDF("doc_id", "text", "src")
+    val out = Dedup.boilerplateStrip(docs, "doc_id", "text", "src",
+        segTokens = 3, minDf = 2, maxDfPct = 50)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(3), r.getString(5))).toMap
+    // source a: 4/4 docs carry the trailer -> removed everywhere
+    for (i <- 1L to 4L)
+      assert(out(i) == (1L, s"ua$i ub$i uc$i"), s"doc $i: ${out(i)}")
+    // source b: 20% < 50% -> nothing removed, text reassembled verbatim
+    assert(out(11L) == (0L, s"va11 vb11 vc11 $foot"))
+    assert(out(15L) == (0L, "va15 vb15 vc15"))
+  }
+
+  test("boilerplateStrip: a fully-boilerplate doc survives with empty " +
+    "clean_text and exact integer ratio boundary holds") {
+    val docs = Seq(
+      (1L, "foot bar baz", "a"), (2L, "foot bar baz", "a"),
+      (3L, "keep these words", "a"), (4L, "also kept here", "a"))
+      .toDF("doc_id", "text", "src")
+    // df=2 of 4 docs = exactly 50%: the >= gate must fire at the boundary
+    val out = Dedup.boilerplateStrip(docs, "doc_id", "text", "src",
+        segTokens = 3, minDf = 2, maxDfPct = 50)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(2), r.getLong(3), r.getString(5))).toMap
+    assert(out(1L) == (1L, 1L, "")) // present, emptied
+    assert(out(3L) == (1L, 0L, "keep these words"))
+  }
+
+  // ---- span corruption --------------------------------------------------
+
+  test("spanCorrupt: sentinels are dense and in order, target inverts the " +
+    "mask, and the pair reconstructs the original text") {
+    val text = (1 to 40).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, text), (2L, "short doc"), (3L, text))
+      .toDF("doc_id", "text")
+    val rows = graft.text.Sampling
+      .spanCorrupt(docs, "doc_id", "text", spanTokens = 3, maskPct = 40,
+        seed = 7L)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // determinism: same text + same id inputs give identical outputs
+    assert(rows(1L).getString(3) == rows(3L).getString(3) == false ||
+      true) // ids differ -> draws differ; just assert shape below
+    for (id <- Seq(1L, 2L, 3L)) {
+      val r = rows(id)
+      val nTok = r.getInt(1); val nMask = r.getLong(2)
+      val input = r.getString(3); val target = r.getString(4)
+      val sentinel = "<extra_id_(\\d+)>".r
+      val ks = sentinel.findAllMatchIn(input).map(_.group(1).toInt).toList
+      assert(ks == ks.indices.toList, s"sentinels not dense/on-order: $ks")
+      // target carries the same sentinels in the same order
+      val tks = sentinel.findAllMatchIn(target).map(_.group(1).toInt).toList
+      assert(tks == ks)
+      // reconstruct: replace each sentinel in input by its target span
+      val spans = if (target.isEmpty) Map.empty[Int, String]
+        else target.split("<extra_id_").filter(_.nonEmpty).map { part =>
+          val Array(k, rest) = part.split(">", 2)
+          k.toInt -> rest.trim
+        }.toMap
+      val rebuilt = sentinel.replaceAllIn(input,
+        m => java.util.regex.Matcher.quoteReplacement(
+          spans(m.group(1).toInt)))
+      val orig = if (id == 2L) "short doc" else text
+      assert(rebuilt == orig, s"doc $id reconstruction failed")
+      assert(nTok == orig.split(" ").length)
+      assert(nMask == spans.values.map(_.split(" ").length).sum)
+    }
+  }
+
+  test("spanCorrupt is a pure function of (seed, id, bucket): rerun equal, " +
+    "different seed differs somewhere") {
+    val docs = (1L to 30L).map(i =>
+      (i, (1 to 30).map(j => s"t${i}_$j").mkString(" "))).toDF("doc_id", "text")
+    def run(seed: Long) = graft.text.Sampling
+      .spanCorrupt(docs, "doc_id", "text", seed = seed)
+      .orderBy("id").collect().map(_.toString).toSeq
+    assert(run(7L) == run(7L))
+    assert(run(7L) != run(8L))
+  }
+
+  // ---- edit-distance verify tier ----------------------------------------
+
+  test("editVerifyPairs computes exact Levenshtein and the integer dup " +
+    "gate at the boundary") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "the quick brown fox jumps over the lazy dog todaX"), // 1 sub
+      (3L, "completely unrelated content with none shared at all"),
+      (4L, "aaaaaaaaba"), (5L, "aaaaaaaaaa")) // dist 1, len 10 -> 10%
+      .toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (1L, 3L), (4L, 5L)).toDF("id_a", "id_b")
+    val out = Dedup.editVerifyPairs(docs, "doc_id", "text", pairs,
+        simPct = 90)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getInt(2), r.getInt(3), r.getBoolean(4))).toMap
+    assert(out((1L, 2L)) == (1, 49, true))   // 1/49 ~ 2% <= 10%
+    assert(out((4L, 5L)) == (1, 10, true))   // exactly 10% -> <= fires
+    val (d13, _, dup13) = out((1L, 3L))
+    assert(d13 > 20 && !dup13)
+    // boundary the other way: simPct=91 -> 1*100 <= 10*9 is false
+    val strict = Dedup.editVerifyPairs(docs, "doc_id", "text",
+        Seq((4L, 5L)).toDF("id_a", "id_b"), simPct = 91)
+      .collect().head
+    assert(!strict.getBoolean(4))
+  }
+
+  // ---- calibration report -----------------------------------------------
+
+  test("calibrationReport: hand-computed bins, exact-integer ECE, and the " +
+    "score=1.0 top-bin clamp") {
+    val scored = Seq(
+      (0.05, 0.0), (0.05, 0.0), (0.05, 0.0), (0.05, 1.0), // bin 0
+      (0.95, 1.0), (1.0, 1.0))                            // bin 9 (clamped)
+      .toDF("score", "y")
+    val out = graft.text.QualityModel
+      .calibrationReport(scored, "score", "y", bins = 10)
+      .collect().map(r => r.getInt(0) -> r).toMap
+    assert(out.keySet == Set(0, 9))
+    val b0 = out(0)
+    assert(b0.getLong(1) == 4L && b0.getLong(2) == 200000L &&
+      b0.getLong(3) == 1L)
+    assert(b0.getDouble(4) == 0.05 && b0.getDouble(5) == 0.25 &&
+      b0.getDouble(6) == 0.2) // dev = |200000 - 1e6| = 800000 over 4e6
+    val b9 = out(9)
+    assert(b9.getLong(1) == 2L && b9.getLong(2) == 1950000L &&
+      b9.getLong(3) == 2L)
+    assert(b9.getDouble(4) == 0.975 && b9.getDouble(5) == 1.0 &&
+      b9.getDouble(6) == 0.025) // dev = |1950000 - 2e6| = 50000 over 2e6
+    // ECE = (800000 + 50000) / (6 * 1e6)
+    assert(out.values.map(_.getDouble(7)).toSet == Set(850000.0 / 6e6 match {
+      case x => math.floor(x * 1e6 + 0.5) / 1e6 // round(.,6) both rows
+    }))
+  }
 }
