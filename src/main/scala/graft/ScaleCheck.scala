@@ -81,7 +81,12 @@ object ScaleCheck {
     // broadcast decisions), zero-shuffle span corruption, the
     // candidate-bounded edit verify, and the bins-rows calibration
     "q_boilerplate_strip", "q_span_corrupt", "q_edit_verify",
-    "q_quality_calibration")
+    "q_quality_calibration",
+    // round-9 fifth batch: graded decontamination, the source-level
+    // duplication matrix, quality-aware representative pick, and the
+    // grid-CDF per-source percent rank
+    "q_contamination_frac", "q_dup_source_matrix", "q_dedup_best_quality",
+    "q_source_quality_norm")
 
   def main(args: Array[String]): Unit = {
     val src = "/root/testdata/sf0.1"

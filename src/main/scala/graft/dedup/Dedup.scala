@@ -1469,6 +1469,116 @@ object Dedup {
       .withColumn("contaminated", col("n_hits") > 0)
   }
 
+  /** Per-document contamination FRACTION against the eval set — the
+    * graded companion to [[decontaminate]]'s any-hit flag: real
+    * pipelines drop above a fraction threshold (a doc quoting one
+    * benchmark sentence is different from a verbatim test-set copy),
+    * so the report carries matched / total distinct k-grams and their
+    * ratio. Same scale shape as the flag variant: the eval hash set is
+    * broadcast, the corpus never shuffles its text — only matching
+    * (id, hash) rows reach the count, the per-doc gram totals ride the
+    * same projection that computed the array.
+    *
+    * @return (idCol, n_grams, matched, contamination) for every corpus
+    *         doc with >= 1 token; contamination = matched/n_grams
+    *         rounded to 6 (one division of exact integers). */
+  def contaminationFraction(corpus: DataFrame, eval: DataFrame,
+                            idCol: String, textCol: String,
+                            k: Int = 5): DataFrame = {
+    val evalHashes = eval
+      .select(explode(graft.catalyst.ArrayFunctions.shingleHashes(
+        col(textCol), k)).as("__h"))
+      .distinct()
+    val withG = corpus.select(col(idCol),
+        graft.catalyst.ArrayFunctions.shingleHashes(col(textCol), k).as("__g"))
+      .where(size(col("__g")) > 0)
+    val matched = withG.select(col(idCol), explode(col("__g")).as("__h"))
+      .join(broadcast(evalHashes), Seq("__h"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("matched"))
+    withG.select(col(idCol), size(col("__g")).as("n_grams"))
+      .join(matched, Seq(idCol), "left")
+      .select(col(idCol), col("n_grams"),
+        coalesce(col("matched"), lit(0L)).as("matched"))
+      .withColumn("contamination",
+        round(col("matched").cast("double") / col("n_grams"), 6))
+  }
+
+  /** Cross-source duplication matrix: near-dup pair evidence aggregated
+    * to the (source, source) level — the corpus-analytics view that
+    * tells you WHICH sources mirror each other (syndication, scraper
+    * overlap) rather than which docs do. For each unordered source pair
+    * the report carries the pair count and the duplication RATE =
+    * pairs / possible pairs (n_a·n_b across sources, n·(n−1)/2 within
+    * one — exact integer denominators, one rounded division).
+    *
+    * Scale shape: the heavy lifting already happened in the pair tier
+    * (candidates, not all-pairs); here the pair relation joins the
+    * doc→source map twice (broadcast-eligible dimension at any corpus
+    * size: one row per doc id is corpus-sized, so this rides shuffle
+    * joins on the id), then collapses to a source²-sized matrix with a
+    * broadcast of the per-source counts. */
+  def dupSourceMatrix(docs: DataFrame, idCol: String, sourceCol: String,
+                      pairs: DataFrame): DataFrame = {
+    val src = docs.select(col(idCol).as("__id"), col(sourceCol).as("__s"))
+    val counts = docs.groupBy(col(sourceCol).as("__s"))
+      .agg(count(lit(1)).as("__n"))
+    val labeled = pairs.select(col("id_a"), col("id_b"))
+      .join(src.select(col("__id").as("id_a"), col("__s").as("__sa")), "id_a")
+      .join(src.select(col("__id").as("id_b"), col("__s").as("__sb")), "id_b")
+      .select(least(col("__sa"), col("__sb")).as("source_a"),
+        greatest(col("__sa"), col("__sb")).as("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_pairs"))
+    labeled
+      .join(broadcast(counts.select(col("__s").as("source_a"),
+        col("__n").as("__na"))), "source_a")
+      .join(broadcast(counts.select(col("__s").as("source_b"),
+        col("__n").as("__nb"))), "source_b")
+      .withColumn("possible_pairs",
+        when(col("source_a") === col("source_b"),
+          col("__na") * (col("__na") - 1) / 2)
+          .otherwise(col("__na") * col("__nb")).cast("long"))
+      .select(col("source_a"), col("source_b"), col("n_pairs"),
+        col("possible_pairs"),
+        round(col("n_pairs").cast("double") / col("possible_pairs"), 6)
+          .as("dup_rate"))
+  }
+
+  /** Quality-aware representative pick: like [[clusterDocuments]] but
+    * the kept doc per duplicate cluster is the HIGHEST-QUALITY member
+    * (id ascending breaks ties), not the smallest id — what production
+    * dedup actually does, since the first-crawled copy is often the
+    * worst one (truncated, boilerplate-ridden). `scores` is any
+    * (id, score) relation, e.g. [[graft.text.Text.qualityScore]]'s
+    * output; docs missing a score sort last.
+    *
+    * Scale shape: components from [[duplicateClusters]] (pair-graph
+    * sized), then one window ranked per cluster — the partition key is
+    * the cluster id, and cluster sizes are near-dup class sizes (the
+    * hot-band guard upstream caps the pathological ones), so no
+    * corpus-sized partition exists. */
+  def clusterDocumentsByQuality(docs: DataFrame, idCol: String,
+                                pairs: DataFrame, scores: DataFrame,
+                                scoreIdCol: String,
+                                scoreCol: String): DataFrame = {
+    val comp = duplicateClusters(pairs)
+    val q = scores.select(col(scoreIdCol).as("doc_id"),
+      col(scoreCol).as("quality"))
+    val labeled = docs.select(col(idCol).as("doc_id"))
+      .join(comp.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+      .join(q, Seq("doc_id"), "left")
+    val rank = Window.partitionBy("cluster_id")
+      .orderBy(col("quality").desc_nulls_last, col("doc_id").asc)
+    val size = Window.partitionBy("cluster_id")
+    labeled
+      .withColumn("__rn", row_number().over(rank))
+      .withColumn("cluster_size", count(lit(1)).over(size).cast("long"))
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+        col("quality"), (col("__rn") === 1).as("kept"))
+  }
+
   /** The 100 TB-eval-set variant of [[decontaminate]], same output: when
     * the eval k-gram universe outgrows a comfortable broadcast (10^8+
     * hashes = GBs as an exact set), ship a Bloom filter instead

@@ -165,6 +165,15 @@ object LlmQueries {
   /** The curate pipeline's CTE chain (dedup tier + quality + lang-id) and
     * closing SELECT, split so composite oracles (q_pipeline_traindata) can
     * wrap the SELECT as one more CTE. */
+  /** The q_text_quality formula as a reusable CTE block producing
+    * `qq(doc_id, n_tokens, quality)` — the same text curateCtes inlines
+    * (kept inline there so the long-verified curate oracles stay
+    * byte-identical); consumed by the quality-aware dedup and
+    * rank-normalization oracles. Declared lazy: strict vals placed
+    * after `entries` interpolate as null (the q_gopher_rules lesson). */
+  private lazy val qualityCtes: String =
+    s"""qt AS (SELECT doc_id, text, list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0) AS toks FROM documents), qf AS (SELECT doc_id, CAST(len(text) AS INTEGER) AS n_chars, CAST(len(toks) AS INTEGER) AS n_tokens, CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS INTEGER) AS n_punct, CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, x -> list_contains(['the','a','an','and','or','of','to','in','is','it','for','on','with','as','at','by','from','that','this'], lower(x)))) AS DOUBLE) / len(toks) ELSE CAST(0.0 AS DOUBLE) END AS stopword_ratio, CASE WHEN len(toks) > 0 THEN CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) ELSE CAST(0.0 AS DOUBLE) END AS uniq_token_ratio FROM qt), qg AS (SELECT doc_id, n_tokens, CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / n_chars ELSE CAST(0.0 AS DOUBLE) END AS punct_ratio, stopword_ratio, uniq_token_ratio FROM qf), qq AS (SELECT doc_id, n_tokens, CAST(round(CAST(CAST(least(CAST(1.0 AS DOUBLE), n_tokens / CAST(100.0 AS DOUBLE)) * 0.4 + (CAST(1.0 AS DOUBLE) - least(CAST(1.0 AS DOUBLE), punct_ratio * 5.0)) * 0.2 + least(CAST(1.0 AS DOUBLE), stopword_ratio * 5.0) * 0.2 + uniq_token_ratio * 0.2 AS VARCHAR) AS DECIMAL(38,18)), 6) AS DOUBLE) AS quality FROM qg)"""
+
   private[queries] def curateCtes(threshold: Double): String =
     s"""$shingleCte, $minhashCandCtes, $verifyCtes, pairs AS (${verifySelect(threshold)}), $componentCtes, clustered AS (SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id, CAST(coalesce(cs.n, 1) AS BIGINT) AS cluster_size FROM documents d LEFT JOIN comp c ON d.doc_id = c.id LEFT JOIN cs ON c.cluster_id = cs.cluster_id WHERE d.doc_id = coalesce(c.cluster_id, d.doc_id)), qt AS (SELECT doc_id, text, list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0) AS toks FROM documents), qf AS (SELECT doc_id, CAST(len(text) AS INTEGER) AS n_chars, CAST(len(toks) AS INTEGER) AS n_tokens, CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS INTEGER) AS n_punct, CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, x -> list_contains(['the','a','an','and','or','of','to','in','is','it','for','on','with','as','at','by','from','that','this'], lower(x)))) AS DOUBLE) / len(toks) ELSE CAST(0.0 AS DOUBLE) END AS stopword_ratio, CASE WHEN len(toks) > 0 THEN CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) ELSE CAST(0.0 AS DOUBLE) END AS uniq_token_ratio FROM qt), qg AS (SELECT doc_id, n_tokens, CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / n_chars ELSE CAST(0.0 AS DOUBLE) END AS punct_ratio, stopword_ratio, uniq_token_ratio FROM qf), qq AS (SELECT doc_id, n_tokens, CAST(round(CAST(CAST(least(CAST(1.0 AS DOUBLE), n_tokens / CAST(100.0 AS DOUBLE)) * 0.4 + (CAST(1.0 AS DOUBLE) - least(CAST(1.0 AS DOUBLE), punct_ratio * 5.0)) * 0.2 + least(CAST(1.0 AS DOUBLE), stopword_ratio * 5.0) * 0.2 + uniq_token_ratio * 0.2 AS VARCHAR) AS DECIMAL(38,18)), 6) AS DOUBLE) AS quality FROM qg), lt AS (SELECT doc_id, list_distinct(list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0)) AS dt FROM documents), lh AS (SELECT doc_id, CAST(len(list_intersect(dt, ['der','die','das','und','ist','nicht','ein','mit','zu','ich'])) AS INTEGER) AS hde, CAST(len(list_intersect(dt, ['the','and','of','to','is','in','that','it','for','was'])) AS INTEGER) AS hen, CAST(len(list_intersect(dt, ['el','la','los','las','es','un','una','por','para','como'])) AS INTEGER) AS hes, CAST(len(list_intersect(dt, ['le','la','les','et','est','un','une','que','pour','dans'])) AS INTEGER) AS hfr FROM lt), lp AS (SELECT doc_id, CASE WHEN hde >= hen AND hde >= hes AND hde >= hfr THEN 'de' WHEN hen >= hes AND hen >= hfr THEN 'en' WHEN hes >= hfr THEN 'es' ELSE 'fr' END AS pred_lang FROM lh)"""
 
@@ -613,6 +622,37 @@ object LlmQueries {
       },
       Some(dedupClustersSql(0.8))),
 
+    Entry("q_dedup_best_quality",
+      // quality-aware representative pick: the kept doc per near-dup
+      // cluster is the argmax-quality member (id breaks ties), not the
+      // min id — first-crawled copies are often the worst ones. Window
+      // partitions by cluster id (near-dup class sized, hot-band-guard
+      // capped), never the corpus
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
+          k = 3, threshold = 0.8, numHashes = 128, bands = 16)
+        val q = Text.qualityScore(docs.select("doc_id", "text"), "text")
+          .select("doc_id", "quality")
+        Dedup.clusterDocumentsByQuality(docs, "doc_id", pairs, q,
+          "doc_id", "quality")
+      },
+      Some(s"""WITH RECURSIVE $shingleCte, $minhashCandCtes, $verifyCtes, pairs AS (${verifySelect(0.8)}), $componentCtes, $qualityCtes, bql AS (SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id FROM documents d LEFT JOIN comp c ON d.doc_id = c.id), bqs AS (SELECT cluster_id, count(*) AS n FROM bql GROUP BY 1), bqr AS (SELECT l.doc_id, l.cluster_id, q.quality, row_number() OVER (PARTITION BY l.cluster_id ORDER BY q.quality DESC, l.doc_id) AS rn FROM bql l JOIN qq q ON l.doc_id = q.doc_id) SELECT bqr.doc_id, bqr.cluster_id, CAST(bqs.n AS BIGINT) AS cluster_size, bqr.quality, rn = 1 AS kept FROM bqr JOIN bqs USING (cluster_id)""")),
+
+    Entry("q_dup_source_matrix",
+      // cross-source duplication matrix: winnow pair evidence rolled up
+      // to unordered (source, source) cells with pair counts and rate =
+      // pairs / possible pairs (exact integer denominators) — which
+      // sources mirror each other, not which docs. Matrix is source²
+      // sized; per-source counts broadcast
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        Dedup.dupSourceMatrix(docs, "doc_id", "source",
+          Dedup.winnowPairs(docs, "doc_id", "text", k = 4, window = 4,
+            minShared = 2, maxFpDf = 100))
+      },
+      Some(s"""WITH ${winnowCtes(k = 4, w = 4)}, pdf AS (SELECT fp, count(*) AS df FROM fps GROUP BY 1), ok AS (SELECT fp FROM pdf WHERE df BETWEEN 2 AND 100), prs AS (SELECT a.id AS id_a, b.id AS id_b FROM fps a JOIN fps b USING (fp) JOIN ok USING (fp) WHERE a.id < b.id GROUP BY 1, 2 HAVING count(*) >= 2), lab AS (SELECT least(da.source, db.source) AS source_a, greatest(da.source, db.source) AS source_b FROM prs JOIN documents da ON da.doc_id = prs.id_a JOIN documents db ON db.doc_id = prs.id_b), mat AS (SELECT source_a, source_b, count(*) AS n_pairs FROM lab GROUP BY 1, 2), sc AS (SELECT source, count(*) AS n FROM documents GROUP BY 1) SELECT m.source_a, m.source_b, m.n_pairs, CAST(CASE WHEN m.source_a = m.source_b THEN a.n * (a.n - 1) // 2 ELSE a.n * b.n END AS BIGINT) AS possible_pairs, ${OmicsQueries.rndSql("CAST(m.n_pairs AS DOUBLE) / (CASE WHEN m.source_a = m.source_b THEN a.n * (a.n - 1) // 2 ELSE a.n * b.n END)", 6)} AS dup_rate FROM mat m JOIN sc a ON a.source = m.source_a JOIN sc b ON b.source = m.source_b""")),
+
     Entry("q_dedup_clusters_incremental",
       // incremental component maintenance AT THE GATE: cluster the old
       // corpus (doc_id < 250), fold in ONLY the new batch's pair
@@ -900,6 +940,22 @@ object LlmQueries {
           col("quality")),
       Some("""WITH t AS (SELECT doc_id, text, list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS toks FROM documents), f AS (SELECT doc_id, CAST(len(text) AS INTEGER) AS n_chars, CAST(len(toks) AS INTEGER) AS n_tokens, CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS INTEGER) AS n_punct, CASE WHEN len(toks) > 0 THEN CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE) / len(toks) ELSE CAST(0.0 AS DOUBLE) END AS avg_token_len, CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, x -> list_contains(['the','a','an','and','or','of','to','in','is','it','for','on','with','as','at','by','from','that','this'], lower(x)))) AS DOUBLE) / len(toks) ELSE CAST(0.0 AS DOUBLE) END AS stopword_ratio, CASE WHEN len(toks) > 0 THEN CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) ELSE CAST(0.0 AS DOUBLE) END AS uniq_token_ratio FROM t), g AS (SELECT doc_id, n_tokens, CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / n_chars ELSE CAST(0.0 AS DOUBLE) END AS punct_ratio, avg_token_len, stopword_ratio, uniq_token_ratio FROM f) SELECT doc_id, n_tokens, CAST(round(CAST(CAST(punct_ratio AS VARCHAR) AS DECIMAL(38,18)), 6) AS DOUBLE) AS punct_ratio, CAST(round(CAST(CAST(avg_token_len AS VARCHAR) AS DECIMAL(38,18)), 6) AS DOUBLE) AS avg_token_len, CAST(round(CAST(CAST(stopword_ratio AS VARCHAR) AS DECIMAL(38,18)), 6) AS DOUBLE) AS stopword_ratio, CAST(round(CAST(CAST(uniq_token_ratio AS VARCHAR) AS DECIMAL(38,18)), 6) AS DOUBLE) AS uniq_token_ratio, CAST(round(CAST(CAST(least(CAST(1.0 AS DOUBLE), n_tokens / CAST(100.0 AS DOUBLE)) * 0.4 + (CAST(1.0 AS DOUBLE) - least(CAST(1.0 AS DOUBLE), punct_ratio * 5.0)) * 0.2 + least(CAST(1.0 AS DOUBLE), stopword_ratio * 5.0) * 0.2 + uniq_token_ratio * 0.2 AS VARCHAR) AS DECIMAL(38,18)), 6) AS DOUBLE) AS quality FROM g""")),
 
+    Entry("q_source_quality_norm",
+      // per-source percent-rank of the quality score — cross-source
+      // comparable thresholds (0.6 means different things on a clean vs
+      // spammy source; the normalized rank cuts the same fraction
+      // everywhere). Grid-CDF construction: the window runs over the
+      // per-(source, value) relation, never a corpus-sized partition
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val q = Text.qualityScore(docs.select("doc_id", "text"), "text")
+          .select("doc_id", "quality")
+          .join(docs.select("doc_id", "source"), "doc_id")
+        graft.text.Sampling.groupPercentRank(q, "source", "quality")
+          .select("doc_id", "source", "quality", "pct_rank")
+      },
+      Some(s"""WITH $qualityCtes SELECT q.doc_id, d.source, q.quality, ${OmicsQueries.rndSql("percent_rank() OVER (PARTITION BY d.source ORDER BY q.quality)", 6)} AS pct_rank FROM qq q JOIN documents d ON d.doc_id = q.doc_id""")),
+
     Entry("q_lang_id",
       (s, d) => Text.langId(t(s, d, "documents").select("doc_id", "lang", "text"), "text")
         .select("doc_id", "lang", "pred_lang", "pred_hits"),
@@ -938,6 +994,18 @@ object LlmQueries {
         Dedup.decontaminate(docs, eval, "doc_id", "text", k = 5)
       },
       Some("""WITH toks AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS ts FROM documents), sh0 AS (SELECT doc_id, CASE WHEN len(ts) >= 5 THEN array_to_string(ts[i:i+4], ' ') ELSE array_to_string(ts, ' ') END AS s FROM toks, unnest(generate_series(1, greatest(len(ts) - 4, 1))) AS g(i)), shh AS (SELECT DISTINCT doc_id, CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) AS h FROM sh0), ev AS (SELECT DISTINCT h FROM shh WHERE doc_id % 40 = 0), hits AS (SELECT shh.doc_id, count(*) AS n_hits FROM shh JOIN ev USING (h) GROUP BY 1) SELECT d.doc_id, coalesce(hits.n_hits, 0) AS n_hits, coalesce(hits.n_hits, 0) > 0 AS contaminated FROM documents d LEFT JOIN hits ON d.doc_id = hits.doc_id""")),
+
+    Entry("q_contamination_frac",
+      // graded decontamination: per corpus doc, the FRACTION of its
+      // distinct 5-grams found in the eval set (doc_id % 40 == 0) —
+      // pipelines threshold on this, not on any-hit. Same broadcast
+      // shape as q_decontaminate; one exact integer division per doc
+      (s, d) => {
+        val docs = t(s, d, "documents").select("doc_id", "text")
+        Dedup.contaminationFraction(docs.where(col("doc_id") % 40 =!= 0),
+          docs.where(col("doc_id") % 40 === 0), "doc_id", "text", k = 5)
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0) AS ts FROM documents), sh0 AS (SELECT doc_id, CASE WHEN len(ts) >= 5 THEN array_to_string(ts[i:i+4], ' ') ELSE array_to_string(ts, ' ') END AS s FROM toks, unnest(generate_series(1, greatest(len(ts) - 4, 1))) AS g(i) WHERE len(ts) > 0), shh AS (SELECT DISTINCT doc_id, CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) AS h FROM sh0), ev AS (SELECT DISTINCT h FROM shh WHERE doc_id % 40 = 0), ng AS (SELECT doc_id, CAST(count(*) AS INTEGER) AS n_grams FROM shh WHERE doc_id % 40 <> 0 GROUP BY 1), m AS (SELECT shh.doc_id, count(*) AS matched FROM shh JOIN ev USING (h) WHERE shh.doc_id % 40 <> 0 GROUP BY 1) SELECT ng.doc_id, ng.n_grams, CAST(coalesce(m.matched, 0) AS BIGINT) AS matched, ${OmicsQueries.rndSql("CAST(coalesce(m.matched, 0) AS DOUBLE) / ng.n_grams", 6)} AS contamination FROM ng LEFT JOIN m USING (doc_id)""")),
 
     Entry("q_decontaminate_fuzzy",
       // fuzzy benchmark decontamination (the GPT-3/PaLM-style NEAR-dup

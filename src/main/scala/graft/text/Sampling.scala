@@ -372,6 +372,39 @@ object Sampling {
         array_join(col("col.chunk"), " ").as("chunk_text"))
   }
 
+  /** Per-group percent-rank normalization — makes a score comparable
+    * ACROSS sources/domains (a 0.6 quality on a clean source and on a
+    * spam-heavy one mean different things; thresholding the normalized
+    * rank cuts the same per-source fraction everywhere). Standard SQL
+    * percent_rank semantics: ties share (rank_min − 1)/(n − 1), a
+    * single-member group gets 0.
+    *
+    * Scale shape — deliberately NOT a per-row window over the group
+    * (one 10 TB source = one sort partition): the corpus collapses to a
+    * per-(group, value) GRID first (map-side combined; the value is on
+    * the 1e-6 grid so the relation is at most group·10⁶ rows), the CDF
+    * window runs over that grid-sized relation, and rows join their
+    * percentile back on (group, value). No corpus-sized sort or
+    * partition anywhere. */
+  def groupPercentRank(df: DataFrame, groupCol: String,
+                       valueCol: String): DataFrame = {
+    val grid = df.groupBy(col(groupCol), col(valueCol))
+      .agg(count(lit(1)).as("__c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col(valueCol))
+      .rowsBetween(Long.MinValue, -1)
+    val all = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+    val cdf = grid
+      .withColumn("__below", coalesce(sum(col("__c")).over(w), lit(0L)))
+      .withColumn("__n", sum(col("__c")).over(all))
+      .select(col(groupCol), col(valueCol),
+        round(when(col("__n") > 1,
+          col("__below").cast("double") / (col("__n") - 1))
+          .otherwise(lit(0.0)), 6).as("pct_rank"))
+    df.join(cdf, Seq(groupCol, valueCol))
+  }
+
   /** Deterministic T5-style span corruption — the denoising-objective
     * training-pair generator: the token stream is cut into fixed
     * `spanTokens` buckets, each bucket is masked iff its md5-derived

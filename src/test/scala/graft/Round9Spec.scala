@@ -804,6 +804,83 @@ class Round9Spec extends SparkSpec {
     assert(!strict.getBoolean(4))
   }
 
+  // ---- contamination fraction -------------------------------------------
+
+  test("contaminationFraction: graded per-doc overlap with the eval set") {
+    val run = "alpha beta gamma delta epsilon" // one shared 5-gram
+    val eval = Seq((100L, s"$run and some eval only suffix words here"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, s"$run tail one two three four"),        // shares 1 of 9 grams
+      (2L, "nothing in common with the benchmark"), // 0 hits
+      (3L, s"$run and some eval only suffix words here")) // full copy
+      .toDF("doc_id", "text")
+    val out = Dedup.contaminationFraction(corpus, eval, "doc_id", "text",
+        k = 5)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(out(2L)._2 == 0L && out(2L)._3 == 0.0)
+    assert(out(3L)._2 == out(3L)._1 && out(3L)._3 == 1.0) // verbatim copy
+    val (n1, m1, f1) = out(1L)
+    assert(m1 >= 1 && m1 < n1 && f1 > 0.0 && f1 < 1.0)
+  }
+
+  // ---- cross-source duplication matrix -----------------------------------
+
+  test("dupSourceMatrix rolls pairs to unordered source cells with exact " +
+    "possible-pair denominators") {
+    val docs = Seq(
+      (1L, "a"), (2L, "a"), (3L, "a"), // 3 docs in a
+      (4L, "b"), (5L, "b"))            // 2 docs in b
+      .toDF("doc_id", "src")
+    val pairs = Seq((1L, 2L), (1L, 4L), (4L, 1L), (2L, 5L))
+      .toDF("id_a", "id_b")
+    val out = Dedup.dupSourceMatrix(docs, "doc_id", "src", pairs)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(out(("a", "a")) == (1L, 3L, math.floor(1.0 / 3 * 1e6 + 0.5) / 1e6))
+    assert(out(("a", "b")) == (3L, 6L, 0.5)) // both directions fold to a<=b
+  }
+
+  // ---- quality-aware representative pick ----------------------------------
+
+  test("clusterDocumentsByQuality keeps the argmax-quality member, min-id " +
+    "on ties, singletons keep themselves") {
+    val docs = (1L to 5L).map(i => Tuple1(i)).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val scores = Seq((1L, 0.3), (2L, 0.9), (3L, 0.9), (4L, 0.1), (5L, 0.5))
+      .toDF("doc_id", "quality")
+    val out = Dedup.clusterDocumentsByQuality(docs, "doc_id", pairs,
+        scores, "doc_id", "quality")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getBoolean(4))).toMap
+    // cluster {1,2,3}: 2 and 3 tie at 0.9 -> min id 2 kept
+    assert(out(2L)._3 && !out(1L)._3 && !out(3L)._3)
+    assert(Seq(1L, 2L, 3L).forall(i => out(i)._2 == 3L))
+    // singletons keep themselves regardless of score
+    assert(out(4L) == (4L, 1L, true) && out(5L) == (5L, 1L, true))
+  }
+
+  // ---- per-group percent rank ---------------------------------------------
+
+  test("groupPercentRank matches SQL percent_rank semantics incl. ties " +
+    "and single-member groups") {
+    val df = Seq(
+      ("a", 1L, 0.1), ("a", 2L, 0.2), ("a", 3L, 0.2), ("a", 4L, 0.4),
+      ("b", 5L, 0.7))
+      .toDF("src", "doc_id", "q")
+    val out = graft.text.Sampling.groupPercentRank(df, "src", "q")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Double]("pct_rank")).toMap
+    assert(out(1L) == 0.0)
+    assert(out(2L) == math.floor(1.0 / 3 * 1e6 + 0.5) / 1e6) // rank_min 2
+    assert(out(2L) == out(3L)) // ties share the percentile
+    assert(out(4L) == 1.0)
+    assert(out(5L) == 0.0) // single-member group
+  }
+
   // ---- calibration report -----------------------------------------------
 
   test("calibrationReport: hand-computed bins, exact-integer ECE, and the " +
