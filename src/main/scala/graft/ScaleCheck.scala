@@ -86,7 +86,10 @@ object ScaleCheck {
     // duplication matrix, quality-aware representative pick, and the
     // grid-CDF per-source percent rank
     "q_contamination_frac", "q_dup_source_matrix", "q_dedup_best_quality",
-    "q_source_quality_norm")
+    "q_source_quality_norm",
+    // round-9 sixth batch: stateful streaming admission (batch face),
+    // literal-moment embedding whitening, and the vocab-cutoff report
+    "q_stream_quota", "q_embed_whiten", "q_vocab_cutoff")
 
   def main(args: Array[String]): Unit = {
     val src = "/root/testdata/sf0.1"

@@ -1136,6 +1136,15 @@ object LlmQueries {
         .select("doc_id", "term", "tf", "df", "salience"),
       Some("""WITH tok AS (SELECT doc_id, unnest(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) AS term FROM documents), tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2), dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1), n AS (SELECT count(*) AS nd FROM documents), s AS (SELECT tf.doc_id, tf.term, tf.tf, dfq.df, CAST(tf.tf * n.nd AS DOUBLE) / dfq.df AS salience FROM tf JOIN dfq USING (term), n), r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY salience DESC, term) AS rn FROM s) SELECT doc_id, term, tf, df, salience FROM r WHERE rn <= 3""")),
 
+    Entry("q_vocab_cutoff",
+      // tokenizer-design report: smallest frequency-ranked vocabulary
+      // reaching 50/90/95/99% of token mass (exact integer coverage
+      // gate, lexicographic tie-break). Corpus collapses to the vocab
+      // relation first; the ranking window is vocab-sized
+      (s, d) => Text.vocabSizeForCoverage(t(s, d, "documents"), "text",
+        targetsPct = Seq(50, 90, 95, 99)),
+      Some(s"""WITH fr AS (SELECT tok, count(*) AS f FROM (SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0)) AS tok FROM documents) GROUP BY 1), rk AS (SELECT tok, f, CAST(row_number() OVER (ORDER BY f DESC, tok) AS INTEGER) AS r, CAST(sum(f) OVER (ORDER BY f DESC, tok ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum, CAST(sum(f) OVER () AS BIGINT) AS total FROM fr), xx AS (SELECT p.pct, rk.r, rk.cum, rk.total FROM rk, (VALUES (50), (90), (95), (99)) p(pct) WHERE rk.cum * 100 >= rk.total * p.pct) SELECT CAST(pct AS INTEGER) AS pct, CAST(min(r) AS INTEGER) AS vocab_size, CAST(min_by(cum, r) AS BIGINT) AS covered_tokens, CAST(max(total) AS BIGINT) AS total_tokens, ${OmicsQueries.rndSql("CAST(min_by(cum, r) AS DOUBLE) / max(total)", 6)} AS coverage FROM xx GROUP BY 1""")),
+
     Entry("q_vocab_topk",
       // vocabulary pass: token frequencies over the corpus, top 50 by
       // (count desc, token) — explode + partial-aggregated groupBy (the
@@ -1346,6 +1355,17 @@ object LlmQueries {
             col("start_offset"))
       },
       Some("""WITH t AS (SELECT doc_id, text, list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS toks FROM documents), f AS (SELECT doc_id, CAST(len(text) AS INTEGER) AS n_chars, CAST(len(toks) AS INTEGER) AS n_tokens, CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS INTEGER) AS n_punct, CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, x -> list_contains(['the','a','an','and','or','of','to','in','is','it','for','on','with','as','at','by','from','that','this'], lower(x)))) AS DOUBLE) / len(toks) ELSE CAST(0.0 AS DOUBLE) END AS stopword_ratio, CASE WHEN len(toks) > 0 THEN CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) ELSE CAST(0.0 AS DOUBLE) END AS uniq_token_ratio FROM t), g AS (SELECT doc_id, n_tokens, CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / n_chars ELSE CAST(0.0 AS DOUBLE) END AS punct_ratio, stopword_ratio, uniq_token_ratio FROM f), qq AS (SELECT doc_id, n_tokens, CAST(round(CAST(CAST(least(CAST(1.0 AS DOUBLE), n_tokens / CAST(100.0 AS DOUBLE)) * 0.4 + (CAST(1.0 AS DOUBLE) - least(CAST(1.0 AS DOUBLE), punct_ratio * 5.0)) * 0.2 + least(CAST(1.0 AS DOUBLE), stopword_ratio * 5.0) * 0.2 + uniq_token_ratio * 0.2 AS VARCHAR) AS DECIMAL(38,18)), 6) AS DOUBLE) AS quality FROM g), so AS (SELECT doc_id, n_tokens, quality, CAST(sum(n_tokens) OVER (ORDER BY quality DESC, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS BIGINT) AS start_offset FROM qq) SELECT doc_id, n_tokens, quality, start_offset FROM so WHERE start_offset < 20000""")),
+
+    Entry("q_embed_whiten",
+      // per-dimension whitening of the embedding lake (retrieval
+      // hygiene before cosine/IP search): one exact-decimal moment pass
+      // to 64 rows, then a zero-shuffle literal-moment projection. The
+      // oracle recomputes the same moments and replays each (x-m)/sd
+      // bit for bit; output serialized as exact micro-units
+      (s, d) => Similarity.whiten(t(s, d, "embeddings"), "vec_id",
+          "embedding")
+        .select(col("id"), Q.csvMicros(col("w")).as("w")),
+      Some(s"""WITH e AS (SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), ex AS (SELECT id, i, v[i] AS x FROM e, unnest(generate_series(1, len(v))) AS g(i)), mo AS (SELECT i, count(*) AS n, CAST(sum(CAST(x AS DECIMAL(38,12))) AS DOUBLE) AS s, CAST(sum(CAST(x * x AS DECIMAL(38,12))) AS DOUBLE) AS ss FROM ex GROUP BY 1), st AS (SELECT i, s / n AS m, sqrt((ss - s * s / n) / (n - 1)) AS sd FROM mo), wv AS (SELECT ex.id, ex.i, CASE WHEN st.sd = 0 THEN CAST(0.0 AS DOUBLE) ELSE (ex.x - st.m) / st.sd END AS w FROM ex JOIN st USING (i)) SELECT id, string_agg(CAST(CAST(round(w * 1000000) AS BIGINT) AS VARCHAR), ',' ORDER BY i) AS w FROM wv GROUP BY 1""")),
 
     Entry("q_embed_int8",
       // symmetric int8 embedding quantization (absmax/127 per vector) —

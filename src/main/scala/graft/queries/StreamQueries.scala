@@ -65,6 +65,16 @@ object StreamQueries {
         t(s, d, "documents"), "doc_id", "text").toDF(),
       Some("""SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS content_hash, doc_id = min(doc_id) OVER (PARTITION BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))) AS kept, min(doc_id) OVER (PARTITION BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))) AS dup_of FROM documents""")),
 
+    Entry("q_stream_quota",
+      // batch face of the stateful per-source admission limiter
+      // (streamingSourceQuota run on a batch Dataset = a single-batch
+      // drain): admit_seq = rank by id within the source, admitted up
+      // to the quota. Cross-batch counter state is exercised in
+      // StreamingSpec.
+      (s, d) => graft.streaming.Events.streamingSourceQuota(
+        t(s, d, "documents"), "doc_id", "source", quota = 20L).toDF(),
+      Some("""SELECT doc_id, source, CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id) AS BIGINT) AS admit_seq, row_number() OVER (PARTITION BY source ORDER BY doc_id) <= 20 AS admitted FROM documents""")),
+
     Entry("q_stream_enrich",
       // stream-static broadcast enrichment (events joined to the nation
       // dim by a derived key) rolled up per dim row; the same function

@@ -360,6 +360,53 @@ object Similarity {
           .as("q"))
   }
 
+  /** Per-dimension whitening (z-normalization) of an embedding column —
+    * the standard retrieval-hygiene transform before cosine/IP search:
+    * anisotropic dimensions dominate raw inner products, and centering
+    * plus unit variance makes distances comparable across models and
+    * checkpoints. w_i = (x_i − mean_i) / std_i (sample std, n−1);
+    * constant dimensions (std 0) whiten to 0.
+    *
+    * Scale shape: ONE moment pass (posexplode → per-dimension exact
+    * DECIMAL sums, map-side combined to `dim` rows), the dim-bounded
+    * moment table collected (64 rows here — the k-means-centroid
+    * precedent) and inlined as literals, then a zero-shuffle codegen
+    * projection over the corpus. No corpus-sized shuffle anywhere.
+    *
+    * Determinism: sums are exact decimals recovered to double, the
+    * mean/variance arithmetic is a fixed IEEE sequence, and sqrt is
+    * correctly rounded by IEEE-754 — a SQL oracle recomputing the same
+    * moments replays every component bit for bit. Requires n >= 2.
+    *
+    * @return (id, w ARRAY<DOUBLE>) */
+  def whiten(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val moments = df
+      .select(posexplode(transform(col(vecCol), x => x.cast("double")))
+        .as(Seq("i", "x")))
+      .groupBy("i")
+      .agg(count(lit(1)).as("n"),
+        sum(col("x").cast("decimal(38,12)")).cast("string").cast("double")
+          .as("s"),
+        sum((col("x") * col("x")).cast("decimal(38,12)")).cast("string")
+          .cast("double").as("ss"))
+      .orderBy("i")
+      .collect()
+    require(moments.nonEmpty && moments.head.getLong(1) >= 2,
+      "whiten needs at least 2 vectors")
+    val means = moments.map(r => r.getDouble(2) / r.getLong(1))
+    val stds = moments.map { r =>
+      val n = r.getLong(1); val s = r.getDouble(2); val ss = r.getDouble(3)
+      math.sqrt((ss - s * s / n) / (n - 1))
+    }
+    df.select(col(idCol).as("id"),
+      transform(col(vecCol), (x, i) => {
+        val sd = element_at(typedLit(stds.toSeq), i + 1)
+        when(sd === 0.0, lit(0.0))
+          .otherwise((x.cast("double") -
+            element_at(typedLit(means.toSeq), i + 1)) / sd)
+      }).as("w"))
+  }
+
   /** Johnson-Lindenstrauss random projection: compress `vecCol` (inDim
     * floats) to `outDim` dense doubles with a seeded Gaussian plane matrix
     * scaled by 1/sqrt(outDim), so pairwise distances are preserved in

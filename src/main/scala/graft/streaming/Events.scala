@@ -113,6 +113,50 @@ object Events {
   final case class DedupDecision(doc_id: Long, content_hash: String,
                                  kept: Boolean, dup_of: Long)
 
+  final case class SourceAdmitted(n: Long)
+  final case class QuotaDecision(doc_id: Long, source: String,
+                                 admit_seq: Long, admitted: Boolean)
+
+  /** Stateful per-source admission quota — the streaming ingest rate
+    * limiter: each source may land at most `quota` documents EVER
+    * (across all micro-batches); later arrivals are emitted with
+    * admitted = false so the caller can divert them (sample lake,
+    * reject log) instead of silently dropping. Arrival order within a
+    * batch is ascending doc id (deterministic replay); across batches
+    * it is batch order, which the state encodes.
+    *
+    * State per source is ONE counter — the smallest possible state
+    * record, keyed by the source, so the only exchange is the
+    * groupByKey on the source and the state store stays
+    * domain-cardinality sized at any corpus size. A single-batch drain
+    * reproduces the batch face exactly: admit_seq = rank by id within
+    * the source, admitted = rank <= quota.
+    *
+    * Output per input doc (Append): (doc_id, source, admit_seq,
+    * admitted). */
+  def streamingSourceQuota(docs: DataFrame, idCol: String,
+                           sourceCol: String,
+                           quota: Long): Dataset[QuotaDecision] = {
+    require(quota >= 1, s"quota must be positive: $quota")
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    docs.select(col(idCol).cast("long").as("doc_id"),
+        col(sourceCol).cast("string").as("source"))
+      .as[(Long, String)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout()) {
+        (src: String, it: Iterator[(Long, String)],
+         state: GroupState[SourceAdmitted]) =>
+          val ids = it.map(_._1).toArray.sorted
+          val before = state.getOption.map(_.n).getOrElse(0L)
+          state.update(SourceAdmitted(before + ids.length))
+          ids.iterator.zipWithIndex.map { case (id, i) =>
+            val seq = before + i + 1
+            QuotaDecision(id, src, seq, seq <= quota)
+          }
+      }
+  }
+
   /** Streaming exact-dedup against ALL history — the streaming twin of
     * the batch ingest gate (`Dedup.exactIncremental`, which anti-joins a
     * persisted hash index): documents arrive as a stream, and a doc is

@@ -604,6 +604,44 @@ object Text {
     *
     * Output: (id, n_tokens, oov_tokens, oov_rate rounded 6) for docs
     * with ≥ 1 token. */
+  /** Tokenizer-design report: the smallest frequency-ranked vocabulary
+    * covering each target percentage of the corpus token MASS — "how
+    * many types do 95% of tokens need?" drives vocab-size choices and
+    * OOV-rate expectations before a tokenizer train. Ranking ties break
+    * lexicographically (deterministic); the coverage gate is exact
+    * integer arithmetic (cum·100 ≥ total·pct).
+    *
+    * Scale shape: the corpus collapses to the vocabulary relation in one
+    * map-side-combined count; the ranking window is a single partition
+    * over the VOCAB (millions of rows at worst, never the corpus), and
+    * the report is targets-sized.
+    *
+    * @return (pct, vocab_size, covered_tokens, total_tokens, coverage) */
+  def vocabSizeForCoverage(df: DataFrame, textCol: String,
+                           targetsPct: Seq[Int] =
+                             Seq(50, 90, 95, 99)): DataFrame = {
+    require(targetsPct.nonEmpty && targetsPct.forall(p => p >= 1 && p <= 100),
+      s"targets must be percents in [1,100]: $targetsPct")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("f").desc, col("tok").asc)
+    val all = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1)).rowsBetween(Long.MinValue, Long.MaxValue)
+    df.select(explode(tokens(lower(col(textCol)))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("f"))
+      .withColumn("r", row_number().over(w))
+      .withColumn("cum", sum(col("f")).over(w.rowsBetween(Long.MinValue, 0)))
+      .withColumn("total", sum(col("f")).over(all))
+      .select(col("r"), col("cum"), col("total"),
+        explode(typedLit(targetsPct)).as("pct"))
+      .where(col("cum") * 100 >= col("total") * col("pct"))
+      .groupBy("pct")
+      .agg(min(col("r")).as("vocab_size"),
+        min_by(col("cum"), col("r")).as("covered_tokens"),
+        max(col("total")).as("total_tokens"))
+      .withColumn("coverage",
+        round(col("covered_tokens").cast("double") / col("total_tokens"), 6))
+  }
+
   def vocabCoverage(df: DataFrame, idCol: String, textCol: String,
                     vocab: DataFrame): DataFrame = {
     val vtok = vocab.columns.head

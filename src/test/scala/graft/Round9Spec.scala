@@ -863,6 +863,42 @@ class Round9Spec extends SparkSpec {
     assert(out(4L) == (4L, 1L, true) && out(5L) == (5L, 1L, true))
   }
 
+  // ---- embedding whitening ------------------------------------------------
+
+  test("whiten: per-dimension mean 0 / sample std 1, constant dims to 0") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 5.0f, 2.0f)),
+      (2L, Array(3.0f, 5.0f, 4.0f)),
+      (3L, Array(5.0f, 5.0f, 9.0f)))
+      .toDF("vec_id", "embedding")
+    val w = graft.sim.Similarity.whiten(vecs, "vec_id", "embedding")
+      .orderBy("id").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1))
+    // dim 0: mean 3, std 2 -> (-1, 0, 1); dim 1 constant -> 0
+    assert(w.map(_._2(0)).toSeq == Seq(-1.0, 0.0, 1.0))
+    assert(w.forall(_._2(1) == 0.0))
+    // dim 2: mean 5, var ((4+25+16) - 15*15/3)/2 = 13/2... check moments
+    val xs = Seq(2.0, 4.0, 9.0); val m = xs.sum / 3
+    val sd = math.sqrt(xs.map(x => (x - m) * (x - m)).sum / 2)
+    for (((_, vw), x) <- w.zip(xs))
+      assert(math.abs(vw(2) - (x - m) / sd) < 1e-12)
+  }
+
+  // ---- vocab cutoff ---------------------------------------------------------
+
+  test("vocabSizeForCoverage: exact integer coverage gate at the boundary") {
+    // masses: a=6, b=3, c=1 -> total 10; 50% -> a alone (60%); 90% -> a+b
+    // (90% exactly, >= fires); 99% -> all three
+    val docs = Seq((1L, "a a a a a a b b b c")).toDF("doc_id", "text")
+    val out = graft.text.Text.vocabSizeForCoverage(docs, "text",
+        targetsPct = Seq(50, 90, 99))
+      .collect().map(r => r.getInt(0) ->
+        (r.getInt(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(out(50) == (1, 6L, 10L, 0.6))
+    assert(out(90) == (2, 9L, 10L, 0.9))
+    assert(out(99) == (3, 10L, 10L, 1.0))
+  }
+
   // ---- per-group percent rank ---------------------------------------------
 
   test("groupPercentRank matches SQL percent_rank semantics incl. ties " +

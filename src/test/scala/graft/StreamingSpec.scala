@@ -468,4 +468,45 @@ class StreamingSpec extends SparkSpec {
       docs, "source", "doc_id", k = 16))
     assert(merged == whole)
   }
+
+  test("streamingSourceQuota: the admission counter persists across " +
+    "micro-batches and a single-batch drain equals the batch face") {
+    import spark.implicits._
+    // quota 3 per source; batch 0 admits 2 of a + 1 of b, batch 1 must
+    // remember: only ONE more a-slot remains
+    val staging = java.nio.file.Files.createTempDirectory("graft_q_stg")
+    val src = java.nio.file.Files.createTempDirectory("graft_q_src")
+    Seq((1L, "a"), (2L, "a"), (3L, "b"))
+      .toDF("doc_id", "source").coalesce(1).write.parquet(s"$staging/b0")
+    Seq((4L, "a"), (5L, "a"), (6L, "b"))
+      .toDF("doc_id", "source").coalesce(1).write.parquet(s"$staging/b1")
+    (0 to 1).foreach { i =>
+      val f = new java.io.File(s"$staging/b$i").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = src.resolve(f"b$i%02d.parquet")
+      java.nio.file.Files.copy(f.toPath, dst)
+      dst.toFile.setLastModified(1700000000000L + i * 60000L)
+    }
+    val schema = spark.read.parquet(s"$staging/b0").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(src.toString)
+    val q = Events.streamingSourceQuota(stream, "doc_id", "source",
+        quota = 3L)
+      .writeStream.format("memory").queryName("t_quota")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val out = spark.table("t_quota").collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getBoolean(3))).toMap
+    assert(out(1L) == (1L, true) && out(2L) == (2L, true))
+    assert(out(3L) == (1L, true))
+    assert(out(4L) == (3L, true))  // the remembered third a-slot
+    assert(out(5L) == (4L, false)) // over quota via history state
+    assert(out(6L) == (2L, true))
+    // batch-mode run (empty state) == rank-by-id semantics
+    val batch = Events.streamingSourceQuota(
+        Seq((1L, "a"), (2L, "a"), (4L, "a"), (5L, "a"), (3L, "b"), (6L, "b"))
+          .toDF("doc_id", "source"), "doc_id", "source", quota = 3L)
+      .collect().map(d => d.doc_id -> (d.admit_seq, d.admitted)).toMap
+    assert(batch == out) // same six docs in one batch -> identical report
+  }
 }
