@@ -89,7 +89,9 @@ object ScaleCheck {
     "q_source_quality_norm",
     // round-9 sixth batch: stateful streaming admission (batch face),
     // literal-moment embedding whitening, and the vocab-cutoff report
-    "q_stream_quota", "q_embed_whiten", "q_vocab_cutoff")
+    "q_stream_quota", "q_embed_whiten", "q_vocab_cutoff",
+    // round-9 seventh batch: delta-only quality refresh and PMI mining
+    "q_quality_incremental", "q_pmi_collocations")
 
   def main(args: Array[String]): Unit = {
     val src = "/root/testdata/sf0.1"

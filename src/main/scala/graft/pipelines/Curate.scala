@@ -54,4 +54,39 @@ object Curate {
       .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
         col("n_tokens"), col("quality"), col("pred_lang"))
   }
+
+  /** Incremental quality maintenance between corpus snapshots — the
+    * refresh pattern every derived table needs at 100 TB: diff the
+    * snapshots by content hash ([[Dedup.corpusDiff]]), RE-SCORE only
+    * added + changed docs, CARRY FORWARD the persisted scores of
+    * unchanged ones, drop removed ones. The merge provably equals a
+    * full recompute over the new snapshot (unchanged text ⇒ unchanged
+    * score — the gate states exactly that equality), at the cost of
+    * scoring only the delta.
+    *
+    * Scale shape: the diff is one id equi-join of content hashes; the
+    * scoring projection runs over the delta only; the carried side is a
+    * broadcast-or-shuffle id join of the EXISTING score table. Nothing
+    * rescans unchanged text.
+    *
+    * @param oldScores the persisted (idCol, quality) table from the
+    *                  previous run
+    * @return (doc_id, quality, refreshed) for every doc of the NEW
+    *         snapshot */
+  def qualityIncremental(oldScores: DataFrame, oldDocs: DataFrame,
+                         newDocs: DataFrame, idCol: String,
+                         textCol: String): DataFrame = {
+    val diff = Dedup.corpusDiff(oldDocs, newDocs, idCol, textCol)
+      .select(col("id").as(idCol), col("status"))
+    val fresh = Text.qualityScore(
+        newDocs.join(diff.where(col("status").isin("added", "changed"))
+          .select(col(idCol)), idCol),
+        textCol)
+      .select(col(idCol), col("quality"), lit(true).as("refreshed"))
+    val carried = oldScores.select(col(idCol), col("quality"))
+      .join(diff.where(col("status") === "unchanged").select(col(idCol)),
+        idCol)
+      .select(col(idCol), col("quality"), lit(false).as("refreshed"))
+    fresh.unionByName(carried)
+  }
 }

@@ -171,8 +171,12 @@ object LlmQueries {
     * byte-identical); consumed by the quality-aware dedup and
     * rank-normalization oracles. Declared lazy: strict vals placed
     * after `entries` interpolate as null (the q_gopher_rules lesson). */
-  private lazy val qualityCtes: String =
-    s"""qt AS (SELECT doc_id, text, list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0) AS toks FROM documents), qf AS (SELECT doc_id, CAST(len(text) AS INTEGER) AS n_chars, CAST(len(toks) AS INTEGER) AS n_tokens, CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS INTEGER) AS n_punct, CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, x -> list_contains(['the','a','an','and','or','of','to','in','is','it','for','on','with','as','at','by','from','that','this'], lower(x)))) AS DOUBLE) / len(toks) ELSE CAST(0.0 AS DOUBLE) END AS stopword_ratio, CASE WHEN len(toks) > 0 THEN CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) ELSE CAST(0.0 AS DOUBLE) END AS uniq_token_ratio FROM qt), qg AS (SELECT doc_id, n_tokens, CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / n_chars ELSE CAST(0.0 AS DOUBLE) END AS punct_ratio, stopword_ratio, uniq_token_ratio FROM qf), qq AS (SELECT doc_id, n_tokens, CAST(round(CAST(CAST(least(CAST(1.0 AS DOUBLE), n_tokens / CAST(100.0 AS DOUBLE)) * 0.4 + (CAST(1.0 AS DOUBLE) - least(CAST(1.0 AS DOUBLE), punct_ratio * 5.0)) * 0.2 + least(CAST(1.0 AS DOUBLE), stopword_ratio * 5.0) * 0.2 + uniq_token_ratio * 0.2 AS VARCHAR) AS DECIMAL(38,18)), 6) AS DOUBLE) AS quality FROM qg)"""
+  private lazy val qualityCtes: String = qualityCtesFrom("documents")
+
+  /** Same block over any (doc_id, text) relation — for oracles scoring
+    * a MODIFIED snapshot (q_quality_incremental). */
+  private def qualityCtesFrom(table: String): String =
+    s"""qt AS (SELECT doc_id, text, list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0) AS toks FROM $table), qf AS (SELECT doc_id, CAST(len(text) AS INTEGER) AS n_chars, CAST(len(toks) AS INTEGER) AS n_tokens, CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS INTEGER) AS n_punct, CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, x -> list_contains(['the','a','an','and','or','of','to','in','is','it','for','on','with','as','at','by','from','that','this'], lower(x)))) AS DOUBLE) / len(toks) ELSE CAST(0.0 AS DOUBLE) END AS stopword_ratio, CASE WHEN len(toks) > 0 THEN CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) ELSE CAST(0.0 AS DOUBLE) END AS uniq_token_ratio FROM qt), qg AS (SELECT doc_id, n_tokens, CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / n_chars ELSE CAST(0.0 AS DOUBLE) END AS punct_ratio, stopword_ratio, uniq_token_ratio FROM qf), qq AS (SELECT doc_id, n_tokens, CAST(round(CAST(CAST(least(CAST(1.0 AS DOUBLE), n_tokens / CAST(100.0 AS DOUBLE)) * 0.4 + (CAST(1.0 AS DOUBLE) - least(CAST(1.0 AS DOUBLE), punct_ratio * 5.0)) * 0.2 + least(CAST(1.0 AS DOUBLE), stopword_ratio * 5.0) * 0.2 + uniq_token_ratio * 0.2 AS VARCHAR) AS DECIMAL(38,18)), 6) AS DOUBLE) AS quality FROM qg)"""
 
   private[queries] def curateCtes(threshold: Double): String =
     s"""$shingleCte, $minhashCandCtes, $verifyCtes, pairs AS (${verifySelect(threshold)}), $componentCtes, clustered AS (SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id, CAST(coalesce(cs.n, 1) AS BIGINT) AS cluster_size FROM documents d LEFT JOIN comp c ON d.doc_id = c.id LEFT JOIN cs ON c.cluster_id = cs.cluster_id WHERE d.doc_id = coalesce(c.cluster_id, d.doc_id)), qt AS (SELECT doc_id, text, list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0) AS toks FROM documents), qf AS (SELECT doc_id, CAST(len(text) AS INTEGER) AS n_chars, CAST(len(toks) AS INTEGER) AS n_tokens, CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS INTEGER) AS n_punct, CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, x -> list_contains(['the','a','an','and','or','of','to','in','is','it','for','on','with','as','at','by','from','that','this'], lower(x)))) AS DOUBLE) / len(toks) ELSE CAST(0.0 AS DOUBLE) END AS stopword_ratio, CASE WHEN len(toks) > 0 THEN CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) ELSE CAST(0.0 AS DOUBLE) END AS uniq_token_ratio FROM qt), qg AS (SELECT doc_id, n_tokens, CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / n_chars ELSE CAST(0.0 AS DOUBLE) END AS punct_ratio, stopword_ratio, uniq_token_ratio FROM qf), qq AS (SELECT doc_id, n_tokens, CAST(round(CAST(CAST(least(CAST(1.0 AS DOUBLE), n_tokens / CAST(100.0 AS DOUBLE)) * 0.4 + (CAST(1.0 AS DOUBLE) - least(CAST(1.0 AS DOUBLE), punct_ratio * 5.0)) * 0.2 + least(CAST(1.0 AS DOUBLE), stopword_ratio * 5.0) * 0.2 + uniq_token_ratio * 0.2 AS VARCHAR) AS DECIMAL(38,18)), 6) AS DOUBLE) AS quality FROM qg), lt AS (SELECT doc_id, list_distinct(list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0)) AS dt FROM documents), lh AS (SELECT doc_id, CAST(len(list_intersect(dt, ['der','die','das','und','ist','nicht','ein','mit','zu','ich'])) AS INTEGER) AS hde, CAST(len(list_intersect(dt, ['the','and','of','to','is','in','that','it','for','was'])) AS INTEGER) AS hen, CAST(len(list_intersect(dt, ['el','la','los','las','es','un','una','por','para','como'])) AS INTEGER) AS hes, CAST(len(list_intersect(dt, ['le','la','les','et','est','un','une','que','pour','dans'])) AS INTEGER) AS hfr FROM lt), lp AS (SELECT doc_id, CASE WHEN hde >= hen AND hde >= hes AND hde >= hfr THEN 'de' WHEN hen >= hes AND hen >= hfr THEN 'en' WHEN hes >= hfr THEN 'es' ELSE 'fr' END AS pred_lang FROM lh)"""
@@ -340,6 +344,26 @@ object LlmQueries {
       },
       Some(ivfPqOracleSql(topK = 3, nCells = 8, nProbe = 2, m = 4,
         ksub = 8, iters = 2, seed = 42L, dim = 64, nQueries = 5))),
+
+    Entry("q_quality_incremental",
+      // incremental derived-table refresh: re-score only added+changed
+      // docs (corpus diff by content hash), carry forward persisted
+      // scores for unchanged ones. The oracle recomputes quality over
+      // the ENTIRE new snapshot — the gate IS the merge-equals-full
+      // proof. Snapshot fixture shared with q_corpus_diff
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val oldS = docs.where(col("doc_id") < 400).select("doc_id", "text")
+        val newS = docs.where(col("doc_id") >= 100)
+          .select(col("doc_id"),
+            when(col("doc_id") % 50 === 0, concat(col("text"), lit(" edited")))
+              .otherwise(col("text")).as("text"))
+        val oldScores = Text.qualityScore(oldS, "text")
+          .select("doc_id", "quality")
+        graft.pipelines.Curate.qualityIncremental(oldScores, oldS, newS,
+          "doc_id", "text")
+      },
+      Some(s"""WITH nd AS (SELECT doc_id, CASE WHEN doc_id % 50 = 0 THEN concat(text, ' edited') ELSE text END AS text FROM documents WHERE doc_id >= 100), ${qualityCtesFrom("nd")} SELECT q.doc_id, q.quality, (q.doc_id >= 400 OR q.doc_id % 50 = 0) AS refreshed FROM qq q""")),
 
     Entry("q_corpus_diff",
       // snapshot audit between pipeline runs: old = doc_id < 400, new =
@@ -1135,6 +1159,16 @@ object LlmQueries {
         t(s, d, "documents").select("doc_id", "text"), "doc_id", "text", k = 3)
         .select("doc_id", "term", "tf", "df", "salience"),
       Some("""WITH tok AS (SELECT doc_id, unnest(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) AS term FROM documents), tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2), dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1), n AS (SELECT count(*) AS nd FROM documents), s AS (SELECT tf.doc_id, tf.term, tf.tf, dfq.df, CAST(tf.tf * n.nd AS DOUBLE) / dfq.df AS salience FROM tf JOIN dfq USING (term), n), r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY salience DESC, term) AS rn FROM s) SELECT doc_id, term, tf, df, salience FROM r WHERE rn <= 3""")),
+
+    Entry("q_pmi_collocations",
+      // PMI collocation mining over adjacent bigrams (count floor 5,
+      // top 50 by grid-quantized pmi, lexicographic tie-break) — the
+      // multi-word-expression detector for tokenizer/phrase decisions.
+      // Corpus streams twice into vocab-bounded aggregates; totals are
+      // two driver BIGINTs
+      (s, d) => Text.pmiCollocations(t(s, d, "documents"), "text",
+        minCount = 5, topK = 50),
+      Some(s"""WITH tk AS (SELECT list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0) AS ts FROM documents), un AS (SELECT unnest(ts) AS w FROM tk), uc AS (SELECT w, count(*) AS cu FROM un GROUP BY 1), nuv AS (SELECT CAST(sum(cu) AS BIGINT) AS nu FROM uc), bg AS (SELECT ts[i] AS w1, ts[i + 1] AS w2 FROM tk, unnest(generate_series(1, len(ts) - 1)) AS g(i) WHERE len(ts) >= 2), bc AS (SELECT w1, w2, count(*) AS c FROM bg GROUP BY 1, 2), nbv AS (SELECT CAST(sum(c) AS BIGINT) AS nb FROM bc), sc AS (SELECT b.w1, b.w2, b.c, a1.cu AS c1, a2.cu AS c2, floor(ln(CAST(b.c AS DOUBLE) * nuv.nu * nuv.nu / (CAST(a1.cu AS DOUBLE) * a2.cu * nbv.nb)) * 1000000 + 0.5) / 1000000 AS pmi FROM bc b JOIN uc a1 ON a1.w = b.w1 JOIN uc a2 ON a2.w = b.w2, nuv, nbv WHERE b.c >= 5) SELECT w1, w2, c, CAST(c1 AS BIGINT) AS c1, CAST(c2 AS BIGINT) AS c2, pmi FROM sc ORDER BY pmi DESC, w1, w2 LIMIT 50""")),
 
     Entry("q_vocab_cutoff",
       // tokenizer-design report: smallest frequency-ranked vocabulary

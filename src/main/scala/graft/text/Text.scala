@@ -205,6 +205,57 @@ object Text {
         col("n1_left"), col("n1_right"), col("p_kn"))
   }
 
+  /** PMI collocation mining over adjacent bigrams — the "new york",
+    * "machine learning" detector: pmi(a,b) = ln( p(ab) / (p(a)·p(b)) )
+    * with bigram probability over the bigram total and unigram
+    * probabilities over the token total; pairs below `minCount` are cut
+    * first (PMI's low-count bias is the classic failure mode), top-k by
+    * (pmi desc, pair asc).
+    *
+    * Determinism: the PMI argument is one fixed IEEE product/quotient
+    * chain over exact counts (totals are driver scalars — two BIGINTs),
+    * ln quantizes to the 1e-6 grid immediately (the transcendental
+    * recipe), and the top-k orders on the grid value with a
+    * lexicographic tie-break — a SQL oracle replays the ranking exactly.
+    *
+    * Scale shape: one unigram and one bigram count aggregate (map-side
+    * combined, vocab/vocab²-bounded), two vocab-sized joins on the
+    * count-floored pair relation, a top-k TakeOrdered. The corpus
+    * streams twice and never shuffles by itself.
+    *
+    * @return (w1, w2, c, c1, c2, pmi) — top `topK` rows */
+  def pmiCollocations(df: DataFrame, textCol: String, minCount: Long = 5,
+                      topK: Int = 50): DataFrame = {
+    require(minCount >= 1, s"minCount must be positive: $minCount")
+    require(topK >= 1, s"topK must be positive: $topK")
+    val grid = (c: Column) => floor(c * 1e6 + 0.5) / 1e6
+    val toks = tokens(lower(col(textCol)))
+    val uni = df.select(explode(toks).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cu"))
+      .localCheckpoint(false) // feeds the total AND two joins
+    val nu = uni.agg(sum(col("cu"))).head().getLong(0)
+    val bigAll = df.select(toks.as("ts"))
+      .where(size(col("ts")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(ts) - 1), " +
+          "i -> struct(element_at(ts, i) AS w1, element_at(ts, i + 1) AS w2))"))
+        .as("bg"))
+      .select(col("bg.w1"), col("bg.w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c"))
+      .localCheckpoint(false) // feeds the total AND the floor cut
+    val nb = bigAll.agg(sum(col("c"))).head().getLong(0)
+    bigAll.where(col("c") >= minCount)
+      .join(uni.select(col("w").as("w1"), col("cu").as("c1")), "w1")
+      .join(uni.select(col("w").as("w2"), col("cu").as("c2")), "w2")
+      .withColumn("pmi", grid(log(
+        col("c").cast("double") * nu * nu /
+          (col("c1").cast("double") * col("c2") * nb))))
+      .orderBy(col("pmi").desc, col("w1").asc, col("w2").asc)
+      .limit(topK)
+      .select(col("w1"), col("w2"), col("c"), col("c1"), col("c2"),
+        col("pmi"))
+  }
+
   /** Zipf's-law fit over the corpus term-frequency distribution: OLS of
     * ln(freq) on ln(rank) for the top-N terms — natural language sits
     * near slope −1, so a corpus whose slope drifts (template spam,

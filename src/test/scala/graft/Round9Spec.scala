@@ -899,6 +899,53 @@ class Round9Spec extends SparkSpec {
     assert(out(99) == (3, 10L, 10L, 1.0))
   }
 
+  // ---- incremental quality maintenance -------------------------------------
+
+  test("qualityIncremental: merge of carried + rescored equals a full " +
+    "recompute, and only the delta is marked refreshed") {
+    val mk = (i: Long, t: String) => (i, t)
+    val oldDocs = Seq(
+      mk(1L, "the quick brown fox jumps over the lazy dog"),
+      mk(2L, "another document with some words in it"),
+      mk(3L, "a third one that will change")).toDF("doc_id", "text")
+    val newDocs = Seq(
+      mk(1L, "the quick brown fox jumps over the lazy dog"), // unchanged
+      mk(3L, "a third one that has now changed"),            // changed
+      mk(4L, "a brand new arrival document")).toDF("doc_id", "text")
+    val oldScores = graft.text.Text.qualityScore(oldDocs, "text")
+      .select("doc_id", "quality")
+    val inc = graft.pipelines.Curate.qualityIncremental(oldScores,
+        oldDocs, newDocs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getBoolean(2))).toMap
+    val full = graft.text.Text.qualityScore(newDocs, "text")
+      .select("doc_id", "quality")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(inc.keySet == Set(1L, 3L, 4L)) // removed doc 2 dropped
+    assert(inc.view.mapValues(_._1).toMap == full) // merge == full
+    assert(!inc(1L)._2 && inc(3L)._2 && inc(4L)._2)
+  }
+
+  // ---- PMI collocations ------------------------------------------------------
+
+  test("pmiCollocations: a glued pair outranks independent pairs and the " +
+    "count floor applies") {
+    // 'new york' always adjacent; fillers are shuffled independently
+    val glue = (1 to 20).map(i =>
+      (i.toLong, s"new york w${i % 7} w${(i * 3) % 7} new york w${i % 5}"))
+    val docs = glue.toDF("doc_id", "text")
+    val out = graft.text.Text.pmiCollocations(docs, "text", minCount = 5,
+      topK = 10).collect()
+    assert(out.nonEmpty)
+    val top = out.head
+    assert(top.getString(0) == "new" && top.getString(1) == "york")
+    // every returned pair respects the floor
+    assert(out.forall(_.getLong(2) >= 5L))
+    // pmi ordering is non-increasing
+    val pmis = out.map(_.getDouble(5)).toSeq
+    assert(pmis == pmis.sorted.reverse)
+  }
+
   // ---- per-group percent rank ---------------------------------------------
 
   test("groupPercentRank matches SQL percent_rank semantics incl. ties " +
