@@ -91,7 +91,10 @@ object ScaleCheck {
     // literal-moment embedding whitening, and the vocab-cutoff report
     "q_stream_quota", "q_embed_whiten", "q_vocab_cutoff",
     // round-9 seventh batch: delta-only quality refresh and PMI mining
-    "q_quality_incremental", "q_pmi_collocations")
+    "q_quality_incremental", "q_pmi_collocations",
+    // round-9 eighth: perceptual-hash media near-dup (banded, per
+    // modality — expect output-bound growth on the clone fixture)
+    "q_multimodal_phash")
 
   def main(args: Array[String]): Unit = {
     val src = "/root/testdata/sf0.1"

@@ -110,6 +110,64 @@ object Multimodal {
       .agg(min(col("media_id")).as("kept_id"),
         count(lit(1)).as("dup_count"))
 
+  /** Perceptual-hash near-duplicate pairs — the feature-space pass the
+    * [[dedupBinary]] scaladoc promises: an aHash-style signature (bit j
+    * set iff feature j exceeds the vector's own mean — the classic
+    * average-hash construction, here over whatever the [[MediaDecoder]]
+    * emits: pixel-block means for a real image codec, the byte
+    * histogram for the deterministic fake), then band-bucketed
+    * candidate generation per modality and an exact hamming verify —
+    * the SimHash shape transplanted to binary media, so re-encoded /
+    * lightly-edited copies that [[dedupBinary]]'s raw-content hash
+    * cannot see collide here.
+    *
+    * Pigeonhole contract: with `bands` bands over featureDim bits, any
+    * pair with hamming <= bands − 1 shares at least one band chunk, so
+    * candidates are EXACTLY {hamming <= maxHamming} whenever
+    * maxHamming <= bands − 1 (enforced). Scale shape: one decode
+    * projection, one bucket equi-join keyed (modality, band, chunk) —
+    * no all-pairs stage; the mean threshold and the fold both run in
+    * array order, so a SQL oracle replays every bit.
+    *
+    * @return (modality, id_a, id_b, hamming) */
+  def perceptualHashPairs(media: DataFrame, decoder: MediaDecoder,
+                          bands: Int = 8, maxHamming: Int = 3): DataFrame = {
+    val dim = decoder.featureDim
+    require(dim <= 63, s"featureDim must fit a long signature: $dim")
+    require(bands >= 2 && dim % bands == 0,
+      s"bands must divide featureDim: $bands / $dim")
+    require(maxHamming >= 0 && maxHamming <= bands - 1,
+      s"maxHamming must be <= bands - 1 for the pigeonhole guarantee: " +
+        s"$maxHamming / $bands")
+    val bpb = dim / bands
+    val mask = (1L << bpb) - 1
+    val sigs = extractFeatures(media, decoder)
+      .where(col("features").isNotNull)
+      .withColumn("__mean", expr(
+        "aggregate(features, CAST(0.0 AS DOUBLE), (a, x) -> a + CAST(x AS DOUBLE)) / size(features)"))
+      .withColumn("sig", expr(
+        "aggregate(transform(features, (x, i) -> CASE WHEN CAST(x AS DOUBLE) > __mean THEN shiftleft(1L, i) ELSE 0L END), 0L, (a, x) -> a + x)"))
+      .select(col("modality"), col("media_id"), col("sig"))
+      // barrier: the decode (mapPartitions, deliberately non-codegen —
+      // that's the codec boundary) feeds BOTH sides of the self-join;
+      // without it the lineage decodes the corpus twice
+      .localCheckpoint(false)
+    val banded = sigs
+      .select(col("modality"), col("media_id"), col("sig"),
+        explode(sequence(lit(0), lit(bands - 1))).as("band"))
+      .withColumn("chunk", expr(s"shiftright(sig, band * $bpb) & $mask"))
+    banded.as("x").join(banded.as("y"),
+        col("x.modality") === col("y.modality") &&
+          col("x.band") === col("y.band") &&
+          col("x.chunk") === col("y.chunk") &&
+          col("x.media_id") < col("y.media_id") &&
+          bit_count(col("x.sig").bitwiseXOR(col("y.sig"))) <= maxHamming)
+      .select(col("x.modality").as("modality"),
+        col("x.media_id").as("id_a"), col("y.media_id").as("id_b"),
+        bit_count(col("x.sig").bitwiseXOR(col("y.sig"))).as("hamming"))
+      .distinct()
+  }
+
   /** Wrap arbitrary keyed binary data into the canonical media schema. */
   def asMedia(df: DataFrame, idCol: String, contentCol: String,
               modality: String): DataFrame =

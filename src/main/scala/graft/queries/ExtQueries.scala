@@ -112,6 +112,37 @@ object ExtQueries {
       // the same UTF-8 bytes the engine's binary-cast content carries
       Some("""SELECT 'image' AS modality, md5(text) AS content_hash, min(doc_id) AS kept_id, count(*) AS dup_count FROM documents GROUP BY 2""")),
 
+    Entry("q_multimodal_phash",
+      // perceptual near-dup pairs over binary media: aHash signature
+      // (bit j = feature j above the vector's own mean) from the
+      // deterministic fake decoder, band-bucketed candidates per
+      // modality, exact hamming <= 3 verify — re-encoded copies that
+      // the raw-content hash can't see collide here. The pigeonhole
+      // contract (maxHamming <= bands-1) makes the banded candidate
+      // set EXACTLY the hamming ball, so the oracle joins directly
+      (s, d) => {
+        val media = t(s, d, "documents").select(
+          col("doc_id").cast("long").as("media_id"),
+          when(col("doc_id") % 2 === 0, "image").otherwise("audio")
+            .as("modality"),
+          col("text").cast("binary").as("content"))
+        Multimodal.perceptualHashPairs(media,
+          new Multimodal.HashFeatureDecoder(48), bands = 8, maxHamming = 2)
+      },
+      // 48-bit signature: a 16-bit space saturates on this fixture (the
+      // hamming-3 ball swallowed 130k pairs); 48 bits / hamming <= 2
+      // keeps the pair set near-dup sized. Lanes a short doc never
+      // touches densify to 0.0 exactly like the decoder's pre-filled
+      // accumulator (allj/coalesce).
+      Some {
+        val fold = (1 to 48).foldLeft("CAST(0.0 AS DOUBLE)")(
+          (acc, i) => s"($acc + l[$i])")
+        val bitsum = (1 to 48).map(j =>
+          s"(CASE WHEN l[$j] > m THEN CAST(${1L << (j - 1)} AS BIGINT) ELSE CAST(0 AS BIGINT) END)")
+          .mkString(" + ")
+        s"""WITH h AS (SELECT doc_id, CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS modality, hex(encode(text)) AS hx, octet_length(encode(text)) AS n FROM documents), bytes AS (SELECT doc_id, (i - 1) % 48 AS j, CAST(concat('0x', substr(hx, 2 * i - 1, 2)) AS BIGINT) AS byte FROM h, unnest(generate_series(1, n)) AS g(i) WHERE n > 0), feats AS (SELECT b.doc_id, b.j, CAST(CAST(sum(b.byte) / 255.0 / greatest(h.n // 48, 1) AS FLOAT) AS DOUBLE) AS f FROM bytes b JOIN h ON b.doc_id = h.doc_id GROUP BY b.doc_id, b.j, h.n), allj AS (SELECT d.doc_id, gj.j FROM (SELECT DISTINCT doc_id FROM feats) d, unnest(generate_series(0, 47)) AS gj(j)), feats2 AS (SELECT a.doc_id, a.j, coalesce(f.f, CAST(0.0 AS DOUBLE)) AS f FROM allj a LEFT JOIN feats f ON f.doc_id = a.doc_id AND f.j = a.j), fl AS (SELECT doc_id, list(f ORDER BY j) AS l FROM feats2 GROUP BY 1), sg AS (SELECT doc_id, ($fold) / 48 AS m, l FROM fl), sig AS (SELECT doc_id, ($bitsum) AS sig FROM sg) SELECT ha.modality, a.doc_id AS id_a, b.doc_id AS id_b, CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming FROM sig a JOIN sig b ON a.doc_id < b.doc_id JOIN h ha ON ha.doc_id = a.doc_id JOIN h hb ON hb.doc_id = b.doc_id WHERE ha.modality = hb.modality AND bit_count(xor(a.sig, b.sig)) <= 2"""
+      }),
+
     Entry("q_multimodal_ann",
       // media similarity search end to end: decoder features (the
       // deterministic byte-histogram fake; a real codec drops in behind

@@ -946,6 +946,43 @@ class Round9Spec extends SparkSpec {
     assert(pmis == pmis.sorted.reverse)
   }
 
+  // ---- perceptual-hash media pairs ------------------------------------------
+
+  test("perceptualHashPairs == brute-force hamming ball per modality; " +
+    "identical bytes pair at hamming 0, modalities never mix") {
+    import graft.multimodal.Multimodal
+    val texts = Seq(
+      1L -> "the quick brown fox jumps over the lazy dog today ok",
+      2L -> "the quick brown fox jumps over the lazy dog today ok", // = 1
+      3L -> "a completely different payload of bytes that is long too",
+      4L -> "the quick brown fox jumps over the lazy dog today ok", // = 1, other modality
+      5L -> "yet another rather different chunk of content right here")
+    val media = texts.toDF("media_id", "text").select(
+      col("media_id"),
+      when(col("media_id") === 4L, "audio").otherwise("image").as("modality"),
+      col("text").cast("binary").as("content"))
+    val dec = new Multimodal.HashFeatureDecoder(16)
+    val got = Multimodal.perceptualHashPairs(media, dec, bands = 8,
+        maxHamming = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)) ->
+        r.getInt(3)).toMap
+    // brute reference with the same decoder
+    def sig(t: String): Long = {
+      val f = dec.features("x", t.getBytes("UTF-8")).get.map(_.toDouble)
+      val m = f.foldLeft(0.0)(_ + _) / f.length
+      f.zipWithIndex.map { case (x, i) => if (x > m) 1L << i else 0L }.sum
+    }
+    val mod = (id: Long) => if (id == 4L) "audio" else "image"
+    val want = (for {
+      (ia, ta) <- texts; (ib, tb) <- texts
+      if ia < ib && mod(ia) == mod(ib)
+      h = java.lang.Long.bitCount(sig(ta) ^ sig(tb)) if h <= 3
+    } yield (mod(ia), ia, ib) -> h).toMap
+    assert(got == want)
+    assert(got(("image", 1L, 2L)) == 0) // identical bytes
+    assert(!got.contains(("image", 1L, 4L)) && !got.contains(("audio", 1L, 4L)))
+  }
+
   // ---- per-group percent rank ---------------------------------------------
 
   test("groupPercentRank matches SQL percent_rank semantics incl. ties " +
