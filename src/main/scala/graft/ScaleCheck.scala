@@ -94,7 +94,10 @@ object ScaleCheck {
     "q_quality_incremental", "q_pmi_collocations",
     // round-9 eighth: perceptual-hash media near-dup (banded, per
     // modality — expect output-bound growth on the clone fixture)
-    "q_multimodal_phash")
+    "q_multimodal_phash",
+    // round-9 ninth: dedup yield distribution, c-TF-IDF source cards,
+    // and the water-filling quota solver (domain-sized windows)
+    "q_dedup_yield", "q_source_terms", "q_budget_waterfill")
 
   def main(args: Array[String]): Unit = {
     val src = "/root/testdata/sf0.1"

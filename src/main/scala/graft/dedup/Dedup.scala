@@ -1545,6 +1545,34 @@ object Dedup {
           .as("dup_rate"))
   }
 
+  /** Dedup yield report: the cluster-SIZE distribution of the near-dup
+    * graph — how much of the corpus is singletons vs small clone groups
+    * vs mega-classes, and what fraction survives representative-only
+    * keep. THE summary a dedup run is judged by (yield = kept/total)
+    * and the early-warning for clone-class blowups (a fat tail here is
+    * what the hot-band guard exists for).
+    *
+    * Scale shape: components from [[duplicateClusters]], one
+    * cluster-size aggregate, then a size-distribution aggregate —
+    * output is distinct-size-count rows. Shares are single divisions
+    * of exact longs, rounded at 6.
+    *
+    * @return (cluster_size, n_clusters, n_docs, doc_share) */
+  def dedupYieldProfile(docs: DataFrame, idCol: String,
+                        pairs: DataFrame): DataFrame = {
+    val total = Window.partitionBy(lit(1))
+      .rowsBetween(Long.MinValue, Long.MaxValue)
+    clusterDocuments(docs, idCol, pairs)
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).as("cluster_size"))
+      .groupBy("cluster_size")
+      .agg(count(lit(1)).as("n_clusters"))
+      .withColumn("n_docs", col("cluster_size") * col("n_clusters"))
+      .withColumn("doc_share",
+        round(col("n_docs").cast("double") /
+          sum(col("n_docs")).over(total), 6))
+  }
+
   /** Quality-aware representative pick: like [[clusterDocuments]] but
     * the kept doc per duplicate cluster is the HIGHEST-QUALITY member
     * (id ascending breaks ties), not the smallest id — what production

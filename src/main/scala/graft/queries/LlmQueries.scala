@@ -646,6 +646,36 @@ object LlmQueries {
       },
       Some(dedupClustersSql(0.8))),
 
+    Entry("q_dedup_yield",
+      // dedup yield report: the cluster-size distribution of the
+      // near-dup graph + per-size doc shares — the summary a dedup run
+      // is judged by, and the clone-class-blowup early warning
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        Dedup.dedupYieldProfile(docs, "doc_id",
+          Dedup.minhashLshPairs(docs, "doc_id", "text", k = 3,
+            threshold = 0.8, numHashes = 128, bands = 16))
+      },
+      Some(s"""WITH RECURSIVE $shingleCte, $minhashCandCtes, $verifyCtes, pairs AS (${verifySelect(0.8)}), $componentCtes, lab AS (SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id FROM documents d LEFT JOIN comp c ON d.doc_id = c.id), csz AS (SELECT cluster_id, count(*) AS cluster_size FROM lab GROUP BY 1), dist AS (SELECT cluster_size, count(*) AS n_clusters FROM csz GROUP BY 1), tt AS (SELECT CAST(sum(cluster_size * n_clusters) AS BIGINT) AS td FROM dist) SELECT CAST(d.cluster_size AS BIGINT) AS cluster_size, d.n_clusters, CAST(d.cluster_size * d.n_clusters AS BIGINT) AS n_docs, ${OmicsQueries.rndSql("CAST(d.cluster_size * d.n_clusters AS DOUBLE) / tt.td", 6)} AS doc_share FROM dist d, tt""")),
+
+    Entry("q_source_terms",
+      // class-based TF-IDF (c-TF-IDF): top-10 distinctive terms per
+      // source, scored as exact BIGINT tf*ln_micro units — corpus-card
+      // topic labeling ("what characterizes this source")
+      (s, d) => Text.classTfIdfTopK(t(s, d, "documents"), "source",
+        "text", topK = 10),
+      Some(s"""WITH tf AS (SELECT source AS g, tok AS term, count(*) AS tf FROM (SELECT source, unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0)) AS tok FROM documents) GROUP BY 1, 2), tot AS (SELECT CAST(sum(tf) AS DOUBLE) / count(DISTINCT g) AS a FROM tf), ft AS (SELECT term, CAST(sum(tf) AS BIGINT) AS f FROM tf GROUP BY 1), sc AS (SELECT tf.g, tf.term, tf.tf, ft.f, CAST(floor(ln(1.0 + tot.a / ft.f) * 1000000 + 0.5) AS BIGINT) AS lnm FROM tf JOIN ft USING (term), tot), r AS (SELECT g, term, tf, f, tf * lnm AS score_units, row_number() OVER (PARTITION BY g ORDER BY tf * lnm DESC, term) AS rn FROM sc) SELECT g AS source, term, tf, f, CAST(score_units AS BIGINT) AS score_units, CAST(score_units AS DOUBLE) / 1000000 AS score FROM r WHERE rn <= 10""")),
+
+    Entry("q_budget_waterfill",
+      // water-filling budget allocation across languages (uneven
+      // supplies): undersupplied langs taken whole, the freed budget
+      // redistributes at an integer water level, remainder to the
+      // smallest — the sample-without-replacement quota solver. Pure
+      // BIGINT window arithmetic over the lang-cardinality relation
+      (s, d) => graft.text.Sampling.waterfillQuota(t(s, d, "documents"),
+        "lang", budget = 400L),
+      Some("""WITH sup AS (SELECT lang AS g, count(*) AS n FROM documents GROUP BY 1), w AS (SELECT g, n, CAST(row_number() OVER (ORDER BY n, g) AS BIGINT) AS i, CAST(sum(n) OVER (ORDER BY n, g ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS p, CAST(count(*) OVER () AS BIGINT) AS m FROM sup), f AS (SELECT *, (p - n + n * (m - i + 1) <= 400) AS filled FROM w), agg AS (SELECT CAST(sum(CASE WHEN filled THEN 1 ELSE 0 END) AS BIGINT) AS cut, CAST(coalesce(max(CASE WHEN filled THEN p END), 0) AS BIGINT) AS taken, CAST(max(m) AS BIGINT) AS m FROM f) SELECT f.g AS lang, f.n, CASE WHEN f.filled THEN f.n WHEN agg.m - agg.cut > 0 THEN (400 - agg.taken) // (agg.m - agg.cut) + (CASE WHEN f.i - agg.cut <= (400 - agg.taken) % (agg.m - agg.cut) THEN 1 ELSE 0 END) ELSE 0 END AS quota, f.filled FROM f, agg""")),
+
     Entry("q_dedup_best_quality",
       // quality-aware representative pick: the kept doc per near-dup
       // cluster is the argmax-quality member (id breaks ties), not the

@@ -372,6 +372,52 @@ object Sampling {
         array_join(col("col.chunk"), " ").as("chunk_text"))
   }
 
+  /** Water-filling budget allocation across groups — the "sample B docs
+    * across sources WITHOUT replacement" solver that
+    * [[mixtureTemperature]]'s proportional split cannot express: a
+    * proportional quota can exceed a small source's supply; here
+    * undersupplied sources are taken whole and the freed budget
+    * redistributes among the rest at a common water level. Exact
+    * semantics: sort groups by (supply asc, group asc); the maximal
+    * prefix whose full take plus level-n_i for everyone after fits the
+    * budget is taken whole ("filled"); the rest get the integer water
+    * level, with the remainder going to the smallest-supply groups
+    * first (deterministic). Σ quota = min(budget, Σ supply), always.
+    *
+    * Everything is BIGINT window arithmetic over the GROUP-cardinality
+    * relation (one corpus count aggregate feeds it; the sort partition
+    * is domain-sized, never the corpus), so a SQL oracle replays every
+    * quota exactly.
+    *
+    * @return (groupCol, n, quota, filled) */
+  def waterfillQuota(df: DataFrame, groupCol: String,
+                     budget: Long): DataFrame = {
+    require(budget >= 0, s"budget must be non-negative: $budget")
+    val ord = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n").asc, col("g").asc)
+    val all = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1)).rowsBetween(Long.MinValue, Long.MaxValue)
+    df.groupBy(col(groupCol).as("g")).agg(count(lit(1)).as("n"))
+      .withColumn("i", row_number().over(ord).cast("long"))
+      .withColumn("p", sum(col("n")).over(ord.rowsBetween(Long.MinValue, 0)))
+      .withColumn("m", count(lit(1)).over(all))
+      .withColumn("filled",
+        col("p") - col("n") + col("n") * (col("m") - col("i") + 1) <=
+          budget)
+      .withColumn("cut", sum(when(col("filled"), 1L).otherwise(0L)).over(all))
+      .withColumn("taken",
+        coalesce(max(when(col("filled"), col("p"))).over(all), lit(0L)))
+      .withColumn("rest", col("m") - col("cut"))
+      .withColumn("level", when(col("rest") > 0,
+        expr(s"($budget" + "L - taken) div rest")).otherwise(lit(0L)))
+      .withColumn("rem", when(col("rest") > 0,
+        (lit(budget) - col("taken")) % col("rest")).otherwise(lit(0L)))
+      .withColumn("quota", when(col("filled"), col("n"))
+        .otherwise(col("level") +
+          when(col("i") - col("cut") <= col("rem"), 1L).otherwise(0L)))
+      .select(col("g").as(groupCol), col("n"), col("quota"), col("filled"))
+  }
+
   /** Per-group percent-rank normalization — makes a score comparable
     * ACROSS sources/domains (a 0.6 quality on a clean source and on a
     * spam-heavy one mean different things; thresholding the normalized

@@ -205,6 +205,48 @@ object Text {
         col("n1_left"), col("n1_right"), col("p_kn"))
   }
 
+  /** Class-based TF-IDF (the BERTopic c-TF-IDF construction) per group:
+    * each source/domain/cluster is treated as ONE class document, and a
+    * term's salience for the class is tf(t,class) · ln(1 + A / f_t)
+    * with A the average class token mass and f_t the term's corpus
+    * count — "what characterizes this source" for corpus cards and
+    * topic labeling, where the per-DOC tf-idf ([[termSalienceTopK]])
+    * answers a different question.
+    *
+    * Determinism: the BM25 recipe — ln quantizes to exact integer
+    * MICRO-UNITS immediately, the score is the BIGINT product
+    * tf · ln_micro (no float ranking anywhere), top-k per class orders
+    * on (score_units desc, term asc).
+    *
+    * Scale shape: one (class, term) count aggregate (map-side
+    * combined), a vocab-sized term-total join, a per-class window over
+    * the class's vocab slice. The corpus streams once.
+    *
+    * @return (groupCol, term, tf, f, score_units, score) top `topK`
+    *         rows per class */
+  def classTfIdfTopK(df: DataFrame, groupCol: String, textCol: String,
+                     topK: Int = 10): DataFrame = {
+    require(topK >= 1, s"topK must be positive: $topK")
+    val tf = df.select(col(groupCol).as("g"),
+        explode(tokens(lower(col(textCol)))).as("term"))
+      .groupBy("g", "term").agg(count(lit(1)).as("tf"))
+      .localCheckpoint(false) // feeds the scalars AND the score join
+    val totals = tf.agg(sum(col("tf")), countDistinct(col("g"))).head()
+    val a = totals.getLong(0).toDouble / totals.getLong(1)
+    val ft = tf.groupBy("term").agg(sum(col("tf")).as("f"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("g").orderBy(col("score_units").desc, col("term").asc)
+    tf.join(ft, "term")
+      .withColumn("ln_micro",
+        floor(log(lit(1.0) + lit(a) / col("f")) * 1e6 + 0.5).cast("long"))
+      .withColumn("score_units", col("tf") * col("ln_micro"))
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= topK)
+      .select(col("g").as(groupCol), col("term"), col("tf"), col("f"),
+        col("score_units"),
+        (col("score_units").cast("double") / 1e6).as("score"))
+  }
+
   /** PMI collocation mining over adjacent bigrams — the "new york",
     * "machine learning" detector: pmi(a,b) = ln( p(ab) / (p(a)·p(b)) )
     * with bigram probability over the bigram total and unigram

@@ -983,6 +983,69 @@ class Round9Spec extends SparkSpec {
     assert(!got.contains(("image", 1L, 4L)) && !got.contains(("audio", 1L, 4L)))
   }
 
+  // ---- water-filling quota ---------------------------------------------------
+
+  test("waterfillQuota: undersupplied groups taken whole, level + " +
+    "remainder for the rest, sum == min(budget, supply)") {
+    // supplies: a=2, b=3, c=10, d=10; budget 17
+    // -> a,b filled (2+3=5), level = (17-5)/2 = 6, c,d get 6; sum 17
+    val rows = (1 to 2).map(i => s"a$i" -> "a") ++
+      (1 to 3).map(i => s"b$i" -> "b") ++
+      (1 to 10).map(i => s"c$i" -> "c") ++ (1 to 10).map(i => s"d$i" -> "d")
+    val df = rows.toDF("id", "g")
+    def run(b: Long) = graft.text.Sampling.waterfillQuota(df, "g", b)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    val q17 = run(17L)
+    assert(q17("a") == (2L, 2L, true) && q17("b") == (3L, 3L, true))
+    assert(q17("c") == (10L, 6L, false) && q17("d") == (10L, 6L, false))
+    // budget 18: remainder 1 goes to the smaller-ranked uncapped (c)
+    val q18 = run(18L)
+    assert(q18("c") == (10L, 7L, false) && q18("d") == (10L, 6L, false))
+    // budget >= total supply: everyone filled whole
+    val q99 = run(99L)
+    assert(q99.values.forall { case (n, q, f) => q == n && f })
+    // budget below the smallest supply: nobody filled, uniform level
+    val q4 = run(4L)
+    assert(q4.values.map(_._2).sum == 4L && q4.values.forall(!_._3))
+    assert(Seq(17L, 18L, 4L).forall(b => run(b).values.map(_._2).sum == b))
+  }
+
+  // ---- dedup yield profile -----------------------------------------------
+
+  test("dedupYieldProfile: size distribution and shares from the pair graph") {
+    val docs = (1L to 6L).map(Tuple1(_)).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("id_a", "id_b")
+    val out = Dedup.dedupYieldProfile(docs, "doc_id", pairs)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    // one 3-cluster, one 2-cluster, one singleton
+    assert(out(3L) == (1L, 3L, 0.5))
+    assert(out(2L) == (1L, 2L, math.floor(2.0 / 6 * 1e6 + 0.5) / 1e6))
+    assert(out(1L) == (1L, 1L, math.floor(1.0 / 6 * 1e6 + 0.5) / 1e6))
+  }
+
+  // ---- class TF-IDF ----------------------------------------------------------
+
+  test("classTfIdfTopK: terms exclusive to a class outrank shared ones") {
+    val docs = Seq(
+      (1L, "shared words here plus alpha alpha alpha", "s1"),
+      (2L, "shared words here plus beta beta beta", "s2"))
+      .toDF("doc_id", "text", "src")
+    val out = graft.text.Text.classTfIdfTopK(docs, "src", "text", topK = 2)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // top term of s1 is 'alpha' (tf 3, corpus f 3), of s2 is 'beta'
+    val s1 = out.keys.filter(_._1 == "s1").map(_._2).toSet
+    assert(s1.contains("alpha"))
+    assert(out(("s1", "alpha"))._1 == 3L && out(("s1", "alpha"))._2 == 3L)
+    assert(out.keys.filter(_._1 == "s2").map(_._2).toSet.contains("beta"))
+    // exclusive term outranks any shared term within its class
+    val sharedUnits = out.collect { case ((g, t), v)
+      if g == "s1" && t != "alpha" => v._3 }
+    assert(sharedUnits.forall(_ < out(("s1", "alpha"))._3))
+  }
+
   // ---- per-group percent rank ---------------------------------------------
 
   test("groupPercentRank matches SQL percent_rank semantics incl. ties " +
