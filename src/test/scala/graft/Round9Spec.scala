@@ -288,6 +288,66 @@ class Round9Spec extends SparkSpec {
     assert(k.count() == 0)
   }
 
+  test("late-round-9 operators: degenerate inputs behave, never throw") {
+    import graft.text.{Sampling, Text}
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val ws = Seq((1L, ""), (2L, "   ")).toDF("doc_id", "text")
+    // winnow: empty/whitespace corpora yield no fingerprints, no pairs
+    assert(Dedup.winnowFingerprints(ws, "doc_id", "text").count() == 0)
+    assert(Dedup.winnowPairs(empty, "doc_id", "text").count() == 0)
+    // boilerplateStrip: whitespace-only docs drop out (no segments)
+    val bs = Dedup.boilerplateStrip(
+      ws.withColumn("src", lit("a")), "doc_id", "text", "src")
+    assert(bs.count() == 0)
+    // spanCorrupt: empty corpus and whitespace docs produce nothing
+    assert(Sampling.spanCorrupt(ws, "doc_id", "text").count() == 0)
+    // editVerifyPairs: empty candidate set -> empty, no crash
+    assert(Dedup.editVerifyPairs(ws, "doc_id", "text",
+      Seq.empty[(Long, Long)].toDF("id_a", "id_b")).count() == 0)
+    // contaminationFraction: empty eval set -> all zero fractions
+    val cf = Dedup.contaminationFraction(
+      Seq((1L, "five tokens of real text here please")).toDF("doc_id", "text"),
+      empty, "doc_id", "text")
+      .collect()(0)
+    assert(cf.getLong(2) == 0L && cf.getDouble(3) == 0.0)
+    // dupSourceMatrix: no pairs -> empty matrix
+    assert(Dedup.dupSourceMatrix(
+      Seq((1L, "a")).toDF("doc_id", "src"), "doc_id", "src",
+      Seq.empty[(Long, Long)].toDF("id_a", "id_b")).count() == 0)
+    // clusterDocumentsByQuality: no pairs -> all singletons, all kept
+    val cq = Dedup.clusterDocumentsByQuality(
+      Seq(1L, 2L).toDF("doc_id"), "doc_id",
+      Seq.empty[(Long, Long)].toDF("id_a", "id_b"),
+      Seq((1L, 0.5)).toDF("doc_id", "quality"), "doc_id", "quality")
+      .collect()
+    assert(cq.length == 2 && cq.forall(_.getBoolean(4)))
+    // groupPercentRank: all-equal values -> everyone at 0.0
+    val pr = Sampling.groupPercentRank(
+      Seq(("a", 1.0), ("a", 1.0), ("a", 1.0)).toDF("g", "v"), "g", "v")
+      .select("pct_rank").as[Double].collect()
+    assert(pr.forall(_ == 0.0))
+    // waterfillQuota: zero budget -> zero quotas, nothing filled
+    val wf = Sampling.waterfillQuota(
+      Seq(("x", "a"), ("y", "b")).toDF("id", "g"), "g", budget = 0L)
+      .collect()
+    assert(wf.forall(r => r.getLong(2) == 0L && !r.getBoolean(3)))
+    // vocabSizeForCoverage on an empty corpus -> empty report
+    assert(Text.vocabSizeForCoverage(empty, "text").count() == 0)
+    // pmiCollocations: corpus below the count floor -> empty
+    assert(Text.pmiCollocations(
+      Seq((1L, "one two three")).toDF("doc_id", "text"), "text",
+      minCount = 5).count() == 0)
+    // classTfIdfTopK: single class still ranks (A/f = mass/f)
+    assert(Text.classTfIdfTopK(
+      Seq((1L, "a a b", "s")).toDF("doc_id", "text", "src"),
+      "src", "text", topK = 1).count() == 1)
+    // dedupYieldProfile: no pairs -> one all-singleton row, share 1.0
+    val dy = Dedup.dedupYieldProfile(Seq(1L, 2L).toDF("doc_id"), "doc_id",
+      Seq.empty[(Long, Long)].toDF("id_a", "id_b")).collect()
+    assert(dy.length == 1 && dy(0).getLong(0) == 1L &&
+      dy(0).getDouble(3) == 1.0)
+  }
+
   // ---- zipfFit ----------------------------------------------------------------
 
   test("zipfFit recovers the slope of an exact power-law corpus") {
