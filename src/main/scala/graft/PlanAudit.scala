@@ -97,11 +97,28 @@ object PlanAudit {
     spark.stop()
 
     writePath.foreach { p =>
-      val json = shapes.map { case (n, s) =>
+      // a name-filtered run MERGES into the existing baseline instead of
+      // clobbering it with a one-entry file (twice-bitten lesson)
+      val merged = scala.collection.mutable.LinkedHashMap[String, Shape]()
+      val path = java.nio.file.Paths.get(p)
+      if (names.nonEmpty && java.nio.file.Files.exists(path)) {
+        val om = new com.fasterxml.jackson.databind.ObjectMapper()
+        val root = om.readTree(java.nio.file.Files.readString(path))
+        val fields = root.fields()
+        while (fields.hasNext) {
+          val e = fields.next()
+          val v = e.getValue
+          merged(e.getKey) = Shape(v.get("bnlj").asInt, v.get("cart").asInt,
+            v.get("exchanges").asInt, v.get("codegen").asInt)
+        }
+      }
+      shapes.foreach { case (n, s) => merged(n) = s }
+      val json = merged.toSeq.sortBy(_._1).map { case (n, s) =>
         s""""$n": {"bnlj": ${s.bnlj}, "cart": ${s.cart}, "exchanges": ${s.exch}, "codegen": ${s.wsc}}"""
       }.mkString("{\n  ", ",\n  ", "\n}\n")
-      java.nio.file.Files.writeString(java.nio.file.Paths.get(p), json)
-      println(s"[planaudit] wrote ${shapes.size} plan shapes to $p")
+      java.nio.file.Files.writeString(path, json)
+      println(s"[planaudit] wrote ${shapes.size} plan shapes to $p" +
+        (if (names.nonEmpty) s" (merged into ${merged.size})" else ""))
     }
 
     diffPath.foreach { p =>

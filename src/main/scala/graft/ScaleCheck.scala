@@ -97,7 +97,9 @@ object ScaleCheck {
     "q_multimodal_phash",
     // round-9 ninth: dedup yield distribution, c-TF-IDF source cards,
     // and the water-filling quota solver (domain-sized windows)
-    "q_dedup_yield", "q_source_terms", "q_budget_waterfill")
+    "q_dedup_yield", "q_source_terms", "q_budget_waterfill",
+    // round-9 tenth: event-lake analytics (user-keyed aggregates only)
+    "q_funnel", "q_retention_cohorts")
 
   def main(args: Array[String]): Unit = {
     val src = "/root/testdata/sf0.1"

@@ -89,6 +89,21 @@ object StreamQueries {
       },
       Some("""SELECT n_name, count(*) AS n, CAST(sum(CAST(value AS DECIMAL(24,6))) AS DOUBLE) AS sum_value FROM events e LEFT JOIN nation ON e.user_id % 25 = n_nationkey GROUP BY 1""")),
 
+    Entry("q_funnel",
+      // sequential view->click->purchase funnel per user: first view,
+      // first click at-or-after it, first purchase after that — order
+      // matters. Exact epoch-micros timestamps; k steps = k aggregates
+      (s, d) => graft.streaming.Events.funnelSteps(Q.events(s, d),
+        "user_id", "event_type", "ts", Seq("view", "click", "purchase")),
+      Some("""WITH e AS (SELECT user_id, event_type, epoch_ns(ts) // 1000 AS us FROM events), u AS (SELECT DISTINCT user_id FROM e), s0 AS (SELECT user_id, min(us) AS t0 FROM e WHERE event_type = 'view' GROUP BY 1), s1 AS (SELECT e.user_id, min(e.us) AS t1 FROM e JOIN s0 USING (user_id) WHERE e.event_type = 'click' AND e.us >= s0.t0 GROUP BY 1), s2 AS (SELECT e.user_id, min(e.us) AS t2 FROM e JOIN s1 USING (user_id) WHERE e.event_type = 'purchase' AND e.us >= s1.t1 GROUP BY 1) SELECT u.user_id, s0.t0, s1.t1, s2.t2, (CASE WHEN s0.t0 IS NULL THEN 0 ELSE 1 END + CASE WHEN s1.t1 IS NULL THEN 0 ELSE 1 END + CASE WHEN s2.t2 IS NULL THEN 0 ELSE 1 END) AS reached FROM u LEFT JOIN s0 USING (user_id) LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)""")),
+
+    Entry("q_retention_cohorts",
+      // retention triangle: users cohorted by first-event day; active
+      // users per (cohort day, day offset). Exact integer day math
+      (s, d) => graft.streaming.Events.retentionCohorts(Q.events(s, d),
+        "user_id", "ts"),
+      Some("""WITH e AS (SELECT user_id, (epoch_ns(ts) // 1000) // 86400000000 AS day FROM events), f AS (SELECT user_id, min(day) AS cohort_day FROM e GROUP BY 1), a AS (SELECT DISTINCT e.user_id, f.cohort_day, e.day - f.cohort_day AS day_offset FROM e JOIN f USING (user_id)) SELECT cohort_day, day_offset, count(*) AS active_users FROM a GROUP BY 1, 2""")),
+
     Entry("q_asof_join",
       // as-of enrichment: each purchase carries the user's latest click
       // at-or-before it (union-tag + window fill — one exchange, no range

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Structured Streaming over the `events` table (driver-brief extension;
@@ -112,6 +112,79 @@ object Events {
   final case class SeenHash(keptId: Long)
   final case class DedupDecision(doc_id: Long, content_hash: String,
                                  kept: Boolean, dup_of: Long)
+
+  /** Sequential funnel over the landed event lake: for each user, the
+    * FIRST time of step 0, then the first step-1 event AT OR AFTER it,
+    * then the first step-2 event after that, … — the classic
+    * view→click→purchase conversion analysis (order matters: a
+    * purchase before the first view does not count). Timestamps are
+    * exact epoch MICROS (never raw), `reached` counts completed steps.
+    *
+    * Scale shape: ONE user-partitioned window pass — step i's running
+    * "first qualifying time" is a chained window min over the same
+    * (user, time, step-rank) sort, so k steps plan as k window
+    * expressions inside a single Window node; one exchange on the
+    * user, then a groupBy that reuses the same partitioning. A click
+    * at row j qualifies iff the running step-(i−1) min at j is set —
+    * equivalent to "at or after the sequential first" because sort
+    * order makes the running min ≤ the row's own time, with funnel
+    * position breaking timestamp ties so same-instant step pairs count
+    * (the >= contract).
+    *
+    * @return (user_id, t0..t{k-1} BIGINT micros nullable, reached) */
+  def funnelSteps(events: DataFrame, userCol: String, typeCol: String,
+                  tsCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "at least one funnel step")
+    import org.apache.spark.sql.expressions.Window
+    val rank = steps.zipWithIndex
+      .foldLeft(lit(steps.size): Column) { case (acc, (s, i)) =>
+        when(col("et") === s, i).otherwise(acc)
+      }
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("us").asc, col("sr").asc)
+      .rowsBetween(Long.MinValue, 0)
+    var ev = events.select(col(userCol).cast("long").as("user_id"),
+        col(typeCol).as("et"), expr(s"unix_micros($tsCol)").as("us"))
+      .withColumn("sr", rank)
+    steps.zipWithIndex.foreach { case (s, i) =>
+      val qualifies =
+        if (i == 0) col("et") === s
+        else col("et") === s && col(s"r${i - 1}").isNotNull
+      ev = ev.withColumn(s"r$i",
+        min(when(qualifies, col("us"))).over(w))
+    }
+    ev.groupBy("user_id")
+      .agg(min(col("r0")).as("t0"),
+        steps.indices.drop(1).map(i => min(col(s"r$i")).as(s"t$i")): _*)
+      .withColumn("reached",
+        steps.indices.map(i =>
+          when(col(s"t$i").isNotNull, 1).otherwise(0)).reduce(_ + _))
+  }
+
+  /** Retention cohorts over the event lake: users are cohorted by the
+    * DAY of their first event; for every (cohort day, day offset) the
+    * report counts users active that many days later — the standard
+    * product-retention triangle. Day arithmetic is exact integer
+    * division of epoch micros.
+    *
+    * Scale shape: one first-day aggregate per user, one distinct
+    * (user, cohort, offset) pass, one count — all map-side combined on
+    * narrow longs.
+    *
+    * @return (cohort_day, day_offset, active_users) */
+  def retentionCohorts(events: DataFrame, userCol: String,
+                       tsCol: String): DataFrame = {
+    val dayUs = 86400000000L
+    val ev = events.select(col(userCol).cast("long").as("user_id"),
+      expr(s"unix_micros($tsCol) div $dayUs").as("day"))
+    val first = ev.groupBy("user_id").agg(min(col("day")).as("cohort_day"))
+    ev.join(first, "user_id")
+      .select(col("user_id"), col("cohort_day"),
+        (col("day") - col("cohort_day")).as("day_offset"))
+      .distinct()
+      .groupBy("cohort_day", "day_offset")
+      .agg(count(lit(1)).as("active_users"))
+  }
 
   final case class SourceAdmitted(n: Long)
   final case class QuotaDecision(doc_id: Long, source: String,

@@ -1043,6 +1043,48 @@ class Round9Spec extends SparkSpec {
     assert(!got.contains(("image", 1L, 4L)) && !got.contains(("audio", 1L, 4L)))
   }
 
+  // ---- event funnel and retention ---------------------------------------------
+
+  test("funnelSteps: order matters, out-of-order purchases don't count, " +
+    "reached counts completed steps") {
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    val ev = Seq(
+      // user 1: full ordered funnel
+      (1L, "view", ts(1)), (1L, "click", ts(2)), (1L, "purchase", ts(3)),
+      // user 2: purchase BEFORE the first view -> step 2 never fires
+      (2L, "purchase", ts(1)), (2L, "view", ts(2)), (2L, "click", ts(3)),
+      // user 3: view only
+      (3L, "view", ts(5)),
+      // user 4: no funnel events at all
+      (4L, "error", ts(1)))
+      .toDF("user_id", "event_type", "ts")
+    val out = graft.streaming.Events.funnelSteps(ev, "user_id",
+        "event_type", "ts", Seq("view", "click", "purchase"))
+      .collect().map(r => r.getLong(0) -> r.getInt(4)).toMap
+    assert(out == Map(1L -> 3, 2L -> 2, 3L -> 1, 4L -> 0))
+    // same-timestamp step counts (>= semantics)
+    val sameTs = Seq((9L, "view", ts(1)), (9L, "click", ts(1)))
+      .toDF("user_id", "event_type", "ts")
+    assert(graft.streaming.Events.funnelSteps(sameTs, "user_id",
+      "event_type", "ts", Seq("view", "click")).collect()(0).getInt(3) == 2)
+  }
+
+  test("retentionCohorts: first-day cohorting with exact day offsets") {
+    def ts(d: Int, h: Int) =
+      java.sql.Timestamp.valueOf(f"2024-01-$d%02d $h%02d:00:00")
+    val ev = Seq(
+      (1L, ts(1, 5)), (1L, ts(1, 9)), (1L, ts(3, 1)), // cohort d0, offsets 0,2
+      (2L, ts(2, 1)), (2L, ts(3, 23)))                // cohort d1, offsets 0,1
+      .toDF("user_id", "ts")
+    val out = graft.streaming.Events.retentionCohorts(ev, "user_id", "ts")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    val d0 = out.keys.map(_._1).min
+    assert(out((d0, 0L)) == 1L && out((d0, 2L)) == 1L)
+    assert(out((d0 + 1, 0L)) == 1L && out((d0 + 1, 1L)) == 1L)
+    assert(out.size == 4)
+  }
+
   // ---- water-filling quota ---------------------------------------------------
 
   test("waterfillQuota: undersupplied groups taken whole, level + " +
