@@ -365,4 +365,81 @@ class PropertySpec extends SparkSpec {
       adj.foreach { case (p, q) => assert(q >= p - 1e-12) }
     }
   }
+
+  test("waterfillQuota invariants on random supplies and budgets") {
+    val gen = Gen.zip(
+      Gen.listOfN(6, Gen.choose(1, 30)).map(_.zipWithIndex),
+      Gen.choose(0L, 150L))
+    forAllN(30, gen) { case (supplies, budget) =>
+      val rows = supplies.flatMap { case (n, g) =>
+        (1 to n).map(i => (s"g$g-$i", s"g$g")) }
+      val out = graft.text.Sampling
+        .waterfillQuota(rows.toDF("id", "g"), "g", budget)
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+      val total = supplies.map(_._1.toLong).sum
+      // conservation: quotas sum to min(budget, total supply)
+      assert(out.values.map(_._2).sum == math.min(budget, total))
+      // feasibility: 0 <= quota <= supply; filled iff taken whole below
+      // the water level
+      out.values.foreach { case (n, q, f) =>
+        assert(q >= 0 && q <= n)
+        if (f) assert(q == n)
+      }
+      // max-min fairness: any two unfilled groups differ by at most the
+      // remainder unit, and every filled group's supply is <= every
+      // unfilled group's quota + 1 (nobody filled above the water level)
+      val unfilled = out.values.filter(!_._3).map(_._2).toSeq
+      if (unfilled.nonEmpty) {
+        assert(unfilled.max - unfilled.min <= 1)
+        val level = unfilled.min
+        out.values.filter(_._3).foreach { case (n, _, _) =>
+          assert(n <= level + 1)
+        }
+      }
+    }
+  }
+
+  test("groupPercentRank == the engine's percent_rank window on random data") {
+    val gen = Gen.listOfN(60, Gen.zip(Gen.oneOf("a", "b", "c"),
+      Gen.choose(0, 5).map(_ * 0.1)))
+    forAllN(20, gen) { rows =>
+      val df = rows.zipWithIndex
+        .map { case ((g, v), i) => (i.toLong, g, v) }
+        .toDF("id", "g", "v")
+      val got = graft.text.Sampling.groupPercentRank(df, "g", "v")
+        .select("id", "pct_rank").as[(Long, Double)].collect().toMap
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("g").orderBy("v")
+      val want = df.withColumn("pr", round(percent_rank().over(w), 6))
+        .select("id", "pr").as[(Long, Double)].collect().toMap
+      assert(got == want)
+    }
+  }
+
+  test("spanCorrupt input+target reconstruct the original on random corpora") {
+    val word = Gen.choose('a', 'e').map(_.toString)
+    val gen = Gen.listOfN(8,
+      Gen.choose(1, 25).flatMap(n => Gen.listOfN(n, word).map(_.mkString(" "))))
+    forAllN(20, gen) { texts =>
+      val docs = texts.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val out = graft.text.Sampling
+        .spanCorrupt(docs, "doc_id", "text", spanTokens = 2, maskPct = 35,
+          seed = 11L)
+        .collect()
+      val sentinel = "<extra_id_(\\d+)>".r
+      out.foreach { r =>
+        val input = r.getString(3); val target = r.getString(4)
+        val spans = if (target.isEmpty) Map.empty[Int, String]
+          else target.split("<extra_id_").filter(_.nonEmpty).map { part =>
+            val Array(k, rest) = part.split(">", 2)
+            k.toInt -> rest.trim
+          }.toMap
+        val rebuilt = sentinel.replaceAllIn(input,
+          m => java.util.regex.Matcher.quoteReplacement(spans(m.group(1).toInt)))
+        assert(rebuilt == texts(r.getLong(0).toInt))
+      }
+    }
+  }
 }
