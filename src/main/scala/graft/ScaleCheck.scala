@@ -99,7 +99,10 @@ object ScaleCheck {
     // and the water-filling quota solver (domain-sized windows)
     "q_dedup_yield", "q_source_terms", "q_budget_waterfill",
     // round-9 tenth: event-lake analytics (user-keyed aggregates only)
-    "q_funnel", "q_retention_cohorts")
+    "q_funnel", "q_retention_cohorts",
+    // round-9 eleventh: the leak-free cluster split and the threshold
+    // tradeoff curve
+    "q_split_by_cluster", "q_quality_tradeoff")
 
   def main(args: Array[String]): Unit = {
     val src = "/root/testdata/sf0.1"

@@ -55,6 +55,25 @@ object Curate {
         col("n_tokens"), col("quality"), col("pred_lang"))
   }
 
+  /** Leak-free split assignment — the FIX for what the split-leakage
+    * audit detects: hashing doc ids sends near-duplicate copies to
+    * different splits (test questions leak into training through
+    * clones the hash cannot see), so the split key must be the
+    * DUPLICATE-CLUSTER id: whole clusters land in one split, by the
+    * same deterministic md5-threshold assignment `splitAssign` uses.
+    *
+    * Scale shape: the pair tier + connected components (both already
+    * bounded), then a zero-shuffle hash projection — assignment adds
+    * nothing to the dedup cost.
+    *
+    * @return (doc_id, cluster_id, split) for every doc */
+  def leakFreeSplit(docs: DataFrame, idCol: String, pairs: DataFrame,
+                    seed: Long, cuts: Seq[(String, Double)]): DataFrame =
+    graft.text.Sampling.splitAssign(
+      Dedup.clusterDocuments(docs, idCol, pairs)
+        .select(col("doc_id"), col("cluster_id")),
+      "cluster_id", seed, cuts)
+
   /** Incremental quality maintenance between corpus snapshots — the
     * refresh pattern every derived table needs at 100 TB: diff the
     * snapshots by content hash ([[Dedup.corpusDiff]]), RE-SCORE only

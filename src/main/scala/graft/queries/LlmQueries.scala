@@ -646,6 +646,31 @@ object LlmQueries {
       },
       Some(dedupClustersSql(0.8))),
 
+    Entry("q_split_by_cluster",
+      // leak-free split assignment — the FIX for what q_split_leakage
+      // detects: the split hash keys on the duplicate-CLUSTER id, so
+      // whole clone groups land in one split and test questions cannot
+      // leak into training through near-dup copies
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        graft.pipelines.Curate.leakFreeSplit(docs, "doc_id",
+          Dedup.minhashLshPairs(docs, "doc_id", "text", k = 3,
+            threshold = 0.8, numHashes = 128, bands = 16),
+          seed = 31L, cuts = Seq(("train", 0.9), ("test", 0.1)))
+      },
+      Some(s"""WITH RECURSIVE $shingleCte, $minhashCandCtes, $verifyCtes, pairs AS (${verifySelect(0.8)}), $componentCtes, lab AS (SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id FROM documents d LEFT JOIN comp c ON d.doc_id = c.id) SELECT doc_id, cluster_id, ${graft.text.Sampling.splitAssignSql("cluster_id", 31L, Seq(("train", 0.9), ("test", 0.1)))} AS split FROM lab""")),
+
+    Entry("q_quality_tradeoff",
+      // quantity-vs-quality pareto curve: per candidate threshold, the
+      // docs and token mass surviving score >= threshold with corpus
+      // shares — the report that picks the filter cutoff. Reverse
+      // cumulative BIGINT sums over 10 bins
+      (s, d) => graft.text.QualityModel.qualityTradeoffCurve(
+        Text.qualityScore(t(s, d, "documents").select("doc_id", "text"),
+          "text"),
+        "quality", "n_tokens", bins = 10),
+      Some(s"""WITH $qualityCtes, uu AS (SELECT CAST(floor(quality * 1000000 + 0.5) AS BIGINT) AS u, CAST(n_tokens AS BIGINT) AS toks FROM qq), pb AS (SELECT CAST(least(u // 100000, 9) AS INTEGER) AS bin, count(*) AS n, CAST(sum(toks) AS BIGINT) AS tok FROM uu GROUP BY 1), cc AS (SELECT bin, CAST(sum(n) OVER (ORDER BY bin ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT) AS docs_kept, CAST(sum(tok) OVER (ORDER BY bin ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT) AS tokens_kept, CAST(sum(n) OVER () AS BIGINT) AS tot_n, CAST(sum(tok) OVER () AS BIGINT) AS tot_tok FROM pb) SELECT ${OmicsQueries.rndSql("CAST(bin AS DOUBLE) / 10", 6)} AS threshold, docs_kept, tokens_kept, ${OmicsQueries.rndSql("CAST(docs_kept AS DOUBLE) / tot_n", 6)} AS doc_share, ${OmicsQueries.rndSql("CAST(tokens_kept AS DOUBLE) / tot_tok", 6)} AS token_share FROM cc""")),
+
     Entry("q_dedup_yield",
       // dedup yield report: the cluster-size distribution of the
       // near-dup graph + per-size doc shares — the summary a dedup run

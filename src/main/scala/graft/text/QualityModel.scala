@@ -120,6 +120,49 @@ object QualityModel {
       (lit(1.0) / (lit(1.0) + exp(-eta)) >= 0.5).as("pred"))
   }
 
+  /** Quality-threshold tradeoff curve — "what do we keep at each
+    * cutoff?": for every candidate threshold k/bins the report carries
+    * how many docs and how much token mass survive `score >= threshold`
+    * and their corpus shares — the quantity-vs-quality pareto view that
+    * picks the filter cutoff.
+    *
+    * Determinism: scores quantize once to integer micro-units, docs
+    * land in equal-width bins, and the curve is a REVERSE cumulative
+    * BIGINT sum over the bins relation; shares are single divisions,
+    * rounded at 6. Scale shape: one map-side-combined aggregate to
+    * `bins` rows, then windows over those rows.
+    *
+    * @return (threshold, docs_kept, tokens_kept, doc_share, token_share) */
+  def qualityTradeoffCurve(scored: DataFrame, scoreCol: String,
+                           tokensCol: String, bins: Int = 10): DataFrame = {
+    require(bins >= 2 && 1000000 % bins == 0,
+      s"bins must divide 1e6 for exact integer binning: $bins")
+    val width = 1000000L / bins
+    val u = floor(col(scoreCol) * 1e6 + 0.5).cast("long")
+    val ord = org.apache.spark.sql.expressions.Window
+      .orderBy(col("bin").asc)
+    val tail = ord.rowsBetween(0, Long.MaxValue)
+    val all = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1)).rowsBetween(Long.MinValue, Long.MaxValue)
+    scored
+      .select(least(floor(u / lit(width)), lit(bins - 1L)).cast("int")
+          .as("bin"),
+        col(tokensCol).cast("long").as("toks"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), sum(col("toks")).as("tok"))
+      .withColumn("docs_kept", sum(col("n")).over(tail))
+      .withColumn("tokens_kept", sum(col("tok")).over(tail))
+      .withColumn("tot_n", sum(col("n")).over(all))
+      .withColumn("tot_tok", sum(col("tok")).over(all))
+      .select(
+        round(col("bin").cast("double") / bins, 6).as("threshold"),
+        col("docs_kept"), col("tokens_kept"),
+        round(col("docs_kept").cast("double") / col("tot_n"), 6)
+          .as("doc_share"),
+        round(col("tokens_kept").cast("double") / col("tot_tok"), 6)
+          .as("token_share"))
+  }
+
   /** Reliability / calibration report over a scored frame — the ML-ops
     * check behind every learned quality filter: does a 0.8 score mean
     * 80% of such docs are actually positive? Scores land in `bins`

@@ -1043,6 +1043,37 @@ class Round9Spec extends SparkSpec {
     assert(!got.contains(("image", 1L, 4L)) && !got.contains(("audio", 1L, 4L)))
   }
 
+  // ---- leak-free split and tradeoff curve ---------------------------------------
+
+  test("leakFreeSplit: every member of a duplicate cluster lands in the " +
+    "same split, singletons split independently") {
+    val docs = (1L to 200L).map(Tuple1(_)).toDF("doc_id")
+    val pairs = (1L to 99L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val out = graft.pipelines.Curate.leakFreeSplit(docs, "doc_id", pairs,
+        seed = 31L, cuts = Seq(("train", 0.5), ("test", 0.5)))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2)))
+      .toMap
+    // the 1..100 chain is one cluster -> one split for all
+    assert(out.filterKeys(_ <= 100L).values.map(_._2).toSet.size == 1)
+    // singletons 101..200 split by their own ids -> both splits occur
+    assert(out.filterKeys(_ > 100L).values.map(_._2).toSet.size == 2)
+  }
+
+  test("qualityTradeoffCurve: hand-computed reverse cumulative kept mass") {
+    val scored = Seq(
+      (0.05, 10L), (0.15, 20L), (0.15, 30L), (0.95, 40L))
+      .toDF("quality", "n_tokens")
+    val out = graft.text.QualityModel.qualityTradeoffCurve(scored,
+        "quality", "n_tokens", bins = 10)
+      .collect().map(r => r.getDouble(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    assert(out(0.0) == (4L, 100L, 1.0, 1.0))
+    assert(out(0.1) == (3L, 90L, 0.75, 0.9))
+    assert(out(0.9) == (1L, 40L, 0.25, 0.4))
+    assert(out.size == 3) // only occupied bins emit a row
+  }
+
   // ---- event funnel and retention ---------------------------------------------
 
   test("funnelSteps: order matters, out-of-order purchases don't count, " +
