@@ -102,7 +102,7 @@ object ScaleCheck {
     "q_funnel", "q_retention_cohorts",
     // round-9 eleventh: the leak-free cluster split and the threshold
     // tradeoff curve
-    "q_split_by_cluster", "q_quality_tradeoff")
+    "q_split_by_cluster", "q_quality_tradeoff", "q_tokenize_fertility")
 
   def main(args: Array[String]): Unit = {
     val src = "/root/testdata/sf0.1"

@@ -683,6 +683,15 @@ object LlmQueries {
       },
       Some(s"""WITH RECURSIVE $shingleCte, $minhashCandCtes, $verifyCtes, pairs AS (${verifySelect(0.8)}), $componentCtes, lab AS (SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id FROM documents d LEFT JOIN comp c ON d.doc_id = c.id), csz AS (SELECT cluster_id, count(*) AS cluster_size FROM lab GROUP BY 1), dist AS (SELECT cluster_size, count(*) AS n_clusters FROM csz GROUP BY 1), tt AS (SELECT CAST(sum(cluster_size * n_clusters) AS BIGINT) AS td FROM dist) SELECT CAST(d.cluster_size AS BIGINT) AS cluster_size, d.n_clusters, CAST(d.cluster_size * d.n_clusters AS BIGINT) AS n_docs, ${OmicsQueries.rndSql("CAST(d.cluster_size * d.n_clusters AS DOUBLE) / tt.td", 6)} AS doc_share FROM dist d, tt""")),
 
+    Entry("q_tokenize_fertility",
+      // tokens-per-word under a top-25 vocab with char fallback, by
+      // source — the fertility number vocab-size decisions come from.
+      // Deterministic vocab fit (freq desc, word asc), broadcast tag
+      // pass, exact integer emission counts
+      (s, d) => Text.tokenizerFertility(t(s, d, "documents"), "source",
+        "text", vocabSize = 25),
+      Some(s"""WITH wd AS (SELECT source, unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0)) AS w FROM documents), vc AS (SELECT w FROM (SELECT w, count(*) AS f FROM wd GROUP BY 1) ORDER BY f DESC, w LIMIT 25) SELECT source, count(*) AS n_words, CAST(sum(CASE WHEN vc.w IS NOT NULL THEN 1 ELSE len(wd.w) END) AS BIGINT) AS n_emitted, CAST(sum(CASE WHEN vc.w IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS oov_words, ${OmicsQueries.rndSql("CAST(sum(CASE WHEN vc.w IS NOT NULL THEN 1 ELSE len(wd.w) END) AS DOUBLE) / count(*)", 6)} AS fertility FROM wd LEFT JOIN vc ON wd.w = vc.w GROUP BY 1""")),
+
     Entry("q_source_terms",
       // class-based TF-IDF (c-TF-IDF): top-10 distinctive terms per
       // source, scored as exact BIGINT tf*ln_micro units — corpus-card

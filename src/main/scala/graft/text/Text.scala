@@ -205,6 +205,40 @@ object Text {
         col("n1_left"), col("n1_right"), col("p_kn"))
   }
 
+  /** Tokenizer fertility report per source — how many tokens a
+    * fixed-size vocabulary actually emits per word: in-vocab words cost
+    * one token, out-of-vocab words fall back to characters (the
+    * byte/char-fallback floor every real tokenizer has). Fertility
+    * (emitted/words) by source is the number vocab-size decisions and
+    * multilingual-cost estimates are made from; pairs with
+    * [[vocabSizeForCoverage]] (which sizes the vocab) and
+    * [[vocabCoverage]] (per-doc hit rate).
+    *
+    * Deterministic vocab: top `vocabSize` corpus words by (freq desc,
+    * word asc). Scale shape: one word-count aggregate, a broadcast
+    * vocab, one per-source aggregate over the tagged stream — all
+    * map-side combined; fertility is a single exact-integer division.
+    *
+    * @return (source, n_words, n_emitted, oov_words, fertility) */
+  def tokenizerFertility(df: DataFrame, sourceCol: String, textCol: String,
+                         vocabSize: Int = 25): DataFrame = {
+    require(vocabSize >= 1, s"vocabSize must be positive: $vocabSize")
+    val words = df.select(col(sourceCol).as("source"),
+        explode(tokens(lower(col(textCol)))).as("w"))
+      .localCheckpoint(false) // feeds the vocab fit AND the scoring pass
+    val vocab = words.groupBy("w").agg(count(lit(1)).as("f"))
+      .orderBy(col("f").desc, col("w").asc).limit(vocabSize)
+      .select(col("w"), lit(1).as("__v"))
+    words.join(broadcast(vocab), Seq("w"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_words"),
+        sum(when(col("__v").isNotNull, 1L)
+          .otherwise(length(col("w")).cast("long"))).as("n_emitted"),
+        sum(when(col("__v").isNull, 1L).otherwise(0L)).as("oov_words"))
+      .withColumn("fertility",
+        round(col("n_emitted").cast("double") / col("n_words"), 6))
+  }
+
   /** Class-based TF-IDF (the BERTopic c-TF-IDF construction) per group:
     * each source/domain/cluster is treated as ONE class document, and a
     * term's salience for the class is tf(t,class) · ln(1 + A / f_t)

@@ -1043,6 +1043,24 @@ class Round9Spec extends SparkSpec {
     assert(!got.contains(("image", 1L, 4L)) && !got.contains(("audio", 1L, 4L)))
   }
 
+  // ---- tokenizer fertility -------------------------------------------------------
+
+  test("tokenizerFertility: in-vocab words cost 1, OOV words fall back " +
+    "to characters") {
+    val docs = Seq(
+      (1L, "aa aa aa bb bb zzzz", "s1"), // vocab(2) = {aa, bb}; zzzz OOV
+      (2L, "aa qqq", "s2"))              // qqq OOV (3 chars)
+      .toDF("doc_id", "text", "src")
+    val out = graft.text.Text.tokenizerFertility(docs, "src", "text",
+        vocabSize = 2)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    // s1: 6 words; 5 in vocab (1 each) + zzzz -> 4 chars = 9 emitted
+    assert(out("s1") == (6L, 9L, 1L, 1.5))
+    // s2: 2 words; aa=1, qqq->3 = 4 emitted
+    assert(out("s2") == (2L, 4L, 1L, 2.0))
+  }
+
   // ---- leak-free split and tradeoff curve ---------------------------------------
 
   test("leakFreeSplit: every member of a duplicate cluster lands in the " +
