@@ -102,7 +102,8 @@ object ScaleCheck {
     "q_funnel", "q_retention_cohorts",
     // round-9 eleventh: the leak-free cluster split and the threshold
     // tradeoff curve
-    "q_split_by_cluster", "q_quality_tradeoff", "q_tokenize_fertility")
+    "q_split_by_cluster", "q_quality_tradeoff", "q_tokenize_fertility",
+    "q_waterfill_sample")
 
   def main(args: Array[String]): Unit = {
     val src = "/root/testdata/sf0.1"

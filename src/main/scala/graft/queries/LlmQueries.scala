@@ -710,6 +710,19 @@ object LlmQueries {
         "lang", budget = 400L),
       Some("""WITH sup AS (SELECT lang AS g, count(*) AS n FROM documents GROUP BY 1), w AS (SELECT g, n, CAST(row_number() OVER (ORDER BY n, g) AS BIGINT) AS i, CAST(sum(n) OVER (ORDER BY n, g ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS p, CAST(count(*) OVER () AS BIGINT) AS m FROM sup), f AS (SELECT *, (p - n + n * (m - i + 1) <= 400) AS filled FROM w), agg AS (SELECT CAST(sum(CASE WHEN filled THEN 1 ELSE 0 END) AS BIGINT) AS cut, CAST(coalesce(max(CASE WHEN filled THEN p END), 0) AS BIGINT) AS taken, CAST(max(m) AS BIGINT) AS m FROM f) SELECT f.g AS lang, f.n, CASE WHEN f.filled THEN f.n WHEN agg.m - agg.cut > 0 THEN (400 - agg.taken) // (agg.m - agg.cut) + (CASE WHEN f.i - agg.cut <= (400 - agg.taken) % (agg.m - agg.cut) THEN 1 ELSE 0 END) ELSE 0 END AS quota, f.filled FROM f, agg""")),
 
+    Entry("q_waterfill_sample",
+      // execute the water-filled allocation: exactly quota_lang docs
+      // per language, chosen by deterministic md5 order — the mixing
+      // manifest made real. Output size == min(budget, corpus) always
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val quotas = graft.text.Sampling.waterfillQuota(docs, "lang",
+          budget = 400L)
+        graft.text.Sampling.quotaSample(docs.select("doc_id", "lang"),
+          "lang", "doc_id", quotas, "lang", "quota", seed = 17L)
+      },
+      Some(s"""WITH sup AS (SELECT lang AS g, count(*) AS n FROM documents GROUP BY 1), w AS (SELECT g, n, CAST(row_number() OVER (ORDER BY n, g) AS BIGINT) AS i, CAST(sum(n) OVER (ORDER BY n, g ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS p, CAST(count(*) OVER () AS BIGINT) AS m FROM sup), f AS (SELECT *, (p - n + n * (m - i + 1) <= 400) AS filled FROM w), agg AS (SELECT CAST(sum(CASE WHEN filled THEN 1 ELSE 0 END) AS BIGINT) AS cut, CAST(coalesce(max(CASE WHEN filled THEN p END), 0) AS BIGINT) AS taken, CAST(max(m) AS BIGINT) AS m FROM f), qt AS (SELECT f.g AS lang, CASE WHEN f.filled THEN f.n WHEN agg.m - agg.cut > 0 THEN (400 - agg.taken) // (agg.m - agg.cut) + (CASE WHEN f.i - agg.cut <= (400 - agg.taken) % (agg.m - agg.cut) THEN 1 ELSE 0 END) ELSE 0 END AS quota FROM f, agg), rk AS (SELECT d.doc_id, d.lang, row_number() OVER (PARTITION BY d.lang ORDER BY ${graft.text.Sampling.hashFracSql("d.doc_id", 17L)}, d.doc_id) AS rn FROM documents d) SELECT rk.doc_id, rk.lang FROM rk JOIN qt ON qt.lang = rk.lang WHERE rk.rn <= qt.quota""")),
+
     Entry("q_dedup_best_quality",
       // quality-aware representative pick: the kept doc per near-dup
       // cluster is the argmax-quality member (id breaks ties), not the

@@ -418,6 +418,30 @@ object Sampling {
       .select(col("g").as(groupCol), col("n"), col("quota"), col("filled"))
   }
 
+  /** Execute a per-group quota allocation (e.g. [[waterfillQuota]]'s
+    * output): keep exactly `quota_g` rows per group, chosen by the
+    * deterministic md5 hash order (seed, key) — re-runs select the SAME
+    * rows, and shrinking a group's quota yields a SUBSET of the larger
+    * selection (hash-prefix nesting, the property incremental mix
+    * tuning needs). The dynamic-quota companion of the constant-quota
+    * `domainQuota`.
+    *
+    * Scale shape: one broadcast of the domain-sized quota table, one
+    * per-group rank window (the domainQuota shape — hash order, id
+    * tie-break). */
+  def quotaSample(df: DataFrame, groupCol: String, keyCol: String,
+                  quotas: DataFrame, quotaGroupCol: String,
+                  quotaCol: String, seed: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(hashFrac(col(keyCol), seed), col(keyCol))
+    df.join(broadcast(quotas.select(col(quotaGroupCol).as(groupCol),
+        col(quotaCol).as("__q"))), groupCol)
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= col("__q"))
+      .drop("__q", "__rn")
+  }
+
   /** Per-group percent-rank normalization — makes a score comparable
     * ACROSS sources/domains (a 0.6 quality on a clean source and on a
     * spam-heavy one mean different things; thresholding the normalized

@@ -1043,6 +1043,29 @@ class Round9Spec extends SparkSpec {
     assert(!got.contains(("image", 1L, 4L)) && !got.contains(("audio", 1L, 4L)))
   }
 
+  // ---- quota sampling -------------------------------------------------------------
+
+  test("quotaSample keeps exactly quota rows per group, deterministically, " +
+    "with hash-prefix nesting") {
+    val df = (1L to 40L).map(i => (i, if (i <= 30) "a" else "b"))
+      .toDF("id", "g")
+    val q1 = Seq(("a", 5L), ("b", 3L)).toDF("g", "quota")
+    def run(q: org.apache.spark.sql.DataFrame) = graft.text.Sampling
+      .quotaSample(df, "g", "id", q, "g", "quota", seed = 9L)
+      .select("g", "id")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val s1 = run(q1)
+    assert(s1.count(_._1 == "a") == 5 && s1.count(_._1 == "b") == 3)
+    assert(run(q1).toSet == s1.toSet) // rerun-identical
+    // nesting: a smaller quota selects a subset of the larger selection
+    val s2 = run(Seq(("a", 2L), ("b", 3L)).toDF("g", "quota"))
+    assert(s2.filter(_._1 == "a").toSet
+      .subsetOf(s1.filter(_._1 == "a").toSet))
+    // quota above supply keeps the whole group
+    val s3 = run(Seq(("a", 99L), ("b", 0L)).toDF("g", "quota"))
+    assert(s3.count(_._1 == "a") == 30 && !s3.exists(_._1 == "b"))
+  }
+
   // ---- tokenizer fertility -------------------------------------------------------
 
   test("tokenizerFertility: in-vocab words cost 1, OOV words fall back " +
