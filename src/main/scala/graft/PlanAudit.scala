@@ -20,7 +20,8 @@ import org.apache.spark.sql.SparkSession
   */
 object PlanAudit {
 
-  private final case class Shape(bnlj: Int, cart: Int, exch: Int, wsc: Int)
+  private final case class Shape(bnlj: Int, cart: Int, exch: Int, wsc: Int,
+                                 gwin: Int = 0)
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
@@ -62,25 +63,58 @@ object PlanAudit {
       "q_multimodal_ann", // same bruteForceTopK shape over decoder features
       "q_corpus_overlap", // two single-row sketch summaries cross-joined
       "q_dsir_weights", // single-row corpus totals broadcast-joined back
+      "q_lm_score", // single-row vocabulary-size broadcast-joined back
       "q_dsir_sample",  // same weights stage under the Gumbel top-k
       "q_ann_pq", // ADC scan: broadcast query/ADC tables vs streamed codes
       "q_embedding_drift", // four single-row mean/count frames cross-joined
       "q_dedup_tier_agreement", // three single-row pair counts cross-joined
       "q_hard_negatives") // broadcast-queries-vs-corpus scoring + all-pairs exclude
+    // unpartitioned windows that are PROVABLY bounded: the relation under
+    // the window is aggregate-sized (bins, group cardinalities, top-N
+    // heads — never corpus-sized), so "move all data to a single
+    // partition" is a dim-table sort, not a scale hazard. Audited
+    // round 10 — every entry names its bounded relation.
+    val boundedGlobalWindow = Set(
+      "q_bpe_merges",           // char-pair vocabulary (≤ |charset|²) rank
+      "q_budget_waterfill",     // lang-cardinality quota relation
+      "q_waterfill_sample",     // same quota relation feeding the sampler
+      "q_mixture_temperature",  // domain-cardinality quota relation
+      "q_pipeline_quality_mix", // waterfill stage: lang-cardinality rows
+      "q_dedup_yield",          // cluster-SIZE distribution (distinct sizes)
+      "q_quality_calibration",  // 10-bin reliability relation
+      "q_quality_tradeoff",     // 10-bin pareto relation
+      "q_vocab_cutoff",   // vocab-sized rank — inherently a global order;
+                          // vocabulary is sublinear in corpus (Heaps law)
+      "q_zipf_fit")       // top-200 rank AFTER the TakeOrdered head
     val shapes = scala.collection.mutable.LinkedHashMap[String, Shape]()
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => names.isEmpty || names(n) }
       .foreach { case (name, fn) =>
         try {
-          val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
+          val pobj = fn(spark, sfDir).queryExecution.executedPlan
+          val plan = pobj.toString
           val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).size
           val cart = "CartesianProduct".r.findAllIn(plan).size
           val exch = "Exchange".r.findAllIn(plan).size
           // WholeStageCodegen spans print as "*(id) Operator" in toString
           val wsc = "\\*\\(\\d+\\)".r.findAllIn(plan).toSet.size
+          // unpartitioned window: a WindowExec with an empty partition
+          // spec is Spark's "moving all data to a single partition"
+          // warning case — a latent scale-killer unless the input
+          // relation is provably aggregate-sized (counted on the plan
+          // TREE: toString omits empty bracket groups, so the string is
+          // ambiguous between partition-only and order-only windows)
+          val gwin = pobj.collect {
+            case w: org.apache.spark.sql.execution.window.WindowExec
+                if w.partitionSpec.isEmpty => 1
+            case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec
+                if w.partitionSpec.isEmpty => 1
+          }.sum
           val flags = new StringBuilder
           if ((bnlj > 0 || cart > 0) && !intentionalCross(name))
             flags.append(s" !!NESTED_LOOP(bnlj=$bnlj,cart=$cart)")
+          if (gwin > 0 && !boundedGlobalWindow(name))
+            flags.append(s" !!GLOBAL_WINDOW(n=$gwin)")
           // q_pipeline_herald fused-unrolls its levels into one plan, so
           // the intentional broadcast-rules cross appears once per level
           // reference (audited: all BNLJs are the small rules dim, level
@@ -88,7 +122,7 @@ object PlanAudit {
           val crossAllowance = if (name == "q_pipeline_herald") 3 else 2
           if (bnlj + cart > crossAllowance && intentionalCross(name))
             flags.append(s" !!EXTRA_CROSS(bnlj=$bnlj,cart=$cart)")
-          shapes(name) = Shape(bnlj, cart, exch, wsc)
+          shapes(name) = Shape(bnlj, cart, exch, wsc, gwin)
           println(f"$name%-28s exchanges=$exch%-3d codegen=$wsc%-3d$flags")
         } catch {
           case e: Throwable => println(f"$name%-28s PLAN_ERROR ${e.getMessage.take(80)}")
@@ -109,12 +143,13 @@ object PlanAudit {
           val e = fields.next()
           val v = e.getValue
           merged(e.getKey) = Shape(v.get("bnlj").asInt, v.get("cart").asInt,
-            v.get("exchanges").asInt, v.get("codegen").asInt)
+            v.get("exchanges").asInt, v.get("codegen").asInt,
+            Option(v.get("gwin")).map(_.asInt).getOrElse(0))
         }
       }
       shapes.foreach { case (n, s) => merged(n) = s }
       val json = merged.toSeq.sortBy(_._1).map { case (n, s) =>
-        s""""$n": {"bnlj": ${s.bnlj}, "cart": ${s.cart}, "exchanges": ${s.exch}, "codegen": ${s.wsc}}"""
+        s""""$n": {"bnlj": ${s.bnlj}, "cart": ${s.cart}, "exchanges": ${s.exch}, "codegen": ${s.wsc}, "gwin": ${s.gwin}}"""
       }.mkString("{\n  ", ",\n  ", "\n}\n")
       java.nio.file.Files.writeString(path, json)
       println(s"[planaudit] wrote ${shapes.size} plan shapes to $p" +
@@ -133,7 +168,8 @@ object PlanAudit {
         val e = fields.next()
         val v = e.getValue
         baseline(e.getKey) = Shape(v.get("bnlj").asInt, v.get("cart").asInt,
-          v.get("exchanges").asInt, v.get("codegen").asInt)
+          v.get("exchanges").asInt, v.get("codegen").asInt,
+          Option(v.get("gwin")).map(_.asInt).getOrElse(0))
       }
       baseline.foreach { case (n, b) =>
         // a filtered run only diffs the queries it planned
@@ -143,13 +179,14 @@ object PlanAudit {
             regressions += 1
           case Some(s) =>
             if (s.exch > b.exch || s.wsc < b.wsc ||
-                s.bnlj > b.bnlj || s.cart > b.cart) {
+                s.bnlj > b.bnlj || s.cart > b.cart || s.gwin > b.gwin) {
               println(s"[planaudit] REGRESSION $n: " +
                 s"exchanges ${b.exch}->${s.exch}, codegen ${b.wsc}->${s.wsc}, " +
-                s"bnlj ${b.bnlj}->${s.bnlj}, cart ${b.cart}->${s.cart}")
+                s"bnlj ${b.bnlj}->${s.bnlj}, cart ${b.cart}->${s.cart}, " +
+                s"gwin ${b.gwin}->${s.gwin}")
               regressions += 1
             } else if (s.exch < b.exch || s.wsc > b.wsc ||
-                       s.bnlj < b.bnlj || s.cart < b.cart) {
+                       s.bnlj < b.bnlj || s.cart < b.cart || s.gwin < b.gwin) {
               println(s"[planaudit] improved $n: " +
                 s"exchanges ${b.exch}->${s.exch}, codegen ${b.wsc}->${s.wsc} " +
                 "(refresh the baseline with --write)")

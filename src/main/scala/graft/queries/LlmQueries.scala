@@ -1006,7 +1006,7 @@ object LlmQueries {
       // threshold signal; exact integer counts until the final ln
       (s, d) => graft.text.Text.lmScore(t(s, d, "documents"),
         "doc_id", "text").withColumnRenamed("id", "doc_id"),
-      Some(s"""WITH ltoks AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0) AS ts FROM documents), lt2 AS (SELECT doc_id, ts, len(ts) AS n FROM ltoks WHERE len(ts) >= 2), bg AS MATERIALIZED (SELECT doc_id, ts[i] AS w1, ts[i + 1] AS w2 FROM lt2, unnest(generate_series(1, n - 1)) AS g(i)), uni AS MATERIALIZED (SELECT w1, count(*) AS c1 FROM bg GROUP BY 1), bi AS MATERIALIZED (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2), vv AS (SELECT count(*) AS v FROM uni) SELECT doc_id, count(*) AS n_bigrams, ${OmicsQueries.rndSql("sum(ln(CAST(c12 + 1 AS DOUBLE) / CAST(c1 + (SELECT v FROM vv) AS DOUBLE))) / count(*)", 6)} AS avg_logprob FROM bg JOIN bi USING (w1, w2) JOIN uni USING (w1) GROUP BY 1""")),
+      Some(s"""WITH ltoks AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0) AS ts FROM documents), lt2 AS (SELECT doc_id, ts, len(ts) AS n FROM ltoks WHERE len(ts) >= 2), bg AS MATERIALIZED (SELECT doc_id, CAST(concat('0x', substr(md5(ts[i]), 1, 15)) AS BIGINT) AS h1, CAST(concat('0x', substr(md5(ts[i] || ' ' || ts[i + 1]), 1, 15)) AS BIGINT) AS h12 FROM lt2, unnest(generate_series(1, n - 1)) AS g(i)), uni AS MATERIALIZED (SELECT h1, count(*) AS c1 FROM bg GROUP BY 1), bi AS MATERIALIZED (SELECT h1, h12, count(*) AS c12 FROM bg GROUP BY 1, 2), occ AS (SELECT doc_id, h1, h12, count(*) AS m FROM bg GROUP BY 1, 2, 3), vv AS (SELECT count(*) AS v FROM uni) SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_bigrams, ${OmicsQueries.rndSql("sum(m * ln(CAST(c12 + 1 AS DOUBLE) / CAST(c1 + (SELECT v FROM vv) AS DOUBLE))) / CAST(sum(m) AS DOUBLE)", 6)} AS avg_logprob FROM occ JOIN bi USING (h1, h12) JOIN uni USING (h1) GROUP BY 1""")),
 
     Entry("q_source_report",
       // per-source corpus health rollup — the dashboard a curation run

@@ -593,36 +593,55 @@ object Text {
     *
     * Everything is exact integer counting until the final ln: two
     * count aggregates (unigram, bigram — the "training" pass, one shuffle
-    * each with map-side combine) and one join-back per document bigram
-    * (the "scoring" pass). Log-probs are ln((c12 + 1) / (c1 + V)) per
-    * bigram, averaged per doc; ln/avg ulp drift across engines is far
+    * each with map-side combine) and one join-back per document DISTINCT
+    * bigram (the "scoring" pass). Log-probs are ln((c12 + 1) / (c1 + V))
+    * per bigram occurrence; ln/avg ulp drift across engines is far
     * inside the 1e-6 output rounding (the q_dist_shift precedent).
+    *
+    * Scale shape (the round-9 re-plan): every exchange carries 60-bit
+    * md5 gram hashes, never token strings — h1 = hash(w1) from the
+    * k=1 positional kernel, h12 = hash("w1 w2") from the k=2 kernel
+    * ([[graft.catalyst.ArrayFunctions.tokenGramHashes]], the same
+    * compiled kernel that fixed repeatedSpans). No checkpoint: the
+    * kernel recomputes per consumer, cheaper than materializing the
+    * corpus-sized bigram relation. The scoring join runs on the
+    * per-doc DISTINCT bigram relation (multiplicity m folded in as
+    * m·lp), and the vocabulary size V joins in as a broadcast 1-row
+    * aggregate instead of an eager driver count. A 60-bit collision
+    * collapses identically in the DuckDB oracle (same md5 prefix of
+    * the same gram text).
     *
     * @return (id, n_bigrams, avg_logprob) for every doc with >= 2 tokens */
   def lmScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = df.select(col(idCol).as("id"),
-        tokens(lower(col(textCol))).as("ts"))
-      .where(size(col("ts")) >= 2)
-    val bigrams = toks.select(col("id"), posexplode(
-        zip_with(slice(col("ts"), lit(1), size(col("ts")) - 1),
-          slice(col("ts"), lit(2), size(col("ts")) - 1),
-          (a, b) => struct(a.as("w1"), b.as("w2")))))
-      .select(col("id"), col("col.w1").as("w1"), col("col.w2").as("w2"))
-      .localCheckpoint(false) // feeds the model counts AND the scoring pass
-    val uni = bigrams.groupBy("w1").agg(count(lit(1)).as("c1"))
-    val bi = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    import graft.catalyst.ArrayFunctions.tokenGramHashes
+    // h1 aligned with h12: context hash stream is the first n-1 entries
+    // of the k=1 positional hash array (kernel lowercases internally)
+    val g = df.select(col(idCol).as("id"),
+        tokenGramHashes(col(textCol), 1).as("g1"),
+        tokenGramHashes(col(textCol), 2).as("g2"))
+      .where(size(col("g2")) >= 1)
+    val bigrams = g.select(col("id"), explode(
+        zip_with(slice(col("g1"), lit(1), size(col("g2"))), col("g2"),
+          (a, b) => struct(a.as("h1"), b.as("h12")))).as("p"))
+      .select(col("id"), col("p.h1").as("h1"), col("p.h12").as("h12"))
+    val uni = bigrams.groupBy("h1").agg(count(lit(1)).as("c1"))
+    val bi = bigrams.groupBy("h1", "h12").agg(count(lit(1)).as("c12"))
+    val occ = bigrams.groupBy("id", "h1", "h12").agg(count(lit(1)).as("m"))
     // vocabulary size for the smoothing denominator: distinct CONTEXT
-    // tokens (the model's own event space — exact and cheap)
-    val v = uni.count()
-    bigrams
-      .join(bi, Seq("w1", "w2"))
-      .join(uni, Seq("w1"))
+    // tokens — a broadcast 1-row aggregate, not an eager driver count
+    val vrow = uni.agg(count(lit(1)).as("__v"))
+    occ
+      .join(bi, Seq("h1", "h12"))
+      .join(uni, Seq("h1"))
+      .crossJoin(broadcast(vrow))
       .withColumn("__lp",
-        log((col("c12") + lit(1)).cast("double") /
-          (col("c1") + lit(v)).cast("double")))
+        col("m").cast("double") *
+          log((col("c12") + lit(1)).cast("double") /
+            (col("c1") + col("__v")).cast("double")))
       .groupBy("id")
-      .agg(count(lit(1)).as("n_bigrams"),
-        round(sum(col("__lp")) / count(lit(1)), 6).as("avg_logprob"))
+      .agg(sum(col("m")).as("n_bigrams"),
+        round(sum(col("__lp")) / sum(col("m")).cast("double"), 6)
+          .as("avg_logprob"))
   }
 
   /** Content-novelty score: the fraction of a document's k-gram
