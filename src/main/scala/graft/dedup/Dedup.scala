@@ -781,13 +781,20 @@ object Dedup {
 
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         k: Int = 3, threshold: Double = 0.8,
-                        maxShingleDf: Long = 100): DataFrame = {
+                        maxShingleDf: Long = 100,
+                        shingled: Option[DataFrame] = None): DataFrame = {
     // no spread() here: the shingle kernel is ~20 µs/doc, so even a
     // single-split input computes it faster than the full-text repartition
     // it would take to fan out (the posting groupBy right after provides
-    // the parallelism for everything downstream)
-    val sh = df.select(col(idCol).as("id"),
-        explode(graft.catalyst.ArrayFunctions.shingleHashes(col(textCol), k)).as("h"))
+    // the parallelism for everything downstream).
+    // `shingled` (id, sh ARRAY<LONG>): a caller running SEVERAL tiers
+    // over the same corpus (q_dedup_tier_agreement) materializes the
+    // shingle universe once and passes it in, so the kernel is not
+    // re-run per tier
+    val sh = shingled
+      .map(_.select(col("id"), explode(col("sh")).as("h")))
+      .getOrElse(df.select(col(idCol).as("id"),
+        explode(graft.catalyst.ArrayFunctions.shingleHashes(col(textCol), k)).as("h")))
     // one shuffle builds the pruned inverted index; collect_set dedups ids
     // so a duplicated doc id contributes one set membership (the oracle's
     // DISTINCT doc_id, h universe)
@@ -944,7 +951,8 @@ object Dedup {
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       k: Int = 3, threshold: Double = 0.8,
                       numHashes: Int = 128, bands: Int = 16,
-                      hotBucketThreshold: Int = 4096): DataFrame = {
+                      hotBucketThreshold: Int = 4096,
+                      shingled: Option[DataFrame] = None): DataFrame = {
     // the index is materialized ONCE (id/band/sig rows — a fraction of
     // the corpus; spills to disk if needed) and shared by the stats
     // aggregate, both self-join sides, and the hot arm. Without the
@@ -978,7 +986,7 @@ object Dedup {
     // per-band duplicate pairs are deduped inside the verify's pair-key
     // exchange — no separate distinct shuffle
     verifyPairsExactJaccard(df, candNormal.unionByName(candHot),
-      idCol, textCol, k, threshold)
+      idCol, textCol, k, threshold, shingled)
   }
 
   /** The banded minhash index as a first-class relation (id, band,
@@ -1408,13 +1416,17 @@ object Dedup {
     * AQE's byte-based coalescing — see ngramJaccardPairs). */
   def verifyPairsExactJaccard(df: DataFrame, candidates: DataFrame,
                               idCol: String, textCol: String,
-                              k: Int, threshold: Double): DataFrame = {
+                              k: Int, threshold: Double,
+                              shingled: Option[DataFrame] = None): DataFrame = {
     // the shingled docs join the candidates twice (id_a side and id_b
     // side) — barrier them so the shingle kernel runs once per document,
-    // not once per side (no spread: see ngramJaccardPairs)
-    val docs = df.select(col(idCol).as("id"),
-        graft.catalyst.ArrayFunctions.shingleHashes(col(textCol), k).as("sh"))
-      .localCheckpoint(false)
+    // not once per side (no spread: see ngramJaccardPairs). A caller
+    // sharing the universe across tiers passes its own (already
+    // materialized) (id, sh) relation via `shingled`.
+    val docs = shingled.getOrElse(
+      df.select(col(idCol).as("id"),
+          graft.catalyst.ArrayFunctions.shingleHashes(col(textCol), k).as("sh"))
+        .localCheckpoint(false))
     candidates
       .repartition(df.sparkSession.sparkContext.defaultParallelism,
         col("id_a"), col("id_b"))

@@ -608,11 +608,22 @@ object LlmQueries {
       // different universes, so agreement < 1 is signal, not a bug)
       (s, d) => {
         val docs = t(s, d, "documents").select("doc_id", "text")
+        // the shingle universe is materialized ONCE and fed to both
+        // tiers; the pair sets are then barriered too — each is
+        // consumed twice (its own count + the intersection join), and
+        // without the checkpoint the whole tier pipeline re-runs per
+        // consumer (measured ~2× on this query)
+        val shArr = docs.select(col("doc_id").as("id"),
+            graft.catalyst.ArrayFunctions.shingleHashes(col("text"), 3)
+              .as("sh"))
+          .localCheckpoint(false)
         val lsh = Dedup.minhashLshPairs(docs, "doc_id", "text",
-          k = 3, threshold = 0.8).select("id_a", "id_b")
+          k = 3, threshold = 0.8, shingled = Some(shArr))
+          .select("id_a", "id_b").localCheckpoint(false)
         val ngr = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
-          k = 3, threshold = 0.8, maxShingleDf = 100)
-          .select("id_a", "id_b")
+          k = 3, threshold = 0.8, maxShingleDf = 100,
+          shingled = Some(shArr))
+          .select("id_a", "id_b").localCheckpoint(false)
         val nb = ngr.join(lsh, Seq("id_a", "id_b"))
           .agg(count(lit(1)).as("n_both"))
         ngr.agg(count(lit(1)).as("n_ngram"))
