@@ -64,6 +64,9 @@ object PlanAudit {
       "q_corpus_overlap", // two single-row sketch summaries cross-joined
       "q_dsir_weights", // single-row corpus totals broadcast-joined back
       "q_lm_score", // single-row vocabulary-size broadcast-joined back
+      "q_pipeline_goh", // dimension-sized empirical-tail theta joins
+                        // (draws×datasets broadcast vs gene relation)
+      "q_pipeline_abcd", // single-row AUC frame cross-joined back
       "q_dsir_sample",  // same weights stage under the Gumbel top-k
       "q_ann_pq", // ADC scan: broadcast query/ADC tables vs streamed codes
       "q_embedding_drift", // four single-row mean/count frames cross-joined
@@ -85,7 +88,9 @@ object PlanAudit {
       "q_quality_tradeoff",     // 10-bin pareto relation
       "q_vocab_cutoff",   // vocab-sized rank — inherently a global order;
                           // vocabulary is sublinear in corpus (Heaps law)
-      "q_zipf_fit")       // top-200 rank AFTER the TakeOrdered head
+      "q_zipf_fit",       // top-200 rank AFTER the TakeOrdered head
+      "q_pipeline_goh",   // BH rank over the gene relation (dim-sized)
+      "q_pipeline_abcd")  // ROC rank over the bin relation (dim-sized)
     val shapes = scala.collection.mutable.LinkedHashMap[String, Shape]()
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => names.isEmpty || names(n) }
@@ -119,7 +124,13 @@ object PlanAudit {
           // the intentional broadcast-rules cross appears once per level
           // reference (audited: all BNLJs are the small rules dim, level
           // exchanges dedup via ReusedExchange)
-          val crossAllowance = if (name == "q_pipeline_herald") 3 else 2
+          val crossAllowance = name match {
+            case "q_pipeline_herald" => 3
+            // goh: draw-table cross, M-count cross, and three
+            // empirical-tail theta joins — all dimension-sized
+            case "q_pipeline_goh" => 5
+            case _ => 2
+          }
           if (bnlj + cart > crossAllowance && intentionalCross(name))
             flags.append(s" !!EXTRA_CROSS(bnlj=$bnlj,cart=$cart)")
           shapes(name) = Shape(bnlj, cart, exch, wsc, gwin)

@@ -273,8 +273,19 @@ object OmicsQueries {
     * Summation order across engines differs only at ulp scale and the
     * recurrence is contractive, so 6-decimal coefficient / 4-decimal LRT
     * rounding absorbs it (the q_pca_batch precedent). */
-  private def glmNbOracleSql(iters: Int): String = {
-    val d = """d AS MATERIALIZED (SELECT CAST(l_partkey % 100 AS VARCHAR) AS region, l_quantity AS y, CASE WHEN l_linestatus = 'O' THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END AS x, ln(CAST(1.0 AS DOUBLE) + l_tax) AS off FROM lineitem), cf0 AS MATERIALIZED (SELECT region, count(*) AS n, ln(greatest(sum(y) / count(*), CAST(0.1 AS DOUBLE))) - sum(off) / count(*) AS b0, CAST(0.0 AS DOUBLE) AS b1 FROM d GROUP BY 1), cn0 AS MATERIALIZED (SELECT region, b0 FROM cf0)"""
+  private def glmNbOracleSql(iters: Int): String = glmNbUnrollCtes(iters,
+    """SELECT CAST(l_partkey % 100 AS VARCHAR) AS region, l_quantity AS y, CASE WHEN l_linestatus = 'O' THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END AS x, ln(CAST(1.0 AS DOUBLE) + l_tax) AS off FROM lineitem""") match {
+    case (ctes, finalSelect) => s"WITH $ctes $finalSelect"
+  }
+
+  /** The 8-step IRLS unroll over a caller-supplied observation relation
+    * (region VARCHAR, y, x, off) — shared by the standalone
+    * q_glm_nb_fixed oracle and the composed ABCD-DNA twin. Returns
+    * (cte chain, final SELECT yielding region/n/intercept/log_fc/
+    * lrt_stat); composers may wrap or extend the final select. */
+  private[queries] def glmNbUnrollCtes(iters: Int,
+                                       dSql: String): (String, String) = {
+    val d = s"""d AS MATERIALIZED ($dSql), cf0 AS MATERIALIZED (SELECT region, count(*) AS n, ln(greatest(sum(y) / count(*), CAST(0.1 AS DOUBLE))) - sum(off) / count(*) AS b0, CAST(0.0 AS DOUBLE) AS b1 FROM d GROUP BY 1), cn0 AS MATERIALIZED (SELECT region, b0 FROM cf0)"""
     // per-row weights/working response at coefficients c: mirrors the
     // kernel's eta/mu/w/z lines (clamps and parenthesization included)
     def rows(coef: String, eta: String) =
@@ -292,7 +303,8 @@ object OmicsQueries {
       s"""$name AS MATERIALIZED (SELECT region, sum(lgamma(y + CAST(10.0 AS DOUBLE)) - lgamma(CAST(10.0 AS DOUBLE)) - lgamma(y + CAST(1.0 AS DOUBLE)) + CAST(10.0 AS DOUBLE) * ln(CAST(10.0 AS DOUBLE) / (CAST(10.0 AS DOUBLE) + mu)) + y * ln(mu / (CAST(10.0 AS DOUBLE) + mu))) AS ll FROM (SELECT d.region, d.y, least(greatest(exp(greatest($eta, CAST(-19.0 AS DOUBLE))), 1e-8), 1e12) AS mu FROM d JOIN $coef c USING (region)) GROUP BY 1)"""
     def r(x: String, dec: Int) =
       s"CAST(round(CAST(CAST($x AS VARCHAR) AS DECIMAL(38,18)), $dec) AS DOUBLE)"
-    s"""WITH $d, $its, ${ll("llf", s"cf$iters", etaF)}, ${ll("lln", s"cn$iters", etaN)} SELECT c.region, cf0.n AS n, ${r("c.b0", 6)} AS intercept, ${r("c.b1", 6)} AS log_fc, ${r("greatest(CAST(0.0 AS DOUBLE), 2.0 * (llf.ll - lln.ll))", 4)} AS lrt_stat FROM cf$iters c JOIN cf0 USING (region) JOIN llf USING (region) JOIN lln USING (region)"""
+    (s"""$d, $its, ${ll("llf", s"cf$iters", etaF)}, ${ll("lln", s"cn$iters", etaN)}""",
+      s"""SELECT c.region, cf0.n AS n, ${r("c.b0", 6)} AS intercept, ${r("c.b1", 6)} AS log_fc, ${r("greatest(CAST(0.0 AS DOUBLE), 2.0 * (llf.ll - lln.ll))", 4)} AS lrt_stat FROM cf$iters c JOIN cf0 USING (region) JOIN llf USING (region) JOIN lln USING (region)""")
   }
 
   /** DuckDB replay of BetaMixture.fitPerGeneFixed (k=2) over the

@@ -217,7 +217,46 @@ object PipelineQueries {
           .agg(r6(corr(col("o_totalprice"), col("perm_price"))).as("null_corr"),
             count(lit(1)).as("n"))
       },
-      Some("""WITH orig AS (SELECT o_orderpriority, o_orderkey, o_totalprice, row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_orderkey) AS slot FROM orders), perm AS (SELECT o_orderpriority, o_totalprice AS perm_price, row_number() OVER (PARTITION BY o_orderpriority ORDER BY md5(concat('seed42:', CAST(o_orderkey AS VARCHAR))), o_orderkey) AS slot FROM orders) SELECT o.o_orderpriority, CAST(round(CAST(CAST(corr(o.o_totalprice, p.perm_price) AS VARCHAR) AS DECIMAL(38,18)), 6) AS DOUBLE) AS null_corr, count(*) AS n FROM orig o JOIN perm p ON o.o_orderpriority = p.o_orderpriority AND o.slot = p.slot GROUP BY 1"""))
+      Some("""WITH orig AS (SELECT o_orderpriority, o_orderkey, o_totalprice, row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_orderkey) AS slot FROM orders), perm AS (SELECT o_orderpriority, o_totalprice AS perm_price, row_number() OVER (PARTITION BY o_orderpriority ORDER BY md5(concat('seed42:', CAST(o_orderkey AS VARCHAR))), o_orderkey) AS slot FROM orders) SELECT o.o_orderpriority, CAST(round(CAST(CAST(corr(o.o_totalprice, p.perm_price) AS VARCHAR) AS DECIMAL(38,18)), 6) AS DOUBLE) AS null_corr, count(*) AS n FROM orig o JOIN perm p ON o.o_orderpriority = p.o_orderpriority AND o.slot = p.slot GROUP BY 1""")),
+
+    Entry("q_pipeline_goh",
+      // Gohs_method/integrated_aCGH_expression_relationships.R:99-278
+      // composed end to end: per-(dataset, gene) partial correlation →
+      // seeded permutation null → per-dataset empirical p → Fisher
+      // combine (exact ln-micro-unit statistic) → empirical combined p
+      // with the prepended-zero convention → BH-FDR → per-dataset
+      // significance count. Datasets = return flags, genes = partkey
+      // classes, samples = suppliers, cell values = exact decimal
+      // means. See graft.pipelines.Goh for the determinism contract.
+      (s, d) => {
+        val cells = t(s, d, "lineitem")
+          .groupBy(col("l_returnflag").as("ds"),
+            (col("l_partkey") % 50).as("g"), col("l_suppkey").as("sample"))
+          .agg((Q.sumDec6(col("l_quantity")) / count(lit(1))).as("ac"),
+            (Q.sumDec6(col("l_extendedprice")) / count(lit(1))).as("ex"),
+            (Q.sumDec6(col("l_discount")) / count(lit(1))).as("cv"))
+        graft.pipelines.Goh.run(cells, nGenes = 50, draws = 19)
+      },
+      Some {
+        val pcf = "(rxy - rxz*ryz) / nullif(sqrt((1.0 - rxz*rxz) * (1.0 - ryz*ryz)), 0)"
+        s"""WITH cells AS (SELECT l_returnflag AS ds, l_partkey % 50 AS g, l_suppkey AS sample, CAST(sum(CAST(l_quantity AS DECIMAL(24,6))) AS DOUBLE) / count(*) AS ac, CAST(sum(CAST(l_extendedprice AS DECIMAL(24,6))) AS DOUBLE) / count(*) AS ex, CAST(sum(CAST(l_discount AS DECIMAL(24,6))) AS DOUBLE) / count(*) AS cv FROM lineitem GROUP BY 1, 2, 3), gpc0 AS (SELECT ds, g, count(*) AS n, corr(ac, ex) AS rxy, corr(ac, cv) AS rxz, corr(ex, cv) AS ryz FROM cells GROUP BY 1, 2), gpc1 AS (SELECT ds, g, n, $pcf AS pc FROM gpc0), gpc AS (SELECT ds, g, ${OmicsQueries.rndSql("pc", 6)} AS pcor FROM gpc1 WHERE n > 2 AND pc IS NOT NULL), dss AS (SELECT DISTINCT ds FROM cells), dr AS (SELECT i, ds, CAST(concat('0x', substr(md5('goh:' || CAST(i AS VARCHAR) || ':' || ds || ':a'), 1, 15)) AS BIGINT) % 50 AS ga, CAST(concat('0x', substr(md5('goh:' || CAST(i AS VARCHAR) || ':' || ds || ':b'), 1, 15)) AS BIGINT) % 50 AS gb FROM generate_series(1, 19) t(i), dss), nc AS (SELECT dr.i, dr.ds, a.ac, a.cv, b.ex FROM dr JOIN cells a ON a.ds = dr.ds AND a.g = dr.ga JOIN cells b ON b.ds = dr.ds AND b.g = dr.gb AND b.sample = a.sample), np0 AS (SELECT i, ds, count(*) AS n, corr(ac, ex) AS rxy, corr(ac, cv) AS rxz, corr(ex, cv) AS ryz FROM nc GROUP BY 1, 2), np1 AS (SELECT i, ds, n, $pcf AS pc FROM np0), npx AS (SELECT i, ds, CASE WHEN n > 2 THEN ${OmicsQueries.rndSql("pc", 6)} END AS npcor FROM np1), npn AS (SELECT ds AS ds2, npcor AS np2 FROM npx WHERE npcor IS NOT NULL), npv AS (SELECT x.i, x.ds, x.npcor, count(b.np2) AS k FROM npx x LEFT JOIN npn b ON b.ds2 = x.ds AND b.np2 >= x.npcor GROUP BY 1, 2, 3), nlm AS (SELECT i, ds, CAST(floor(ln(CASE WHEN npcor IS NOT NULL THEN k / CAST(19 AS DOUBLE) ELSE CAST(1.0 AS DOUBLE) END) * 1000000 + 0.5) AS BIGINT) AS lnm FROM npv), nf AS (SELECT i, CAST(-2 * sum(lnm) AS BIGINT) AS nf_units FROM nlm GROUP BY 1), gpv AS (SELECT x.ds, x.g, x.pcor, count(b.np2) AS k FROM gpc x LEFT JOIN npn b ON b.ds2 = x.ds AND b.np2 >= x.pcor GROUP BY 1, 2, 3), glm AS (SELECT ds, g, CAST(floor(ln((k + 1) / CAST(20 AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS lnm, CASE WHEN k = 0 THEN 1 ELSE 0 END AS sig FROM gpv), mm AS (SELECT count(*) AS m FROM dss), gf AS (SELECT g AS gene, CAST(-2 * sum(lnm) AS BIGINT) AS f_units, CAST(sum(sig) AS BIGINT) AS n_sig, count(*) AS kds FROM glm GROUP BY 1), gf2 AS (SELECT gene, f_units, n_sig FROM gf, mm WHERE kds = m), pp AS (SELECT gene, f_units, n_sig, count(nf.nf_units) AS kf FROM gf2 LEFT JOIN nf ON gf2.f_units <= nf.nf_units GROUP BY 1, 2, 3), pv AS (SELECT gene, f_units, n_sig, (kf + 1) / CAST(20 AS DOUBLE) AS perm_pv FROM pp), bh AS (SELECT gene, f_units, n_sig, perm_pv, count(*) OVER () AS n, row_number() OVER (ORDER BY perm_pv, gene) AS rk FROM pv) SELECT gene, f_units, n_sig, ${OmicsQueries.rndSql("perm_pv", 6)} AS perm_pv, ${OmicsQueries.rndSql("least(CAST(1.0 AS DOUBLE), min(perm_pv * n / rk) OVER (ORDER BY perm_pv DESC, gene DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))", 6)} AS p_adj FROM bh"""
+      }),
+
+    Entry("q_pipeline_abcd",
+      // Robinson ABCD-DNA composed end to end (run_ABCD-DNA.R:26-81 +
+      // Figures_3_5_normalize_ROC.R:88-139): bins → first-overlap CN →
+      // per-CN-group M/A median factor → CN-aware offsets → 8-step
+      // fixed NB-GLM → signed z-rank-equivalent score → ROC AUC. The
+      // oracle chains the composed upstream into the shared IRLS unroll
+      // (OmicsQueries.glmNbUnrollCtes, the q_glm_nb_fixed twin).
+      (s, d) => graft.pipelines.Abcd.run(t(s, d, "lineitem"),
+        t(s, d, "part")),
+      Some {
+        val pre = """seg AS (SELECT p_partkey % 30 AS k, 1 + CAST(sum(p_size) AS BIGINT) % 4 AS cn FROM part GROUP BY 1), bins AS (SELECT DISTINCT l_partkey % 100 AS rix FROM lineitem), ov AS (SELECT CAST(b.rix AS VARCHAR) AS region, b.rix, min_by(s.cn, s.k) AS cn FROM bins b JOIN seg s ON b.rix * 150 <= s.k * 500 + 499 AND s.k * 500 <= b.rix * 150 + 149 GROUP BY 1, 2), ma0 AS (SELECT o.region, o.cn, CAST(sum(CAST(CASE WHEN l_linestatus = 'O' THEN l_quantity END AS DECIMAL(18,2))) AS DOUBLE) AS x, CAST(sum(CAST(CASE WHEN l_linestatus = 'F' THEN l_quantity END AS DECIMAL(18,2))) AS DOUBLE) AS y FROM lineitem l JOIN ov o ON o.rix = l.l_partkey % 100 GROUP BY 1, 2), ma AS (SELECT region, cn, log2(x / y) AS m, (log2(x) + log2(y)) / 2.0 AS a FROM ma0 WHERE x > 0 AND y > 0), cuts AS (SELECT cn, floor(quantile_cont(a, 0.75) * 1000000 + 0.5) / 1000000 AS a75 FROM ma GROUP BY 1), fb AS (SELECT ma.cn, floor(quantile_cont(m, 0.5) * 1000000 + 0.5) / 1000000 AS f_log2 FROM ma JOIN cuts USING (cn) WHERE a > a75 GROUP BY 1), offs AS (SELECT o.region, o.rix, o.cn, ln(CAST(o.cn AS DOUBLE) / 2.0) + coalesce(f_log2, CAST(0.0 AS DOUBLE)) * ln(CAST(2.0 AS DOUBLE)) AS cn_off FROM ov o LEFT JOIN fb ON fb.cn = o.cn)"""
+        val dSql = """SELECT offs.region, l.l_quantity AS y, CASE WHEN l.l_linestatus = 'O' THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END AS x, ln(CAST(1.0 AS DOUBLE) + l.l_tax) + offs.cn_off AS off FROM lineitem l JOIN offs ON offs.rix = l.l_partkey % 100"""
+        val (ctes, fin) = OmicsQueries.glmNbUnrollCtes(8, dSql)
+        s"""WITH $pre, $ctes, glm AS ($fin), truth AS (SELECT CAST(l_partkey % 100 AS VARCHAR) AS region, CAST(CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) % 2 AS INTEGER) AS label FROM lineitem GROUP BY 1), sc AS (SELECT g.region, o.cn, g.n, g.intercept, g.log_fc, g.lrt_stat, sign(g.log_fc) * g.lrt_stat AS score, t.label FROM glm g JOIN offs o USING (region) JOIN truth t USING (region)), rk AS (SELECT label, rank() OVER (ORDER BY score) + (count(*) OVER (PARTITION BY score) - 1) / 2.0 AS rk FROM sc), agg AS (SELECT (sum(CASE WHEN label = 1 THEN rk END) - sum(CASE WHEN label = 1 THEN 1.0 ELSE 0.0 END) * (sum(CASE WHEN label = 1 THEN 1.0 ELSE 0.0 END) + 1.0) / 2.0) / nullif(sum(CASE WHEN label = 1 THEN 1.0 ELSE 0.0 END) * sum(CASE WHEN label = 0 THEN 1.0 ELSE 0.0 END), 0) AS auc FROM rk) SELECT region, cn, n, intercept, log_fc, lrt_stat, ${OmicsQueries.rndSql("score", 4)} AS score, label, ${OmicsQueries.rndSql("auc", 6)} AS auc FROM sc, agg"""
+      })
   )
 
   /** Shared MethylMix fixture over lineitem: 200 genes × suppkey samples,
