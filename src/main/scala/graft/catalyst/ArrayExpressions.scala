@@ -349,20 +349,36 @@ case class CosineFExpr(left: Expression, right: Expression)
   * `transient lazy` field on the expression re-deserializes the bitmap
   * per task — at the advertised 10^8-key (~120 MB) scale that is a
   * per-task allocation storm. Keying the deserialization by a content
-  * digest makes it once per EXECUTOR regardless of task count. Bounded:
-  * an app holds a handful of distinct filters; evict wholesale if it
-  * ever grows past the cap (refill costs one deserialize). */
+  * digest makes it once per EXECUTOR regardless of task count. Bounded
+  * as a true LRU: with more than `MaxEntries` live filters only the
+  * least-recently-used one is dropped per insert (the round-9 wholesale
+  * clear() re-created the per-task allocation storm whenever >16
+  * filters — or racing tasks — were in play: hot entries were evicted
+  * and re-deserialized on every access). */
 private[catalyst] object BloomFilterCache {
   private val MaxEntries = 16
-  private val cache = new java.util.concurrent.ConcurrentHashMap[
-    String, org.apache.spark.util.sketch.BloomFilter]()
-  def get(digest: String,
-          bytes: Array[Byte]): org.apache.spark.util.sketch.BloomFilter = {
-    if (cache.size > MaxEntries) cache.clear()
-    cache.computeIfAbsent(digest, _ =>
-      org.apache.spark.util.sketch.BloomFilter.readFrom(
-        new java.io.ByteArrayInputStream(bytes)))
+  // access-ordered LinkedHashMap + removeEldestEntry = bounded LRU; all
+  // access serialized on the map (get mutates order, so a concurrent
+  // map would not help — and the guarded work is a ~100ms deserialize
+  // at most once per (executor, filter), not a per-row path)
+  private val cache = new java.util.LinkedHashMap[
+      String, org.apache.spark.util.sketch.BloomFilter](32, 0.75f, true) {
+    override def removeEldestEntry(
+        e: java.util.Map.Entry[String, org.apache.spark.util.sketch.BloomFilter])
+        : Boolean = size() > MaxEntries
   }
+  def get(digest: String,
+          bytes: Array[Byte]): org.apache.spark.util.sketch.BloomFilter =
+    cache.synchronized {
+      val hit = cache.get(digest)
+      if (hit != null) hit
+      else {
+        val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(
+          new java.io.ByteArrayInputStream(bytes))
+        cache.put(digest, bf)
+        bf
+      }
+    }
 }
 
 /** Codegen membership test against a pre-built Bloom filter

@@ -20,8 +20,29 @@ import Q.{Entry, t}
   * because the gate sorts. */
 object IoQueries {
 
+  // one run-scoped temp ROOT, recursively deleted at JVM exit — repeated
+  // Verify/Bench/ScaleCheck runs must not accumulate fixture copies in
+  // the system temp dir forever (round-9 ADVICE). Per-invocation UUID
+  // subdirs keep concurrent runs inside ONE JVM collision-free.
+  private lazy val tmpRoot: java.nio.file.Path = {
+    val root = java.nio.file.Files.createTempDirectory("graft_io_run")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(p: java.nio.file.Path): Unit = {
+        if (java.nio.file.Files.isDirectory(p,
+            java.nio.file.LinkOption.NOFOLLOW_LINKS)) {
+          val s = java.nio.file.Files.list(p)
+          try s.forEach(rm(_)) finally s.close()
+        }
+        java.nio.file.Files.deleteIfExists(p)
+      }
+      try rm(root) catch { case _: Throwable => () }
+    }))
+    root
+  }
+
   private def tmpDir(tag: String): String =
-    java.nio.file.Files.createTempDirectory(s"graft_io_$tag").toString
+    java.nio.file.Files.createTempDirectory(tmpRoot, s"graft_io_$tag")
+      .toString
 
   private val nationSql =
     "SELECT n_nationkey, n_name, n_regionkey FROM nation"
@@ -100,8 +121,8 @@ object IoQueries {
           try { Class.forName("org.duckdb.DuckDBDriver"); true }
           catch { case _: Throwable => false },
           "q_io_jdbc: duckdb_jdbc driver not on the run classpath")
-        val dbPath = java.nio.file.Files
-          .createTempDirectory("graft_io_jdbc").resolve("fix.duckdb").toString
+        val dbPath = java.nio.file.Path.of(tmpDir("jdbc"), "fix.duckdb")
+          .toString
         val url = s"jdbc:duckdb:$dbPath"
         val conn = java.sql.DriverManager.getConnection(url)
         try {

@@ -1667,7 +1667,10 @@ object LlmQueries {
         s"""cp AS (SELECT p.doc_id, p.source FROM pd p JOIN kh ON p.doc_id = kh.kept), """ +
         s"""cc AS (SELECT source, count(*) AS n FROM cp GROUP BY 1), """ +
         s"""qq AS (SELECT source, CAST(floor(pow(CAST(n AS DOUBLE) / CAST((SELECT sum(n) FROM cc) AS DOUBLE), 0.7) * 1e6 + 0.5) AS BIGINT) AS qu FROM cc), """ +
-        s"""qt AS (SELECT source, CAST((150 * qu) // (SELECT sum(qu) FROM qq) AS BIGINT) AS quota FROM qq), """ +
+        // largest-remainder top-up mirrors Sampling.mixtureTemperature:
+        // sum(quota) == budget exactly
+        s"""q0 AS (SELECT source, CAST((150 * qu) // (SELECT sum(qu) FROM qq) AS BIGINT) AS q0, CAST((150 * qu) % (SELECT sum(qu) FROM qq) AS BIGINT) AS rem FROM qq), """ +
+        s"""qt AS (SELECT source, CAST(q0 + CASE WHEN row_number() OVER (ORDER BY rem DESC, source) <= 150 - (SELECT sum(q0) FROM q0) THEN 1 ELSE 0 END AS BIGINT) AS quota FROM q0), """ +
         s"""rr AS (SELECT doc_id, source, CAST(row_number() OVER (PARTITION BY source ORDER BY $h7, doc_id) AS INTEGER) AS rn FROM cp) """ +
         s"""SELECT rr.doc_id, rr.source, rr.rn, qt.quota FROM rr JOIN qt USING (source) WHERE rr.rn <= qt.quota"""
       })

@@ -242,6 +242,41 @@ object PipelineQueries {
         s"""WITH cells AS (SELECT l_returnflag AS ds, l_partkey % 50 AS g, l_suppkey AS sample, CAST(sum(CAST(l_quantity AS DECIMAL(24,6))) AS DOUBLE) / count(*) AS ac, CAST(sum(CAST(l_extendedprice AS DECIMAL(24,6))) AS DOUBLE) / count(*) AS ex, CAST(sum(CAST(l_discount AS DECIMAL(24,6))) AS DOUBLE) / count(*) AS cv FROM lineitem GROUP BY 1, 2, 3), gpc0 AS (SELECT ds, g, count(*) AS n, corr(ac, ex) AS rxy, corr(ac, cv) AS rxz, corr(ex, cv) AS ryz FROM cells GROUP BY 1, 2), gpc1 AS (SELECT ds, g, n, $pcf AS pc FROM gpc0), gpc AS (SELECT ds, g, ${OmicsQueries.rndSql("pc", 6)} AS pcor FROM gpc1 WHERE n > 2 AND pc IS NOT NULL), dss AS (SELECT DISTINCT ds FROM cells), dr AS (SELECT i, ds, CAST(concat('0x', substr(md5('goh:' || CAST(i AS VARCHAR) || ':' || ds || ':a'), 1, 15)) AS BIGINT) % 50 AS ga, CAST(concat('0x', substr(md5('goh:' || CAST(i AS VARCHAR) || ':' || ds || ':b'), 1, 15)) AS BIGINT) % 50 AS gb FROM generate_series(1, 19) t(i), dss), nc AS (SELECT dr.i, dr.ds, a.ac, a.cv, b.ex FROM dr JOIN cells a ON a.ds = dr.ds AND a.g = dr.ga JOIN cells b ON b.ds = dr.ds AND b.g = dr.gb AND b.sample = a.sample), np0 AS (SELECT i, ds, count(*) AS n, corr(ac, ex) AS rxy, corr(ac, cv) AS rxz, corr(ex, cv) AS ryz FROM nc GROUP BY 1, 2), np1 AS (SELECT i, ds, n, $pcf AS pc FROM np0), npx AS (SELECT i, ds, CASE WHEN n > 2 THEN ${OmicsQueries.rndSql("pc", 6)} END AS npcor FROM np1), npn AS (SELECT ds AS ds2, npcor AS np2 FROM npx WHERE npcor IS NOT NULL), npv AS (SELECT x.i, x.ds, x.npcor, count(b.np2) AS k FROM npx x LEFT JOIN npn b ON b.ds2 = x.ds AND b.np2 >= x.npcor GROUP BY 1, 2, 3), nlm AS (SELECT i, ds, CAST(floor(ln(CASE WHEN npcor IS NOT NULL THEN k / CAST(19 AS DOUBLE) ELSE CAST(1.0 AS DOUBLE) END) * 1000000 + 0.5) AS BIGINT) AS lnm FROM npv), nf AS (SELECT i, CAST(-2 * sum(lnm) AS BIGINT) AS nf_units FROM nlm GROUP BY 1), gpv AS (SELECT x.ds, x.g, x.pcor, count(b.np2) AS k FROM gpc x LEFT JOIN npn b ON b.ds2 = x.ds AND b.np2 >= x.pcor GROUP BY 1, 2, 3), glm AS (SELECT ds, g, CAST(floor(ln((k + 1) / CAST(20 AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS lnm, CASE WHEN k = 0 THEN 1 ELSE 0 END AS sig FROM gpv), mm AS (SELECT count(*) AS m FROM dss), gf AS (SELECT g AS gene, CAST(-2 * sum(lnm) AS BIGINT) AS f_units, CAST(sum(sig) AS BIGINT) AS n_sig, count(*) AS kds FROM glm GROUP BY 1), gf2 AS (SELECT gene, f_units, n_sig FROM gf, mm WHERE kds = m), pp AS (SELECT gene, f_units, n_sig, count(nf.nf_units) AS kf FROM gf2 LEFT JOIN nf ON gf2.f_units <= nf.nf_units GROUP BY 1, 2, 3), pv AS (SELECT gene, f_units, n_sig, (kf + 1) / CAST(20 AS DOUBLE) AS perm_pv FROM pp), bh AS (SELECT gene, f_units, n_sig, perm_pv, count(*) OVER () AS n, row_number() OVER (ORDER BY perm_pv, gene) AS rk FROM pv) SELECT gene, f_units, n_sig, ${OmicsQueries.rndSql("perm_pv", 6)} AS perm_pv, ${OmicsQueries.rndSql("least(CAST(1.0 AS DOUBLE), min(perm_pv * n / rk) OVER (ORDER BY perm_pv DESC, gene DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))", 6)} AS p_adj FROM bh"""
       }),
 
+    Entry("q_pipeline_wcmodules_modules",
+      // wcModules.py:199-216,412 — the module-detection tail that closes
+      // the wcModules pipeline: the mutual-rank edge list at the weight
+      // cutoff (exactly the q_pipeline_wcmodules stage) clustered into
+      // modules. Connected components over the cutoff graph is the
+      // deterministic analogue of the reference's ClusterOne `Members`
+      // extraction (a density-seeded heuristic with unstable seeds; CC
+      // is its replayable superset — every ClusterOne module lives
+      // inside one component). Module id = smallest member (numeric
+      // dictionary order), plus the module size.
+      (s, d) => {
+        val e0 = t(s, d, "lineitem").groupBy("l_partkey", "l_suppkey")
+          .agg(Q.sumDec(col("l_quantity")).as("r"))
+          .select((col("l_partkey") * 2).as("src"),
+            (col("l_suppkey") * 2 + 1).as("dst"), col("r"))
+        val edges = e0.select(explode(array(
+            struct(col("src").as("s"), col("dst").as("d"), col("r").as("r")),
+            struct(col("dst").as("s"), col("src").as("d"), col("r").as("r"))))
+          .as("e"))
+          .select(col("e.s").as("src"), col("e.d").as("dst"), col("e.r").as("r"))
+        val kept = Stats.mutualRank(edges, "src", "dst", "r")
+          .where(col("weight") >= 0.8)
+          .select(col("a").as("id_a"), col("b").as("id_b"))
+        val comp = graft.dedup.Dedup.duplicateClusters(kept)
+        val sizes = comp.groupBy("cluster_id")
+          .agg(count(lit(1)).cast("long").as("module_size"))
+        def lbl(c: org.apache.spark.sql.Column) =
+          concat(when(c % 2 === 0, lit("p")).otherwise(lit("s")),
+            shiftright(c, 1).cast("string"))
+        comp.join(broadcast(sizes), "cluster_id")
+          .select(lbl(col("id")).as("node"),
+            lbl(col("cluster_id")).as("module_id"), col("module_size"))
+      },
+      Some("""WITH RECURSIVE e0 AS (SELECT l_partkey * 2 AS a, l_suppkey * 2 + 1 AS b, CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS r FROM lineitem GROUP BY l_partkey, l_suppkey), edges0 AS (SELECT a, b, r FROM e0 UNION ALL SELECT b, a, r FROM e0), ranked AS (SELECT a, b, row_number() OVER (PARTITION BY a ORDER BY r DESC, b) AS rk FROM edges0), pairs AS (SELECT x.a AS id_a, x.b AS id_b FROM ranked x JOIN ranked y ON x.a = y.b AND x.b = y.a WHERE x.a < x.b AND exp((CAST(1.0 AS DOUBLE) - sqrt(x.rk * y.rk)) / 25.0) >= 0.8), edges AS (SELECT id_a AS u, id_b AS v FROM pairs UNION ALL SELECT id_b, id_a FROM pairs), nodes AS (SELECT DISTINCT u AS id FROM edges), reach AS (SELECT id, id AS r FROM nodes UNION SELECT e.v AS id, reach.r FROM reach JOIN edges e ON e.u = reach.id), comp AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY 1), cs AS (SELECT cluster_id, count(*) AS n FROM comp GROUP BY 1) SELECT concat(CASE WHEN id % 2 = 0 THEN 'p' ELSE 's' END, CAST(id // 2 AS VARCHAR)) AS node, concat(CASE WHEN cluster_id % 2 = 0 THEN 'p' ELSE 's' END, CAST(cluster_id // 2 AS VARCHAR)) AS module_id, CAST(cs.n AS BIGINT) AS module_size FROM comp JOIN cs USING (cluster_id)""")),
+
     Entry("q_pipeline_abcd",
       // Robinson ABCD-DNA composed end to end (run_ABCD-DNA.R:26-81 +
       // Figures_3_5_normalize_ROC.R:88-139): bins → first-overlap CN →

@@ -11,6 +11,19 @@ import org.apache.spark.sql.functions._
   */
 object Events {
 
+  /** True when `dir` already holds `batch=` partitions from prior
+    * micro-batches. Resolved through Hadoop's FileSystem API so any
+    * lake URI works (hdfs://, s3a://, local) — the round-9 java.io.File
+    * version silently returned false for every non-driver-local path,
+    * making cross-batch near-dup pairs / repeated spans never emit. */
+  private def hasBatches(spark: org.apache.spark.sql.SparkSession,
+                         dir: String): Boolean = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.exists(path) &&
+      fs.listStatus(path).exists(_.getPath.getName.startsWith("batch="))
+  }
+
   /** Open a DIRECTORY of events parquet files as a stream (the file
     * source's contract — new files appearing in the directory become new
     * micro-batches; this is the real deployment shape). The fixture's ts
@@ -350,21 +363,17 @@ object Events {
                        bands: Int = 16, hotBucketThreshold: Int = 4096)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.dedup.Dedup
-    def hasBatches(dir: String): Boolean = {
-      val fs = new java.io.File(dir).listFiles()
-      fs != null && fs.exists(_.getName.startsWith("batch="))
-    }
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, id: Long) =>
         val spark = batch.sparkSession
         val cols = batch.select(col(idCol), col(textCol))
-        val history = if (hasBatches(lakeDir))
+        val history = if (hasBatches(spark, lakeDir))
           spark.read.parquet(lakeDir).where(col("batch") < id)
             .select(col(idCol), col(textCol))
         else cols.limit(0)
-        val oldIdx = if (hasBatches(indexDir))
+        val oldIdx = if (hasBatches(spark, indexDir))
           spark.read.parquet(indexDir).where(col("batch") < id)
             .select("id", "band", "band_sig")
         else Dedup.bandedIndex(cols.limit(0), idCol, textCol,
@@ -401,17 +410,13 @@ object Events {
                           checkpoint: String, k: Int = 8, minDf: Int = 2)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.dedup.Dedup
-    def hasBatches(dir: String): Boolean = {
-      val fs = new java.io.File(dir).listFiles()
-      fs != null && fs.exists(_.getName.startsWith("batch="))
-    }
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, id: Long) =>
         val spark = batch.sparkSession
         val cols = batch.select(col(idCol), col(textCol))
-        val oldIdx = if (hasBatches(indexDir))
+        val oldIdx = if (hasBatches(spark, indexDir))
           Dedup.mergeGramDfIndexes(
             spark.read.parquet(indexDir).where(col("batch") < id)
               .select("gram", "df"))

@@ -305,7 +305,11 @@ object Sampling {
     * 1e-6 grid immediately (the ln/IRLS recipe); weights and quotas then
     * live in exact integer micro-units (the normalizing sum is a BIGINT
     * window total, order-independent), so a SQL oracle replays every
-    * row bit for bit.
+    * row bit for bit. sum(quota) == min(budget, ...) EXACTLY: the floor
+    * division's shortfall (up to numDomains−1) is handed out by
+    * deterministic largest remainder — +1 to the domains with the
+    * biggest division remainder, domain value breaking ties — so a
+    * caller composing a fixed token budget gets the whole budget.
     *
     * Scale shape: one per-domain count aggregate (map-side combined)
     * over the corpus; everything after is arithmetic over the
@@ -328,11 +332,22 @@ object Sampling {
       .withColumn("__qu",
         floor(pow(col("p"), lit(alpha)) * 1e6 + 0.5).cast("long"))
       .withColumn("__qsum", sum(col("__qu")).over(all))
+      .withColumn("__q0", expr(s"(${budget}L * __qu) div __qsum"))
+      .withColumn("__rem", expr(s"(${budget}L * __qu) % __qsum"))
+      // largest-remainder top-up: the floor quotas fall short of the
+      // budget by sum(rem)/qsum (< numDomains) — rank the remainders
+      // (domain breaks ties) and +1 exactly that many domains. Both
+      // windows run over the domain-cardinality relation (bounded).
+      .withColumn("__short", lit(budget) - sum(col("__q0")).over(all))
+      .withColumn("__rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("__rem").desc, col(domainCol))))
       .select(col(domainCol), col("n"),
         round(col("p"), 6).as("p"),
         round(col("__qu").cast("double") / col("__qsum").cast("double"), 6)
           .as("w"),
-        expr(s"(${budget}L * __qu) div __qsum").as("quota"))
+        (col("__q0") + when(col("__rk") <= col("__short"), 1L)
+          .otherwise(0L)).as("quota"))
   }
 
   /** Sliding context-window chunking — the complement of
