@@ -147,5 +147,23 @@ object IoQueries {
       (s, d) => Io.strideSelect(t(s, d, "lineitem"),
         keep = Seq("l_orderkey"), stride = 4, offset = 1),
       Some("SELECT l_orderkey, l_partkey, l_extendedprice, l_linestatus " +
-        "FROM lineitem")))
+        "FROM lineitem")),
+
+    Entry("q_io_rda",
+      // the R-workspace round trip (Download_Preprocess.R:686-702 load;
+      // the reference ships its fixtures as rda): nation -> RDX2
+      // data.frame via the native writer -> read back through the
+      // native reader (graft.io.Rda) — the oracle states the result
+      // must equal the original parquet relation, so the hash compare
+      // proves the serialization path lossless. The reader itself is
+      // additionally proven against R-PRODUCED bytes in RdaSpec (all 13
+      // reference rda files: xz/bzip2, factors, matrices, S4, ALTREP).
+      (s, d) => {
+        val path = java.nio.file.Path.of(tmpDir("rda"), "nation.rda").toString
+        graft.io.Rda.writeDataFrame(
+          t(s, d, "nation").select("n_nationkey", "n_name", "n_regionkey"),
+          path, "nation")
+        graft.io.Rda.dataFrame(s, path, "nation")
+      },
+      Some(nationSql)))
 }

@@ -1,0 +1,102 @@
+package graft
+
+import graft.io.Rda
+import org.apache.spark.sql.functions._
+
+/** The .rda reader proven against REAL R-produced bytes — every workspace
+  * file shipped inside the reference repo (xz- and bzip2-compressed,
+  * factors, dimnamed matrices, S4 objects, generic lists) — plus the
+  * write→read round trip that q_io_rda gates against DuckDB. */
+class RdaSpec extends SparkSpec {
+
+  private val driverNet = "/root/reference/DriverNet/data"
+  private val methylMix = "/root/reference/MethylMix/data"
+
+  test("every reference .rda parses, with the documented object shapes") {
+    val expect = Map(
+      s"$driverNet/sampleGeneNames.rda" -> ("sampleGeneNames", "factor"),
+      s"$driverNet/samplePatientMutationMatrix.rda" ->
+        ("samplePatientMutationMatrix", "double"),
+      s"$driverNet/samplePatientExpressionMatrix.rda" ->
+        ("samplePatientExpressionMatrix", "double"),
+      s"$driverNet/samplePatientOutlierMatrix.rda" ->
+        ("samplePatientOutlierMatrix", "logical"),
+      s"$driverNet/sampleInfluenceGraph.rda" -> ("sampleInfluenceGraph", "double"),
+      s"$driverNet/sampleDriversList.rda" -> ("sampleDriversList", "S4"),
+      s"$driverNet/sampleRandomDriversResult.rda" ->
+        ("sampleRandomDriversResult", "list"),
+      s"$methylMix/GEcancer.rda" -> ("GEcancer", "double"),
+      s"$methylMix/METcancer.rda" -> ("METcancer", "double"),
+      s"$methylMix/METnormal.rda" -> ("METnormal", "double"),
+      s"$methylMix/BatchData.rda" -> ("BatchData", "data.frame"),
+      s"$methylMix/ProbeAnnotation.rda" -> ("ProbeAnnotation", "data.frame"),
+      s"$methylMix/SNPprobes.rda" -> ("SNPprobes", "character"))
+    for ((path, (name, rtype)) <- expect) {
+      val cat = Rda.objects(spark, path).collect()
+      assert(cat.length == 1, s"$path: ${cat.length} objects")
+      assert(cat(0).getString(0) == name, s"$path name")
+      assert(cat(0).getString(1) == rtype, s"$path: ${cat(0).getString(1)}")
+    }
+  }
+
+  test("DriverNet mutation matrix: dims, dimnames, binary values") {
+    val m = Rda.matrixLong(spark,
+      s"$driverNet/samplePatientMutationMatrix.rda",
+      "samplePatientMutationMatrix")
+    assert(m.count() == 120L * 1255L)
+    val vals = m.select("value").distinct().collect().map(_.getDouble(0)).sorted
+    assert(vals.sameElements(Array(0.0, 1.0)))
+    // dimnames came through as real labels, not index fallbacks
+    val aRow = m.select("row_name").first().getString(0)
+    assert(aRow.nonEmpty && !aRow.forall(_.isDigit))
+  }
+
+  test("DriverNet gene names: factor decodes through its levels") {
+    val g = Rda.characterVector(spark,
+      s"$driverNet/sampleGeneNames.rda", "sampleGeneNames")
+    assert(g.count() == 21494)
+    assert(g.where(col("value").isNull).count() == 0)
+    // spot labels from the reference package's own documentation domain
+    val first = g.orderBy("idx").limit(3).collect().map(_.getString(1))
+    assert(first.forall(_.matches("[A-Za-z0-9.-]+")))
+  }
+
+  test("MethylMix cohort matrices align on genes x samples") {
+    val ge = Rda.matrixLong(spark, s"$methylMix/GEcancer.rda", "GEcancer")
+    val met = Rda.matrixLong(spark, s"$methylMix/METcancer.rda", "METcancer")
+    // the reference joins these two on (gene, sample): same shape
+    assert(ge.count() == met.count())
+    val joined = ge.select(col("row_name"), col("col_name"))
+      .intersect(met.select(col("row_name"), col("col_name")))
+    assert(joined.count() == ge.count())
+  }
+
+  test("MethylMix ProbeAnnotation data.frame lifts with typed columns") {
+    val df = Rda.dataFrame(spark, s"$methylMix/ProbeAnnotation.rda",
+      "ProbeAnnotation")
+    assert(df.count() > 100000)
+    assert(df.columns.length >= 2)
+  }
+
+  test("write -> read round trip preserves values, types, and NAs") {
+    import spark.implicits._
+    val in = Seq(
+      (1, 2.5, "alpha", true),
+      (2, -0.0, "béta 中文", false), // latin1+CJK through UTF-8
+      (3, Double.MaxValue, null.asInstanceOf[String], true))
+      .toDF("i", "d", "s", "b")
+      // a null in every type
+      .unionByName(Seq((4, 1.0, "x", true)).toDF("i", "d", "s", "b")
+        .select(col("i"), lit(null).cast("double").as("d"),
+          col("s"), lit(null).cast("boolean").as("b")))
+    val path = java.nio.file.Files.createTempDirectory("rda_rt")
+      .resolve("t.rda").toString
+    Rda.writeDataFrame(in, path, "t")
+    val back = Rda.dataFrame(spark, path, "t")
+    assert(back.schema.map(f => (f.name, f.dataType)) ==
+      in.schema.map(f => (f.name, f.dataType)))
+    val a = in.orderBy("i").collect().map(_.toSeq)
+    val b = back.orderBy("i").collect().map(_.toSeq)
+    assert(a.sameElements(b) || a.zip(b).forall { case (x, y) => x == y })
+  }
+}
