@@ -615,20 +615,32 @@ object Dedup {
     * with empty clean_text rather than vanishing (the caller decides
     * drop-vs-keep policy). */
   def segmentDedupKeepFirst(segments: DataFrame): DataFrame = {
+    // the keep-first rank runs over (id, seg_pos, 16-byte hash) ONLY —
+    // the round-9 plan sorted full segment text through the window
+    // exchange (a corpus-sized text sort); text now crosses a single
+    // id-partitioned hash join instead, and the reassembly groupBy
+    // reuses that join's partitioning (no further text exchange)
+    val hashed = segments.withColumn("__h", md5(col("segment")))
     val w = Window.partitionBy("__h").orderBy(col("id"), col("seg_pos"))
-    val ranked = segments
-      .withColumn("__h", md5(col("segment")))
+    val perDoc = hashed.select("id", "seg_pos", "__h")
       .withColumn("__rn", row_number().over(w))
-    ranked.groupBy("id")
+      .groupBy("id")
       .agg(count(lit(1)).as("n_segments"),
         sum(when(col("__rn") === 1, 1L).otherwise(0L)).as("kept_segments"),
-        array_join(transform(sort_array(collect_list(
-            when(col("__rn") === 1,
-              struct(col("seg_pos"), col("segment"))))),
-          e => e.getField("segment")), " ").as("clean_text"))
+        sort_array(collect_list(when(col("__rn") === 1, col("seg_pos"))))
+          .as("__kept"))
+    val keptText = hashed.join(perDoc.select("id", "__kept"), "id")
+      .where(array_contains(col("__kept"), col("seg_pos")))
+      .groupBy("id")
+      .agg(array_join(transform(sort_array(collect_list(
+          struct(col("seg_pos"), col("segment")))),
+        e => e.getField("segment")), " ").as("clean_text"))
+    // left join: a doc whose every segment is owned by earlier docs
+    // keeps its row with an empty clean_text
+    perDoc.join(keptText, Seq("id"), "left")
       .select(col("id"), col("n_segments"), col("kept_segments"),
         (col("n_segments") - col("kept_segments")).as("removed_segments"),
-        col("clean_text"))
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
 
   /** Edit-distance exact-verify tier over CANDIDATE pairs — the last
