@@ -95,6 +95,12 @@ object ScaleCheck {
     // round-9 eighth: perceptual-hash media near-dup (banded, per
     // modality — expect output-bound growth on the clone fixture)
     "q_multimodal_phash",
+    // round-10 additions: the two composed reference pipelines (the
+    // corpus stage is one aggregate each; everything after is
+    // dimension-sized — expect near-flat), the wcModules module tail
+    // (pair-graph-sized CC), and the rda round trip (driver-sized by
+    // format contract)
+    "q_pipeline_goh", "q_pipeline_abcd", "q_pipeline_wcmodules_modules",
     // round-9 ninth: dedup yield distribution, c-TF-IDF source cards,
     // and the water-filling quota solver (domain-sized windows)
     "q_dedup_yield", "q_source_terms", "q_budget_waterfill",
