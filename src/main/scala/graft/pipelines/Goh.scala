@@ -121,9 +121,10 @@ object Goh {
       .withColumn("lnm", lnMicro(col("p")))
 
     // ---- stage 4a: null combined Fisher statistics (ln-micro-units) --
+    // single consumer (the perm-pv count join) — no checkpoint needed;
+    // its lineage roots in the checkpointed nullPc
     val nullF = nullP.groupBy("i")
       .agg((lit(-2L) * sum(col("lnm"))).as("f_units"))
-      .localCheckpoint(false) // tiny; consumed by the gene-side count
 
     // ---- stage 3b/4b: per-gene per-dataset empirical p + Fisher ----
     val geneP = genePc.join(broadcast(nn), col("ds") === col("ds2") &&
