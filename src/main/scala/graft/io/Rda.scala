@@ -247,10 +247,16 @@ object Rda {
           RList(vals, attrsIf(hasAttr))
         case 25 => // S4SXP — slots live in the attribute pairlist
           RS4(attrsIf(true))
-        case 4 => // ENVSXP — consume positionally; opaque to callers
+        case 4 => // ENVSXP — consume positionally; opaque to callers.
+          // R registers the environment in the ref table BEFORE
+          // serializing its contents (self-references and any symbols
+          // inside must land at later indices), so reserve the slot
+          // first — appending after the children would shift every
+          // subsequent ref index by one
+          refs += ROpaque
           i4() // locked flag
           item(); item(); item(); item() // enclos, frame, hashtab, attrs
-          val e = ROpaque; refs += e; e
+          ROpaque
         case 238 => // ALTREP
           val info = item()
           val state = item()
