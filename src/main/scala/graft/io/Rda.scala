@@ -442,8 +442,11 @@ object Rda {
   /** Write a Spark DataFrame as a gzip'd RDX2 data.frame — the exporting
     * half of the round trip (the reference's save(); column types map
     * int→INTSXP, long/double→REALSXP, string→STRSXP, boolean→LGLSXP;
-    * NULLs become the R NA sentinels). Driver-side collect by contract:
-    * .rda is an in-memory format. */
+    * NULLs become the R NA sentinels). A double NaN survives the write
+    * bit-for-bit but reads back as null — in R, NA_real_ IS a NaN
+    * payload, so NaN and NA collapse on the read side (fuzz-tested in
+    * RdaSpec). Driver-side collect by contract: .rda is an in-memory
+    * format. */
   def writeDataFrame(df: DataFrame, path: String, objectName: String): Unit = {
     val schema = df.schema
     val rows = df.collect()

@@ -99,4 +99,59 @@ class RdaSpec extends SparkSpec {
     val b = back.orderBy("i").collect().map(_.toSeq)
     assert(a.sameElements(b) || a.zip(b).forall { case (x, y) => x == y })
   }
+
+  test("seeded fuzz: 20 random frames round trip exactly " +
+      "(NaN collapses to null by the R NA contract)") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val rnd = new scala.util.Random(421)
+    val dir = java.nio.file.Files.createTempDirectory("rda_fuzz")
+    for (trial <- 0 until 20) {
+      val nCols = 1 + rnd.nextInt(5)
+      val nRows = rnd.nextInt(40)
+      val types: Seq[DataType] = Seq.fill(nCols)(rnd.nextInt(4) match {
+        case 0 => IntegerType
+        case 1 => DoubleType
+        case 2 => StringType
+        case 3 => BooleanType
+      })
+      def cell(t: DataType): Any =
+        if (rnd.nextInt(5) == 0) null
+        else t match {
+          case IntegerType => rnd.nextInt()
+          case DoubleType => rnd.nextInt(6) match {
+            case 0 => -0.0
+            case 1 => Double.PositiveInfinity
+            case 2 => Double.MinPositiveValue
+            case 3 => Double.NaN // reads back as null (R NA contract)
+            case _ => rnd.nextDouble() * math.pow(10, rnd.nextInt(20) - 10)
+          }
+          case StringType => rnd.nextInt(4) match {
+            case 0 => ""
+            case 1 => "naïve × 測試 " + rnd.nextInt(100)
+            case 2 => new String(Character.toChars(0x1F600 + rnd.nextInt(16)))
+            case _ => rnd.alphanumeric.take(rnd.nextInt(30)).mkString
+          }
+          case _ => rnd.nextBoolean()
+        }
+      val schema = StructType(types.zipWithIndex.map { case (t, j) =>
+        StructField(s"c$j", t, nullable = true) })
+      val rows = Seq.tabulate(nRows)(_ =>
+        Row.fromSeq(types.map(cell)))
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), schema)
+      val path = dir.resolve(s"f$trial.rda").toString
+      Rda.writeDataFrame(df, path, s"f$trial")
+      val back = Rda.dataFrame(spark, path, s"f$trial").collect()
+      assert(back.length == nRows, s"trial $trial row count")
+      val expect = rows.map(_.toSeq.map {
+        case d: Double if d.isNaN => null // NA contract
+        case v => v
+      })
+      val got = back.map(_.toSeq)
+      expect.zip(got).zipWithIndex.foreach { case ((e, g), i) =>
+        assert(e == g, s"trial $trial row $i: $e != $g")
+      }
+    }
+  }
 }
