@@ -190,9 +190,10 @@ object ScaleCheck {
       catch { case _: Throwable => () }
     }
     spark.catalog.clearCache()
-    val t1 = bench(src, " 1x")
-    val t10 = bench(out, "10x")
-    println("[scale] ---- ratio table (10x time / 1x time; ~10 = linear)")
+    val t1 = bench(src, "  1x")
+    val t10 = bench(out, f"$copies%3dx")
+    println(s"[scale] ---- ratio table (${copies}x time / 1x time; " +
+      s"~$copies = linear)")
     names.foreach { n =>
       println(f"[scale] ratio $n%-24s ${t10(n) / t1(n)}%5.1f")
     }
