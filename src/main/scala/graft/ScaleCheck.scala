@@ -97,9 +97,10 @@ object ScaleCheck {
     "q_multimodal_phash",
     // round-10 additions: the two composed reference pipelines (the
     // corpus stage is one aggregate each; everything after is
-    // dimension-sized — expect near-flat), the wcModules module tail
-    // (pair-graph-sized CC), and the rda round trip (driver-sized by
-    // format contract)
+    // dimension-sized — expect near-flat) and the wcModules module tail
+    // (pair-graph-sized CC). q_io_rda is deliberately NOT here: the
+    // parse is driver-sized by format contract (.rda is an in-memory R
+    // format), so a scale ratio would measure nothing
     "q_pipeline_goh", "q_pipeline_abcd", "q_pipeline_wcmodules_modules",
     // round-9 ninth: dedup yield distribution, c-TF-IDF source cards,
     // and the water-filling quota solver (domain-sized windows)

@@ -622,17 +622,24 @@ object Dedup {
     // reuses that join's partitioning (no further text exchange)
     val hashed = segments.withColumn("__h", md5(col("segment")))
     val w = Window.partitionBy("__h").orderBy(col("id"), col("seg_pos"))
+    // the kept set keys on (seg_pos, HASH), not position alone: a
+    // removed duplicate sharing its seg_pos with a kept segment must
+    // not be resurrected into clean_text (possible for callers feeding
+    // arbitrary (id, seg_pos, segment) relations)
     val perDoc = hashed.select("id", "seg_pos", "__h")
       .withColumn("__rn", row_number().over(w))
       .groupBy("id")
       .agg(count(lit(1)).as("n_segments"),
         sum(when(col("__rn") === 1, 1L).otherwise(0L)).as("kept_segments"),
-        sort_array(collect_list(when(col("__rn") === 1, col("seg_pos"))))
-          .as("__kept"))
+        sort_array(collect_list(when(col("__rn") === 1,
+          struct(col("seg_pos"), col("__h"))))).as("__kept"))
+    // collect_SET: fully-identical duplicate rows collapse to the one
+    // copy the rank-filtered form kept (exactly one row had __rn = 1)
     val keptText = hashed.join(perDoc.select("id", "__kept"), "id")
-      .where(array_contains(col("__kept"), col("seg_pos")))
+      .where(array_contains(col("__kept"),
+        struct(col("seg_pos"), col("__h"))))
       .groupBy("id")
-      .agg(array_join(transform(sort_array(collect_list(
+      .agg(array_join(transform(sort_array(collect_set(
           struct(col("seg_pos"), col("segment")))),
         e => e.getField("segment")), " ").as("clean_text"))
     // left join: a doc whose every segment is owned by earlier docs

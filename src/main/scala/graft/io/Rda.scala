@@ -260,8 +260,12 @@ object Rda {
         case 238 => // ALTREP
           val info = item()
           val state = item()
-          item() // attributes (compact seqs carry none worth surfacing)
-          altrep(info, state)
+          // R serializes a wrapped object's attributes (dim, dimnames,
+          // class, levels…) in the ALTREP attr slot, NOT on the inner
+          // vector — they must be re-attached or a wrap_integer factor
+          // silently degrades to bare level codes
+          val attrs = pairsToMap(item())
+          withAttrs(altrep(info, state), attrs)
         case 241 | 242 => ROpaque // BASENAMESPACE / EMPTYENV
         case 253 => ROpaque // GLOBALENV
         case other => throw new IllegalArgumentException(
@@ -290,6 +294,20 @@ object Rda {
           s"rda: unsupported ALTREP class '$c' with state $s")
       }
     }
+
+    /** Merge ALTREP-slot attributes onto the materialized vector (the
+      * vector's own attrs win on key collision — R never emits both). */
+    private def withAttrs(o: RObj, extra: Map[String, RObj]): RObj =
+      if (extra.isEmpty) o
+      else o match {
+        case RStr(v, a) => RStr(v, extra ++ a)
+        case RReal(v, a) => RReal(v, extra ++ a)
+        case RInt(v, a) => RInt(v, extra ++ a)
+        case RLgl(v, a) => RLgl(v, extra ++ a)
+        case RRaw(v, a) => RRaw(v, extra ++ a)
+        case RList(v, a) => RList(v, extra ++ a)
+        case other => other
+      }
   }
 
   // ------------------------------------------------------ Spark adapters
@@ -463,7 +481,19 @@ object Rda {
       f.dataType match {
         case IntegerType =>
           w.i4(13); w.i4(rows.length)
-          rows.foreach(r => w.i4(if (r.isNullAt(j)) NaInt else r.getInt(j)))
+          rows.foreach { r =>
+            if (r.isNullAt(j)) w.i4(NaInt)
+            else {
+              val v = r.getInt(j)
+              // Int.MinValue IS R's NA_integer_ sentinel — writing it
+              // as data would silently read back as null; fail loudly
+              // (the documented NaN→NA double collapse has no integer
+              // analogue: R itself cannot represent this value)
+              require(v != NaInt, s"rda write: column '${f.name}' holds " +
+                "Int.MinValue, which is R's NA_integer_ sentinel")
+              w.i4(v)
+            }
+          }
         case LongType | DoubleType =>
           w.i4(14); w.i4(rows.length)
           rows.foreach { r =>

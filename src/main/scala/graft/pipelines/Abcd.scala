@@ -100,6 +100,10 @@ object Abcd {
       .join(broadcast(offs.select("region", "cn")), "region")
       .withColumn("score", signum(col("log_fc")) * col("lrt_stat"))
       .join(broadcast(truth), "region")
+      // bin-count rows, but the corpus-scale NB-GLM sits underneath and
+      // BOTH the AUC aggregate and the final projection consume this —
+      // barrier it so the fit runs once
+      .localCheckpoint(false)
     val ranked = scored.withColumn("rk",
       rank().over(Window.orderBy(col("score"))) +
         (count(lit(1)).over(Window.partitionBy(col("score"))) - lit(1)) /

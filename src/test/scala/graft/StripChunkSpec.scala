@@ -67,6 +67,26 @@ class StripChunkSpec extends SparkSpec {
     assert(out(3L) == ((1L, 0L, 1L, "")))
   }
 
+  test("segmentDedupKeepFirst: a removed duplicate sharing its seg_pos " +
+       "with a kept segment is NOT resurrected into clean_text") {
+    // doc 2 has TWO rows at seg_pos 0: "fresh text" (globally first →
+    // kept) and "shared paragraph" (dup of doc 1 → removed). The kept
+    // set must key on (seg_pos, hash), not position alone.
+    val segs = Seq(
+      (1L, 0, "shared paragraph"),
+      (2L, 0, "fresh text"), (2L, 0, "shared paragraph"),
+      (2L, 1, "fresh text") // identical content later in the same doc
+    ).toDF("id", "seg_pos", "segment")
+    val out = Dedup.segmentDedupKeepFirst(segs)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))).toMap
+    assert(out(1L) == ((1L, 1L, 0L, "shared paragraph")))
+    // doc 2: 3 segments, kept = "fresh text"@0 only ("shared paragraph"
+    // is doc 1's; "fresh text"@1 is a within-doc dup of @0) — and the
+    // removed same-position duplicate must not reappear in the text
+    assert(out(2L) == ((3L, 1L, 2L, "fresh text")))
+  }
+
   test("chunkWindows: short doc -> one chunk; long doc covers every token " +
        "with stride-spaced starts and a final chunk reaching the end") {
     val docs = Seq(
