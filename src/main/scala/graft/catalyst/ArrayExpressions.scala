@@ -357,28 +357,38 @@ case class CosineFExpr(left: Expression, right: Expression)
   * and re-deserialized on every access). */
 private[catalyst] object BloomFilterCache {
   private val MaxEntries = 16
-  // access-ordered LinkedHashMap + removeEldestEntry = bounded LRU; all
-  // access serialized on the map (get mutates order, so a concurrent
-  // map would not help — and the guarded work is a ~100ms deserialize
-  // at most once per (executor, filter), not a per-row path)
+  // access-ordered LinkedHashMap + removeEldestEntry = bounded LRU. The
+  // map lock covers ONLY get/put bookkeeping; the ~100ms 120MB
+  // deserialize runs OUTSIDE it, memoized per digest through `loading`
+  // so concurrent misses on the SAME filter share one load while misses
+  // on different filters load in parallel and hits never wait.
   private val cache = new java.util.LinkedHashMap[
       String, org.apache.spark.util.sketch.BloomFilter](32, 0.75f, true) {
     override def removeEldestEntry(
         e: java.util.Map.Entry[String, org.apache.spark.util.sketch.BloomFilter])
         : Boolean = size() > MaxEntries
   }
+  private val loading = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.concurrent.CompletableFuture[
+      org.apache.spark.util.sketch.BloomFilter]]()
   def get(digest: String,
-          bytes: Array[Byte]): org.apache.spark.util.sketch.BloomFilter =
-    cache.synchronized {
-      val hit = cache.get(digest)
-      if (hit != null) hit
-      else {
-        val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(
-          new java.io.ByteArrayInputStream(bytes))
-        cache.put(digest, bf)
-        bf
-      }
-    }
+          bytes: Array[Byte]): org.apache.spark.util.sketch.BloomFilter = {
+    val hit = cache.synchronized(cache.get(digest))
+    if (hit != null) return hit
+    val fresh = new java.util.concurrent.CompletableFuture[
+      org.apache.spark.util.sketch.BloomFilter]()
+    val prior = loading.putIfAbsent(digest, fresh)
+    if (prior != null) return prior.join()
+    try {
+      val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(
+        new java.io.ByteArrayInputStream(bytes))
+      cache.synchronized(cache.put(digest, bf))
+      fresh.complete(bf)
+      bf
+    } catch {
+      case t: Throwable => fresh.completeExceptionally(t); throw t
+    } finally loading.remove(digest)
+  }
 }
 
 /** Codegen membership test against a pre-built Bloom filter

@@ -499,7 +499,15 @@ object Rda {
           rows.foreach { r =>
             if (r.isNullAt(j)) w.i8bits(NaRealBits)
             else w.f8(f.dataType match {
-              case LongType => r.getLong(j).toDouble
+              case LongType =>
+                val l = r.getLong(j)
+                // R has no int64: longs ride REALSXP, exact only inside
+                // the 2^53 double mantissa — beyond that an id would
+                // silently corrupt, so fail loudly like the NA sentinel
+                require(l.toDouble.toLong == l, s"rda write: column " +
+                  s"'${f.name}' holds $l, beyond the exact double range " +
+                  "(R has no 64-bit integer type)")
+                l.toDouble
               case _ => r.getDouble(j)
             })
           }

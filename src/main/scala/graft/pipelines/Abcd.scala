@@ -37,8 +37,7 @@ import org.apache.spark.sql.functions._
 object Abcd {
 
   private def q6(c: Column): Column = floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
-  private def sumDec(c: Column): Column =
-    sum(c.cast("decimal(18,2)")).cast("double")
+  private def sumDec(c: Column): Column = graft.ops.Exact.sumDec(c)
 
   /** @param li   observation table: l_partkey/l_linestatus/l_quantity/l_tax
     * @param part CN-segment source: p_partkey/p_size */

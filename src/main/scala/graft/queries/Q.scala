@@ -57,8 +57,9 @@ object Q {
           .withColumn("ts_ns", expr("unix_micros(ts) * 1000L"))
     }
 
-  /** Exact order-independent sum of a 2-decimal money column, as double. */
-  def sumDec(c: Column): Column = sum(c.cast("decimal(18,2)")).cast("double")
+  /** Exact order-independent sum of a 2-decimal money column, as double
+    * (canonical home: [[graft.ops.Exact]], shared with pipeline code). */
+  def sumDec(c: Column): Column = graft.ops.Exact.sumDec(c)
 
   /** Canonical string form of an integer array — the driver's pandas
     * gate cannot sort rows on numpy-array cells (its `sort_values`
@@ -88,7 +89,7 @@ object Q {
     s"array_to_string(list_transform($c, x -> CAST(CAST(round(x * 1000000) AS BIGINT) AS VARCHAR)), ',')"
 
   /** Exact sum at 6 decimals (for arbitrary-precision doubles). */
-  def sumDec6(c: Column): Column = sum(c.cast("decimal(24,6)")).cast("double")
+  def sumDec6(c: Column): Column = graft.ops.Exact.sumDec6(c)
 
   def r6(c: Column): Column = round(c, 6)
 }

@@ -46,6 +46,34 @@ class PipelineGohAbcdSpec extends SparkSpec {
     assert(sig.map(_._2).sum / sig.length > noise.map(_._2).sum / noise.length)
   }
 
+  test("goh: degenerate-variance groups yield NULL pcor (never NaN) and " +
+      "take the no-evidence path — the denominator guard invariant") {
+    // gene 0 in dataset A has CONSTANT ac: Spark corr returns NaN for
+    // rxy AND rxz, the NaN denominator fails `when(denom > 0)`, and the
+    // pcor is NULL — so the gene is dropped (not defined in every
+    // dataset) rather than poisoning the empirical tails. Same algebra
+    // protects the null draws.
+    val rows = for {
+      ds <- Seq("A", "B", "C"); g <- 0 until 6; s <- 0 until 12
+    } yield {
+      val ac = if (g == 0 && ds == "A") 5.0
+               else (s * 7 % 13).toDouble + g
+      val ex = 2.0 * ((s * 3 + g) % 11) + (s % 3) * 0.1
+      val cv = (s % 5).toDouble
+      (ds, g.toLong, s.toLong, ac, ex, cv)
+    }
+    val out = graft.pipelines.Goh.run(
+      rows.toDF("ds", "g", "sample", "ac", "ex", "cv"),
+      nGenes = 6, draws = 19).collect()
+    val genes = out.map(_.getLong(0)).toSet
+    assert(!genes.contains(0L), "degenerate gene must drop, not poison")
+    assert(genes == (1L until 6L).toSet)
+    out.foreach { r =>
+      assert(!r.isNullAt(3) && !r.getDouble(3).isNaN)
+      assert(!r.isNullAt(4) && !r.getDouble(4).isNaN)
+    }
+  }
+
   test("abcd: every bin gets a CN in 1..4, the AUC is a single value " +
       "in [0,1], and the score sign follows log_fc") {
     val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
