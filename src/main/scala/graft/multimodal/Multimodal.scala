@@ -178,4 +178,83 @@ object Multimodal {
       lit(null).cast("int").as("width"),
       lit(null).cast("int").as("height"),
       lit(null).cast("long").as("duration_ms"))
+
+  /** Resize boundary — the third decode-adjacent kernel next to
+    * feature extraction and frame sampling. Implementations MUST be
+    * deterministic per (bytes, dims): results are content-addressed
+    * downstream (dedup/phash re-run on the resized lake). */
+  trait MediaResizer extends Serializable {
+    /** bytes at w0×h0 → bytes at w1×h1; None for undecodable input. */
+    def resize(modality: String, content: Array[Byte], w0: Int,
+               w1: Int, h1: Int): Option[Array[Byte]]
+  }
+
+  /** Deterministic stand-in resizer (the codecs are not in this
+    * container): the payload is read as a row-major `w0`-wide byte
+    * grid (height = ceil(n/w0), ragged last row clamped) and
+    * nearest-neighbor sampled to w1×h1 with EXACT integer index math —
+    * src(r1,c1) = min((r1·h0)/h1 · w0 + (c1·w0)/w1, n−1) — so a SQL
+    * oracle replays every output byte. A production image/audio
+    * resampler drops in behind [[MediaResizer]] without touching the
+    * pipeline plumbing. */
+  final class ByteGridResizer extends MediaResizer {
+    override def resize(modality: String, content: Array[Byte], w0: Int,
+                        w1: Int, h1: Int): Option[Array[Byte]] = {
+      if (content == null || content.isEmpty || w0 <= 0) None
+      else {
+        val n = content.length
+        val h0 = (n + w0 - 1) / w0
+        val out = new Array[Byte](w1 * h1)
+        var r1 = 0
+        while (r1 < h1) {
+          val r0 = r1 * h0 / h1
+          var c1 = 0
+          while (c1 < w1) {
+            val c0 = c1 * w0 / w1
+            out(r1 * w1 + c1) = content(math.min(r0 * w0 + c0, n - 1))
+            c1 += 1
+          }
+          r1 += 1
+        }
+        Some(out)
+      }
+    }
+  }
+
+  /** Partition-batched media resize — the mapInPandas analogue for the
+    * resize stage of a multimodal ingest (decode → RESIZE → feature /
+    * hash): each task transforms its partition in one pass, metadata is
+    * rewritten to the target dims, undecodable rows carry null content
+    * (the extractFeatures convention). `sourceWidth` supplies the grid
+    * width when the media metadata doesn't (the fixture case); a real
+    * deployment reads it from the `width` column.
+    * Output: (media_id, modality, content, mime, width, height,
+    * duration_ms, n_bytes_in) — the canonical media schema plus the
+    * input size, so the resized lake is a drop-in for every downstream
+    * media operator. */
+  def resizeMedia(media: DataFrame, resizer: MediaResizer,
+                  targetW: Int, targetH: Int,
+                  sourceWidth: Int = 0): DataFrame = {
+    require(targetW >= 1 && targetH >= 1, "target dims must be positive")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("modality"),
+        col("content"), col("mime"),
+        coalesce(col("width"), lit(sourceWidth)).as("width"))
+      .as[(Long, String, Array[Byte], String, Int)]
+      .mapPartitions { it =>
+        // per-partition init point (codec/resampler handles)
+        it.map { case (id, mod, bytes, mime, w0) =>
+          val resized = resizer.resize(mod, bytes, w0, targetW, targetH)
+          (id, mod, resized.orNull, mime,
+            if (bytes == null) 0L else bytes.length.toLong)
+        }
+      }
+      .toDF("media_id", "modality", "content", "mime", "n_bytes_in")
+      .withColumn("width", lit(targetW))
+      .withColumn("height", lit(targetH))
+      .withColumn("duration_ms", lit(null).cast("long"))
+      .select("media_id", "modality", "content", "mime", "width",
+        "height", "duration_ms", "n_bytes_in")
+  }
 }

@@ -101,6 +101,25 @@ object ExtQueries {
       // replay it from the hex dump of the UTF-8 bytes lane by lane
       Some("""WITH h AS (SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n FROM documents), bytes AS (SELECT doc_id, (i - 1) % 8 AS j, CAST(concat('0x', substr(hx, 2 * i - 1, 2)) AS BIGINT) AS byte FROM h, unnest(generate_series(1, n)) AS g(i) WHERE n > 0), feats AS (SELECT b.doc_id, b.j, CAST(CAST(sum(b.byte) / 255.0 / greatest(h.n // 8, 1) AS FLOAT) AS DOUBLE) AS f FROM bytes b JOIN h ON b.doc_id = h.doc_id GROUP BY b.doc_id, b.j, h.n), agg AS (SELECT doc_id, sum(f) AS fs FROM feats GROUP BY 1) SELECT h.doc_id AS media_id, CAST(h.n AS BIGINT) AS n_bytes, CASE WHEN h.n > 0 THEN CAST(round(CAST(CAST(a.fs AS VARCHAR) AS DECIMAL(38,18)), 4) AS DOUBLE) END AS feat_sum FROM h LEFT JOIN agg a ON h.doc_id = a.doc_id""")),
 
+    Entry("q_multimodal_resize",
+      // the resize stage of a multimodal ingest behind the MediaResizer
+      // boundary: nearest-neighbor over the byte grid (deterministic
+      // stand-in — real resamplers drop in behind the trait), 16-wide
+      // source grid to 8x4, every output byte exact integer index math
+      // the oracle replays from the hex dump; gate compares the hex of
+      // the resized payload
+      (s, d) => {
+        val media = Multimodal.asMedia(
+          t(s, d, "documents").withColumn("content", col("text").cast("binary")),
+          "doc_id", "content", "image")
+        Multimodal.resizeMedia(media, new Multimodal.ByteGridResizer(),
+            targetW = 8, targetH = 4, sourceWidth = 16)
+          .where(col("content").isNotNull)
+          .select(col("media_id"), col("n_bytes_in"), col("width"),
+            col("height"), hex(col("content")).as("resized_hex"))
+      },
+      Some("""WITH h AS (SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n FROM documents WHERE octet_length(encode(text)) > 0), g AS (SELECT doc_id, hx, n, (n + 15) // 16 AS h0 FROM h), px AS (SELECT doc_id, r1 * 8 + c1 AS pos, least(((r1 * h0) // 4) * 16 + ((c1 * 16) // 8), n - 1) AS src FROM g, unnest(generate_series(0, 3)) t(r1), unnest(generate_series(0, 7)) u(c1)), rb AS (SELECT p.doc_id, string_agg(substr(g.hx, 2 * p.src + 1, 2), '' ORDER BY p.pos) AS resized_hex FROM px p JOIN g ON g.doc_id = p.doc_id GROUP BY 1) SELECT g.doc_id AS media_id, CAST(g.n AS BIGINT) AS n_bytes_in, 8 AS width, 4 AS height, rb.resized_hex FROM g JOIN rb ON rb.doc_id = g.doc_id""")),
+
     Entry("q_multimodal_dedup",
       // binary-content exact dedup per modality — the pre-decode first
       // pass of a multimodal corpus build; md5 over the raw bytes is
