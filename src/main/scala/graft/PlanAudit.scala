@@ -186,7 +186,8 @@ object PlanAudit {
         // a filtered run only diffs the queries it planned
         if (names.isEmpty || names(n)) shapes.get(n) match {
           case None =>
-            println(s"[planaudit] REGRESSION $n: in baseline but failed to plan")
+            println(s"[planaudit] REGRESSION $n: pinned in baseline but " +
+              "failed to plan or no longer registered")
             regressions += 1
           case Some(s) =>
             if (s.exch > b.exch || s.wsc < b.wsc ||
@@ -205,8 +206,16 @@ object PlanAudit {
             }
         }
       }
+      // a full (unfiltered) diff asserts registry ≡ pins: a registered
+      // query with no pinned shape is a silent-regression hole (a future
+      // BNLJ/global-window there would land unflagged), so it FAILS the
+      // audit rather than printing a note. Filtered runs keep the note.
       shapes.keys.filterNot(baseline.contains).foreach { n =>
-        println(s"[planaudit] new query $n (no baseline; --write to pin)")
+        if (names.isEmpty) {
+          println(s"[planaudit] REGRESSION $n: registered but not pinned " +
+            "in baseline (--write to pin)")
+          regressions += 1
+        } else println(s"[planaudit] new query $n (no baseline; --write to pin)")
       }
       println(s"[planaudit] diff vs $p: $regressions regressions, " +
         s"$improvements improvements, ${shapes.size} queries audited")
