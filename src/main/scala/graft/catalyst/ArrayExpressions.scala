@@ -378,7 +378,19 @@ private[catalyst] object BloomFilterCache {
     val fresh = new java.util.concurrent.CompletableFuture[
       org.apache.spark.util.sketch.BloomFilter]()
     val prior = loading.putIfAbsent(digest, fresh)
-    if (prior != null) return prior.join()
+    if (prior != null) {
+      // get(), not join(): join() is uninterruptible inside Spark task
+      // threads (a task kill would be swallowed) and wraps a loader
+      // failure in an unchecked CompletionException — rethrow the
+      // ORIGINAL cause and surface interrupts as InterruptedException.
+      try return prior.get()
+      catch {
+        case e: java.util.concurrent.ExecutionException =>
+          throw Option(e.getCause).getOrElse(e)
+        case e: InterruptedException =>
+          Thread.currentThread().interrupt(); throw e
+      }
+    }
     try {
       val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(
         new java.io.ByteArrayInputStream(bytes))

@@ -798,6 +798,43 @@ object Dedup {
           .otherwise("unchanged"))
   }
 
+  /** Column-metadata key [[shingleRelation]] stamps on the `sh` column
+    * so consumers can assert the prebuilt universe matches their k. */
+  private val ShingleKMeta = "graft.shingle.k"
+
+  /** Materialize the k-shingle universe of a corpus ONCE as an
+    * (id, sh ARRAY&lt;LONG&gt;) relation for reuse across several dedup
+    * tiers — [[ngramJaccardPairs]], [[minhashLshPairs]] and
+    * [[verifyPairsExactJaccard]] accept it via their `shingled` param.
+    * The shingle size is stamped into the `sh` column's metadata so a
+    * consumer invoked with a DIFFERENT k fails loudly instead of
+    * silently computing pairs against the wrong shingle universe. */
+  def shingleRelation(df: DataFrame, idCol: String, textCol: String,
+                      k: Int): DataFrame = {
+    val meta = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong(ShingleKMeta, k.toLong).build()
+    df.select(col(idCol).as("id"),
+      graft.catalyst.ArrayFunctions.shingleHashes(col(textCol), k)
+        .as("sh", meta))
+  }
+
+  /** Contract check for caller-prebuilt `shingled` relations: when the
+    * relation was built via [[shingleRelation]] its tagged k must equal
+    * the consumer's k. Untagged relations (built by hand) pass unchecked
+    * — the caller owns the k agreement, per the param scaladoc. */
+  private def requireShingleK(shingled: DataFrame, k: Int): DataFrame = {
+    shingled.schema.find(_.name == "sh").map(_.metadata)
+      .filter(_.contains(ShingleKMeta))
+      .map(_.getLong(ShingleKMeta))
+      .foreach(kk => require(kk == k,
+        s"shingled relation was built with k=$kk but this consumer runs " +
+          s"k=$k — pairs would be computed against the wrong shingle universe"))
+    shingled
+  }
+
+  /** @param shingled optional prebuilt (id, sh) k-shingle relation from
+    *   [[shingleRelation]] — MUST be built with the same `k`; tagged
+    *   relations are asserted, hand-built ones are the caller's promise. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         k: Int = 3, threshold: Double = 0.8,
                         maxShingleDf: Long = 100,
@@ -811,7 +848,7 @@ object Dedup {
     // shingle universe once and passes it in, so the kernel is not
     // re-run per tier
     val sh = shingled
-      .map(_.select(col("id"), explode(col("sh")).as("h")))
+      .map(s => requireShingleK(s, k).select(col("id"), explode(col("sh")).as("h")))
       .getOrElse(df.select(col(idCol).as("id"),
         explode(graft.catalyst.ArrayFunctions.shingleHashes(col(textCol), k)).as("h")))
     // one shuffle builds the pruned inverted index; collect_set dedups ids
@@ -967,6 +1004,9 @@ object Dedup {
     * silent: within a hot bucket, member↔member pairs whose members are
     * near-dups of each other but NOT of the representative are the
     * documented recall loss. */
+  /** @param shingled optional prebuilt (id, sh) k-shingle relation from
+    *   [[shingleRelation]] — MUST be built with the same `k` (asserted
+    *   for tagged relations inside the verify stage). */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       k: Int = 3, threshold: Double = 0.8,
                       numHashes: Int = 128, bands: Int = 16,
@@ -1442,7 +1482,7 @@ object Dedup {
     // not once per side (no spread: see ngramJaccardPairs). A caller
     // sharing the universe across tiers passes its own (already
     // materialized) (id, sh) relation via `shingled`.
-    val docs = shingled.getOrElse(
+    val docs = shingled.map(requireShingleK(_, k)).getOrElse(
       df.select(col(idCol).as("id"),
           graft.catalyst.ArrayFunctions.shingleHashes(col(textCol), k).as("sh"))
         .localCheckpoint(false))

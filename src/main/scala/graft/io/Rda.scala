@@ -116,12 +116,25 @@ object Rda {
     private var o = 0
     private val refs = scala.collection.mutable.ArrayBuffer.empty[RObj]
 
+    /** Every read and every length field is validated against the bytes
+      * actually remaining BEFORE any allocation or index: .rda files are
+      * untrusted input, and a crafted/truncated length would otherwise
+      * trigger a multi-GB driver allocation or a bare
+      * ArrayIndexOutOfBoundsException instead of a clean parse error. */
+    private def need(n: Long, what: String): Unit =
+      if (n < 0 || o.toLong + n > d.length)
+        throw new IllegalArgumentException(
+          s"rda: truncated/corrupt stream — need $n bytes for $what at " +
+            s"offset $o of ${d.length}")
+
     private def i4(): Int = {
+      need(4, "int")
       val v = ((d(o) & 0xFF) << 24) | ((d(o + 1) & 0xFF) << 16) |
         ((d(o + 2) & 0xFF) << 8) | (d(o + 3) & 0xFF)
       o += 4; v
     }
     private def f8(): Double = {
+      need(8, "double")
       var bits = 0L
       var i = 0
       while (i < 8) { bits = (bits << 8) | (d(o + i) & 0xFFL); i += 1 }
@@ -129,17 +142,29 @@ object Rda {
       java.lang.Double.longBitsToDouble(bits)
     }
     private def bytes(n: Int): Array[Byte] = {
+      need(n, "raw bytes")
       val v = java.util.Arrays.copyOfRange(d, o, o + n); o += n; v
     }
-    private def len(): Int = {
-      val n = i4()
-      if (n != -1) n
-      else { // long-vector encoding: two ints (JVM arrays cap at Int)
-        val hi = i4().toLong; val lo = i4().toLong & 0xFFFFFFFFL
-        val full = (hi << 32) | lo
-        require(full <= Int.MaxValue, s"rda: vector of $full elements")
-        full.toInt
-      }
+    /** Decode a vector length and validate it against the remaining
+      * payload at `minElemBytes` per element (the MINIMUM serialized
+      * width of one element — exact for fixed-width SEXPs, a lower bound
+      * for STRSXP/VECSXP whose elements are themselves items) before the
+      * caller allocates. */
+    private def len(minElemBytes: Int): Int = {
+      val n0 = i4()
+      val n =
+        if (n0 != -1) n0
+        else { // long-vector encoding: two ints (JVM arrays cap at Int)
+          val hi = i4().toLong; val lo = i4().toLong & 0xFFFFFFFFL
+          val full = (hi << 32) | lo
+          require(full >= 0 && full <= Int.MaxValue,
+            s"rda: vector of $full elements")
+          full.toInt
+        }
+      if (n < 0) throw new IllegalArgumentException(
+        s"rda: truncated/corrupt stream — negative vector length $n at offset $o")
+      need(n.toLong * minElemBytes, s"vector of $n elements")
+      n
     }
 
     def header(): Unit = {
@@ -154,7 +179,7 @@ object Rda {
       require(version == 2 || version == 3,
         s"rda: unsupported serialization version $version")
       if (version == 3) { // v3 adds a native-encoding string to the header
-        val n = i4(); o += n
+        val n = i4(); need(n, "header encoding string"); o += n
       }
     }
 
@@ -183,6 +208,8 @@ object Rda {
         case 254 => RNull // NILVALUE
         case 255 => // REFSXP
           val idx = { val i = flags >> 8; if (i == 0) i4() else i }
+          if (idx < 1 || idx > refs.length) throw new IllegalArgumentException(
+            s"rda: truncated/corrupt stream — ref index $idx of ${refs.length} at offset $o")
           refs(idx - 1)
         case 9 => // CHARSXP — returned wrapped as a 1-slot RStr
           val n = i4()
@@ -209,7 +236,7 @@ object Rda {
           val car = item(); val cdr = item()
           RPair(tag, car, cdr, attrs)
         case 16 => // STRSXP
-          val n = len()
+          val n = len(8)
           val vals = new Array[String](n)
           var i = 0
           while (i < n) {
@@ -223,26 +250,26 @@ object Rda {
           }
           RStr(vals, attrsIf(hasAttr))
         case 14 => // REALSXP
-          val n = len(); val vals = new Array[Double](n)
+          val n = len(8); val vals = new Array[Double](n)
           var i = 0; while (i < n) { vals(i) = f8(); i += 1 }
           RReal(vals, attrsIf(hasAttr))
         case 13 => // INTSXP
-          val n = len(); val vals = new Array[Int](n)
+          val n = len(4); val vals = new Array[Int](n)
           var i = 0; while (i < n) { vals(i) = i4(); i += 1 }
           RInt(vals, attrsIf(hasAttr))
         case 10 => // LGLSXP
-          val n = len(); val vals = new Array[Int](n)
+          val n = len(4); val vals = new Array[Int](n)
           var i = 0; while (i < n) { vals(i) = i4(); i += 1 }
           RLgl(vals, attrsIf(hasAttr))
         case 15 => // CPLXSXP — parsed positionally, surfaced as re/im pairs
-          val n = len(); val vals = new Array[Double](2 * n)
+          val n = len(16); val vals = new Array[Double](2 * n)
           var i = 0; while (i < 2 * n) { vals(i) = f8(); i += 1 }
           RReal(vals, attrsIf(hasAttr))
         case 24 => // RAWSXP
-          val n = len()
+          val n = len(1)
           RRaw(bytes(n), attrsIf(hasAttr))
         case 19 | 20 => // VECSXP / EXPRSXP
-          val n = len()
+          val n = len(4)
           val vals = IndexedSeq.fill(n)(item())
           RList(vals, attrsIf(hasAttr))
         case 25 => // S4SXP — slots live in the attribute pairlist

@@ -613,9 +613,7 @@ object LlmQueries {
         // consumed twice (its own count + the intersection join), and
         // without the checkpoint the whole tier pipeline re-runs per
         // consumer (measured ~2× on this query)
-        val shArr = docs.select(col("doc_id").as("id"),
-            graft.catalyst.ArrayFunctions.shingleHashes(col("text"), 3)
-              .as("sh"))
+        val shArr = Dedup.shingleRelation(docs, "doc_id", "text", 3)
           .localCheckpoint(false)
         val lsh = Dedup.minhashLshPairs(docs, "doc_id", "text",
           k = 3, threshold = 0.8, shingled = Some(shArr))

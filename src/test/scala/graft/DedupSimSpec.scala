@@ -40,6 +40,29 @@ class DedupSimSpec extends SparkSpec {
     assert(exact == 1.0)
   }
 
+  test("a prebuilt shingled relation is accepted at the matching k and " +
+    "rejected loudly at a different k") {
+    val docs = corpus()
+    val sh3 = Dedup.shingleRelation(docs, "doc_id", "text", 3)
+    // same k: identical pair set to the self-shingling path
+    val viaPrebuilt = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      k = 3, threshold = 0.5, maxShingleDf = 100, shingled = Some(sh3))
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(viaPrebuilt == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    // mismatched k: the tag must fail the call before any wrong-universe
+    // pair computation (both the ngram and the LSH/verify entry points)
+    val e1 = intercept[IllegalArgumentException] {
+      Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        k = 4, threshold = 0.5, shingled = Some(sh3))
+    }
+    assert(e1.getMessage.contains("k=3") && e1.getMessage.contains("k=4"))
+    val e2 = intercept[IllegalArgumentException] {
+      Dedup.minhashLshPairs(docs, "doc_id", "text",
+        k = 5, threshold = 0.5, shingled = Some(sh3))
+    }
+    assert(e2.getMessage.contains("k=3") && e2.getMessage.contains("k=5"))
+  }
+
   test("incremental pairs off a PERSISTED banded index equal the filtered " +
     "full-corpus pairs") {
     val docs = corpus()

@@ -118,7 +118,11 @@ class RdaSpec extends SparkSpec {
       def cell(t: DataType): Any =
         if (rnd.nextInt(5) == 0) null
         else t match {
-          case IntegerType => rnd.nextInt()
+          case IntegerType =>
+            // Int.MinValue is R's NA_integer_ sentinel, which
+            // writeDataFrame rejects by design — keep it out of the pool
+            val v = rnd.nextInt()
+            if (v == Int.MinValue) v + 1 else v
           case DoubleType => rnd.nextInt(6) match {
             case 0 => -0.0
             case 1 => Double.PositiveInfinity
@@ -151,6 +155,53 @@ class RdaSpec extends SparkSpec {
       val got = back.map(_.toSeq)
       expect.zip(got).zipWithIndex.foreach { case ((e, g), i) =>
         assert(e == g, s"trial $trial row $i: $e != $g")
+      }
+    }
+  }
+
+  test("truncated or length-corrupted .rda fails with a clean parse error, " +
+      "not an OOM allocation or raw index exception") {
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("rda_corrupt")
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(org.apache.spark.sql.Row(1, "a"),
+        org.apache.spark.sql.Row(2, "b")), 1),
+      StructType(Seq(StructField("i", IntegerType), StructField("s", StringType))))
+    val path = dir.resolve("good.rda").toString
+    Rda.writeDataFrame(df, path, "g")
+    // decompress to raw XDR so byte surgery lands on the stream itself
+    val raw = {
+      val in = new java.util.zip.GZIPInputStream(
+        new java.io.ByteArrayInputStream(
+          java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))))
+      try in.readAllBytes() finally in.close()
+    }
+    def writeRaw(name: String, bytes: Array[Byte]): String = {
+      val p = dir.resolve(name)
+      java.nio.file.Files.write(p, bytes)
+      p.toString
+    }
+    // sanity: the uncompressed stream itself parses
+    assert(Rda.readAll(writeRaw("raw.rda", raw)).nonEmpty)
+    // truncation at several depths: always a descriptive parse error
+    for (keep <- Seq(raw.length / 4, raw.length / 2, raw.length - 3)) {
+      val e = intercept[IllegalArgumentException] {
+        Rda.readAll(writeRaw(s"trunc$keep.rda", raw.take(keep)))
+      }
+      assert(e.getMessage.contains("rda:"), s"keep=$keep: ${e.getMessage}")
+    }
+    // corrupt a plausible vector length field to a huge value at every
+    // 4-byte offset: must never allocate blindly or throw a bare AIOOBE
+    for (off <- 20 until (raw.length - 4) by 4) {
+      val bad = raw.clone()
+      bad(off) = 0x7F.toByte; bad(off + 1) = 0xFF.toByte
+      bad(off + 2) = 0xFF.toByte; bad(off + 3) = 0xF0.toByte
+      try Rda.readAll(writeRaw(s"huge$off.rda", bad))
+      catch {
+        case _: IllegalArgumentException => () // clean, descriptive
+        case other: Throwable =>
+          fail(s"offset $off: expected a clean parse error, got " +
+            s"${other.getClass.getSimpleName}: ${other.getMessage}")
       }
     }
   }
