@@ -56,10 +56,23 @@ object Goh {
     *               expression `ex`, control covariate `cv`
     * @param nGenes modulus of the md5 gene draw (null re-pairing space)
     * @param draws  permutation draws R; p granularity is 1/(R+1)
+    * @param parametric false (default): per-dataset p-values are the
+    *               EMPIRICAL null tail (the hash-gated route). true: the
+    *               reference's own small-sample parametric route — each
+    *               per-dataset p (gene AND null draw alike) is the
+    *               one-sided t tail `cor.test(..., alternative = "g")`
+    *               of integrated_aCGH_expression_relationships.R:121,144,
+    *               187-188 ([[graft.stats.Dist.corrPValueGreater]], df =
+    *               n − 3 for the first-order pcor), with `sig` counted at
+    *               p < 0.05; the Fisher combination and the empirical
+    *               combined-statistic stages downstream are unchanged.
+    *               Transcendental p's don't hash-gate cross-engine, so
+    *               this mode is golden-tested (PipelineGohAbcdSpec), not
+    *               oracled.
     * @return one row per gene kept in every dataset:
     *         (gene, fisher_units, n_sig, perm_pv, p_adj) */
   def run(cells: DataFrame, nGenes: Int = 50, draws: Int = 19,
-          seed: String = "goh"): DataFrame = {
+          seed: String = "goh", parametric: Boolean = false): DataFrame = {
     require(draws >= 1 && nGenes >= 2)
     val spark = cells.sparkSession
     // the cell relation feeds the gene pcor AND both null join sides —
@@ -73,7 +86,7 @@ object Goh {
     val genePc = graft.stats.Stats
       .partialCorr(cc, Seq("ds", "g"), "ac", "ex", "cv")
       .where(col("n") > 2 && col("pcor").isNotNull)
-      .select(col("ds"), col("g"), round(col("pcor"), 6).as("pcor"))
+      .select(col("ds"), col("g"), round(col("pcor"), 6).as("pcor"), col("n"))
 
     // ---- stage 2: seeded permutation null ----
     val dss = cc.select("ds").distinct()
@@ -101,8 +114,13 @@ object Goh {
         when(col("n") > 2,
           round((col("rxy") - col("rxz") * col("ryz")) /
             when(denom > 0, denom), 6)))
-      .select("i", "ds", "npcor")
+      .select("i", "ds", "npcor", "n")
       .localCheckpoint(false) // draws × datasets rows; 4 consumers below
+
+    // parametric mode's per-dataset p: the one-sided t tail of the
+    // first-order pcor, df = n − 3 (cor.test alternative="g")
+    val pGreater = udf((r: Double, n: Long) =>
+      graft.stats.Dist.corrPValueGreater(r, n, controlled = 1))
 
     // ---- stage 3a: within-dataset empirical p of each null pcor ----
     // rank among the dataset's own null sample, ties and self included
@@ -112,13 +130,18 @@ object Goh {
       .select(col("ds").as("ds2"), col("npcor").as("np2"))
     val lnMicro = (p: Column) =>
       floor(log(p) * lit(1e6) + lit(0.5)).cast("long")
-    val nullP = nullPc.join(broadcast(nn), col("ds") === col("ds2") &&
-        col("np2") >= col("npcor"), "left")
-      .groupBy("i", "ds", "npcor")
-      .agg(count(col("np2")).as("k"))
-      .withColumn("p", when(col("npcor").isNotNull,
-        col("k").cast("double") / lit(draws.toDouble)).otherwise(lit(1.0)))
-      .withColumn("lnm", lnMicro(col("p")))
+    val nullP =
+      if (parametric) nullPc
+        .withColumn("p", when(col("npcor").isNotNull,
+          pGreater(col("npcor"), col("n"))).otherwise(lit(1.0)))
+        .withColumn("lnm", lnMicro(col("p")))
+      else nullPc.join(broadcast(nn), col("ds") === col("ds2") &&
+          col("np2") >= col("npcor"), "left")
+        .groupBy("i", "ds", "npcor")
+        .agg(count(col("np2")).as("k"))
+        .withColumn("p", when(col("npcor").isNotNull,
+          col("k").cast("double") / lit(draws.toDouble)).otherwise(lit(1.0)))
+        .withColumn("lnm", lnMicro(col("p")))
 
     // ---- stage 4a: null combined Fisher statistics (ln-micro-units) --
     // single consumer (the perm-pv count join) — no checkpoint needed;
@@ -126,15 +149,22 @@ object Goh {
     val nullF = nullP.groupBy("i")
       .agg((lit(-2L) * sum(col("lnm"))).as("f_units"))
 
-    // ---- stage 3b/4b: per-gene per-dataset empirical p + Fisher ----
-    val geneP = genePc.join(broadcast(nn), col("ds") === col("ds2") &&
-        col("np2") >= col("pcor"), "left")
-      .groupBy("ds", "g", "pcor")
-      .agg(count(col("np2")).as("k"))
-      .withColumn("p", (col("k") + lit(1)).cast("double") /
-        lit((draws + 1).toDouble))
-      .withColumn("lnm", lnMicro(col("p")))
-      .withColumn("sig", (col("k") === 0).cast("int"))
+    // ---- stage 3b/4b: per-gene per-dataset p + Fisher ----
+    // empirical: rank against the dataset's null sample; parametric:
+    // the t tail directly, significance at the reference's 0.05 cut
+    val geneP =
+      if (parametric) genePc
+        .withColumn("p", pGreater(col("pcor"), col("n")))
+        .withColumn("lnm", lnMicro(col("p")))
+        .withColumn("sig", (col("p") < lit(0.05)).cast("int"))
+      else genePc.join(broadcast(nn), col("ds") === col("ds2") &&
+          col("np2") >= col("pcor"), "left")
+        .groupBy("ds", "g", "pcor")
+        .agg(count(col("np2")).as("k"))
+        .withColumn("p", (col("k") + lit(1)).cast("double") /
+          lit((draws + 1).toDouble))
+        .withColumn("lnm", lnMicro(col("p")))
+        .withColumn("sig", (col("k") === 0).cast("int"))
     // keep genes defined in EVERY dataset so the combined statistic has
     // fixed k = M and the chi-square tail is monotone in it (the
     // inds.na drop of :154-155)

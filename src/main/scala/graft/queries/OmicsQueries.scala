@@ -194,6 +194,19 @@ object OmicsQueries {
         .withColumn("batch", concat(lit("b"), (col("sample") % 3).cast("string")))),
       Some(combatFixedOracleSql(iters = 40))),
 
+    Entry("q_combat_nonparam",
+      // the reference's par.prior=FALSE route (int.eprior Monte-Carlo
+      // integration): each gene's batch effects are the likelihood-
+      // weighted average of every OTHER gene's raw estimates in the
+      // batch. The hash-verified fixed twin — the sufficient-stat
+      // factorization turns the integration into a within-batch
+      // gene×gene join of dim-sized relations, weights are log-space
+      // q6-quantized then micro-unit LONGs, sums exact decimals; the
+      // oracle replays it closed-form (no unroll)
+      (s, d) => Combat.adjustPreJoinedNonParamFixed(combatData(s, d)
+        .withColumn("batch", concat(lit("b"), (col("sample") % 3).cast("string")))),
+      Some(combatNonParamOracleSql)),
+
     Entry("q_knn_impute",
       // KNN imputation: per-user per-type mean values with 20% of the
       // 'error' cells knocked out (NOT the whole column — a fully-missing
@@ -250,13 +263,34 @@ object OmicsQueries {
     * cross-gene priors are bit-identical doubles on both sides; the EB
     * fixed point then unrolls into `iters` scalar CTE steps. Spark round
     * is mimicked with the varchar-decimal form throughout. */
+  /** String-free grid quantizer mirroring the kernel's floor(x*g+0.5)/g
+    * (see Combat.adjustPreJoinedFixed — the varchar-decimal mimic is
+    * unsound when Java's pre-19 toString spells a double non-shortest). */
+  private def qSql(x: String, g: String) =
+    s"floor(($x) * CAST($g AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST($g AS DOUBLE)"
+
+  /** The standardization front half shared by the parametric and
+    * nonparametric fixed oracles: fixture → exact-decimal gene stats →
+    * quantized z (z6t) → per-(gene,batch) sufficient sums + quantized
+    * moments (gb2 keeps sz/szz for the nonparametric integration).
+    * Mirrors Combat.fixedStandardizedMoments term for term. */
+  private def combatFixedFrontSql: String =
+    s"""d AS MATERIALIZED (SELECT CAST(l_partkey % 50 AS VARCHAR) AS gene, l_orderkey * 10 + l_linenumber AS sample, l_extendedprice AS value, concat('b', CAST((l_orderkey * 10 + l_linenumber) % 3 AS VARCHAR)) AS batch FROM lineitem), gs AS MATERIALIZED (SELECT gene, count(value) AS n_g, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s1, CAST(sum(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s2 FROM d GROUP BY 1), gs2 AS MATERIALIZED (SELECT gene, s1 / n_g AS alpha, CASE WHEN n_g > 1 THEN sqrt(greatest((s2 - s1 * s1 / n_g) / (n_g - 1), CAST(0.0 AS DOUBLE))) END AS sigma FROM gs), z AS MATERIALIZED (SELECT d.gene, d.sample, d.batch, d.value, g.alpha, g.sigma, (d.value - g.alpha) / (CASE WHEN g.sigma > 0 THEN g.sigma END) AS z FROM d JOIN gs2 g USING (gene)), z6t AS MATERIALIZED (SELECT *, ${qSql("z", "1000000.0")} AS z6 FROM z), gb AS MATERIALIZED (SELECT gene, batch, count(z6) AS n, CAST(sum(CAST(z6 AS DECIMAL(17,6))) AS DOUBLE) AS sz, CAST(round(sum(CAST(z6 AS DECIMAL(17,6)) * CAST(z6 AS DECIMAL(17,6))), 8) AS DOUBLE) AS szz FROM z6t GROUP BY 1, 2), gb2 AS MATERIALIZED (SELECT gene, batch, n, sz, szz, ${qSql("sz / n", "1000000000000.0")} AS gamma_hat, CASE WHEN n > 1 THEN ${qSql("(szz - sz * sz / n) / (n - 1)", "1000000000000.0")} END AS delta2_hat FROM gb)"""
+
+  /** DuckDB replay of Combat.adjustPreJoinedNonParamFixed: the
+    * int.eprior Monte-Carlo integration as a within-batch gene×gene
+    * join over the gb2 moments — log-likelihoods quantized to the 1e-6
+    * grid straight after the transcendental, per-gene max-normalized
+    * weights floored to BIGINT micro-units, weighted sums as exact
+    * DECIMAL(16,12)×BIGINT products rounded to scale 6 before the
+    * double cast. No iteration unroll: int.eprior is closed-form. */
+  private def combatNonParamOracleSql: String = {
+    val l = s"(-(i.n / CAST(2.0 AS DOUBLE))) * ln(CAST(6.283185307179586 AS DOUBLE) * j.d_j) - (i.szz - CAST(2.0 AS DOUBLE) * j.g_j * i.sz + i.n * j.g_j * j.g_j) / (CAST(2.0 AS DOUBLE) * j.d_j)"
+    s"""WITH $combatFixedFrontSql, jt AS MATERIALIZED (SELECT gene AS gene_j, batch, gamma_hat AS g_j, delta2_hat AS d_j FROM gb2 WHERE delta2_hat IS NOT NULL AND delta2_hat > 0), pairs AS MATERIALIZED (SELECT i.gene, i.batch, j.g_j, j.d_j, ${qSql(l, "1000000.0")} AS l FROM gb2 i JOIN jt j ON i.batch = j.batch AND i.gene <> j.gene_j), wts AS MATERIALIZED (SELECT gene, batch, g_j, d_j, CAST(floor(exp(l - max(l) OVER (PARTITION BY batch, gene)) * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT) AS w FROM pairs), star AS MATERIALIZED (SELECT gene, batch, CAST(round(sum(CAST(g_j AS DECIMAL(16,12)) * w), 6) AS DOUBLE) / CAST(sum(w) AS DOUBLE) AS gamma_star, CAST(round(sum(CAST(d_j AS DECIMAL(16,12)) * w), 6) AS DOUBLE) / CAST(sum(w) AS DOUBLE) AS delta2_star FROM wts GROUP BY 1, 2 HAVING sum(w) > 0) SELECT z.gene, z.sample, z.batch, z.value, ${qSql("z.sigma * (z.z - s.gamma_star) / sqrt(s.delta2_star) + z.alpha", "1000000.0")} AS adjusted FROM z6t z LEFT JOIN star s ON z.gene = s.gene AND z.batch = s.batch"""
+  }
+
   private def combatFixedOracleSql(iters: Int): String = {
-    // string-free grid quantizer mirroring the kernel's floor(x*g+0.5)/g
-    // (see Combat.adjustPreJoinedFixed — the varchar-decimal mimic is
-    // unsound when Java's pre-19 toString spells a double non-shortest)
-    def q(x: String, g: String) =
-      s"floor(($x) * CAST($g AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST($g AS DOUBLE)"
-    val base = s"""d AS MATERIALIZED (SELECT CAST(l_partkey % 50 AS VARCHAR) AS gene, l_orderkey * 10 + l_linenumber AS sample, l_extendedprice AS value, concat('b', CAST((l_orderkey * 10 + l_linenumber) % 3 AS VARCHAR)) AS batch FROM lineitem), gs AS MATERIALIZED (SELECT gene, count(value) AS n_g, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s1, CAST(sum(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s2 FROM d GROUP BY 1), gs2 AS MATERIALIZED (SELECT gene, s1 / n_g AS alpha, CASE WHEN n_g > 1 THEN sqrt(greatest((s2 - s1 * s1 / n_g) / (n_g - 1), CAST(0.0 AS DOUBLE))) END AS sigma FROM gs), z AS MATERIALIZED (SELECT d.gene, d.sample, d.batch, d.value, g.alpha, g.sigma, (d.value - g.alpha) / (CASE WHEN g.sigma > 0 THEN g.sigma END) AS z FROM d JOIN gs2 g USING (gene)), z6t AS MATERIALIZED (SELECT *, ${q("z", "1000000.0")} AS z6 FROM z), gb AS MATERIALIZED (SELECT gene, batch, count(z6) AS n, CAST(sum(CAST(z6 AS DECIMAL(17,6))) AS DOUBLE) AS sz, CAST(round(sum(CAST(z6 AS DECIMAL(17,6)) * CAST(z6 AS DECIMAL(17,6))), 8) AS DOUBLE) AS szz FROM z6t GROUP BY 1, 2), gb2 AS MATERIALIZED (SELECT gene, batch, n, ${q("sz / n", "1000000000000.0")} AS gamma_hat, CASE WHEN n > 1 THEN ${q("(szz - sz * sz / n) / (n - 1)", "1000000000000.0")} END AS delta2_hat FROM gb), pr AS MATERIALIZED (SELECT batch, count(*) AS k, CAST(sum(CAST(gamma_hat AS DECIMAL(14,12))) AS DOUBLE) AS sg, CAST(round(sum(CAST(gamma_hat AS DECIMAL(14,12)) * CAST(gamma_hat AS DECIMAL(14,12))), 12) AS DOUBLE) AS sgg, count(delta2_hat) AS kd, CAST(sum(CAST(delta2_hat AS DECIMAL(14,12))) AS DOUBLE) AS sd, CAST(round(sum(CAST(delta2_hat AS DECIMAL(14,12)) * CAST(delta2_hat AS DECIMAL(14,12))), 12) AS DOUBLE) AS sdd FROM gb2 GROUP BY 1), pr2 AS MATERIALIZED (SELECT batch, sg / k AS gamma_bar, CASE WHEN k > 1 THEN (sgg - sg * sg / k) / (k - 1) END AS tau2, sd / kd AS d_mean, CASE WHEN kd > 1 THEN (sdd - sd * sd / kd) / (kd - 1) END AS d_var FROM pr), pr3 AS MATERIALIZED (SELECT batch, gamma_bar, tau2, d_mean, CAST(2.0 AS DOUBLE) + d_mean * d_mean / (CASE WHEN d_var > 0 THEN d_var END) AS lambda FROM pr2), pr4 AS MATERIALIZED (SELECT *, d_mean * (lambda - CAST(1.0 AS DOUBLE)) AS theta FROM pr3), e0 AS MATERIALIZED (SELECT g.gene, g.batch, g.gamma_hat, g.n, coalesce(g.delta2_hat, p.d_mean, CAST(1.0 AS DOUBLE)) AS d2h, p.gamma_bar, coalesce(p.tau2, CAST(0.0 AS DOUBLE)) AS tau2, coalesce(p.lambda, CAST(2.0 AS DOUBLE)) AS lam, coalesce(p.theta, g.delta2_hat, p.d_mean, CAST(1.0 AS DOUBLE)) AS th, g.gamma_hat AS g_cur, greatest(coalesce(g.delta2_hat, p.d_mean, CAST(1.0 AS DOUBLE)), 1e-8) AS d2_cur FROM gb2 g JOIN pr4 p USING (batch))"""
+    val base = s"""$combatFixedFrontSql, pr AS MATERIALIZED (SELECT batch, count(*) AS k, CAST(sum(CAST(gamma_hat AS DECIMAL(14,12))) AS DOUBLE) AS sg, CAST(round(sum(CAST(gamma_hat AS DECIMAL(14,12)) * CAST(gamma_hat AS DECIMAL(14,12))), 12) AS DOUBLE) AS sgg, count(delta2_hat) AS kd, CAST(sum(CAST(delta2_hat AS DECIMAL(14,12))) AS DOUBLE) AS sd, CAST(round(sum(CAST(delta2_hat AS DECIMAL(14,12)) * CAST(delta2_hat AS DECIMAL(14,12))), 12) AS DOUBLE) AS sdd FROM gb2 GROUP BY 1), pr2 AS MATERIALIZED (SELECT batch, sg / k AS gamma_bar, CASE WHEN k > 1 THEN (sgg - sg * sg / k) / (k - 1) END AS tau2, sd / kd AS d_mean, CASE WHEN kd > 1 THEN (sdd - sd * sd / kd) / (kd - 1) END AS d_var FROM pr), pr3 AS MATERIALIZED (SELECT batch, gamma_bar, tau2, d_mean, CAST(2.0 AS DOUBLE) + d_mean * d_mean / (CASE WHEN d_var > 0 THEN d_var END) AS lambda FROM pr2), pr4 AS MATERIALIZED (SELECT *, d_mean * (lambda - CAST(1.0 AS DOUBLE)) AS theta FROM pr3), e0 AS MATERIALIZED (SELECT g.gene, g.batch, g.gamma_hat, g.n, coalesce(g.delta2_hat, p.d_mean, CAST(1.0 AS DOUBLE)) AS d2h, p.gamma_bar, coalesce(p.tau2, CAST(0.0 AS DOUBLE)) AS tau2, coalesce(p.lambda, CAST(2.0 AS DOUBLE)) AS lam, coalesce(p.theta, g.delta2_hat, p.d_mean, CAST(1.0 AS DOUBLE)) AS th, g.gamma_hat AS g_cur, greatest(coalesce(g.delta2_hat, p.d_mean, CAST(1.0 AS DOUBLE)), 1e-8) AS d2_cur FROM gb2 g JOIN pr4 p USING (batch))"""
     val its = (1 to iters).map { k =>
       s"""e$k AS MATERIALIZED (SELECT gene, batch, gamma_hat, n, d2h, gamma_bar, tau2, lam, th, g_new AS g_cur, greatest((th + CAST(0.5 AS DOUBLE) * ((n - 1) * d2h + n * (gamma_hat - g_new) * (gamma_hat - g_new))) / (n / CAST(2.0 AS DOUBLE) + lam - CAST(1.0 AS DOUBLE)), 1e-8) AS d2_cur FROM (SELECT *, CASE WHEN tau2 > 0 THEN (n * tau2 * gamma_hat + d2_cur * gamma_bar) / (n * tau2 + d2_cur) ELSE gamma_bar END AS g_new FROM e${k - 1}))"""
     }.mkString(", ")

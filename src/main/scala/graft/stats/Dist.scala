@@ -204,6 +204,31 @@ object Dist extends Serializable {
     betaInc(df / 2.0, 0.5, df / (df + t * t))
   }
 
+  /** One-sided (alternative = "greater") Student-t tail P(T_df > t). */
+  def tTailGreater(t: Double, df: Double): Double = {
+    if (df <= 0) return Double.NaN
+    if (t.isInfinite) return if (t > 0) 0.0 else 1.0
+    val half = 0.5 * betaInc(df / 2.0, 0.5, df / (df + t * t))
+    if (t >= 0) half else 1.0 - half
+  }
+
+  /** One-sided p of R's `cor.test(x, y, alternative = "g")` for Pearson
+    * (or, with `controlled` > 0, partial) correlation r over n
+    * observations: t = r·sqrt(df/(1−r²)) with df = n − 2 − controlled,
+    * and the reference's literal-zero floor pv == 0 → 2e-16
+    * (Gohs_method/integrated_aCGH_expression_relationships.R:121-124,
+    * 187-190). */
+  def corrPValueGreater(r: Double, n: Long, controlled: Int = 0): Double = {
+    val df = (n - 2 - controlled).toDouble
+    if (df <= 0) return Double.NaN
+    val rc = math.max(-1.0, math.min(1.0, r))
+    if (rc >= 1.0) return 2e-16
+    if (rc <= -1.0) return 1.0
+    val t = rc * math.sqrt(df / (1.0 - rc * rc))
+    val p = tTailGreater(t, df)
+    if (p == 0.0) 2e-16 else p
+  }
+
   /** Two-sided p-value of Pearson r over n observations. */
   def corrPValue(r: Double, n: Long): Double = {
     if (n < 3) return Double.NaN

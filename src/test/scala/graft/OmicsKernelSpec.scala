@@ -334,6 +334,72 @@ class OmicsKernelSpec extends SparkSpec {
     assert(fixed.forall { case (k, v) => again(k) == v })
   }
 
+  test("nonparametric ComBat matches a driver-side int.eprior replay and " +
+    "its fixed twin stays within quantization tolerance") {
+    val rng = new scala.util.Random(17)
+    val rows = for { g <- 1 to 8; s <- 1 to 40 } yield {
+      val batch = s"b${s % 2}"
+      val shift = if (batch == "b0") 2.0 else -2.0
+      (s"g$g", s.toLong,
+        math.rint((10.0 + g + shift + rng.nextGaussian() * 0.3) * 100) / 100,
+        batch)
+    }
+    val data = rows.toDF("gene", "sample", "value", "batch")
+    // driver-side raw-likelihood re-derivation of int.eprior
+    // (ComBat_NoFiles.R:268-289): no log-space tricks, no sufficient-stat
+    // factorization — the straight per-gene Monte-Carlo integration
+    val byGene = rows.groupBy(_._1)
+    val alphaSigma = byGene.map { case (g, rs) =>
+      val vs = rs.map(_._3)
+      val m = vs.sum / vs.size
+      val sd = math.sqrt(vs.map(v => (v - m) * (v - m)).sum / (vs.size - 1))
+      g -> (m, sd)
+    }
+    val zCell = rows.map { case (g, s, v, b) =>
+      val (a, sg) = alphaSigma(g); (g, s, b, (v - a) / sg)
+    }
+    val cells = zCell.groupBy(r => (r._1, r._3)).map { case ((g, b), rs) =>
+      val zs = rs.map(_._4)
+      val gh = zs.sum / zs.size
+      val dh = zs.map(z => (z - gh) * (z - gh)).sum / (zs.size - 1)
+      (g, b) -> (zs, gh, dh)
+    }
+    val expect = zCell.map { case (g, s, b, z) =>
+      val (zs, _, _) = cells((g, b))
+      val partners = cells.collect {
+        case ((gj, bj), (_, ghj, dhj)) if bj == b && gj != g => (ghj, dhj)
+      }
+      val lhs = partners.map { case (gj, dj) =>
+        val sum2 = zs.map(x => (x - gj) * (x - gj)).sum
+        val lh = math.pow(2 * math.Pi * dj, -zs.size / 2.0) *
+          math.exp(-sum2 / (2 * dj))
+        (gj, dj, lh)
+      }
+      val sw = lhs.map(_._3).sum
+      val gs = lhs.map(t => t._1 * t._3).sum / sw
+      val ds = lhs.map(t => t._2 * t._3).sum / sw
+      val (a, sg) = alphaSigma(g)
+      (g, s) -> (sg * (z - gs) / math.sqrt(ds) + a)
+    }.toMap
+    val got = Combat.adjustPreJoinedNonParam(data)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(4)).toMap
+    assert(got.keySet == expect.keySet)
+    expect.foreach { case (k, e) =>
+      assert(math.abs(got(k) - e) < 1e-5, s"$k: got=${got(k)} expect=$e")
+    }
+    // the fixed twin diverges only by its quantization grids
+    val fixed = Combat.adjustPreJoinedNonParamFixed(data)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(4)).toMap
+    assert(fixed.keySet == expect.keySet)
+    expect.foreach { case (k, e) =>
+      assert(math.abs(fixed(k) - e) < 1e-3, s"$k: fixed=${fixed(k)} expect=$e")
+    }
+    // determinism of the fixed form
+    val again = Combat.adjustPreJoinedNonParamFixed(data)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(4)).toMap
+    assert(fixed.forall { case (k, v) => again(k) == v })
+  }
+
   test("KNN impute fills missing cells with neighbor means") {
     // three entities; e3 tracks e1 exactly, e2 is far away
     val rows = Seq(

@@ -46,6 +46,63 @@ class PipelineGohAbcdSpec extends SparkSpec {
     assert(sig.map(_._2).sum / sig.length > noise.map(_._2).sum / noise.length)
   }
 
+  test("corrPValueGreater matches the closed-form t tails R's " +
+      "cor.test(alternative='g') computes") {
+    import graft.stats.Dist
+    // df = 1: T is standard Cauchy, P(T > t) = 0.5 - atan(t)/pi
+    for (t <- Seq(-2.0, -0.5, 0.0, 0.3, 1.0, 4.0)) {
+      val expect = 0.5 - math.atan(t) / math.Pi
+      assert(math.abs(Dist.tTailGreater(t, 1.0) - expect) < 1e-12,
+        s"df=1 t=$t")
+    }
+    // df = 2: P(T > t) = 0.5 * (1 - t / sqrt(2 + t^2))
+    for (t <- Seq(-3.0, -1.0, 0.0, 0.5, 1.0, 2.5)) {
+      val expect = 0.5 * (1.0 - t / math.sqrt(2.0 + t * t))
+      assert(math.abs(Dist.tTailGreater(t, 2.0) - expect) < 1e-12,
+        s"df=2 t=$t")
+    }
+    // cor.test greater with n = 4 (df = 2) collapses to (1 - r) / 2
+    for (r <- Seq(-0.9, -0.3, 0.0, 0.4, 0.8)) {
+      assert(math.abs(Dist.corrPValueGreater(r, 4) - (1.0 - r) / 2.0) < 1e-12,
+        s"n=4 r=$r")
+    }
+    // one-sided complements: P(T > t) + P(T > -t) = 1
+    for (df <- Seq(3.0, 10.0, 30.0); t <- Seq(0.7, 1.9)) {
+      assert(math.abs(
+        Dist.tTailGreater(t, df) + Dist.tTailGreater(-t, df) - 1.0) < 1e-12)
+    }
+    // the reference's literal-zero floor (:122-124) and df guard
+    assert(Dist.corrPValueGreater(1.0, 10) == 2e-16)
+    assert(Dist.corrPValueGreater(0.5, 3, controlled = 1).isNaN) // df = 0
+    // controlled = 1 shifts df: n = 5 controlled 1 == df 2 closed form
+    assert(math.abs(Dist.corrPValueGreater(0.4, 5, controlled = 1) -
+      (1.0 - 0.4) / 2.0) < 1e-12)
+  }
+
+  test("goh parametric mode: t-tail p-values replace the empirical rank, " +
+      "planted genes stay ahead, and the 0.05 sig cut applies") {
+    val out = graft.pipelines.Goh.run(gohCells(), nGenes = 12, draws = 19,
+      parametric = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(out.length == 12)
+    for ((_, f, nSig, permPv, pAdj) <- out) {
+      assert(f >= 0L) // ln p <= 0 so -2*sum(lnm) >= 0
+      assert(nSig >= 0L && nSig <= 3L)
+      assert(permPv >= 0.05 - 1e-9 && permPv <= 1.0 + 1e-9)
+      assert(pAdj >= permPv - 1e-9 && pAdj <= 1.0 + 1e-9)
+    }
+    // the planted even genes have near-perfect positive pcor: their
+    // parametric t tails are tiny, so every one must count 3/3 datasets
+    // significant and carry a larger Fisher statistic than every noise
+    // gene (a strictly stronger separation than the empirical mode's
+    // mean comparison — the t tail is not floored at 1/(draws+1))
+    val (sig, noise) = out.partition(_._1 % 2 == 0)
+    assert(sig.forall(_._3 == 3L), s"sig counts: ${sig.map(_._3).toSeq}")
+    assert(sig.map(_._2).min > noise.map(_._2).max,
+      "parametric Fisher statistics must separate planted from noise")
+  }
+
   test("goh: degenerate-variance groups yield NULL pcor (never NaN) and " +
       "take the no-evidence path — the denominator guard invariant") {
     // gene 0 in dataset A has CONSTANT ac: Spark corr returns NaN for
