@@ -102,6 +102,11 @@ object ScaleCheck {
     // parse is driver-sized by format contract (.rda is an in-memory R
     // format), so a scale ratio would measure nothing
     "q_pipeline_goh", "q_pipeline_abcd", "q_pipeline_wcmodules_modules",
+    // round-11: the nonparametric-prior ComBat twin (gene×gene
+    // integration is G²-by-definition but over dim-sized relations with
+    // the moments side broadcast — expect corpus-linear growth from the
+    // standardization front half only)
+    "q_combat_nonparam",
     // round-9 ninth: dedup yield distribution, c-TF-IDF source cards,
     // and the water-filling quota solver (domain-sized windows)
     "q_dedup_yield", "q_source_terms", "q_budget_waterfill",

@@ -65,17 +65,21 @@ object Clustering {
         .select(col("id"), col("v"), col("__m").getField("c").as("cluster"))
       // exact per-(cluster, dim) mean: grid values cast to DECIMAL are
       // exact, the decimal sum is order-independent, and sum/count is one
-      // IEEE division of identical operands in any engine
+      // IEEE division of identical operands in any engine. The k·dim
+      // result rows assemble into per-cluster arrays on the DRIVER (the
+      // lloydFitMulti shape) — a second collect_list/sort_array groupBy
+      // here was one extra exchange per iteration for a k·dim-row
+      // relation (measured as part of q_embedding_outliers' job floor).
       val updated = assigned
         .select(col("cluster"), posexplode(col("v")).as(Seq("dim", "x")))
         .groupBy("cluster", "dim")
         .agg((sum(col("x").cast("decimal(24,6)")).cast("double") /
           count(lit(1))).as("m"))
-        .groupBy("cluster")
-        .agg(sort_array(collect_list(struct(col("dim"), col("m")))).as("dm"))
-        .select(col("cluster"),
-          transform(col("dm"), e => e.getField("m")).as("cv"))
-        .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
+        .collect()
+        .groupBy(_.getInt(0))
+        .map { case (c, rows) =>
+          c -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toArray
+        }
       // an empty cluster keeps its previous centroid
       centroids = Array.tabulate(k)(j => updated.getOrElse(j, centroids(j)))
       i += 1
@@ -206,8 +210,12 @@ object Clustering {
   def clusterOutliers(df: DataFrame, idCol: String, vecCol: String,
                       k: Int = 8, iters: Int = 4, seed: Long = 42L,
                       zThreshold: Double = 2.0): DataFrame = {
+    // NO checkpoint on the assignment: it is zero-shuffle codegen over
+    // the already-checkpointed gridded vectors, so recomputing it for
+    // the second consumer is cheaper than the checkpoint's eager job
+    // (the r10→r11 q_embedding_outliers floor trim; single-consumer/
+    // cheap-subtree checkpoints also hide exchanges from the plan audit)
     val a = kmeansAssign(df, idCol, vecCol, k, iters, seed)
-      .localCheckpoint(false)
     val d6 = col("dist").cast("decimal(13,6)")
     val moms = a.groupBy("cluster").agg(
       count(lit(1)).as("n"),
