@@ -71,7 +71,8 @@ object PlanAudit {
       "q_ann_pq", // ADC scan: broadcast query/ADC tables vs streamed codes
       "q_embedding_drift", // four single-row mean/count frames cross-joined
       "q_dedup_tier_agreement", // three single-row pair counts cross-joined
-      "q_hard_negatives") // broadcast-queries-vs-corpus scoring + all-pairs exclude
+      "q_hard_negatives", // broadcast-queries-vs-corpus scoring + all-pairs exclude
+      "q_linearity_cn") // single-row library totals + anchor-row rescale crosses
     // unpartitioned windows that are PROVABLY bounded: the relation under
     // the window is aggregate-sized (bins, group cardinalities, top-N
     // heads — never corpus-sized), so "move all data to a single

@@ -107,6 +107,9 @@ object ScaleCheck {
     // the moments side broadcast — expect corpus-linear growth from the
     // standardization front half only)
     "q_combat_nonparam",
+    // round-11: the Robinson figure metrics — one corpus aggregate each,
+    // everything downstream CN-state-sized (expect near-flat)
+    "q_rrpd", "q_linearity_cn",
     // round-9 ninth: dedup yield distribution, c-TF-IDF source cards,
     // and the water-filling quota solver (domain-sized windows)
     "q_dedup_yield", "q_source_terms", "q_budget_waterfill",

@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import graft.omics.{BetaMixture, Combat, DriverNet, GlmNb, Impute, Models}
+import graft.omics.{BetaMixture, Combat, DriverNet, GlmNb, Impute, Models, Robinson}
 import graft.stats.Stats
 import Q.{Entry, t}
 
@@ -206,6 +206,55 @@ object OmicsQueries {
       (s, d) => Combat.adjustPreJoinedNonParamFixed(combatData(s, d)
         .withColumn("batch", concat(lit("b"), (col("sample") % 3).cast("string")))),
       Some(combatNonParamOracleSql)),
+
+    Entry("q_rrpd",
+      // Robinson Figure-4 relative-peak-density curve: called regions →
+      // first-overlap CN state (lowest bin index, the GRanges
+      // select="first" convention) → (state × direction) contingency →
+      // smoothed gain/loss ratio per state
+      (s, d) => {
+        val peaks = t(s, d, "lineitem")
+          .groupBy((col("l_orderkey") % 200).as("pid"))
+          .agg((sum(col("l_quantity").cast("long")) % 2).as("par"))
+          .select(col("pid"),
+            (col("pid") * 77).cast("double").as("p_start"),
+            (col("pid") * 77 + 76).cast("double").as("p_end"),
+            when(col("par") === 0, "up").otherwise("down").as("cls"))
+        val bins = t(s, d, "part")
+          .groupBy((col("p_partkey") % 30).as("bix"))
+          .agg((lit(1) + sum(col("p_size")).cast("long") % 4).as("cn"))
+          .select(col("bix"),
+            (col("bix") * 500).cast("double").as("b_start"),
+            (col("bix") * 500 + 499).cast("double").as("b_end"),
+            concat(lit("L="), col("cn").cast("string")).as("state"))
+        Robinson.rrpd(peaks, bins, binWidth = 500.0,
+          posCls = "up", negCls = "down")
+      },
+      Some("""WITH peaks AS (SELECT pid, CAST(pid * 77 AS DOUBLE) AS p_start, CAST(pid * 77 + 76 AS DOUBLE) AS p_end, CASE WHEN par = 0 THEN 'up' ELSE 'down' END AS cls FROM (SELECT l_orderkey % 200 AS pid, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) % 2 AS par FROM lineitem GROUP BY 1)), bins AS (SELECT bix, CAST(bix * 500 AS DOUBLE) AS b_start, CAST(bix * 500 + 499 AS DOUBLE) AS b_end, concat('L=', CAST(1 + cnr AS VARCHAR)) AS state FROM (SELECT p_partkey % 30 AS bix, CAST(sum(p_size) AS BIGINT) % 4 AS cnr FROM part GROUP BY 1)), hit AS (SELECT p.pid, p.cls, min_by(b.state, b.bix) AS state FROM peaks p JOIN bins b ON p.p_start <= b.b_end AND b.b_start <= p.p_end GROUP BY 1, 2), ct AS (SELECT state, CAST(count(*) AS BIGINT) AS n_peaks, CAST(sum(CASE WHEN cls = 'up' THEN 1 ELSE 0 END) AS BIGINT) AS n_pos, CAST(sum(CASE WHEN cls = 'down' THEN 1 ELSE 0 END) AS BIGINT) AS n_neg FROM hit GROUP BY 1) SELECT state, n_peaks, n_pos, n_neg, CASE WHEN CAST(0.0 AS DOUBLE) + CAST(n_neg AS DOUBLE) > 0 THEN floor((CAST(0.5 AS DOUBLE) + CAST(n_pos AS DOUBLE)) / (CAST(0.0 AS DOUBLE) + CAST(n_neg AS DOUBLE)) * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000.0 AS DOUBLE) END AS rrpd FROM ct""")),
+
+    Entry("q_linearity_cn",
+      // Robinson Figure-2 linearity: per CN state, median M log-ratio
+      // over the state's high-abundance bins (top max(100, ~1%) by A,
+      // with the zero-count edge-point guard), exp'd and rescaled to
+      // the L=4 anchor — the observed-fold-change-tracks-copy-number
+      // check
+      (s, d) => {
+        val bc = t(s, d, "lineitem")
+          .groupBy((col("l_partkey") % 100).as("region"))
+          .agg(
+            coalesce(sum(when(col("l_linestatus") === "O",
+              col("l_quantity").cast("long"))), lit(0L)).as("refc"),
+            coalesce(sum(when(col("l_linestatus") === "F",
+              col("l_quantity").cast("long"))), lit(0L)).as("samc"))
+          .withColumn("state",
+            concat(lit("L="), (lit(1) + col("region") % 4).cast("string")))
+        Robinson.linearityByCn(bc, anchor = Some(("L=4", 4.0)))
+      },
+      Some {
+        def q(x: String) =
+          s"floor(($x) * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000.0 AS DOUBLE)"
+        s"""WITH bc AS (SELECT region, concat('L=', CAST(1 + region % 4 AS VARCHAR)) AS state, refc, samc FROM (SELECT l_partkey % 100 AS region, CAST(coalesce(sum(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS BIGINT) END), 0) AS BIGINT) AS refc, CAST(coalesce(sum(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS BIGINT) END), 0) AS BIGINT) AS samc FROM lineitem GROUP BY 1)), tot AS (SELECT CAST(sum(refc) AS DOUBLE) AS s2, CAST(sum(samc) AS DOUBLE) AS s3 FROM bc), ma AS (SELECT region, state, (refc = 0 OR samc = 0) AS w, ${q("(log2(greatest(CAST(refc AS DOUBLE), CAST(0.5 AS DOUBLE)) / t.s2) + log2(greatest(CAST(samc AS DOUBLE), CAST(0.5 AS DOUBLE)) / t.s3)) / CAST(2.0 AS DOUBLE)")} AS a, CASE WHEN NOT (refc = 0 OR samc = 0) THEN ${q("log2((CAST(samc AS DOUBLE) / t.s3) / (CAST(refc AS DOUBLE) / t.s2))")} END AS m FROM bc, tot t), nw AS (SELECT state, count(*) AS n_nw, least(greatest(100, CAST(floor(CAST(count(*) AS DOUBLE) * CAST(0.01 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)), count(*)) AS top FROM ma WHERE NOT w GROUP BY 1), qa AS (SELECT state, a AS qa FROM (SELECT ma.state, ma.a, row_number() OVER (PARTITION BY ma.state ORDER BY ma.a DESC, ma.region) AS rn, nw.top FROM ma JOIN nw USING (state) WHERE NOT ma.w) WHERE rn = top), qw AS (SELECT state, max(a) AS qw FROM ma WHERE w GROUP BY 1), cuts AS (SELECT qa.state, greatest(qa.qa, coalesce(qw.qw, CAST('-infinity' AS DOUBLE))) AS qv FROM qa LEFT JOIN qw USING (state)), f AS (SELECT ma.state, CAST(count(*) AS BIGINT) AS n_kept, ${q("quantile_cont(ma.m, 0.5)")} AS f_log2 FROM ma JOIN cuts USING (state) WHERE NOT ma.w AND ma.a > cuts.qv GROUP BY 1), f2 AS (SELECT state, n_kept, f_log2, ${q("exp(f_log2)")} AS f FROM f), nall AS (SELECT state, CAST(count(*) AS BIGINT) AS n_bins FROM ma GROUP BY 1), base AS (SELECT nall.state, nall.n_bins, f2.n_kept, f2.f_log2, f2.f FROM nall LEFT JOIN f2 USING (state)), fa AS (SELECT f AS fav FROM base WHERE state = 'L=4') SELECT state, n_bins, n_kept, f_log2, f, ${q("f / fa.fav * CAST(4.0 AS DOUBLE)")} AS f_scaled FROM base, fa"""
+      }),
 
     Entry("q_knn_impute",
       // KNN imputation: per-user per-type mean values with 20% of the

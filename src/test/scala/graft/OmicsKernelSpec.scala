@@ -400,6 +400,50 @@ class OmicsKernelSpec extends SparkSpec {
     assert(fixed.forall { case (k, v) => again(k) == v })
   }
 
+  test("Robinson RRPD takes the lowest-index first overlap and smooths " +
+    "the direction ratio; linearity anchors to the requested state") {
+    import graft.omics.Robinson
+    // peak 0 overlaps bins 0 AND 1 -> must be tabled under bin 0's state
+    val peaks = Seq(
+      (0L, 0.0, 149.0, "up"), (1L, 100.0, 199.0, "up"),
+      (2L, 100.0, 199.0, "down"), (3L, 250.0, 260.0, "up"),
+      (4L, 900.0, 950.0, "down") // overlaps nothing
+    ).toDF("pid", "p_start", "p_end", "cls")
+    val bins = Seq(
+      (0L, 0.0, 99.0, "L=1"), (1L, 100.0, 199.0, "L=2"),
+      (2L, 200.0, 299.0, "L=2")
+    ).toDF("bix", "b_start", "b_end", "state")
+    val r = Robinson.rrpd(peaks, bins, binWidth = 100.0, "up", "down")
+      .collect().map(x => x.getString(0) ->
+        (x.getLong(1), x.getLong(2), x.getLong(3),
+          if (x.isNullAt(4)) None else Some(x.getDouble(4)))).toMap
+    // peak 0 -> L=1 (bix 0 beats bix 1); peaks 1,2,3 -> L=2; peak 4 dropped
+    assert(r.keySet == Set("L=1", "L=2"))
+    // no negCls calls and no denominator smoothing: NULL, never inf
+    assert(r("L=1") == ((1L, 1L, 0L, None)))
+    assert(r("L=2")._1 == 3L && r("L=2")._2 == 2L && r("L=2")._3 == 1L)
+    assert(math.abs(r("L=2")._4.get - 2.5) < 1e-9) // (0.5 + 2) / 1
+
+    // linearity: two states; the anchor state's f_scaled must equal the
+    // anchor scale exactly. With sam = 4*ref in L=4 and 2*ref in L=2,
+    // the per-state M log2-ratios differ by exactly log2(1/2) = -1, and
+    // the reference's exp-of-log2 quirk (run_ABCD-DNA.R:43, mirrored
+    // verbatim) makes the scaled factor 4*exp(-1), NOT 4*2^-1
+    val bc = (0 until 400).map { i =>
+      val st = if (i % 2 == 0) "L=2" else "L=4"
+      val ref = 50L + i % 7
+      val sam = if (st == "L=4") ref * 4 else ref * 2
+      (i.toLong, st, ref, sam)
+    }.toDF("region", "state", "refc", "samc")
+    val lin = Robinson.linearityByCn(bc, anchor = Some(("L=4", 4.0)))
+      .collect().map(x => x.getString(0) ->
+        (x.getLong(1), x.getDouble(4), x.getDouble(5))).toMap
+    assert(lin.keySet == Set("L=2", "L=4"))
+    assert(math.abs(lin("L=4")._3 - 4.0) < 1e-6, s"anchor: ${lin("L=4")}")
+    assert(math.abs(lin("L=2")._3 - 4.0 * math.exp(-1.0)) < 1e-4,
+      s"L=2: ${lin("L=2")}")
+  }
+
   test("KNN impute fills missing cells with neighbor means") {
     // three entities; e3 tracks e1 exactly, e2 is far away
     val rows = Seq(
