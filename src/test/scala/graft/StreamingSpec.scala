@@ -351,6 +351,53 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(idx).select("id").distinct().count() == 5)
   }
 
+  test("streamingNearDup drives lake/index/pairs through explicit " +
+       "FileSystem URIs (file://) — locks the Hadoop-FS prior-batch " +
+       "detection against a java.io.File regression") {
+    import spark.implicits._
+    // same planted shape as the local-path test, smaller: the ONLY
+    // near-dup pair is cross-batch, so it emits iff batch 1 actually
+    // SEES batch 0's persisted index under the URI form. A java.io.File
+    // regression in hasBatches treats "file:/…" as a nonexistent
+    // relative path, reports no prior batches, and loses the pair.
+    val base = "the quick brown fox jumps over the lazy dog and runs " +
+      "far away while birds sing in the tall green trees near the " +
+      "quiet river bank under a bright blue sky with soft white clouds"
+    val other = "completely different text about spark catalyst " +
+      "optimizer rules and distributed shuffle partitioning strategies " +
+      "for very large analytical clusters running columnar scans today"
+    val b0 = Seq((1L, base), (3L, other))
+    val b1 = Seq((4L, base.replace("bright", "pale")))
+    val staging = java.nio.file.Files.createTempDirectory("graft_ndu_stg")
+    val src = java.nio.file.Files.createTempDirectory("graft_ndu_src")
+    Seq(b0, b1).zipWithIndex.foreach { case (b, i) =>
+      b.toDF("doc_id", "text").coalesce(1).write.parquet(s"$staging/b$i")
+      val f = new java.io.File(s"$staging/b$i").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = src.resolve(f"b$i%02d.parquet")
+      java.nio.file.Files.copy(f.toPath, dst)
+      dst.toFile.setLastModified(1700000000000L + i * 60000L)
+    }
+    def uriDir(tag: String): String =
+      "file://" + java.nio.file.Files.createTempDirectory(tag).toString
+    val lake = uriDir("graft_ndu_lake")
+    val idx = uriDir("graft_ndu_idx")
+    val prs = uriDir("graft_ndu_prs")
+    val ckpt = uriDir("graft_ndu_ck")
+    val schema = spark.read.parquet(s"$staging/b0").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(src.toString)
+    val q = Events.streamingNearDup(stream, "doc_id", "text",
+      lake, idx, prs, ckpt, k = 3, threshold = 0.5)
+    q.awaitTermination(120000)
+    val streamed = spark.read.parquet(prs)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(streamed == Set((1L, 4L)),
+      s"cross-batch pair lost under URI paths: $streamed")
+    assert(spark.read.parquet(lake).count() == 3)
+    assert(spark.read.parquet(idx).select("id").distinct().count() == 3)
+  }
+
   test("streamingSpanIngest: cross-batch shared paragraph flagged via " +
        "the merged gram-df index") {
     import spark.implicits._
