@@ -143,8 +143,11 @@ object Robinson {
     anchor match {
       case None => base
       case Some((st, scale)) =>
-        val fa = base.where(col("state") === st)
-          .select(col("f").as("__fa"))
+        // the anchor row is an AGGREGATE (always exactly one row, null
+        // when the anchor state is absent) — a filter would make the
+        // crossJoin empty and silently wipe the whole report
+        val fa = base.agg(
+          max(when(col("state") === st, col("f"))).as("__fa"))
         base.crossJoin(broadcast(fa))
           .withColumn("f_scaled",
             q6(col("f") / col("__fa") * lit(scale)))

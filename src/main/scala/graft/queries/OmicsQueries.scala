@@ -253,7 +253,7 @@ object OmicsQueries {
       Some {
         def q(x: String) =
           s"floor(($x) * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000.0 AS DOUBLE)"
-        s"""WITH bc AS (SELECT region, concat('L=', CAST(1 + region % 4 AS VARCHAR)) AS state, refc, samc FROM (SELECT l_partkey % 100 AS region, CAST(coalesce(sum(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS BIGINT) END), 0) AS BIGINT) AS refc, CAST(coalesce(sum(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS BIGINT) END), 0) AS BIGINT) AS samc FROM lineitem GROUP BY 1)), tot AS (SELECT CAST(sum(refc) AS DOUBLE) AS s2, CAST(sum(samc) AS DOUBLE) AS s3 FROM bc), ma AS (SELECT region, state, (refc = 0 OR samc = 0) AS w, ${q("(log2(greatest(CAST(refc AS DOUBLE), CAST(0.5 AS DOUBLE)) / t.s2) + log2(greatest(CAST(samc AS DOUBLE), CAST(0.5 AS DOUBLE)) / t.s3)) / CAST(2.0 AS DOUBLE)")} AS a, CASE WHEN NOT (refc = 0 OR samc = 0) THEN ${q("log2((CAST(samc AS DOUBLE) / t.s3) / (CAST(refc AS DOUBLE) / t.s2))")} END AS m FROM bc, tot t), nw AS (SELECT state, count(*) AS n_nw, least(greatest(100, CAST(floor(CAST(count(*) AS DOUBLE) * CAST(0.01 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)), count(*)) AS top FROM ma WHERE NOT w GROUP BY 1), qa AS (SELECT state, a AS qa FROM (SELECT ma.state, ma.a, row_number() OVER (PARTITION BY ma.state ORDER BY ma.a DESC, ma.region) AS rn, nw.top FROM ma JOIN nw USING (state) WHERE NOT ma.w) WHERE rn = top), qw AS (SELECT state, max(a) AS qw FROM ma WHERE w GROUP BY 1), cuts AS (SELECT qa.state, greatest(qa.qa, coalesce(qw.qw, CAST('-infinity' AS DOUBLE))) AS qv FROM qa LEFT JOIN qw USING (state)), f AS (SELECT ma.state, CAST(count(*) AS BIGINT) AS n_kept, ${q("quantile_cont(ma.m, 0.5)")} AS f_log2 FROM ma JOIN cuts USING (state) WHERE NOT ma.w AND ma.a > cuts.qv GROUP BY 1), f2 AS (SELECT state, n_kept, f_log2, ${q("exp(f_log2)")} AS f FROM f), nall AS (SELECT state, CAST(count(*) AS BIGINT) AS n_bins FROM ma GROUP BY 1), base AS (SELECT nall.state, nall.n_bins, f2.n_kept, f2.f_log2, f2.f FROM nall LEFT JOIN f2 USING (state)), fa AS (SELECT f AS fav FROM base WHERE state = 'L=4') SELECT state, n_bins, n_kept, f_log2, f, ${q("f / fa.fav * CAST(4.0 AS DOUBLE)")} AS f_scaled FROM base, fa"""
+        s"""WITH bc AS (SELECT region, concat('L=', CAST(1 + region % 4 AS VARCHAR)) AS state, refc, samc FROM (SELECT l_partkey % 100 AS region, CAST(coalesce(sum(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS BIGINT) END), 0) AS BIGINT) AS refc, CAST(coalesce(sum(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS BIGINT) END), 0) AS BIGINT) AS samc FROM lineitem GROUP BY 1)), tot AS (SELECT CAST(sum(refc) AS DOUBLE) AS s2, CAST(sum(samc) AS DOUBLE) AS s3 FROM bc), ma AS (SELECT region, state, (refc = 0 OR samc = 0) AS w, ${q("(log2(greatest(CAST(refc AS DOUBLE), CAST(0.5 AS DOUBLE)) / t.s2) + log2(greatest(CAST(samc AS DOUBLE), CAST(0.5 AS DOUBLE)) / t.s3)) / CAST(2.0 AS DOUBLE)")} AS a, CASE WHEN NOT (refc = 0 OR samc = 0) THEN ${q("log2((CAST(samc AS DOUBLE) / t.s3) / (CAST(refc AS DOUBLE) / t.s2))")} END AS m FROM bc, tot t), nw AS (SELECT state, count(*) AS n_nw, least(greatest(100, CAST(floor(CAST(count(*) AS DOUBLE) * CAST(0.01 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)), count(*)) AS top FROM ma WHERE NOT w GROUP BY 1), qa AS (SELECT state, a AS qa FROM (SELECT ma.state, ma.a, row_number() OVER (PARTITION BY ma.state ORDER BY ma.a DESC, ma.region) AS rn, nw.top FROM ma JOIN nw USING (state) WHERE NOT ma.w) WHERE rn = top), qw AS (SELECT state, max(a) AS qw FROM ma WHERE w GROUP BY 1), cuts AS (SELECT qa.state, greatest(qa.qa, coalesce(qw.qw, CAST('-infinity' AS DOUBLE))) AS qv FROM qa LEFT JOIN qw USING (state)), f AS (SELECT ma.state, CAST(count(*) AS BIGINT) AS n_kept, ${q("quantile_cont(ma.m, 0.5)")} AS f_log2 FROM ma JOIN cuts USING (state) WHERE NOT ma.w AND ma.a > cuts.qv GROUP BY 1), f2 AS (SELECT state, n_kept, f_log2, ${q("exp(f_log2)")} AS f FROM f), nall AS (SELECT state, CAST(count(*) AS BIGINT) AS n_bins FROM ma GROUP BY 1), base AS (SELECT nall.state, nall.n_bins, f2.n_kept, f2.f_log2, f2.f FROM nall LEFT JOIN f2 USING (state)), fa AS (SELECT max(CASE WHEN state = 'L=4' THEN f END) AS fav FROM base) SELECT state, n_bins, n_kept, f_log2, f, ${q("f / fa.fav * CAST(4.0 AS DOUBLE)")} AS f_scaled FROM base, fa"""
       }),
 
     Entry("q_knn_impute",
