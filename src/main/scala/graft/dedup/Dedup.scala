@@ -1698,31 +1698,56 @@ object Dedup {
   def decontaminateBloom(corpus: DataFrame, eval: DataFrame, idCol: String,
                          textCol: String, k: Int = 5,
                          fpp: Double = 0.01): DataFrame = {
+    val (evalHashes, bloom) = evalHashIndex(eval, textCol, k, fpp)
+    decontaminateBloomWith(corpus, evalHashes, bloom, idCol, textCol, k)
+  }
+
+  /** The prebuilt eval side of [[decontaminateBloom]]: the distinct
+    * shingle-hash relation (persisted — it feeds the bloom build AND
+    * every exact-verify join) and a bloom filter sized from its exact
+    * count, or None for an empty eval set. Build ONCE and reuse across
+    * repeated corpus slices or streaming micro-batches
+    * ([[graft.streaming.Events.streamingDecontaminate]]) — rebuilding
+    * per batch would re-scan the eval set every trigger. */
+  def evalHashIndex(eval: DataFrame, textCol: String, k: Int,
+                    fpp: Double = 0.01)
+      : (DataFrame, Option[org.apache.spark.util.sketch.BloomFilter]) = {
     require(fpp > 0 && fpp < 1, s"fpp out of (0,1): $fpp")
     val evalHashes = eval
       .select(explode(graft.catalyst.ArrayFunctions.shingleHashes(
         col(textCol), k)).as("__h"))
       .distinct()
-      .localCheckpoint(false) // feeds the bloom build AND the exact verify
+      .localCheckpoint(false)
     val expectedItems = evalHashes.count()
     // an EMPTY eval set contaminates nothing — and Spark's
     // stat.bloomFilter NPEs on an empty frame (null aggregate buffer),
     // so short-circuit before building the filter
-    if (expectedItems == 0L)
-      return corpus.select(col(idCol), lit(0L).as("n_hits"),
+    if (expectedItems == 0L) (evalHashes, None)
+    else (evalHashes,
+      Some(evalHashes.stat.bloomFilter("__h", expectedItems, fpp)))
+  }
+
+  /** [[decontaminateBloom]] against a prebuilt eval index from
+    * [[evalHashIndex]] — MUST be built with the same shingle k. */
+  def decontaminateBloomWith(corpus: DataFrame, evalHashes: DataFrame,
+                             bloom: Option[org.apache.spark.util.sketch.BloomFilter],
+                             idCol: String, textCol: String,
+                             k: Int): DataFrame = bloom match {
+    case None =>
+      corpus.select(col(idCol), lit(0L).as("n_hits"),
         lit(false).as("contaminated"))
-    val bloom = evalHashes.stat.bloomFilter("__h", expectedItems, fpp)
-    val candidates = corpus
-      .select(col(idCol), explode(graft.catalyst.ArrayFunctions.shingleHashes(
-        col(textCol), k)).as("__h"))
-      .where(graft.catalyst.ArrayFunctions.bloomContainsLong(col("__h"), bloom))
-    val hits = candidates
-      .join(evalHashes, Seq("__h"))
-      .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_hits"))
-    corpus.select(col(idCol))
-      .join(hits, Seq(idCol), "left")
-      .select(col(idCol), coalesce(col("n_hits"), lit(0L)).as("n_hits"))
-      .withColumn("contaminated", col("n_hits") > 0)
+    case Some(bf) =>
+      val candidates = corpus
+        .select(col(idCol), explode(graft.catalyst.ArrayFunctions.shingleHashes(
+          col(textCol), k)).as("__h"))
+        .where(graft.catalyst.ArrayFunctions.bloomContainsLong(col("__h"), bf))
+      val hits = candidates
+        .join(evalHashes, Seq("__h"))
+        .groupBy(col(idCol))
+        .agg(count(lit(1)).as("n_hits"))
+      corpus.select(col(idCol))
+        .join(hits, Seq(idCol), "left")
+        .select(col(idCol), coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+        .withColumn("contaminated", col("n_hits") > 0)
   }
 }

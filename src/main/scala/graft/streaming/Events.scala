@@ -471,6 +471,38 @@ object Events {
       }
       .start()
 
+  /** Streaming eval-set decontamination at ingest — the continuous twin
+    * of [[graft.dedup.Dedup.decontaminateBloom]]: the EVAL side is
+    * static (built once — bloom bitmap + exact hash relation, both
+    * eval-sized), and each arriving document batch flows through the
+    * same bloom pre-filter → exact-verify join → per-doc hit count, so
+    * per-ingest cost rides the batch, never the corpus or the history.
+    * Per-doc decisions are independent of batching by construction
+    * (contamination is doc-vs-eval, no cross-doc state), which is the
+    * ≡-batch property StreamingSpec pins. Decisions land under
+    * `outDir/batch=<id>` (idempotent overwrite per batch id —
+    * replay-safe), ready for the downstream curation join. */
+  def streamingDecontaminate(docs: DataFrame, eval: DataFrame,
+                             idCol: String, textCol: String,
+                             outDir: String, checkpoint: String,
+                             k: Int = 5, fpp: Double = 0.01)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    // static eval side: hash relation + bloom built ONCE, shared by
+    // every micro-batch (a per-batch rebuild would re-scan the eval set
+    // each trigger)
+    val (evalHashes, bloom) =
+      graft.dedup.Dedup.evalHashIndex(eval, textCol, k, fpp)
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        graft.dedup.Dedup.decontaminateBloomWith(batch, evalHashes, bloom,
+            idCol, textCol, k)
+          .write.mode("overwrite").parquet(s"$outDir/batch=$id")
+      }
+      .start()
+  }
+
   final case class UserState(n: Long, total: Double, lastTsMicros: Long)
   final case class UserUpdate(user_id: Long, n_events: Long, total_value: Double,
                               last_ts: Long)

@@ -398,6 +398,58 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(idx).select("id").distinct().count() == 3)
   }
 
+  test("streamingDecontaminate: per-batch decisions over the once-built " +
+       "eval index equal the whole-corpus batch decontamination") {
+    import spark.implicits._
+    val evalTxt = "what is the capital of france paris is the capital " +
+      "of france and it is known for the eiffel tower landmark"
+    val clean = "spark structured streaming processes micro batches " +
+      "of files appearing in a monitored directory as a table"
+    // doc 1 contains a verbatim eval span (contaminated); 2 and 4 are
+    // clean; 3 contains a shorter eval fragment
+    val b0 = Seq((1L, "intro text " + evalTxt + " outro text"), (2L, clean))
+    val b1 = Seq((3L, "prefix capital of france paris is the capital suffix"),
+      (4L, clean.replace("table", "relation")))
+    val staging = java.nio.file.Files.createTempDirectory("graft_dc_stg")
+    val src = java.nio.file.Files.createTempDirectory("graft_dc_src")
+    Seq(b0, b1).zipWithIndex.foreach { case (b, i) =>
+      b.toDF("doc_id", "text").coalesce(1).write.parquet(s"$staging/b$i")
+      val f = new java.io.File(s"$staging/b$i").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = src.resolve(f"b$i%02d.parquet")
+      java.nio.file.Files.copy(f.toPath, dst)
+      dst.toFile.setLastModified(1700000000000L + i * 60000L)
+    }
+    val eval = Seq((100L, evalTxt)).toDF("eval_id", "text")
+    val out = java.nio.file.Files.createTempDirectory("graft_dc_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_dc_ck").toString
+    val schema = spark.read.parquet(s"$staging/b0").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(src.toString)
+    val q = Events.streamingDecontaminate(stream, eval, "doc_id", "text",
+      out, ckpt, k = 5, fpp = 0.01)
+    q.awaitTermination(120000)
+    val streamed = spark.read.parquet(out)
+      .select("doc_id", "n_hits", "contaminated")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    val whole = graft.dedup.Dedup.decontaminateBloom(
+        (b0 ++ b1).toDF("doc_id", "text"), eval, "doc_id", "text",
+        k = 5, fpp = 0.01)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(streamed == whole, s"streamed=$streamed whole=$whole")
+    // the planted structure actually exercised both directions
+    val byId = streamed.map(t => t._1 -> t._3).toMap
+    assert(byId(1L) && byId(3L) && !byId(2L) && !byId(4L))
+    // empty eval set: every doc passes, no bloom is built
+    val (eh, bl) = graft.dedup.Dedup.evalHashIndex(
+      eval.where(lit(false)), "text", 5)
+    assert(bl.isEmpty)
+    val none = graft.dedup.Dedup.decontaminateBloomWith(
+        b0.toDF("doc_id", "text"), eh, bl, "doc_id", "text", 5)
+      .collect()
+    assert(none.length == 2 && none.forall(!_.getBoolean(2)))
+  }
+
   test("streamingSpanIngest: cross-batch shared paragraph flagged via " +
        "the merged gram-df index") {
     import spark.implicits._
