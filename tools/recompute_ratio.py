@@ -17,9 +17,13 @@ import sys
 bench_path = sys.argv[1] if len(sys.argv) > 1 else "BENCH_FULL.json"
 duck_path = sys.argv[2] if len(sys.argv) > 2 else "tools/duck_times_r10.json"
 
-eng = json.load(open(bench_path))["queries"]
+bench = json.load(open(bench_path))
+eng = bench["queries"]
 duck = json.load(open(duck_path))["queries"]
 shared = sorted(set(eng) & set(duck))
+
+print(f"engine artifact: {bench_path} "
+      f"(protocol: {bench.get('protocol', 'unrecorded — pre-round-11 artifact')})")
 
 e_all = sum(eng[q] for q in shared)
 d_all = sum(duck[q] for q in shared)
