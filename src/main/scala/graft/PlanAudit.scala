@@ -66,6 +66,8 @@ object PlanAudit {
       "q_lm_score", // single-row vocabulary-size broadcast-joined back
       "q_pipeline_goh", // dimension-sized empirical-tail theta joins
                         // (draws×datasets broadcast vs gene relation)
+      "q_goh_parametric", // combined-p theta join only (draws-sized
+                          // null-Fisher relation broadcast vs genes)
       "q_pipeline_abcd", // single-row AUC frame cross-joined back
       "q_dsir_sample",  // same weights stage under the Gumbel top-k
       "q_ann_pq", // ADC scan: broadcast query/ADC tables vs streamed codes
@@ -91,6 +93,7 @@ object PlanAudit {
                           // vocabulary is sublinear in corpus (Heaps law)
       "q_zipf_fit",       // top-200 rank AFTER the TakeOrdered head
       "q_pipeline_goh",   // BH rank over the gene relation (dim-sized)
+      "q_goh_parametric", // same BH rank over the gene relation
       "q_pipeline_abcd")  // ROC rank over the bin relation (dim-sized)
     val shapes = scala.collection.mutable.LinkedHashMap[String, Shape]()
     SparkEntry.queries.toSeq.sortBy(_._1)

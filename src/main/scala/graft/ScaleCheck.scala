@@ -102,6 +102,10 @@ object ScaleCheck {
     // parse is driver-sized by format contract (.rda is an in-memory R
     // format), so a scale ratio would measure nothing
     "q_pipeline_goh", "q_pipeline_abcd", "q_pipeline_wcmodules_modules",
+    // round-12: the parametric-p Goh twin (same one-corpus-aggregate
+    // shape as q_pipeline_goh; the t-tail UDF runs on the genes×datasets
+    // relation — expect near-flat)
+    "q_goh_parametric",
     // round-11: the nonparametric-prior ComBat twin (gene×gene
     // integration is G²-by-definition but over dim-sized relations with
     // the moments side broadcast — expect corpus-linear growth from the

@@ -1713,10 +1713,19 @@ object Dedup {
                     fpp: Double = 0.01)
       : (DataFrame, Option[org.apache.spark.util.sketch.BloomFilter]) = {
     require(fpp > 0 && fpp < 1, s"fpp out of (0,1): $fpp")
+    // stamp k into the __h column metadata (the shingleRelation contract)
+    // so decontaminateBloomWith can refuse a k-mismatched reuse — hash
+    // universes of different k are disjoint, so a mismatch would silently
+    // report every document uncontaminated
+    val meta = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong(ShingleKMeta, k.toLong).build()
     val evalHashes = eval
       .select(explode(graft.catalyst.ArrayFunctions.shingleHashes(
         col(textCol), k)).as("__h"))
       .distinct()
+      // re-alias AFTER the distinct: an explicit-metadata alias directly
+      // on a generator output does not survive resolution
+      .select(col("__h").as("__h", meta))
       .localCheckpoint(false)
     val expectedItems = evalHashes.count()
     // an EMPTY eval set contaminates nothing — and Spark's
@@ -1728,11 +1737,23 @@ object Dedup {
   }
 
   /** [[decontaminateBloom]] against a prebuilt eval index from
-    * [[evalHashIndex]] — MUST be built with the same shingle k. */
+    * [[evalHashIndex]] — MUST be built with the same shingle k.
+    * Indexes built by [[evalHashIndex]] carry k in the `__h` column
+    * metadata and a mismatch fails loudly here (a k mismatch makes the
+    * hash universes disjoint → every document reads uncontaminated);
+    * hand-built untagged indexes are the caller's promise. */
   def decontaminateBloomWith(corpus: DataFrame, evalHashes: DataFrame,
                              bloom: Option[org.apache.spark.util.sketch.BloomFilter],
                              idCol: String, textCol: String,
-                             k: Int): DataFrame = bloom match {
+                             k: Int): DataFrame = {
+    evalHashes.schema.find(_.name == "__h").map(_.metadata)
+      .filter(_.contains(ShingleKMeta))
+      .map(_.getLong(ShingleKMeta))
+      .foreach(kk => require(kk == k,
+        s"eval hash index was built with shingle k=$kk but this probe " +
+          s"runs k=$k — the hash universes would be disjoint and every " +
+          "document would silently read uncontaminated"))
+    bloom match {
     case None =>
       corpus.select(col(idCol), lit(0L).as("n_hits"),
         lit(false).as("contaminated"))
@@ -1749,5 +1770,6 @@ object Dedup {
         .join(hits, Seq(idCol), "left")
         .select(col(idCol), coalesce(col("n_hits"), lit(0L)).as("n_hits"))
         .withColumn("contaminated", col("n_hits") > 0)
+    }
   }
 }

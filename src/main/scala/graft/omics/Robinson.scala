@@ -85,6 +85,16 @@ object Robinson {
     * convention); the factor is the exact median M above the cut,
     * exponentiated with the reference's own exp-of-log2 (:43).
     *
+    * Two deliberate divergences from the reference at the cut:
+    * (1) rounding — the 1% count uses floor(n·0.01 + 0.5) (half UP),
+    * whereas R's `round()` is IEC half-to-even; the selected cut can
+    * differ only when 1% of the non-zero bin count ends in exactly .5
+    * (an odd multiple of 50 bins). (2) clamping — `top` is clamped to
+    * the non-zero bin count, whereas the reference's `order(-A)[1:top]`
+    * with top > n yields NA subscripts and propagates an NaN factor;
+    * the clamp is a robustness choice (fewer than 100 non-zero bins
+    * produces a defined factor here, NaN in the reference).
+    *
     * @param binCounts (region, state, refc, samc) — integer read counts
     *                  per genome bin for the reference and sample
     *                  libraries

@@ -64,11 +64,19 @@ object Goh {
     *               of integrated_aCGH_expression_relationships.R:121,144,
     *               187-188 ([[graft.stats.Dist.corrPValueGreater]], df =
     *               n − 3 for the first-order pcor), with `sig` counted at
-    *               p < 0.05; the Fisher combination and the empirical
+    *               p ≤ 0.05 (the reference's `which(sams<=0.05)` cut,
+    *               :187); the Fisher combination and the empirical
     *               combined-statistic stages downstream are unchanged.
-    *               Transcendental p's don't hash-gate cross-engine, so
-    *               this mode is golden-tested (PipelineGohAbcdSpec), not
-    *               oracled.
+    *               Parametric mode tightens the sample guard to n > 3
+    *               (df ≥ 1): at n = 3 the t tail has df = 0 and returns
+    *               NaN, which would cast to NULL and silently drop that
+    *               dataset's term from the Fisher sum while the
+    *               all-datasets gate still counted the row — a silently
+    *               partial combined statistic. Oracled by
+    *               `q_goh_parametric` (fixed-complement cells so df is a
+    *               constant and the t tail has a closed algebraic form
+    *               DuckDB can evaluate) and golden-tested
+    *               (PipelineGohAbcdSpec).
     * @return one row per gene kept in every dataset:
     *         (gene, fisher_units, n_sig, perm_pv, p_adj) */
   def run(cells: DataFrame, nGenes: Int = 50, draws: Int = 19,
@@ -81,11 +89,14 @@ object Goh {
       col("ac"), col("ex"), col("cv")).localCheckpoint(false)
 
     // ---- stage 1: per-(dataset, gene) partial correlation ----
-    // n > 2 is the reference's shared-sample guard (:102,247); the
-    // 6-decimal rounding pins the comparison grid for every rank below
+    // n > 2 is the reference's shared-sample guard (:102,247); parametric
+    // mode needs n > 3 so the t tail's df = n − 3 is ≥ 1 (df = 0 → NaN p
+    // → a silently partial Fisher sum). The 6-decimal rounding pins the
+    // comparison grid for every rank below.
+    val nMin = if (parametric) 3 else 2
     val genePc = graft.stats.Stats
       .partialCorr(cc, Seq("ds", "g"), "ac", "ex", "cv")
-      .where(col("n") > 2 && col("pcor").isNotNull)
+      .where(col("n") > nMin && col("pcor").isNotNull)
       .select(col("ds"), col("g"), round(col("pcor"), 6).as("pcor"), col("n"))
 
     // ---- stage 2: seeded permutation null ----
@@ -111,7 +122,7 @@ object Goh {
     val denom = sqrt((lit(1.0) - col("rxz") * col("rxz")) *
       (lit(1.0) - col("ryz") * col("ryz")))
     val nullPc = nullPcRaw.withColumn("npcor",
-        when(col("n") > 2,
+        when(col("n") > nMin,
           round((col("rxy") - col("rxz") * col("ryz")) /
             when(denom > 0, denom), 6)))
       .select("i", "ds", "npcor", "n")
@@ -156,7 +167,7 @@ object Goh {
       if (parametric) genePc
         .withColumn("p", pGreater(col("pcor"), col("n")))
         .withColumn("lnm", lnMicro(col("p")))
-        .withColumn("sig", (col("p") < lit(0.05)).cast("int"))
+        .withColumn("sig", (col("p") <= lit(0.05)).cast("int"))
       else genePc.join(broadcast(nn), col("ds") === col("ds2") &&
           col("np2") >= col("pcor"), "left")
         .groupBy("ds", "g", "pcor")

@@ -242,6 +242,45 @@ object PipelineQueries {
         s"""WITH cells AS (SELECT l_returnflag AS ds, l_partkey % 50 AS g, l_suppkey AS sample, CAST(sum(CAST(l_quantity AS DECIMAL(24,6))) AS DOUBLE) / count(*) AS ac, CAST(sum(CAST(l_extendedprice AS DECIMAL(24,6))) AS DOUBLE) / count(*) AS ex, CAST(sum(CAST(l_discount AS DECIMAL(24,6))) AS DOUBLE) / count(*) AS cv FROM lineitem GROUP BY 1, 2, 3), gpc0 AS (SELECT ds, g, count(*) AS n, corr(ac, ex) AS rxy, corr(ac, cv) AS rxz, corr(ex, cv) AS ryz FROM cells GROUP BY 1, 2), gpc1 AS (SELECT ds, g, n, $pcf AS pc FROM gpc0), gpc AS (SELECT ds, g, ${OmicsQueries.rndSql("pc", 6)} AS pcor FROM gpc1 WHERE n > 2 AND pc IS NOT NULL), dss AS (SELECT DISTINCT ds FROM cells), dr AS (SELECT i, ds, CAST(concat('0x', substr(md5('goh:' || CAST(i AS VARCHAR) || ':' || ds || ':a'), 1, 15)) AS BIGINT) % 50 AS ga, CAST(concat('0x', substr(md5('goh:' || CAST(i AS VARCHAR) || ':' || ds || ':b'), 1, 15)) AS BIGINT) % 50 AS gb FROM generate_series(1, 19) t(i), dss), nc AS (SELECT dr.i, dr.ds, a.ac, a.cv, b.ex FROM dr JOIN cells a ON a.ds = dr.ds AND a.g = dr.ga JOIN cells b ON b.ds = dr.ds AND b.g = dr.gb AND b.sample = a.sample), np0 AS (SELECT i, ds, count(*) AS n, corr(ac, ex) AS rxy, corr(ac, cv) AS rxz, corr(ex, cv) AS ryz FROM nc GROUP BY 1, 2), np1 AS (SELECT i, ds, n, $pcf AS pc FROM np0), npx AS (SELECT i, ds, CASE WHEN n > 2 THEN ${OmicsQueries.rndSql("pc", 6)} END AS npcor FROM np1), npn AS (SELECT ds AS ds2, npcor AS np2 FROM npx WHERE npcor IS NOT NULL), npv AS (SELECT x.i, x.ds, x.npcor, count(b.np2) AS k FROM npx x LEFT JOIN npn b ON b.ds2 = x.ds AND b.np2 >= x.npcor GROUP BY 1, 2, 3), nlm AS (SELECT i, ds, CAST(floor(ln(CASE WHEN npcor IS NOT NULL THEN k / CAST(19 AS DOUBLE) ELSE CAST(1.0 AS DOUBLE) END) * 1000000 + 0.5) AS BIGINT) AS lnm FROM npv), nf AS (SELECT i, CAST(-2 * sum(lnm) AS BIGINT) AS nf_units FROM nlm GROUP BY 1), gpv AS (SELECT x.ds, x.g, x.pcor, count(b.np2) AS k FROM gpc x LEFT JOIN npn b ON b.ds2 = x.ds AND b.np2 >= x.pcor GROUP BY 1, 2, 3), glm AS (SELECT ds, g, CAST(floor(ln((k + 1) / CAST(20 AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS lnm, CASE WHEN k = 0 THEN 1 ELSE 0 END AS sig FROM gpv), mm AS (SELECT count(*) AS m FROM dss), gf AS (SELECT g AS gene, CAST(-2 * sum(lnm) AS BIGINT) AS f_units, CAST(sum(sig) AS BIGINT) AS n_sig, count(*) AS kds FROM glm GROUP BY 1), gf2 AS (SELECT gene, f_units, n_sig FROM gf, mm WHERE kds = m), pp AS (SELECT gene, f_units, n_sig, count(nf.nf_units) AS kf FROM gf2 LEFT JOIN nf ON gf2.f_units <= nf.nf_units GROUP BY 1, 2, 3), pv AS (SELECT gene, f_units, n_sig, (kf + 1) / CAST(20 AS DOUBLE) AS perm_pv FROM pp), bh AS (SELECT gene, f_units, n_sig, perm_pv, count(*) OVER () AS n, row_number() OVER (ORDER BY perm_pv, gene) AS rk FROM pv) SELECT gene, f_units, n_sig, ${OmicsQueries.rndSql("perm_pv", 6)} AS perm_pv, ${OmicsQueries.rndSql("least(CAST(1.0 AS DOUBLE), min(perm_pv * n / rk) OVER (ORDER BY perm_pv DESC, gene DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))", 6)} AS p_adj FROM bh"""
       }),
 
+    Entry("q_goh_parametric",
+      // the reference's OWN small-sample route through the same chain
+      // (integrated_aCGH_expression_relationships.R:121,144,187-188):
+      // per-dataset p is the one-sided t tail of the first-order pcor,
+      // cor.test(alternative="g") with df = n − 3, sig counted at
+      // p <= 0.05 — replacing the empirical null rank of q_pipeline_goh;
+      // Fisher combine, empirical combined p and BH are unchanged.
+      // Oracle trick: cells keep only genes with the FULL 7-sample
+      // complement per dataset (a partitioned count window — one pass),
+      // so df = 4 everywhere and the t tail has a closed algebraic form:
+      //   P(T_4 > t) = (u²/4)(3+u) / (2·(1 + x·(1+u/2))),
+      //   u = 4/(4+t²), x = |t|/√(4+t²), reflected for t < 0
+      // — the conjugate-multiplied arrangement, exact for t=0 (=1/2) and
+      // cancellation-FREE in the far tail (the naive ½ − F form loses
+      // ~12 digits at |t|~1e3, which would shift the ln-micro-unit
+      // Fisher terms by ~100 units; this form and the engine's
+      // continued-fraction betaInc agree to ~1e-12 relative, far inside
+      // the 1e-6 ln grid). Closed-form equivalence to Dist.tTailGreater
+      // is golden-tested in PipelineGohAbcdSpec.
+      (s, d) => {
+        val cells0 = t(s, d, "lineitem")
+          .groupBy(col("l_returnflag").as("ds"),
+            (col("l_partkey") % 50).as("g"), (col("l_suppkey") % 7).as("sample"))
+          .agg((Q.sumDec6(col("l_quantity")) / count(lit(1))).as("ac"),
+            (Q.sumDec6(col("l_extendedprice")) / count(lit(1))).as("ex"),
+            (Q.sumDec6(col("l_discount")) / count(lit(1))).as("cv"))
+        val cells = cells0
+          .withColumn("__n", count(lit(1)).over(
+            Window.partitionBy("ds", "g")))
+          .where(col("__n") === 7).drop("__n")
+        graft.pipelines.Goh.run(cells, nGenes = 50, draws = 19,
+          parametric = true)
+      },
+      Some {
+        val pcf = "(rxy - rxz*ryz) / nullif(sqrt((1.0 - rxz*rxz) * (1.0 - ryz*ryz)), 0)"
+        val tail = "(u*u/4.0)*(3.0+u) / (2.0*(1.0 + xa*(1.0+u/2.0)))"
+        s"""WITH cells0 AS (SELECT l_returnflag AS ds, l_partkey % 50 AS g, l_suppkey % 7 AS sample, CAST(sum(CAST(l_quantity AS DECIMAL(24,6))) AS DOUBLE) / count(*) AS ac, CAST(sum(CAST(l_extendedprice AS DECIMAL(24,6))) AS DOUBLE) / count(*) AS ex, CAST(sum(CAST(l_discount AS DECIMAL(24,6))) AS DOUBLE) / count(*) AS cv FROM lineitem GROUP BY 1, 2, 3), cells AS (SELECT ds, g, sample, ac, ex, cv FROM (SELECT *, count(*) OVER (PARTITION BY ds, g) AS nn FROM cells0) WHERE nn = 7), gpc0 AS (SELECT ds, g, count(*) AS n, corr(ac, ex) AS rxy, corr(ac, cv) AS rxz, corr(ex, cv) AS ryz FROM cells GROUP BY 1, 2), gpc1 AS (SELECT ds, g, n, $pcf AS pc FROM gpc0), gpc AS (SELECT ds, g, ${OmicsQueries.rndSql("pc", 6)} AS pcor FROM gpc1 WHERE n > 3 AND pc IS NOT NULL), dss AS (SELECT DISTINCT ds FROM cells), dr AS (SELECT i, ds, CAST(concat('0x', substr(md5('goh:' || CAST(i AS VARCHAR) || ':' || ds || ':a'), 1, 15)) AS BIGINT) % 50 AS ga, CAST(concat('0x', substr(md5('goh:' || CAST(i AS VARCHAR) || ':' || ds || ':b'), 1, 15)) AS BIGINT) % 50 AS gb FROM generate_series(1, 19) t(i), dss), nc AS (SELECT dr.i, dr.ds, a.ac, a.cv, b.ex FROM dr JOIN cells a ON a.ds = dr.ds AND a.g = dr.ga JOIN cells b ON b.ds = dr.ds AND b.g = dr.gb AND b.sample = a.sample), np0 AS (SELECT i, ds, count(*) AS n, corr(ac, ex) AS rxy, corr(ac, cv) AS rxz, corr(ex, cv) AS ryz FROM nc GROUP BY 1, 2), np1 AS (SELECT i, ds, n, $pcf AS pc FROM np0), npx AS (SELECT i, ds, CASE WHEN n > 3 THEN ${OmicsQueries.rndSql("pc", 6)} END AS npcor FROM np1), npt AS (SELECT i, ds, npcor, CASE WHEN npcor > -1.0 AND npcor < 1.0 THEN npcor * sqrt(4.0 / (1.0 - npcor*npcor)) END AS tt FROM npx), npu AS (SELECT i, ds, npcor, tt, 4.0 / (4.0 + tt*tt) AS u, abs(tt) / sqrt(4.0 + tt*tt) AS xa FROM npt), npp AS (SELECT i, ds, CASE WHEN npcor IS NULL THEN CAST(1.0 AS DOUBLE) WHEN npcor >= 1.0 THEN 2e-16 WHEN npcor <= -1.0 THEN CAST(1.0 AS DOUBLE) WHEN tt >= 0 THEN $tail ELSE 1.0 - $tail END AS p FROM npu), nlm AS (SELECT i, ds, CAST(floor(ln(p) * 1000000 + 0.5) AS BIGINT) AS lnm FROM npp), nf AS (SELECT i, CAST(-2 * sum(lnm) AS BIGINT) AS nf_units FROM nlm GROUP BY 1), gpt AS (SELECT ds, g, pcor, CASE WHEN pcor > -1.0 AND pcor < 1.0 THEN pcor * sqrt(4.0 / (1.0 - pcor*pcor)) END AS tt FROM gpc), gpu AS (SELECT ds, g, pcor, tt, 4.0 / (4.0 + tt*tt) AS u, abs(tt) / sqrt(4.0 + tt*tt) AS xa FROM gpt), gpp AS (SELECT ds, g, CASE WHEN pcor >= 1.0 THEN 2e-16 WHEN pcor <= -1.0 THEN CAST(1.0 AS DOUBLE) WHEN tt >= 0 THEN $tail ELSE 1.0 - $tail END AS p FROM gpu), glm AS (SELECT ds, g, CAST(floor(ln(p) * 1000000 + 0.5) AS BIGINT) AS lnm, CASE WHEN p <= 0.05 THEN 1 ELSE 0 END AS sig FROM gpp), mm AS (SELECT count(*) AS m FROM dss), gf AS (SELECT g AS gene, CAST(-2 * sum(lnm) AS BIGINT) AS f_units, CAST(sum(sig) AS BIGINT) AS n_sig, count(*) AS kds FROM glm GROUP BY 1), gf2 AS (SELECT gene, f_units, n_sig FROM gf, mm WHERE kds = m), pp AS (SELECT gene, f_units, n_sig, count(nf.nf_units) AS kf FROM gf2 LEFT JOIN nf ON gf2.f_units <= nf.nf_units GROUP BY 1, 2, 3), pv AS (SELECT gene, f_units, n_sig, (kf + 1) / CAST(20 AS DOUBLE) AS perm_pv FROM pp), bh AS (SELECT gene, f_units, n_sig, perm_pv, count(*) OVER () AS n, row_number() OVER (ORDER BY perm_pv, gene) AS rk FROM pv) SELECT gene, f_units, n_sig, ${OmicsQueries.rndSql("perm_pv", 6)} AS perm_pv, ${OmicsQueries.rndSql("least(CAST(1.0 AS DOUBLE), min(perm_pv * n / rk) OVER (ORDER BY perm_pv DESC, gene DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))", 6)} AS p_adj FROM bh"""
+      }),
+
     Entry("q_pipeline_wcmodules_modules",
       // wcModules.py:199-216,412 — the module-detection tail that closes
       // the wcModules pipeline: the mutual-rank edge list at the weight

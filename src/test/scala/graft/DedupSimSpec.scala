@@ -623,6 +623,22 @@ class DedupSimSpec extends SparkSpec {
       (1, 7L, 0L, 7L, Seq(3.0, 4.0))))
   }
 
+  test("decontaminateBloomWith refuses a shingle-k-mismatched prebuilt " +
+       "eval index (disjoint hash universes would read as a clean corpus)") {
+    val docs = Seq((1L, "a b c d e f g h"), (2L, "x y z p q r s t"))
+      .toDF("doc_id", "text")
+    val (eh, bl) = Dedup.evalHashIndex(docs, "text", k = 5)
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.decontaminateBloomWith(docs, eh, bl, "doc_id", "text", k = 3)
+    }
+    assert(ex.getMessage.contains("k=5") && ex.getMessage.contains("k=3"))
+    // matched k passes and self-contaminates every doc
+    val ok = Dedup.decontaminateBloomWith(docs, eh, bl, "doc_id", "text",
+        k = 5)
+      .collect().map(r => (r.getLong(0), r.getBoolean(2))).toMap
+    assert(ok == Map(1L -> true, 2L -> true))
+  }
+
   test("pqEncode: codes bounded by ksub, deterministic, and a new batch " +
        "encodes identically against persisted codebooks") {
     import graft.sim.Pq

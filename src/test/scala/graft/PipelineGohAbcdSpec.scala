@@ -103,6 +103,74 @@ class PipelineGohAbcdSpec extends SparkSpec {
       "parametric Fisher statistics must separate planted from noise")
   }
 
+  test("df=4 one-sided t tail: the q_goh_parametric oracle's " +
+      "cancellation-free closed form equals the engine's betaInc route") {
+    import graft.stats.Dist
+    // P(T_4 > t) = (u^2/4)(3+u) / (2(1 + x(1+u/2))), u = 4/(4+t^2),
+    // x = |t|/sqrt(4+t^2), reflected for t < 0 — the exact DuckDB
+    // expression the oracle evaluates. Tight relative agreement in the
+    // far tail is the load-bearing property: the ln-micro-unit Fisher
+    // terms shift by 1e6 * (relative error).
+    def closed(t: Double): Double = {
+      val u = 4.0 / (4.0 + t * t)
+      val xa = math.abs(t) / math.sqrt(4.0 + t * t)
+      val pp = (u * u / 4.0) * (3.0 + u) / (2.0 * (1.0 + xa * (1.0 + u / 2.0)))
+      if (t >= 0) pp else 1.0 - pp
+    }
+    assert(closed(0.0) == 0.5)
+    for (t <- Seq(-2000.0, -150.0, -7.5, -2.0, -0.4, 0.0, 0.3, 1.0, 2.7,
+        15.0, 80.0, 1414.0, 5e4)) {
+      val eng = Dist.tTailGreater(t, 4.0)
+      val orc = closed(t)
+      val rel = math.abs(eng - orc) / math.max(math.min(eng, orc), 1e-300)
+      assert(rel < 1e-10, s"t=$t eng=$eng closed=$orc rel=$rel")
+    }
+    // the grid pcor extremes map to finite, positive tails (no underflow
+    // in the oracle's double arithmetic): pcor = ±0.999999, df = 4
+    for (r <- Seq(-0.999999, 0.999999)) {
+      val t = r * math.sqrt(4.0 / (1.0 - r * r))
+      assert(closed(t) > 0 && closed(t) < 1)
+      assert(math.abs(Dist.corrPValueGreater(r, 7, controlled = 1) -
+        closed(t)) / closed(t) < 1e-10)
+    }
+  }
+
+  test("goh parametric: a dataset with n = 3 samples (df = 0) is " +
+      "excluded by the tightened guard instead of silently dropping its " +
+      "Fisher term while still counting toward the all-datasets gate") {
+    // gene 0 has only 3 samples in dataset A — empirical mode (n > 2)
+    // keeps it; parametric mode (df = n - 3 = 0 -> NaN t tail) must
+    // drop the (A, 0) row entirely, so gene 0 fails the __kds == M gate
+    // and vanishes rather than reporting a partial combined statistic
+    val rows = for {
+      ds <- Seq("A", "B", "C"); g <- 0 until 6; s <- 0 until 12
+      if !(ds == "A" && g == 0 && s >= 3)
+    } yield {
+      val ac = (s * 7 % 13).toDouble + g
+      // (s*5+g) % 7 is non-monotone over s = 0..2, so the 3-sample
+      // slice is NOT collinear with cv and its pcor is defined — the
+      // test must exercise the df guard, not the denominator guard
+      val ex = 2.0 * ((s * 5 + g) % 7) + (s % 3) * 0.1
+      val cv = (s % 5).toDouble
+      (ds, g.toLong, s.toLong, ac, ex, cv)
+    }
+    val cells = rows.toDF("ds", "g", "sample", "ac", "ex", "cv")
+    val par = graft.pipelines.Goh.run(cells, nGenes = 6, draws = 19,
+      parametric = true).collect()
+    assert(!par.map(_.getLong(0)).contains(0L),
+      "df=0 gene must drop under the parametric guard")
+    assert(par.map(_.getLong(0)).toSet == (1L until 6L).toSet)
+    par.foreach { r =>
+      assert(!r.isNullAt(3) && !r.getDouble(3).isNaN)
+      assert(!r.isNullAt(4) && !r.getDouble(4).isNaN)
+    }
+    // empirical mode keeps the same gene (n > 2 passes at n = 3) — the
+    // guard is parametric-only, preserving the reference's :102 filter
+    val emp = graft.pipelines.Goh.run(cells, nGenes = 6, draws = 19)
+      .collect()
+    assert(emp.map(_.getLong(0)).contains(0L))
+  }
+
   test("goh: degenerate-variance groups yield NULL pcor (never NaN) and " +
       "take the no-evidence path — the denominator guard invariant") {
     // gene 0 in dataset A has CONSTANT ac: Spark corr returns NaN for
