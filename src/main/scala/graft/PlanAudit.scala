@@ -94,7 +94,8 @@ object PlanAudit {
       "q_zipf_fit",       // top-200 rank AFTER the TakeOrdered head
       "q_pipeline_goh",   // BH rank over the gene relation (dim-sized)
       "q_goh_parametric", // same BH rank over the gene relation
-      "q_pipeline_abcd")  // ROC rank over the bin relation (dim-sized)
+      "q_pipeline_abcd",  // ROC rank over the bin relation (dim-sized)
+      "q_feber_roc")      // two ROC ranks over the bin relation
     val shapes = scala.collection.mutable.LinkedHashMap[String, Shape]()
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => names.isEmpty || names(n) }

@@ -104,8 +104,10 @@ object ScaleCheck {
     "q_pipeline_goh", "q_pipeline_abcd", "q_pipeline_wcmodules_modules",
     // round-12: the parametric-p Goh twin (same one-corpus-aggregate
     // shape as q_pipeline_goh; the t-tail UDF runs on the genes×datasets
-    // relation — expect near-flat)
-    "q_goh_parametric",
+    // relation — expect near-flat) and the Feber Figure-6 composition
+    // (one corpus aggregate to the bin×sample grid, two bins-sized IRLS
+    // fits — expect near-flat)
+    "q_goh_parametric", "q_feber_roc",
     // round-11: the nonparametric-prior ComBat twin (gene×gene
     // integration is G²-by-definition but over dim-sized relations with
     // the moments side broadcast — expect corpus-linear growth from the

@@ -365,29 +365,31 @@ object OmicsQueries {
     * (region VARCHAR, y, x, off) — shared by the standalone
     * q_glm_nb_fixed oracle and the composed ABCD-DNA twin. Returns
     * (cte chain, final SELECT yielding region/n/intercept/log_fc/
-    * lrt_stat); composers may wrap or extend the final select. */
-  private[queries] def glmNbUnrollCtes(iters: Int,
-                                       dSql: String): (String, String) = {
-    val d = s"""d AS MATERIALIZED ($dSql), cf0 AS MATERIALIZED (SELECT region, count(*) AS n, ln(greatest(sum(y) / count(*), CAST(0.1 AS DOUBLE))) - sum(off) / count(*) AS b0, CAST(0.0 AS DOUBLE) AS b1 FROM d GROUP BY 1), cn0 AS MATERIALIZED (SELECT region, b0 FROM cf0)"""
+    * lrt_stat); composers may wrap or extend the final select. `pre`
+    * prefixes every CTE name so two fits can unroll side by side in one
+    * statement (the Feber naive + CN-adjusted pair). */
+  private[queries] def glmNbUnrollCtes(iters: Int, dSql: String,
+                                       pre: String = ""): (String, String) = {
+    val d = s"""${pre}d AS MATERIALIZED ($dSql), ${pre}cf0 AS MATERIALIZED (SELECT region, count(*) AS n, ln(greatest(sum(y) / count(*), CAST(0.1 AS DOUBLE))) - sum(off) / count(*) AS b0, CAST(0.0 AS DOUBLE) AS b1 FROM ${pre}d GROUP BY 1), ${pre}cn0 AS MATERIALIZED (SELECT region, b0 FROM ${pre}cf0)"""
     // per-row weights/working response at coefficients c: mirrors the
     // kernel's eta/mu/w/z lines (clamps and parenthesization included)
     def rows(coef: String, eta: String) =
-      s"""(SELECT r.region, r.x, r.mu / (CAST(1.0 AS DOUBLE) + CAST(0.1 AS DOUBLE) * r.mu) AS w, (r.eta - r.off) + (r.y - r.mu) / r.mu AS z FROM (SELECT d.region, d.x, d.y, d.off, $eta AS eta, least(greatest(exp(greatest($eta, CAST(-19.0 AS DOUBLE))), 1e-8), 1e12) AS mu FROM d JOIN $coef c USING (region)) r)"""
+      s"""(SELECT r.region, r.x, r.mu / (CAST(1.0 AS DOUBLE) + CAST(0.1 AS DOUBLE) * r.mu) AS w, (r.eta - r.off) + (r.y - r.mu) / r.mu AS z FROM (SELECT d.region, d.x, d.y, d.off, $eta AS eta, least(greatest(exp(greatest($eta, CAST(-19.0 AS DOUBLE))), 1e-8), 1e12) AS mu FROM ${pre}d d JOIN $coef c USING (region)) r)"""
     val etaF = "c.b0 + c.b1 * d.x + d.off"
     val etaN = "c.b0 + d.off"
     val its = (1 to iters).map { k =>
-      val f = s"""f$k AS MATERIALIZED (SELECT region, sum(w) AS s00, sum(w * x) AS s01, sum(w * x * x) AS s11, sum(w * z) AS t0, sum(w * x * z) AS t1 FROM ${rows(s"cf${k - 1}", etaF)} GROUP BY 1), cf$k AS MATERIALIZED (SELECT region, CASE WHEN abs(s00 * s11 - s01 * s01) < 1e-12 THEN t0 / s00 ELSE (s11 * t0 - s01 * t1) / (s00 * s11 - s01 * s01) END AS b0, CASE WHEN abs(s00 * s11 - s01 * s01) < 1e-12 THEN CAST(0.0 AS DOUBLE) ELSE (s00 * t1 - s01 * t0) / (s00 * s11 - s01 * s01) END AS b1 FROM f$k)"""
-      val n = s"""n$k AS MATERIALIZED (SELECT region, sum(w) AS s00, sum(w * z) AS t0 FROM ${rows(s"cn${k - 1}", etaN)} GROUP BY 1), cn$k AS MATERIALIZED (SELECT region, t0 / s00 AS b0 FROM n$k)"""
+      val f = s"""${pre}f$k AS MATERIALIZED (SELECT region, sum(w) AS s00, sum(w * x) AS s01, sum(w * x * x) AS s11, sum(w * z) AS t0, sum(w * x * z) AS t1 FROM ${rows(s"${pre}cf${k - 1}", etaF)} GROUP BY 1), ${pre}cf$k AS MATERIALIZED (SELECT region, CASE WHEN abs(s00 * s11 - s01 * s01) < 1e-12 THEN t0 / s00 ELSE (s11 * t0 - s01 * t1) / (s00 * s11 - s01 * s01) END AS b0, CASE WHEN abs(s00 * s11 - s01 * s01) < 1e-12 THEN CAST(0.0 AS DOUBLE) ELSE (s00 * t1 - s01 * t0) / (s00 * s11 - s01 * s01) END AS b1 FROM ${pre}f$k)"""
+      val n = s"""${pre}n$k AS MATERIALIZED (SELECT region, sum(w) AS s00, sum(w * z) AS t0 FROM ${rows(s"${pre}cn${k - 1}", etaN)} GROUP BY 1), ${pre}cn$k AS MATERIALIZED (SELECT region, t0 / s00 AS b0 FROM ${pre}n$k)"""
       s"$f, $n"
     }.mkString(", ")
     // nbLogLik with inv = 10.0; mu is already >= 1e-8 so the kernel's
     // max(mu, 1e-12) floor is a no-op on both sides
     def ll(name: String, coef: String, eta: String) =
-      s"""$name AS MATERIALIZED (SELECT region, sum(lgamma(y + CAST(10.0 AS DOUBLE)) - lgamma(CAST(10.0 AS DOUBLE)) - lgamma(y + CAST(1.0 AS DOUBLE)) + CAST(10.0 AS DOUBLE) * ln(CAST(10.0 AS DOUBLE) / (CAST(10.0 AS DOUBLE) + mu)) + y * ln(mu / (CAST(10.0 AS DOUBLE) + mu))) AS ll FROM (SELECT d.region, d.y, least(greatest(exp(greatest($eta, CAST(-19.0 AS DOUBLE))), 1e-8), 1e12) AS mu FROM d JOIN $coef c USING (region)) GROUP BY 1)"""
+      s"""$name AS MATERIALIZED (SELECT region, sum(lgamma(y + CAST(10.0 AS DOUBLE)) - lgamma(CAST(10.0 AS DOUBLE)) - lgamma(y + CAST(1.0 AS DOUBLE)) + CAST(10.0 AS DOUBLE) * ln(CAST(10.0 AS DOUBLE) / (CAST(10.0 AS DOUBLE) + mu)) + y * ln(mu / (CAST(10.0 AS DOUBLE) + mu))) AS ll FROM (SELECT d.region, d.y, least(greatest(exp(greatest($eta, CAST(-19.0 AS DOUBLE))), 1e-8), 1e12) AS mu FROM ${pre}d d JOIN $coef c USING (region)) GROUP BY 1)"""
     def r(x: String, dec: Int) =
       s"CAST(round(CAST(CAST($x AS VARCHAR) AS DECIMAL(38,18)), $dec) AS DOUBLE)"
-    (s"""$d, $its, ${ll("llf", s"cf$iters", etaF)}, ${ll("lln", s"cn$iters", etaN)}""",
-      s"""SELECT c.region, cf0.n AS n, ${r("c.b0", 6)} AS intercept, ${r("c.b1", 6)} AS log_fc, ${r("greatest(CAST(0.0 AS DOUBLE), 2.0 * (llf.ll - lln.ll))", 4)} AS lrt_stat FROM cf$iters c JOIN cf0 USING (region) JOIN llf USING (region) JOIN lln USING (region)""")
+    (s"""$d, $its, ${ll(s"${pre}llf", s"${pre}cf$iters", etaF)}, ${ll(s"${pre}lln", s"${pre}cn$iters", etaN)}""",
+      s"""SELECT c.region, ${pre}cf0.n AS n, ${r("c.b0", 6)} AS intercept, ${r("c.b1", 6)} AS log_fc, ${r(s"greatest(CAST(0.0 AS DOUBLE), 2.0 * (${pre}llf.ll - ${pre}lln.ll))", 4)} AS lrt_stat FROM ${pre}cf$iters c JOIN ${pre}cf0 USING (region) JOIN ${pre}llf USING (region) JOIN ${pre}lln USING (region)""")
   }
 
   /** DuckDB replay of BetaMixture.fitPerGeneFixed (k=2) over the

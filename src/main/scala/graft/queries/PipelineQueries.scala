@@ -330,6 +330,31 @@ object PipelineQueries {
         val dSql = """SELECT offs.region, l.l_quantity AS y, CASE WHEN l.l_linestatus = 'O' THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END AS x, ln(CAST(1.0 AS DOUBLE) + l.l_tax) + offs.cn_off AS off FROM lineitem l JOIN offs ON offs.rix = l.l_partkey % 100"""
         val (ctes, fin) = OmicsQueries.glmNbUnrollCtes(8, dSql)
         s"""WITH $pre, $ctes, glm AS ($fin), truth AS (SELECT CAST(l_partkey % 100 AS VARCHAR) AS region, CAST(CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) % 2 AS INTEGER) AS label FROM lineitem GROUP BY 1), sc AS (SELECT g.region, o.cn, g.n, g.intercept, g.log_fc, g.lrt_stat, sign(g.log_fc) * g.lrt_stat AS score, t.label FROM glm g JOIN offs o USING (region) JOIN truth t USING (region)), rk AS (SELECT label, rank() OVER (ORDER BY score) + (count(*) OVER (PARTITION BY score) - 1) / 2.0 AS rk FROM sc), agg AS (SELECT (sum(CASE WHEN label = 1 THEN rk END) - sum(CASE WHEN label = 1 THEN 1.0 ELSE 0.0 END) * (sum(CASE WHEN label = 1 THEN 1.0 ELSE 0.0 END) + 1.0) / 2.0) / nullif(sum(CASE WHEN label = 1 THEN 1.0 ELSE 0.0 END) * sum(CASE WHEN label = 0 THEN 1.0 ELSE 0.0 END), 0) AS auc FROM rk) SELECT region, cn, n, intercept, log_fc, lrt_stat, ${OmicsQueries.rndSql("score", 4)} AS score, label, ${OmicsQueries.rndSql("auc", 6)} AS auc FROM sc, agg"""
+      }),
+
+    Entry("q_feber_roc",
+      // Robinson Figure 6 (Feber ROC) composed end to end BY EXECUTION
+      // (Figure_6_Feber_ROC.R:19-72 + functions.R:116-146): per-sample
+      // norm factors on the modal-CN bins (95%-quantile A cut, median M)
+      // → geometric-mean rescale → getOffset-style offsets → the
+      // fixed-IRLS NB-GLM twice (naive and CN-adjusted with the ww NA
+      // drop) → threshold truth from the external per-bin md → ROC AUC
+      // per method in exact rank form. See graft.pipelines.Feber for
+      // the determinism contract; the oracle unrolls BOTH IRLS fits
+      // side by side via the prefixed glmNbUnrollCtes.
+      (s, d) => graft.pipelines.Feber.run(t(s, d, "lineitem"),
+        t(s, d, "part")),
+      Some {
+        def q6s(x: String) = s"floor($x * 1000000 + 0.5) / 1000000"
+        val grpx = "CASE WHEN substr(c.sample, 1, 1) = 'A' THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END"
+        val pre = s"""part0 AS (SELECT CAST(l_partkey % 100 AS VARCHAR) AS region, concat(l_returnflag, l_linestatus) AS sample, sum(CAST(l_quantity AS DECIMAL(18,2))) AS ydec FROM lineitem WHERE l_returnflag IN ('A', 'R') GROUP BY 1, 2), regions AS (SELECT DISTINCT region FROM part0), samples AS (SELECT DISTINCT sample FROM part0), counts AS (SELECT r.region, s.sample, coalesce(CAST(p.ydec AS DOUBLE), CAST(0.0 AS DOUBLE)) AS y FROM regions r CROSS JOIN samples s LEFT JOIN part0 p ON p.region = r.region AND p.sample = s.sample), cs AS (SELECT sample, CAST(sum(ydec) AS DOUBLE) AS cs FROM part0 GROUP BY 1), segs0 AS (SELECT p_partkey % 25 AS k, CAST(sum(p_size) AS BIGINT) AS ssum FROM part GROUP BY 1), segs AS (SELECT k, 'A' AS gf, 1 + ssum % 4 AS cn FROM segs0 UNION ALL SELECT k, 'R' AS gf, 1 + (ssum + 1) % 4 AS cn FROM segs0), cnw AS (SELECT region, max(CASE WHEN gf = 'A' THEN cn END) AS cnA, max(CASE WHEN gf = 'R' THEN cn END) AS cnR FROM (SELECT r.region, s.gf, min_by(s.cn, s.k) AS cn FROM regions r JOIN segs s ON CAST(r.region AS INTEGER) * 150 <= s.k * 500 + 499 AND s.k * 500 <= CAST(r.region AS INTEGER) * 150 + 149 GROUP BY 1, 2) GROUP BY 1 HAVING max(CASE WHEN gf = 'A' THEN cn END) IS NOT NULL AND max(CASE WHEN gf = 'R' THEN cn END) IS NOT NULL), prom AS (SELECT cnA, cnR FROM (SELECT cnA, cnR, count(*) AS nb FROM cnw GROUP BY 1, 2) ORDER BY nb DESC, cnA, cnR LIMIT 1), pbins AS (SELECT region FROM cnw JOIN prom USING (cnA, cnR)), ref AS (SELECT min(sample) AS rs FROM samples), cref AS (SELECT c.region, c.y AS yr, k.cs AS csr FROM counts c JOIN ref ON c.sample = ref.rs JOIN cs k ON k.sample = c.sample), matbl AS (SELECT c.sample, c.region, (c.y = 0 OR cr.yr = 0) AS w, ${q6s("(log2(greatest(cr.yr, 0.5) / cr.csr) + log2(greatest(c.y, 0.5) / k.cs)) / 2.0")} AS a, CASE WHEN NOT (c.y = 0 OR cr.yr = 0) THEN ${q6s("log2((c.y / k.cs) / (cr.yr / cr.csr))")} END AS m FROM counts c JOIN cs k ON k.sample = c.sample JOIN ref ON c.sample <> ref.rs JOIN pbins pb ON pb.region = c.region JOIN cref cr ON cr.region = c.region), qcut AS (SELECT sample, ${q6s("quantile_cont(a, 0.95)")} AS qa FROM matbl WHERE NOT w GROUP BY 1), nfoth AS (SELECT m.sample, CAST(floor(quantile_cont(m.m, 0.5) * 1000000 + 0.5) AS BIGINT) AS nf_u FROM matbl m JOIN qcut q ON q.sample = m.sample WHERE NOT m.w AND m.a > q.qa GROUP BY 1), nft AS (SELECT s.sample, coalesce(n.nf_u, 0) AS nf_u FROM samples s LEFT JOIN nfoth n ON n.sample = s.sample), mnf AS (SELECT avg(nf_u) AS mnf_u FROM nft), offs AS (SELECT nft.sample, ln(cs.cs) + ln(${q6s("exp((mnf.mnf_u - nft.nf_u) / 1e6)")}) AS off0 FROM nft CROSS JOIN mnf JOIN cs ON cs.sample = nft.sample), lab AS (SELECT region, CASE WHEN abs(md) > 0.04 THEN 1 WHEN abs(md) < 0.02 THEN 0 END AS label FROM (SELECT region, CAST(CAST(concat('0x', substr(md5('feber:' || region), 1, 15)) AS BIGINT) % 2001 AS DOUBLE) / 1000.0 * 0.1 - 0.1 AS md FROM regions))"""
+        val dSqlN = s"""SELECT c.region, c.y AS y, $grpx AS x, o.off0 AS off FROM counts c JOIN offs o ON o.sample = c.sample"""
+        val dSqlA = s"""SELECT c.region, c.y AS y, $grpx AS x, o.off0 + ln(CAST(CASE WHEN substr(c.sample, 1, 1) = 'A' THEN w.cnA ELSE w.cnR END AS DOUBLE)) AS off FROM counts c JOIN offs o ON o.sample = c.sample JOIN cnw w ON w.region = c.region"""
+        val (ctesN, finN) = OmicsQueries.glmNbUnrollCtes(8, dSqlN, "fn")
+        val (ctesA, finA) = OmicsQueries.glmNbUnrollCtes(8, dSqlA, "fa")
+        def roc(fit: String, sc: String, rk: String, agg: String) =
+          s"""$sc AS (SELECT f.lrt_stat AS score, l.label FROM $fit f JOIN lab l USING (region) WHERE l.label IS NOT NULL), $rk AS (SELECT label, rank() OVER (ORDER BY score) + (count(*) OVER (PARTITION BY score) - 1) / 2.0 AS rk FROM $sc), $agg AS (SELECT count(*) AS n_used, CAST(sum(CASE WHEN label = 1 THEN 1.0 ELSE 0.0 END) AS BIGINT) AS n_pos, CAST(sum(CASE WHEN label = 0 THEN 1.0 ELSE 0.0 END) AS BIGINT) AS n_neg, ${OmicsQueries.rndSql("(sum(CASE WHEN label = 1 THEN rk END) - sum(CASE WHEN label = 1 THEN 1.0 ELSE 0.0 END) * (sum(CASE WHEN label = 1 THEN 1.0 ELSE 0.0 END) + 1.0) / 2.0) / nullif(sum(CASE WHEN label = 1 THEN 1.0 ELSE 0.0 END) * sum(CASE WHEN label = 0 THEN 1.0 ELSE 0.0 END), 0)", 6)} AS auc FROM $rk)"""
+        s"""WITH $pre, $ctesN, fitn AS ($finN), $ctesA, fita AS ($finA), ${roc("fitn", "scn", "rkn", "an")}, ${roc("fita", "sca", "rka", "aa")} SELECT 'naive' AS method, n_used, n_pos, n_neg, auc FROM an UNION ALL SELECT 'cnadj' AS method, n_used, n_pos, n_neg, auc FROM aa"""
       })
   )
 

@@ -199,6 +199,27 @@ class PipelineGohAbcdSpec extends SparkSpec {
     }
   }
 
+  test("feber: both methods report, the ww NA drop shrinks the adjusted " +
+      "fit's bin set, classes are populated, and the AUC is a rank-sum " +
+      "rational in [0,1]") {
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val part = spark.read.parquet("/root/testdata/sf0.001/part.parquet")
+    val out = graft.pipelines.Feber.run(li, part)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(out.keySet == Set("naive", "cnadj"))
+    val (nN, pN, gN, aN) = out("naive")
+    val (nA, pA, gA, aA) = out("cnadj")
+    // default geometry leaves the 25·500..100·150 bin tail CN-less: the
+    // adjusted fit must cover strictly fewer bins (the reference's
+    // rowSums(is.na(o)) == 0 drop), the naive fit all labeled bins
+    assert(nA < nN, s"ww drop: $nA must be < $nN")
+    for ((n, p, g, a) <- Seq(out("naive"), out("cnadj"))) {
+      assert(p > 0 && g > 0 && p + g == n)
+      assert(a >= 0.0 && a <= 1.0)
+    }
+  }
+
   test("abcd: every bin gets a CN in 1..4, the AUC is a single value " +
       "in [0,1], and the score sign follows log_fc") {
     val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
