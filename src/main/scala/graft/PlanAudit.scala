@@ -96,11 +96,101 @@ object PlanAudit {
       "q_goh_parametric", // same BH rank over the gene relation
       "q_pipeline_abcd",  // ROC rank over the bin relation (dim-sized)
       "q_feber_roc")      // two ROC ranks over the bin relation
+    // ---- driver-collect audit (round 12): every collect-family action
+    // fired while a query is CONSTRUCTED and PLANNED is recorded via a
+    // QueryExecutionListener. A collect whose plan root is a Limit /
+    // TakeOrdered is bounded by construction; anything else must be
+    // whitelisted here with the bounded relation it materializes, or
+    // the audit exits 1 — the automated form of the per-round manual
+    // ".collect() audit" prose.
+    val collectWhitelist: Map[String, String] = Map(
+      "q_kmeans" -> "k-sized centroid means per Lloyd round (lloydFit)",
+      "q_kmeans_increment" -> "k-sized merged centroid state",
+      "q_semantic_dedup" -> "k-sized cell centroids (lloydFit)",
+      "q_cluster_balanced_sample" -> "k-sized cell centroids (lloydFit)",
+      "q_embedding_outliers" -> "k-sized centroids + k-sized moment rows",
+      "q_split_by_cluster" -> "k-sized cell centroids (lloydFit)",
+      "q_split_leakage" -> "k-sized cell centroids + tradeoff heads",
+      "q_ann_ivf" -> "k-sized coarse centroids (lloydFit)",
+      "q_ann_ivfpq" -> "k-sized coarse + m·ksub sub-codebooks (pqFit)",
+      "q_ann_pq" -> "m·ksub sub-codebook rows (pqFit)",
+      "q_pq_encode" -> "m·ksub sub-codebook rows (pqFit)",
+      "q_embed_whiten" -> "dim-sized moment vector (whitenFit)",
+      "q_drivernet_greedy" -> "top-1 argmax row per greedy step",
+      "q_drivernet_permutation" -> "top-1 argmax row per greedy step",
+      "q_pipeline_herald_table" -> "per-level convergence count (bounded loop)",
+      "q_quality_lr_fit" -> "bounded LR fit sample (maxRows-capped)",
+      "q_quality_lr_score" -> "bounded LR fit sample (maxRows-capped)",
+      "q_pipeline_quality_mix" -> "bounded LR fit sample + quota heads",
+      "q_bpe_merges" -> "vocab-bounded merge table per round",
+      "q_pack_sequences" -> "P-row partition prefix sums",
+      "q_pipeline_traindata" -> "curate composition: LSH union-find budget guard",
+      "q_dedup_clusters" -> "budget-guarded union-find edge pull",
+      "q_dedup_clusters_incremental" -> "budget-guarded union-find edge pull",
+      "q_pipeline_curate" -> "budget-guarded union-find edge pull",
+      "q_dedup_best_quality" -> "budget-guarded union-find edge pull",
+      "q_dedup_yield" -> "budget-guarded union-find edge pull",
+      "q_pipeline_wcmodules_modules" -> "budget-guarded union-find edge pull",
+      "q_mmr_select" -> "k bounded argmax pulls",
+      "q_hard_negatives" -> "query-set-sized score pulls",
+      "q_io_rda" -> "driver-sized .rda parse by format contract",
+      "q_io_stride" -> "driver-sized .rda parse by format contract",
+      "q_cluster_profile" -> "k-sized centroids + k-sized cluster counts",
+      "q_quality_calibration" -> "single-row LR fit moments (QualityModel)",
+      "q_quality_tradeoff" -> "single-row LR fit moments (QualityModel)",
+      "q_pmi_collocations" -> "single-row unigram/bigram corpus totals",
+      "q_join_positional" -> "P-row partition offsets (zip-index join)",
+      "q_source_terms" -> "single-row tf/group corpus totals",
+      "q_shuffle_order" -> "P-row partition counts (prefix shuffle)",
+      "q_pipeline_massquery" -> "single-row structure-mass range prune",
+      "q_ppm_join" -> "single-row structure-mass range prune",
+      "q_range_join_auto" -> "single-row range-stat prune",
+      "q_pipeline_corromics" -> "single-row max-group-size guard",
+      "q_pca_batch" -> "gene-dim Gramian + power-iteration vectors",
+      "q_mad_filter" -> "single-row max-group-size guard",
+      "q_io_tsv_comments" -> "25-row nation fixture (header synthesis)",
+      "q_decontaminate_bloom" -> "single-row eval distinct count (bloom sizing)",
+      "q_bm25_topk" -> "single-row tf/doc-count corpus totals",
+      "q_curriculum_budget" -> "domain-cardinality quota rows")
+    val collectFuncs = Set("collect", "collectAsList", "head", "take",
+      "first", "tail", "toLocalIterator", "collectToPython")
+    final case class CollectSite(func: String, root: String, rows: Long,
+                                 bounded: Boolean)
+    val sites = new java.util.concurrent.ConcurrentLinkedQueue[CollectSite]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = if (collectFuncs(funcName)) {
+        val root = qe.executedPlan
+        val bounded = root.isInstanceOf[
+            org.apache.spark.sql.execution.CollectLimitExec] ||
+          root.isInstanceOf[
+            org.apache.spark.sql.execution.TakeOrderedAndProjectExec]
+        val rows = root.metrics.get("numOutputRows")
+          .map(_.value).getOrElse(-1L)
+        sites.add(CollectSite(funcName, root.nodeName, rows, bounded))
+      }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    def drainSites(): Seq[CollectSite] = {
+      // the listener bus is async; give in-flight events a beat to land
+      Thread.sleep(150)
+      val out = scala.collection.mutable.Buffer[CollectSite]()
+      var s = sites.poll()
+      while (s != null) { out += s; s = sites.poll() }
+      out.toSeq
+    }
+    var collectViolations = 0
+
     val shapes = scala.collection.mutable.LinkedHashMap[String, Shape]()
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => names.isEmpty || names(n) }
       .foreach { case (name, fn) =>
         try {
+          drainSites() // attribute strictly per query
           val pobj = fn(spark, sfDir).queryExecution.executedPlan
           val plan = pobj.toString
           val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).size
@@ -139,12 +229,39 @@ object PlanAudit {
           if (bnlj + cart > crossAllowance && intentionalCross(name))
             flags.append(s" !!EXTRA_CROSS(bnlj=$bnlj,cart=$cart)")
           shapes(name) = Shape(bnlj, cart, exch, wsc, gwin)
+          // collect-family actions fired while this query was built and
+          // planned: plan-bounded ones pass; the rest need a whitelist
+          // entry, and even whitelisted pulls are capped at 100k rows
+          // (a "bounded" claim that grows past that is a design break)
+          val cSites = drainSites()
+          cSites.foreach { cSite =>
+            val wl = collectWhitelist.get(name)
+            val status =
+              if (cSite.bounded) "plan-bounded"
+              else wl match {
+                case Some(why) if cSite.rows <= 100000 => s"whitelisted: $why"
+                case Some(why) =>
+                  collectViolations += 1
+                  s"!!COLLECT_OVER_CAP (${cSite.rows} rows; claimed: $why)"
+                case None =>
+                  collectViolations += 1
+                  "!!UNBOUNDED_COLLECT (not whitelisted)"
+              }
+            println(f"$name%-28s   collect[${cSite.func}] root=${cSite.root} " +
+              f"rows=${cSite.rows} -> $status")
+          }
           println(f"$name%-28s exchanges=$exch%-3d codegen=$wsc%-3d$flags")
         } catch {
           case e: Throwable => println(f"$name%-28s PLAN_ERROR ${e.getMessage.take(80)}")
         }
       }
+    drainSites()
     spark.stop()
+    if (collectViolations > 0) {
+      println(s"[planaudit] $collectViolations unbounded/over-cap driver " +
+        "collects — whitelist them with their bounded relation or fix the plan")
+      sys.exit(1)
+    }
 
     writePath.foreach { p =>
       // a name-filtered run MERGES into the existing baseline instead of
