@@ -199,7 +199,38 @@ object Bench {
     val gwinNote = "unpartitioned-window warnings are whitelisted: every " +
       "such window sorts an aggregate-sized relation (PlanAudit." +
       "boundedGlobalWindow; per-query gwin pins in PLANS.json)"
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","nq":${results.size},"n_err":${results.count(_._2.isLeft)},"protocol":"per-query min over $passes suite passes x 2 back-to-back runs","pass_times":$passTimes,"gwin_note":"$gwinNote","queries":$fullQs,"errors":$errs,"sf":"$sfDir"}"""
+    // Ambient-drift estimate vs the PRIOR artifact (read before this run
+    // overwrites it): the median per-query time ratio over queries green
+    // in both runs. The median is robust to the handful of queries a
+    // round actually touched, so it reads as the host-speed delta —
+    // this quantifies the cross-round "everything is uniformly N%
+    // slower" signature in the artifact itself instead of in prose.
+    val drift: Option[(Double, Int, String)] = try {
+      val p = java.nio.file.Paths.get("/root/repo/BENCH_FULL.json")
+      if (!java.nio.file.Files.exists(p)) None else {
+        val om = new com.fasterxml.jackson.databind.ObjectMapper()
+        val root = om.readTree(java.nio.file.Files.readString(p))
+        val priorProtocol = Option(root.get("protocol"))
+          .map(_.asText).getOrElse("unknown")
+        val pq = root.get("queries")
+        val ratios = results.collect { case (k, Right(v)) =>
+          Option(pq.get(k)).map(_.asDouble(-1.0)).filter(_ > 0)
+            .map(prior => v / prior)
+        }.flatten.sorted
+        if (ratios.size < 10) None
+        else {
+          val med =
+            if (ratios.size % 2 == 1) ratios(ratios.size / 2)
+            else (ratios(ratios.size / 2 - 1) + ratios(ratios.size / 2)) / 2.0
+          Some((med, ratios.size, priorProtocol))
+        }
+      }
+    } catch { case _: Throwable => None }
+    val driftJson = drift.fold("") { case (med, n, pp) =>
+      val pct = (med - 1.0) * 100.0
+      s""","ambient_drift_vs_prior":{"median_ratio":${math.rint(med * 1000) / 1000.0},"pct":${math.rint(pct * 10) / 10.0},"n_shared":$n,"prior_protocol":"${esc(pp)}"}"""
+    }
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","nq":${results.size},"n_err":${results.count(_._2.isLeft)},"protocol":"per-query min over $passes suite passes x 2 back-to-back runs"$driftJson,"pass_times":$passTimes,"gwin_note":"$gwinNote","queries":$fullQs,"errors":$errs,"sf":"$sfDir"}"""
     // a SPARK_GRAFT_ONLY-filtered run is local iteration — don't clobber
     // the committed full-suite snapshot with a partial one
     if (only.isEmpty)
@@ -246,6 +277,11 @@ object Bench {
     println("[bench] note: unpartitioned-window warnings (if any) are " +
       "whitelisted bounded relations - PlanAudit.boundedGlobalWindow / " +
       "PLANS.json gwin pins")
+    drift.foreach { case (med, n, pp) =>
+      println(f"[bench] ambient drift vs prior artifact: " +
+        f"${(med - 1.0) * 100}%+.1f%% (median per-query ratio over $n " +
+        f"shared queries; prior protocol: $pp)")
+    }
     println(line)
   }
 }
