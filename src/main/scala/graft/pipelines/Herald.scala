@@ -29,9 +29,15 @@ object Herald {
                    backend: ChemBackend, iterations: Int = 5,
                    roundD: Int = 1): DataFrame = {
     val obsKeys = observed.select(round(col("obs_mass"), roundD).as("__obs_key")).distinct()
-    var all = structures.select(col("id").as("struct_id"), col("root"),
-      lit(0).as("iteration"), col("mass")).localCheckpoint()
-    var frontier = all
+    // each LEVEL is checkpointed once; the accumulated "seen" relation is
+    // a lazy union over those checkpointed legs (cheap lineage, no
+    // recompute), so the loop pays ONE eager job per iteration instead of
+    // the former two (the per-iteration re-checkpoint of the growing
+    // union was pure job-floor: ~0.5 s of scheduling at sf0.1)
+    var levels = List(structures.select(col("id").as("struct_id"),
+      col("root"), lit(0).as("iteration"), col("mass")).localCheckpoint())
+    var frontier = levels.head
+    def seenIds = levels.map(_.select("struct_id")).reduce(_.union(_))
     var i = 1
     while (i <= iterations && !frontier.isEmpty) {
       val products = backend.virtualProducts(
@@ -47,13 +53,16 @@ object Herald {
         // differ in ulps — keep the min rather than an arbitrary row
         .groupBy("struct_id", "root", "iteration")
         .agg(min(col("mass")).as("mass"))
-      // only genuinely new structures continue (anti join vs everything seen)
-      frontier = matched.join(all.select("struct_id"), Seq("struct_id"), "left_anti")
+      // only genuinely new structures continue (anti join vs everything
+      // seen). The checkpoint stays EAGER: a lazy one re-measured 0.2 s
+      // SLOWER here — the isEmpty probe then materializes partition 0
+      // separately and the remaining partitions schedule as extra stages
+      frontier = matched.join(seenIds, Seq("struct_id"), "left_anti")
         .localCheckpoint()
-      all = all.union(frontier).localCheckpoint()
+      levels = levels :+ frontier
       i += 1
     }
-    all
+    levels.reduce(_.union(_))
   }
 
   /** Fixed-depth twin of [[reactionLoop]]: the k iterations unrolled into
