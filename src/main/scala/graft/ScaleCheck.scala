@@ -108,6 +108,10 @@ object ScaleCheck {
     // (one corpus aggregate to the bin×sample grid, two bins-sized IRLS
     // fits — expect near-flat)
     "q_goh_parametric", "q_feber_roc",
+    // round-12: the fixture-backed REST-scan closures — the KEGG
+    // flat-format parse is per-document windows over KB-sized docs
+    // (expect linear in documents), the Pfam map one shuffle
+    "q_io_kegg", "q_io_uniprot_pfam",
     // round-11: the nonparametric-prior ComBat twin (gene×gene
     // integration is G²-by-definition but over dim-sized relations with
     // the moments side broadcast — expect corpus-linear growth from the

@@ -165,5 +165,70 @@ object IoQueries {
           path, "nation")
         graft.io.Rda.dataFrame(s, path, "nation")
       },
-      Some(nationSql)))
+      Some(nationSql)),
+
+    Entry("q_io_kegg",
+      // the KEGG REST chain of kegg.py:14-48 with the fetch stubbed by
+      // the SURVEY §2.1 fixture contract (zero egress): build
+      // kegg_list-shaped TSV lines and kegg_get-shaped FLAT-FORMAT
+      // documents deterministically from lineitem, then run the real
+      // parsers — pathwayList (TSV split), keyword filter ("repair",
+      // kegg.py:19-22), and the 12-column section fill-forward +
+      // GENE-payload split of Kegg.geneSection (kegg.py:33-44). The
+      // oracle rebuilds the same documents in SQL and re-parses them
+      // with last_value(IGNORE NULLS) over the line ordinality — so the
+      // hash compare proves the sequential-section semantics, not just
+      // that text was carried through.
+      (s, d) => {
+        val genes = t(s, d, "lineitem").select(
+            (col("l_partkey") % 50).as("pw"),
+            (col("l_orderkey") * 10 + col("l_linenumber")).as("gid"),
+            concat(lit("G"), col("l_suppkey")).as("sym"),
+            col("l_returnflag").as("dsc"))
+          .distinct()
+        val docs = genes.groupBy("pw")
+          .agg(sort_array(collect_list(struct(col("gid"), col("sym"),
+            col("dsc")))).as("gs"))
+          .select(concat(lit("hsa"), col("pw")).as("doc_entry"),
+            concat_ws("\n",
+              concat(lit("ENTRY       hsa"), col("pw")),
+              lit("NAME        synthetic pathway"),
+              array_join(zip_with(col("gs"),
+                sequence(lit(0), size(col("gs")) - 1),
+                (g, i) => concat(
+                  when(i === 0, lit("GENE        "))
+                    .otherwise(lit("            ")),
+                  g.getField("gid"), lit("  "), g.getField("sym"),
+                  lit("; "), g.getField("dsc"))), "\n"),
+              lit("///")).as("text"))
+        val tsv = docs.select(concat(col("doc_entry"), lit("\t"),
+          when(substring(col("doc_entry"), 4, 99).cast("int") % 3 === 0,
+            concat(lit("base excision repair - "), col("doc_entry")))
+            .otherwise(concat(lit("fatty acid metabolism - "),
+              col("doc_entry")))).as("line"))
+        val repair = graft.io.Kegg.pathwayList(tsv, "line")
+          .where(col("description").contains("repair"))
+        graft.io.Kegg.geneSection(
+          docs.join(repair, col("doc_entry") === col("entry"), "left_semi"),
+          "doc_entry", "text")
+      },
+      Some("""WITH genes AS (SELECT DISTINCT l_partkey % 50 AS pw, l_orderkey * 10 + l_linenumber AS gid, 'G' || CAST(l_suppkey AS VARCHAR) AS sym, l_returnflag AS dsc FROM lineitem), gl AS (SELECT pw, gid, CASE WHEN row_number() OVER (PARTITION BY pw ORDER BY gid, sym, dsc) = 1 THEN 'GENE        ' ELSE '            ' END || CAST(gid AS VARCHAR) || '  ' || sym || '; ' || dsc AS line FROM genes), docs AS (SELECT 'hsa' || CAST(pw AS VARCHAR) AS doc_entry, 'ENTRY       hsa' || CAST(pw AS VARCHAR) || chr(10) || 'NAME        synthetic pathway' || chr(10) || string_agg(line, chr(10) ORDER BY gid) || chr(10) || '///' AS text, pw FROM gl GROUP BY pw), rep AS (SELECT doc_entry, text FROM docs WHERE pw % 3 = 0), lines AS (SELECT doc_entry, t.pos, string_split(rep.text, chr(10))[t.pos] AS line FROM rep, LATERAL (SELECT unnest(generate_series(1, len(string_split(rep.text, chr(10))))) AS pos) t), secs AS (SELECT doc_entry, pos, line, last_value(CASE WHEN trim(substr(line, 1, 12)) <> '' THEN trim(substr(line, 1, 12)) END IGNORE NULLS) OVER (PARTITION BY doc_entry ORDER BY pos ROWS UNBOUNDED PRECEDING) AS section, substr(line, 13) AS payload FROM lines) SELECT doc_entry, regexp_split_to_array(split_part(payload, '; ', 1), ' +')[1] AS gene_id, regexp_split_to_array(split_part(payload, '; ', 1), ' +')[2] AS gene_symbol, split_part(payload, '; ', 2) AS gene_description FROM secs WHERE section = 'GENE' AND contains(payload, '; ') AND len(regexp_split_to_array(split_part(payload, '; ', 1), ' +')) >= 2""")),
+
+    Entry("q_io_uniprot_pfam",
+      // uniprot_pfam_map.py:38-54 with the per-accession searchPfam
+      // REST round trip replaced by ONE relational join against the
+      // (accession, pfam_id) fixture relation: accessions with no hit
+      // drop (the reference's try/continue), hits emit the ';'-joined
+      // sorted distinct Pfam ids — 10^6 accessions map in one shuffle
+      // instead of 10^6 sequential HTTP calls.
+      (s, d) => {
+        val accs = t(s, d, "supplier")
+          .select(concat(lit("A"), col("s_suppkey") % 80).as("acc"))
+        val pfam = t(s, d, "part")
+          .select(concat(lit("A"), col("p_partkey") % 100).as("pacc"),
+            concat(lit("PF"), lpad((col("p_partkey") % 7).cast("string"),
+              5, "0")).as("pf"))
+        graft.io.UniprotPfam.map(accs, "acc", pfam, "pacc", "pf")
+      },
+      Some("""WITH accs AS (SELECT DISTINCT 'A' || CAST(s_suppkey % 80 AS VARCHAR) AS uniprot_id FROM supplier), pfam AS (SELECT DISTINCT 'A' || CAST(p_partkey % 100 AS VARCHAR) AS uniprot_id, 'PF' || lpad(CAST(p_partkey % 7 AS VARCHAR), 5, '0') AS pf FROM part) SELECT a.uniprot_id, string_agg(p.pf, ';' ORDER BY p.pf) AS Pfam_id FROM accs a JOIN pfam p ON p.uniprot_id = a.uniprot_id GROUP BY 1""")))
 }

@@ -282,4 +282,42 @@ class IoMultimodalSpec extends SparkSpec {
     // 300 bytes -> chunks 0..4 -> keep ordinals 0,2,4
     assert(frames.select("frame_ordinal").as[Int].collect().sorted.toSeq == Seq(0, 2, 4))
   }
+
+  test("Kegg flat-format parse: 12-column sections fill forward across " +
+      "continuation lines and the GENE payload splits per kegg.py:33-44") {
+    val doc =
+      "ENTRY       hsa1\n" +
+      "NAME        demo; with semicolon\n" +  // non-GENE '; ' must not leak
+      "GENE        10  SYM_A; alpha protein\n" +
+      "            20  SYM_B; beta protein\n" +
+      "            malformed-no-split\n" +    // no '; ' -> dropped
+      "COMPOUND    C00001  H2O\n" +
+      "///"
+    val docs = Seq(("hsa1", doc)).toDF("doc_entry", "text")
+    val secs = graft.io.Kegg.sectionLines(docs, "doc_entry", "text")
+      .collect().map(r => (r.getInt(1), r.getString(2))).sortBy(_._1)
+    // continuation lines inherit GENE; COMPOUND switches; /// switches
+    assert(secs.map(_._2).toSeq == Seq("ENTRY", "NAME", "GENE", "GENE",
+      "GENE", "COMPOUND", "///"))
+    val genes = graft.io.Kegg.geneSection(docs, "doc_entry", "text")
+      .collect().map(r => (r.getString(1), r.getString(2), r.getString(3)))
+      .sortBy(_._1)
+    assert(genes.toSeq == Seq(("10", "SYM_A", "alpha protein"),
+      ("20", "SYM_B", "beta protein")))
+    // pathwayList: TSV split, short lines dropped
+    val pl = graft.io.Kegg.pathwayList(
+      Seq("hsa1\tbase excision repair", "garbage").toDF("line"), "line")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(pl.toSeq == Seq(("hsa1", "base excision repair")))
+  }
+
+  test("UniprotPfam.map: duplicate accessions collapse, ids join sorted " +
+      "and ';'-separated, accessions with no hit drop (the try/continue)") {
+    val accs = Seq("A1", "A1", "A2", "A9").toDF("acc")
+    val pfam = Seq(("A1", "PF00002"), ("A1", "PF00001"), ("A1", "PF00002"),
+      ("A2", "PF00007")).toDF("pacc", "pf")
+    val out = graft.io.UniprotPfam.map(accs, "acc", pfam, "pacc", "pf")
+      .collect().map(r => (r.getString(0), r.getString(1))).sortBy(_._1)
+    assert(out.toSeq == Seq(("A1", "PF00001;PF00002"), ("A2", "PF00007")))
+  }
 }
