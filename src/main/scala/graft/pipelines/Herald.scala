@@ -80,7 +80,10 @@ object Herald {
     * vs fused 0.93 s (fused wins — q_pipeline_herald uses it);
     * TableChemBackend loop 3.1 s vs fused 4.3 s (the loop's checkpointed
     * frontier amortizes the broadcast-table rebuild, so
-    * q_pipeline_herald_table stays on the loop). */
+    * q_pipeline_herald_table stays on the loop; round 12 cut the loop's
+    * per-iteration union re-checkpoint, bringing the table-backend loop
+    * to 1.50 s in the official 2-pass bench — the fused/loop choice per
+    * backend is unchanged). */
   def reactionLoopFused(structures: DataFrame, rules: DataFrame,
                         observed: DataFrame, backend: ChemBackend,
                         iterations: Int = 5, roundD: Int = 1): DataFrame = {

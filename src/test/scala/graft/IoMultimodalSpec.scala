@@ -311,6 +311,44 @@ class IoMultimodalSpec extends SparkSpec {
     assert(pl.toSeq == Seq(("hsa1", "base excision repair")))
   }
 
+  test("Kegg.sectionLines equals the reference's sequential " +
+      "current_section loop on randomized flat documents") {
+    // the sequential semantics of kegg.py:33-38, written directly
+    def seqParse(text: String): Seq[(Int, String, String)] = {
+      var cur: String = null
+      // lines before the first header carry section = null, exactly as
+      // the engine's ignoreNulls fill-forward leaves them
+      text.split("\n", -1).zipWithIndex.map { case (line, i) =>
+        val head = line.take(12).trim
+        if (head.nonEmpty) cur = head
+        (i, cur, line.drop(12))
+      }.toSeq
+    }
+    val rnd = new scala.util.Random(7)
+    val sections = Seq("ENTRY", "NAME", "GENE", "COMPOUND", "REF", "///")
+    val docs = (0 until 25).map { d =>
+      val n = 1 + rnd.nextInt(20)
+      val lines = (0 until n).map { _ =>
+        val body = (0 until rnd.nextInt(4))
+          .map(_ => s"w${rnd.nextInt(50)}").mkString(" ")
+        if (rnd.nextBoolean()) {
+          val s = sections(rnd.nextInt(sections.length))
+          s + " " * math.max(0, 12 - s.length) + body
+        } else " " * 12 + body // continuation
+      }
+      (s"d$d", lines.mkString("\n"))
+    }
+    val df = docs.toDF("doc_entry", "text")
+    val got = graft.io.Kegg.sectionLines(df, "doc_entry", "text")
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2), r.getString(3)))
+      .toSet
+    val want = docs.flatMap { case (id, text) =>
+      seqParse(text).map { case (pos, sec, pay) => (id, pos, sec, pay) }
+    }.toSet
+    assert(got == want)
+  }
+
   test("UniprotPfam.map: duplicate accessions collapse, ids join sorted " +
       "and ';'-separated, accessions with no hit drop (the try/continue)") {
     val accs = Seq("A1", "A1", "A2", "A9").toDF("acc")
