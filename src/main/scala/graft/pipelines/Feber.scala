@@ -80,6 +80,10 @@ object Feber {
       .localCheckpoint(false) // bins×4 rows; grid + cs consumers
     val regions = part0.select("region").distinct()
     val samples = part0.select("sample").distinct() // ≤ 4 rows
+    // checkpointed: three consumers (cRef, maTbl, obs) would otherwise
+    // re-run the grid join's shuffle stages inside the obs
+    // materialization; an A/B without it measured no win (cold-session
+    // feber/abcd ratios ~1.5 both ways), so the scale-safer barrier stays
     val counts = regions.crossJoin(broadcast(samples))
       .join(part0, Seq("region", "sample"), "left")
       .select(col("region"), col("sample"),
