@@ -112,6 +112,10 @@ object ScaleCheck {
     // flat-format parse is per-document windows over KB-sized docs
     // (expect linear in documents), the Pfam map one shuffle
     "q_io_kegg", "q_io_uniprot_pfam",
+    // round-12: the composed single-job ingest (decontaminate → gate →
+    // exact dedup → quota) — every stage is a stateless kernel or a
+    // partitioned window; expect corpus-linear
+    "q_stream_ingest",
     // round-11: the nonparametric-prior ComBat twin (gene×gene
     // integration is G²-by-definition but over dim-sized relations with
     // the moments side broadcast — expect corpus-linear growth from the

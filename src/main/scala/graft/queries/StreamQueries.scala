@@ -75,6 +75,27 @@ object StreamQueries {
         t(s, d, "documents"), "doc_id", "source", quota = 20L).toDF(),
       Some("""SELECT doc_id, source, CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id) AS BIGINT) AS admit_seq, row_number() OVER (PARTITION BY source ORDER BY doc_id) <= 20 AS admitted FROM documents""")),
 
+    Entry("q_stream_ingest",
+      // batch face of the COMPOSED single-job ingest (Events.
+      // ingestDecisions = a whole-corpus drain of streamingIngest):
+      // decontaminate (eval = doc_id % 40 == 0, the q_decontaminate
+      // fixture) → quality ≥ 0.5 + lang == 'en' gate → exact
+      // content-hash dedup keep-first → per-source quota 20, with one
+      // audit row per input document and NULL stage flags for documents
+      // eliminated upstream. Cross-batch state (hash store + admission
+      // ledger) is exercised in StreamingSpec (stream ≡ this face).
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        graft.streaming.Events.ingestDecisions(
+          docs.select("doc_id", "text", "source"),
+          docs.where(col("doc_id") % 40 === 0).select("doc_id", "text"),
+          "doc_id", "text", "source")
+      },
+      Some {
+        val decon = """toks AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS ts FROM documents), sh0 AS (SELECT doc_id, CASE WHEN len(ts) >= 5 THEN array_to_string(ts[i:i+4], ' ') ELSE array_to_string(ts, ' ') END AS s FROM toks, unnest(generate_series(1, greatest(len(ts) - 4, 1))) AS g(i)), shh AS (SELECT DISTINCT doc_id, CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) AS h FROM sh0), ev AS (SELECT DISTINCT h FROM shh WHERE doc_id % 40 = 0), hits AS (SELECT shh.doc_id, count(*) AS n_hits FROM shh JOIN ev USING (h) GROUP BY 1), cont AS (SELECT d.doc_id, coalesce(hits.n_hits, 0) > 0 AS contaminated FROM documents d LEFT JOIN hits ON d.doc_id = hits.doc_id)"""
+        s"""WITH $decon, ${LlmQueries.qualityLangCtes}, fl AS (SELECT d.doc_id, d.source, c.contaminated, qq.quality, lp.pred_lang, ((NOT c.contaminated) AND qq.quality >= 0.5 AND lp.pred_lang = 'en') AS pass_gate FROM documents d JOIN cont c ON c.doc_id = d.doc_id JOIN qq ON qq.doc_id = d.doc_id JOIN lp ON lp.doc_id = d.doc_id), sv AS (SELECT fl.doc_id, fl.source, row_number() OVER (PARTITION BY md5(trim(regexp_replace(lower(d.text), '\\s+', ' ', 'g'))) ORDER BY fl.doc_id) > 1 AS exact_dup FROM fl JOIN documents d ON d.doc_id = fl.doc_id WHERE fl.pass_gate), uq AS (SELECT doc_id, CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id) AS BIGINT) AS admit_seq, row_number() OVER (PARTITION BY source ORDER BY doc_id) <= 20 AS admitted FROM sv WHERE NOT exact_dup) SELECT fl.doc_id, fl.source, fl.contaminated, fl.quality, fl.pred_lang, fl.pass_gate, sv.exact_dup, uq.admit_seq, uq.admitted FROM fl LEFT JOIN sv ON sv.doc_id = fl.doc_id LEFT JOIN uq ON uq.doc_id = fl.doc_id"""
+      }),
+
     Entry("q_stream_enrich",
       // stream-static broadcast enrichment (events joined to the nation
       // dim by a derived key) rolled up per dim row; the same function

@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Structured Streaming over the `events` table (driver-brief extension;
@@ -499,6 +500,133 @@ object Events {
         graft.dedup.Dedup.decontaminateBloomWith(batch, evalHashes, bloom,
             idCol, textCol, k)
           .write.mode("overwrite").parquet(s"$outDir/batch=$id")
+      }
+      .start()
+  }
+
+  /** The COMPOSED single-job ingest — the full training-data admission
+    * chain in one pass, in production order: (1) eval-set
+    * decontamination, (2) quality + language gating, (3) exact
+    * content-hash dedup against everything already ingested, (4)
+    * per-source quota admission. Emits one AUDIT row PER INPUT
+    * DOCUMENT: `(id, source, contaminated, quality, pred_lang,
+    * pass_gate, exact_dup, admit_seq, admitted)` — the observability
+    * relation a 100 TB ingest needs to explain WHY a document was or
+    * wasn't admitted, with NULL stage flags for documents eliminated
+    * upstream (a contaminated document never competes for a hash or a
+    * quota slot).
+    *
+    * This is the whole-corpus BATCH face (the `q_stream_ingest`
+    * oracle); [[streamingIngest]] runs the identical decision chain per
+    * micro-batch over persisted hash/admission stores, and a drained
+    * id-ordered stream equals this face row for row (StreamingSpec). */
+  def ingestDecisions(docs: DataFrame, eval: DataFrame, idCol: String,
+                      textCol: String, sourceCol: String,
+                      minQuality: Double = 0.5, lang: String = "en",
+                      quota: Long = 20L, k: Int = 5): DataFrame = {
+    val cont = graft.dedup.Dedup.decontaminate(docs, eval, idCol, textCol, k)
+      .select(col(idCol), col("contaminated"))
+    val scored = graft.text.Text.langId(
+        graft.text.Text.qualityScore(docs, textCol), textCol)
+      .select(col(idCol), col(sourceCol).as("source"), col(textCol),
+        col("quality"), col("pred_lang"))
+    val flagged = scored.join(cont, Seq(idCol))
+      .withColumn("pass_gate", !col("contaminated") &&
+        col("quality") >= minQuality && col("pred_lang") === lang)
+      .localCheckpoint(false) // corpus-sized; audit + survivor consumers
+    val surv = flagged.where(col("pass_gate"))
+      .withColumn("content_hash",
+        md5(graft.text.Text.normalized(col(textCol))))
+      .withColumn("exact_dup", row_number().over(
+        Window.partitionBy("content_hash").orderBy(col(idCol))) > 1)
+      .localCheckpoint(false) // survivor-sized; audit + quota consumers
+    val uniq = surv.where(!col("exact_dup"))
+      .withColumn("admit_seq", row_number().over(
+        Window.partitionBy("source").orderBy(col(idCol))).cast("long"))
+      .withColumn("admitted", col("admit_seq") <= quota)
+    flagged.select(col(idCol), col("source"), col("contaminated"),
+        col("quality"), col("pred_lang"), col("pass_gate"))
+      .join(surv.select(col(idCol), col("exact_dup")), Seq(idCol), "left")
+      .join(uniq.select(col(idCol), col("admit_seq"), col("admitted")),
+        Seq(idCol), "left")
+  }
+
+  /** [[ingestDecisions]] as ONE streaming job per micro-batch — the
+    * 100 TB ingest shape: the eval index is built ONCE and probed per
+    * batch (the [[streamingDecontaminate]] bloom tier), quality/lang
+    * are stateless kernels, exact dedup probes the persisted
+    * content-hash store of all EARLIER batches (claimed hashes land
+    * under `hashDir/batch=<id>`), and the quota carries the per-source
+    * unique-survivor count forward through the admission ledger
+    * (`admitDir/batch=<id>` — ALL unique survivors, admitted or not,
+    * because `admit_seq` numbers every candidate exactly as the batch
+    * face does). Decision rows land under `decisionsDir/batch=<id>`.
+    * Same idempotency and replay-safety shape as [[streamingNearDup]]:
+    * history reads filter `batch < id`, writes are partition
+    * overwrites. With batches ordered by id, the drained union of
+    * decision rows EQUALS the batch face (StreamingSpec). */
+  def streamingIngest(docs: DataFrame, eval: DataFrame, idCol: String,
+                      textCol: String, sourceCol: String,
+                      decisionsDir: String, hashDir: String,
+                      admitDir: String, checkpoint: String,
+                      minQuality: Double = 0.5, lang: String = "en",
+                      quota: Long = 20L, k: Int = 5, fpp: Double = 0.01)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val (evalHashes, bloom) =
+      graft.dedup.Dedup.evalHashIndex(eval, textCol, k, fpp)
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val spark = batch.sparkSession
+        val cont = graft.dedup.Dedup.decontaminateBloomWith(batch,
+            evalHashes, bloom, idCol, textCol, k)
+          .select(col(idCol), col("contaminated"))
+        val scored = graft.text.Text.langId(
+            graft.text.Text.qualityScore(batch, textCol), textCol)
+          .select(col(idCol), col(sourceCol).as("source"), col(textCol),
+            col("quality"), col("pred_lang"))
+        val flagged = scored.join(cont, Seq(idCol))
+          .withColumn("pass_gate", !col("contaminated") &&
+            col("quality") >= minQuality && col("pred_lang") === lang)
+          .localCheckpoint(false)
+        val seen = if (hasBatches(spark, hashDir))
+          spark.read.parquet(hashDir).where(col("batch") < id)
+            .select("content_hash").distinct()
+        else flagged.select(md5(col(textCol)).as("content_hash")).limit(0)
+        val surv = flagged.where(col("pass_gate"))
+          .withColumn("content_hash",
+            md5(graft.text.Text.normalized(col(textCol))))
+          .join(seen.withColumn("__seen", lit(true)),
+            Seq("content_hash"), "left")
+          // history dup OR later within-batch twin — identical keeper
+          // rule to the batch face under id-ordered batches
+          .withColumn("exact_dup", col("__seen").isNotNull ||
+            row_number().over(Window.partitionBy("content_hash")
+              .orderBy(col(idCol))) > 1)
+          .localCheckpoint(false)
+        val priorCnt = if (hasBatches(spark, admitDir))
+          spark.read.parquet(admitDir).where(col("batch") < id)
+            .groupBy("source").agg(count(lit(1)).as("__prior"))
+        else flagged.select(col("source")).limit(0)
+          .groupBy("source").agg(count(lit(1)).as("__prior"))
+        val uniq = surv.where(!col("exact_dup"))
+          .join(broadcast(priorCnt), Seq("source"), "left")
+          .withColumn("admit_seq", (coalesce(col("__prior"), lit(0L)) +
+            row_number().over(Window.partitionBy("source")
+              .orderBy(col(idCol)))).cast("long"))
+          .withColumn("admitted", col("admit_seq") <= quota)
+          .localCheckpoint(false)
+        flagged.select(col(idCol), col("source"), col("contaminated"),
+            col("quality"), col("pred_lang"), col("pass_gate"))
+          .join(surv.select(col(idCol), col("exact_dup")), Seq(idCol), "left")
+          .join(uniq.select(col(idCol), col("admit_seq"), col("admitted")),
+            Seq(idCol), "left")
+          .write.mode("overwrite").parquet(s"$decisionsDir/batch=$id")
+        surv.where(!col("exact_dup")).select("content_hash").distinct()
+          .write.mode("overwrite").parquet(s"$hashDir/batch=$id")
+        uniq.select(col(idCol), col("source"))
+          .write.mode("overwrite").parquet(s"$admitDir/batch=$id")
       }
       .start()
   }

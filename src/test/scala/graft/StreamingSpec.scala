@@ -450,6 +450,79 @@ class StreamingSpec extends SparkSpec {
     assert(none.length == 2 && none.forall(!_.getBoolean(2)))
   }
 
+  test("streamingIngest: the composed decontaminate→gate→dedup→quota " +
+       "chain drained over id-ordered micro-batches equals the " +
+       "whole-corpus batch face row for row") {
+    import spark.implicits._
+    val evalTxt = "what is the capital of france paris is the capital " +
+      "of france and it is known for the eiffel tower landmark"
+    val docX = "the quick brown fox jumps over the lazy dog and it was " +
+      "a fine day for running in the field with friends"
+    val docY = "a storm was coming in from the coast and the fishermen " +
+      "pulled their boats up onto the sand for the night"
+    val docZ = "the library was quiet in the morning and the readers " +
+      "settled into their chairs with novels and coffee"
+    val docW = "it is a truth universally acknowledged that a reader " +
+      "in possession of a good book is in want of nothing"
+    val b0 = Seq(
+      (1L, "intro " + evalTxt + " outro", "A"), // contaminated
+      (2L, docX, "A"),                          // unique survivor A#1
+      (3L, docX + " ", "A"),                    // exact dup of 2 (norm trim)
+      (4L, "der hund ist nicht mit der katze und ich bin zu haus mit " +
+        "ein brot und das ist nicht gut", "B")) // lang fail (de)
+    val b1 = Seq(
+      (5L, docX, "A"),   // cross-batch exact dup of 2
+      (6L, docY, "A"),   // unique survivor A#2 -> admitted (quota 2)
+      (7L, docZ, "A"),   // unique survivor A#3 -> NOT admitted
+      (8L, "zzz !!! ??? ### $$$ %%% ^^^ &&& *** ((( )))", "B"), // low quality
+      (9L, docW, "B"))   // unique survivor B#1 -> admitted
+    val staging = java.nio.file.Files.createTempDirectory("graft_ing_stg")
+    val src = java.nio.file.Files.createTempDirectory("graft_ing_src")
+    Seq(b0, b1).zipWithIndex.foreach { case (b, i) =>
+      b.toDF("doc_id", "text", "source").coalesce(1)
+        .write.parquet(s"$staging/b$i")
+      val f = new java.io.File(s"$staging/b$i").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = src.resolve(f"b$i%02d.parquet")
+      java.nio.file.Files.copy(f.toPath, dst)
+      dst.toFile.setLastModified(1700000000000L + i * 60000L)
+    }
+    val eval = Seq((100L, evalTxt)).toDF("doc_id", "text")
+    def dir(n: String) =
+      java.nio.file.Files.createTempDirectory(s"graft_ing_$n").toString
+    val (dec, hsh, adm, ck) = (dir("dec"), dir("hsh"), dir("adm"), dir("ck"))
+    val schema = spark.read.parquet(s"$staging/b0").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(src.toString)
+    val q = Events.streamingIngest(stream, eval, "doc_id", "text", "source",
+      dec, hsh, adm, ck, minQuality = 0.5, lang = "en", quota = 2L)
+    q.awaitTermination(180000)
+    def norm(df: org.apache.spark.sql.DataFrame) = df
+      .select("doc_id", "source", "contaminated", "quality", "pred_lang",
+        "pass_gate", "exact_dup", "admit_seq", "admitted")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getBoolean(2),
+        r.getDouble(3), r.getString(4), r.getBoolean(5),
+        if (r.isNullAt(6)) None else Some(r.getBoolean(6)),
+        if (r.isNullAt(7)) None else Some(r.getLong(7)),
+        if (r.isNullAt(8)) None else Some(r.getBoolean(8)))).toSet
+    val streamed = norm(spark.read.parquet(dec))
+    val whole = norm(Events.ingestDecisions(
+      (b0 ++ b1).toDF("doc_id", "text", "source"), eval,
+      "doc_id", "text", "source", minQuality = 0.5, lang = "en",
+      quota = 2L))
+    assert(streamed == whole, s"streamed=$streamed\nwhole=$whole")
+    // the fixture exercised every stage the way it was planted
+    val by = streamed.map(t => t._1 -> t).toMap
+    assert(by(1L)._3 && !by(1L)._6)                  // contaminated
+    assert(by(4L)._5 == "de" && !by(4L)._6)          // lang fail
+    assert(by(8L)._4 < 0.5 && !by(8L)._6)            // quality fail
+    assert(by(3L)._7 == Some(true))                  // in-batch dup
+    assert(by(5L)._7 == Some(true))                  // CROSS-BATCH dup
+    assert(by(2L)._9 == Some(true) && by(6L)._9 == Some(true))
+    assert(by(7L)._9 == Some(false))                 // quota overflow
+    assert(by(9L)._9 == Some(true))
+  }
+
   test("streamingSpanIngest: cross-batch shared paragraph flagged via " +
        "the merged gram-df index") {
     import spark.implicits._
