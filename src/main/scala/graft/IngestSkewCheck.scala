@@ -1,0 +1,129 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The committed skew probe behind [[graft.streaming.Events.ingestDecisions]]'s
+  * scaladoc contract (round-13): with one source holding ~90% of rows,
+  * the BATCH face's per-source `row_number` window funnels 0.9·corpus
+  * through a single partition sort — fine as the oracle-definition
+  * face, a hazard at 100 TB — while [[graft.streaming.Events.streamingIngest]]
+  * bounds the same window to one micro-batch and carries per-source
+  * history as a broadcast prior-count ledger, so its per-trigger cost
+  * stays batch-sized as the corpus grows.
+  *
+  * Measures, on a 90%-skewed synthetic corpus built from sf0.1
+  * documents (uniquified text so unique-survivor count — the window
+  * input — is corpus-sized):
+  *   - batch face wall seconds at 1x and Nx corpus (expect ~linear
+  *     growth with the skewed sort riding the dominant source);
+  *   - streaming face per-trigger `triggerExecution` at fixed
+  *     batch size = the 1x corpus, N triggers over the Nx corpus
+  *     (expect near-flat across triggers — the only growth term is the
+  *     accumulated content-hash store probe, a distributed join, not a
+  *     single-partition sort).
+  *
+  * Usage: runMain graft.IngestSkewCheck [--copies N]   (default 10;
+  * base corpus = 20 uniquified copies of sf0.1 documents ≈ 100k rows).
+  * Results land in SCALING.md's skew table.
+  */
+object IngestSkewCheck {
+  def main(args: Array[String]): Unit = {
+    var copies = 10
+    var i = 0
+    while (i < args.length) {
+      args(i) match {
+        case "--copies" => copies = args(i + 1).toInt; i += 2
+        case _ => i += 1
+      }
+    }
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+      .select("doc_id", "text", "source")
+    val baseN = docs.count()
+
+    // one uniquified block of the base table: doc_id offset per block,
+    // text suffixed with the global id (so every row is a UNIQUE
+    // survivor and the quota window sees the whole corpus), source
+    // forced to a 90/10 split with S0 dominant
+    def block(b: Int): DataFrame = docs
+      .withColumn("doc_id", col("doc_id") + lit(b.toLong * (baseN + 7)))
+      .withColumn("text", concat(col("text"), lit(" uniq"), col("doc_id")))
+      .withColumn("source",
+        when(col("doc_id") % 10 =!= 0, lit("S0")).otherwise(col("source")))
+
+    val baseBlocks = 20 // 1x corpus ≈ 100k rows
+    def corpus(nBlocks: Int): DataFrame =
+      (0 until nBlocks).map(block).reduce(_.union(_))
+
+    // eval set: a sliver of base text (some contamination on block 0)
+    val eval = docs.limit(50).select(col("doc_id"), col("text"))
+      .localCheckpoint(true)
+
+    val oneX = corpus(baseBlocks).localCheckpoint(true)
+    val bigX = corpus(baseBlocks * copies).localCheckpoint(true)
+    println(s"[skew] corpus 1x=${oneX.count()} rows, " +
+      s"${copies}x=${bigX.count()} rows, dominant-source share ~0.9")
+
+    def timeBatch(df: DataFrame, label: String): Double = {
+      val t0 = System.nanoTime()
+      val n = graft.streaming.Events.ingestDecisions(
+        df, eval, "doc_id", "text", "source", quota = 1000L).count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"[skew] batch-face $label%-4s ${sec}%7.2f s  rows=$n")
+      sec
+    }
+    // JIT warm on the small corpus, then timed 1x / Nx
+    timeBatch(oneX, "warm")
+    val b1 = timeBatch(oneX, "1x")
+    val bN = timeBatch(bigX, s"${copies}x")
+
+    // streaming face: the SAME Nx corpus as N files of 1x size, one
+    // trigger per file (id-ordered via mtime), per-trigger durations
+    // from the progress log
+    val staging = java.nio.file.Files.createTempDirectory("graft_skew_stg")
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_skew_src")
+    (0 until copies).foreach { b =>
+      val part = (b * baseBlocks until (b + 1) * baseBlocks)
+        .map(block).reduce(_.union(_))
+      part.coalesce(1).write.mode("overwrite").parquet(s"$staging/b$b")
+      val f = new java.io.File(s"$staging/b$b").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = srcDir.resolve(f"b$b%03d.parquet")
+      java.nio.file.Files.copy(f.toPath, dst)
+      dst.toFile.setLastModified(1700000000000L + b * 60000L)
+    }
+    def dir(n: String) =
+      java.nio.file.Files.createTempDirectory(s"graft_skew_$n").toString
+    val schema = spark.read.parquet(s"$staging/b0").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
+    val q = graft.streaming.Events.streamingIngest(stream, eval,
+      "doc_id", "text", "source", dir("dec"), dir("hsh"), dir("adm"),
+      dir("ck"), quota = 1000L)
+    q.awaitTermination(1800000)
+    val trig = q.recentProgress.toSeq
+      .filter(_.numInputRows > 0)
+      .map(p => p.durationMs.getOrDefault("triggerExecution",
+        java.lang.Long.valueOf(-1L)).toDouble / 1000.0)
+    trig.zipWithIndex.foreach { case (s, b) =>
+      println(f"[skew] stream trigger $b%2d ${s}%7.2f s (batch size = 1x)")
+    }
+    if (trig.nonEmpty) {
+      val growth = trig.last / trig.head
+      println(f"[skew] summary: batch-face ${copies}x/1x = ${bN / b1}%.1f, " +
+        f"stream last/first trigger = $growth%.2f " +
+        f"(max ${trig.max}%.2f s vs batch-face ${copies}x ${bN}%.2f s)")
+    }
+    spark.stop()
+  }
+}

@@ -56,7 +56,16 @@ object Kegg {
 
   /** The GENE-section extraction of kegg.py:40-44 over flat-format
     * documents: one row per gene line,
-    * (entry, gene_id, gene_symbol, gene_description). */
+    * (entry, gene_id, gene_symbol, gene_description).
+    *
+    * Separator contract: the reference's strict 2-tuple unpack
+    * (`line[12:].split("; ")`, kegg.py:41) CRASHES on a payload with
+    * more than one `"; "`; this engine extends it totally by treating
+    * the FIRST `"; "` as the ids/description boundary — gene_description
+    * is everything after the first separator (so a description may
+    * itself contain `"; "`). The q_io_kegg DuckDB oracle pins the same
+    * semantic (`substr(payload, strpos(payload, '; ') + 2)`), and the
+    * IoMultimodalSpec property test exercises multi-`"; "` payloads. */
   def geneSection(df: DataFrame, idCol: String, textCol: String): DataFrame =
     sectionLines(df, idCol, textCol)
       .where(col("section") === "GENE" && col("payload").contains("; "))
@@ -66,7 +75,8 @@ object Kegg {
       .select(col(idCol),
         col("__idsym").getItem(0).as("gene_id"),
         col("__idsym").getItem(1).as("gene_symbol"),
-        substring_index(col("payload"), "; ", -1).as("gene_description"))
+        col("payload").substr(instr(col("payload"), "; ") + lit(2),
+          length(col("payload"))).as("gene_description"))
 }
 
 /** The UniProt→Pfam accession mapping of uniprot_pfam_map.py:38-54:

@@ -212,7 +212,7 @@ object IoQueries {
           docs.join(repair, col("doc_entry") === col("entry"), "left_semi"),
           "doc_entry", "text")
       },
-      Some("""WITH genes AS (SELECT DISTINCT l_partkey % 50 AS pw, l_orderkey * 10 + l_linenumber AS gid, 'G' || CAST(l_suppkey AS VARCHAR) AS sym, l_returnflag AS dsc FROM lineitem), gl AS (SELECT pw, gid, CASE WHEN row_number() OVER (PARTITION BY pw ORDER BY gid, sym, dsc) = 1 THEN 'GENE        ' ELSE '            ' END || CAST(gid AS VARCHAR) || '  ' || sym || '; ' || dsc AS line FROM genes), docs AS (SELECT 'hsa' || CAST(pw AS VARCHAR) AS doc_entry, 'ENTRY       hsa' || CAST(pw AS VARCHAR) || chr(10) || 'NAME        synthetic pathway' || chr(10) || string_agg(line, chr(10) ORDER BY gid) || chr(10) || '///' AS text, pw FROM gl GROUP BY pw), rep AS (SELECT doc_entry, text FROM docs WHERE pw % 3 = 0), lines AS (SELECT doc_entry, t.pos, string_split(rep.text, chr(10))[t.pos] AS line FROM rep, LATERAL (SELECT unnest(generate_series(1, len(string_split(rep.text, chr(10))))) AS pos) t), secs AS (SELECT doc_entry, pos, line, last_value(CASE WHEN trim(substr(line, 1, 12)) <> '' THEN trim(substr(line, 1, 12)) END IGNORE NULLS) OVER (PARTITION BY doc_entry ORDER BY pos ROWS UNBOUNDED PRECEDING) AS section, substr(line, 13) AS payload FROM lines) SELECT doc_entry, regexp_split_to_array(split_part(payload, '; ', 1), ' +')[1] AS gene_id, regexp_split_to_array(split_part(payload, '; ', 1), ' +')[2] AS gene_symbol, split_part(payload, '; ', 2) AS gene_description FROM secs WHERE section = 'GENE' AND contains(payload, '; ') AND len(regexp_split_to_array(split_part(payload, '; ', 1), ' +')) >= 2""")),
+      Some("""WITH genes AS (SELECT DISTINCT l_partkey % 50 AS pw, l_orderkey * 10 + l_linenumber AS gid, 'G' || CAST(l_suppkey AS VARCHAR) AS sym, l_returnflag AS dsc FROM lineitem), gl AS (SELECT pw, gid, CASE WHEN row_number() OVER (PARTITION BY pw ORDER BY gid, sym, dsc) = 1 THEN 'GENE        ' ELSE '            ' END || CAST(gid AS VARCHAR) || '  ' || sym || '; ' || dsc AS line FROM genes), docs AS (SELECT 'hsa' || CAST(pw AS VARCHAR) AS doc_entry, 'ENTRY       hsa' || CAST(pw AS VARCHAR) || chr(10) || 'NAME        synthetic pathway' || chr(10) || string_agg(line, chr(10) ORDER BY gid) || chr(10) || '///' AS text, pw FROM gl GROUP BY pw), rep AS (SELECT doc_entry, text FROM docs WHERE pw % 3 = 0), lines AS (SELECT doc_entry, t.pos, string_split(rep.text, chr(10))[t.pos] AS line FROM rep, LATERAL (SELECT unnest(generate_series(1, len(string_split(rep.text, chr(10))))) AS pos) t), secs AS (SELECT doc_entry, pos, line, last_value(CASE WHEN trim(substr(line, 1, 12)) <> '' THEN trim(substr(line, 1, 12)) END IGNORE NULLS) OVER (PARTITION BY doc_entry ORDER BY pos ROWS UNBOUNDED PRECEDING) AS section, substr(line, 13) AS payload FROM lines) SELECT doc_entry, regexp_split_to_array(split_part(payload, '; ', 1), ' +')[1] AS gene_id, regexp_split_to_array(split_part(payload, '; ', 1), ' +')[2] AS gene_symbol, substr(payload, strpos(payload, '; ') + 2) AS gene_description FROM secs WHERE section = 'GENE' AND contains(payload, '; ') AND len(regexp_split_to_array(split_part(payload, '; ', 1), ' +')) >= 2""")),
 
     Entry("q_io_uniprot_pfam",
       // uniprot_pfam_map.py:38-54 with the per-accession searchPfam

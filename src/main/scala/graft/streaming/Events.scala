@@ -519,7 +519,23 @@ object Events {
     * This is the whole-corpus BATCH face (the `q_stream_ingest`
     * oracle); [[streamingIngest]] runs the identical decision chain per
     * micro-batch over persisted hash/admission stores, and a drained
-    * id-ordered stream equals this face row for row (StreamingSpec). */
+    * id-ordered stream equals this face row for row (StreamingSpec).
+    *
+    * ==Skew contract==
+    * The per-source `admit_seq` here is a
+    * `row_number().over(partitionBy(source))` over ALL unique
+    * survivors — with few sources at 100 TB that is a per-source
+    * single-partition sort, so this face is the ORACLE-DEFINITION
+    * face: it states the admission semantics in one plan and is the
+    * thing the gate hashes. The SCALE face is [[streamingIngest]],
+    * which bounds the same window to one micro-batch and carries
+    * per-source history as a broadcast prior-count ledger, so its
+    * per-trigger cost is batch-sized no matter how skewed the source
+    * distribution is. The committed ScaleCheck skew probe
+    * (`ingest_skew`, one source holding ~90% of rows, batch face vs
+    * drained streaming face at growing corpus) records the measured
+    * contrast. At production scale, run [[streamingIngest]] (a bounded
+    * backfill loop over batch ids replays history identically). */
   def ingestDecisions(docs: DataFrame, eval: DataFrame, idCol: String,
                       textCol: String, sourceCol: String,
                       minQuality: Double = 0.5, lang: String = "en",

@@ -290,6 +290,11 @@ class IoMultimodalSpec extends SparkSpec {
       "NAME        demo; with semicolon\n" +  // non-GENE '; ' must not leak
       "GENE        10  SYM_A; alpha protein\n" +
       "            20  SYM_B; beta protein\n" +
+      // a description containing '; ' itself: the reference's strict
+      // 2-tuple unpack would crash here; the engine's pinned total
+      // extension keeps everything after the FIRST '; ' (and the
+      // q_io_kegg oracle agrees: substr(payload, strpos+2))
+      "            30  SYM_C; gamma; tail part\n" +
       "            malformed-no-split\n" +    // no '; ' -> dropped
       "COMPOUND    C00001  H2O\n" +
       "///"
@@ -298,12 +303,13 @@ class IoMultimodalSpec extends SparkSpec {
       .collect().map(r => (r.getInt(1), r.getString(2))).sortBy(_._1)
     // continuation lines inherit GENE; COMPOUND switches; /// switches
     assert(secs.map(_._2).toSeq == Seq("ENTRY", "NAME", "GENE", "GENE",
-      "GENE", "COMPOUND", "///"))
+      "GENE", "GENE", "COMPOUND", "///"))
     val genes = graft.io.Kegg.geneSection(docs, "doc_entry", "text")
       .collect().map(r => (r.getString(1), r.getString(2), r.getString(3)))
       .sortBy(_._1)
     assert(genes.toSeq == Seq(("10", "SYM_A", "alpha protein"),
-      ("20", "SYM_B", "beta protein")))
+      ("20", "SYM_B", "beta protein"),
+      ("30", "SYM_C", "gamma; tail part")))
     // pathwayList: TSV split, short lines dropped
     val pl = graft.io.Kegg.pathwayList(
       Seq("hsa1\tbase excision repair", "garbage").toDF("line"), "line")

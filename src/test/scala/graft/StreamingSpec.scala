@@ -523,6 +523,158 @@ class StreamingSpec extends SparkSpec {
     assert(by(9L)._9 == Some(true))
   }
 
+  // ---- streamingIngest replay/ordering property tests (round-13): the
+  // ≡-batch test above proves the happy path; these pin exactly which
+  // guarantees survive a batch-id REPLAY and out-of-id-order arrival.
+
+  /** Shared fixture for the ingest property tests — the same planted
+    * rows as the ≡-batch test above. */
+  private def ingestFixture: (Seq[(Long, String, String)], Seq[(Long, String, String)], String) = {
+    val evalTxt = "what is the capital of france paris is the capital " +
+      "of france and it is known for the eiffel tower landmark"
+    val docX = "the quick brown fox jumps over the lazy dog and it was " +
+      "a fine day for running in the field with friends"
+    val docY = "a storm was coming in from the coast and the fishermen " +
+      "pulled their boats up onto the sand for the night"
+    val docZ = "the library was quiet in the morning and the readers " +
+      "settled into their chairs with novels and coffee"
+    val docW = "it is a truth universally acknowledged that a reader " +
+      "in possession of a good book is in want of nothing"
+    val b0 = Seq(
+      (1L, "intro " + evalTxt + " outro", "A"),
+      (2L, docX, "A"),
+      (3L, docX + " ", "A"),
+      (4L, "der hund ist nicht mit der katze und ich bin zu haus mit " +
+        "ein brot und das ist nicht gut", "B"))
+    val b1 = Seq(
+      (5L, docX, "A"),
+      (6L, docY, "A"),
+      (7L, docZ, "A"),
+      (8L, "zzz !!! ??? ### $$$ %%% ^^^ &&& *** ((( )))", "B"),
+      (9L, docW, "B"))
+    (b0, b1, evalTxt)
+  }
+
+  /** Stage batches as one parquet file each with the given mtime order
+    * (the file source processes by modification time). */
+  private def stageIngestFiles(batches: Seq[Seq[(Long, String, String)]])
+      : (String, org.apache.spark.sql.types.StructType) = {
+    import spark.implicits._
+    val staging = java.nio.file.Files.createTempDirectory("graft_rp_stg")
+    val src = java.nio.file.Files.createTempDirectory("graft_rp_src")
+    batches.zipWithIndex.foreach { case (b, i) =>
+      b.toDF("doc_id", "text", "source").coalesce(1)
+        .write.parquet(s"$staging/b$i")
+      val f = new java.io.File(s"$staging/b$i").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = src.resolve(f"b$i%02d.parquet")
+      java.nio.file.Files.copy(f.toPath, dst)
+      dst.toFile.setLastModified(1700000000000L + i * 60000L)
+    }
+    (src.toString, spark.read.parquet(s"$staging/b0").schema)
+  }
+
+  private def normIngest(df: org.apache.spark.sql.DataFrame) = df
+    .select("doc_id", "source", "contaminated", "quality", "pred_lang",
+      "pass_gate", "exact_dup", "admit_seq", "admitted")
+    .collect().map(r => (r.getLong(0), r.getString(1), r.getBoolean(2),
+      r.getDouble(3), r.getString(4), r.getBoolean(5),
+      if (r.isNullAt(6)) None else Some(r.getBoolean(6)),
+      if (r.isNullAt(7)) None else Some(r.getLong(7)),
+      if (r.isNullAt(8)) None else Some(r.getBoolean(8)))).toSet
+
+  test("streamingIngest replay-safety: re-firing every batch id with a " +
+       "fresh checkpoint against ALREADY-POPULATED stores reproduces " +
+       "identical decisions (batch<id history filters + idempotent " +
+       "partition overwrites)") {
+    import spark.implicits._
+    val (b0, b1, evalTxt) = ingestFixture
+    val (srcDir, schema) = stageIngestFiles(Seq(b0, b1))
+    val eval = Seq((100L, evalTxt)).toDF("doc_id", "text")
+    def dir(n: String) =
+      java.nio.file.Files.createTempDirectory(s"graft_rp_$n").toString
+    val (dec, hsh, adm) = (dir("dec"), dir("hsh"), dir("adm"))
+    def drain(ck: String): Unit = {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      val q = Events.streamingIngest(stream, eval, "doc_id", "text",
+        "source", dec, hsh, adm, ck, minQuality = 0.5, lang = "en",
+        quota = 2L)
+      q.awaitTermination(180000)
+    }
+    drain(dir("ck1"))
+    val first = normIngest(spark.read.parquet(dec))
+    val firstHashes = spark.read.parquet(hsh)
+      .select("content_hash", "batch").collect()
+      .map(r => (r.getString(0), r.getInt(1))).toSet
+    // second full drain: NEW checkpoint, same source, SAME stores — every
+    // batch id re-fires against stores holding its own and LATER batches'
+    // prior writes. The batch<id filter must hide both (its own write:
+    // batch<0 is empty; stale later writes: 1<0 … all false), so the
+    // decisions, the hash ledger, and the admission ledger come out
+    // identical — the replay-after-crash guarantee.
+    drain(dir("ck2"))
+    val second = normIngest(spark.read.parquet(dec))
+    assert(second == first)
+    val secondHashes = spark.read.parquet(hsh)
+      .select("content_hash", "batch").collect()
+      .map(r => (r.getString(0), r.getInt(1))).toSet
+    assert(secondHashes == firstHashes)
+    // and the replayed run still matches the whole-corpus batch face
+    val whole = normIngest(Events.ingestDecisions(
+      (b0 ++ b1).toDF("doc_id", "text", "source"), eval,
+      "doc_id", "text", "source", minQuality = 0.5, lang = "en",
+      quota = 2L))
+    assert(second == whole)
+  }
+
+  test("streamingIngest out-of-id-order arrival: per-doc stateless stages " +
+       "and per-hash/per-source cardinalities survive; keeper and " +
+       "admission IDENTITY follow arrival order (the pinned limit of " +
+       "the ≡-batch guarantee)") {
+    import spark.implicits._
+    val (b0, b1, evalTxt) = ingestFixture
+    // feed b1 FIRST: the logically-later rows become micro-batch 0
+    val (srcDir, schema) = stageIngestFiles(Seq(b1, b0))
+    val eval = Seq((100L, evalTxt)).toDF("doc_id", "text")
+    def dir(n: String) =
+      java.nio.file.Files.createTempDirectory(s"graft_oo_$n").toString
+    val dec = dir("dec")
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    val q = Events.streamingIngest(stream, eval, "doc_id", "text",
+      "source", dec, dir("hsh"), dir("adm"), dir("ck"),
+      minQuality = 0.5, lang = "en", quota = 2L)
+    q.awaitTermination(180000)
+    val got = normIngest(spark.read.parquet(dec))
+    val by = got.map(t => t._1 -> t).toMap
+    val whole = normIngest(Events.ingestDecisions(
+      (b0 ++ b1).toDF("doc_id", "text", "source"), eval,
+      "doc_id", "text", "source", minQuality = 0.5, lang = "en",
+      quota = 2L))
+    val wholeBy = whole.map(t => t._1 -> t).toMap
+    // SURVIVES: the stateless per-doc stages are arrival-order invariant
+    got.foreach { t =>
+      val w = wholeBy(t._1)
+      assert((t._3, t._4, t._5, t._6) == (w._3, w._4, w._5, w._6),
+        s"stateless stages changed for doc ${t._1}")
+    }
+    // SURVIVES: exactly one keeper per duplicate-content group (docs
+    // 2/3/5 share docX modulo normalization)
+    val dupGroup = Seq(2L, 3L, 5L).map(by(_))
+    assert(dupGroup.count(_._7 == Some(false)) == 1)
+    // SURVIVES: per-source admitted COUNT = min(quota, #uniques)
+    val admitted = got.filter(_._9 == Some(true))
+    assert(admitted.count(_._2 == "A") == 2 && admitted.count(_._2 == "B") == 1)
+    // DOES NOT survive: keeper identity follows arrival order — doc 5
+    // (arriving in batch 0) now keeps docX's hash and doc 2 is the dup,
+    // the mirror image of the id-ordered run; doc 5 inherits admission
+    assert(by(5L)._7 == Some(false) && by(2L)._7 == Some(true))
+    assert(by(5L)._9 == Some(true))
+    // quota overflow still lands on the 3rd unique A survivor by arrival
+    assert(by(7L)._9 == Some(false))
+  }
+
   test("streamingSpanIngest: cross-batch shared paragraph flagged via " +
        "the merged gram-df index") {
     import spark.implicits._
