@@ -226,9 +226,29 @@ object Bench {
         }
       }
     } catch { case _: Throwable => None }
+    // drift HISTORY (round-13): the single vs-prior median can't
+    // distinguish round-to-round noise from a slow monotonic host decay
+    // (five +3% rounds compound to +16%). Carry the last 5 medians
+    // forward in the artifact: the chain of pct entries IS the decay
+    // record — alternating signs = ambient noise, one-sided = the host.
+    val driftHistory: Seq[Double] = {
+      val prior = try {
+        val p = java.nio.file.Paths.get("/root/repo/BENCH_FULL.json")
+        if (!java.nio.file.Files.exists(p)) Seq.empty[Double] else {
+          val om = new com.fasterxml.jackson.databind.ObjectMapper()
+          val h = om.readTree(java.nio.file.Files.readString(p))
+            .get("ambient_drift_history")
+          if (h == null || !h.isArray) Seq.empty[Double]
+          else (0 until h.size).map(h.get(_).asDouble)
+        }
+      } catch { case _: Throwable => Seq.empty[Double] }
+      (prior ++ drift.map { case (med, _, _) =>
+        math.rint((med - 1.0) * 1000.0) / 10.0 }).takeRight(5)
+    }
     val driftJson = drift.fold("") { case (med, n, pp) =>
       val pct = (med - 1.0) * 100.0
-      s""","ambient_drift_vs_prior":{"median_ratio":${math.rint(med * 1000) / 1000.0},"pct":${math.rint(pct * 10) / 10.0},"n_shared":$n,"prior_protocol":"${esc(pp)}"}"""
+      s""","ambient_drift_vs_prior":{"median_ratio":${math.rint(med * 1000) / 1000.0},"pct":${math.rint(pct * 10) / 10.0},"n_shared":$n,"prior_protocol":"${esc(pp)}"}""" +
+        s""","ambient_drift_history":[${driftHistory.mkString(",")}]"""
     }
     val full = s"""{"metric":"total","value":$total,"unit":"sec","nq":${results.size},"n_err":${results.count(_._2.isLeft)},"protocol":"per-query min over $passes suite passes x 2 back-to-back runs"$driftJson,"pass_times":$passTimes,"gwin_note":"$gwinNote","queries":$fullQs,"errors":$errs,"sf":"$sfDir"}"""
     // a SPARK_GRAFT_ONLY-filtered run is local iteration — don't clobber
@@ -281,6 +301,9 @@ object Bench {
       println(f"[bench] ambient drift vs prior artifact: " +
         f"${(med - 1.0) * 100}%+.1f%% (median per-query ratio over $n " +
         f"shared queries; prior protocol: $pp)")
+      if (driftHistory.size > 1)
+        println(s"[bench] drift history, oldest first (pct): " +
+          driftHistory.mkString(", "))
     }
     println(line)
   }

@@ -51,26 +51,34 @@ object IngestSkewCheck {
       .select("doc_id", "text", "source")
     val baseN = docs.count()
 
-    // one uniquified block of the base table: doc_id offset per block,
-    // text suffixed with the global id (so every row is a UNIQUE
-    // survivor and the quota window sees the whole corpus), source
-    // forced to a 90/10 split with S0 dominant
-    def block(b: Int): DataFrame = docs
-      .withColumn("doc_id", col("doc_id") + lit(b.toLong * (baseN + 7)))
+    // uniquified blocks of the base table: doc_id offset per block, text
+    // suffixed with the global id (so every row is a UNIQUE survivor and
+    // the quota window sees the whole corpus), source forced to a 90/10
+    // split with S0 dominant. One explode, not an N-way union — the plan
+    // stays constant-size at any multiplier.
+    def corpus(loBlock: Int, hiBlock: Int): DataFrame = docs
+      .withColumn("__b",
+        explode(sequence(lit(loBlock), lit(hiBlock - 1))))
+      .withColumn("doc_id",
+        col("doc_id") + col("__b").cast("long") * lit(baseN + 7))
+      .drop("__b")
+      // the base table is ONE parquet file: without this shuffle the
+      // explode and every narrow stage after it (the text kernels!)
+      // would run in a single task and the probe would measure its own
+      // fixture, not the ingest
+      .repartition(spark.sparkContext.defaultParallelism)
       .withColumn("text", concat(col("text"), lit(" uniq"), col("doc_id")))
       .withColumn("source",
         when(col("doc_id") % 10 =!= 0, lit("S0")).otherwise(col("source")))
 
     val baseBlocks = 20 // 1x corpus ≈ 100k rows
-    def corpus(nBlocks: Int): DataFrame =
-      (0 until nBlocks).map(block).reduce(_.union(_))
 
     // eval set: a sliver of base text (some contamination on block 0)
     val eval = docs.limit(50).select(col("doc_id"), col("text"))
       .localCheckpoint(true)
 
-    val oneX = corpus(baseBlocks).localCheckpoint(true)
-    val bigX = corpus(baseBlocks * copies).localCheckpoint(true)
+    val oneX = corpus(0, baseBlocks).localCheckpoint(true)
+    val bigX = corpus(0, baseBlocks * copies).localCheckpoint(true)
     println(s"[skew] corpus 1x=${oneX.count()} rows, " +
       s"${copies}x=${bigX.count()} rows, dominant-source share ~0.9")
 
@@ -79,13 +87,20 @@ object IngestSkewCheck {
       val n = graft.streaming.Events.ingestDecisions(
         df, eval, "doc_id", "text", "source", quota = 1000L).count()
       val sec = (System.nanoTime() - t0) / 1e9
-      println(f"[skew] batch-face $label%-4s ${sec}%7.2f s  rows=$n")
+      println(f"[skew] batch-face $label%-5s ${sec}%7.2f s  rows=$n " +
+        f"(${sec * 1e6 / math.max(1, n)}%5.1f us/row)")
       sec
     }
-    // JIT warm on the small corpus, then timed 1x / Nx
+    // JIT warm on the small corpus, then timed 1x / Nx / NNx — the third
+    // decade (default 10M rows, ~9M of them through ONE admit-window
+    // sort task) is where the batch face's skew term surfaces: per-row
+    // cost falls 1x -> Nx (fixed costs amortize) then RISES at NNx as
+    // the dominant source's single-partition sort stops scaling
     timeBatch(oneX, "warm")
     val b1 = timeBatch(oneX, "1x")
     val bN = timeBatch(bigX, s"${copies}x")
+    val bigger = corpus(0, baseBlocks * copies * copies)
+    val bNN = timeBatch(bigger, s"${copies * copies}x")
 
     // streaming face: the SAME Nx corpus as N files of 1x size, one
     // trigger per file (id-ordered via mtime), per-trigger durations
@@ -93,8 +108,7 @@ object IngestSkewCheck {
     val staging = java.nio.file.Files.createTempDirectory("graft_skew_stg")
     val srcDir = java.nio.file.Files.createTempDirectory("graft_skew_src")
     (0 until copies).foreach { b =>
-      val part = (b * baseBlocks until (b + 1) * baseBlocks)
-        .map(block).reduce(_.union(_))
+      val part = corpus(b * baseBlocks, (b + 1) * baseBlocks)
       part.coalesce(1).write.mode("overwrite").parquet(s"$staging/b$b")
       val f = new java.io.File(s"$staging/b$b").listFiles()
         .filter(_.getName.endsWith(".parquet")).head
@@ -121,6 +135,7 @@ object IngestSkewCheck {
     if (trig.nonEmpty) {
       val growth = trig.last / trig.head
       println(f"[skew] summary: batch-face ${copies}x/1x = ${bN / b1}%.1f, " +
+        f"${copies * copies}x/${copies}x = ${bNN / bN}%.1f, " +
         f"stream last/first trigger = $growth%.2f " +
         f"(max ${trig.max}%.2f s vs batch-face ${copies}x ${bN}%.2f s)")
     }

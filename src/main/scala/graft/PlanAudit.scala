@@ -89,7 +89,8 @@ object PlanAudit {
     "q_dsir_sample",  // same weights stage under the Gumbel top-k
     "q_ann_pq", // ADC scan: broadcast query/ADC tables vs streamed codes
     "q_embedding_drift", // four single-row mean/count frames cross-joined
-    "q_dedup_tier_agreement", // three single-row pair counts cross-joined
+    // (q_dedup_tier_agreement left this list round 13: the fused
+    // union-aggregate replaced its three single-row cross-joins)
     "q_hard_negatives", // broadcast-queries-vs-corpus scoring + all-pairs exclude
     "q_linearity_cn") // single-row library totals + anchor-row rescale crosses
 

@@ -832,6 +832,29 @@ object Dedup {
     shingled
   }
 
+  /** Contract check for caller-prebuilt [[bandedIndex]] relations: a
+    * band_sig built under different (k, numHashes, bands) never collides
+    * with this consumer's, so the failure mode of a mismatch is MISSED
+    * pairs, not an error — assert the params the index carries in its
+    * band_sig field metadata instead. Untagged (hand-built) relations
+    * pass unchecked — the caller owns the agreement. */
+  private def requireBandParams(idx: DataFrame, k: Int, numHashes: Int,
+                                bands: Int): DataFrame = {
+    idx.schema.fields.find(_.name == "band_sig").map(_.metadata)
+      .filter(_.contains("graft.minhash.k"))
+      .foreach { md =>
+        val (ik, ih, ib) = (md.getLong("graft.minhash.k"),
+          md.getLong("graft.minhash.numHashes"),
+          md.getLong("graft.minhash.bands"))
+        require(ik == k && ih == numHashes && ib == bands,
+          s"banded index was built with (k=$ik, numHashes=$ih, bands=$ib) " +
+            s"but this consumer runs (k=$k, numHashes=$numHashes, " +
+            s"bands=$bands) — pairs would be silently missed; rebuild the " +
+            "index or match the parameters")
+      }
+    idx
+  }
+
   /** @param shingled optional prebuilt (id, sh) k-shingle relation from
     *   [[shingleRelation]] — MUST be built with the same `k`; tagged
     *   relations are asserted, hand-built ones are the caller's promise. */
@@ -1006,30 +1029,38 @@ object Dedup {
     * documented recall loss. */
   /** @param shingled optional prebuilt (id, sh) k-shingle relation from
     *   [[shingleRelation]] — MUST be built with the same `k` (asserted
-    *   for tagged relations inside the verify stage). */
+    *   for tagged relations inside the verify stage).
+    * @param banded optional prebuilt (and already-materialized)
+    *   [[bandedIndex]] of `df` — a caller that ALSO probes the index
+    *   incrementally (q_dedup_clusters_incremental builds clusters(old)
+    *   and then probes the same old index with the new batch) passes it
+    *   here so the sketch kernel runs once, not once per consumer.
+    *   Tagged (k, numHashes, bands) metadata is asserted. */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       k: Int = 3, threshold: Double = 0.8,
                       numHashes: Int = 128, bands: Int = 16,
                       hotBucketThreshold: Int = 4096,
-                      shingled: Option[DataFrame] = None): DataFrame = {
+                      shingled: Option[DataFrame] = None,
+                      banded: Option[DataFrame] = None): DataFrame = {
     // the index is materialized ONCE (id/band/sig rows — a fraction of
     // the corpus; spills to disk if needed) and shared by the stats
     // aggregate, both self-join sides, and the hot arm. Without the
     // checkpoint, per-consumer column pruning makes each copy's
     // exchange DIFFERENT, exchange reuse fails, and the minhash sketch
     // kernel runs once per consumer (observed 3× in the plan).
-    val banded = bandedIndex(df, idCol, textCol, k, numHashes, bands)
-      .localCheckpoint(false)
+    val bandedRel = banded.map(requireBandParams(_, k, numHashes, bands))
+      .getOrElse(bandedIndex(df, idCol, textCol, k, numHashes, bands)
+        .localCheckpoint(false))
     // HOT-ONLY bucket stats: a map-side-combined aggregate replaces the
     // round-8 per-row window (whose SORT was a ~0.5-1 s fixed cost on
     // every banded query), filtered to buckets over the threshold. That
     // relation is tiny by nature (mega-buckets are rare boilerplate
     // clone classes; on every gate fixture it is EMPTY), so it
     // broadcast-joins back and the cool path pays a null-check per row.
-    val hotStats = banded.groupBy("band", "band_sig")
+    val hotStats = bandedRel.groupBy("band", "band_sig")
       .agg(count(lit(1)).as("__n"), min(col("id")).as("__rep"))
       .where(col("__n") > hotBucketThreshold)
-    val marked = banded.join(broadcast(hotStats),
+    val marked = bandedRel.join(broadcast(hotStats),
       Seq("band", "band_sig"), "left")
     val cool = marked.where(col("__n").isNull)
       .select("id", "band", "band_sig")
@@ -1090,24 +1121,13 @@ object Dedup {
                                  textCol: String, k: Int = 3,
                                  threshold: Double = 0.8, numHashes: Int = 128,
                                  bands: Int = 16,
-                                 hotBucketThreshold: Int = 4096): DataFrame = {
+                                 hotBucketThreshold: Int = 4096,
+                                 shingled: Option[DataFrame] = None): DataFrame = {
     // fail fast on a parameter-mismatched stored index: band_sigs from a
     // different (k, numHashes, bands) never collide with this call's, so
     // the bug mode is MISSED pairs, not an error — check the params the
     // index carries in its band_sig field metadata instead
-    oldIndex.schema.fields.find(_.name == "band_sig").foreach { f =>
-      val md = f.metadata
-      if (md.contains("graft.minhash.k")) {
-        val (ik, ih, ib) = (md.getLong("graft.minhash.k"),
-          md.getLong("graft.minhash.numHashes"),
-          md.getLong("graft.minhash.bands"))
-        require(ik == k && ih == numHashes && ib == bands,
-          s"minhashLshPairsIncremental: stored index was built with " +
-            s"(k=$ik, numHashes=$ih, bands=$ib) but this call uses " +
-            s"(k=$k, numHashes=$numHashes, bands=$bands) — pairs would be " +
-            "silently missed; rebuild the index or match the parameters")
-      }
-    }
+    requireBandParams(oldIndex, k, numHashes, bands)
     val newIdx = bandedIndex(newDocs, idCol, textCol, k, numHashes, bands)
     // tag sides so the hot-band guard can keep the "every pair touches a
     // new doc" contract while probing a single unioned frame
@@ -1144,7 +1164,7 @@ object Dedup {
         (col("__new") === 1 || col("__repNew") === 1))
       .select(col("__rep").as("id_a"), col("id").as("id_b"))
     verifyPairsExactJaccard(oldDocs.unionByName(newDocs),
-      candidates.unionByName(candHot), idCol, textCol, k, threshold)
+      candidates.unionByName(candHot), idCol, textCol, k, threshold, shingled)
   }
 
   /** Width of the simhash sketch: 60 bits, so the whole sketch derives
