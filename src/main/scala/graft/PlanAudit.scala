@@ -92,6 +92,8 @@ object PlanAudit {
     // (q_dedup_tier_agreement left this list round 13: the fused
     // union-aggregate replaced its three single-row cross-joins)
     "q_hard_negatives", // broadcast-queries-vs-corpus scoring + all-pairs exclude
+    "q_hybrid_retrieval", // bruteForceTopK semantic head: broadcast-query
+                          // -vs-corpus BNLJ (declared exactness baseline)
     "q_linearity_cn") // single-row library totals + anchor-row rescale crosses
 
   // unpartitioned windows that are PROVABLY bounded: the relation under
@@ -114,7 +116,9 @@ object PlanAudit {
     "q_pipeline_goh",   // BH rank over the gene relation (dim-sized)
     "q_goh_parametric", // same BH rank over the gene relation
     "q_pipeline_abcd",  // ROC rank over the bin relation (dim-sized)
-    "q_feber_roc")      // two ROC ranks over the bin relation
+    "q_feber_roc",      // two ROC ranks over the bin relation
+    "q_hybrid_retrieval") // rank windows over TakeOrdered top-N heads
+                          // (lex head, fused head - never corpus-sized)
 
   // ---- driver-collect audit (round 12): every collect-family action
   // fired while a query is CONSTRUCTED and PLANNED is recorded via a
@@ -171,6 +175,7 @@ object PlanAudit {
     "q_io_tsv_comments" -> "25-row nation fixture (header synthesis)",
     "q_decontaminate_bloom" -> "single-row eval distinct count (bloom sizing)",
     "q_bm25_topk" -> "single-row tf/doc-count corpus totals",
+    "q_hybrid_retrieval" -> "single-row tf/doc-count corpus totals (bm25)",
     "q_curriculum_budget" -> "domain-cardinality quota rows")
 
   private val collectFuncs = Set("collect", "collectAsList", "head", "take",

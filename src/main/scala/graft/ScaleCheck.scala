@@ -108,6 +108,10 @@ object ScaleCheck {
     // (one corpus aggregate to the bin×sample grid, two bins-sized IRLS
     // fits — expect near-flat)
     "q_goh_parametric", "q_feber_roc",
+    // round-13: hybrid BM25+cosine retrieval — both retriever heads are
+    // TakeOrdered top-N, fusion joins dim-sized heads (expect the BM25
+    // tf shuffle + brute-cosine scan to carry the growth)
+    "q_hybrid_retrieval",
     // round-12: the fixture-backed REST-scan closures — the KEGG
     // flat-format parse is per-document windows over KB-sized docs
     // (expect linear in documents), the Pfam map one shuffle

@@ -1591,6 +1591,43 @@ object LlmQueries {
         s"""SELECT id, dl, score_units, ${OmicsQueries.rndSql("CAST(score_units AS DOUBLE) / 1e6", 6)} AS score FROM sc ORDER BY score_units DESC, id LIMIT 20"""
       }),
 
+    Entry("q_hybrid_retrieval",
+      // hybrid corpus mining (round 13): BM25 over the seed term bag
+      // (top-50 lexical head) fused with exact cosine against the
+      // vec_id=0 query embedding (top-50 semantic head) by Reciprocal
+      // Rank Fusion, rrf = Σ 1/(60+rank), missing side contributes 0.
+      // Ranks are exact integers and each term one IEEE division in
+      // fixed fold order, so the oracle replays the fusion bit-for-bit;
+      // the fused/head rank windows run over TakeOrdered heads (bounded
+      // global windows), and the brute cosine side is the declared
+      // exactness baseline (lshTopK/IVF swap in at scale)
+      (s, d) => graft.sim.Retrieval.hybridTopK(
+        t(s, d, "documents"), t(s, d, "embeddings"),
+        "doc_id", "text", "vec_id", "embedding",
+        terms = Seq("table", "merge", "stream"), queryVecId = 0L,
+        topN = 50, c = 60, k = 20),
+      Some {
+        val (k1, b) = (1.2, 0.75)
+        val k1p1 = k1 + 1.0
+        val omb = 1.0 - b
+        s"""WITH tk AS (SELECT doc_id AS id, list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0) AS ts FROM documents), """ +
+        s"""dlr AS (SELECT id, CAST(len(ts) AS INTEGER) AS dl, ts FROM tk), """ +
+        s"""st AS (SELECT count(*) AS n, CAST(sum(CAST(len(ts) AS DECIMAL(24,6))) AS DOUBLE) / count(*) AS avgdl FROM tk), """ +
+        s"""tf AS (SELECT id, dl, tok, count(*) AS tf FROM (SELECT d.id, d.dl, unnest(d.ts) AS tok FROM dlr d) WHERE tok IN ('table', 'merge', 'stream') GROUP BY 1, 2, 3), """ +
+        s"""dfc AS (SELECT tok, count(DISTINCT id) AS df FROM tf GROUP BY 1), """ +
+        s"""idf AS (SELECT tok, floor(ln(1.0 + (CAST((SELECT n FROM st) AS DOUBLE) - df + 0.5) / (df + 0.5)) * 1e6 + 0.5) / 1e6 AS idf FROM dfc), """ +
+        s"""tu AS (SELECT t.id, t.dl, CAST(floor(i.idf * (t.tf * $k1p1 / (t.tf + $k1 * ($omb + $b * t.dl / (SELECT avgdl FROM st)))) * 1e6 + 0.5) AS BIGINT) AS u FROM tf t JOIN idf i USING (tok)), """ +
+        s"""sc AS (SELECT id, CAST(sum(u) AS BIGINT) AS score_units FROM tu GROUP BY 1), """ +
+        s"""lexh AS (SELECT id, score_units FROM sc ORDER BY score_units DESC, id LIMIT 50), """ +
+        s"""lexr AS (SELECT id, CAST(row_number() OVER (ORDER BY score_units DESC, id) AS INTEGER) AS rank_lex FROM lexh), """ +
+        s"""qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0), """ +
+        s"""ss AS (SELECT c.vec_id AS id, list_sum(list_transform(list_zip(qe, c.embedding), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) / (sqrt(list_sum(list_transform(qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos FROM qv, embeddings c WHERE c.vec_id <> 0), """ +
+        s"""semr AS (SELECT id, rank_sem FROM (SELECT id, CAST(row_number() OVER (ORDER BY cos DESC, id) AS INTEGER) AS rank_sem FROM ss) WHERE rank_sem <= 50), """ +
+        s"""fused AS (SELECT id, rank_lex, rank_sem, coalesce(1.0 / (60 + rank_lex), 0) + coalesce(1.0 / (60 + rank_sem), 0) AS rrf FROM lexr FULL JOIN semr USING (id)), """ +
+        s"""fh AS (SELECT * FROM fused ORDER BY rrf DESC, id LIMIT 20) """ +
+        s"""SELECT id AS doc_id, CAST(row_number() OVER (ORDER BY rrf DESC, id) AS INTEGER) AS fused_rank, ${OmicsQueries.rndSql("rrf", 6)} AS rrf_score, rank_lex, rank_sem FROM fh"""
+      }),
+
     Entry("q_mmr_select",
       // Maximal-Marginal-Relevance selection: greedy diverse top-5 around
       // probe vec_id=0 — pick what's relevant but NOT a near-dup of

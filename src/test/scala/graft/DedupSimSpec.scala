@@ -715,4 +715,29 @@ class DedupSimSpec extends SparkSpec {
     assert(exact.filter(r => r._1 % 10 == 1 && r._1 < 120).forall(_._3))
     assert(exact.exists(!_._3))
   }
+
+  test("rrfFuse: missing-side zeros, fixed fold order, id tie-break, " +
+      "k cut (round-13 hybrid retrieval)") {
+    import graft.sim.Retrieval
+    val lex = Seq((10L, 1), (20L, 2), (30L, 3)).toDF("id", "rank")
+    val sem = Seq((20L, 1), (40L, 2)).toDF("id", "rank")
+    val out = Retrieval.rrfFuse(Seq("lex" -> lex, "sem" -> sem),
+        c = 60, k = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2),
+        if (r.isNullAt(3)) None else Some(r.getInt(3)),
+        if (r.isNullAt(4)) None else Some(r.getInt(4))))
+    // 20: 1/62 + 1/61 wins; 10: 1/61; 40: 1/62; 30 (1/63) cut by k=3
+    assert(out.map(_._1).toSeq == Seq(20L, 10L, 40L))
+    assert(out.map(_._2).toSeq == Seq(1, 2, 3))
+    assert(out(0)._3 == math.rint((1.0 / 62 + 1.0 / 61) * 1e6) / 1e6)
+    assert(out(0)._4 == Some(2) && out(0)._5 == Some(1))
+    assert(out(1)._4 == Some(1) && out(1)._5 == None)
+    assert(out(2)._4 == None && out(2)._5 == Some(2))
+    // equal rrf from symmetric ranks -> id tie-break, both present
+    val t1 = Seq((2L, 5)).toDF("id", "rank")
+    val t2 = Seq((1L, 5)).toDF("id", "rank")
+    val tied = Retrieval.rrfFuse(Seq("a" -> t1, "b" -> t2), c = 60, k = 2)
+      .collect().map(_.getLong(0)).toSeq
+    assert(tied == Seq(1L, 2L))
+  }
 }
