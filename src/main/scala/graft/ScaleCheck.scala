@@ -112,6 +112,9 @@ object ScaleCheck {
     // TakeOrdered top-N, fusion joins dim-sized heads (expect the BM25
     // tf shuffle + brute-cosine scan to carry the growth)
     "q_hybrid_retrieval",
+    // round-13: verbatim-containment decontamination — corpus gram
+    // stream vs broadcast eval grams; expect corpus-linear
+    "q_decontaminate_verbatim",
     // round-12: the fixture-backed REST-scan closures — the KEGG
     // flat-format parse is per-document windows over KB-sized docs
     // (expect linear in documents), the Pfam map one shuffle

@@ -1595,6 +1595,56 @@ object Dedup {
         round(col("matched").cast("double") / col("n_grams"), 6))
   }
 
+  /** Verbatim (token-aligned) decontamination — the STRICT tier above
+    * [[decontaminate]]'s any-shared-k-gram flag and the fuzzy near-dup
+    * tier: a corpus document is flagged when an eval entry's ENTIRE
+    * token sequence appears as a contiguous token run inside it (the
+    * "test question pasted verbatim into a training document" case,
+    * which an any-hit flag over-triggers on and a near-dup tier misses
+    * when the document is long).
+    *
+    * Relational containment, no per-pair string scan: both sides emit
+    * POSITIONAL k-gram hashes ([[tokenGramHashesKernel]] — lowercased,
+    * 60-bit md5 prefixes, so a collision collapses identically in the
+    * DuckDB oracle), and eval e is contained in doc d at offset o iff
+    * every eval gram position matches the doc gram at o + that
+    * position — i.e. the per-(d, e, o) gram-match count equals e's
+    * positional gram count (duplicate grams inside e are handled: for
+    * a fixed offset each eval position pairs with exactly one doc
+    * position, so the count is "eval positions matched"). Containment
+    * is case-insensitive and whitespace-tokenized by the kernel's
+    * contract. Eval entries need >= k tokens (shorter ones have an
+    * empty gram stream — same domain as the n-gram tier).
+    *
+    * Scale shape: the eval gram stream and per-entry gram counts are
+    * eval-sized and broadcast; the corpus never shuffles its text —
+    * only matching (doc, eval, offset) gram rows reach the count,
+    * bounded by gram-match volume exactly like [[decontaminate]].
+    * Every corpus doc is emitted (n_verbatim = 0 included). */
+  def decontaminateVerbatim(corpus: DataFrame, eval: DataFrame,
+                            idCol: String, textCol: String,
+                            k: Int = 5): DataFrame = {
+    val eg = eval.select(col(idCol).as("__eid"),
+      posexplode(graft.catalyst.ArrayFunctions
+        .tokenGramHashes(col(textCol), k)).as(Seq("__ep", "__h")))
+    val egCnt = eg.groupBy("__eid").agg(count(lit(1)).as("__eg"))
+    val dg = corpus.select(col(idCol),
+      posexplode(graft.catalyst.ArrayFunctions
+        .tokenGramHashes(col(textCol), k)).as(Seq("__dp", "__h")))
+    val hits = dg.join(broadcast(eg), Seq("__h"))
+      .groupBy(col(idCol), col("__eid"),
+        (col("__dp") - col("__ep")).as("__off"))
+      .agg(count(lit(1)).as("__m"))
+      .join(broadcast(egCnt), Seq("__eid"))
+      .where(col("__m") === col("__eg"))
+      .groupBy(col(idCol))
+      .agg(countDistinct(col("__eid")).as("n_verbatim"))
+    corpus.select(col(idCol))
+      .join(hits, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("n_verbatim"), lit(0L)).as("n_verbatim"))
+      .withColumn("verbatim", col("n_verbatim") > 0)
+  }
+
   /** Cross-source duplication matrix: near-dup pair evidence aggregated
     * to the (source, source) level — the corpus-analytics view that
     * tells you WHICH sources mirror each other (syndication, scraper

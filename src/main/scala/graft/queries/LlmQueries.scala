@@ -1144,6 +1144,27 @@ object LlmQueries {
       },
       Some(s"""WITH toks AS (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0) AS ts FROM documents), sh0 AS (SELECT doc_id, CASE WHEN len(ts) >= 5 THEN array_to_string(ts[i:i+4], ' ') ELSE array_to_string(ts, ' ') END AS s FROM toks, unnest(generate_series(1, greatest(len(ts) - 4, 1))) AS g(i) WHERE len(ts) > 0), shh AS (SELECT DISTINCT doc_id, CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) AS h FROM sh0), ev AS (SELECT DISTINCT h FROM shh WHERE doc_id % 40 = 0), ng AS (SELECT doc_id, CAST(count(*) AS INTEGER) AS n_grams FROM shh WHERE doc_id % 40 <> 0 GROUP BY 1), m AS (SELECT shh.doc_id, count(*) AS matched FROM shh JOIN ev USING (h) WHERE shh.doc_id % 40 <> 0 GROUP BY 1) SELECT ng.doc_id, ng.n_grams, CAST(coalesce(m.matched, 0) AS BIGINT) AS matched, ${OmicsQueries.rndSql("CAST(coalesce(m.matched, 0) AS DOUBLE) / ng.n_grams", 6)} AS contamination FROM ng LEFT JOIN m USING (doc_id)""")),
 
+    Entry("q_decontaminate_verbatim",
+      // verbatim-containment decontamination (round 13) — the STRICT
+      // tier: flag corpus docs containing an eval entry's ENTIRE token
+      // sequence as a contiguous run. Eval = 10-token slices (tokens
+      // 4..13) of every 50th document, so each is verbatim-contained in
+      // its source doc (and its clones) by construction while most docs
+      // stay clean. Relational containment: positional gram hashes both
+      // sides, contained iff some offset matches every eval gram — the
+      // oracle replays offsets, counts, and md5 collisions identically
+      (s, d) => {
+        val docs = t(s, d, "documents").select("doc_id", "text")
+        val toks = filter(split(col("text"), "\\s+"),
+          x => length(x) > lit(0))
+        val eval = docs
+          .select(col("doc_id"), slice(toks, 4, 10).as("__sl"))
+          .where(col("doc_id") % 50 === 0 && size(col("__sl")) === 10)
+          .select(col("doc_id"), array_join(col("__sl"), " ").as("text"))
+        Dedup.decontaminateVerbatim(docs, eval, "doc_id", "text", k = 5)
+      },
+      Some("""WITH rtoks AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS ts FROM documents), ev AS (SELECT doc_id AS eid, ts[4:13] AS ets FROM rtoks WHERE doc_id % 50 = 0 AND len(ts) >= 13), eg AS (SELECT eid, i - 1 AS ep, CAST(concat('0x', substr(md5(array_to_string(ets[i:i+4], ' ')), 1, 15)) AS BIGINT) AS h FROM ev, unnest(generate_series(1, len(ets) - 4)) AS g(i)), egc AS (SELECT eid, count(*) AS egn FROM eg GROUP BY 1), dg AS (SELECT doc_id, i - 1 AS dp, CAST(concat('0x', substr(md5(array_to_string(ts[i:i+4], ' ')), 1, 15)) AS BIGINT) AS h FROM rtoks, unnest(generate_series(1, len(ts) - 4)) AS g(i) WHERE len(ts) >= 5), m AS (SELECT dg.doc_id, eg.eid, dg.dp - eg.ep AS off, count(*) AS mm FROM dg JOIN eg USING (h) GROUP BY 1, 2, 3), hits AS (SELECT doc_id, count(DISTINCT m.eid) AS n_verbatim FROM m JOIN egc ON m.eid = egc.eid WHERE m.mm = egc.egn GROUP BY 1) SELECT d.doc_id, CAST(coalesce(h.n_verbatim, 0) AS BIGINT) AS n_verbatim, coalesce(h.n_verbatim, 0) > 0 AS verbatim FROM documents d LEFT JOIN hits h USING (doc_id)""")),
+
     Entry("q_decontaminate_fuzzy",
       // fuzzy benchmark decontamination (the GPT-3/PaLM-style NEAR-dup
       // variant of q_decontaminate): corpus docs that are minhash-LSH

@@ -716,6 +716,38 @@ class DedupSimSpec extends SparkSpec {
     assert(exact.exists(!_._3))
   }
 
+  test("decontaminateVerbatim: token-aligned containment only — some " +
+      "offset must match EVERY positional eval gram; duplicate-gram " +
+      "evals counted per position; partial overlaps and shifted-token " +
+      "lookalikes stay clean") {
+    val evalTxt = "one two three four five six seven" // 7 toks, 3 grams @k=5
+    val dupTxt = "a b a b a b a b c"                  // dup grams inside
+    val docs = Seq(
+      (1L, "head pad " + evalTxt + " tail pad"), // contained mid-doc
+      (2L, "one two three four five NOPE seven"), // shares gram 0 only
+      (3L, "xone two three four five six seven"), // first token differs
+      (4L, evalTxt),                               // exact equality
+      (5L, "zz " + dupTxt + " zz"),                // dup-gram eval inside
+      (6L, "a b a b a b a c b")                    // same bag, wrong order
+    ).toDF("doc_id", "text")
+    val eval = Seq((100L, evalTxt), (200L, dupTxt)).toDF("doc_id", "text")
+    val out = Dedup.decontaminateVerbatim(docs, eval, "doc_id", "text", k = 5)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2)))
+      .toMap
+    assert(out(1L) == ((1L, true)))
+    assert(out(2L) == ((0L, false)))
+    assert(out(3L) == ((0L, false)))
+    assert(out(4L) == ((1L, true)))
+    assert(out(5L) == ((1L, true)))
+    assert(out(6L) == ((0L, false)))
+    // CASE-insensitive by the kernel contract
+    val up = Seq((7L, ("head " + evalTxt + " tail").toUpperCase))
+      .toDF("doc_id", "text")
+    val out2 = Dedup.decontaminateVerbatim(up, eval, "doc_id", "text", k = 5)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(out2(7L))
+  }
+
   test("rrfFuse: missing-side zeros, fixed fold order, id tie-break, " +
       "k cut (round-13 hybrid retrieval)") {
     import graft.sim.Retrieval
