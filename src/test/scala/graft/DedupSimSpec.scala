@@ -748,6 +748,41 @@ class DedupSimSpec extends SparkSpec {
     assert(out2(7L))
   }
 
+  test("decontaminateVerbatim equals brute-force token-run containment " +
+      "on randomized corpora (small alphabet forces heavy gram overlap)") {
+    val rnd = new scala.util.Random(19)
+    val vocab = Vector("aa", "bb", "cc", "dd")  // tiny: dup grams everywhere
+    def randToks(n: Int): Vector[String] =
+      Vector.fill(n)(vocab(rnd.nextInt(vocab.length)))
+    val evals = (0 until 6).map(i => (100L + i, randToks(5 + rnd.nextInt(4))))
+    val docs = (0 until 60).map { i =>
+      val base = randToks(8 + rnd.nextInt(15))
+      // plant ~1/3 of docs with a random eval at a random position
+      val toks = if (i % 3 == 0) {
+        val e = evals(rnd.nextInt(evals.length))._2
+        val at = rnd.nextInt(base.length + 1)
+        base.take(at) ++ e ++ base.drop(at)
+      } else base
+      (i.toLong, toks)
+    }
+    val k = 5
+    def contains(doc: Vector[String], e: Vector[String]): Boolean =
+      e.size >= k && doc.indices.exists(o =>
+        o + e.size <= doc.size && doc.slice(o, o + e.size) == e)
+    val want = docs.map { case (id, toks) =>
+      id -> evals.count { case (_, e) => contains(toks, e) }.toLong
+    }.toMap
+    val docsDf = docs.map { case (id, t) => (id, t.mkString(" ")) }
+      .toDF("doc_id", "text")
+    val evalDf = evals.map { case (id, t) => (id, t.mkString(" ")) }
+      .toDF("doc_id", "text")
+    val got = Dedup.decontaminateVerbatim(docsDf, evalDf, "doc_id", "text", k)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want, s"got=$got\nwant=$want")
+    // the fixture exercised both directions
+    assert(want.values.exists(_ > 0) && want.values.exists(_ == 0))
+  }
+
   test("rrfFuse: missing-side zeros, fixed fold order, id tie-break, " +
       "k cut (round-13 hybrid retrieval)") {
     import graft.sim.Retrieval
