@@ -247,10 +247,15 @@ object Bench {
     }
     val driftJson = drift.fold("") { case (med, n, pp) =>
       val pct = (med - 1.0) * 100.0
-      s""","ambient_drift_vs_prior":{"median_ratio":${math.rint(med * 1000) / 1000.0},"pct":${math.rint(pct * 10) / 10.0},"n_shared":$n,"prior_protocol":"${esc(pp)}"}""" +
-        s""","ambient_drift_history":[${driftHistory.mkString(",")}]"""
+      s""","ambient_drift_vs_prior":{"median_ratio":${math.rint(med * 1000) / 1000.0},"pct":${math.rint(pct * 10) / 10.0},"n_shared":$n,"prior_protocol":"${esc(pp)}"}"""
     }
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","nq":${results.size},"n_err":${results.count(_._2.isLeft)},"protocol":"per-query min over $passes suite passes x 2 back-to-back runs"$driftJson,"pass_times":$passTimes,"gwin_note":"$gwinNote","queries":$fullQs,"errors":$errs,"sf":"$sfDir"}"""
+    // the accumulated decay record must survive a run that cannot compute
+    // drift vs the prior artifact (e.g. first run after an artifact loss) —
+    // emit it whenever non-empty, independent of this run's drift
+    val fullHistJson =
+      if (driftHistory.isEmpty) ""
+      else s""","ambient_drift_history":[${driftHistory.mkString(",")}]"""
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","nq":${results.size},"n_err":${results.count(_._2.isLeft)},"protocol":"per-query min over $passes suite passes x 2 back-to-back runs"$driftJson$fullHistJson,"pass_times":$passTimes,"gwin_note":"$gwinNote","queries":$fullQs,"errors":$errs,"sf":"$sfDir"}"""
     // a SPARK_GRAFT_ONLY-filtered run is local iteration — don't clobber
     // the committed full-suite snapshot with a partial one
     if (only.isEmpty)

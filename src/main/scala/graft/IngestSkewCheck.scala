@@ -99,8 +99,23 @@ object IngestSkewCheck {
     timeBatch(oneX, "warm")
     val b1 = timeBatch(oneX, "1x")
     val bN = timeBatch(bigX, s"${copies}x")
+    // the NNx corpus (~10M rows of text) is deliberately NOT
+    // localCheckpoint'ed like 1x/Nx — materializing it would dominate the
+    // heap — so its timing would otherwise include fixture generation
+    // (explode + full-corpus repartition + text concat) the smaller
+    // decades exclude. Measure the fixture-only cost (a count() forces
+    // the same generation plan without the ingest) and subtract it so
+    // all three decades measure only the ingest.
     val bigger = corpus(0, baseBlocks * copies * copies)
-    val bNN = timeBatch(bigger, s"${copies * copies}x")
+    val tf0 = System.nanoTime()
+    bigger.count()
+    val fixtureSec = (System.nanoTime() - tf0) / 1e9
+    println(f"[skew] ${copies * copies}x fixture-only baseline " +
+      f"$fixtureSec%7.2f s (subtracted from the NNx row)")
+    val bNNraw = timeBatch(bigger, s"${copies * copies}x")
+    val bNN = math.max(0.0, bNNraw - fixtureSec)
+    println(f"[skew] batch-face ${copies * copies}x ingest-only " +
+      f"$bNN%7.2f s (raw $bNNraw%.2f - fixture $fixtureSec%.2f)")
 
     // streaming face: the SAME Nx corpus as N files of 1x size, one
     // trigger per file (id-ordered via mtime), per-trigger durations

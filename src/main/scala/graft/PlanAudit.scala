@@ -94,6 +94,8 @@ object PlanAudit {
     "q_hard_negatives", // broadcast-queries-vs-corpus scoring + all-pairs exclude
     "q_hybrid_retrieval", // bruteForceTopK semantic head: broadcast-query
                           // -vs-corpus BNLJ (declared exactness baseline)
+    "q_hybrid_retrieval_ivf", // query-vs-nCells centroid-table cross (IVF
+                              // probe ranking: 1 query row × 8 cells)
     "q_linearity_cn") // single-row library totals + anchor-row rescale crosses
 
   // unpartitioned windows that are PROVABLY bounded: the relation under
@@ -117,8 +119,10 @@ object PlanAudit {
     "q_goh_parametric", // same BH rank over the gene relation
     "q_pipeline_abcd",  // ROC rank over the bin relation (dim-sized)
     "q_feber_roc",      // two ROC ranks over the bin relation
-    "q_hybrid_retrieval") // rank windows over TakeOrdered top-N heads
-                          // (lex head, fused head - never corpus-sized)
+    "q_hybrid_retrieval",  // rank windows over TakeOrdered top-N heads
+                           // (lex head, fused head - never corpus-sized)
+    "q_hybrid_retrieval_ivf") // same lex/fused head windows (the IVF
+                              // probe window is partitioned by query)
 
   // ---- driver-collect audit (round 12): every collect-family action
   // fired while a query is CONSTRUCTED and PLANNED is recorded via a
@@ -176,6 +180,7 @@ object PlanAudit {
     "q_decontaminate_bloom" -> "single-row eval distinct count (bloom sizing)",
     "q_bm25_topk" -> "single-row tf/doc-count corpus totals",
     "q_hybrid_retrieval" -> "single-row tf/doc-count corpus totals (bm25)",
+    "q_hybrid_retrieval_ivf" -> "k-sized coarse centroids (lloydFit) + single-row bm25 corpus totals",
     "q_curriculum_budget" -> "domain-cardinality quota rows")
 
   private val collectFuncs = Set("collect", "collectAsList", "head", "take",
@@ -342,6 +347,11 @@ object PlanAudit {
           } catch {
             case e: Throwable =>
               out(f"$name%-28s PLAN_ERROR ${e.getMessage.take(80)}")
+              // a query that died mid-planning may still have fired collect
+              // events; advance prevName so any stragglers drained at the
+              // next iteration are attributed to THIS query, not the
+              // previous successful one (spurious whitelist mismatches)
+              prevName = Some(name)
           }
         }
       // final drain: anything still in flight belongs to the last query

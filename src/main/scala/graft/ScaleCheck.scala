@@ -112,6 +112,10 @@ object ScaleCheck {
     // TakeOrdered top-N, fusion joins dim-sized heads (expect the BM25
     // tf shuffle + brute-cosine scan to carry the growth)
     "q_hybrid_retrieval",
+    // round-14: the INDEXED-head twin — quantizer fit (iters bounded
+    // corpus passes) + zero-shuffle cell assignment + candidate-only
+    // rescore; expect corpus-linear from the fit/assignment passes
+    "q_hybrid_retrieval_ivf",
     // round-13: verbatim-containment decontamination — corpus gram
     // stream vs broadcast eval grams; expect corpus-linear
     "q_decontaminate_verbatim",

@@ -1614,7 +1614,12 @@ object Dedup {
     * position, so the count is "eval positions matched"). Containment
     * is case-insensitive and whitespace-tokenized by the kernel's
     * contract. Eval entries need >= k tokens (shorter ones have an
-    * empty gram stream — same domain as the n-gram tier).
+    * empty gram stream — same domain as the n-gram tier). Eval ids
+    * must be DISTINCT — a duplicated id would sum gram counts across
+    * its rows and make the per-offset equality unreachable — so the
+    * eval frame is deduped on idCol up front (one arbitrary
+    * representative text per id; callers with id-colliding variants
+    * should disambiguate ids before calling).
     *
     * Scale shape: the eval gram stream and per-entry gram counts are
     * eval-sized and broadcast; the corpus never shuffles its text —
@@ -1624,7 +1629,8 @@ object Dedup {
   def decontaminateVerbatim(corpus: DataFrame, eval: DataFrame,
                             idCol: String, textCol: String,
                             k: Int = 5): DataFrame = {
-    val eg = eval.select(col(idCol).as("__eid"),
+    val evalU = eval.dropDuplicates(idCol)
+    val eg = evalU.select(col(idCol).as("__eid"),
       posexplode(graft.catalyst.ArrayFunctions
         .tokenGramHashes(col(textCol), k)).as(Seq("__ep", "__h")))
     val egCnt = eg.groupBy("__eid").agg(count(lit(1)).as("__eg"))

@@ -121,12 +121,18 @@ object Goh {
         count(lit(1)).as("n"))
     val denom = sqrt((lit(1.0) - col("rxz") * col("rxz")) *
       (lit(1.0) - col("ryz") * col("ryz")))
-    val nullPc = nullPcRaw.withColumn("npcor",
+    val nullPcPlan = nullPcRaw.withColumn("npcor",
         when(col("n") > nMin,
           round((col("rxy") - col("rxz") * col("ryz")) /
             when(denom > 0, denom), 6)))
       .select("i", "ds", "npcor", "n")
-      .localCheckpoint(false) // draws × datasets rows; 4 consumers below
+    // empirical mode re-reads the null table FOUR times (nn feeds two
+    // theta joins plus nullP/nullF) — checkpoint pays for itself; the
+    // parametric route consumes it ONCE (nullP → nullF), where the
+    // eager checkpoint job was pure per-query floor (round-14 JobProbe
+    // treatment, the q_embedding_outliers single-consumer precedent)
+    val nullPc =
+      if (parametric) nullPcPlan else nullPcPlan.localCheckpoint(false)
 
     // parametric mode's per-dataset p: the one-sided t tail of the
     // first-order pcor, df = n − 3 (cor.test alternative="g")

@@ -1649,6 +1649,51 @@ object LlmQueries {
         s"""SELECT id AS doc_id, CAST(row_number() OVER (ORDER BY rrf DESC, id) AS INTEGER) AS fused_rank, ${OmicsQueries.rndSql("rrf", 6)} AS rrf_score, rank_lex, rank_sem FROM fh"""
       }),
 
+    Entry("q_hybrid_retrieval_ivf",
+      // the INDEXED-head hybrid composition (round 14): same BM25 lexical
+      // head, but the semantic head is IVF-routed — Clustering.kmeansFit's
+      // replayable Lloyd quantizer (8 cells, 2 iters, seed 42), a genuinely
+      // PARTIAL probe (2 of 8 cells, recall < 1 by construction), exact
+      // cosine rescore of the routed candidates only. The oracle replays
+      // the quantizer fit (kmeansCtes — the q_ann_ivfpq machinery), the
+      // probe ranking (same gridded left-fold distance, (d, cluster)
+      // tie-break), the candidate set, the rescore, and the RRF fusion —
+      // so the fused ranking a 100 TB run would produce is hash-pinned
+      // end to end, not asserted via the brute-force baseline
+      (s, d) => graft.sim.Retrieval.hybridTopKIvf(
+        t(s, d, "documents"), t(s, d, "embeddings"),
+        "doc_id", "text", "vec_id", "embedding",
+        terms = Seq("table", "merge", "stream"), queryVecId = 0L,
+        nCells = 8, nProbe = 2, iters = 2, seed = 42L,
+        topN = 50, c = 60, k = 20),
+      Some {
+        val (k1, b) = (1.2, 0.75)
+        val k1p1 = k1 + 1.0
+        val omb = 1.0 - b
+        val fold = (l: String) => s"list_reduce($l, (acc, e) -> acc + e)"
+        val pdist = fold("list_transform(list_zip(q.v, c.cv), p -> (p[1] - p[2]) * (p[1] - p[2]))")
+        s"""WITH tk AS (SELECT doc_id AS id, list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0) AS ts FROM documents), """ +
+        s"""dlr AS (SELECT id, CAST(len(ts) AS INTEGER) AS dl, ts FROM tk), """ +
+        s"""st AS (SELECT count(*) AS n, CAST(sum(CAST(len(ts) AS DECIMAL(24,6))) AS DOUBLE) / count(*) AS avgdl FROM tk), """ +
+        s"""tf AS (SELECT id, dl, tok, count(*) AS tf FROM (SELECT d.id, d.dl, unnest(d.ts) AS tok FROM dlr d) WHERE tok IN ('table', 'merge', 'stream') GROUP BY 1, 2, 3), """ +
+        s"""dfc AS (SELECT tok, count(DISTINCT id) AS df FROM tf GROUP BY 1), """ +
+        s"""idf AS (SELECT tok, floor(ln(1.0 + (CAST((SELECT n FROM st) AS DOUBLE) - df + 0.5) / (df + 0.5)) * 1e6 + 0.5) / 1e6 AS idf FROM dfc), """ +
+        s"""tu AS (SELECT t.id, t.dl, CAST(floor(i.idf * (t.tf * $k1p1 / (t.tf + $k1 * ($omb + $b * t.dl / (SELECT avgdl FROM st)))) * 1e6 + 0.5) AS BIGINT) AS u FROM tf t JOIN idf i USING (tok)), """ +
+        s"""sc AS (SELECT id, CAST(sum(u) AS BIGINT) AS score_units FROM tu GROUP BY 1), """ +
+        s"""lexh AS (SELECT id, score_units FROM sc ORDER BY score_units DESC, id LIMIT 50), """ +
+        s"""lexr AS (SELECT id, CAST(row_number() OVER (ORDER BY score_units DESC, id) AS INTEGER) AS rank_lex FROM lexh), """ +
+        s"""${kmeansCtes(8, 2, 42L, "iv")}, """ +
+        s"""pbq AS (SELECT v FROM ivvq WHERE id = 0), """ +
+        s"""pb AS (SELECT cluster FROM (SELECT c.cluster, row_number() OVER (ORDER BY $pdist, c.cluster) AS rn FROM pbq q, ivc2 c) WHERE rn <= 2), """ +
+        s"""cand AS (SELECT f.id FROM ivfin f JOIN pb USING (cluster) WHERE f.id <> 0), """ +
+        s"""qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0), """ +
+        s"""ss AS (SELECT c.vec_id AS id, list_sum(list_transform(list_zip(qe, c.embedding), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) / (sqrt(list_sum(list_transform(qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos FROM qv, embeddings c, cand WHERE c.vec_id = cand.id), """ +
+        s"""semr AS (SELECT id, rank_ivf FROM (SELECT id, CAST(row_number() OVER (ORDER BY cos DESC, id) AS INTEGER) AS rank_ivf FROM ss) WHERE rank_ivf <= 50), """ +
+        s"""fused AS (SELECT id, rank_lex, rank_ivf, coalesce(1.0 / (60 + rank_lex), 0) + coalesce(1.0 / (60 + rank_ivf), 0) AS rrf FROM lexr FULL JOIN semr USING (id)), """ +
+        s"""fh AS (SELECT * FROM fused ORDER BY rrf DESC, id LIMIT 20) """ +
+        s"""SELECT id AS doc_id, CAST(row_number() OVER (ORDER BY rrf DESC, id) AS INTEGER) AS fused_rank, ${OmicsQueries.rndSql("rrf", 6)} AS rrf_score, rank_lex, rank_ivf FROM fh"""
+      }),
+
     Entry("q_mmr_select",
       // Maximal-Marginal-Relevance selection: greedy diverse top-5 around
       // probe vec_id=0 — pick what's relevant but NOT a near-dup of

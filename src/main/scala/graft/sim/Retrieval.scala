@@ -82,4 +82,33 @@ object Retrieval {
     rrfFuse(Seq("lex" -> lex, "sem" -> sem), c, k)
       .withColumnRenamed("id", "doc_id")
   }
+
+  /** The INDEXED-head hybrid composition — what a 100 TB corpus-mining
+    * run actually executes: the semantic head is
+    * [[Similarity.ivfExactTopK]] (replayable coarse quantizer, genuinely
+    * partial probe — nProbe of nCells cells, recall < 1 by construction)
+    * instead of [[hybridTopK]]'s brute-force exactness baseline. The
+    * fusion is identical ([[rrfFuse]] is head-agnostic); what this
+    * composition pins is that the fused ranking over the ROUTED
+    * candidate set — quantizer fit, cell probe, exact rescore, RRF —
+    * replays end to end. */
+  def hybridTopKIvf(docs: DataFrame, emb: DataFrame, docIdCol: String,
+                    textCol: String, vecIdCol: String, vecCol: String,
+                    terms: Seq[String], queryVecId: Long, nCells: Int = 8,
+                    nProbe: Int = 2, iters: Int = 2, seed: Long = 42L,
+                    topN: Int = 50, c: Int = 60, k: Int = 20): DataFrame = {
+    val lex = graft.text.Text.bm25TopK(docs, docIdCol, textCol, terms,
+        topK = topN)
+      // rank over the ≤topN TakeOrdered head (bounded global window)
+      .withColumn("rank", row_number()
+        .over(Window.orderBy(col("score_units").desc, col("id"))))
+      .select("id", "rank")
+    val sem = Similarity.ivfExactTopK(emb,
+        emb.where(col(vecIdCol) === queryVecId), vecIdCol, vecCol,
+        k = topN, nCells = nCells, nProbe = nProbe, iters = iters,
+        seed = seed)
+      .select(col("neighbor_id").as("id"), col("rank"))
+    rrfFuse(Seq("lex" -> lex, "ivf" -> sem), c, k)
+      .withColumnRenamed("id", "doc_id")
+  }
 }

@@ -267,6 +267,66 @@ object Similarity {
         round(col("cos"), 6).as("cos"))
   }
 
+  /** IVF with a REPLAYABLE coarse quantizer and exact re-scoring — the
+    * persisted-centroid production path: [[Clustering.kmeansFit]] is the
+    * deterministic cross-engine Lloyd fit (1e-6 grid, exact decimal
+    * updates, md5-rank init), so the centroid matrix is an artifact a
+    * pipeline persists and a SQL oracle replays term for term — unlike
+    * [[ivfTopK]]'s driver-sample k-means++ fit, which is deterministic
+    * but not SQL-replayable. Probing is GENUINELY partial (`nProbe` of
+    * `nCells` cells — recall < 1 by construction), and because the
+    * routing replays exactly, the selected candidate set — not just the
+    * top-k under full probe — is oracle-pinned (the q_hybrid_retrieval_ivf
+    * gate runs RRF fusion over this head).
+    *
+    * Scale shape: one zero-shuffle assignment pass over the corpus
+    * (plan-time centroid literals, raw vector carried for the re-score;
+    * at scale the corpus is WRITTEN partitioned by `__cell` so a probe
+    * touches nProbe/nCells of the data), a query-side nCells-row cross
+    * to rank probe cells (queries are broadcast-small), then a broadcast
+    * equi-join on the cell id and an exact rescore of candidates only. */
+  def ivfExactTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                   vecCol: String, k: Int, nCells: Int = 8, nProbe: Int = 2,
+                   iters: Int = 2, seed: Long = 42L): DataFrame = {
+    require(nProbe >= 1 && nProbe <= nCells, s"nProbe in [1,$nCells]: $nProbe")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val centroids = Clustering.kmeansFit(corpus, idCol, vecCol, nCells,
+      iters, seed)
+    // corpus side: one assignment pass keeping the RAW vector for the
+    // exact re-score (gridding feeds only the argmin, as in kmeansAssign)
+    val assigned = corpus
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+      .withColumn("__cell", graft.catalyst.ArrayFunctions.kmeansArgmin(
+        transform(col("__cv"), x => Clustering.grid(x)), centroids)
+        .getField("c"))
+    // query side: rank ALL cells against the GRIDDED query vector with
+    // the same left-fold distance and (d, cluster) tie-break the
+    // assignment uses, keep the nProbe nearest — an nCells-row cross
+    // against the broadcast-small query set
+    val centDf = broadcast(centroids.zipWithIndex
+      .map { case (cv, i) => (i, cv.toSeq) }.toSeq.toDF("__cell", "__cent"))
+    val qd = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+      .withColumn("__qg", transform(col("__qv"), x => Clustering.grid(x)))
+    val pw = Window.partitionBy("query_id").orderBy(col("__d"), col("__cell"))
+    val probes = broadcast(qd.crossJoin(centDf)
+      .withColumn("__d", aggregate(
+        zip_with(col("__qg"), col("__cent"), (a, b) => (a - b) * (a - b)),
+        lit(0.0), (acc, e) => acc + e))
+      .withColumn("__pr", row_number().over(pw))
+      .where(col("__pr") <= nProbe)
+      .select("query_id", "__qv", "__cell"))
+    val scored = assigned.join(probes, "__cell")
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosine(col("__qv"), col("__cv")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("cos"), 6).as("cos"))
+  }
+
   /** Signed-random-projection (SRP) LSH signature: `nBits` fixed random
     * hyperplanes (seeded), bit = sign of the projection. Hamming distance
     * on signatures approximates angular distance. */

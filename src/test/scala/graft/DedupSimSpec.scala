@@ -380,6 +380,76 @@ class DedupSimSpec extends SparkSpec {
     assert(recall >= 0.5, s"recall=$recall")
   }
 
+  test("ivfExactTopK: replayable-quantizer routing — full probe = brute " +
+      "force, partial-probe candidates only from probed cells (round 14)") {
+    val rng = new scala.util.Random(23)
+    val dim = 16
+    val vecs = Seq.tabulate(150) { i =>
+      (i.toLong, Array.fill(dim)(rng.nextGaussian().toFloat))
+    }.toDF("vec_id", "embedding")
+    val queries = vecs.where(col("vec_id") < 4)
+    val brute = Similarity.bruteForceTopK(vecs, queries, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val full = Similarity.ivfExactTopK(vecs, queries, "vec_id", "embedding", 5,
+      nCells = 8, nProbe = 8, iters = 2, seed = 42L)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(full == brute, "probing every cell must equal brute force")
+    // partial probe: every returned neighbor must live in one of the
+    // query's nProbe nearest cells under the SAME persisted centroids —
+    // the routed-candidate-set contract the oracle replays
+    val cents = graft.sim.Clustering.kmeansFit(vecs, "vec_id", "embedding",
+      8, 2, 42L)
+    val cellOf = graft.sim.Clustering
+      .kmeansAssignWith(vecs, "vec_id", "embedding", cents)
+      .select(col("id"), col("cluster")).as[(Long, Int)].collect().toMap
+    def grid(x: Float): Double = math.floor(x.toDouble * 1e6 + 0.5) / 1e6
+    val part = Similarity.ivfExactTopK(vecs, queries, "vec_id", "embedding", 5,
+      nCells = 8, nProbe = 2, iters = 2, seed = 42L)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+    val qvs = queries.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect()
+    qvs.foreach { case (qid, v) =>
+      val g = v.map(grid)
+      val probed = cents.zipWithIndex.map { case (cv, ci) =>
+        (g.zip(cv).map { case (x, c) => (x - c) * (x - c) }.sum, ci)
+      }.sortBy(identity).take(2).map(_._2).toSet
+      part.filter(_._1 == qid).foreach { case (_, nb) =>
+        assert(probed.contains(cellOf(nb)),
+          s"neighbor $nb of query $qid outside its probed cells $probed")
+      }
+    }
+    val recall = part.toSet.intersect(brute).size.toDouble / brute.size
+    assert(recall >= 0.4, s"partial-probe recall=$recall")
+  }
+
+  test("hybridTopKIvf: fused head over the IVF-routed semantic head " +
+      "(round 14)") {
+    import graft.sim.Retrieval
+    val rng = new scala.util.Random(31)
+    val docs = Seq.tabulate(40) { i =>
+      val filler = Seq.fill(5 + rng.nextInt(5))("w" + rng.nextInt(20))
+      val kw = if (i % 3 == 0) Seq("table", "merge") else Seq.empty
+      (i.toLong, (filler ++ kw).mkString(" "))
+    }.toDF("doc_id", "text")
+    val emb = Seq.tabulate(40) { i =>
+      (i.toLong, Array.fill(8)(rng.nextGaussian().toFloat))
+    }.toDF("vec_id", "embedding")
+    val out = Retrieval.hybridTopKIvf(docs, emb, "doc_id", "text",
+      "vec_id", "embedding", terms = Seq("table", "merge"),
+      queryVecId = 0L, nCells = 4, nProbe = 2, iters = 2, seed = 42L,
+      topN = 10, c = 60, k = 5).collect()
+    assert(out.length == 5)
+    assert(out.map(_.getInt(1)).toSeq == (1 to 5))
+    val scores = out.map(_.getDouble(2)).toSeq
+    assert(scores == scores.sorted.reverse, "rrf_score must be descending")
+    val cols = out.head.schema.fieldNames.toSeq
+    assert(cols == Seq("doc_id", "fused_rank", "rrf_score",
+      "rank_lex", "rank_ivf"))
+    // at least one fused row carries an IVF-head rank (the semantic head
+    // actually contributed, not just BM25)
+    assert(out.exists(r => !r.isNullAt(4)))
+  }
+
   test("lshTopK has precision 1 vs brute force and decent recall") {
     val rng = new scala.util.Random(11)
     val dim = 16
