@@ -16,6 +16,19 @@ class PlanAuditSpec extends AnyFunSuite {
       "driver collect is plan-bounded or whitelisted under the row cap") {
     val plans = new java.io.File("PLANS.json")
     assert(plans.isFile, "PLANS.json baseline missing from the repo root")
+    // The standing gate audits at sf0.001 for speed. Under the audit's
+    // pinned config (AQE OFF, fixed shuffle partitions) no RUNTIME
+    // statistic can flip a plan, and the engine's scale-relevant joins
+    // force their strategy with explicit broadcast() hints; the one
+    // residual SF-dependence is (a) the static auto-broadcast estimate
+    // on un-hinted joins, which CAN flip broadcast->SMJ as file sizes
+    // grow, and (b) driver-loop queries whose final plan embeds a
+    // data-sized unroll count. That residue is exactly what the
+    // per-round `runMain graft.PlanAudit /root/testdata/sf0.1 --diff
+    // PLANS.json` ritual checks empirically at the bench SF (committed
+    // artifact: tools/planaudit_sf01_r14.txt — round 14: 239/241 shapes
+    // identical, the two diffs both loop-unroll residue, 0 flips,
+    // 0 red flags, 0 collect violations).
     val s = SparkSpec.session.newSession()
     val log = new StringBuilder
     val res = PlanAudit.audit(s, "/root/testdata/sf0.001", Set.empty,
