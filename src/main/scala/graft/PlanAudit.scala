@@ -96,6 +96,7 @@ object PlanAudit {
                           // -vs-corpus BNLJ (declared exactness baseline)
     "q_hybrid_retrieval_ivf", // query-vs-nCells centroid-table cross (IVF
                               // probe ranking: 1 query row × 8 cells)
+    "q_ann_ivf_exact", // same probe cross: 5 query rows × 8 cells
     "q_linearity_cn") // single-row library totals + anchor-row rescale crosses
 
   // unpartitioned windows that are PROVABLY bounded: the relation under
@@ -181,6 +182,7 @@ object PlanAudit {
     "q_bm25_topk" -> "single-row tf/doc-count corpus totals",
     "q_hybrid_retrieval" -> "single-row tf/doc-count corpus totals (bm25)",
     "q_hybrid_retrieval_ivf" -> "k-sized coarse centroids (lloydFit) + single-row bm25 corpus totals",
+    "q_ann_ivf_exact" -> "k-sized coarse centroids (lloydFit)",
     "q_curriculum_budget" -> "domain-cardinality quota rows")
 
   private val collectFuncs = Set("collect", "collectAsList", "head", "take",

@@ -116,6 +116,9 @@ object ScaleCheck {
     // corpus passes) + zero-shuffle cell assignment + candidate-only
     // rescore; expect corpus-linear from the fit/assignment passes
     "q_hybrid_retrieval_ivf",
+    // round-14: the standalone partial-probe IVF gate (5 queries, 2/8
+    // cells) — same fit/assignment growth terms
+    "q_ann_ivf_exact",
     // round-13: verbatim-containment decontamination — corpus gram
     // stream vs broadcast eval grams; expect corpus-linear
     "q_decontaminate_verbatim",

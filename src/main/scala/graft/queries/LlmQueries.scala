@@ -968,6 +968,34 @@ object LlmQueries {
       },
       Some("""WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5), s AS (SELECT query_id, c.vec_id AS neighbor_id, list_sum(list_transform(list_zip(qe, c.embedding), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) / (sqrt(list_sum(list_transform(qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos FROM q, embeddings c WHERE c.vec_id <> query_id), r AS (SELECT query_id, neighbor_id, cos, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn FROM s) SELECT query_id, neighbor_id, CAST(rn AS INTEGER) AS rank, CAST(round(CAST(CAST(cos AS VARCHAR) AS DECIMAL(38,18)), 6) AS DOUBLE) AS cos FROM r WHERE rn <= 3""")),
 
+    Entry("q_ann_ivf_exact",
+      // IVF over the REPLAYABLE Lloyd coarse quantizer with a genuinely
+      // partial probe (2 of 8 cells, 5 query vectors) and exact cosine
+      // rescore — the standalone gate for the q_hybrid_retrieval_ivf
+      // semantic head: the oracle replays quantizer fit (kmeansCtes),
+      // per-query probe ranking (gridded left-fold distance, (d, cluster)
+      // tie-break), the routed candidate set and the rescore, so the
+      // partial-probe top-k hash-matches, not just recall
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        Similarity.ivfExactTopK(emb, emb.where(col("vec_id") < 5),
+          "vec_id", "embedding", k = 3, nCells = 8, nProbe = 2,
+          iters = 2, seed = 42L)
+      },
+      Some {
+        val fold = (l: String) => s"list_reduce($l, (acc, e) -> acc + e)"
+        val pdist = fold("list_transform(list_zip(q.v, c.cv), p -> (p[1] - p[2]) * (p[1] - p[2]))")
+        s"""WITH ${kmeansCtes(8, 2, 42L, "iv")}, """ +
+        s"""pq AS (SELECT id AS query_id, v FROM ivvq WHERE id < 5), """ +
+        s"""pd AS (SELECT q.query_id, c.cluster, $pdist AS d FROM pq q, ivc2 c), """ +
+        s"""pb AS (SELECT query_id, cluster FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY d, cluster) AS rn FROM pd) WHERE rn <= 2), """ +
+        s"""cand AS (SELECT pb.query_id, f.id FROM ivfin f JOIN pb USING (cluster) WHERE f.id <> pb.query_id), """ +
+        s"""qv AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5), """ +
+        s"""ss AS (SELECT c.query_id, e.vec_id AS neighbor_id, list_sum(list_transform(list_zip(qe, e.embedding), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) / (sqrt(list_sum(list_transform(qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos FROM cand c JOIN qv USING (query_id) JOIN embeddings e ON e.vec_id = c.id), """ +
+        s"""r AS (SELECT query_id, neighbor_id, cos, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn FROM ss) """ +
+        s"""SELECT query_id, neighbor_id, CAST(rn AS INTEGER) AS rank, ${OmicsQueries.rndSql("cos", 6)} AS cos FROM r WHERE rn <= 3"""
+      }),
+
     Entry("q_ann_pq",
       // product-quantization ADC search: per-subspace exact-replay
       // codebooks, corpus stored as m=4 codes (16x compression at
