@@ -284,7 +284,16 @@ object Similarity {
     * at scale the corpus is WRITTEN partitioned by `__cell` so a probe
     * touches nProbe/nCells of the data), a query-side nCells-row cross
     * to rank probe cells (queries are broadcast-small), then a broadcast
-    * equi-join on the cell id and an exact rescore of candidates only. */
+    * equi-join on the cell id and an exact rescore of candidates only.
+    * The FIT here runs over the full `corpus` frame (the gate's
+    * contract — its checkpoint is corpus-sized); at 100 TB fit the
+    * quantizer on a bounded, deterministic corpus slice instead and
+    * compose the same pieces directly:
+    * `Clustering.kmeansFit(slice, ...)` once, persist the centroid
+    * matrix, then this function's assignment/probe/rescore plan via
+    * [[Clustering.kmeansAssignWith]] — the replay contract is unchanged
+    * because the slice predicate replays in SQL exactly like the
+    * kmeansCtes `where` parameter the PQ oracles already use. */
   def ivfExactTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
                    vecCol: String, k: Int, nCells: Int = 8, nProbe: Int = 2,
                    iters: Int = 2, seed: Long = 42L): DataFrame = {
