@@ -257,11 +257,16 @@ object Bench {
       else s""","ambient_drift_history":[${driftHistory.mkString(",")}]"""
     val full = s"""{"metric":"total","value":$total,"unit":"sec","nq":${results.size},"n_err":${results.count(_._2.isLeft)},"protocol":"per-query min over $passes suite passes x 2 back-to-back runs"$driftJson$fullHistJson,"pass_times":$passTimes,"gwin_note":"$gwinNote","queries":$fullQs,"errors":$errs,"sf":"$sfDir"}"""
     // a SPARK_GRAFT_ONLY-filtered run is local iteration — don't clobber
-    // the committed full-suite snapshot with a partial one
+    // the committed full-suite snapshot with a partial one. Print the
+    // FULL json instead (it is small for a filtered set): the per-pass
+    // raw times are exactly what a matched-session A/B record needs
+    // (round-15 — the compact line's min-only entries hid the variance
+    // the A/B exists to measure).
     if (only.isEmpty)
       try java.nio.file.Files.writeString(
         java.nio.file.Paths.get("/root/repo/BENCH_FULL.json"), full + "\n")
       catch { case _: Throwable => () }
+    else println(full)
 
     // Compact stdout line, hard-capped to fit the driver's tail window.
     def fmt(v: Double): String = {

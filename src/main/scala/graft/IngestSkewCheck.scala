@@ -103,12 +103,17 @@ object IngestSkewCheck {
     // localCheckpoint'ed like 1x/Nx — materializing it would dominate the
     // heap — so its timing would otherwise include fixture generation
     // (explode + full-corpus repartition + text concat) the smaller
-    // decades exclude. Measure the fixture-only cost (a count() forces
-    // the same generation plan without the ingest) and subtract it so
-    // all three decades measure only the ingest.
+    // decades exclude. Measure the fixture-only cost and subtract it so
+    // all three decades measure only the ingest. The baseline must
+    // materialize EVERY column: under a count() Catalyst prunes the
+    // text-concat/source projections straight through the Repartition
+    // (round-14 this baseline was a count and underestimated the fixture
+    // ~10x — the NNx row was still fixture-contaminated). A noop-sink
+    // write runs the identical generation plan with no pruning and no
+    // output cost.
     val bigger = corpus(0, baseBlocks * copies * copies)
     val tf0 = System.nanoTime()
-    bigger.count()
+    bigger.write.format("noop").mode("overwrite").save()
     val fixtureSec = (System.nanoTime() - tf0) / 1e9
     println(f"[skew] ${copies * copies}x fixture-only baseline " +
       f"$fixtureSec%7.2f s (subtracted from the NNx row)")

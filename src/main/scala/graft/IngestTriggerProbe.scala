@@ -100,17 +100,27 @@ object IngestTriggerProbe {
     } catch { case _: Throwable => Thread.sleep(300) }
     spark.sparkContext.removeSparkListener(jl)
 
-    // trigger windows from the progress log: [prev end, this end]
+    val wallEnd = System.currentTimeMillis()
+    // trigger windows from the progress log
     val prog = q.recentProgress.toSeq.filter(_.numInputRows > 0)
     val fmt = java.time.format.DateTimeFormatter.ISO_DATE_TIME
-    val ends = prog.map(p => java.time.OffsetDateTime
-      .parse(p.timestamp, fmt).toInstant.toEpochMilli +
-      p.durationMs.getOrDefault("triggerExecution",
-        java.lang.Long.valueOf(0L)).toLong)
     // progress.timestamp is the trigger START in ISO time; end = start +
-    // triggerExecution. Window i = [start_i, end_i].
+    // triggerExecution. Window i = [start_i, end_i]. A progress row
+    // missing 'triggerExecution' must not collapse its window to
+    // [start, start] (that silently drops the trigger's jobs and sends
+    // the gaps line negative) — fall back to the next trigger's start,
+    // or the probe's own termination wall time for the last one.
     val starts = prog.map(p => java.time.OffsetDateTime
       .parse(p.timestamp, fmt).toInstant.toEpochMilli)
+    val ends = prog.zipWithIndex.map { case (p, i) =>
+      if (p.durationMs.containsKey("triggerExecution"))
+        starts(i) + p.durationMs.get("triggerExecution").toLong
+      else {
+        println(s"[triggerprobe] WARN trigger $i has no triggerExecution " +
+          "duration; window end falls back to the next trigger's start")
+        if (i + 1 < prog.size) starts(i + 1) else wallEnd
+      }
+    }
     prog.zipWithIndex.foreach { case (p, i) =>
       val d = p.durationMs
       println(f"[triggerprobe] trigger $i: rows=${p.numInputRows} " +
@@ -133,7 +143,22 @@ object IngestTriggerProbe {
       }
       println(f"[triggerprobe]   trigger $i: ${inWin.size} jobs, " +
         f"sum-of-jobs ${covered}%.2f s (gaps = driver/store I/O: " +
-        f"${d.getOrDefault("triggerExecution", 0L).toLong / 1000.0 - covered}%.2f s)")
+        f"${(ends(i) - starts(i)) / 1000.0 - covered}%.2f s)")
+    }
+    // any job matching no trigger window would silently vanish from the
+    // breakdown — surface them so the per-trigger sums are auditable
+    val unattributed = order.toArray(Array.empty[Integer]).toSeq
+      .map(jobs.get(_))
+      .filter(j => j.t0 >= wall0 &&
+        !prog.indices.exists(i => j.t0 >= starts(i) && j.t0 <= ends(i)))
+    if (unattributed.nonEmpty) {
+      println(s"[triggerprobe] WARN ${unattributed.size} jobs matched no " +
+        "trigger window (between-trigger driver work or clock skew):")
+      unattributed.foreach { j =>
+        val dur = if (j.tEnd > 0) (j.tEnd - j.t0) / 1000.0 else -1.0
+        println(f"[triggerprobe]   unattributed job ${j.id}%3d ${dur}%7.3f s " +
+          f"tasks=${j.tasks}%-5d ${j.desc.take(80)}")
+      }
     }
     spark.stop()
   }

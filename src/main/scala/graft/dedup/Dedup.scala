@@ -1617,9 +1617,12 @@ object Dedup {
     * empty gram stream — same domain as the n-gram tier). Eval ids
     * must be DISTINCT — a duplicated id would sum gram counts across
     * its rows and make the per-offset equality unreachable — so the
-    * eval frame is deduped on idCol up front (one arbitrary
-    * representative text per id; callers with id-colliding variants
-    * should disambiguate ids before calling).
+    * eval frame is deduped on idCol up front with a DETERMINISTIC
+    * keeper (the lexicographically-least text per id): a plan-dependent
+    * arbitrary pick would let two runs, or the engine vs a SQL oracle,
+    * flag different documents when eval ids collide. Callers with
+    * id-colliding variants should still disambiguate ids before
+    * calling — min(text) is a tie-break, not a semantic merge.
     *
     * Scale shape: the eval gram stream and per-entry gram counts are
     * eval-sized and broadcast; the corpus never shuffles its text —
@@ -1629,7 +1632,7 @@ object Dedup {
   def decontaminateVerbatim(corpus: DataFrame, eval: DataFrame,
                             idCol: String, textCol: String,
                             k: Int = 5): DataFrame = {
-    val evalU = eval.dropDuplicates(idCol)
+    val evalU = eval.groupBy(col(idCol)).agg(min(col(textCol)).as(textCol))
     val eg = evalU.select(col(idCol).as("__eid"),
       posexplode(graft.catalyst.ArrayFunctions
         .tokenGramHashes(col(textCol), k)).as(Seq("__ep", "__h")))

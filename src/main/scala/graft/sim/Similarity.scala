@@ -288,43 +288,24 @@ object Similarity {
     * The FIT here runs over the full `corpus` frame (the gate's
     * contract — its checkpoint is corpus-sized); at 100 TB fit the
     * quantizer on a bounded, deterministic corpus slice instead and
-    * compose the same pieces directly:
-    * `Clustering.kmeansFit(slice, ...)` once, persist the centroid
-    * matrix, then this function's assignment/probe/rescore plan via
-    * [[Clustering.kmeansAssignWith]] — the replay contract is unchanged
-    * because the slice predicate replays in SQL exactly like the
-    * kmeansCtes `where` parameter the PQ oracles already use. */
+    * compose the same pieces directly: `Clustering.kmeansFit(slice,
+    * ...)` once, persist the centroid matrix, then
+    * [[ivfAssignCells]] (written `.partitionBy("__cell")`) +
+    * [[ivfProbeCells]] + this function's rescore — the replay contract
+    * is unchanged because the slice predicate replays in SQL exactly
+    * like the kmeansCtes `where` parameter the PQ oracles already use.
+    * That exact composition is EXERCISED end to end (bounded-slice fit,
+    * persisted centroids, cell-partitioned parquet, probe reading only
+    * the probed partitions — parquet file-pruning metrics) by
+    * `graft.IvfLakeCheck`; the measured row lives in SCALING.md. */
   def ivfExactTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
                    vecCol: String, k: Int, nCells: Int = 8, nProbe: Int = 2,
                    iters: Int = 2, seed: Long = 42L): DataFrame = {
     require(nProbe >= 1 && nProbe <= nCells, s"nProbe in [1,$nCells]: $nProbe")
-    val spark = corpus.sparkSession
-    import spark.implicits._
     val centroids = Clustering.kmeansFit(corpus, idCol, vecCol, nCells,
       iters, seed)
-    // corpus side: one assignment pass keeping the RAW vector for the
-    // exact re-score (gridding feeds only the argmin, as in kmeansAssign)
-    val assigned = corpus
-      .select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
-      .withColumn("__cell", graft.catalyst.ArrayFunctions.kmeansArgmin(
-        transform(col("__cv"), x => Clustering.grid(x)), centroids)
-        .getField("c"))
-    // query side: rank ALL cells against the GRIDDED query vector with
-    // the same left-fold distance and (d, cluster) tie-break the
-    // assignment uses, keep the nProbe nearest — an nCells-row cross
-    // against the broadcast-small query set
-    val centDf = broadcast(centroids.zipWithIndex
-      .map { case (cv, i) => (i, cv.toSeq) }.toSeq.toDF("__cell", "__cent"))
-    val qd = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
-      .withColumn("__qg", transform(col("__qv"), x => Clustering.grid(x)))
-    val pw = Window.partitionBy("query_id").orderBy(col("__d"), col("__cell"))
-    val probes = broadcast(qd.crossJoin(centDf)
-      .withColumn("__d", aggregate(
-        zip_with(col("__qg"), col("__cent"), (a, b) => (a - b) * (a - b)),
-        lit(0.0), (acc, e) => acc + e))
-      .withColumn("__pr", row_number().over(pw))
-      .where(col("__pr") <= nProbe)
-      .select("query_id", "__qv", "__cell"))
+    val assigned = ivfAssignCells(corpus, idCol, vecCol, centroids)
+    val probes = ivfProbeCells(queries, idCol, vecCol, centroids, nProbe)
     val scored = assigned.join(probes, "__cell")
       .where(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", cosine(col("__qv"), col("__cv")))
@@ -334,6 +315,48 @@ object Similarity {
       .where(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank"),
         round(col("cos"), 6).as("cos"))
+  }
+
+  /** The corpus side of [[ivfExactTopK]] against an EXPLICIT (persisted)
+    * centroid matrix: one zero-shuffle assignment pass keeping the RAW
+    * vector for the exact re-score (gridding feeds only the argmin, as
+    * in [[Clustering.kmeansAssign]]). This is the WRITE side of the
+    * partition-by-`__cell` IVF lake — `graft.IvfLakeCheck` writes its
+    * output with `.partitionBy("__cell")` so a probe touches
+    * nProbe/nCells of the data (committed pruning evidence in
+    * SCALING.md). Returns (neighbor_id, __cv, __cell). */
+  def ivfAssignCells(corpus: DataFrame, idCol: String, vecCol: String,
+                     centroids: Array[Array[Double]]): DataFrame =
+    corpus
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+      .withColumn("__cell", graft.catalyst.ArrayFunctions.kmeansArgmin(
+        transform(col("__cv"), x => Clustering.grid(x)), centroids)
+        .getField("c"))
+
+  /** The query side of [[ivfExactTopK]]: rank ALL cells against the
+    * GRIDDED query vector with the same left-fold distance and
+    * (d, cluster) tie-break the assignment uses, keep the nProbe
+    * nearest — an nCells-row cross against the broadcast-small query
+    * set. The `__cell` values this emits are the partition directories
+    * a lake probe reads (and nothing else). Returns a broadcast-hinted
+    * (query_id, __qv, __cell). */
+  def ivfProbeCells(queries: DataFrame, idCol: String, vecCol: String,
+                    centroids: Array[Array[Double]],
+                    nProbe: Int): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val centDf = broadcast(centroids.zipWithIndex
+      .map { case (cv, i) => (i, cv.toSeq) }.toSeq.toDF("__cell", "__cent"))
+    val qd = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+      .withColumn("__qg", transform(col("__qv"), x => Clustering.grid(x)))
+    val pw = Window.partitionBy("query_id").orderBy(col("__d"), col("__cell"))
+    broadcast(qd.crossJoin(centDf)
+      .withColumn("__d", aggregate(
+        zip_with(col("__qg"), col("__cent"), (a, b) => (a - b) * (a - b)),
+        lit(0.0), (acc, e) => acc + e))
+      .withColumn("__pr", row_number().over(pw))
+      .where(col("__pr") <= nProbe)
+      .select("query_id", "__qv", "__cell"))
   }
 
   /** Signed-random-projection (SRP) LSH signature: `nBits` fixed random

@@ -450,6 +450,41 @@ class DedupSimSpec extends SparkSpec {
     assert(out.exists(r => !r.isNullAt(4)))
   }
 
+  test("hybridTopKIvf under FULL probe (nProbe = nCells) fuses to exactly " +
+      "hybridTopK — the invariant binding the two retrieval gates " +
+      "(round 15)") {
+    import graft.sim.Retrieval
+    // randomized fixtures over several seeds: when the IVF head
+    // degenerates to exact (every cell probed), the fused ranking must
+    // be IDENTICAL to the brute-force-head composition row for row —
+    // ranks, rrf scores, and both per-list rank columns
+    for (seed <- Seq(5, 17, 29)) {
+      val rng = new scala.util.Random(seed)
+      val docs = Seq.tabulate(50) { i =>
+        val filler = Seq.fill(5 + rng.nextInt(6))("w" + rng.nextInt(25))
+        val kw = if (i % 4 == 0) Seq("spark", "shuffle") else Seq.empty
+        (i.toLong, (filler ++ kw).mkString(" "))
+      }.toDF("doc_id", "text")
+      val emb = Seq.tabulate(50) { i =>
+        (i.toLong, Array.fill(8)(rng.nextGaussian().toFloat))
+      }.toDF("vec_id", "embedding")
+      val terms = Seq("spark", "shuffle")
+      def rows(df: org.apache.spark.sql.DataFrame, semCol: String) = df
+        .select(col("doc_id"), col("fused_rank"), col("rrf_score"),
+          col("rank_lex"), col(semCol).as("rank_sem"))
+        .collect().map(_.toSeq).toSeq
+      val brute = Retrieval.hybridTopK(docs, emb, "doc_id", "text",
+        "vec_id", "embedding", terms, queryVecId = 0L,
+        topN = 12, c = 60, k = 8)
+      val fullProbe = Retrieval.hybridTopKIvf(docs, emb, "doc_id", "text",
+        "vec_id", "embedding", terms, queryVecId = 0L,
+        nCells = 5, nProbe = 5, iters = 2, seed = 42L,
+        topN = 12, c = 60, k = 8)
+      assert(rows(fullProbe, "rank_ivf") == rows(brute, "rank_sem"),
+        s"full-probe IVF fusion diverged from brute fusion at seed $seed")
+    }
+  }
+
   test("lshTopK has precision 1 vs brute force and decent recall") {
     val rng = new scala.util.Random(11)
     val dim = 16
@@ -816,6 +851,20 @@ class DedupSimSpec extends SparkSpec {
     val out2 = Dedup.decontaminateVerbatim(up, eval, "doc_id", "text", k = 5)
       .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
     assert(out2(7L))
+    // id-colliding eval rows: the keeper must be DETERMINISTIC (the
+    // lexicographically-least text per id), never a plan-order pick —
+    // the doc containing only the dropped variant must stay clean on
+    // every run and in the SQL-oracle replay
+    val collide = Seq((300L, "zz yy xx ww vv uu"),
+      (300L, "aa bb cc dd ee ff")).toDF("doc_id", "text")
+    val docs3 = Seq(
+      (8L, "pad aa bb cc dd ee ff pad"), // contains the kept MIN text
+      (9L, "pad zz yy xx ww vv uu pad")  // contains only the dropped one
+    ).toDF("doc_id", "text")
+    val out3 = Dedup.decontaminateVerbatim(docs3, collide,
+      "doc_id", "text", k = 5)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(out3(8L) && !out3(9L))
   }
 
   test("decontaminateVerbatim equals brute-force token-run containment " +
