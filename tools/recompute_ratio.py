@@ -19,11 +19,14 @@ duck_path = sys.argv[2] if len(sys.argv) > 2 else "tools/duck_times_r10.json"
 
 bench = json.load(open(bench_path))
 eng = bench["queries"]
-duck = json.load(open(duck_path))["queries"]
+duck_art = json.load(open(duck_path))
+duck = duck_art["queries"]
 shared = sorted(set(eng) & set(duck))
 
 print(f"engine artifact: {bench_path} "
       f"(protocol: {bench.get('protocol', 'unrecorded — pre-round-11 artifact')})")
+print(f"oracle artifact: {duck_path} "
+      f"(protocol: {duck_art.get('protocol', 'unrecorded — pre-round-15 artifact')})")
 
 e_all = sum(eng[q] for q in shared)
 d_all = sum(duck[q] for q in shared)
