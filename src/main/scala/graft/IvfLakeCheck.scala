@@ -9,8 +9,9 @@ import org.apache.spark.sql.functions._
   * partition-by-`__cell` storage so a probe touches nProbe/nCells of
   * the DATA, not just of the compute. This harness actually does all
   * four steps on an Nx-scaled embeddings corpus and reports the parquet
-  * FILE-PRUNING evidence — the probe scan's `numFiles` metric against
-  * the full lake — plus probe-vs-full-scan wall time. Results land in
+  * FILE-PRUNING evidence — the probe scan's post-pruning
+  * `selectedPartitions` file listing against the full lake — plus
+  * probe-vs-full-scan wall time. Results land in
   * SCALING.md next to the 10x tables.
   *
   * Steps (each one the production move, not a test shortcut):
@@ -56,7 +57,7 @@ object IvfLakeCheck {
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // AQE off so the executed plan exposes FileSourceScanExec directly
-      // (the numFiles metric IS the pruning evidence this probe reports)
+      // (the scan's pruned file listing IS the evidence this probe reports)
       .config("spark.sql.adaptive.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -129,11 +130,17 @@ object IvfLakeCheck {
     println(s"[ivflake] probe: $nQueries queries x $probe cells -> " +
       s"${probedCells.length} distinct partitions ${probedCells.mkString("[", ",", "]")}")
 
+    // pruning evidence from the scan's POST-PRUNING file listing
+    // (selectedPartitions — the definitive set of files the scan reads,
+    // computed on the driver after partition-filter pruning). The
+    // numFiles SQLMetric is NOT reliable here: under the sort-merge
+    // join shape the 100x probe plans, the accumulator on the
+    // executedPlan's scan instance stays zero even though the scan ran
+    // and selectedPartitions shows the pruned listing.
     def scanFiles(df: org.apache.spark.sql.DataFrame): Long =
       df.queryExecution.executedPlan.collect {
-        case f: org.apache.spark.sql.execution.FileSourceScanExec
-            if f.metrics.contains("numFiles") =>
-          f.metrics("numFiles").value
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.selectedPartitions.totalNumberOfFiles
       }.sum
     def topk(cand: org.apache.spark.sql.DataFrame)
         : org.apache.spark.sql.DataFrame = {
