@@ -85,6 +85,22 @@ object IvfLakeCheck {
       f"deterministic slice (vec_id %% $sliceMod = 0) of $n rows " +
       f"in $fitSec%.1f s")
 
+    // Sizing estimate, BEFORE committing to a lake layout: assign the
+    // same bounded slice to the fitted centroids and count the
+    // non-empty cells. When the requested fanout exceeds the corpus's
+    // intrinsic cluster count the fit emits duplicate centroids and
+    // assignment ties break to the lowest id, so the effective
+    // partition count saturates — the slice (already in hand from the
+    // fit, driver-bounded) predicts that saturation without touching
+    // the full corpus. A production deploy reads this number and
+    // re-fits with nCells ~ effective before writing 100 TB.
+    val effectiveCells = graft.sim.Similarity
+      .ivfAssignCells(slice, "vec_id", "embedding", centroids)
+      .select("__cell").distinct().count()
+    println(s"[ivflake] sizing: $effectiveCells of $cells cells " +
+      "non-empty on the fit slice (effective fanout estimate; " +
+      "re-fit with nCells near this before committing a layout)")
+
     // 2) persist the centroid matrix; routing below RE-READS it (the
     // probe never re-fits)
     val centPath = s"$out/centroids.parquet"
