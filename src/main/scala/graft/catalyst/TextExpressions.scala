@@ -187,6 +187,19 @@ case class GopherStatsExpr(child: Expression, stopwords: Seq[String])
     extends UnaryExpression with Serializable {
   override def dataType: DataType = GopherStatsExpr.schema
   override def prettyName: String = "graft_gopher_stats"
+  // Declared NON-deterministic on purpose (it is pure): the optimizer
+  // substitutes filter predicates through projections, so a consumer
+  // filtering on a derived column (`.where(col("pass"))`) inlines this
+  // whole-document tokenization kernel once PER CONJUNCT into a Filter —
+  // measured 23 copies in q_pipeline_quality_mix's pushed filter, ~13x
+  // the single-evaluation cost, because FilterExec's split conjuncts get
+  // no subexpression elimination (ProjectExec's CSE is why the same
+  // inlining is harmless in q_gopher_rules). The nondeterministic flag
+  // is the optimization guide's sanctioned fix for exactly this
+  // duplication (§4.4): the kernel stays in its own Project, evaluated
+  // once per row, at every scale. Correctness is unaffected — a pure
+  // expression is valid under any evaluation count or order.
+  override lazy val deterministic: Boolean = false
   @transient private lazy val set: java.util.HashSet[String] = {
     val h = new java.util.HashSet[String]()
     stopwords.foreach(h.add)
@@ -224,6 +237,10 @@ case class QualityStatsExpr(child: Expression, stopwords: Seq[String])
     extends UnaryExpression with Serializable {
   override def dataType: DataType = QualityStatsExpr.schema
   override def prettyName: String = "graft_quality_stats"
+  // pure but declared nondeterministic — see GopherStatsExpr: blocks the
+  // per-conjunct filter-pushdown inlining of the tokenization kernel
+  // (quality/lang gates filter on columns derived from this struct)
+  override lazy val deterministic: Boolean = false
   @transient private lazy val set: java.util.HashSet[String] = {
     val h = new java.util.HashSet[String]()
     stopwords.foreach(h.add)
@@ -258,6 +275,9 @@ case class RepetitionStatsExpr(child: Expression)
     extends UnaryExpression with Serializable {
   override def dataType: DataType = RepetitionStatsExpr.schema
   override def prettyName: String = "graft_repetition_stats"
+  // pure but declared nondeterministic — see GopherStatsExpr: Gopher-
+  // style repetition gates filter on ratios derived from this struct
+  override lazy val deterministic: Boolean = false
   protected override def nullSafeEval(t: Any): Any =
     TextKernels.repetitionStats(t.asInstanceOf[UTF8String])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
