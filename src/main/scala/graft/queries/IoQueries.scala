@@ -201,6 +201,13 @@ object IoQueries {
                   g.getField("gid"), lit("  "), g.getField("sym"),
                   lit("; "), g.getField("dsc"))), "\n"),
               lit("///")).as("text"))
+          // pathway-dimension-sized (one row per pw), but rooted in a
+          // corpus-wide distinct: it feeds BOTH sides of the repair
+          // semi-join, and the broadcast build evaluated the whole
+          // distinct+collect subtree a second time, concurrently (round-15
+          // JobProbe: two ~1 s 3-task jobs). Materialize the 50-row
+          // relation once; at any scale this is bounded by pathway count.
+          .localCheckpoint(false)
         val tsv = docs.select(concat(col("doc_entry"), lit("\t"),
           when(substring(col("doc_entry"), 4, 99).cast("int") % 3 === 0,
             concat(lit("base excision repair - "), col("doc_entry")))
