@@ -22,28 +22,8 @@ object Dedup {
     * one partition and serializes the whole computation. Fan the rows out
     * to the session's parallelism first (at real scale the input already
     * has >= that many splits and this is a no-op). */
-  private def spread(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    // Plan-safe width probe: leafInputNumPartitions from the optimized plan's
-    // file-scan relations, NOT df.rdd.getNumPartitions — touching .rdd forces
-    // eager physical planning of the whole frame and pins the decision
-    // outside AQE. Non-file leaves (in-memory test frames) report unknown →
-    // repartition, which is the safe direction for a heavy per-row stage.
-    val leafParts = df.queryExecution.optimizedPlan.collectLeaves().map {
-      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
-        r.relation match {
-          case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
-            // mirrors FilePartition packing: total bytes / maxPartitionBytes
-            val maxSplit = df.sparkSession.sessionState.conf.filesMaxPartitionBytes
-            math.max(1L, h.location.sizeInBytes / math.max(1L, maxSplit)).toInt
-          case _ => 0 // non-file relation (e.g. a 1-partition JDBC scan):
-            // width unknown — fan out, the safe direction here
-        }
-      case _ => 0 // unknown width: assume narrow, fan out
-    }
-    if (leafParts.nonEmpty && leafParts.min >= target) df
-    else df.repartition(target)
-  }
+  private def spread(df: DataFrame): DataFrame =
+    graft.ops.Relational.spread(df) // shared home since round 15
 
   /** Exact dedup on normalized-text hash. Returns one surviving row per
     * distinct content (min id wins, deterministic) plus the duplicate-group

@@ -23,6 +23,38 @@ object Relational {
   def concatRows(dfs: Seq[DataFrame]): DataFrame =
     dfs.reduce(_.unionByName(_, allowMissingColumns = true))
 
+  /** Heavy per-document expressions (minhash signatures, quality/langId
+    * token kernels) must not run on a handful of input splits: a
+    * small-but-dense corpus file arrives as one partition and serializes
+    * the whole computation. Fan the rows out to the session's
+    * parallelism first (at real scale the input already has >= that many
+    * splits and this is a no-op). Shared home of the dedup tier's
+    * `spread` (round 15) so the curation gates can reuse it.
+    *
+    * Plan-safe width probe: leaf input width from the optimized plan's
+    * file-scan relations, NOT df.rdd.getNumPartitions — touching .rdd
+    * forces eager physical planning of the whole frame and pins the
+    * decision outside AQE. Non-file leaves (in-memory test frames)
+    * report unknown → repartition, the safe direction for a heavy
+    * per-row stage. */
+  def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    val leafParts = df.queryExecution.optimizedPlan.collectLeaves().map {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        r.relation match {
+          case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            // mirrors FilePartition packing: total bytes / maxPartitionBytes
+            val maxSplit = df.sparkSession.sessionState.conf.filesMaxPartitionBytes
+            math.max(1L, h.location.sizeInBytes / math.max(1L, maxSplit)).toInt
+          case _ => 0 // non-file relation (e.g. a 1-partition JDBC scan):
+            // width unknown — fan out, the safe direction here
+        }
+      case _ => 0 // unknown width: assume narrow, fan out
+    }
+    if (leafParts.nonEmpty && leafParts.min >= target) df
+    else df.repartition(target)
+  }
+
   /** Order-deterministic `drop_duplicates(keep='first')`
     * (gizmos.py:509-516, mapBaseRetroRules.py:164-171): keep, per key
     * group, the first row under an explicit ordering. Pandas relies on

@@ -44,9 +44,15 @@ object Curate {
       .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
     // quality + language chained on ONE projection: both are zero-shuffle
     // withColumn pipelines, so a single corpus scan computes all metrics
-    // and only one doc_id join remains
+    // and only one doc_id join remains. spread() first: the chained
+    // quality+langId token kernels are ~100 µs/doc — 5× the shingle
+    // kernel's measured not-worth-spreading cost — and an unsplittable
+    // input otherwise serializes them on one core (no-op at real scale,
+    // same contract as the minhash signature kernel).
     val metrics = Text.langId(Text.qualityScore(
-        docs.select(col(idCol).as("doc_id"), col(textCol)), textCol), textCol)
+        graft.ops.Relational.spread(
+          docs.select(col(idCol).as("doc_id"), col(textCol))), textCol),
+        textCol)
       .select(col("doc_id"), col("n_tokens"), col("quality"), col("pred_lang"))
     clustered
       .join(metrics, "doc_id")
