@@ -407,8 +407,11 @@ object Dedup {
     // text never goes on the wire (at corpus scale the string-keyed
     // exchange was ~8× the corpus in bytes). No checkpoint: recomputing
     // the kernel scan for the two consumers is cheaper than
-    // materializing the gram relation (the spread() lesson).
-    val grams = df.select(col(idCol).as("id"), posexplode(
+    // materializing the gram relation (the spread() lesson). The TEXT
+    // input is spread (round 15): each consumer's kernel re-evaluation
+    // was single-task on an unsplittable input; no-op at real scale.
+    val grams = graft.ops.Relational.spread(df)
+      .select(col(idCol).as("id"), posexplode(
         graft.catalyst.ArrayFunctions.tokenGramHashes(col(textCol), k)))
       .toDF("id", "pos", "gram")
     val dup = grams.groupBy("gram")

@@ -615,7 +615,10 @@ object Text {
   def lmScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     import graft.catalyst.ArrayFunctions.tokenGramHashes
     // h1 aligned with h12: context hash stream is the first n-1 entries
-    // of the k=1 positional hash array (kernel lowercases internally)
+    // of the k=1 positional hash array (kernel lowercases internally).
+    // No spread() on the text input: A/B'd round 15 — the four
+    // per-consumer kernel re-evaluations overlap on idle cores, so the
+    // spread exchange bought nothing (1.24 vs 1.30 s matched).
     val g = df.select(col(idCol).as("id"),
         tokenGramHashes(col(textCol), 1).as("g1"),
         tokenGramHashes(col(textCol), 2).as("g2"))
@@ -668,8 +671,10 @@ object Text {
     // no checkpoint: recomputing the gram kernel for the two consumers
     // is cheaper than materializing the corpus-sized gram relation
     // (the repeatedSpans lesson)
-    val grams = df.select(col(idCol).as("id"), explode(
-        graft.catalyst.ArrayFunctions.tokenGramHashes(col(textCol), k))
+    // spread() the text input: same two-consumer re-evaluation as
+    // lmScore, single-task on an unsplittable input (no-op at scale)
+    val grams = graft.ops.Relational.spread(df).select(col(idCol).as("id"),
+        explode(graft.catalyst.ArrayFunctions.tokenGramHashes(col(textCol), k))
         .as("gram"))
     val gdf = grams.groupBy("gram").agg(count_distinct(col("id")).as("df"))
     grams.join(gdf, "gram")
@@ -694,7 +699,9 @@ object Text {
     * task. Output: (pair, pair_count, rank), top `topK` by count. */
   def bpeMergeStats(df: DataFrame, textCol: String,
                     topK: Int = 20): DataFrame = {
-    val toks = df.select(explode(tokens(lower(col(textCol)))).as("tok"))
+    // spread(): single-task tokenize+explode on an unsplittable input
+    val toks = graft.ops.Relational.spread(df)
+      .select(explode(tokens(lower(col(textCol)))).as("tok"))
       .where(length(col("tok")) >= 2)
     val pairs = toks.select(explode(
         transform(sequence(lit(1), length(col("tok")) - 1),
