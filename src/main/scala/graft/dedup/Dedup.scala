@@ -81,6 +81,9 @@ object Dedup {
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
                        k: Int = 3, threshold: Double = 0.9,
                        maxShingleDf: Long = 100): DataFrame = {
+    // no spread() on the text root: A/B'd round 15 (0.93 vs 1.24 s
+    // matched) — the posting groupBy right after already provides the
+    // parallelism, the same finding as the ngramJaccardPairs note
     val sh = df.select(col(idCol).as("id"),
       explode(graft.catalyst.ArrayFunctions.shingleHashes(col(textCol), k)).as("h"))
     val posting = sh.groupBy("h")

@@ -68,8 +68,12 @@ object Multimodal {
   def extractFeatures(media: DataFrame, decoder: MediaDecoder): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
-    val out = media.select(col("media_id").cast("long"), col("modality"),
-        col("content"))
+    // spread(): the per-row decode is the heavy kernel and an
+    // unsplittable input serializes it on one core (no-op at real scale,
+    // same contract as the dedup tier's signature kernels)
+    val out = graft.ops.Relational.spread(
+        media.select(col("media_id").cast("long"), col("modality"),
+          col("content")))
       .as[(Long, String, Array[Byte])]
       .mapPartitions { it =>
         // per-partition init happens here (codec handles, model weights…)

@@ -728,6 +728,8 @@ object Text {
   def hashEmbed(df: DataFrame, idCol: String, textCol: String,
                 dim: Int = 64, seed: Long = 11L): DataFrame = {
     require(dim >= 2, s"dim must be >= 2: $dim")
+    // no spread() here: A/B'd round 15 (q_text_ann/q_semantic_dedup
+    // flat-to-worse) — the (id,bucket) groupBy provides the parallelism
     val counts = df.select(col(idCol).as("id"),
         explode(tokens(lower(col(textCol)))).as("tok"))
       .withColumn("bucket",
@@ -840,13 +842,16 @@ object Text {
     def bucket(c: Column) =
       conv(substring(md5(concat(lit(s"ds$seed:"), c)), 1, 15), 16, 10)
         .cast("long") % dim
-    val docBuckets = raw.select(col(idCol).as("id"),
+    // spread() both text roots: the per-token md5 bucketing is the
+    // heavy kernel here and each checkpoint/aggregate fill ran
+    // single-task on an unsplittable input (no-op at real scale)
+    val docBuckets = graft.ops.Relational.spread(raw).select(col(idCol).as("id"),
         explode(tokens(lower(col(textCol)))).as("tok"))
       .select(col("id"), bucket(col("tok")).as("bucket"))
       .groupBy("id", "bucket").agg(count(lit(1)).as("c"))
       .localCheckpoint(false) // feeds the raw distribution AND the scoring
     val rawDist = docBuckets.groupBy("bucket").agg(sum(col("c")).as("cr"))
-    val tgtDist = target.select(
+    val tgtDist = graft.ops.Relational.spread(target).select(
         explode(tokens(lower(col(textCol)))).as("tok"))
       .select(bucket(col("tok")).as("bucket"))
       .groupBy("bucket").agg(count(lit(1)).as("ct"))
